@@ -1,0 +1,50 @@
+"""Catalog — registration of the TESTDATA star schema.
+
+Reference: Flink's ExternalCatalog / InMemoryExternalCatalog
+(flink-table/.../catalog/ExternalCatalog.scala) hold named tables the SQL
+validator resolves against. Here the Spark session catalog plays that role;
+this module knows the driver's parquet layout (TESTDATA.md) and registers
+each table as a temp view.
+
+Scale note: the reads stay lazy — registering 100 TB of parquet costs only a
+footer/stat listing; filters and projections push into the scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Tables small enough to broadcast in joins at ANY scale factor (TPC-H fixed
+# or near-fixed cardinality dims). customer/supplier/part grow with SF and are
+# left to AQE + the autoBroadcastJoinThreshold.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read every star-schema table from ``sf_dir`` lazily."""
+    return {name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")) for name in TABLES}
+
+
+def register_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for spark.sql / TableEnvironment.sql)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

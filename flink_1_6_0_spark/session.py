@@ -1,0 +1,125 @@
+"""Session management — the analog of Flink's ExecutionEnvironment/TableEnvironment.
+
+Reference surface: StreamExecutionEnvironment (flink-streaming-java/.../
+StreamExecutionEnvironment.java) and TableEnvironment
+(flink-table/.../api/TableEnvironment.scala). In this engine a single
+SparkSession carries both batch and streaming; the TableEnvironment wrapper
+adds the catalog, the SQL front-end shim (TUMBLE/HOP/SESSION), time-attribute
+registration, and UDF registration.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime re-planning, skew-join splitting, dynamic coalescing.
+- shuffle.partitions defaults to cores locally; on a real cluster set it to
+  2-3x total executor cores (AQE coalesces down from there).
+- UTC session timezone pins timestamp semantics to the parquet storage values
+  (and to the DuckDB oracle).
+- Arrow enabled: every pandas-UDF boundary is vectorized batch transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "flink-1.6.0-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    Mirrors StreamExecutionEnvironment.getExecutionEnvironment
+    (StreamExecutionEnvironment.java:1588) — a process-wide environment the
+    rest of the API hangs off.
+    """
+    cpus = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # -- correctness-critical --------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- scale / performance ---------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Streaming state store: RocksDB would be the 100TB choice; the local
+        # image ships the default HDFS-backed store which is fine for tests.
+        .config("spark.sql.streaming.stateStore.compression.codec", "lz4")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class TableEnvironment:
+    """Unified batch/stream table environment.
+
+    Reference: flink-table/.../api/TableEnvironment.scala:646 (sqlQuery),
+    :417/:437 (registerTable/registerTableSource), :337 (registerFunction).
+    Here the Calcite pipeline is replaced by Catalyst; we only add the SQL
+    front-end shim for Flink group-window syntax and the time-attribute
+    registry (SURVEY.md §4.3 "needs custom work" items 1-2).
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        # table name -> rowtime column (event-time attribute + watermark delay)
+        self._rowtime: dict[str, tuple[str, str]] = {}
+
+    # -- catalog ---------------------------------------------------------
+    def register_table(self, name: str, df: DataFrame) -> None:
+        """registerTable (TableEnvironment.scala:417)."""
+        df.createOrReplaceTempView(name)
+
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        """registerTableSource for a parquet source (CsvTableSource analog,
+        flink-table/.../sources/CsvTableSource.scala:50 — parquet because the
+        engine is columnar-first; CSV via ``sources.batch.read_csv``)."""
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_rowtime(self, table: str, column: str, delay: str = "0 seconds") -> None:
+        """Declare an event-time attribute + bounded-out-of-orderness watermark.
+
+        Reference: DefinedRowtimeAttributes (flink-table/.../sources/
+        definedTimeAttributes.scala:50) + BoundedOutOfOrderTimestamps
+        (sources/wmstrategies/). In Spark this becomes
+        ``df.withWatermark(column, delay)`` injected when the table is read
+        as a stream (plans.time_attributes).
+        """
+        self._rowtime[table] = (column, delay)
+
+    def rowtime_of(self, table: str) -> tuple[str, str] | None:
+        return self._rowtime.get(table)
+
+    # -- SQL -------------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """sqlQuery (TableEnvironment.scala:646) with the Flink group-window
+        front-end shim applied (TUMBLE/HOP/SESSION → window()/session_window())."""
+        from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+        return self.spark.sql(rewrite_flink_sql(query))
+
+    # -- UDFs --------------------------------------------------------------
+    def register_function(self, name: str, fn, return_type=None) -> None:
+        """registerFunction (TableEnvironment.scala:337) for ScalarFunction.
+        UDTF/UDAF registration lives in functions.udf."""
+        self.spark.udf.register(name, fn, return_type)
