@@ -1,0 +1,84 @@
+"""Aggregation operators — SURVEY.md §2.4.
+
+Reference: DataSet.java:339-638 (groupBy/aggregate/reduce/minBy/maxBy/first/
+distinct), DataSetAggregate.scala:40 + AggregateUtil.scala (partial+final agg),
+functions/aggfunctions/ (SUM/SUM0/AVG/COUNT/MIN/MAX/COLLECT/STDDEV/VAR).
+Spark's HashAggregateExec already does map-side partial aggregation — the
+DataSetPreAggFunction/DataSetFinalAggFunction split is free.
+
+This module adds the Flink-specific shapes:
+- COLLECT → multiset (Flink returns Map<elem, count>; we expose both a
+  map-typed and a deterministic sorted-array form)
+- SUM0 (null-safe sum returning 0 for empty groups)
+- minBy/maxBy row-selection semantics
+- an applyInPandas-based UDAF runner matching the AggregateFunction contract
+  (create/accumulate/merge/getValue, AggregateFunction.scala:97)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def collect_multiset(col: str | Column) -> Column:
+    """SQL COLLECT → multiset, i.e. Map<element, count>.
+
+    Reference: CollectAggFunction.scala (MULTISET, MultisetTypeInfo maps to
+    Map<E, Integer> — SURVEY.md §1.2). Implemented JVM-side: histogram via
+    aggregate over collect_list would shuffle rows; instead callers should
+    pre-aggregate counts. This expression form builds the map from a
+    collect_list in one pass for moderate group sizes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lst = F.collect_list(c)
+    return F.map_from_arrays(
+        F.array_distinct(lst),
+        F.transform(F.array_distinct(lst), lambda x: F.size(F.filter(lst, lambda y: y == x))),
+    )
+
+
+def collect_multiset_sorted(col: str | Column) -> Column:
+    """Deterministic multiset rendering: sorted array of 'value:count' strings
+    (stable across engines — used by the oracle-checked queries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lst = F.collect_list(c.cast("string"))
+    return F.array_sort(
+        F.transform(
+            F.array_distinct(lst),
+            lambda x: F.concat_ws(":", x, F.size(F.filter(lst, lambda y: y == x)).cast("string")),
+        )
+    )
+
+
+def sum0(col: str | Column) -> Column:
+    """SUM0 — like SUM but 0 (not NULL) when all inputs are null/absent.
+    Reference: Sum0AggFunction in functions/aggfunctions/."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.sum(c), F.lit(0))
+
+
+def min_by(value: str | Column, ordering: str | Column) -> Column:
+    """minBy (DataSet.java:523) — value of ``value`` on the row minimizing ``ordering``."""
+    return F.min_by(value, ordering)
+
+
+def max_by(value: str | Column, ordering: str | Column) -> Column:
+    """maxBy (DataSet.java:559)."""
+    return F.max_by(value, ordering)
+
+
+def distinct(df: DataFrame, *cols: str) -> DataFrame:
+    """DataSet.distinct by fields or all (DataSet.java:596-638)."""
+    return df.dropDuplicates(list(cols)) if cols else df.distinct()
+
+
+def apply_udaf(df: DataFrame, group_cols: list[str], fn, schema) -> DataFrame:
+    """AggregateFunction (UDAF) contract via grouped-map pandas.
+
+    Reference: AggregateFunction.scala:97 — createAccumulator/accumulate/
+    getValue. ``fn(key, pdf) -> pdf`` receives the whole group Arrow-batched;
+    retract() is unnecessary in batch (only update-mode streaming needs it —
+    see streaming.group_agg).
+    """
+    return df.groupBy(*group_cols).applyInPandas(fn, schema=schema)

@@ -1,0 +1,126 @@
+"""Join operators — SURVEY.md §2.3.
+
+Spark's built-in join machinery (BroadcastHash/ShuffledHash/SortMerge/
+BroadcastNestedLoop + AQE) subsumes the reference's MutableHashTable
+(flink-runtime/.../operators/hash/MutableHashTable.java:87) and merge
+iterators wholesale; what this module adds are the *API shapes* the reference
+exposes that Spark does not name directly:
+
+- single-row join (DataSetSingleRowJoin.scala:42) — broadcast of a 1-row side
+- coGroup (DataSet.java:1009, CoGroupOperator.java) — grouped dual-input
+- interval/time-bounded join (TimeBoundedStreamJoin.scala:55,
+  KeyedStream.java:414 / IntervalJoinOperator.java:89)
+- windowed join (JoinedStreams.java:126 — where/equalTo/window/apply)
+- semi/anti joins (reference reaches them only via IN/EXISTS subquery rewrite,
+  FlinkRuleSets.scala:36-38; Spark has first-class join types)
+
+Scale notes: single-row joins always broadcast (never shuffle the big side);
+interval joins join on coarse time-buckets first so the range predicate is an
+equi-join + residual filter rather than a nested loop. coGroup uses
+pandas cogroup only when handed an opaque fn — the relational fast path stays
+JVM-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def single_row_join(df: DataFrame, single_row: DataFrame, condition: Column | None = None) -> DataFrame:
+    """Join an arbitrarily large input with a known-single-row input.
+
+    Reference: DataSetSingleRowJoin.scala:42 — the single row ships as a
+    broadcast set; theta conditions allowed. Spark: broadcast nested-loop /
+    broadcast hash join, which is exactly `crossJoin(broadcast(...))` plus an
+    optional residual filter — the big side never shuffles.
+    """
+    out = df.crossJoin(F.broadcast(single_row))
+    return out.filter(condition) if condition is not None else out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """IN / EXISTS subquery semantics (SubQueryRemoveRule, FlinkRuleSets.scala:36-38)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT IN / NOT EXISTS subquery semantics."""
+    return left.join(right, on, "left_anti")
+
+
+def co_group(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    fn=None,
+    schema=None,
+) -> DataFrame:
+    """coGroup: for each key, hand both groups to a function (DataSet.java:1009).
+
+    With an opaque ``fn`` this uses pandas cogroup (Arrow-batched). When the
+    logic is relational (the common case in the reference's own usage), prefer
+    expressing it as aggregate + full outer join — see queries.relational for
+    that fast path.
+    """
+    if fn is None:
+        raise ValueError("co_group requires fn; for relational co-grouping use agg + full outer join")
+    return (
+        left.groupBy(*left_keys)
+        .cogroup(right.groupBy(*right_keys))
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Time-bounded join: right.ts ∈ [left.ts - lower, left.ts + upper].
+
+    Reference: TimeBoundedStreamJoin.scala:55 / IntervalJoinOperator.java:89.
+    ``lower``/``upper`` are SQL interval strings like ``'1 hour'``.
+
+    Batch form: equi-join on keys + range residual. Catalyst pushes the range
+    condition into the join; with AQE the smaller side broadcasts. The
+    streaming form (same condition + watermarks) lives in
+    streaming.interval_join.
+    """
+    cond = None
+    for lk, rk in keys:
+        c = left[lk] == right[rk]
+        cond = c if cond is None else (cond & c)
+    lo = right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lower}")
+    hi = right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}")
+    rng = lo & hi
+    cond = rng if cond is None else (cond & rng)
+    return left.join(right, cond, how)
+
+
+def windowed_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    window: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Per-window equi-join: where/equalTo/window/apply (JoinedStreams.java:126).
+
+    Both sides are bucketed into the same tumbling window; the join adds the
+    window-start as an extra equi-key — a pure hash join, no range predicate.
+    """
+    lw = left.withColumn("__w", F.window(F.col(left_ts), window))
+    rw = right.withColumn("__w", F.window(F.col(right_ts), window))
+    cond = lw["__w"] == rw["__w"]
+    for lk, rk in keys:
+        cond = cond & (lw[lk] == rw[rk])
+    return lw.join(rw, cond, how).drop(lw["__w"]).withColumnRenamed("__w", "window")

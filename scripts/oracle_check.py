@@ -1,0 +1,58 @@
+"""Run the driver's oracle gate locally: every registered query vs DuckDB.
+
+Usage: python scripts/oracle_check.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from flink_1_6_0_spark.catalog import TABLES
+from flink_1_6_0_spark.registry import load_all
+from flink_1_6_0_spark.session import get_spark
+from tests.helpers import normalize
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    failures = 0
+    for name, spec in sorted(load_all().items()):
+        if filt and filt not in name:
+            continue
+        try:
+            sp = spec.fn(spark, sf).toPandas()
+            if spec.oracle is None:
+                print(f"{name}: rows={len(sp)} (no oracle — rows-only)")
+                continue
+            dk = con.sql(spec.oracle).fetchdf()
+            cols_ok = sorted(sp.columns) == sorted(dk.columns)
+            a, b = normalize(sp), normalize(dk)
+            ok = cols_ok and a == b
+            status = "OK " if ok else "FAIL"
+            print(f"{status} {name}: spark={len(sp)} duck={len(dk)} cols_ok={cols_ok}")
+            if not ok:
+                failures += 1
+                if not cols_ok:
+                    print(f"     spark cols {sorted(sp.columns)} duck cols {sorted(dk.columns)}")
+                for x, y in list(zip(a, b))[:200]:
+                    if x != y:
+                        print(f"     spark {x!r}\n     duck  {y!r}")
+                        break
+        except Exception as exc:
+            failures += 1
+            print(f"ERR  {name}: {type(exc).__name__}: {str(exc)[:300]}")
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
