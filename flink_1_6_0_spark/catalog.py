@@ -37,9 +37,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = ("region", "nation")
 
 
+def normalize_table(name: str, df: DataFrame) -> DataFrame:
+    """Normalize driver-generated quirks: events.ts is TIMESTAMP(NANOS)
+    parquet, read as long nanoseconds (spark.sql.legacy.parquet.nanosAsLong)
+    and converted here to a microsecond timestamp — the same truncation
+    DuckDB applies when it reads ns into its µs TIMESTAMP."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, not `/`: double division loses µs precision at ~1.7e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every star-schema table from ``sf_dir`` lazily."""
-    return {name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")) for name in TABLES}
+    return {
+        name: normalize_table(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+        for name in TABLES
+    }
 
 
 def register_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

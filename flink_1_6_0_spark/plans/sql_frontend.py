@@ -1,0 +1,116 @@
+"""Flink SQL front-end shim — SURVEY.md §4.3 custom-work item 1.
+
+Flink 1.6 SQL exposes group windows as the table functions
+TUMBLE/HOP/SESSION plus the accessors TUMBLE_START/TUMBLE_END/HOP_START/
+HOP_END/SESSION_START/SESSION_END (FunctionCatalog.scala:447-461, planned by
+DataStreamGroupWindowAggregate.scala:256-354). Spark spells the same
+semantics `window(ts, size[, slide])` / `session_window(ts, gap)` with a
+struct column exposing `.start`/`.end`.
+
+This module rewrites the Flink spellings into the Spark ones before the
+query reaches ``spark.sql`` — a string-level front end, not a Catalyst rule
+(Catalyst then plans the windows natively, including whole-stage codegen).
+
+Flink argument order matters: HOP(time, slide, size) → window(time, size,
+slide) — slide and size swap positions.
+"""
+
+from __future__ import annotations
+
+import re
+
+# INTERVAL '30' MINUTE  /  INTERVAL '1' HOUR  →  '30 minutes' / '1 hour'
+_INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+
+
+def _interval_to_duration(expr: str) -> str:
+    """Render a Flink interval literal as a Spark duration string."""
+    m = _INTERVAL_RE.fullmatch(expr.strip())
+    if not m:
+        raise ValueError(f"unsupported interval expression in group window: {expr!r}")
+    n, unit = m.group(1), m.group(2).lower()
+    return f"{n} {unit}" + ("" if unit.endswith("s") else "s" if int(n) != 1 else "")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a call's argument list on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in argstr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+_CALL_RE = re.compile(
+    r"\b(TUMBLE_START|TUMBLE_END|TUMBLE_ROWTIME|TUMBLE_PROCTIME|"
+    r"HOP_START|HOP_END|HOP_ROWTIME|HOP_PROCTIME|"
+    r"SESSION_START|SESSION_END|SESSION_ROWTIME|SESSION_PROCTIME|"
+    r"TUMBLE|HOP|SESSION)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _find_call(sql: str, start: int):
+    """Find the next Flink group-window call; return (name, args, span)."""
+    m = _CALL_RE.search(sql, start)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    return m.group(1).upper(), sql[m.end() : i - 1], (m.start(), i)
+
+
+def _render(name: str, args: list[str]) -> str:
+    base, _, accessor = name.partition("_")
+    if base == "TUMBLE":
+        ts, size = args
+        core = f"window({ts}, '{_interval_to_duration(size)}')"
+    elif base == "HOP":
+        ts, slide, size = args  # Flink order: (time, slide, size)
+        core = f"window({ts}, '{_interval_to_duration(size)}', '{_interval_to_duration(slide)}')"
+    elif base == "SESSION":
+        ts, gap = args
+        core = f"session_window({ts}, '{_interval_to_duration(gap)}')"
+    else:
+        raise ValueError(f"unknown group window function {name}")
+    if not accessor:
+        return core
+    if accessor in ("START", "ROWTIME"):  # *_ROWTIME is the window end-1ms; we expose start/end
+        return f"{core}.start" if accessor == "START" else f"{core}.end - INTERVAL 1 MILLISECOND"
+    if accessor in ("END", "PROCTIME"):
+        return f"{core}.end"
+    raise ValueError(f"unknown accessor {name}")
+
+
+def rewrite_flink_sql(sql: str) -> str:
+    """Rewrite TUMBLE/HOP/SESSION(+accessors) to window()/session_window().
+
+    GROUP BY window(...) and SELECT window(...).start work directly in Spark
+    SQL because identical window() calls unify into one grouping expression.
+    Non-window SQL passes through untouched.
+    """
+    out, pos = [], 0
+    while True:
+        hit = _find_call(sql, pos)
+        if hit is None:
+            out.append(sql[pos:])
+            break
+        name, argstr, (s, e) = hit
+        out.append(sql[pos:s])
+        out.append(_render(name, _split_args(argstr)))
+        pos = e
+    return "".join(out)

@@ -17,7 +17,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_1_6_0_spark.catalog import normalize_table
+
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from a scale-factor dir (lazy parquet scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one star-schema table from a scale-factor dir (lazy parquet scan).
+
+    Nanosecond-timestamp columns arrive as long (nanosAsLong) and are
+    normalized to microsecond timestamps — matching DuckDB's ns→µs truncation.
+    """
+    return normalize_table(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))

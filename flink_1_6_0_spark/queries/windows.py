@@ -1,1 +1,307 @@
-"""Placeholder — populated in a later milestone."""
+"""Group windows + OVER aggregates, batch-checked against the oracle —
+SURVEY.md §2.5-2.6 (BASELINE.md bench items 6-7's batch halves).
+
+The same window()/session_window() expressions run under Structured Streaming
+with a watermark (tests/test_streaming.py); here they are checked for value
+correctness on the bounded events table where DuckDB can replay the
+semantics (tumble = time_bucket, hop = bucket fan-out, session = gap-based
+sessionization via lag + cumulative sum).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_6_0_spark.operators import over as over_ops
+from flink_1_6_0_spark.operators import windows as win_ops
+from flink_1_6_0_spark.queries import T
+from flink_1_6_0_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Group windows (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_tumble",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts)                    AS wstart,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR  AS wend,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("batch", "window"),
+    bench=True,
+)
+def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE group window (TumblingEventTimeWindows;
+    DataStreamGroupWindowAggregate.scala:256)."""
+    e = T(spark, sf_dir, "events")
+    out = e.groupBy(win_ops.tumble("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return out.select(
+        F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"), "event_type", "n", "sum_value"
+    )
+
+
+@query(
+    "window_hop",
+    oracle="""
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE      AS wstart,
+           time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE + INTERVAL 1 HOUR AS wend,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, UNNEST([0, 1]) AS u(k)
+    GROUP BY 1, 2
+    """,
+    tags=("batch", "window"),
+)
+def window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP (sliding) group window, Flink arg order (time, slide, size)
+    (SlidingEventTimeWindows; FunctionCatalog.scala:451). Each event lands in
+    size/slide = 2 windows — the oracle fans out explicitly."""
+    e = T(spark, sf_dir, "events")
+    out = e.groupBy(win_ops.hop("ts", "30 minutes", "1 hour").alias("w")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return out.select(
+        F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"), "n", "sum_value"
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + INTERVAL 10 MINUTE    AS session_end,
+           count(*)                        AS n,
+           round(sum(value), 2)            AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+    tags=("batch", "window"),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION group window, 10-minute gap (EventTimeSessionWindows;
+    WindowOperator merging path WindowOperator.java:304). Spark session_window
+    end = last event + gap, replicated by the oracle's sessionization."""
+    e = T(spark, sf_dir, "events")
+    out = e.groupBy(win_ops.session("ts", "10 minutes").alias("w"), "user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "window_tumble_flink_sql",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, ts)  AS wstart,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("batch", "window", "sql-frontend"),
+)
+def window_tumble_flink_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL spelling through the front-end shim: TUMBLE/TUMBLE_START in
+    the query text (FunctionCatalog.scala:447-461 → plans.sql_frontend
+    rewrite → Spark window())."""
+    from flink_1_6_0_spark.session import TableEnvironment
+
+    te = TableEnvironment(spark)
+    te.register_table("events", T(spark, sf_dir, "events"))
+    return te.sql(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS wstart,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' DAY), event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# OVER aggregates (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "over_rows_unbounded",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS running_n
+    FROM events
+    """,
+    tags=("batch", "over"),
+    bench=True,
+)
+def over_rows_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-preceding ROWS OVER aggregate (RowTimeUnboundedOver.scala:254)."""
+    e = T(spark, sf_dir, "events")
+    w = over_ops.rows_unbounded(["user_id"], ["ts", "event_id"])
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_sum"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@query(
+    "over_rows_bounded",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg4,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS min4
+    FROM events
+    """,
+    tags=("batch", "over"),
+)
+def over_rows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS OVER (ProcTimeBoundedRowsOver.scala:43 semantics on event
+    time): last-4-rows rolling aggregate."""
+    e = T(spark, sf_dir, "events")
+    w = over_ops.rows_bounded(["user_id"], ["ts", "event_id"], 3)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg4"),
+        F.round(F.min("value").over(w), 4).alias("min4"),
+    )
+
+
+@query(
+    "over_range_bounded",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS sum_1h,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events
+    """,
+    tags=("batch", "over"),
+)
+def over_range_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded RANGE OVER on event time (RowTimeBoundedRangeOver.scala):
+    per-row trailing 1-hour aggregate, ordered by epoch seconds (Spark
+    rangeBetween needs a numeric key; epoch(ts) truncates to seconds on both
+    engines)."""
+    e = T(spark, sf_dir, "events").withColumn(
+        "__epoch", F.col("ts").cast("long")
+    )
+    w = over_ops.range_bounded_seconds(["user_id"], "__epoch", 3600)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "over_ranking",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number()  OVER w AS rn,
+           rank()        OVER w_v AS rnk,
+           dense_rank()  OVER w_v AS drnk,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event
+    FROM events
+    WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w_v AS (PARTITION BY user_id ORDER BY event_type, event_id)
+    """,
+    tags=("batch", "over", "exceeds"),
+)
+def over_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEEDS the reference: Flink 1.6's BasicOperatorTable has no
+    RANK/ROW_NUMBER/LEAD/LAG (FunctionCatalog.scala:295-461); Spark window
+    functions provide them natively, declared as engine extensions."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_v = Window.partitionBy("user_id").orderBy("event_type", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_v).alias("rnk"),
+        F.dense_rank().over(w_v).alias("drnk"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval join on event time (§2.3, batch half of bench item 7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_join_events",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           round(b.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("batch", "join", "interval"),
+    bench=True,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded (interval) join (TimeBoundedStreamJoin.scala:55,
+    IntervalJoinOperator.java:89): purchases within 30min after a click by
+    the same user. Batch form = equi-join on user + range residual; the
+    streaming form adds watermarks (streaming.interval_join)."""
+    from flink_1_6_0_spark.operators.joins import interval_join
+
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    # self-join: prefix the right side so attribute lineage is unambiguous
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        [F.col(c).alias(f"b_{c}") for c in e.columns]
+    )
+    out = interval_join(
+        clicks, buys, [("user_id", "b_user_id")], "ts", "b_ts", "0 seconds", "30 minutes"
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("b_event_id").alias("purchase_id"),
+        "user_id",
+        F.round(F.col("b_value"), 2).alias("purchase_value"),
+    )

@@ -57,6 +57,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TESTDATA's events.ts is TIMESTAMP(NANOS) parquet, which the vectorized
+        # reader rejects; read as long and convert in the catalog loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Streaming state store: RocksDB would be the 100TB choice; the local
         # image ships the default HDFS-backed store which is fine for tests.
         .config("spark.sql.streaming.stateStore.compression.codec", "lz4")

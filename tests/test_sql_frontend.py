@@ -1,0 +1,67 @@
+"""Unit tests for the Flink SQL group-window front-end rewrite
+(plans/sql_frontend.py) — TUMBLE/HOP/SESSION + accessors."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+
+def test_tumble_rewrite():
+    sql = "SELECT count(*) FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    assert rewrite_flink_sql(sql) == "SELECT count(*) FROM t GROUP BY window(ts, '1 hour')"
+
+
+def test_hop_swaps_slide_and_size():
+    # Flink: HOP(time, slide, size) — Spark: window(time, size, slide)
+    sql = "GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"
+    assert rewrite_flink_sql(sql) == "GROUP BY window(ts, '1 hour', '30 minutes')"
+
+
+def test_session_rewrite():
+    sql = "GROUP BY SESSION(ts, INTERVAL '10' MINUTE)"
+    assert rewrite_flink_sql(sql) == "GROUP BY session_window(ts, '10 minutes')"
+
+
+def test_accessors():
+    assert (
+        rewrite_flink_sql("SELECT TUMBLE_START(ts, INTERVAL '1' DAY)")
+        == "SELECT window(ts, '1 day').start"
+    )
+    assert (
+        rewrite_flink_sql("SELECT HOP_END(ts, INTERVAL '5' MINUTE, INTERVAL '15' MINUTE)")
+        == "SELECT window(ts, '15 minutes', '5 minutes').end"
+    )
+    assert (
+        rewrite_flink_sql("SELECT SESSION_END(ts, INTERVAL '10' MINUTE)")
+        == "SELECT session_window(ts, '10 minutes').end"
+    )
+
+
+def test_non_window_sql_untouched():
+    sql = "SELECT tumbler, hopper FROM sessions WHERE x = 1"
+    assert rewrite_flink_sql(sql) == sql
+
+
+def test_unsupported_interval_raises():
+    with pytest.raises(ValueError):
+        rewrite_flink_sql("GROUP BY TUMBLE(ts, some_col)")
+
+
+def test_end_to_end_sql(spark):
+    from flink_1_6_0_spark.session import TableEnvironment
+
+    te = TableEnvironment(spark)
+    te.register_table(
+        "t",
+        spark.createDataFrame(
+            [("2024-01-01 00:05:00", 1.0), ("2024-01-01 00:55:00", 2.0), ("2024-01-01 01:05:00", 4.0)],
+            "ts string, v double",
+        ).selectExpr("cast(ts as timestamp) ts", "v"),
+    )
+    rows = te.sql(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) ws, sum(v) s FROM t "
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) ORDER BY ws"
+    ).collect()
+    assert [r["s"] for r in rows] == [3.0, 4.0]
