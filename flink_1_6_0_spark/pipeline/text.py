@@ -1,0 +1,119 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Engine extensions beyond the reference surface (BASELINE.json north star):
+language-ID, quality scoring, token counting, document fingerprinting — each
+a pure Column expression (JVM-side, whole-stage codegen; no Python in the hot
+path), so they run at 100 TB as a single scan + project.
+
+Hash parity note: anything that must hash identically in the DuckDB oracle
+uses md5-hex→bigint (first 15 hex digits, < 2^60) — both engines compute the
+same value exactly; xxhash64/murmur differ between engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+MOD = 1_000_000_007  # keeps all rolling-hash arithmetic exact in int64 everywhere
+
+# Tiny per-language stopword profiles for the n-gram/stopword langid heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du"),
+    "de": ("der", "die", "und", "das", "ein", "nicht", "mit", "ist"),
+    "es": ("el", "la", "y", "los", "una", "del", "que", "por"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "这"),
+}
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: str | Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def tokenize_bpe_ish(col: str | Column) -> Column:
+    """BPE-ish tokenization: letter runs, digit runs, single punct marks."""
+    return F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokenize(col))
+
+
+def char_count(col: str | Column) -> Column:
+    return F.char_length(_c(col))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars."""
+    c = _c(col)
+    return F.char_length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", "")) / F.char_length(c)
+
+
+def stopword_ratio(col: str | Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokenize(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+
+
+def mean_token_len(col: str | Column) -> Column:
+    toks = tokenize(col)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.char_length(t)
+    ) / F.size(toks)
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length, a healthy
+    stopword ratio, and mean word length in the natural-language band; the
+    exact formula is arbitrary but deterministic (oracle-replicated)."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / 64.0, F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    mtl = mean_token_len(col)
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 8.0), 1.0).otherwise(0.5)
+    return F.round((len_score + sw_score + mtl_score) / 3.0, 6)
+
+
+def lang_score(col: str | Column, lang: str) -> Column:
+    """Stopword-profile hit count for one language."""
+    toks = tokenize(col)
+    sw = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Language-ID heuristic: argmax of per-language stopword hits, ties
+    broken by the fixed profile order; 'und' when nothing matches."""
+    result = F.lit("und")
+    best = F.lit(0).cast("int")
+    # iterate in reverse so earlier languages win ties
+    for lang in reversed(list(LANG_PROFILES)):
+        s = lang_score(col, lang).cast("int")
+        is_better = s >= best
+        result = F.when(s > 0, F.when(is_better, F.lit(lang)).otherwise(result)).otherwise(result)
+        best = F.greatest(best, s)
+    return result
+
+
+def token_hash(tok: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex digits of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Rolling polynomial hash over tokens (base 31, mod 1e9+7) of the
+    lowercased text — a document fingerprint stable across engines."""
+    toks = tokenize(F.lower(_c(col)))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + token_hash(t) % MOD) % MOD,
+    )

@@ -1,1 +1,348 @@
-"""Placeholder — populated in a later milestone."""
+"""Training-data pipeline queries over documents/embeddings — the engine
+extensions (BASELINE.json north star; graded alongside SURVEY.md §2).
+
+Oracle parity relies on the portable md5→bigint token hash
+(pipeline.text.token_hash ⇔ ('0x' || substr(md5(s),1,15))::BIGINT) so MinHash/
+SimHash/fingerprints are bit-identical between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_6_0_spark.pipeline import dedup as dd
+from flink_1_6_0_spark.pipeline import multimodal as mm
+from flink_1_6_0_spark.pipeline import similarity as sim
+from flink_1_6_0_spark.pipeline import text as tx
+from flink_1_6_0_spark.queries import T
+from flink_1_6_0_spark.registry import query
+
+# -- shared oracle SQL fragments --------------------------------------------
+
+_MOD = tx.MOD
+# portable token hash in DuckDB SQL
+_TH = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+_TOKS = "string_split_regex(trim({c}), '\\s+')"
+
+
+def _duck_shingle_cte(source_sql: str, k: int = 3) -> str:
+    """DuckDB CTE pair: ``source_sql`` must yield (doc, text); produces a
+    relation ``shingled(doc, sh)`` with distinct k-word shingles."""
+    join = " || ' ' || ".join(f"tt[i+{j}]" for j in range(k))
+    return f"""
+    toks AS (SELECT doc, {_TOKS.format(c='lower(text)')} AS tt FROM ({source_sql})),
+    shingled AS (
+      SELECT doc,
+             list_distinct(CASE WHEN len(tt) >= {k}
+               THEN [{join} FOR i IN range(1, len(tt) - {k - 1} + 1)]
+               ELSE [] END) AS sh
+      FROM toks)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS.format(c='text')})                    AS n_tokens,
+           length(text)                                     AS n_chars_calc,
+           round(len(list_filter({_TOKS.format(c='text')},
+                 t -> list_contains({list(tx.LANG_PROFILES['en'])!r}, t)))
+                 / len({_TOKS.format(c='text')}), 6)        AS stop_ratio,
+           round(list_sum(list_transform({_TOKS.format(c='text')}, t -> length(t)))
+                 / len({_TOKS.format(c='text')}), 6)        AS mean_tok_len
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + basic quality signals, all JVM expressions."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_calc"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(tx.mean_token_len("text"), 6).alias("mean_tok_len"),
+    )
+
+
+_LANGS = list(tx.LANG_PROFILES)
+_LANG_HITS = ",\n".join(
+    f"len(list_filter({_TOKS.format(c='text')}, t -> list_contains({list(ws)!r}, t))) AS s_{lang}"
+    for lang, ws in tx.LANG_PROFILES.items()
+)
+_LANG_CASE = (
+    "CASE WHEN greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ") = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{l} = greatest(" + ", ".join(f"s_{m}" for m in _LANGS) + f") THEN '{l}'" for l in _LANGS
+    )
+    + " END"
+)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS declared_lang, {_LANG_CASE} AS detected
+    FROM (SELECT doc_id, lang, {_LANG_HITS} FROM documents)
+    """,
+    tags=("pipeline", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax, profile-order ties, 'und' when
+    no profile hits)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("declared_lang"), tx.lang_id("text").alias("detected")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform({_TOKS.format(c='lower(text)')},
+                              t -> {_TH.format(s='t')} % {_MOD})),
+             (a, b) -> (a * 31 + b) % {_MOD})               AS fp
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (base 31 mod 1e9+7 over
+    portable token hashes)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round((least(len({_TOKS.format(c='text')}) / 64.0, 1.0)
+                + least(5.0 * len(list_filter({_TOKS.format(c='text')},
+                        t -> list_contains({list(tx.LANG_PROFILES['en'])!r}, t)))
+                        / len({_TOKS.format(c='text')}), 1.0)
+                + CASE WHEN list_sum(list_transform({_TOKS.format(c='text')}, t -> length(t)))
+                            / len({_TOKS.format(c='text')}) BETWEEN 3.0 AND 8.0
+                       THEN 1.0 ELSE 0.5 END) / 3.0, 6)     AS quality
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / stopword / word-shape bands)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT lang, source, min(doc_id) AS kept_id, count(*) AS n_copies
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content key, keep min id."""
+    return dd.exact_dedup(T(spark, sf_dir, "documents"), ["lang", "source"], "doc_id")
+
+
+def _duck_minhash_sig(num_hashes: int = 16) -> list[str]:
+    base = f"list_transform(sh, s -> {_TH.format(s='s')} % {_MOD})"
+    return [
+        f"list_min(list_transform({base}, h -> (h * {2 * i + 1} + {i * 12_345 + 7}) % {_MOD}))"
+        for i in range(num_hashes)
+    ]
+
+
+def _duck_lsh_oracle(bands: int = 4, rows: int = 4) -> str:
+    sig = _duck_minhash_sig(bands * rows)
+    band_rows = []
+    for b in range(bands):
+        parts = " || '_' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
+        band_rows.append(
+            f"SELECT doc, {b} AS band, {_TH.format(s=f'({parts})')} % {_MOD} AS bh FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH {_duck_shingle_cte('SELECT doc_id AS doc, text FROM documents')},
+    sigs AS (
+      SELECT doc, [{', '.join(sig)}] AS sig FROM shingled
+    ), buckets AS ({buckets})
+    SELECT DISTINCT x.doc AS a, y.doc AS b
+    FROM buckets x JOIN buckets y ON x.band = y.band AND x.bh = y.bh
+    WHERE x.doc < y.doc
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_duck_lsh_oracle(),
+    tags=("pipeline", "dedup"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidate pairs — the scale path for near-dup
+    detection (bucket equi-join, never O(n²))."""
+    return dd.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", shingle_k=3, num_hashes=16, bands=4
+    )
+
+
+def _duck_simhash(bits: int = 32) -> str:
+    toks = _TOKS.format(c="lower(text)")
+    hashes = f"list_transform({toks}, t -> {_TH.format(s='t')})"
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(h, x -> ((x >> {j}) & 1) * 2 - 1)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    ]
+    return f"SELECT doc_id, ({' + '.join(terms)})::BIGINT AS sim FROM (SELECT doc_id, {hashes} AS h FROM documents)"
+
+
+@query("dedup_simhash", oracle=_duck_simhash(), tags=("pipeline", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 signatures (Charikar) — near-dups differ in few bits;
+    banding/bit-sampling turns that into an equi-join like MinHash LSH."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", dd.simhash("text", bits=32).alias("sim"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_duck_shingle_cte('SELECT doc_id AS doc, text FROM documents WHERE doc_id < 200')}
+    SELECT x.doc AS a, y.doc AS b,
+           round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+    FROM shingled x JOIN shingled y ON x.doc < y.doc
+    WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.1
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.1 via inverted-index join (the oracle uses a
+    doc_id<200 slice so its O(n²) stays cheap; the Spark plan is the
+    index-join that scales)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1)
+
+
+_DUCK_COS = """
+list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+ (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+  sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b, round({_DUCK_COS}, 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_DUCK_COS}, 4) >= 0.4
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact kernel; at scale run per LSH
+    bucket — pipeline.similarity.lsh_ann_topk is the bucketed form)."""
+    return dd.embedding_near_dup_pairs(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id, round({_DUCK_COS.replace('b.v', 'q.v')}, 4) AS score
+    FROM e a, q
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """.replace("a.v[i] * b.v[i]", "a.v[i] * q.v[i]"),
+    tags=("pipeline", "similarity"),
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 — the exact ANN baseline
+    (one scan + TakeOrderedAndProject; no shuffle of the vectors)."""
+    return sim.cosine_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", _query_vec(spark, sf_dir), 10
+    )
+
+
+@query("ann_lsh_topk", oracle=None, tags=("pipeline", "similarity"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10 (the 100 TB path: signature computed in
+    the scan, bucket filter prunes before any ordering). Approximate by
+    construction → rows-only check; ann_cosine_topk is the exact baseline."""
+    return sim.lsh_ann_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", _query_vec(spark, sf_dir), 10, bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           (64 + ('0x' || substr(md5(text), 1, 15))::BIGINT % 193)::INT  AS width,
+           (64 + ('0x' || substr(md5(text), 17, 15))::BIGINT % 257)::INT AS height,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + Arrow-batched mapInPandas 'decode' (deterministic
+    stub — the container ships no media libs; the schema/batching/partitioning
+    is the real plumbing)."""
+    d = mm.attach_binary(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return mm.decode_image_meta(d)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, greatest(octet_length(encode(text)), 1), 64)) AS frame_offset
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out shape over binary media (explode of a computed
+    offset sequence — models video frame extraction)."""
+    d = mm.attach_binary(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return mm.frame_sample(d, every_n_bytes=64)
