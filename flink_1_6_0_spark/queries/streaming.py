@@ -1,0 +1,120 @@
+"""Streaming queries in the graded surface — SURVEY.md §2.5/§2.11 (BASELINE.md
+bench item 7).
+
+Each query runs a REAL Structured Streaming pipeline (file source replayed as
+a stream → stateful operator → memory sink, driven to completion with
+processAllAvailable) and returns the materialized result — so the DuckDB
+oracle checks the streaming operator's semantics end-to-end, not a batch
+stand-in.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_6_0_spark.registry import query
+from flink_1_6_0_spark.sources.stream import events_stream, to_memory_sink
+from flink_1_6_0_spark.streaming.dedup import dedup_stream
+from flink_1_6_0_spark.streaming.group_agg import continuous_group_agg
+from flink_1_6_0_spark.streaming.interval_join import stream_interval_join as interval_join_op
+
+
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    spark = df.sparkSession
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = to_memory_sink(df, name, mode)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumble_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate on a live stream
+    (WindowOperator.java:102 semantics; complete-mode emission so the bounded
+    replay yields every window)."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+    return _materialize(out, "complete")
+
+
+@query(
+    "stream_continuous_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "agg"),
+)
+def stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous non-windowed group aggregate (GroupAggProcessFunction.scala:39)
+    in complete mode — the final changelog state."""
+    agg = continuous_group_agg(
+        events_stream(spark, sf_dir),
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    return _materialize(agg, "complete")
+
+
+@query(
+    "stream_dedup_first_per_user",
+    oracle="SELECT DISTINCT user_id FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_first_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-row-per-key dedup (keyed state; dropDuplicates)."""
+    out = dedup_stream(events_stream(spark, sf_dir).select("user_id"), ["user_id"])
+    return _materialize(out, "append")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join (TimeBoundedStreamJoin.scala:55) with
+    watermarks on both sides; inner matches emit eagerly, state evicted by
+    the time bound."""
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        *[F.col(c).alias(f"b_{c}") for c in ev.columns]
+    )
+    joined = interval_join_op(
+        clicks,
+        buys,
+        [("user_id", "b_user_id")],
+        "ts",
+        "b_ts",
+        "0 seconds",
+        "30 minutes",
+        left_delay="1 minute",
+        right_delay="1 minute",
+    ).select(F.col("event_id").alias("click_id"), F.col("b_event_id").alias("purchase_id"))
+    return _materialize(joined, "append")

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "flink_1_6_0_spark.queries.functions_sweep",
     "flink_1_6_0_spark.queries.windows",
     "flink_1_6_0_spark.queries.pipeline",
+    "flink_1_6_0_spark.queries.streaming",
     "flink_1_6_0_spark.queries.graph",
 )
 

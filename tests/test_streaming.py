@@ -1,0 +1,126 @@
+"""Streaming-core tests: bounded parquet replayed as a stream, run to
+completion with processAllAvailable, results compared against the identical
+batch computation (the reference's ITCase strategy, SURVEY.md §5 layer 4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_6_0_spark.plans import retraction
+from flink_1_6_0_spark.queries import T
+from flink_1_6_0_spark.sources.stream import events_stream, to_memory_sink, to_parquet_sink
+from flink_1_6_0_spark.streaming.dedup import dedup_stream
+from flink_1_6_0_spark.streaming.group_agg import continuous_group_agg
+from flink_1_6_0_spark.streaming.interval_join import stream_interval_join
+from tests.helpers import normalize
+
+
+def _run_to_memory(df, name, mode):
+    q = to_memory_sink(df, name, mode)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_tumble_window_agg_stream_matches_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    _run_to_memory(
+        agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sv"),
+        "tumble_out",
+        "complete",
+    )
+    got = spark.sql("SELECT * FROM tumble_out").toPandas()
+
+    batch = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "sv")
+        .toPandas()
+    )
+    assert normalize(got) == normalize(batch)
+
+
+def test_continuous_group_agg_update_mode(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    agg = continuous_group_agg(stream, ["event_type"], [F.count("*").alias("n")])
+    assert retraction.infer_output_mode(agg, retraction.RETRACT) == "update"
+    _run_to_memory(agg, "grp_update", "update")
+    got = spark.sql("SELECT event_type, max(n) AS n FROM grp_update GROUP BY event_type").toPandas()
+    batch = T(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n")).toPandas()
+    assert normalize(got) == normalize(batch)
+
+
+def test_stream_dedup(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    _run_to_memory(dedup_stream(stream.select("user_id"), ["user_id"]), "dedup_out", "append")
+    got = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0]["c"]
+    expect = T(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got == expect
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        *[F.col(c).alias(f"b_{c}") for c in ev.columns]
+    )
+    joined = stream_interval_join(
+        clicks,
+        buys,
+        [("user_id", "b_user_id")],
+        "ts",
+        "b_ts",
+        "0 seconds",
+        "30 minutes",
+        left_delay="1 minute",
+        right_delay="1 minute",
+    ).select(F.col("event_id").alias("click_id"), F.col("b_event_id").alias("purchase_id"))
+    _run_to_memory(joined, "ij_out", "append")
+    got = spark.sql("SELECT * FROM ij_out").toPandas()
+
+    from flink_1_6_0_spark.registry import get
+
+    batch = get("interval_join_events").fn(spark, sf_dir).select("click_id", "purchase_id").toPandas()
+    assert normalize(got) == normalize(batch)
+
+
+def test_streaming_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = events_stream(spark, sf_dir).select("event_id", "user_id")
+    q = to_parquet_sink(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == T(spark, sf_dir, "events").count()
+
+
+def test_output_mode_chooser(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    # pure selection → append on any sink
+    sel = stream.select("event_id")
+    assert retraction.infer_output_mode(sel, retraction.APPEND_ONLY) == "append"
+    # windowed agg with watermark → append-capable (finalized by watermark)
+    win = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert retraction.infer_output_mode(win, retraction.APPEND_ONLY) == "append"
+    # unbounded agg on an append-only sink → unsatisfiable (Flink TableException analog)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    with pytest.raises(ValueError):
+        retraction.infer_output_mode(agg, retraction.APPEND_ONLY)
+    assert retraction.infer_output_mode(agg, retraction.UPSERT) == "update"
+
+
+def test_proctime_attribute(spark, sf_dir):
+    from flink_1_6_0_spark.plans.time_attributes import with_proctime
+
+    df = with_proctime(T(spark, sf_dir, "events").select("event_id"))
+    row = df.limit(1).collect()[0]
+    assert row["proctime"] is not None
