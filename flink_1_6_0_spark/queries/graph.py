@@ -1,1 +1,138 @@
-"""Placeholder — populated in a later milestone."""
+"""Graph (Gelly) + CEP queries in the graded surface — SURVEY.md §2.12, §2.13.
+
+Graph: nations are vertices; two derived edge sets —
+- the undirected "same region" clique graph (connected components, triangles),
+- the directed trade graph cust_nation → supp_nation from
+  lineitem⋈orders⋈customer⋈supplier (PageRank).
+
+The PageRank oracle unrolls the power iteration as chained CTEs — identical
+fixed-iteration arithmetic on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_6_0_spark.operators import graph as g
+from flink_1_6_0_spark.queries import T
+from flink_1_6_0_spark.registry import query
+from flink_1_6_0_spark.streaming.cep import Pattern, cep_batch
+
+
+def _nation_vertices(spark, sf_dir):
+    return T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("id"))
+
+
+def _region_edges(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("r"))
+    b = n.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r"))
+    return a.join(b, "r").filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    SELECT n.n_nationkey AS id, m.mn AS component
+    FROM nation n
+    JOIN (SELECT n_regionkey, min(n_nationkey) AS mn FROM nation GROUP BY n_regionkey) m
+      ON n.n_regionkey = m.n_regionkey
+    """,
+    tags=("graph",),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly ConnectedComponents via iterative min-label propagation
+    (driver-loop supersteps + localCheckpoint; the oracle exploits that the
+    same-region graph's components are exactly the regions)."""
+    return g.connected_components(_nation_vertices(spark, sf_dir), _region_edges(spark, sf_dir))
+
+
+def _pagerank_oracle(iterations: int = 5, d: float = 0.85) -> str:
+    ctes = [
+        """edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey)""",
+        "verts AS (SELECT n_nationkey AS id FROM nation)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "deg AS (SELECT src AS id, count(*)::DOUBLE AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, (SELECT 1.0/n FROM nn) AS rank FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+            SELECT v.id,
+                   (SELECT {1 - d}/n FROM nn) + {d} * coalesce(m.inflow, 0) AS rank
+            FROM verts v LEFT JOIN (
+              SELECT e.dst AS id, sum(p.rank / dg.deg) AS inflow
+              FROM edges e JOIN r{k - 1} p ON e.src = p.id JOIN deg dg ON e.src = dg.id
+              GROUP BY e.dst) m ON v.id = m.id)"""
+        )
+    return f"WITH {', '.join(ctes)} SELECT id, round(rank, 6) AS rank FROM r{iterations}"
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph",))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly PageRank (5 power iterations, d=0.85) on the directed
+    cust_nation→supp_nation trade graph; supersteps are edge-join shuffles."""
+    l, o = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders")
+    c, s = T(spark, sf_dir, "customer"), T(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    ranks = g.pagerank(_nation_vertices(spark, sf_dir), edges, iterations=5, damping=0.85)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    SELECT (sum(cnt * (cnt - 1) * (cnt - 2) / 6))::BIGINT AS n_triangles
+    FROM (SELECT count(*) AS cnt FROM nation GROUP BY n_regionkey)
+    """,
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly TriangleEnumerator via ordered two-hop join (each triangle
+    counted once; the clique graph's count is Σ C(region_size, 3))."""
+    return g.triangle_count(_region_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# CEP (§2.12) — funnel pattern on events
+# ---------------------------------------------------------------------------
+
+_TUPLE_AFTER = "({b}.ts > {a}.ts OR ({b}.ts = {a}.ts AND {b}.event_id > {a}.event_id))"
+
+
+@query(
+    "cep_funnel",
+    oracle=f"""
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id, c.event_id AS purchase_id
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id AND {_TUPLE_AFTER.format(a='a', b='b')}
+    JOIN events c ON b.user_id = c.user_id AND {_TUPLE_AFTER.format(a='b', b='c')}
+    WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
+      AND c.ts - a.ts <= INTERVAL 24 HOUR
+    """,
+    tags=("cep",),
+)
+def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern view ⟶ click ⟶ purchase within 24 hours per user
+    (Pattern.begin/followedByAny/within — Pattern.java:123,316,239;
+    allowCombinations semantics = every qualifying triple, which is exactly
+    the oracle's ordered 3-way join)."""
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by_any("click", lambda e: e["event_type"] == "click")
+        .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")

@@ -1,0 +1,146 @@
+"""Tests for CEP (batch + streaming executors) and Gelly-style graph ops —
+the reference's operator-harness layer (SURVEY.md §5 layer 3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.operators import graph as g
+from flink_1_6_0_spark.streaming.cep import Pattern, cep_batch, cep_stream
+from tests.helpers import normalize
+
+_EVENTS = [
+    # (event_id, ts, user, type) — user 1: v c v p ; user 2: c p
+    (1, "2024-01-01 00:00:00", 1, "view"),
+    (2, "2024-01-01 00:05:00", 1, "click"),
+    (3, "2024-01-01 00:10:00", 1, "view"),
+    (4, "2024-01-01 00:20:00", 1, "purchase"),
+    (5, "2024-01-01 02:00:00", 1, "purchase"),  # outside 1h window of event 1
+    (6, "2024-01-01 00:00:00", 2, "click"),
+    (7, "2024-01-01 00:01:00", 2, "purchase"),
+]
+
+
+def _events_df(spark):
+    df = spark.createDataFrame(_EVENTS, "event_id long, ts string, user_id long, event_type string")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _funnel(within_s):
+    return (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by_any("click", lambda e: e["event_type"] == "click")
+        .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
+        .within(within_s)
+    )
+
+
+def test_cep_batch_followed_by_any(spark):
+    out = cep_batch(_events_df(spark), _funnel(3600), ["user_id"], "ts", "event_id")
+    rows = {(r.user_id, r.view_id, r.click_id, r.purchase_id) for r in out.collect()}
+    # user1: view1→click2→purchase4 (purchase5 is beyond 1h of view1 and view3)
+    assert rows == {(1, 1, 2, 4)}
+
+
+def test_cep_within_boundary_inclusive(spark):
+    # purchase at exactly the horizon is included (<=, not <)
+    out = cep_batch(_events_df(spark), _funnel(1200), ["user_id"], "ts", "event_id")
+    rows = {(r.view_id, r.click_id, r.purchase_id) for r in out.collect()}
+    assert (1, 2, 4) in rows  # 00:20 - 00:00 == 1200s exactly
+
+
+def test_cep_followed_by_takes_first_match_only(spark):
+    p = Pattern.begin("view", lambda e: e["event_type"] == "view").followed_by(
+        "purchase", lambda e: e["event_type"] == "purchase"
+    ).within(86400)
+    out = cep_batch(_events_df(spark), p, ["user_id"], "ts", "event_id")
+    rows = {(r.view_id, r.purchase_id) for r in out.collect()}
+    # each view matches only its FIRST later purchase (4), not also 5
+    assert rows == {(1, 4), (3, 4)}
+
+
+def test_cep_next_strict_contiguity(spark):
+    p = Pattern.begin("view", lambda e: e["event_type"] == "view").next(
+        "click", lambda e: e["event_type"] == "click"
+    )
+    out = cep_batch(_events_df(spark), p, ["user_id"], "ts", "event_id")
+    rows = {(r.view_id, r.click_id) for r in out.collect()}
+    assert rows == {(1, 2)}  # view3 is followed immediately by purchase4, not a click
+
+
+def test_cep_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "cep_src")
+    _events_df(spark).repartition(1).write.parquet(src)
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+
+    stream = read_parquet_stream(spark, src)
+    out = cep_stream(
+        stream, _funnel(3600), ["user_id"], "ts", "event_id", "event_type", use_cleanup_timer=False
+    )
+    q = to_memory_sink(out, "cep_stream_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cep_stream_out").collect()}
+    assert got == {(1, 1, 2, 4)}
+
+
+def test_stream_running_agg(spark, sf_dir):
+    from flink_1_6_0_spark.sources.stream import events_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.over_agg import stream_running_agg
+
+    out = stream_running_agg(
+        events_stream(spark, sf_dir), ["user_id"], "ts", "event_id", "value"
+    )
+    q = to_memory_sink(out, "over_stream_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id, user_id, running_sum, running_n FROM over_stream_out").toPandas()
+
+    from flink_1_6_0_spark.queries import T
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    batch = (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 2).alias("running_sum"),
+            F.count("*").over(w).alias("running_n"),
+        )
+        .toPandas()
+    )
+    assert normalize(got) == normalize(batch)
+
+
+# -- graph ops on a hand graph ----------------------------------------------
+
+
+def test_connected_components_two_islands(spark):
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "src long, dst long")
+    got = {(r.id, r.component) for r in g.connected_components(verts, edges).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)}
+
+
+def test_sssp(spark):
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    got = {(r.id, r.distance) for r in g.single_source_shortest_paths(verts, edges, 0).collect()}
+    assert got == {(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0)}
+
+
+def test_triangle_count_k4(spark):
+    # K4 has 4 triangles
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    assert g.triangle_count(edges).collect()[0]["n_triangles"] == 4

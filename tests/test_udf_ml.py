@@ -1,0 +1,42 @@
+"""UDF registration surface (§2.10) + ML façade (§2.13) smoke tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.functions.udf import register_scalar_function, table_function
+from flink_1_6_0_spark.operators.correlate import join_lateral
+
+
+def test_register_scalar_function_vectorized(spark):
+    register_scalar_function(spark, "double_it_v", lambda x: x * 2, "long")
+    got = spark.sql("SELECT double_it_v(id) AS d FROM range(3)").collect()
+    assert [r["d"] for r in got] == [0, 2, 4]
+
+
+def test_table_function_lateral(spark):
+    dup = table_function(lambda s: [(w, len(w)) for w in s.split()], "word string, wlen int")
+    df = spark.createDataFrame([(1, "a bb ccc")], "id long, s string")
+    out = join_lateral(df, dup(F.col("s")), ["word", "wlen"], keep=["id"])
+    assert {(r.id, r.word, r.wlen) for r in out.collect()} == {(1, "a", 1), (1, "bb", 2), (1, "ccc", 3)}
+
+
+def test_table_function_outer_keeps_empty(spark):
+    dup = table_function(lambda s: [(w,) for w in s.split()], "word string")
+    df = spark.createDataFrame([(1, "x"), (2, "")], "id long, s string")
+    out = join_lateral(df, dup(F.col("s")), ["word"], keep=["id"], outer=True)
+    assert {(r.id, r.word) for r in out.collect()} == {(1, "x"), (2, None)}
+
+
+def test_ml_facade_scaler_and_split(spark):
+    from pyspark.ml.linalg import Vectors
+
+    from flink_1_6_0_spark.operators.ml import splitter, standard_scaler
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([1.0]),), (Vectors.dense([3.0]),), (Vectors.dense([5.0]),)], ["features"]
+    )
+    scaled = standard_scaler(df, "features")
+    assert "scaled" in scaled.columns and scaled.count() == 3
+    a, b = splitter(spark.range(100), [0.5, 0.5])
+    assert a.count() + b.count() == 100
