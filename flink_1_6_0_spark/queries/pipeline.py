@@ -221,7 +221,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 signatures (Charikar) — near-dups differ in few bits;
     banding/bit-sampling turns that into an equi-join like MinHash LSH."""
     d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", dd.simhash("text", bits=32).alias("sim"))
+    return dd.simhash(d, "doc_id", "text", bits=32).withColumnRenamed("doc", "doc_id")
 
 
 @query(

@@ -1,0 +1,66 @@
+"""Plan-quality regression tests — the scale contract, not just correctness.
+
+Each assertion pins a property that matters at 100 TB: filters reach the
+parquet scan, projections prune columns, small dims broadcast, aggregates
+have a map-side partial phase, top-k collapses to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.registry import get
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(get("tpch_q3").fn(spark, sf_dir))
+    # date filters land in the parquet scan, not a post-scan Filter only
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q3_joins_broadcast_fact_never_shuffles(spark, sf_dir):
+    plan = _plan(get("tpch_q3").fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_topk_collapses(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(get("tpch_q3").fn(spark, sf_dir))
+
+
+def test_q1_partial_aggregation_and_pruning(spark, sf_dir):
+    plan = _plan(get("tpch_q1").fn(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # pruned scan: l_orderkey/l_partkey etc. are NOT read
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_partkey" not in scan_line and "l_suppkey" not in scan_line
+
+
+def test_q10_nation_broadcast(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(get("tpch_q10").fn(spark, sf_dir))
+
+
+def test_scan_projection_pruning_on_documents(spark, sf_dir):
+    plan = _plan(get("text_fingerprint").fn(spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only doc_id + text are read; lang/source/n_chars pruned
+    assert "lang" not in scan_line and "source" not in scan_line
+
+
+def test_whole_stage_codegen_on_scalar_sweep(spark, sf_dir):
+    plan = _plan(get("scalar_math_sweep").fn(spark, sf_dir))
+    # '*(n)' prefixes mark whole-stage-codegen spans in the compact plan string
+    assert "*(1) Project" in plan
+
+
+def test_interval_join_stays_single_equijoin(spark, sf_dir):
+    plan = _plan(get("interval_join_events").fn(spark, sf_dir))
+    # equi-join on user_id with the range as a join residual — not a
+    # cartesian/BroadcastNestedLoop
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

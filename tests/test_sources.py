@@ -1,0 +1,78 @@
+"""Batch source/sink + operator API coverage tests (SURVEY.md §2.1-2.3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.operators.joins import windowed_join
+from flink_1_6_0_spark.sources import batch as src
+
+
+def test_from_elements_and_generate_sequence(spark):
+    df = src.from_elements(spark, [(1, "a"), (2, "b")], "x long, s string")
+    assert df.count() == 2
+    seq = src.generate_sequence(spark, 1, 5)
+    assert [r["value"] for r in seq.collect()] == [1, 2, 3, 4, 5]  # inclusive like Flink
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    df = src.from_elements(spark, [(1, "x"), (2, "y")], "id long, s string")
+    src.write_csv(df, p, header=True)
+    back = src.read_csv(spark, p, schema="id long, s string", header=True)
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "json")
+    df = src.from_elements(spark, [(1, "x")], "id long, s string")
+    df.write.json(p)
+    back = src.read_json(spark, p, schema="id long, s string")
+    assert back.collect()[0]["s"] == "x"
+
+
+def test_text_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "txt")
+    src.write_text(spark.createDataFrame([("hello",), ("world",)], "value string"), p)
+    assert {r["value"] for r in src.read_text(spark, p).collect()} == {"hello", "world"}
+
+
+def test_partitioned_parquet_sink(spark, tmp_path):
+    p = str(tmp_path / "pq")
+    df = src.from_elements(spark, [(1, "a"), (2, "b"), (3, "a")], "id long, part string")
+    src.write_parquet(df, p, partition_by=["part"])
+    import os
+
+    assert sorted(d for d in os.listdir(p) if d.startswith("part=")) == ["part=a", "part=b"]
+    assert spark.read.parquet(p).count() == 3
+
+
+def test_windowed_join(spark):
+    # JoinedStreams where/equalTo/window/apply — same-bucket equi-join
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 01:10:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 00:50:00"), (1, "2024-01-01 02:10:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).select(
+        F.col("k").alias("k2"), F.col("ts").alias("ts2")
+    )
+    out = windowed_join(a, b, [("k", "k2")], "ts", "ts2", "1 hour")
+    # only the 00:xx pair shares a window bucket
+    assert out.count() == 1
+
+
+def test_side_outputs_split(spark, sf_dir, tmp_path):
+    """Side outputs / split (SingleOutputStreamOperator.getSideOutput:409,
+    DataStream.split:238): one source, N filtered writes — each sink sees a
+    disjoint slice, the source scan is shared per write."""
+    from flink_1_6_0_spark.queries import T
+
+    e = T(spark, sf_dir, "events")
+    main = e.filter(F.col("event_type") != "error")
+    side = e.filter(F.col("event_type") == "error")
+    main.write.mode("overwrite").parquet(str(tmp_path / "main"))
+    side.write.mode("overwrite").parquet(str(tmp_path / "side"))
+    n_main = spark.read.parquet(str(tmp_path / "main")).count()
+    n_side = spark.read.parquet(str(tmp_path / "side")).count()
+    assert n_main + n_side == e.count()
