@@ -45,6 +45,7 @@ from flink_1_6_0_spark.registry import query
     FROM customer
     """,
     tags=("batch", "scalar"),
+    bench=True,
 )
 def scalar_string_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUBSTRING/OVERLAY/TRIM/POSITION/CHAR_LENGTH/UPPER/LOWER/INITCAP/CONCAT/

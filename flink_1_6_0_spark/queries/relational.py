@@ -245,6 +245,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("batch", "agg"),
+    bench=True,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE + GROUPING_ID (DecomposeGroupingSetRule, FlinkRuleSets.scala:151;
@@ -391,6 +392,7 @@ def _order_slice(spark, sf_dir, lo, hi):
       WHERE o_orderdate >= TIMESTAMP '{_H2[0]}' AND o_orderdate < TIMESTAMP '{_H2[1]}'
     """,
     tags=("batch", "setop"),
+    bench=True,
 )
 def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unionAll (table.scala:628, DataSetUnion.scala)."""

@@ -43,6 +43,7 @@ def _materialize(df: DataFrame, mode: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
+    bench=True,
 )
 def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate on a live stream

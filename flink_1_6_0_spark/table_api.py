@@ -1,0 +1,185 @@
+"""Table API fluent façade — SURVEY.md §3.2 / §2.2.
+
+Reference: flink-table/.../api/table.scala (1182 LoC) — the fluent relational
+API (select :116, as :168, filter :224, where :253, groupBy :330, distinct
+:361, join :390-470, leftOuterJoin :497, minus :561, union :608, intersect
+:650, orderBy :692, offset :777, fetch :798, window :861, joinLateral) whose
+calls build a LogicalNode tree that Calcite optimizes.
+
+Here each call delegates straight to the DataFrame API — the same shape
+(unresolved logical plan built fluently, optimized lazily by Catalyst), so
+the façade is thin by design; its value is 1:1 name/semantics parity for a
+reference user, including Flink's string-expression forms:
+
+    t.select("a, b, a + b as s").where("a > 5").group_by("b").agg("count(a) as n")
+
+String expressions parse through Spark SQL's expression parser (selectExpr /
+F.expr), which accepts the Flink expression grammar's SQL-ish core.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_1_6_0_spark.operators.windows import session as _session
+from flink_1_6_0_spark.operators.windows import tumble as _tumble
+from flink_1_6_0_spark.operators.windows import hop as _hop
+
+
+def _split_exprs(exprs: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in exprs:
+        depth += ch in "(["
+        depth -= ch in ")]"
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+class Table:
+    """Fluent wrapper; ``.df`` exposes the underlying DataFrame at any point."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- projection / filter (table.scala:116,224,253,168) -----------------
+    def select(self, *fields: str | Column) -> "Table":
+        if len(fields) == 1 and isinstance(fields[0], str) and "," in fields[0]:
+            return Table(self.df.selectExpr(*_split_exprs(fields[0])))
+        return Table(self.df.selectExpr(*fields) if all(isinstance(f, str) for f in fields) else self.df.select(*fields))
+
+    def filter(self, predicate: str | Column) -> "Table":
+        return Table(self.df.filter(predicate))
+
+    where = filter
+
+    def as_(self, *names: str) -> "Table":
+        return Table(self.df.toDF(*names))
+
+    def add_columns(self, exprs: str) -> "Table":
+        out = self.df
+        for e in _split_exprs(exprs):
+            expr, _, alias = e.rpartition(" as ")
+            out = out.withColumn(alias.strip() if expr else e, F.expr(expr or e))
+        return Table(out)
+
+    def rename_columns(self, mapping: dict[str, str]) -> "Table":
+        out = self.df
+        for old, new in mapping.items():
+            out = out.withColumnRenamed(old, new)
+        return Table(out)
+
+    def drop_columns(self, *cols: str) -> "Table":
+        return Table(self.df.drop(*cols))
+
+    # -- aggregation (table.scala:330,361) ----------------------------------
+    def group_by(self, *fields: str) -> "GroupedTable":
+        return GroupedTable(self.df, list(fields))
+
+    def distinct(self) -> "Table":
+        return Table(self.df.distinct())
+
+    # -- joins (table.scala:390-555) ----------------------------------------
+    def join(self, right: "Table", condition: str | Column | None = None, how: str = "inner") -> "Table":
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return Table(self.df.join(right.df, cond, how) if cond is not None else self.df.crossJoin(right.df))
+
+    def left_outer_join(self, right: "Table", condition: str | Column) -> "Table":
+        return self.join(right, condition, "left")
+
+    def right_outer_join(self, right: "Table", condition: str | Column) -> "Table":
+        return self.join(right, condition, "right")
+
+    def full_outer_join(self, right: "Table", condition: str | Column) -> "Table":
+        return self.join(right, condition, "full")
+
+    def join_lateral(self, udtf_col: Column, aliases: list[str], outer: bool = False) -> "Table":
+        from flink_1_6_0_spark.operators.correlate import join_lateral
+
+        return Table(join_lateral(self.df, udtf_col, aliases, outer=outer))
+
+    # -- set ops (table.scala:561-692) ---------------------------------------
+    def union(self, other: "Table") -> "Table":
+        return Table(self.df.union(other.df).distinct())
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self.df.union(other.df))
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self.df.intersect(other.df))
+
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self.df.intersectAll(other.df))
+
+    def minus(self, other: "Table") -> "Table":
+        return Table(self.df.subtract(other.df))
+
+    def minus_all(self, other: "Table") -> "Table":
+        return Table(self.df.exceptAll(other.df))
+
+    # -- sort / fetch (table.scala:692,777,798) -------------------------------
+    def order_by(self, *fields: str | Column) -> "Table":
+        cols = [F.expr(f[: -len(".desc")]).desc() if isinstance(f, str) and f.endswith(".desc") else f for f in fields]
+        return Table(self.df.orderBy(*cols))
+
+    def offset(self, n: int) -> "Table":
+        return Table(self.df.offset(n))
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self.df.limit(n))
+
+    # -- group windows (api/windows.scala:162,397) ----------------------------
+    def window_tumble(self, ts: str, size: str, alias: str = "w") -> "GroupedTable":
+        return GroupedTable(self.df, [], window_col=_tumble(ts, size).alias(alias), window_alias=alias)
+
+    def window_hop(self, ts: str, slide: str, size: str, alias: str = "w") -> "GroupedTable":
+        return GroupedTable(self.df, [], window_col=_hop(ts, slide, size).alias(alias), window_alias=alias)
+
+    def window_session(self, ts: str, gap: str, alias: str = "w") -> "GroupedTable":
+        return GroupedTable(self.df, [], window_col=_session(ts, gap).alias(alias), window_alias=alias)
+
+    # -- terminal -------------------------------------------------------------
+    def to_data_frame(self) -> DataFrame:
+        return self.df
+
+    def collect(self):
+        return self.df.collect()
+
+    def count(self) -> int:
+        return self.df.count()
+
+
+class GroupedTable:
+    """groupBy(...) intermediate (table.scala GroupedTable / WindowGroupedTable)."""
+
+    def __init__(self, df: DataFrame, keys: list[str], window_col: Column | None = None, window_alias: str = "w"):
+        self._df = df
+        self._keys = keys
+        self._window_col = window_col
+        self._window_alias = window_alias
+
+    def group_by(self, *fields: str) -> "GroupedTable":
+        return GroupedTable(self._df, list(fields), self._window_col, self._window_alias)
+
+    def agg(self, *exprs: str | Column) -> Table:
+        cols = [F.expr(e) if isinstance(e, str) else e for e in exprs]
+        if self._window_col is not None:
+            out = self._df.groupBy(self._window_col, *self._keys).agg(*cols)
+            w = self._window_alias
+            out = out.select(
+                F.col(f"{w}.start").alias(f"{w}_start"),
+                F.col(f"{w}.end").alias(f"{w}_end"),
+                *[c for c in out.columns if c != w],
+            )
+            return Table(out)
+        return Table(self._df.groupBy(*self._keys).agg(*cols))
+
+    select = agg

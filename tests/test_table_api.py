@@ -1,0 +1,72 @@
+"""Table API façade + async I/O tests (SURVEY.md §3.2, §2.11)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.streaming.async_io import async_enrich
+from flink_1_6_0_spark.table_api import Table
+
+
+def _t3(spark) -> Table:
+    # the reference's canonical small 3-tuple fixture (StreamTestData.scala:34)
+    rows = [(1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")]
+    return Table(spark.createDataFrame(rows, "a int, b long, c string"))
+
+
+def test_select_where_string_exprs(spark):
+    out = _t3(spark).select("a, c, a + 1 as a1").where("a > 1").to_data_frame()
+    assert {(r.a, r.a1) for r in out.collect()} == {(2, 3), (3, 4)}
+
+
+def test_group_by_agg(spark):
+    out = _t3(spark).group_by("b").agg("count(a) as n", "sum(a) as s").to_data_frame()
+    assert {(r.b, r.n, r.s) for r in out.collect()} == {(1, 1, 1), (2, 2, 5)}
+
+
+def test_join_and_setops(spark):
+    t = _t3(spark)
+    other = Table(t.df.selectExpr("a as a2", "c as c2"))
+    joined = t.join(other, "a = a2").select("a, c2").to_data_frame()
+    assert joined.count() == 3
+    assert t.union_all(t).count() == 6
+    assert t.union(t).count() == 3
+    assert t.minus_all(t).count() == 0
+    assert t.intersect(t).count() == 3
+
+
+def test_order_offset_fetch(spark):
+    out = _t3(spark).order_by("a.desc").offset(1).fetch(1).to_data_frame()
+    assert [r.a for r in out.collect()] == [2]
+
+
+def test_window_tumble_fluent(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:40:00", 2.0), ("2024-01-01 01:10:00", 4.0)],
+        "ts string, v double",
+    ).selectExpr("cast(ts as timestamp) ts", "v")
+    out = Table(df).window_tumble("ts", "1 hour").agg("sum(v) as s").to_data_frame()
+    assert sorted(r.s for r in out.collect()) == [3.0, 4.0]
+
+
+def test_rename_add_drop(spark):
+    t = _t3(spark).add_columns("a * 2 as a2").rename_columns({"c": "text"}).drop_columns("b")
+    assert set(t.df.columns) == {"a", "text", "a2"}
+
+
+def test_async_enrich_ordered(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "x long")
+    out = async_enrich(df, lambda v: f"svc:{v * 2}", "x", "enriched", capacity=8)
+    rows = out.orderBy("x").collect()
+    assert [r.enriched for r in rows] == [f"svc:{i * 2}" for i in range(20)]
+
+
+def test_async_enrich_failure_yields_null(spark):
+    def flaky(v):
+        if v == 3:
+            raise RuntimeError("boom")
+        return str(v)
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "x long")
+    out = async_enrich(df, flaky, "x", "e").orderBy("x").collect()
+    assert [r.e for r in out] == ["0", "1", "2", None, "4"]
