@@ -150,3 +150,39 @@ def single_source_shortest_paths(
         if changed == 0:
             break
     return dist
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    label_col: str = "label",
+    iterations: int = 5,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Gelly LabelPropagation (library/LabelPropagation.java): each superstep
+    every vertex adopts the most frequent label among its neighbors (ties →
+    smallest label, deterministic). Fixed iteration count like the reference.
+    ``vertices`` carries (id, label); returns the same shape."""
+    sym = undirect(edges).distinct()
+    labels = vertices.select("id", F.col(label_col).alias("label"))
+    for i in range(iterations):
+        counts = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy(sym.src.alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # most frequent neighbor label, ties by smallest label
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(best, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
+        )
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            labels = labels.localCheckpoint()
+    return labels

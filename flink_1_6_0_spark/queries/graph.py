@@ -136,3 +136,36 @@ def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(24 * 3600)
     )
     return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+
+@query(
+    "cep_double_click",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), nxt AS (
+      SELECT user_id, event_id AS c1, ts AS t1,
+             lead(event_id) OVER w AS c2, lead(ts) OVER w AS t2
+      FROM clicks
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT n.user_id, [n.c1, n.c2] AS clicks_ids, p.event_id AS purchase_id
+    FROM nxt n
+    JOIN events p ON p.user_id = n.user_id AND p.event_type = 'purchase'
+     AND (p.ts > n.t2 OR (p.ts = n.t2 AND p.event_id > n.c2))
+     AND p.ts - n.t1 <= INTERVAL 24 HOUR
+    WHERE n.c2 IS NOT NULL
+    """,
+    tags=("cep",),
+)
+def cep_double_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified CEP: two clicks (times(2), relaxed repeats = each click
+    pairs with its NEXT click) followedByAny purchase, within 24h of the
+    first click (Pattern.times Pattern.java:376). The oracle replays the
+    deterministic repeat-chain with a lead() window."""
+    pattern = (
+        Pattern.begin("clicks", lambda e: e["event_type"] == "click")
+        .times(2)
+        .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")

@@ -43,6 +43,13 @@ class Stage:
     name: str
     predicate: Callable[[dict[str, Any]], bool]
     contiguity: str = FOLLOWED_BY
+    min_times: int = 1
+    max_times: int = 1
+    consecutive_repeats: bool = False
+
+    @property
+    def quantified(self) -> bool:
+        return self.min_times != 1 or self.max_times != 1
 
 
 @dataclass
@@ -68,6 +75,31 @@ class Pattern:
         self.stages.append(Stage(name, where, FOLLOWED_BY_ANY))
         return self
 
+    # -- quantifiers (Pattern.java:327-474), applied to the LAST stage ------
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """times(n) / times(n, m) (Pattern.java:376,394)."""
+        self.stages[-1].min_times = n
+        self.stages[-1].max_times = m if m is not None else n
+        return self
+
+    def optional(self) -> "Pattern":
+        """optional (Pattern.java:327) — the stage may match zero events."""
+        self.stages[-1].min_times = 0
+        return self
+
+    def one_or_more(self, max_times: int = 8) -> "Pattern":
+        """oneOrMore (Pattern.java:346). Flink's is unbounded; ours caps the
+        repeat count (documented divergence — bounds the NFA state)."""
+        self.stages[-1].min_times = 1
+        self.stages[-1].max_times = max_times
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """consecutive (Pattern.java:474): repeats of the last quantified
+        stage must be adjacent events (strict inner contiguity)."""
+        self.stages[-1].consecutive_repeats = True
+        return self
+
     def within(self, seconds: float) -> "Pattern":
         self.within_seconds = seconds
         return self
@@ -79,37 +111,92 @@ class Pattern:
         return None if self.within_seconds is None else int(round(self.within_seconds * 1_000_000))
 
 
-def _scan(events: list[dict], pattern: Pattern) -> list[tuple[int, ...]]:
-    """Ordered NFA scan over one key's events; returns index tuples, one per
-    match. ``events[i]['__ts']`` is integer epoch-µs; `within` is enforced
-    against the first stage's timestamp with exact integer arithmetic."""
-    out: list[tuple[int, ...]] = []
+def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], ...]]:
+    """Ordered NFA scan over one key's events; returns one tuple-of-index-
+    tuples per match (one inner tuple per stage; quantified stages contribute
+    0..max_times indices). ``events[i]['__ts']`` is integer epoch-µs; `within`
+    is enforced against the first matched event with exact integer arithmetic.
+
+    Match policy: *_ANY stages/repeat-counts enumerate every combination
+    (allowCombinations); NEXT/FOLLOWED_BY take the first candidate per slot
+    and the LONGEST valid repeat run (greedy, Pattern.java:361)."""
+    out: list[tuple[tuple[int, ...], ...]] = []
     n = len(events)
     within_us = pattern.within_micros
 
-    def expand(stage_i: int, last_idx: int, start_ts: int, acc: tuple[int, ...]):
+    def in_horizon(idx: int, start_ts: int | None) -> bool:
+        return (
+            within_us is None
+            or start_ts is None
+            or events[idx]["__ts"] - start_ts <= within_us
+        )
+
+    def repeat_runs(st: Stage, first_candidates, start_ts, all_starts: bool = False):
+        """All index-tuples for one quantified stage: each run picks repeats
+        per the inner contiguity (strict adjacency when consecutive()).
+        ``all_starts`` (the pattern's begin stage) anchors at every candidate
+        — any event may begin a match regardless of contiguity."""
+        runs: list[tuple[int, ...]] = []
+
+        def grow(run: tuple[int, ...]):
+            if len(run) >= st.min_times:
+                runs.append(run)
+            if len(run) == st.max_times:
+                return
+            prev = run[-1]
+            nxt = [prev + 1] if st.consecutive_repeats else range(prev + 1, n)
+            for idx in nxt:
+                if idx >= n or not in_horizon(idx, start_ts):
+                    break
+                if st.predicate(events[idx]):
+                    grow(run + (idx,))
+                    if st.contiguity != FOLLOWED_BY_ANY:
+                        return  # deterministic: one repeat-chain only
+                elif st.consecutive_repeats:
+                    return
+
+        for first in first_candidates:
+            if not in_horizon(first, start_ts):
+                break
+            if st.predicate(events[first]):
+                grow((first,))
+                if not all_starts and st.contiguity in (NEXT, FOLLOWED_BY):
+                    break  # first matching start only
+        return runs
+
+    def expand(stage_i: int, last_idx: int, start_ts: int | None, acc: tuple):
         if stage_i == len(pattern.stages):
             out.append(acc)
             return
         st = pattern.stages[stage_i]
         if st.contiguity == NEXT:
-            candidates = [last_idx + 1] if last_idx + 1 < n else []
+            first_candidates = [last_idx + 1] if last_idx + 1 < n else []
         else:
-            candidates = range(last_idx + 1, n)
-        for idx in candidates:
-            ev = events[idx]
-            if within_us is not None and ev["__ts"] - start_ts > within_us:
-                break  # events sorted: nothing later fits either
-            if st.predicate(ev):
-                expand(stage_i + 1, idx, start_ts, acc + (idx,))
-                if st.contiguity in (NEXT, FOLLOWED_BY):
-                    return  # strict/relaxed: only the first candidate
-        # no candidate matched this stage from acc — dead path
+            first_candidates = range(last_idx + 1, n)
+        if st.min_times == 0:
+            expand(stage_i + 1, last_idx, start_ts, acc + ((),))
+        for run in repeat_runs(st, first_candidates, start_ts, all_starts=stage_i == 0):
+            new_start = start_ts if start_ts is not None else events[run[0]]["__ts"]
+            expand(stage_i + 1, run[-1], new_start, acc + (run,))
 
-    for i, ev in enumerate(events):
-        if pattern.stages[0].predicate(ev):
-            expand(1, i, ev["__ts"], (i,))
-    return out
+    expand(0, -1, None, ())
+    # dedup (optional stages can produce identical matches via two paths)
+    seen: set = set()
+    uniq = []
+    for m in out:
+        if m not in seen:
+            seen.add(m)
+            uniq.append(m)
+    return uniq
+
+
+def _stage_out_cols(pattern: Pattern) -> list[tuple[str, str]]:
+    """(column name, spark type) per stage: quantified stages emit an id
+    ARRAY (`<name>_ids`), plain stages a scalar `<name>_id`."""
+    return [
+        (f"{s.name}_ids", "array<long>") if s.quantified else (f"{s.name}_id", "long")
+        for s in pattern.stages
+    ]
 
 
 def _match_frame(pdf: pd.DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str) -> pd.DataFrame:
@@ -117,21 +204,24 @@ def _match_frame(pdf: pd.DataFrame, pattern: Pattern, key_cols: list[str], ts_co
     events = pdf.to_dict("records")
     for ev in events:
         ev["__ts"] = pd.Timestamp(ev[ts_col]).value // 1000  # exact epoch-µs
+    out_cols = _stage_out_cols(pattern)
     rows = []
     for match in _scan(events, pattern):
         row = {k: events[0][k] for k in key_cols}
-        for st, idx in zip(pattern.stages, match):
-            row[f"{st.name}_id"] = events[idx][id_col]
+        for st, (col, _), idxs in zip(pattern.stages, out_cols, match):
+            ids = [events[i][id_col] for i in idxs]
+            row[col] = ids if st.quantified else (ids[0] if ids else None)
         rows.append(row)
-    cols = key_cols + [f"{s.name}_id" for s in pattern.stages]
+    cols = key_cols + [c for c, _ in out_cols]
     return pd.DataFrame(rows, columns=cols)
 
 
 def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str) -> DataFrame:
     """Batch CEP: per-key ordered pattern scan (CEP.pattern + select analog).
-    Output: key columns + one ``<stage>_id`` per stage, one row per match."""
+    Output: key columns + ``<stage>_id`` (or ``<stage>_ids`` array for
+    quantified stages), one row per match."""
     schema = ", ".join(
-        [f"{k} long" for k in key_cols] + [f"{s.name}_id long" for s in pattern.stages]
+        [f"{k} long" for k in key_cols] + [f"{c} {t}" for c, t in _stage_out_cols(pattern)]
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -173,8 +263,9 @@ def cep_stream(
         raise ValueError("streaming CEP needs within() or an explicit buffer horizon")
     horizon = int(round(horizon_s * 1_000_000))  # exact µs
 
-    out_cols = [f"{s.name}_id" for s in pattern.stages]
-    out_schema = ", ".join([f"{k} long" for k in key_cols] + [f"{c} long" for c in out_cols])
+    out_col_types = _stage_out_cols(pattern)
+    out_cols = [c for c, _ in out_col_types]
+    out_schema = ", ".join([f"{k} long" for k in key_cols] + [f"{c} {t}" for c, t in out_col_types])
     state_schema = "buf_ids array<long>, buf_ts array<double>, buf_types array<string>, emitted array<string>"
 
     def fn(key, pdfs, state):
@@ -212,13 +303,14 @@ def cep_stream(
         events = [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
         rows = []
         for match in _scan(events, pattern):
-            sig = ",".join(str(events[i][id_col]) for i in match)
+            sig = ";".join(",".join(str(events[i][id_col]) for i in idxs) for idxs in match)
             if sig in emitted:
                 continue
             emitted.add(sig)
             row = dict(zip(key_cols, key))
-            for st, idx in zip(pattern.stages, match):
-                row[f"{st.name}_id"] = events[idx][id_col]
+            for st, (col, _), idxs in zip(pattern.stages, out_col_types, match):
+                ids = [events[i][id_col] for i in idxs]
+                row[col] = ids if st.quantified else (ids[0] if ids else None)
             rows.append(row)
         newest = events[-1]["__ts"]
         keep = [e for e in events if e["__ts"] >= newest - horizon]

@@ -144,3 +144,70 @@ def test_triangle_count_k4(spark):
         [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
     )
     assert g.triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+# -- quantifiers (Pattern.java:327-474) --------------------------------------
+
+_QEVENTS = [
+    (1, "2024-01-01 00:00:00", 1, "click"),
+    (2, "2024-01-01 00:02:00", 1, "click"),
+    (3, "2024-01-01 00:04:00", 1, "view"),
+    (4, "2024-01-01 00:06:00", 1, "click"),
+    (5, "2024-01-01 00:08:00", 1, "purchase"),
+]
+
+
+def _qdf(spark):
+    df = spark.createDataFrame(_QEVENTS, "event_id long, ts string, user_id long, event_type string")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_cep_times_two(spark):
+    p = (
+        Pattern.begin("clicks", lambda e: e["event_type"] == "click")
+        .times(2)
+        .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+    out = cep_batch(_qdf(spark), p, ["user_id"], "ts", "event_id")
+    rows = {(tuple(r.clicks_ids), r.purchase_id) for r in out.collect()}
+    # starts at click1→next click2; click2→next click4; click4 has no pair
+    assert rows == {((1, 2), 5), ((2, 4), 5)}
+
+
+def test_cep_optional_stage(spark):
+    p = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("click", lambda e: e["event_type"] == "click")
+        .optional()
+        .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+    out = cep_batch(_qdf(spark), p, ["user_id"], "ts", "event_id")
+    rows = {(r.view_id, tuple(r.click_ids), r.purchase_id) for r in out.collect()}
+    # view3 → optional click (skipped or click4) → purchase5
+    assert rows == {(3, (), 5), (3, (4,), 5)}
+
+
+def test_cep_one_or_more_consecutive(spark):
+    p = (
+        Pattern.begin("clicks", lambda e: e["event_type"] == "click")
+        .one_or_more()
+        .consecutive()
+        .followed_by_any("view", lambda e: e["event_type"] == "view")
+        .within(3600)
+    )
+    out = cep_batch(_qdf(spark), p, ["user_id"], "ts", "event_id")
+    rows = {tuple(r.clicks_ids) for r in out.collect()}
+    # consecutive runs ending before the view: (1), (1,2), (2); click4 is after the view
+    assert rows == {(1,), (1, 2), (2,)}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by one edge; labels converge within each clique
+    verts = spark.createDataFrame([(i, i) for i in range(6)], "id long, label long")
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    edges = spark.createDataFrame(tri1 + tri2, "src long, dst long")
+    got = {(r.id, r.label) for r in g.label_propagation(verts, edges, iterations=4).collect()}
+    assert {l for _, l in got if _ < 3} == {0} and {l for i, l in got if i >= 3} == {3}
