@@ -104,6 +104,36 @@ def interval_join(
     return left.join(right, cond, how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: the (skewed) left side gets a random salt in
+    [0, salt), the (smaller) right side replicates ``salt``× — the hot key's
+    rows spread over ``salt`` reducers instead of one.
+
+    Reference analog: Flink 1.6 has no skew-join handling (PARTITION_HASH
+    ships everything, ShipStrategyType.java:31-66) — this exceeds it. Note
+    Spark's AQE skew-join (on by default in the session) handles most cases
+    without salting; this operator is for deterministic pre-salting when the
+    skew is known (e.g. a null-heavy foreign key) or AQE is unavailable.
+    """
+    salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    salted_right = right.select("*", salts)
+    out = salted_left.join(
+        salted_right,
+        (salted_left[left_key] == salted_right[right_key])
+        & (salted_left["__salt"] == salted_right["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def windowed_join(
     left: DataFrame,
     right: DataFrame,

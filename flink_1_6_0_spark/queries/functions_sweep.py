@@ -268,3 +268,31 @@ def scalar_collection_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang")).alias("rec"),
         (F.lit("en") == F.col("lang")).alias("is_en"),
     )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           min(json_extract(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "scalar", "exceeds"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEEDS the reference: Flink 1.6 has no JSON scalar functions
+    (SURVEY.md §2.9 note); Spark's from_json parses the events.props JSON
+    column JVM-side (schema'd struct, no UDF)."""
+    e = T(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k long").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )

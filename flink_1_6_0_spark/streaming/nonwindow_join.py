@@ -1,0 +1,96 @@
+"""Non-windowed (unbounded) stream-stream outer join — SURVEY.md §7 hard part #2.
+
+Reference: NonWindowLeftRightJoin / NonWindowFullJoin
+(flink-table/.../runtime/join/NonWindow*.scala) — Flink joins two unbounded
+streams with NO time bound: both sides accumulate in MapState forever (unless
+idle-state retention trims them) and null-padded results retract when a match
+later arrives.
+
+Spark's built-in stream-stream outer join REQUIRES a watermark + time bound
+(state must be finalizable). Two sanctioned forms:
+
+1. ``bounded_outer_join`` — the Spark-native operator with an explicit,
+   generous time bound. This is the recommended path: at 100 TB unbounded
+   join state is an outage, not a feature; the bound makes state size
+   (watermark delay + bound) × key-rate, same as Flink WITH idle-state
+   retention configured. Semantics match Flink-with-retention exactly.
+
+2. ``foreach_batch_outer_join`` — exact Flink semantics (no time bound) via
+   incremental recompute: each micro-batch appends both sides to accumulating
+   state tables and re-emits the full outer join (complete mode through
+   foreachBatch). Correct retractions included — downstream sees the current
+   full result each epoch, which is precisely the RetractStreamTableSink
+   contract collapsed to upserts. Cost is O(accumulated state) per batch —
+   usable for dimension-scale streams, documented as non-scalable for
+   fact-scale ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from flink_1_6_0_spark.streaming.interval_join import stream_interval_join
+
+
+def bounded_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    bound: str = "24 hours",
+    delay: str = "1 minute",
+    how: str = "left_outer",
+) -> DataFrame:
+    """Flink NonWindowOuterJoin ≈ Spark outer join with a declared bound
+    (the idle-state-retention analog, made explicit)."""
+    return stream_interval_join(
+        left, right, keys, left_ts, right_ts, bound, bound, delay, delay, how
+    )
+
+
+def foreach_batch_outer_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    join_fn,
+    left_state_path: str,
+    right_state_path: str,
+    emit_fn,
+    checkpoint: str,
+):
+    """Exact unbounded-state semantics: per epoch, append arrivals to the
+    state tables, recompute ``join_fn(left_state, right_state)``, hand the
+    full current result to ``emit_fn(result_df, epoch_id)`` (upsert contract).
+
+    Implementation detail: Spark allows one foreachBatch per query, so the
+    two streams are unioned with a side tag (``__side``) — both sides commit
+    in the same epoch, keeping the recompute consistent.
+    """
+    import pyspark.sql.functions as F
+
+    spark = left_stream.sparkSession
+    left_cols, right_cols = list(left_stream.columns), list(right_stream.columns)
+    tagged = left_stream.withColumn("__side", F.lit("l")).unionByName(
+        right_stream.withColumn("__side", F.lit("r")), allowMissingColumns=True
+    )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        lb = batch.filter(F.col("__side") == "l").select(*left_cols)
+        rb = batch.filter(F.col("__side") == "r").select(*right_cols)
+        if lb.take(1):
+            lb.write.mode("append").parquet(left_state_path)
+        if rb.take(1):
+            rb.write.mode("append").parquet(right_state_path)
+        try:
+            ls = spark.read.parquet(left_state_path)
+            rs = spark.read.parquet(right_state_path)
+        except Exception:
+            return  # one side still empty — outer join not yet defined
+        emit_fn(join_fn(ls, rs), epoch_id)
+
+    return (
+        tagged.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
+    )

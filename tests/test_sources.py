@@ -76,3 +76,41 @@ def test_side_outputs_split(spark, sf_dir, tmp_path):
     n_main = spark.read.parquet(str(tmp_path / "main")).count()
     n_side = spark.read.parquet(str(tmp_path / "side")).count()
     assert n_main + n_side == e.count()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from flink_1_6_0_spark.operators.joins import salted_join
+    from flink_1_6_0_spark.queries import T
+
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    plain = l.join(s, l.l_suppkey == s.s_suppkey).count()
+    salted = salted_join(l, s, "l_suppkey", "s_suppkey", salt=4).count()
+    assert salted == plain
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing (df.write.bucketBy) — co-located join without an exchange on
+    the bucketed key (the pyspark_guide bucketing pattern; Flink analog:
+    pre-partitioned DataSource)."""
+    import shutil
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_a_{suffix}", f"bkt_b_{suffix}"
+    a = spark.range(1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(1000).withColumn("w", F.col("id") * 3)
+    try:
+        a.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(ta)
+        b.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(tb)
+        joined = spark.table(ta).join(spark.table(tb), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 1000
+        # co-located buckets: no hash exchange feeds the join
+        assert "Exchange hashpartitioning(id" not in plan
+    finally:
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)

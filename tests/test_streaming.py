@@ -124,3 +124,65 @@ def test_proctime_attribute(spark, sf_dir):
     df = with_proctime(T(spark, sf_dir, "events").select("event_id"))
     row = df.limit(1).collect()[0]
     assert row["proctime"] is not None
+
+
+def test_nonwindow_outer_join_foreach_batch(spark, tmp_path):
+    """Exact Flink NonWindowOuterJoin semantics via incremental recompute:
+    final emitted result equals the batch full outer join."""
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.streaming.nonwindow_join import foreach_batch_outer_join
+
+    l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string").repartition(1).write.parquet(l_src)
+    spark.createDataFrame([(2, "x"), (3, "y")], "k long, rv string").repartition(1).write.parquet(r_src)
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+
+    results = {}
+
+    def emit(df, epoch):
+        results["last"] = [tuple(r) for r in df.select("k", "lv", "rv").orderBy("k", "lv", "rv").collect()]
+
+    ls = read_parquet_stream(spark, l_src)
+    rs = read_parquet_stream(spark, r_src).withColumnRenamed("k", "rk")
+    q = foreach_batch_outer_join(
+        ls,
+        rs,
+        lambda a, b: a.join(b, a.k == b.rk, "full").select(
+            F.coalesce("k", "rk").alias("k"), "lv", "rv"
+        ),
+        str(tmp_path / "lstate"),
+        str(tmp_path / "rstate"),
+        emit,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert results["last"] == [(1, "a", None), (2, "b", "x"), (3, None, "y")]
+
+
+def test_bounded_outer_join_stream(spark, sf_dir):
+    """Spark-native outer join with explicit bound (idle-state-retention
+    analog): left outer click→purchase; unmatched clicks emit null-padded."""
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.sources.stream import events_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.nonwindow_join import bounded_outer_join
+
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        *[F.col(c).alias(f"b_{c}") for c in ev.columns]
+    )
+    joined = bounded_outer_join(
+        clicks, buys, [("user_id", "b_user_id")], "ts", "b_ts", bound="30 minutes"
+    ).select("event_id", "b_event_id")
+    q = to_memory_sink(joined, "nwoj_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) c, count(b_event_id) m FROM nwoj_out").collect()[0]
+    # every click appears at least once; some have null purchase (outer padding)
+    assert got["c"] >= got["m"] and got["c"] > 0
