@@ -47,6 +47,68 @@ def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
     return sig
 
 
+def ivf_assignments(df: DataFrame, id_col: str, vec_col: str, centroid_stride: int = 64) -> DataFrame:
+    """IVF coarse quantizer, deterministic flavor: centroids are the vectors
+    whose id is divisible by ``centroid_stride`` (a seeded k-means would work
+    identically downstream; determinism keeps the oracle exact). Each vector
+    is assigned to its nearest centroid by cosine.
+
+    Plan shape: vectors × centroids is a broadcast nested-loop against a
+    tiny broadcast centroid set (n/stride rows), then a per-vector argmax —
+    one pass, no O(n²). Returns (id, centroid_id, score_to_centroid).
+    """
+    c = df.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vv"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id", "centroid_id", F.round(cosine(F.col("vv"), F.col("cv")), 6).alias("cscore")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("cscore"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "centroid_id", "cscore")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    centroid_stride: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` centroids nearest the query and
+    scan only vectors assigned to them — the inverted-file scale path
+    (candidate set ≈ nprobe/n_centroids of the data). Recall < 1 by
+    construction; cosine_topk is the exact baseline."""
+    assign = ivf_assignments(df, id_col, vec_col, centroid_stride)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    centroids = df.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    probed = (
+        centroids.select("centroid_id", F.round(cosine(F.col("cv"), q), 6).alias("qs"))
+        .orderBy(F.desc("qs"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidates = assign.join(F.broadcast(probed), "centroid_id").select("id")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vv"))
+    return (
+        candidates.join(vecs, "id")
+        .select("id", F.round(cosine(F.col("vv"), q), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .withColumnRenamed("id", "vec_id")
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     id_col: str,

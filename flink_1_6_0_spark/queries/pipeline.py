@@ -346,3 +346,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset sequence — models video frame extraction)."""
     d = mm.attach_binary(T(spark, sf_dir, "documents"), "doc_id", "text")
     return mm.frame_sample(d, every_n_bytes=64)
+
+
+def _dcos(x: str, y: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, 65), i -> {x}[i] * {y}[i])) / "
+        f"(sqrt(list_sum(list_transform(range(1, 65), i -> {x}[i] * {x}[i]))) * "
+        f"sqrt(list_sum(list_transform(range(1, 65), i -> {y}[i] * {y}[i])))))"
+    )
+
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 64 = 0),
+assign AS (
+  SELECT id, centroid_id FROM (
+    SELECT a.vec_id AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({_dcos('a.v', 'c.cv')}, 6) DESC, c.centroid_id) AS rn
+    FROM e a, c) t
+  WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probed AS (
+  SELECT centroid_id FROM c, q
+  ORDER BY round({_dcos('cv', 'qv')}, 6) DESC, centroid_id LIMIT 2)
+SELECT a.id AS vec_id, round({_dcos('e2.v', 'qv')}, 4) AS score
+FROM assign a
+JOIN probed USING (centroid_id)
+JOIN e e2 ON e2.vec_id = a.id, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("pipeline", "similarity"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (nprobe=2 of ~n/64 centroids): the inverted-file scale
+    path — candidates shrink to the probed cells before any ranking. The
+    deterministic centroid choice (id % 64) keeps the oracle exact; swap in
+    seeded k-means centroids at production scale."""
+    return sim.ivf_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", _query_vec(spark, sf_dir), 10,
+        centroid_stride=64, nprobe=2,
+    )

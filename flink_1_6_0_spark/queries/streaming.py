@@ -119,3 +119,40 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_delay="1 minute",
     ).select(F.col("event_id").alias("click_id"), F.col("b_event_id").alias("purchase_id"))
     return _materialize(joined, "append")
+
+
+@query(
+    "stream_session_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window"),
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION window aggregate on a live stream (merging windows,
+    WindowOperator.java:304; session_window state merge in Structured
+    Streaming). Complete-mode emission over the bounded replay."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = stream.groupBy(F.session_window("ts", "10 minutes"), "user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(
+        "user_id", F.col("session_window.start").alias("session_start"), "n", "sum_value"
+    )
+    return _materialize(out, "complete")
