@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels: the CEP NFA
+scan vs a brute-force reference, the SQL front-end rewriter, and the MySQL
+pattern translator. These run without a SparkSession, so they are cheap and
+explore far more inputs than the golden tests."""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_1_6_0_spark.functions.scalar import mysql_to_java_pattern
+from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+from flink_1_6_0_spark.streaming.cep import FOLLOWED_BY_ANY, Pattern, _scan
+
+# ---------------------------------------------------------------------------
+# CEP NFA vs brute force
+# ---------------------------------------------------------------------------
+
+_TYPES = ["a", "b", "c"]
+
+
+def _brute_force_any(events, types, within_us):
+    """All strictly-increasing index tuples matching the type sequence with
+    the within bound — the spec for followed_by_any chains."""
+    out = []
+
+    def rec(stage, last, start_ts, acc):
+        if stage == len(types):
+            out.append(acc)
+            return
+        for i in range(last + 1, len(events)):
+            if within_us is not None and start_ts is not None and events[i]["__ts"] - start_ts > within_us:
+                continue
+            if events[i]["t"] == types[stage]:
+                rec(stage + 1, i, start_ts if start_ts is not None else events[i]["__ts"], acc + ((i,),))
+
+    rec(0, -1, None, ())
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    seq=st.lists(st.sampled_from(_TYPES), max_size=10),
+    gaps=st.lists(st.integers(min_value=0, max_value=5_000_000), max_size=10),
+    within=st.one_of(st.none(), st.integers(min_value=0, max_value=20_000_000)),
+)
+def test_nfa_matches_brute_force_for_any_chains(seq, gaps, within):
+    ts, events = 0, []
+    for i, t in enumerate(seq):
+        ts += gaps[i] if i < len(gaps) else 1
+        events.append({"__ts": ts, "t": t, "id": i})
+    pattern = Pattern.begin("s0", lambda e: e["t"] == "a")
+    pattern.followed_by_any("s1", lambda e: e["t"] == "b")
+    pattern.followed_by_any("s2", lambda e: e["t"] == "c")
+    if within is not None:
+        pattern.within(within / 1_000_000)
+    got = sorted(_scan(events, pattern))
+    want = sorted(_brute_force_any(events, ["a", "b", "c"], pattern.within_micros))
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(seq=st.lists(st.sampled_from(_TYPES), max_size=12))
+def test_nfa_followed_by_is_subset_of_any(seq):
+    events = [{"__ts": i, "t": t, "id": i} for i, t in enumerate(seq)]
+
+    def mk(contig):
+        p = Pattern.begin("s0", lambda e: e["t"] == "a")
+        getattr(p, contig)("s1", lambda e: e["t"] == "b")
+        return p
+
+    relaxed = set(_scan(events, mk("followed_by")))
+    any_ = set(_scan(events, mk("followed_by_any")))
+    assert relaxed <= any_
+    # relaxed picks exactly the FIRST b after each a-start
+    for m in relaxed:
+        (a_idx,), (b_idx,) = m
+        assert all(events[j]["t"] != "b" for j in range(a_idx + 1, b_idx))
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end rewriter
+# ---------------------------------------------------------------------------
+
+_IDENT = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(col=_IDENT, n=st.integers(min_value=1, max_value=999), unit=st.sampled_from(["SECOND", "MINUTE", "HOUR", "DAY"]))
+def test_tumble_rewrite_roundtrip(col, n, unit):
+    sql = f"SELECT count(*) FROM t GROUP BY TUMBLE({col}, INTERVAL '{n}' {unit})"
+    out = rewrite_flink_sql(sql)
+    plural = unit.lower() + ("s" if n != 1 else "")
+    assert out == f"SELECT count(*) FROM t GROUP BY window({col}, '{n} {plural}')"
+
+
+@settings(max_examples=200, deadline=None)
+@given(sql=st.text(alphabet=string.ascii_lowercase + " ,()*=<>'\"0123456789_", max_size=120))
+def test_rewriter_passes_through_non_window_sql(sql):
+    # no TUMBLE/HOP/SESSION call → byte-identical output
+    if not re.search(r"\b(tumble|hop|session)\s*\(", sql, re.IGNORECASE):
+        assert rewrite_flink_sql(sql) == sql
+
+
+# ---------------------------------------------------------------------------
+# MySQL pattern translator
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.sampled_from(["%Y", "%m", "%d", "%H", "%i", "%s", "%M", "%b", "%%"]),
+            st.sampled_from(["-", "/", ":", " ", "."]),
+        ),
+        max_size=10,
+    )
+)
+def test_mysql_pattern_translation_total(parts):
+    fmt = "".join(parts)
+    out = mysql_to_java_pattern(fmt)
+    assert "%" not in out.replace("%", "", fmt.count("%%"))  # only literal %% survive
+    # no raw pattern letters leak from literals (they would change semantics)
+    for tok, java in [("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"), ("%i", "mm"), ("%s", "ss")]:
+        if tok in fmt:
+            assert java in out
