@@ -1,0 +1,203 @@
+"""DataStream API fluent façade — SURVEY.md §1.1/§2.2 (DataStream.java, 1225
+LoC; KeyedStream.java; WindowedStream.java).
+
+The reference's second major user surface. Each method delegates to the
+DataFrame/Structured Streaming construct that implements the same semantics
+(the mapping table is SURVEY.md §2.2/§2.5); the façade works identically over
+bounded (batch) and unbounded (streaming) frames, like Flink's unified API.
+
+Opaque user functions are accepted where Flink takes them (map/flatMap/
+process) but run Arrow-batched, never per-row; when the logic is expressible
+as a Column the expression forms (`map_expr`, `filter`) keep everything in
+whole-stage codegen — the façade's docstrings steer users there.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_1_6_0_spark.operators.joins import interval_join as _interval_join
+from flink_1_6_0_spark.operators.joins import windowed_join as _windowed_join
+from flink_1_6_0_spark.operators.windows import hop as _hop
+from flink_1_6_0_spark.operators.windows import session as _session
+from flink_1_6_0_spark.operators.windows import tumble as _tumble
+
+
+class DataStream:
+    """DataStream.java surface over a (batch or streaming) DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- transforms (DataStream.java:583-714) -------------------------------
+    def map_expr(self, *cols: Column | str) -> "DataStream":
+        """map as a projection (DataStream.java:583) — the codegen fast path."""
+        return DataStream(self.df.select(*cols))
+
+    def map(self, fn: Callable, schema: str) -> "DataStream":
+        """map with an opaque function — Arrow-batched mapInPandas."""
+
+        def run(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return DataStream(self.df.mapInPandas(run, schema=schema))
+
+    def flat_map(self, udtf_col: Column, aliases: list[str], keep: list[str] | None = None) -> "DataStream":
+        """flatMap (DataStream.java:611) — array-producing expression + explode."""
+        from flink_1_6_0_spark.operators.correlate import join_lateral
+
+        return DataStream(join_lateral(self.df, udtf_col, aliases, keep=keep))
+
+    def filter(self, predicate: Column | str) -> "DataStream":
+        """filter (DataStream.java:692)."""
+        return DataStream(self.df.filter(predicate))
+
+    def project(self, *cols: str) -> "DataStream":
+        """project (DataStream.java:714)."""
+        return DataStream(self.df.select(*cols))
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        """multi-way same-type union (DataStream.java:212)."""
+        out = self.df
+        for o in others:
+            out = out.union(o.df)
+        return DataStream(out)
+
+    def assign_timestamps_and_watermarks(self, ts_col: str, delay: str) -> "DataStream":
+        """assignTimestampsAndWatermarks + BoundedOutOfOrdernessTimestampExtractor
+        (DataStream.java:888, functions/timestamps/)."""
+        return DataStream(self.df.withWatermark(ts_col, delay) if self.df.isStreaming else self.df)
+
+    # -- keying (DataStream.java:288) ---------------------------------------
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return KeyedStream(self.df, list(keys))
+
+    # -- sinks (DataStream.java:962-1197) -----------------------------------
+    def print(self, n: int = 20) -> None:
+        self.df.show(n)
+
+    def write_as_csv(self, path: str) -> None:
+        self.df.write.mode("overwrite").csv(path)
+
+    def write_as_text(self, path: str) -> None:
+        self.df.write.mode("overwrite").text(path)
+
+    def add_sink(self, writer_fn):
+        """addSink — caller-provided writer (foreachBatch for streams)."""
+        return writer_fn(self.df)
+
+
+class KeyedStream:
+    """KeyedStream.java surface: keyed state ops, windows, interval joins."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self.df = df
+        self.keys = keys
+
+    def reduce(self, *aggs: Column) -> DataStream:
+        """keyed reduce → groupBy().agg (KeyedStream rolling aggregates)."""
+        return DataStream(self.df.groupBy(*self.keys).agg(*aggs))
+
+    def sum(self, col: str) -> DataStream:
+        return self.reduce(F.sum(col).alias(f"sum_{col}"))
+
+    def min(self, col: str) -> DataStream:
+        return self.reduce(F.min(col).alias(f"min_{col}"))
+
+    def max(self, col: str) -> DataStream:
+        return self.reduce(F.max(col).alias(f"max_{col}"))
+
+    def min_by(self, value: str, ordering: str) -> DataStream:
+        return self.reduce(F.min_by(value, ordering).alias(value))
+
+    def max_by(self, value: str, ordering: str) -> DataStream:
+        return self.reduce(F.max_by(value, ordering).alias(value))
+
+    def process(self, fn, out_schema: str, state_schema: str, mode: str = "append", timeout: str = "NoTimeout") -> DataStream:
+        """KeyedProcessFunction (ProcessFunction.java:51,70,85 — processElement
+        + onTimer + keyed state) → applyInPandasWithState; timers are state
+        timeouts."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        to = getattr(GroupStateTimeout, timeout)
+        return DataStream(
+            self.df.groupBy(*self.keys).applyInPandasWithState(fn, out_schema, state_schema, mode, to)
+        )
+
+    def window(self, window_col: Column) -> "WindowedDataStream":
+        """window(assigner) (DataStream.java:748)."""
+        return WindowedDataStream(self.df, self.keys, window_col)
+
+    def tumbling_window(self, ts: str, size: str) -> "WindowedDataStream":
+        return self.window(_tumble(ts, size))
+
+    def sliding_window(self, ts: str, slide: str, size: str) -> "WindowedDataStream":
+        return self.window(_hop(ts, slide, size))
+
+    def session_window(self, ts: str, gap: str) -> "WindowedDataStream":
+        return self.window(_session(ts, gap))
+
+    def _paired_keys(self, other: "KeyedStream") -> list[tuple[str, str]]:
+        if len(self.keys) != len(other.keys):
+            raise ValueError(
+                f"keyBy arity mismatch: {self.keys} vs {other.keys} — both sides "
+                "of a keyed join must key on the same number of fields"
+            )
+        return list(zip(self.keys, other.keys))
+
+    def interval_join(self, other: "KeyedStream", left_ts: str, right_ts: str, lower: str, upper: str) -> DataStream:
+        """intervalJoin (KeyedStream.java:414, IntervalJoinOperator.java:89).
+        For self-joins, prefix one side's columns first (shared-lineage
+        attributes are otherwise ambiguous — see queries.windows for the
+        pattern)."""
+        return DataStream(
+            _interval_join(self.df, other.df, self._paired_keys(other), left_ts, right_ts, lower, upper)
+        )
+
+    def windowed_join(self, other: "KeyedStream", left_ts: str, right_ts: str, window: str) -> DataStream:
+        """join().where().equalTo().window() (JoinedStreams.java:126)."""
+        return DataStream(
+            _windowed_join(self.df, other.df, self._paired_keys(other), left_ts, right_ts, window)
+        )
+
+
+class WindowedDataStream:
+    """WindowedStream.java surface (reduce/aggregate/apply + pre-wired aggs)."""
+
+    def __init__(self, df: DataFrame, keys: list[str], window_col: Column):
+        self.df = df
+        self.keys = keys
+        self.window_col = window_col
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        """WindowedStream.aggregate (WindowedStream.java:689)."""
+        out = self.df.groupBy(self.window_col.alias("window"), *self.keys).agg(*aggs)
+        return DataStream(
+            out.select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                *[c for c in out.columns if c != "window"],
+            )
+        )
+
+    reduce = aggregate
+
+    def sum(self, col: str) -> DataStream:
+        return self.aggregate(F.sum(col).alias(f"sum_{col}"))
+
+    def min(self, col: str) -> DataStream:
+        return self.aggregate(F.min(col).alias(f"min_{col}"))
+
+    def max(self, col: str) -> DataStream:
+        return self.aggregate(F.max(col).alias(f"max_{col}"))
+
+    def apply(self, fn, schema: str) -> DataStream:
+        """full-window apply (WindowedStream.java:1056) — the window's rows as
+        one pandas frame per (key, window)."""
+        return DataStream(
+            self.df.groupBy(self.window_col.alias("window"), *self.keys).applyInPandas(fn, schema=schema)
+        )

@@ -1,0 +1,105 @@
+"""DataStream API façade tests (DataStream/KeyedStream/WindowedStream surface)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.datastream_api import DataStream
+from flink_1_6_0_spark.queries import T
+
+
+def _events(spark, sf_dir) -> DataStream:
+    return DataStream(T(spark, sf_dir, "events"))
+
+
+def test_map_filter_project(spark, sf_dir):
+    out = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .map_expr("event_id", (F.col("value") * 2).alias("v2"))
+        .project("event_id", "v2")
+    )
+    assert out.df.columns == ["event_id", "v2"]
+    assert out.df.count() > 0
+
+
+def test_map_opaque_pandas(spark, sf_dir):
+    out = _events(spark, sf_dir).map(
+        lambda pdf: pd.DataFrame({"eid": pdf["event_id"], "double_v": pdf["value"] * 2}),
+        schema="eid long, double_v double",
+    )
+    row = out.df.orderBy("eid").first()
+    batch = T(spark, sf_dir, "events").orderBy("event_id").first()
+    assert row["eid"] == batch["event_id"] and row["double_v"] == batch["value"] * 2
+
+
+def test_keyed_rolling_aggs(spark, sf_dir):
+    ks = _events(spark, sf_dir).key_by("event_type")
+    got = {r["event_type"]: r["sum_value"] for r in ks.sum("value").df.collect()}
+    want = {
+        r["event_type"]: r["s"]
+        for r in T(spark, sf_dir, "events").groupBy("event_type").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_keyed_min_by(spark, sf_dir):
+    got = _events(spark, sf_dir).key_by("event_type").min_by("event_id", "value").df
+    want = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min_by("event_id", "value").alias("event_id"))
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_windowed_stream_aggregate(spark, sf_dir):
+    out = (
+        _events(spark, sf_dir)
+        .key_by("event_type")
+        .tumbling_window("ts", "1 day")
+        .aggregate(F.count("*").alias("n"))
+    )
+    assert {"window_start", "window_end", "event_type", "n"} <= set(out.df.columns)
+    total = out.df.agg(F.sum("n")).collect()[0][0]
+    assert total == T(spark, sf_dir, "events").count()
+
+
+def test_windowed_apply_full_window(spark, sf_dir):
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "spread": [pdf["value"].max() - pdf["value"].min()]}
+        )
+
+    out = (
+        _events(spark, sf_dir)
+        .key_by("event_type")
+        .tumbling_window("ts", "7 days")
+        .apply(spread, schema="event_type string, spread double")
+    )
+    assert out.df.count() > 0 and "spread" in out.df.columns
+
+
+def test_interval_join_via_facade(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    clicks = DataStream(ev.filter(F.col("event_type") == "click")).key_by("user_id")
+    buys = DataStream(
+        ev.filter(F.col("event_type") == "purchase").select(
+            *[F.col(c).alias(f"b_{c}") for c in ev.columns]
+        )
+    ).key_by("b_user_id")
+    out = clicks.interval_join(buys, "ts", "b_ts", "0 seconds", "30 minutes")
+    from flink_1_6_0_spark.registry import get
+
+    want = get("interval_join_events").fn(spark, sf_dir).count()
+    assert out.df.count() == want
+
+
+def test_union_and_sinks(spark, sf_dir, tmp_path):
+    a = _events(spark, sf_dir).filter(F.col("event_type") == "click").project("event_id")
+    b = _events(spark, sf_dir).filter(F.col("event_type") == "view").project("event_id")
+    u = a.union(b)
+    p = str(tmp_path / "ds_csv")
+    u.write_as_csv(p)
+    assert spark.read.csv(p).count() == u.df.count()
