@@ -1,0 +1,97 @@
+"""ITCase-style tests over the reference's canonical fixtures (FIXTURES.md;
+StreamTestData.scala:34,42,68) — small deterministic inputs, collected and
+compared against hand-computed golden outputs, exactly the reference's
+runtime/stream & batch ITCase pattern (SURVEY.md §5 layer 4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def t3(spark):
+    """get3TupleDataStream (StreamTestData.scala:42) — 21 rows (a, b, c)."""
+    rows = [
+        (1, 1, "Hi"),
+        (2, 2, "Hello"),
+        (3, 2, "Hello world"),
+        (4, 3, "Hello world, how are you?"),
+        (5, 3, "I am fine."),
+        (6, 3, "Luke Skywalker"),
+    ] + [(i, {7: 4, 8: 4, 9: 4, 10: 4, 11: 5, 12: 5, 13: 5, 14: 5, 15: 5}.get(i, 6), f"Comment#{i - 6}") for i in range(7, 22)]
+    return spark.createDataFrame(rows, "a int, b long, c string")
+
+
+@pytest.fixture(scope="module")
+def t5(spark):
+    """get5TupleDataStream (StreamTestData.scala:68) — 15 rows (a, b, c, d, e)."""
+    rows = [
+        (1, 1, 0, "Hallo", 1),
+        (2, 2, 1, "Hallo Welt", 2),
+        (2, 3, 2, "Hallo Welt wie", 1),
+        (3, 4, 3, "Hallo Welt wie gehts?", 2),
+        (3, 5, 4, "ABC", 2),
+        (3, 6, 5, "BCD", 3),
+        (4, 7, 6, "CDE", 2),
+        (4, 8, 7, "DEF", 1),
+        (4, 9, 8, "EFG", 1),
+        (4, 10, 9, "FGH", 2),
+        (5, 11, 10, "GHI", 1),
+        (5, 12, 11, "HIJ", 3),
+        (5, 13, 12, "IJK", 3),
+        (5, 14, 13, "JKL", 2),
+        (5, 15, 14, "KLM", 2),
+    ]
+    return spark.createDataFrame(rows, "a int, b long, c int, d string, e long")
+
+
+def test_groupby_agg_itcase(t3):
+    """AggregateITCase: grouped count+sum over the skewed b key."""
+    got = {
+        (r.b, r.cnt, r.s)
+        for r in t3.groupBy("b").agg(F.count("*").alias("cnt"), F.sum("a").alias("s")).collect()
+    }
+    assert got == {(1, 1, 1), (2, 2, 5), (3, 3, 15), (4, 4, 34), (5, 5, 65), (6, 6, 111)}
+
+
+def test_join_itcase(t3, t5):
+    """JoinITCase: t3 ⋈ t5 on a — row multiplicity follows t5's key histogram."""
+    joined = t3.join(t5, "a").select(t3.a, t3.c, t5.d)
+    assert joined.count() == 15  # every t5 row finds exactly one t3.a in 1..5
+    per_a = {r["a"]: r["n"] for r in joined.groupBy("a").agg(F.count("*").alias("n")).collect()}
+    assert per_a == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_calc_itcase(t3):
+    """CalcITCase: filter + string expressions."""
+    got = [
+        r.up
+        for r in t3.filter(F.col("c").startswith("Hello"))
+        .select(F.upper("c").alias("up"))
+        .orderBy("up")
+        .collect()
+    ]
+    assert got == ["HELLO", "HELLO WORLD", "HELLO WORLD, HOW ARE YOU?"]
+
+
+def test_setop_itcase(t3):
+    """SetOperatorsITCase: UNION ALL doubles, EXCEPT empties."""
+    assert t3.union(t3).count() == 42
+    assert t3.exceptAll(t3).count() == 0
+
+
+def test_over_itcase(t5):
+    """OverWindowITCase: running sum of e per a ordered by b."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {(r.a, r.b, r.rs) for r in t5.select("a", "b", F.sum("e").over(w).alias("rs")).collect()}
+    assert (5, 15, 11) in got  # 1+3+3+2+2
+    assert (1, 1, 1) in got and (3, 6, 7) in got
+
+
+def test_sort_itcase(t3):
+    """SortITCase: orderBy desc with limit (batch-only in the reference)."""
+    got = [r.a for r in t3.orderBy(F.desc("b"), F.desc("a")).limit(3).collect()]
+    assert got == [21, 20, 19]
