@@ -118,19 +118,20 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
-    band_frames = []
+    # one explode, not a bands-way union: a union would re-evaluate the whole
+    # shingle→signature pipeline once per branch (exchange reuse is not
+    # guaranteed); the struct-array explode evaluates it once
+    band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-        band_frames.append(
-            sigs.select(
-                "doc",
-                F.lit(b).alias("band"),
-                (token_hash(F.concat_ws("_", *parts)) % MOD).alias("bh"),
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), (token_hash(F.concat_ws("_", *parts)) % MOD).alias("bh")
             )
         )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.union(bf)
+    buckets = sigs.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
     left = buckets.select(F.col("doc").alias("a"), "band", "bh")
     right = buckets.select(F.col("doc").alias("b"), "band", "bh")
     return (
