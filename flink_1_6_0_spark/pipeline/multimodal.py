@@ -82,5 +82,7 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     offset (models video frame extraction's fan-out shape — explode over a
     computed offset sequence, no Python in the plan)."""
     n = F.col("meta.n_bytes")
-    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
+    offsets = F.sequence(
+        F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0)).cast("long"), F.lit(every_n_bytes).cast("long")
+    )
     return df.select("doc_id", F.explode(offsets).alias("frame_offset"))

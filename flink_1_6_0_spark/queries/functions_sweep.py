@@ -60,8 +60,8 @@ def scalar_string_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(name, 1, 8).alias("sub"),
         F.overlay(name, F.lit("XY"), 4, 2).alias("ovl"),
         F.trim(seg).alias("trimmed"),
-        fx.position("0", name).alias("pos"),
-        F.char_length(name).alias("clen"),
+        fx.position("0", name).cast("long").alias("pos"),
+        F.char_length(name).cast("long").alias("clen"),
         F.upper(seg).alias("up"),
         F.lower(seg).alias("lo"),
         F.initcap(F.lower(F.replace(name, F.lit("#"), F.lit(" ")))).alias("cap"),
@@ -82,15 +82,15 @@ def scalar_string_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_orderkey, l_linenumber,
       abs(l_discount - 0.05)                         AS v_abs,
-      sign(l_discount - 0.05)                        AS v_sign,
+      sign(l_discount - 0.05)::DOUBLE                AS v_sign,
       round(power(l_quantity, 2), 6)                 AS v_pow,
       round(sqrt(l_extendedprice), 6)                AS v_sqrt,
       round(exp(l_discount), 6)                      AS v_exp,
       round(ln(l_extendedprice), 6)                  AS v_ln,
       round(log10(l_extendedprice), 6)               AS v_log10,
       round(log(2, l_quantity + 1), 6)               AS v_log2,
-      floor(l_extendedprice)                         AS v_floor,
-      ceil(l_extendedprice)                          AS v_ceil,
+      floor(l_extendedprice)::BIGINT                 AS v_floor,
+      ceil(l_extendedprice)::BIGINT                  AS v_ceil,
       round(l_extendedprice, 1)                      AS v_round,
       round(sin(l_discount), 6)                      AS v_sin,
       round(cos(l_discount), 6)                      AS v_cos,
@@ -263,7 +263,7 @@ def scalar_collection_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fx.item(toks, 1).alias("first_tok"),
         fx.item(toks, fx.cardinality(toks)).alias("last_tok"),
-        fx.cardinality(toks).alias("n_toks"),
+        fx.cardinality(toks).cast("long").alias("n_toks"),
         fx.element(F.when(fx.cardinality(toks) == 1, toks).otherwise(toks)).alias("elem"),
         F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang")).alias("rec"),
         (F.lit("en") == F.col("lang")).alias("is_en"),
@@ -275,7 +275,7 @@ def scalar_collection_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            min(json_extract(props, '$.k')::BIGINT) AS min_k,
            max(json_extract(props, '$.k')::BIGINT) AS max_k
     FROM events GROUP BY event_type

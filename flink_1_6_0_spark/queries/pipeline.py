@@ -67,8 +67,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        tx.token_count("text").alias("n_tokens"),
-        tx.char_count("text").alias("n_chars_calc"),
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.char_count("text").cast("long").alias("n_chars_calc"),
         F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
         F.round(tx.mean_token_len("text"), 6).alias("mean_tok_len"),
     )

@@ -556,7 +556,7 @@ def correlate_lateral_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     udtf_col = F.transform(
-        F.split("text", " "), lambda w: F.struct(w.alias("word"), F.length(w).alias("wlen"))
+        F.split("text", " "), lambda w: F.struct(w.alias("word"), F.length(w).cast("bigint").alias("wlen"))
     )
     return corr_ops.join_lateral(d, udtf_col, ["word", "wlen"], keep=["doc_id"])
 

@@ -256,9 +256,9 @@ def over_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w_v).alias("rnk"),
-        F.dense_rank().over(w_v).alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w_v).cast("long").alias("rnk"),
+        F.dense_rank().over(w_v).cast("long").alias("drnk"),
         F.lag("event_id").over(w).alias("prev_event"),
         F.lead("event_id").over(w).alias("next_event"),
     )

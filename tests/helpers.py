@@ -16,9 +16,11 @@ def _norm_cell(v):
         f = float(v)
         if math.isnan(f):
             return None
-        return round(f, 6)
-    if isinstance(v, np.integer):
-        return int(v)
+        # tagged so an int column never silently equals a float column
+        # (123 == 123.0 in Python, but engines/drivers hash them differently)
+        return ("f", round(f, 6))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return ("i", int(v))
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, (_dt.datetime, _dt.date)):
