@@ -56,3 +56,29 @@ def windowed_agg(
             *[c for c in out.columns if c not in {"window", *keys}],
         )
     return out
+
+
+def session_dynamic_gap(ts: str | Column, gap_expr: Column) -> Column:
+    """DynamicEventTimeSessionWindows (assigners/DynamicEventTimeSessionWindows
+    .java) — per-element gap from an expression; SURVEY.md §7 flags this as a
+    hard part, but Spark ≥3.2 session_window accepts a Column gap directly.
+    The gap expression must be CalendarIntervalType — build it with
+    ``F.make_interval(...)`` (an ``INTERVAL n MINUTE`` literal is
+    DayTimeIntervalType and is rejected)."""
+    return F.session_window(ts, gap_expr)
+
+
+def count_window(df: DataFrame, keys: list[str], order_by: list[str | Column], size: int) -> DataFrame:
+    """countWindow(size) (KeyedStream.countWindow) — batch form: rows per key
+    are numbered in ``order_by`` order and bucketed into windows of ``size``
+    rows; adds a ``count_window`` column (0-based window index per key).
+
+    Streaming form: a count-trigger is a custom stateful operator in Spark
+    (applyInPandasWithState holding a per-key counter) — the batch form here
+    is the oracle-checkable shape."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(
+        "count_window", ((F.row_number().over(w) - 1) / size).cast("long")
+    )

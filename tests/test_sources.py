@@ -114,3 +114,41 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         for t in (ta, tb):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+
+def test_session_window_dynamic_gap(spark):
+    """Dynamic-gap sessions: gap depends on the row (longer gap for 'slow'
+    rows) — two fast events 5min apart merge; same spacing with a short gap
+    splits."""
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.operators.windows import session_dynamic_gap
+
+    rows = [
+        ("2024-01-01 00:00:00", "fast"),   # gap 1 min → session alone
+        ("2024-01-01 00:05:00", "slow"),   # gap 10 min → merges with next
+        ("2024-01-01 00:12:00", "slow"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, kind string").selectExpr(
+        "cast(ts as timestamp) ts", "kind"
+    )
+    # gap must be CalendarIntervalType (make_interval), not DayTimeInterval
+    gap = F.when(F.col("kind") == "slow", F.make_interval(mins=F.lit(10))).otherwise(
+        F.make_interval(mins=F.lit(1))
+    )
+    out = df.groupBy(session_dynamic_gap("ts", gap)).agg(F.count("*").alias("n"))
+    assert sorted(r["n"] for r in out.collect()) == [1, 2]
+
+
+def test_count_window(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.operators.windows import count_window
+    from flink_1_6_0_spark.queries import T
+
+    e = T(spark, sf_dir, "events")
+    out = count_window(e, ["user_id"], ["ts", "event_id"], size=10)
+    sizes = out.groupBy("user_id", "count_window").agg(F.count("*").alias("n"))
+    # every window has exactly `size` rows except possibly each key's last
+    over = sizes.filter(F.col("n") > 10).count()
+    assert over == 0
+    per_user_last = sizes.groupBy("user_id").agg(F.max("count_window")).count()
+    assert per_user_last == e.select("user_id").distinct().count()
