@@ -186,3 +186,59 @@ def test_bounded_outer_join_stream(spark, sf_dir):
     got = spark.sql("SELECT count(*) c, count(b_event_id) m FROM nwoj_out").collect()[0]
     # every click appears at least once; some have null purchase (outer padding)
     assert got["c"] >= got["m"] and got["c"] > 0
+
+
+def test_stream_sort_restriction_and_emission(spark, sf_dir, tmp_path):
+    """Flink's stream ORDER BY restriction (time-ascending leading key only,
+    DataStreamSortRule.scala:71) + ordered emission via foreachBatch."""
+    import pytest as _pytest
+
+    from flink_1_6_0_spark.streaming.sort import (
+        StreamSortError,
+        sorted_stream_sink,
+        validate_stream_sort,
+    )
+
+    with _pytest.raises(StreamSortError):
+        validate_stream_sort(["value", "ts"], "ts")
+    validate_stream_sort(["ts", "event_id"], "ts")
+
+    collected = []
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    q = sorted_stream_sink(
+        stream.select("ts", "event_id"),
+        "ts",
+        ["event_id"],
+        lambda df, epoch: collected.extend([r["event_id"] for r in df.collect()]),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = [
+        r["event_id"]
+        for r in T(spark, sf_dir, "events").orderBy("ts", "event_id").select("event_id").collect()
+    ]
+    assert collected == want
+
+
+def test_queryable_state(spark, sf_dir):
+    """asQueryableState (KeyedStream.java:1004): point lookups into the live
+    aggregate while the stream runs."""
+    from flink_1_6_0_spark.streaming.queryable_state import QueryableState
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    qs = QueryableState(agg, "qstate_test")
+    try:
+        qs.query.processAllAvailable()
+        rows = qs.lookup("event_type", "purchase")
+        want = (
+            T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+        )
+        assert len(rows) == 1 and rows[0]["n"] == want
+    finally:
+        qs.stop()
