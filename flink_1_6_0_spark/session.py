@@ -71,6 +71,37 @@ def get_spark(
     return spark
 
 
+_STATE_BACKENDS = {
+    # Flink state backends (state/memory/MemoryStateBackend.java,
+    # filesystem/FsStateBackend.java) — Spark's default HDFS-backed store
+    # keeps state on-heap with a checkpoint file per batch: same contract.
+    "memory": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "fs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    # flink-state-backends/flink-statebackend-rocksdb (incremental
+    # checkpoints) — Spark ships a RocksDB provider whose changelog
+    # checkpointing is the incremental-checkpoint analog. This is the 100 TB
+    # choice: state larger than executor heap spills to local SSD.
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
+
+def set_state_backend(spark: SparkSession, backend: str) -> None:
+    """env.setStateBackend(...) (StreamExecutionEnvironment.java:428) analog.
+
+    Applies to streaming queries STARTED AFTER the call (the provider class is
+    read at query start). ``rocksdb`` also enables changelog checkpointing —
+    the incremental-checkpoint mode of the reference backend.
+    """
+    provider = _STATE_BACKENDS.get(backend.lower())
+    if provider is None:
+        raise ValueError(f"unknown state backend {backend!r}; choose from {sorted(_STATE_BACKENDS)}")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        str(backend.lower() == "rocksdb").lower(),
+    )
+
+
 class TableEnvironment:
     """Unified batch/stream table environment.
 

@@ -21,6 +21,16 @@ Contiguity semantics implemented (Pattern.java):
 
 Event order within a key is (ts, event_id) — a total order, so matches are
 deterministic and oracle-checkable.
+
+Also implemented:
+- after-match skip strategies (cep/nfa/AfterMatchSkipStrategy.java):
+  NO_SKIP / SKIP_PAST_LAST_EVENT / SKIP_TO_FIRST[stage] / SKIP_TO_LAST[stage],
+  applied as a prune over the enumerated matches in event order (each kept
+  match raises the minimum start index later matches must satisfy);
+- group patterns (pattern/GroupPattern.java): ``begin_group`` /
+  ``next_group`` / ``followed_by_group`` wrap a whole sub-pattern as one
+  quantifiable stage; repetitions of the group follow each other with relaxed
+  contiguity and the group emits its matched ids flattened as ``<name>_ids``.
 """
 
 from __future__ import annotations
@@ -37,6 +47,14 @@ NEXT = "next"
 FOLLOWED_BY = "followed_by"
 FOLLOWED_BY_ANY = "followed_by_any"
 
+# After-match skip strategies (cep/nfa/AfterMatchSkipStrategy.java, applied by
+# NFA.java:82's match pruning): once a match is emitted, partial matches that
+# started before a strategy-defined event are discarded.
+NO_SKIP = "no_skip"
+SKIP_PAST_LAST_EVENT = "skip_past_last_event"
+SKIP_TO_FIRST = "skip_to_first"
+SKIP_TO_LAST = "skip_to_last"
+
 
 @dataclass
 class Stage:
@@ -51,6 +69,36 @@ class Stage:
     def quantified(self) -> bool:
         return self.min_times != 1 or self.max_times != 1
 
+    @property
+    def emits_array(self) -> bool:
+        return self.quantified
+
+
+@dataclass
+class GroupStage:
+    """Group pattern (pattern/GroupPattern.java): a whole sub-pattern treated
+    as one stage, so quantifiers (times/oneOrMore/optional) apply to the
+    SEQUENCE. Matched event ids are emitted flattened as ``<name>_ids``.
+
+    Contiguity: the group's own contiguity anchors the first event of the
+    first repetition; repetitions follow each other with relaxed contiguity
+    (the reference's default for looping group patterns); inner stages keep
+    their declared contiguity."""
+
+    name: str
+    sub: "Pattern"
+    contiguity: str = FOLLOWED_BY
+    min_times: int = 1
+    max_times: int = 1
+
+    @property
+    def quantified(self) -> bool:
+        return self.min_times != 1 or self.max_times != 1
+
+    @property
+    def emits_array(self) -> bool:
+        return True
+
 
 @dataclass
 class Pattern:
@@ -58,6 +106,8 @@ class Pattern:
 
     stages: list[Stage] = field(default_factory=list)
     within_seconds: float | None = None
+    skip_strategy: str = NO_SKIP
+    skip_target: str | None = None
 
     @staticmethod
     def begin(name: str, where: Callable[[dict[str, Any]], bool]) -> "Pattern":
@@ -73,6 +123,20 @@ class Pattern:
 
     def followed_by_any(self, name: str, where) -> "Pattern":
         self.stages.append(Stage(name, where, FOLLOWED_BY_ANY))
+        return self
+
+    # -- group patterns (GroupPattern.java; Pattern.begin/next/followedBy
+    #    overloads taking a Pattern) ----------------------------------------
+    @staticmethod
+    def begin_group(name: str, sub: "Pattern") -> "Pattern":
+        return Pattern(stages=[GroupStage(name, sub)])
+
+    def next_group(self, name: str, sub: "Pattern") -> "Pattern":
+        self.stages.append(GroupStage(name, sub, NEXT))
+        return self
+
+    def followed_by_group(self, name: str, sub: "Pattern") -> "Pattern":
+        self.stages.append(GroupStage(name, sub, FOLLOWED_BY))
         return self
 
     # -- quantifiers (Pattern.java:327-474), applied to the LAST stage ------
@@ -102,6 +166,25 @@ class Pattern:
 
     def within(self, seconds: float) -> "Pattern":
         self.within_seconds = seconds
+        return self
+
+    # -- after-match skip (AfterMatchSkipStrategy.java) ---------------------
+    def skip_past_last_event(self) -> "Pattern":
+        """After a match, discard partial matches that started at or before
+        the match's last event — emitted matches never overlap."""
+        self.skip_strategy = SKIP_PAST_LAST_EVENT
+        return self
+
+    def skip_to_first(self, stage_name: str) -> "Pattern":
+        """Discard partial matches started before the FIRST event the named
+        stage matched; a match starting exactly there survives."""
+        self.skip_strategy, self.skip_target = SKIP_TO_FIRST, stage_name
+        return self
+
+    def skip_to_last(self, stage_name: str) -> "Pattern":
+        """Discard partial matches started before the LAST event the named
+        stage matched."""
+        self.skip_strategy, self.skip_target = SKIP_TO_LAST, stage_name
         return self
 
     @property
@@ -164,22 +247,72 @@ def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], .
                     break  # first matching start only
         return runs
 
-    def expand(stage_i: int, last_idx: int, start_ts: int | None, acc: tuple):
-        if stage_i == len(pattern.stages):
-            out.append(acc)
-            return
-        st = pattern.stages[stage_i]
-        if st.contiguity == NEXT:
-            first_candidates = [last_idx + 1] if last_idx + 1 < n else []
-        else:
-            first_candidates = range(last_idx + 1, n)
-        if st.min_times == 0:
-            expand(stage_i + 1, last_idx, start_ts, acc + ((),))
-        for run in repeat_runs(st, first_candidates, start_ts, all_starts=stage_i == 0):
-            new_start = start_ts if start_ts is not None else events[run[0]]["__ts"]
-            expand(stage_i + 1, run[-1], new_start, acc + (run,))
+    def sub_matches_at(gst: GroupStage, at_idx: int, start_ts):
+        """Full sub-pattern matches whose FIRST event is exactly events[at_idx]
+        (flattened index tuples) — the position-anchored scan group_runs needs."""
+        res: list[tuple[int, ...]] = []
 
-    expand(0, -1, None, ())
+        def emit(acc, _last):
+            flat = tuple(i for r in acc for i in r)
+            if flat and flat[0] == at_idx:
+                res.append(flat)
+
+        walk(gst.sub.stages, 0, at_idx - 1, start_ts, (), emit, top_level=False)
+        return res
+
+    def group_runs(gst: GroupStage, last_idx: int, start_ts, anchor_all: bool):
+        """Runs for a group stage: each run concatenates 1..max_times full
+        sub-sequence matches. First repetition anchored per the group's
+        contiguity; later repetitions relaxed (first feasible, deterministic)."""
+        runs: list[tuple[int, ...]] = []
+
+        def grow(run: tuple[int, ...], reps: int, run_start):
+            if reps >= gst.min_times:
+                runs.append(run)
+            if reps == gst.max_times:
+                return
+            for s2 in range(run[-1] + 1, n):
+                if not in_horizon(s2, run_start):
+                    break
+                subs = sub_matches_at(gst, s2, run_start)
+                if subs:
+                    grow(run + subs[0], reps + 1, run_start)
+                    return  # deterministic: one repetition chain
+
+        strict = gst.contiguity == NEXT and not anchor_all
+        candidates = [last_idx + 1] if strict else range(last_idx + 1, n)
+        for s in candidates:
+            if s >= n or not in_horizon(s, start_ts):
+                break
+            eff_start = start_ts if start_ts is not None else events[s]["__ts"]
+            subs = sub_matches_at(gst, s, eff_start)
+            for flat in subs:
+                grow(flat, 1, eff_start)
+            if strict or (subs and not anchor_all):
+                break
+        return runs
+
+    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool):
+        if stage_i == len(stages):
+            emit(acc, last_idx)
+            return
+        st = stages[stage_i]
+        anchor_all = top_level and stage_i == 0
+        if st.min_times == 0:
+            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level)
+        if isinstance(st, GroupStage):
+            runs = group_runs(st, last_idx, start_ts, anchor_all)
+        else:
+            if st.contiguity == NEXT and not anchor_all:
+                first_candidates = [last_idx + 1] if last_idx + 1 < n else []
+            else:
+                first_candidates = range(last_idx + 1, n)
+            runs = repeat_runs(st, first_candidates, start_ts, all_starts=anchor_all)
+        for run in runs:
+            new_start = start_ts if start_ts is not None else events[run[0]]["__ts"]
+            walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level)
+
+    walk(pattern.stages, 0, -1, None, (), lambda acc, _last: out.append(acc), top_level=True)
     # dedup (optional stages can produce identical matches via two paths)
     seen: set = set()
     uniq = []
@@ -187,14 +320,43 @@ def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], .
         if m not in seen:
             seen.add(m)
             uniq.append(m)
-    return uniq
+    return _apply_skip(uniq, pattern)
+
+
+def _apply_skip(matches: list[tuple[tuple[int, ...], ...]], pattern: Pattern) -> list:
+    """After-match skip (AfterMatchSkipStrategy.java): walk matches in event
+    order; each EMITTED match raises the minimum start index future matches
+    must satisfy. Discarded matches do not advance the threshold (they are
+    the 'pruned partial matches' of the reference NFA)."""
+    if pattern.skip_strategy == NO_SKIP or not matches:
+        return matches
+    if pattern.skip_strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
+        names = [s.name for s in pattern.stages]
+        if pattern.skip_target not in names:
+            raise ValueError(f"skip target {pattern.skip_target!r} is not a stage name {names}")
+        target_i = names.index(pattern.skip_target)
+    kept = []
+    threshold = -1
+    for m in sorted(matches, key=lambda m: tuple(i for run in m for i in run)):
+        flat = [i for run in m for i in run]
+        if not flat or flat[0] < threshold:
+            continue
+        kept.append(m)
+        if pattern.skip_strategy == SKIP_PAST_LAST_EVENT:
+            threshold = max(threshold, flat[-1] + 1)
+        else:
+            idxs = m[target_i]
+            if idxs:
+                t = idxs[0] if pattern.skip_strategy == SKIP_TO_FIRST else idxs[-1]
+                threshold = max(threshold, t)
+    return kept
 
 
 def _stage_out_cols(pattern: Pattern) -> list[tuple[str, str]]:
     """(column name, spark type) per stage: quantified stages emit an id
     ARRAY (`<name>_ids`), plain stages a scalar `<name>_id`."""
     return [
-        (f"{s.name}_ids", "array<long>") if s.quantified else (f"{s.name}_id", "long")
+        (f"{s.name}_ids", "array<long>") if s.emits_array else (f"{s.name}_id", "long")
         for s in pattern.stages
     ]
 
@@ -210,7 +372,7 @@ def _match_frame(pdf: pd.DataFrame, pattern: Pattern, key_cols: list[str], ts_co
         row = {k: events[0][k] for k in key_cols}
         for st, (col, _), idxs in zip(pattern.stages, out_cols, match):
             ids = [events[i][id_col] for i in idxs]
-            row[col] = ids if st.quantified else (ids[0] if ids else None)
+            row[col] = ids if st.emits_array else (ids[0] if ids else None)
         rows.append(row)
     cols = key_cols + [c for c, _ in out_cols]
     return pd.DataFrame(rows, columns=cols)
@@ -310,7 +472,7 @@ def cep_stream(
             row = dict(zip(key_cols, key))
             for st, (col, _), idxs in zip(pattern.stages, out_col_types, match):
                 ids = [events[i][id_col] for i in idxs]
-                row[col] = ids if st.quantified else (ids[0] if ids else None)
+                row[col] = ids if st.emits_array else (ids[0] if ids else None)
             rows.append(row)
         newest = events[-1]["__ts"]
         keep = [e for e in events if e["__ts"] >= newest - horizon]

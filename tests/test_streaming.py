@@ -242,3 +242,57 @@ def test_queryable_state(spark, sf_dir):
         assert len(rows) == 1 and rows[0]["n"] == want
     finally:
         qs.stop()
+
+
+def test_rocksdb_state_backend(spark, sf_dir, tmp_path):
+    """setStateBackend(rocksdb) (StreamExecutionEnvironment.java:428;
+    flink-statebackend-rocksdb): the streaming agg below runs its keyed state
+    in Spark's RocksDB state store with changelog checkpointing enabled."""
+    from flink_1_6_0_spark.session import set_state_backend
+
+    set_state_backend(spark, "rocksdb")
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass").endswith(
+                "RocksDBStateStoreProvider"
+            )
+        )
+        agg = (
+            events_stream(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_agg")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["event_type"], r["n"])
+                for r in spark.table("rocksdb_agg").collect()
+            }
+            want = {
+                (r["event_type"], r["cnt"])
+                for r in T(spark, sf_dir, "events")
+                .groupBy("event_type")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            assert got == want
+        finally:
+            q.stop()
+    finally:
+        set_state_backend(spark, "memory")
+
+
+def test_state_backend_unknown_raises(spark):
+    import pytest as _pytest
+
+    from flink_1_6_0_spark.session import set_state_backend
+
+    with _pytest.raises(ValueError):
+        set_state_backend(spark, "cassandra")
