@@ -235,3 +235,199 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style — minimum-cost supplier. Reference capability: nested/correlated
+# aggregate subquery over a join tree (flink-table batch SQL; the classic
+# TPC-H Q2 shape). The testdata has no partsupp table, so supply cost is
+# derived from lineitem: min unit price per (part, supplier). The correlated
+# "cheapest in region" subquery becomes a window-min over p_partkey — same
+# semantics, one shuffle instead of a re-join.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, round(min(l_extendedprice / l_quantity), 4) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+FROM part
+JOIN supply   ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size <= 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+  AND supplycost = (
+    SELECT min(ps2.supplycost) FROM supply ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2", oracle=_Q2_ORACLE, tags=("batch", "join", "subquery"), bench=True)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style min-cost supplier. The correlated scalar subquery (cheapest
+    European supplier per part) is computed with a window MIN over the
+    already-joined frame — Catalyst would otherwise rewrite the subquery into
+    the same self-join; the window form shuffles the (small) eligible set
+    once on p_partkey. Dims broadcast."""
+    from pyspark.sql import Window
+
+    l = T(spark, sf_dir, "lineitem")
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("supplycost")
+    )
+    p = T(spark, sf_dir, "part").filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        supply.join(s, supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two trading blocs. Reference capability:
+# multi-way join + disjunctive cross-table predicate + year() bucketing
+# (flink-table batch SQL). Adapted to regions (the synthetic supplier table
+# is too thin at sf0.001 for a specific nation pair to trade).
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT supp_region, cust_region, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2, region r1, region r2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey
+    AND ((r1.r_name = 'AFRICA' AND r2.r_name = 'AMERICA')
+      OR (r1.r_name = 'AMERICA' AND r2.r_name = 'AFRICA'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+) shipping
+GROUP BY supp_region, cust_region, l_year
+ORDER BY supp_region, cust_region, l_year
+"""
+
+
+@query("tpch_q7", oracle=_Q7_ORACLE, tags=("batch", "join", "agg"), bench=True)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style bidirectional trade volume. The nation→region lookups
+    broadcast twice (supplier side, customer side); the disjunctive bloc
+    predicate lands AFTER both joins, which Catalyst keeps as a post-join
+    filter on two already-broadcast columns (cheap); the fact chain shuffles
+    on its join keys; year() bucketing is JVM-side."""
+    win_lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    win_hi = F.lit("1996-12-31 23:59:59").cast("timestamp")
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").between(win_lo, win_hi))
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    supp_geo = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust_geo = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    bloc = (
+        (F.col("supp_region") == "AFRICA") & (F.col("cust_region") == "AMERICA")
+    ) | ((F.col("supp_region") == "AMERICA") & (F.col("cust_region") == "AFRICA"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp_geo), l.l_suppkey == supp_geo.s_suppkey)
+        .join(cust_geo, o.o_custkey == cust_geo.c_custkey)
+        .filter(bloc)
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_region", "cust_region", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers. Reference capability: IN-subquery with
+# grouped HAVING (flink-table batch SQL; semi-join rewrite,
+# DataSetJoin.scala semi path).
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("tpch_q18", oracle=_Q18_ORACLE, tags=("batch", "join", "subquery"), bench=True)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume customers. The HAVING subquery is a grouped
+    pre-aggregate of the SAME lineitem scan, then a left-semi join on
+    o_orderkey — map-side partial agg shrinks the shuffle; the surviving
+    order set is tiny, so the customer join broadcasts it under AQE."""
+    l = T(spark, sf_dir, "lineitem")
+    big_orders = (
+        l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 300)
+    )
+    o = T(spark, sf_dir, "orders").join(
+        big_orders.select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    c = T(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
