@@ -76,6 +76,54 @@ class DataStream:
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
+    # -- physical partitioning (ShipStrategyType.java:31-66; DataStream.java
+    #    shuffle:370, rebalance:388, rescale:404, broadcast:425, global:441,
+    #    partitionCustom:316, forward:381) ------------------------------------
+    def shuffle(self, partitions: int | None = None) -> "DataStream":
+        """PARTITION_RANDOM — round-robin redistribution (`repartition()`)."""
+        return DataStream(self.df.repartition(partitions) if partitions else self.df.repartition())
+
+    def rebalance(self, partitions: int | None = None) -> "DataStream":
+        """PARTITION_FORCED_REBALANCE — even redistribution. Spark's
+        round-robin repartition IS the rebalance (with AQE it also splits
+        skewed blocks via the REBALANCE_PARTITIONS_BY_NONE hint)."""
+        return DataStream(
+            self.df.hint("rebalance") if partitions is None else self.df.repartition(partitions)
+        )
+
+    def rescale(self, partitions: int) -> "DataStream":
+        """RESCALE — local fan-in without a full shuffle: `coalesce` merges
+        co-located partitions, no exchange (the reference's rescale also
+        avoids a full network shuffle)."""
+        return DataStream(self.df.coalesce(partitions))
+
+    def partition_by_hash(self, *cols: str) -> "DataStream":
+        """PARTITION_HASH (keyBy's physical form) — `repartition(cols)`."""
+        return DataStream(self.df.repartition(*[F.col(c) for c in cols]))
+
+    def partition_by_range(self, *cols: str) -> "DataStream":
+        """PARTITION_RANGE (DataSetSort.scala:98) — `repartitionByRange`."""
+        return DataStream(self.df.repartitionByRange(*[F.col(c) for c in cols]))
+
+    def partition_custom(self, expr: Column) -> "DataStream":
+        """partitionCustom (DataStream.java:316) — partition by an arbitrary
+        expression (the Partitioner's logic expressed as a Column)."""
+        return DataStream(self.df.repartition(expr))
+
+    def broadcast(self) -> "DataStream":
+        """BROADCAST (DataStream.java:425) — mark for broadcast to every task
+        of the consumer (effective at the next join)."""
+        return DataStream(F.broadcast(self.df))
+
+    def global_(self) -> "DataStream":
+        """GLOBAL (DataStream.java:441) — everything to one partition."""
+        return DataStream(self.df.coalesce(1))
+
+    def forward(self) -> "DataStream":
+        """FORWARD — no redistribution (identity; Spark pipelines narrow
+        stages automatically)."""
+        return self
+
     # -- sinks (DataStream.java:962-1197) -----------------------------------
     def print(self, n: int = 20) -> None:
         self.df.show(n)

@@ -64,6 +64,9 @@ class Stage:
     min_times: int = 1
     max_times: int = 1
     consecutive_repeats: bool = False
+    negated: bool = False  # notNext/notFollowedBy (Pattern.java:267,298)
+    until_pred: Callable[[dict[str, Any]], bool] | None = None  # until (Pattern.java:214)
+    greedy_flag: bool = False  # greedy (Pattern.java:361)
 
     @property
     def quantified(self) -> bool:
@@ -117,6 +120,32 @@ class Pattern:
         self.stages.append(Stage(name, where, NEXT))
         return self
 
+    def not_next(self, name: str, where) -> "Pattern":
+        """notNext (Pattern.java:267): the event IMMEDIATELY after the
+        previous match must not satisfy ``where``. Consumes no event and
+        emits no output column."""
+        self.stages.append(Stage(name, where, NEXT, negated=True))
+        return self
+
+    def not_followed_by(self, name: str, where) -> "Pattern":
+        """notFollowedBy (Pattern.java:298): NO event between the previous
+        match and the next stage's match may satisfy ``where``. Cannot be the
+        pattern's last stage (same MalformedPatternException rule as the
+        reference)."""
+        self.stages.append(Stage(name, where, FOLLOWED_BY, negated=True))
+        return self
+
+    def or_(self, where) -> "Pattern":
+        """where(...).or(...) (Pattern.java:172): disjunction on the last
+        stage's condition."""
+        first = self.stages[-1].predicate
+
+        def either(e, _a=first, _b=where):
+            return _a(e) or _b(e)
+
+        self.stages[-1].predicate = either
+        return self
+
     def followed_by(self, name: str, where) -> "Pattern":
         self.stages.append(Stage(name, where, FOLLOWED_BY))
         return self
@@ -156,6 +185,25 @@ class Pattern:
         repeat count (documented divergence — bounds the NFA state)."""
         self.stages[-1].min_times = 1
         self.stages[-1].max_times = max_times
+        return self
+
+    def times_or_more(self, n: int, max_times: int = 8) -> "Pattern":
+        """timesOrMore (Pattern.java:414). Unbounded in the reference; capped
+        like one_or_more (documented divergence)."""
+        self.stages[-1].min_times = n
+        self.stages[-1].max_times = max(n, max_times)
+        return self
+
+    def greedy(self) -> "Pattern":
+        """greedy (Pattern.java:361): the last quantified stage emits only
+        its MAXIMAL repeat run, not every prefix."""
+        self.stages[-1].greedy_flag = True
+        return self
+
+    def until(self, where) -> "Pattern":
+        """until (Pattern.java:214): the last looping stage stops accepting
+        events once ``where`` is satisfied (the until-event is not consumed)."""
+        self.stages[-1].until_pred = where
         return self
 
     def consecutive(self) -> "Pattern":
@@ -222,24 +270,32 @@ def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], .
         runs: list[tuple[int, ...]] = []
 
         def grow(run: tuple[int, ...]):
-            if len(run) >= st.min_times:
+            extended = False
+            if len(run) < st.max_times:
+                prev = run[-1]
+                nxt = [prev + 1] if st.consecutive_repeats else range(prev + 1, n)
+                for idx in nxt:
+                    if idx >= n or not in_horizon(idx, start_ts):
+                        break
+                    if st.until_pred is not None and st.until_pred(events[idx]):
+                        break  # until(): stop accepting, event not consumed
+                    if st.predicate(events[idx]):
+                        grow(run + (idx,))
+                        extended = True
+                        if st.contiguity != FOLLOWED_BY_ANY:
+                            break  # deterministic: one repeat-chain only
+                    elif st.consecutive_repeats:
+                        break
+            # greedy(): only the maximal run survives, not every prefix
+            if len(run) >= st.min_times and not (st.greedy_flag and extended):
                 runs.append(run)
-            if len(run) == st.max_times:
-                return
-            prev = run[-1]
-            nxt = [prev + 1] if st.consecutive_repeats else range(prev + 1, n)
-            for idx in nxt:
-                if idx >= n or not in_horizon(idx, start_ts):
-                    break
-                if st.predicate(events[idx]):
-                    grow(run + (idx,))
-                    if st.contiguity != FOLLOWED_BY_ANY:
-                        return  # deterministic: one repeat-chain only
-                elif st.consecutive_repeats:
-                    return
 
         for first in first_candidates:
             if not in_horizon(first, start_ts):
+                break
+            # until() stops the LOOP from accepting; fresh anchors (all_starts,
+            # i.e. new NFA runs at the begin stage) may still start after it
+            if not all_starts and st.until_pred is not None and st.until_pred(events[first]):
                 break
             if st.predicate(events[first]):
                 grow((first,))
@@ -292,14 +348,26 @@ def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], .
                 break
         return runs
 
-    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool):
+    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = ()):
         if stage_i == len(stages):
             emit(acc, last_idx)
             return
         st = stages[stage_i]
         anchor_all = top_level and stage_i == 0
+        if getattr(st, "negated", False):
+            if st.contiguity == NEXT:
+                # notNext: the immediate successor must not match
+                nxt = last_idx + 1
+                if nxt < n and in_horizon(nxt, start_ts) and st.predicate(events[nxt]):
+                    return
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not)
+            else:
+                # notFollowedBy: forbid matches in the gap before the NEXT
+                # positive stage's first event
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,))
+            return
         if st.min_times == 0:
-            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level)
+            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not)
         if isinstance(st, GroupStage):
             runs = group_runs(st, last_idx, start_ts, anchor_all)
         else:
@@ -309,6 +377,10 @@ def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], .
                 first_candidates = range(last_idx + 1, n)
             runs = repeat_runs(st, first_candidates, start_ts, all_starts=anchor_all)
         for run in runs:
+            if pending_not and any(
+                p(events[i]) for p in pending_not for i in range(last_idx + 1, run[0])
+            ):
+                continue  # a forbidden event sits in the gap
             new_start = start_ts if start_ts is not None else events[run[0]]["__ts"]
             walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level)
 
@@ -353,12 +425,51 @@ def _apply_skip(matches: list[tuple[tuple[int, ...], ...]], pattern: Pattern) ->
 
 
 def _stage_out_cols(pattern: Pattern) -> list[tuple[str, str]]:
-    """(column name, spark type) per stage: quantified stages emit an id
-    ARRAY (`<name>_ids`), plain stages a scalar `<name>_id`."""
+    """(column name, spark type) per OUTPUT stage: quantified stages emit an
+    id ARRAY (`<name>_ids`), plain stages a scalar `<name>_id`; negated
+    stages consume no event and emit nothing."""
     return [
         (f"{s.name}_ids", "array<long>") if s.emits_array else (f"{s.name}_id", "long")
         for s in pattern.stages
+        if not getattr(s, "negated", False)
     ]
+
+
+def _output_stages(pattern: Pattern) -> list:
+    return [s for s in pattern.stages if not getattr(s, "negated", False)]
+
+
+def _output_match(pattern: Pattern, match: tuple) -> tuple:
+    """Drop the (always-empty) entries negated stages contribute to a match."""
+    return tuple(
+        idxs
+        for st, idxs in zip(pattern.stages, match)
+        if not getattr(st, "negated", False)
+    )
+
+
+def _validate_pattern(pattern: Pattern) -> None:
+    """MalformedPatternException rules adopted from the reference NFACompiler:
+    notFollowedBy cannot be the last stage; skip targets must name a
+    non-negated stage."""
+    stages = pattern.stages
+    if not stages:
+        raise ValueError("empty pattern")
+    last = stages[-1]
+    if getattr(last, "negated", False) and last.contiguity != NEXT:
+        raise ValueError(
+            "notFollowedBy is not supported as the last part of a pattern "
+            "(NFACompiler rule adopted from the reference)"
+        )
+    for st in stages:
+        if isinstance(st, GroupStage):
+            _validate_pattern(st.sub)
+    if pattern.skip_strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
+        ok = {s.name for s in stages if not getattr(s, "negated", False)}
+        if pattern.skip_target not in ok:
+            raise ValueError(
+                f"skip target {pattern.skip_target!r} is not an output stage name {sorted(ok)}"
+            )
 
 
 def _match_frame(pdf: pd.DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str) -> pd.DataFrame:
@@ -370,7 +481,9 @@ def _match_frame(pdf: pd.DataFrame, pattern: Pattern, key_cols: list[str], ts_co
     rows = []
     for match in _scan(events, pattern):
         row = {k: events[0][k] for k in key_cols}
-        for st, (col, _), idxs in zip(pattern.stages, out_cols, match):
+        for st, (col, _), idxs in zip(
+            _output_stages(pattern), out_cols, _output_match(pattern, match)
+        ):
             ids = [events[i][id_col] for i in idxs]
             row[col] = ids if st.emits_array else (ids[0] if ids else None)
         rows.append(row)
@@ -382,6 +495,7 @@ def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str,
     """Batch CEP: per-key ordered pattern scan (CEP.pattern + select analog).
     Output: key columns + ``<stage>_id`` (or ``<stage>_ids`` array for
     quantified stages), one row per match."""
+    _validate_pattern(pattern)
     schema = ", ".join(
         [f"{k} long" for k in key_cols] + [f"{c} {t}" for c, t in _stage_out_cols(pattern)]
     )
@@ -420,6 +534,7 @@ def cep_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    _validate_pattern(pattern)
     horizon_s = buffer_horizon_seconds or pattern.within_seconds
     if horizon_s is None:
         raise ValueError("streaming CEP needs within() or an explicit buffer horizon")
@@ -470,7 +585,9 @@ def cep_stream(
                 continue
             emitted.add(sig)
             row = dict(zip(key_cols, key))
-            for st, (col, _), idxs in zip(pattern.stages, out_col_types, match):
+            for st, (col, _), idxs in zip(
+                _output_stages(pattern), out_col_types, _output_match(pattern, match)
+            ):
                 ids = [events[i][id_col] for i in idxs]
                 row[col] = ids if st.emits_array else (ids[0] if ids else None)
             rows.append(row)

@@ -332,3 +332,88 @@ def test_cep_group_followed_by_relaxed(spark):
     out = cep_batch(_ababc_df(spark), p, ["user_id"], "ts", "event_id")
     rows = {(r.x_id, tuple(r.ab_ids)) for r in out.collect()}
     assert rows == {(20, (22, 23))}
+
+
+# -- negations / until / greedy / timesOrMore / or ---------------------------
+
+def _seq_df(spark, types):
+    rows = [
+        (30 + i, f"2024-01-01 00:0{i}:00", 1, t) for i, t in enumerate(types)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _ids(out, *cols):
+    return {tuple(r[c] for c in cols) for r in out.collect()}
+
+
+def test_cep_not_next(spark):
+    p = (
+        Pattern.begin("a", lambda e: e["event_type"] == "a")
+        .not_next("nb", lambda e: e["event_type"] == "b")
+        .followed_by("c", lambda e: e["event_type"] == "c")
+    )
+    # a b c: b sits immediately after a → forbidden
+    assert _ids(cep_batch(_seq_df(spark, ["a", "b", "c"]), p, ["user_id"], "ts", "event_id"), "a_id", "c_id") == set()
+    # a x c: immediate successor is x → allowed
+    assert _ids(cep_batch(_seq_df(spark, ["a", "x", "c"]), p, ["user_id"], "ts", "event_id"), "a_id", "c_id") == {(30, 32)}
+
+
+def test_cep_not_followed_by(spark):
+    p = (
+        Pattern.begin("a", lambda e: e["event_type"] == "a")
+        .not_followed_by("nb", lambda e: e["event_type"] == "b")
+        .followed_by("c", lambda e: e["event_type"] == "c")
+    )
+    # any b in the a→c gap kills the match
+    assert _ids(cep_batch(_seq_df(spark, ["a", "x", "b", "c"]), p, ["user_id"], "ts", "event_id"), "a_id", "c_id") == set()
+    assert _ids(cep_batch(_seq_df(spark, ["a", "x", "x", "c"]), p, ["user_id"], "ts", "event_id"), "a_id", "c_id") == {(30, 33)}
+
+
+def test_cep_not_followed_by_last_raises(spark):
+    import pytest as _pytest
+
+    p = Pattern.begin("a", lambda e: True).not_followed_by("nb", lambda e: True)
+    with _pytest.raises(ValueError, match="notFollowedBy"):
+        cep_batch(_seq_df(spark, ["a"]), p, ["user_id"], "ts", "event_id")
+
+
+def test_cep_until_stops_loop(spark):
+    p = (
+        Pattern.begin("c", lambda e: e["event_type"] == "c")
+        .one_or_more()
+        .until(lambda e: e["event_type"] == "s")
+    )
+    out = cep_batch(_seq_df(spark, ["c", "c", "s", "c"]), p, ["user_id"], "ts", "event_id")
+    runs = {tuple(r.c_ids) for r in out.collect()}
+    # loops never cross the stop event at index 2; a fresh match after it is fine
+    assert runs == {(30,), (30, 31), (31,), (33,)}
+
+
+def test_cep_greedy_maximal_only(spark):
+    p = (
+        Pattern.begin("b", lambda e: e["event_type"] == "b")
+        .one_or_more()
+        .greedy()
+        .followed_by("c", lambda e: e["event_type"] == "c")
+    )
+    out = cep_batch(_seq_df(spark, ["b", "b", "b", "c"]), p, ["user_id"], "ts", "event_id")
+    # Flink greedy semantics: only maximal runs per start — b123c, b23c, b3c
+    assert {(tuple(r.b_ids), r.c_id) for r in out.collect()} == {
+        ((30, 31, 32), 33), ((31, 32), 33), ((32,), 33),
+    }
+
+
+def test_cep_times_or_more(spark):
+    p = Pattern.begin("b", lambda e: e["event_type"] == "b").times_or_more(2)
+    out = cep_batch(_seq_df(spark, ["b", "b", "b"]), p, ["user_id"], "ts", "event_id")
+    assert {tuple(r.b_ids) for r in out.collect()} == {(30, 31), (30, 31, 32), (31, 32)}
+
+
+def test_cep_or_condition(spark):
+    p = Pattern.begin("ab", lambda e: e["event_type"] == "a").or_(
+        lambda e: e["event_type"] == "b"
+    ).followed_by("c", lambda e: e["event_type"] == "c")
+    out = cep_batch(_seq_df(spark, ["a", "b", "c"]), p, ["user_id"], "ts", "event_id")
+    assert _ids(out, "ab_id", "c_id") == {(30, 32), (31, 32)}

