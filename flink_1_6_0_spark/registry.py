@@ -37,6 +37,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Submodules whose import populates the registry.
 _QUERY_MODULES = (
     "flink_1_6_0_spark.queries.tpch",
+    "flink_1_6_0_spark.queries.tpch_full",
     "flink_1_6_0_spark.queries.relational",
     "flink_1_6_0_spark.queries.functions_sweep",
     "flink_1_6_0_spark.queries.windows",
