@@ -1,0 +1,90 @@
+"""DataSet utility operators — index assignment and sampling.
+
+Reference parity: flink-java DataSetUtils
+(flink-java/src/main/java/org/apache/flink/api/java/utils/DataSetUtils.java):
+- zipWithIndex (:54) — two-phase: count elements per partition, broadcast the
+  per-partition offsets, then assign ``offset + local position``.
+- zipWithUniqueId (:95) — unique but non-consecutive labels from
+  (counter << shifter) + taskId, one pass.
+- sample / sampleWithSize (:179, :216) — Bernoulli/reservoir sampling.
+
+Spark-first translations that keep the same scale behavior:
+- ``zip_with_index`` reproduces the two-phase plan with DataFrame ops: an
+  optional range-repartition by the order key, a per-partition count (tiny
+  shuffle of #partitions rows), and a window ``row_number`` WITHIN each
+  partition — no global single-partition sort, which is what a naive
+  ``row_number() OVER (ORDER BY …)`` would do and what dies at 100 TB.
+- ``zip_with_unique_id`` is ``monotonically_increasing_id()`` — Spark's
+  built-in is exactly Flink's (partitionId << shift) + counter scheme.
+- ``deterministic_sample`` is hash-gated (md5-portable), not RNG-gated:
+  reproducible across runs/engines and cluster-size independent — the
+  property a training-data pipeline actually needs from sampling.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def zip_with_index(df: DataFrame, order_col: str, index_name: str = "idx") -> DataFrame:
+    """Dense 0-based index in ``order_col`` order (DataSetUtils.zipWithIndex:54).
+
+    Two-phase, no global sort bottleneck:
+    1. range-repartition by the key → partitions hold contiguous key ranges;
+    2. count rows per partition (shuffles #partitions rows, not data);
+    3. cumulative offsets broadcast back; index = offset + local row_number.
+    """
+    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Per-partition counts → cumulative offset per partition (tiny frame).
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    local = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(index_name, (F.row_number().over(local) - 1 + F.col("_offset")).cast("bigint"))
+        .drop("_pid", "_offset")
+    )
+
+
+def zip_with_unique_id(df: DataFrame, index_name: str = "uid") -> DataFrame:
+    """Unique, non-consecutive 64-bit ids (DataSetUtils.zipWithUniqueId:95).
+    Spark's monotonically_increasing_id is the same (partition << 33) + counter
+    scheme — one narrow pass, no shuffle."""
+    return df.withColumn(index_name, F.monotonically_increasing_id())
+
+
+def portable_hash(col: Column) -> Column:
+    """Engine-portable 60-bit hash (md5 hex → bigint; matches DuckDB
+    ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column, rate_permille: Column | int, salt: str = ""
+) -> DataFrame:
+    """Keep a row iff hash(key, salt) mod 1000 < rate_permille.
+
+    Unlike ``df.sample()`` (RNG seeded per partition → result depends on the
+    physical split), the hash gate is a pure function of the data: stable
+    under repartitioning, re-runs, and engine changes — reproducible
+    train-data subsets (DataSetUtils.sample:179 semantics, determinism added).
+    ``rate_permille`` may be a per-row Column for stratified designs.
+    """
+    rate = F.lit(rate_permille) if isinstance(rate_permille, int) else rate_permille
+    gate = F.pmod(portable_hash(F.concat(key.cast("string"), F.lit(salt))), F.lit(1000))
+    return df.filter(gate < rate)

@@ -1,0 +1,283 @@
+"""Training-data pipeline extensions, round 2: indexing, reproducible
+sampling, TF-IDF, n-gram stats, shard assignment, filter funnels, and
+near-dup clustering (LSH pairs → connected components → canonical doc).
+
+Reference parity anchors: DataSetUtils.zipWithIndex/sample (flink-java
+utils/DataSetUtils.java:54,179); Gelly ConnectedComponents
+(flink-gelly library/ConnectedComponents.java) reused for dedup clustering.
+
+All hashes are the engine-portable md5→bigint form so every query here is
+value-hash-checked against DuckDB (the clustering oracle is a recursive-CTE
+transitive closure — exact, viable because candidate pairs are sparse).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_1_6_0_spark.operators import utils as U
+from flink_1_6_0_spark.operators.graph import connected_components
+from flink_1_6_0_spark.pipeline import dedup as dd
+from flink_1_6_0_spark.pipeline import text as tx
+from flink_1_6_0_spark.queries import T
+from flink_1_6_0_spark.queries.pipeline import _duck_lsh_oracle, _TH, _TOKS
+from flink_1_6_0_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# zipWithIndex — dense global index without a global sort.
+# ---------------------------------------------------------------------------
+
+_ZIP_ORACLE = """
+SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("zip_with_index", oracle=_ZIP_ORACLE, tags=("pipeline", "utils"))
+def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSetUtils.zipWithIndex:54 semantics — two-phase (range partition,
+    per-partition counts, offset + local row_number); the oracle's global
+    row_number is the semantic spec, not the physical plan."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return U.zip_with_index(docs, "doc_id", "idx").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling — reproducible train subsets.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_TH.format(s="(CAST(doc_id AS VARCHAR) || 's1')")} % 1000 <
+      CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 200 END
+ORDER BY doc_id
+"""
+
+
+@query("sample_stratified", oracle=_SAMPLE_ORACLE, tags=("pipeline", "utils"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated Bernoulli sampling with per-language rates (en 50%,
+    zh 10%, rest 20%). Pure function of the data — identical subset on any
+    cluster size, any engine; this is what makes train-data subsets
+    reproducible (df.sample's partition-seeded RNG is not)."""
+    rate = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "zh", 100)
+        .otherwise(200)
+    )
+    docs = T(spark, sf_dir, "documents")
+    return (
+        U.deterministic_sample(docs, F.col("doc_id"), rate, salt="s1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS.format(c='lower(text)')}) AS term
+  FROM documents WHERE lang = 'en'
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS nd FROM toks)
+SELECT doc_id, term,
+       round(tf * ln((nd + 1.0) / (dfreq + 1.0)), 4) AS score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, term, tf, dfreq, nd,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, dfreq ASC, term ASC) AS rnk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) ranked
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("pipeline", "text"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per English document. Ranking is on integer keys
+    (tf desc, doc-frequency asc, term) so cross-engine float ulps cannot
+    reorder ties; the float score is display-only (rounded). Explode + two
+    hash aggregates + broadcast of the tiny doc-frequency side."""
+    toks = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.explode(tx.tokenize(F.lower(F.col("text")))).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("dfreq"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("nd") + 1.0) / (F.col("dfreq") + 1.0)), 4
+            ).alias("score"),
+            "rnk",
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top bigrams corpus-wide.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c='lower(text)')} AS tt FROM documents
+), grams AS (
+  SELECT unnest([tt[i] || ' ' || tt[i+1] FOR i IN range(1, len(tt))]) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+@query("ngram_bigram_top20", oracle=_BIGRAM_ORACLE, tags=("pipeline", "text"))
+def ngram_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts via posexplode + LEAD over (doc, pos) — the
+    window-lead shingling trick: one shuffle keyed by doc, then a global
+    count with map-side partial aggregation."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tx.tokenize(F.lower(F.col("text")))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        docs.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Output shard assignment — balanced deterministic write-sharding.
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = f"""
+SELECT {_TH.format(s='CAST(doc_id AS VARCHAR)')} % 16 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("doc_shard_assign", oracle=_SHARD_ORACLE, tags=("pipeline", "utils"))
+def doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment for output repacking (the
+    pre-step to ``df.repartition(shard).write`` with bounded file sizes);
+    content-hash sharding keeps shards balanced regardless of input order."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", F.pmod(U.portable_hash(F.col("doc_id")), F.lit(16)))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel — stage-by-stage survival counts.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 100 AND 400
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 100 AND 400
+                          AND len({_TOKS.format(c='lower(text)')}) >= 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tok
+FROM documents
+"""
+
+
+@query("quality_filter_funnel", oracle=_FUNNEL_ORACLE, tags=("pipeline", "text"))
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan funnel: conditional sums give per-stage survival (language →
+    length band → token floor) without running the pipeline N times."""
+    docs = T(spark, sf_dir, "documents")
+    is_lang = F.col("lang") == "en"
+    is_len = is_lang & F.col("n_chars").between(100, 400)
+    is_tok = is_len & (F.size(tx.tokenize(F.lower(F.col("text")))) >= 20)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return docs.agg(
+        F.count("*").alias("n_total"),
+        cnt(is_lang).alias("n_lang"),
+        cnt(is_len).alias("n_len"),
+        cnt(is_tok).alias("n_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: LSH candidate pairs → connected components →
+# canonical (min) doc per cluster.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE lshpairs AS ({_duck_lsh_oracle()}),
+    edges AS (SELECT a, b FROM lshpairs UNION SELECT b, a FROM lshpairs),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc
+    )
+    SELECT doc, min(r) AS canonical FROM reach GROUP BY doc ORDER BY doc
+    """
+
+
+@query("dedup_cluster_canonical", oracle=_cluster_oracle(), tags=("pipeline", "dedup", "graph"))
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidate pairs feed
+    Gelly-style min-label propagation (operators/graph.connected_components);
+    each doc maps to its cluster's canonical (minimum) doc_id — the keep-list
+    is then `WHERE doc = canonical`. Transitive closure matters: A~B, B~C
+    must collapse to ONE canonical even if A,C never share a bucket. The
+    oracle is an exact recursive-CTE closure over the same pairs."""
+    pairs = dd.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", shingle_k=3, num_hashes=16, bands=4
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    vertices = (
+        pairs.select(F.col("a").alias("doc"))
+        .union(pairs.select("b"))
+        .distinct()
+    )
+    comp = connected_components(vertices, edges, id_col="doc")
+    return comp.select(F.col("id").alias("doc"), F.col("component").alias("canonical")).orderBy(
+        "doc"
+    )

@@ -179,14 +179,20 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the supply agg shrinks via map-side partial agg before its
     shuffle on (partkey, suppkey)."""
     l = T(spark, sf_dir, "lineitem")
-    supply = l.groupBy(
-        F.col("l_partkey").alias("sp_partkey"), F.col("l_suppkey").alias("sp_suppkey")
-    ).agg(
-        # No rounding: MIN of an IEEE division is bit-identical across engines,
-        # while round(double, 4) boundary behavior is not.
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
     p = T(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    # The partkey filter commutes with the (partkey, suppkey) groupBy, so the
+    # supply-cost aggregate only needs red-part rows — ~10x less shuffle than
+    # aggregating the full table (the oracle states it over full lineitem;
+    # results for red parts are identical).
+    red_l = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    # Window MIN instead of a separate groupBy + re-join: one shuffle on
+    # (partkey, suppkey) and ONE scan of lineitem. No rounding: MIN of an
+    # IEEE division is bit-identical across engines, while round(double, 4)
+    # boundary behavior is not.
+    w = Window.partitionBy("l_partkey", "l_suppkey")
+    with_cost = red_l.withColumn(
+        "supplycost", F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(w)
+    )
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
@@ -194,12 +200,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            supply,
-            (F.col("sp_partkey") == F.col("l_partkey")) & (F.col("sp_suppkey") == F.col("l_suppkey")),
-        )
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        with_cost.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -644,12 +645,16 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
-    qualifying = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select(
-        F.col("l_orderkey").alias("q_orderkey")
+    # Single pass: annotate each line with its order's distinct-supplier and
+    # distinct-late-supplier counts via window collect_sets — one shuffle on
+    # l_orderkey and ONE scan of lineitem, instead of a groupBy + semi join
+    # that materializes the l⋈o frame twice.
+    w = Window.partitionBy("l_orderkey")
+    annotated = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
     )
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -660,8 +665,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        lo.filter(F.col("late"))
-        .join(qualifying, F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
+        annotated.filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

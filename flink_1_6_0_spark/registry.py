@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "flink_1_6_0_spark.queries.functions_sweep",
     "flink_1_6_0_spark.queries.windows",
     "flink_1_6_0_spark.queries.pipeline",
+    "flink_1_6_0_spark.queries.pipeline_ext",
     "flink_1_6_0_spark.queries.streaming",
     "flink_1_6_0_spark.queries.graph",
     "flink_1_6_0_spark.queries.sql_surface",
