@@ -152,6 +152,137 @@ def single_source_shortest_paths(
     return dist
 
 
+def hits(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Gelly HITS (library/linkanalysis/HITS.java): alternating hub/authority
+    power iteration. Each round: authority(v) = Σ hub(u) over in-edges,
+    L2-normalized; then hub(u) = Σ authority(v) over out-edges,
+    L2-normalized. Fixed iteration count (the reference also supports a
+    convergence threshold; we expose the iteration form).
+
+    Returns (id, hub, authority). Each half-step is one shuffle on the edge
+    key plus a scalar normalization (a 1-row agg broadcast back — no
+    driver-side data movement beyond the norm)."""
+    e = edges.select("src", "dst").distinct()
+    scores = vertices.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+    for i in range(iterations):
+        auth = (
+            e.join(scores.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        scores = scores.join(auth, "id", "left").select(
+            "id", "hub", F.coalesce("a", F.lit(0.0)).alias("authority")
+        )
+        norm_a = scores.agg(F.sqrt(F.sum(F.col("authority") ** 2)).alias("n"))
+        scores = scores.crossJoin(norm_a).select(
+            "id", "hub", (F.col("authority") / F.when(F.col("n") > 0, F.col("n")).otherwise(1.0)).alias("authority")
+        )
+        hub = (
+            e.join(scores.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("h"))
+        )
+        scores = scores.join(hub, "id", "left").select(
+            "id", F.coalesce("h", F.lit(0.0)).alias("hub"), "authority"
+        )
+        norm_h = scores.agg(F.sqrt(F.sum(F.col("hub") ** 2)).alias("n"))
+        scores = scores.crossJoin(norm_h).select(
+            "id", (F.col("hub") / F.when(F.col("n") > 0, F.col("n")).otherwise(1.0)).alias("hub"), "authority"
+        )
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            scores = scores.localCheckpoint()
+    return scores
+
+
+def community_detection(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    delta: float = 0.5,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Gelly CommunityDetection (library/CommunityDetection.java, Leung et
+    al. hop-attenuated label propagation). Vertices start as their own
+    community with score 1.0; each superstep a vertex adopts the label with
+    the highest aggregate (score × edge-weight) among neighbor messages
+    (ties → smallest label, deterministic) and attenuates its score by
+    ``delta``. Edge weight column ``weight`` optional (defaults to 1.0).
+
+    Returns (id, label). One shuffle per superstep (message groupBy)."""
+    cols = edges.columns
+    e = edges if "weight" in cols else edges.withColumn("weight", F.lit(1.0))
+    e = e.select("src", "dst", "weight").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    state = vertices.select("id", F.col("id").cast("long").alias("label"), F.lit(1.0).alias("score"))
+    for i in range(iterations):
+        msgs = e.join(
+            state.select(F.col("id").alias("src"), "label", "score"), "src"
+        ).select(F.col("dst").alias("id"), "label", (F.col("score") * F.col("weight")).alias("w"))
+        agg = msgs.groupBy("id", "label").agg(F.sum("w").alias("total"), F.max("w").alias("best"))
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("id").orderBy(F.desc("total"), F.asc("label"))
+        best = (
+            agg.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("label").alias("new_label"), F.col("best").alias("new_score"))
+        )
+        state = state.join(best, "id", "left").select(
+            "id",
+            F.coalesce("new_label", "label").alias("label"),
+            F.when(
+                F.col("new_label").isNotNull() & (F.col("new_label") != F.col("label")),
+                F.col("new_score") - delta,
+            )
+            .otherwise(F.coalesce("new_score", "score"))
+            .alias("score"),
+        )
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            state = state.localCheckpoint()
+    return state.select("id", "label")
+
+
+def summarize(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_value: str = "value",
+    edge_value: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Gelly Summarization (library/Summarization.java): condense a graph by
+    grouping vertices on their value — one summary vertex per distinct value
+    (representative = min id, with the group count), and one summary edge per
+    (source group value, target group value[, edge value]) with its count.
+
+    Pure groupBy/join composition — no iteration. Returns
+    (summary_vertices(repr_id, value, cnt),
+     summary_edges(src_repr, dst_repr[, edge value], cnt))."""
+    groups = vertices.groupBy(F.col(vertex_value).alias("value")).agg(
+        F.min("id").alias("repr_id"), F.count("*").alias("cnt")
+    )
+    v_sum = groups.select("repr_id", "value", "cnt")
+    v_map = vertices.join(groups, vertices[vertex_value] == groups.value).select(
+        F.col("id"), F.col("repr_id")
+    )
+    e = (
+        edges.join(v_map.withColumnRenamed("repr_id", "src_repr"), edges.src == v_map.id)
+        .drop("id")
+        .join(
+            v_map.withColumnRenamed("repr_id", "dst_repr"),
+            F.col("dst") == F.col("id"),
+        )
+        .drop("id")
+    )
+    keys = ["src_repr", "dst_repr"] + ([edge_value] if edge_value else [])
+    e_sum = e.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    return v_sum, e_sum
+
+
 def label_propagation(
     vertices: DataFrame,
     edges: DataFrame,

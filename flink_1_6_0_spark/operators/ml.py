@@ -12,8 +12,8 @@ mapping so a reference user finds the same capabilities:
 | classification.SVM              | classification.LinearSVC                |
 | regression.MultipleLinearRegression | regression.LinearRegression         |
 | recommendation.ALS              | recommendation.ALS                      |
-| nn.KNN                          | (no direct op — pipeline.similarity.*)  |
-| outlier.StochasticOutlierSelection | (density approx via clustering)      |
+| nn.KNN                          | knn_join (below) / pipeline.similarity.* |
+| outlier.StochasticOutlierSelection | sos_outlier (below)                  |
 | preprocessing.StandardScaler    | feature.StandardScaler                  |
 | preprocessing.MinMaxScaler      | feature.MinMaxScaler                    |
 | preprocessing.Splitter          | DataFrame.randomSplit                   |
@@ -25,6 +25,7 @@ lifting is pyspark.ml's (distributed, battle-tested at the target scale).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
@@ -61,6 +62,110 @@ def linear_regression(train: DataFrame, features_col: str = "features", label_co
     from pyspark.ml.regression import LinearRegression
 
     return LinearRegression(featuresCol=features_col, labelCol=label_col).fit(train)
+
+
+def _sq_dist(a: str, b: str):
+    """Squared euclidean distance between two array<float/double> columns —
+    JVM-side via zip_with + aggregate (no Python in the hot path)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_join(
+    training: DataFrame,
+    test: DataFrame,
+    k: int = 3,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """FlinkML nn.KNN analog (flink-ml/.../nn/KNN.scala): exact brute-force
+    k-nearest-neighbors join — every test point against every training point,
+    per-test top-k by euclidean distance.
+
+    Scale path: the cross join is a broadcast nested loop when `training`
+    fits in memory (broadcast it at the call site); otherwise block-partition
+    both sides (the reference blocks the same way via its cross strategy).
+    Ties broken by training id for determinism. Returns
+    (test_id, train_id, dist) with k rows per test point."""
+    from pyspark.sql import Window as _W
+
+    t = training.select(F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv"))
+    q = test.select(F.col(id_col).alias("test_id"), F.col(vec_col).alias("qv"))
+    pairs = q.crossJoin(t).select(
+        "test_id", "train_id", F.sqrt(_sq_dist("qv", "tv")).alias("dist")
+    )
+    w = _W.partitionBy("test_id").orderBy(F.asc("dist"), F.asc("train_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sos_outlier(
+    points: DataFrame,
+    perplexity: float = 4.5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """FlinkML outlier.StochasticOutlierSelection analog
+    (flink-ml/.../outlier/StochasticOutlierSelection.scala): per-point
+    affinity with a perplexity-calibrated bandwidth, binding probabilities,
+    and outlier probability Π_j (1 - p_{j→i}).
+
+    Distributed shape: the O(n²) pairwise distances are a cross join (same
+    asymptotics as the reference's cross), the per-point bandwidth binary
+    search runs grouped-per-point in a pandas UDF (each group = one row of
+    the affinity matrix), and the final product is a sum of log1p's grouped
+    by the target point — no driver-side matrix ever materializes.
+    Returns (id, outlier_prob)."""
+    import pandas as pd
+
+    a = points.select(F.col(id_col).alias("i"), F.col(vec_col).alias("iv"))
+    b = points.select(F.col(id_col).alias("j"), F.col(vec_col).alias("jv"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "j", _sq_dist("iv", "jv").alias("d2"))
+    )
+
+    logh = float(__import__("math").log(perplexity))
+
+    def _bind(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d2 = pdf["d2"].to_numpy(dtype="float64")
+        lo, hi, beta = 0.0, None, 1.0
+        for _ in range(50):  # binary search the precision to hit perplexity
+            aff = np.exp(-d2 * beta)
+            s = aff.sum()
+            if s <= 0:
+                h = 0.0
+            else:
+                p = aff / s
+                nz = p > 0
+                h = float(-(p[nz] * np.log(p[nz])).sum())
+            if abs(h - logh) < 1e-8:
+                break
+            if h > logh:  # too flat → raise precision
+                lo = beta
+                beta = beta * 2 if hi is None else (beta + hi) / 2
+            else:
+                hi = beta
+                beta = (lo + beta) / 2
+        aff = np.exp(-d2 * beta)
+        s = aff.sum()
+        p = aff / s if s > 0 else np.zeros_like(aff)
+        return pd.DataFrame({"j": pdf["j"], "p": p})
+
+    bound = pairs.groupBy("i").applyInPandas(_bind, schema="j long, p double")
+    return (
+        bound.groupBy(F.col("j").alias(id_col))
+        .agg(F.exp(F.sum(F.log1p(-F.col("p")))).alias("outlier_prob"))
+    )
 
 
 def als(

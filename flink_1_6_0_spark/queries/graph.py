@@ -169,3 +169,45 @@ def cep_double_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .within(24 * 3600)
     )
     return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+
+
+@query(
+    "graph_summarize",
+    oracle="""
+    WITH groups AS (
+      SELECT n_regionkey, min(n_nationkey) AS repr FROM nation GROUP BY n_regionkey),
+    vmap AS (
+      SELECT n.n_nationkey AS id, m.repr FROM nation n JOIN groups m USING (n_regionkey)),
+    edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey)
+    SELECT a.repr AS src_repr, b.repr AS dst_repr, count(*) AS cnt
+    FROM edges e JOIN vmap a ON e.src = a.id JOIN vmap b ON e.dst = b.id
+    GROUP BY 1, 2
+    ORDER BY src_repr, dst_repr
+    """,
+    tags=("graph",),
+)
+def graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly Summarization (library/Summarization.java): condense the
+    cust_nation→supp_nation trade graph by region — one summary vertex per
+    region, one summary edge per region pair with its multiplicity. Pure
+    groupBy/join composition (no iteration)."""
+    n = T(spark, sf_dir, "nation")
+    verts = n.select(F.col("n_nationkey").alias("id"), F.col("n_regionkey").alias("value"))
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    _, e_sum = g.summarize(verts, edges)
+    return e_sum.orderBy("src_repr", "dst_repr")

@@ -281,3 +281,40 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc"), F.col("component").alias("canonical")).orderBy(
         "doc"
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN join — FlinkML nn.KNN parity (flink-ml/.../nn/KNN.scala).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_knn_join",
+    oracle="""
+    WITH t AS (SELECT vec_id AS train_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 3),
+         q AS (SELECT vec_id AS test_id,  embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 3),
+         pairs AS (
+           SELECT q.test_id, t.train_id,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                       i -> (q.v[i] - t.v[i]) * (q.v[i] - t.v[i])))) AS d
+           FROM q, t)
+    SELECT test_id, train_id, round(d, 4) AS dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn FROM pairs)
+    WHERE rn <= 5
+    ORDER BY test_id, dist, train_id
+    """,
+    tags=("pipeline", "ml"),
+)
+def ml_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkML nn.KNN analog: exact brute-force kNN join, 3 query points
+    against the rest of the embeddings table, top-5 each by euclidean
+    distance (JVM-side zip_with/aggregate arithmetic; per-query top-k is a
+    partitioned window, never a global sort)."""
+    from flink_1_6_0_spark.operators.ml import knn_join
+
+    emb = T(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 3).select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec"))
+    test = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec"))
+    out = knn_join(train, test, k=5)
+    return out.select("test_id", "train_id", F.round("dist", 4).alias("dist")).orderBy(
+        "test_id", "dist", "train_id"
+    )

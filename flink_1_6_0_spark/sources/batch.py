@@ -60,6 +60,40 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC format (reference: flink-connectors/flink-orc OrcTableSource) —
+    Spark-native columnar reader with the same pushdown contracts as parquet
+    (predicate pushdown + column pruning reach the ORC scan)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro format (reference: flink-formats/flink-avro). Spark's avro
+    DataSource lives in the external spark-avro module; this image ships only
+    the avro core jars, so the call shape is declared and gated."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - depends on jar presence
+        raise NotImplementedError(
+            "spark-avro module jar not present in this image; "
+            "add org.apache.spark:spark-avro to spark.jars.packages"
+        ) from exc
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "spark-avro module jar not present in this image; "
+            "add org.apache.spark:spark-avro to spark.jars.packages"
+        ) from exc
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBCInputFormat / JDBCTableSource. Needs a JDBC driver jar on the
     classpath — not shipped in this container; call sites should import-try."""

@@ -67,6 +67,7 @@ class Stage:
     negated: bool = False  # notNext/notFollowedBy (Pattern.java:267,298)
     until_pred: Callable[[dict[str, Any]], bool] | None = None  # until (Pattern.java:214)
     greedy_flag: bool = False  # greedy (Pattern.java:361)
+    combinations_flag: bool = False  # allowCombinations (Pattern.java:435)
 
     @property
     def quantified(self) -> bool:
@@ -206,6 +207,14 @@ class Pattern:
         self.stages[-1].until_pred = where
         return self
 
+    def allow_combinations(self) -> "Pattern":
+        """allowCombinations (Pattern.java:435): repeats of the last looping
+        stage branch non-deterministically — every in-order COMBINATION of
+        later matching events forms a run, not just the single relaxed
+        repeat chain (the loop analog of followedByAny)."""
+        self.stages[-1].combinations_flag = True
+        return self
+
     def consecutive(self) -> "Pattern":
         """consecutive (Pattern.java:474): repeats of the last quantified
         stage must be adjacent events (strict inner contiguity)."""
@@ -282,7 +291,7 @@ def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], .
                     if st.predicate(events[idx]):
                         grow(run + (idx,))
                         extended = True
-                        if st.contiguity != FOLLOWED_BY_ANY:
+                        if st.contiguity != FOLLOWED_BY_ANY and not st.combinations_flag:
                             break  # deterministic: one repeat-chain only
                     elif st.consecutive_repeats:
                         break

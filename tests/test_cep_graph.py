@@ -417,3 +417,58 @@ def test_cep_or_condition(spark):
     ).followed_by("c", lambda e: e["event_type"] == "c")
     out = cep_batch(_seq_df(spark, ["a", "b", "c"]), p, ["user_id"], "ts", "event_id")
     assert _ids(out, "ab_id", "c_id") == {(30, 32), (31, 32)}
+
+
+def test_hits_star_graph(spark):
+    # star: 0->1, 0->2, 0->3 — vertex 0 is the only hub, 1..3 equal authorities
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    got = {r.id: (r.hub, r.authority) for r in g.hits(verts, edges, iterations=3).collect()}
+    assert abs(got[0][0] - 1.0) < 1e-9 and got[0][1] == 0.0
+    for i in (1, 2, 3):
+        assert got[i][0] == 0.0 and abs(got[i][1] - 1 / 3**0.5) < 1e-9
+
+
+def test_community_detection_two_cliques(spark):
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    edges = spark.createDataFrame(tri1 + tri2, "src long, dst long")
+    got = {(r.id, r.label) for r in g.community_detection(verts, edges, iterations=4).collect()}
+    assert {l for i, l in got if i < 3} == {0} and {l for i, l in got if i >= 3} == {3}
+
+
+def test_summarize_groups_and_edges(spark):
+    # vertices grouped by color; edges condensed per (color, color)
+    verts = spark.createDataFrame(
+        [(0, "red"), (1, "red"), (2, "blue"), (3, "blue")], "id long, value string"
+    )
+    edges = spark.createDataFrame([(0, 2), (1, 3), (0, 1)], "src long, dst long")
+    v_sum, e_sum = g.summarize(verts, edges)
+    vs = {(r.repr_id, r.value, r.cnt) for r in v_sum.collect()}
+    assert vs == {(0, "red", 2), (2, "blue", 2)}
+    es = {(r.src_repr, r.dst_repr, r.cnt) for r in e_sum.collect()}
+    assert es == {(0, 2, 2), (0, 0, 1)}
+
+
+def test_cep_allow_combinations(spark):
+    # c1 c2 c3 v4 — combinations adds the non-contiguous run (1,3)
+    evs = [
+        (1, "2024-01-01 00:00:00", 1, "click"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "click"),
+        (4, "2024-01-01 00:03:00", 1, "view"),
+    ]
+    df = spark.createDataFrame(evs, "event_id long, ts string, user_id long, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def pat(combi):
+        p = Pattern.begin("clicks", lambda e: e["event_type"] == "click").one_or_more()
+        if combi:
+            p = p.allow_combinations()
+        return p.followed_by_any("view", lambda e: e["event_type"] == "view").within(3600)
+
+    plain = {tuple(r.clicks_ids) for r in cep_batch(df, pat(False), ["user_id"], "ts", "event_id").collect()}
+    combi = {tuple(r.clicks_ids) for r in cep_batch(df, pat(True), ["user_id"], "ts", "event_id").collect()}
+    assert plain == {(1,), (1, 2), (1, 2, 3), (2,), (2, 3), (3,)}
+    assert combi == plain | {(1, 3)}

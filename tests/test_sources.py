@@ -152,3 +152,35 @@ def test_count_window(spark, sf_dir):
     assert over == 0
     per_user_last = sizes.groupBy("user_id").agg(F.max("count_window")).count()
     assert per_user_last == e.select("user_id").distinct().count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from flink_1_6_0_spark.sources.batch import read_orc, write_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_orc_scan_has_pushdown(spark, tmp_path):
+    from flink_1_6_0_spark.sources.batch import read_orc, write_orc
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "orc_pd")
+    write_orc(df, path)
+    plan = read_orc(spark, path).filter(F.col("id") > 50).select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,50)]" in plan
+
+
+def test_avro_gated_when_module_missing(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_1_6_0_spark.sources.batch import write_avro
+
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        write_avro(df, str(tmp_path / "avro_out"))
+    except NotImplementedError:
+        pass  # expected in this image (no spark-avro jar)

@@ -40,3 +40,26 @@ def test_ml_facade_scaler_and_split(spark):
     assert "scaled" in scaled.columns and scaled.count() == 3
     a, b = splitter(spark.range(100), [0.5, 0.5])
     assert a.count() + b.count() == 100
+
+
+def test_knn_join_exact(spark):
+    from flink_1_6_0_spark.operators.ml import knn_join
+
+    train = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [5.0, 5.0])], "id long, vec array<double>"
+    )
+    test = spark.createDataFrame([(10, [0.1, 0.0])], "id long, vec array<double>")
+    got = [(r.train_id, round(r.dist, 3)) for r in
+           knn_join(train, test, k=2).orderBy("dist").collect()]
+    assert got == [(1, 0.1), (2, 0.9)]
+
+
+def test_sos_outlier_flags_isolated_point(spark):
+    from flink_1_6_0_spark.operators.ml import sos_outlier
+
+    # tight cluster at origin + one far point: far point gets the top score
+    pts = [(i, [float(i) * 0.01, 0.0]) for i in range(5)] + [(99, [10.0, 10.0])]
+    df = spark.createDataFrame(pts, "id long, vec array<double>")
+    got = {r.id: r.outlier_prob for r in sos_outlier(df, perplexity=2.0).collect()}
+    assert max(got, key=got.get) == 99
+    assert got[99] > 0.8
