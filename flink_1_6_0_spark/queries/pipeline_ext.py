@@ -318,3 +318,17 @@ def ml_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("test_id", "train_id", F.round("dist", 4).alias("dist")).orderBy(
         "test_id", "dist", "train_id"
     )
+
+
+@query("ml_sos_outlier", oracle=None, tags=("pipeline", "ml"))
+def ml_sos_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkML outlier.StochasticOutlierSelection analog over the embeddings
+    table (distributed: O(n²) cross-join pairs partitioned by point, per-point
+    perplexity bandwidth search in a grouped pandas UDF, log-sum product).
+    Perplexity calibration is iterative → rows-only check."""
+    from flink_1_6_0_spark.operators.ml import sos_outlier
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return sos_outlier(emb, perplexity=10.0).orderBy(F.desc("outlier_prob"), "id").limit(50)

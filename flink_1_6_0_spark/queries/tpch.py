@@ -278,11 +278,18 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on p_partkey. Dims broadcast."""
     from pyspark.sql import Window
 
-    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+    # The part predicate is per-part, so it commutes with the per-(part,supp)
+    # aggregate AND the per-part window min: semi-join lineitem against the
+    # filtered part keys FIRST — the groupBy shuffle then carries only the
+    # eligible parts' rows instead of the whole table (at 100 TB this is the
+    # difference between shuffling the full fact table and a slice of it).
+    l = T(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
     supply = l.groupBy("l_partkey", "l_suppkey").agg(
         F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("supplycost")
     )
-    p = T(spark, sf_dir, "part").filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -350,6 +357,11 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
+    # Both sides of the bloc disjunction live in {AFRICA, AMERICA}: restrict
+    # each geo dim to those regions BEFORE touching the fact chain, so the
+    # supplier broadcast join drops out-of-bloc lineitem early and the
+    # customer-side shuffle carries only bloc customers.
+    r = r.filter(F.col("r_name").isin("AFRICA", "AMERICA"))
     supp_geo = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

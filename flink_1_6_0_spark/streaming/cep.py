@@ -251,7 +251,9 @@ class Pattern:
         return None if self.within_seconds is None else int(round(self.within_seconds * 1_000_000))
 
 
-def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], ...]]:
+def _scan(
+    events: list[dict], pattern: Pattern, timeouts: list | None = None
+) -> list[tuple[tuple[int, ...], ...]]:
     """Ordered NFA scan over one key's events; returns one tuple-of-index-
     tuples per match (one inner tuple per stage; quantified stages contribute
     0..max_times indices). ``events[i]['__ts']`` is integer epoch-µs; `within`
@@ -385,13 +387,29 @@ def _scan(events: list[dict], pattern: Pattern) -> list[tuple[tuple[int, ...], .
             else:
                 first_candidates = range(last_idx + 1, n)
             runs = repeat_runs(st, first_candidates, start_ts, all_starts=anchor_all)
+        advanced = False
         for run in runs:
             if pending_not and any(
                 p(events[i]) for p in pending_not for i in range(last_idx + 1, run[0])
             ):
                 continue  # a forbidden event sits in the gap
+            advanced = True
             new_start = start_ts if start_ts is not None else events[run[0]]["__ts"]
             walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level)
+        # timeout capture (PatternStream flatSelect timeout handler,
+        # CEP.java/PatternStream.java): a partial match whose next positive
+        # stage has NO in-horizon continuation is dead — once the watermark
+        # passes start+within it is reported to the timeout handler. Only
+        # recorded at top level for partials that consumed >=1 event and
+        # could not also skip the stage (min_times>0).
+        if (
+            timeouts is not None
+            and top_level
+            and not advanced
+            and st.min_times != 0
+            and any(acc)
+        ):
+            timeouts.append((acc, stage_i))
 
     walk(pattern.stages, 0, -1, None, (), lambda acc, _last: out.append(acc), top_level=True)
     # dedup (optional stages can produce identical matches via two paths)
@@ -511,6 +529,66 @@ def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str,
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _match_frame(pdf, pattern, key_cols, ts_col, id_col)
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
+def cep_batch_with_timeouts(
+    df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str
+) -> DataFrame:
+    """Batch CEP with the timeout side-channel (PatternStream.flatSelect with
+    a timeout handler, CEP.java/PatternStream.java): full matches carry
+    ``timed_out=false``; dead partial matches — partials whose next stage has
+    no in-horizon continuation, which the reference reports once the
+    watermark passes start+within — carry ``timed_out=true``, NULL ids for
+    the unreached stages, and ``pending_stage`` naming the stage that never
+    matched. Partials that are prefixes of an emitted full match are not
+    reported (they completed)."""
+    _validate_pattern(pattern)
+    out_cols = _stage_out_cols(pattern)
+    schema = ", ".join(
+        [f"{k} long" for k in key_cols]
+        + [f"{c} {t}" for c, t in out_cols]
+        + ["timed_out boolean", "pending_stage string"]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        events = pdf.to_dict("records")
+        for ev in events:
+            ev["__ts"] = pd.Timestamp(ev[ts_col]).value // 1000
+        dead: list = []
+        matches = _scan(events, pattern, timeouts=dead)
+        rows = []
+        for match in matches:
+            row = {k: events[0][k] for k in key_cols}
+            for st, (col, _), idxs in zip(
+                _output_stages(pattern), out_cols, _output_match(pattern, match)
+            ):
+                ids = [events[i][id_col] for i in idxs]
+                row[col] = ids if st.emits_array else (ids[0] if ids else None)
+            row["timed_out"], row["pending_stage"] = False, None
+            rows.append(row)
+        seen: set = set()
+        for acc, stage_i in dead:
+            if any(m[: len(acc)] == acc for m in matches):
+                continue  # completed via a sibling branch
+            key = (acc, stage_i)
+            if key in seen:
+                continue
+            seen.add(key)
+            row = {k: events[0][k] for k in key_cols}
+            padded = acc + ((),) * (len(pattern.stages) - len(acc))
+            for st, (col, _), idxs in zip(
+                _output_stages(pattern), out_cols, _output_match(pattern, padded)
+            ):
+                ids = [events[i][id_col] for i in idxs]
+                row[col] = (ids if ids else None) if st.emits_array else (ids[0] if ids else None)
+            row["timed_out"] = True
+            row["pending_stage"] = pattern.stages[stage_i].name
+            rows.append(row)
+        cols = key_cols + [c for c, _ in out_cols] + ["timed_out", "pending_stage"]
+        return pd.DataFrame(rows, columns=cols)
 
     return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
 

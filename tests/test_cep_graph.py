@@ -472,3 +472,46 @@ def test_cep_allow_combinations(spark):
     combi = {tuple(r.clicks_ids) for r in cep_batch(df, pat(True), ["user_id"], "ts", "event_id").collect()}
     assert plain == {(1,), (1, 2), (1, 2, 3), (2,), (2, 3), (3,)}
     assert combi == plain | {(1, 3)}
+
+
+def test_cep_timeout_side_channel(spark):
+    from flink_1_6_0_spark.streaming.cep import cep_batch_with_timeouts
+
+    # user1 completes view→purchase; user2's view has no purchase in horizon
+    evs = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:10:00", 1, "purchase"),
+        (3, "2024-01-01 00:00:00", 2, "view"),
+        (4, "2024-01-01 02:00:00", 2, "purchase"),  # outside 1h
+    ]
+    df = spark.createDataFrame(evs, "event_id long, ts string, user_id long, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+    out = cep_batch_with_timeouts(df, p, ["user_id"], "ts", "event_id").collect()
+    full = {(r.user_id, r.view_id, r.purchase_id) for r in out if not r.timed_out}
+    timed = {(r.user_id, r.view_id, r.purchase_id, r.pending_stage) for r in out if r.timed_out}
+    assert full == {(1, 1, 2)}
+    assert timed == {(2, 3, None, "purchase")}
+
+
+def test_cep_timeout_not_reported_when_completed(spark):
+    from flink_1_6_0_spark.streaming.cep import cep_batch_with_timeouts
+
+    # single user, complete match — no timeout rows at all
+    evs = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:10:00", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(evs, "event_id long, ts string, user_id long, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+    out = cep_batch_with_timeouts(df, p, ["user_id"], "ts", "event_id").collect()
+    assert [r.timed_out for r in out] == [False]

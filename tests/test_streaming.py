@@ -296,3 +296,29 @@ def test_state_backend_unknown_raises(spark):
 
     with _pytest.raises(ValueError):
         set_state_backend(spark, "cassandra")
+
+
+def test_stream_count_window(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.count_window import stream_count_window
+
+    # key 1: 5 events (values 1..5) → windows of 2: (1+2), (3+4), tail 5 buffered
+    # key 2: 2 events → one window (10+20)
+    rows = [(1, i, float(i)) for i in range(1, 6)] + [(2, 10, 10.0), (2, 11, 20.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, v double").withColumn(
+        "ts", F.timestamp_seconds(F.col("event_id"))
+    )
+    src = str(tmp_path / "cw_src")
+    df.repartition(1).write.parquet(src)
+    out = stream_count_window(
+        read_parquet_stream(spark, src), ["user_id"], "ts", "event_id", "v", size=2
+    )
+    q = to_memory_sink(out, "cw_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cw_out").collect()}
+    assert got == {(1, 0, 2, 3.0), (1, 1, 2, 7.0), (2, 0, 2, 30.0)}
