@@ -64,3 +64,26 @@ def test_interval_join_stays_single_equijoin(spark, sf_dir):
     # equi-join on user_id with the range as a join residual — not a
     # cartesian/BroadcastNestedLoop
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_part_semi_join_precedes_supply_agg(spark, sf_dir):
+    plan = _plan(get("tpch_q2").fn(spark, sf_dir))
+    # the part-filter semi join must shrink lineitem BEFORE the groupBy
+    # shuffle: a broadcast LeftSemi appears, and the part predicates reach
+    # the part scan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "EqualTo(p_type,SMALL)" in plan
+
+
+def test_q7_region_filter_reaches_scan(spark, sf_dir):
+    plan = _plan(get("tpch_q7").fn(spark, sf_dir))
+    # both geo sides are restricted to the two bloc regions at the scan
+    assert "In(r_name, [AFRICA,AMERICA])" in plan
+
+
+def test_knn_topk_is_partitioned_window(spark, sf_dir):
+    # per-test top-k must be a partitioned window (scales with #queries),
+    # never a global sort of all pairs
+    plan = _plan(get("ml_knn_join").fn(spark, sf_dir))
+    assert "row_number" in plan
