@@ -413,25 +413,20 @@ LIMIT 100
 
 @query("tpch_q18", oracle=_Q18_ORACLE, tags=("batch", "join", "subquery"), bench=True)
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18-style large-volume customers. The HAVING subquery is a grouped
-    pre-aggregate of the SAME lineitem scan, then a left-semi join on
-    o_orderkey — map-side partial agg shrinks the shuffle; the surviving
-    order set is tiny, so the customer join broadcasts it under AQE."""
+    """Q18-style large-volume customers. o_orderkey is unique, so the HAVING
+    subquery's per-order SUM *is* the final total_qty: ONE lineitem scan,
+    one map-side-combined agg shuffle, HAVING filter, then the tiny
+    surviving order set joins orders and customer (broadcast under AQE) —
+    instead of scanning lineitem twice (semi join + re-aggregation)."""
     l = T(spark, sf_dir, "lineitem")
     big_orders = (
-        l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 300)
+        l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty")).filter(F.col("total_qty") > 300)
     )
-    o = T(spark, sf_dir, "orders").join(
-        big_orders.select("l_orderkey"),
-        F.col("o_orderkey") == F.col("l_orderkey"),
-        "left_semi",
-    )
+    o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        big_orders.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",

@@ -322,3 +322,37 @@ def test_stream_count_window(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM cw_out").collect()}
     assert got == {(1, 0, 2, 3.0), (1, 1, 2, 7.0), (2, 0, 2, 30.0)}
+
+
+def test_broadcast_state_rules_update_between_batches(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.broadcast_state import broadcast_rules_join
+
+    src = str(tmp_path / "bs_src")
+    rules = str(tmp_path / "bs_rules")
+    # rules v1: category a -> 1
+    spark.createDataFrame([("a", 1)], "cat string, factor int").write.parquet(rules)
+    spark.createDataFrame([(1, "a")], "event_id long, cat string").repartition(1).write.parquet(src)
+
+    got: list[tuple] = []
+
+    def sink(df, epoch_id):
+        got.extend((r.event_id, r.cat, r.factor) for r in df.collect())
+
+    stream = read_parquet_stream(spark, src)
+    q = broadcast_rules_join(stream, spark, rules, "cat", sink)
+    try:
+        q.processAllAvailable()
+        # rules v2: a -> 2 (control-stream update); new data arrives after
+        spark.createDataFrame([("a", 2)], "cat string, factor int").write.mode(
+            "overwrite"
+        ).parquet(rules)
+        spark.createDataFrame([(2, "a")], "event_id long, cat string").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (1, "a", 1) in got and (2, "a", 2) in got
