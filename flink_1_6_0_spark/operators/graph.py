@@ -114,6 +114,68 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """Triangles incident to each vertex: enumerate each triangle once on the
+    small→large-oriented edge list, then credit all three corners.
+    Returns (id, n_tri)."""
+    e = undirect(edges).filter(F.col("src") != F.col("dst")).distinct().filter(
+        F.col("src") < F.col("dst")
+    )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .union(tris.select(F.col("b").alias("id")))
+        .union(tris.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count("*").alias("n_tri"))
+
+
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Gelly LocalClusteringCoefficient (library/clustering/undirected/
+    LocalClusteringCoefficient.java): per vertex, triangles / possible
+    neighbor pairs deg·(deg-1)/2 (0 when deg < 2). Returns (id, degree,
+    n_tri, coeff)."""
+    sym = undirect(edges).filter(F.col("src") != F.col("dst")).distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    tri = triangles_per_vertex(edges)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0 * F.coalesce("n_tri", F.lit(0)) / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("coeff"),
+    )
+
+
+def global_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Gelly GlobalClusteringCoefficient: 3·triangles / wedges, where wedges
+    = Σ_v deg·(deg-1)/2 (open+closed length-2 paths). One row
+    (n_triangles, n_wedges, coeff)."""
+    sym = undirect(edges).filter(F.col("src") != F.col("dst")).distinct()
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"))
+    tris = triangle_count(edges)
+    return tris.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0, F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+        )
+        .otherwise(0.0)
+        .alias("coeff"),
+    )
+
+
 def single_source_shortest_paths(
     vertices: DataFrame,
     edges: DataFrame,

@@ -211,3 +211,47 @@ def graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, e_sum = g.summarize(verts, edges)
     return e_sum.orderBy("src_repr", "dst_repr")
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey),
+    sym AS (
+      SELECT src, dst FROM raw WHERE src <> dst
+      UNION
+      SELECT dst, src FROM raw WHERE src <> dst),
+    e AS (SELECT src, dst FROM sym WHERE src < dst),
+    deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+    wedges AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e ab JOIN e bc ON ab.dst = bc.src
+                JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst)
+    SELECT n_triangles, n_wedges, round(3.0 * n_triangles / n_wedges, 6) AS coeff
+    FROM tri, wedges
+    """,
+    tags=("graph",),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly GlobalClusteringCoefficient (library/clustering) on the
+    undirected trade graph: 3·triangles / wedges. Triangles via the ordered
+    two-hop join (each counted once); wedges from the degree aggregate —
+    two shuffles total, both on vertex id."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    return g.global_clustering_coefficient(edges)

@@ -23,6 +23,63 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def stream_delta_window(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    threshold: float,
+) -> DataFrame:
+    """DeltaTrigger emulation (flink-streaming-java/.../triggers/
+    DeltaTrigger.java with the difference delta function over
+    GlobalWindows): per key, a window fires when the current element's value
+    differs from the element that caused the LAST firing by more than
+    ``threshold``; the fired row carries the count and sum accumulated since
+    then (the firing element becomes the next window's anchor and belongs to
+    neither window's aggregate). Keyed state = (anchor value, running count,
+    running sum) — three scalars, no buffering.
+
+    Output: (keys..., fire_id, win_n, win_sum) — fire_id is the id of the
+    element whose arrival fired the window."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        [f"{k} long" for k in key_cols] + ["fire_id long", "win_n long", "win_sum double"]
+    )
+    state_schema = "anchor double, acc_n long, acc_sum double"
+
+    def fn(key, pdfs, state):
+        anchor, acc_n, acc_sum = state.get if state.exists else (None, 0, 0.0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([ts_col, id_col], kind="mergesort")
+        rows = []
+        # data-dependent resets → row loop (per-key-per-batch cardinality is
+        # the micro-batch slice, not the stream)
+        for rid, v in zip(pdf[id_col].tolist(), pdf[value_col].tolist()):
+            if anchor is None:
+                anchor = float(v)
+                continue
+            if abs(float(v) - anchor) > threshold:
+                rows.append((int(rid), int(acc_n), round(float(acc_sum), 2)))
+                anchor, acc_n, acc_sum = float(v), 0, 0.0
+            else:
+                acc_n += 1
+                acc_sum += float(v)
+        state.update((anchor, int(acc_n), float(acc_sum)))
+        if rows:
+            out = pd.DataFrame(rows, columns=["fire_id", "win_n", "win_sum"])
+            for k, v in zip(key_cols, key):
+                out[k] = v
+            yield out[key_cols + ["fire_id", "win_n", "win_sum"]]
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_count_window(
     stream: DataFrame,
     key_cols: list[str],

@@ -515,3 +515,13 @@ def test_cep_timeout_not_reported_when_completed(spark):
     )
     out = cep_batch_with_timeouts(df, p, ["user_id"], "ts", "event_id").collect()
     assert [r.timed_out for r in out] == [False]
+
+
+def test_local_clustering_coefficient(spark):
+    # triangle 0-1-2 plus pendant edge 2-3: corners of the triangle with
+    # deg 2 have coeff 1; vertex 2 (deg 3) has 1 triangle / 3 pairs; leaf 0
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long")
+    got = {r.id: (r.degree, r.n_tri, r.coeff) for r in
+           __import__("flink_1_6_0_spark.operators.graph", fromlist=["g"]).local_clustering_coefficient(edges).collect()}
+    assert got[0] == (2, 1, 1.0) and got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, round(1 / 3, 6)) and got[3] == (1, 0, 0.0)

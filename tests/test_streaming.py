@@ -356,3 +356,28 @@ def test_broadcast_state_rules_update_between_batches(spark, tmp_path):
     finally:
         q.stop()
     assert (1, "a", 1) in got and (2, "a", 2) in got
+
+
+def test_stream_delta_window(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.count_window import stream_delta_window
+
+    # values 1.0, 1.1, 1.2, 2.5: |2.5-1.0| > 1.0 fires with the two buffered
+    rows = [(1, 1, 1.0), (1, 2, 1.1), (1, 3, 1.2), (1, 4, 2.5)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, v double").withColumn(
+        "ts", F.timestamp_seconds(F.col("event_id"))
+    )
+    src = str(tmp_path / "dw_src")
+    df.repartition(1).write.parquet(src)
+    out = stream_delta_window(
+        read_parquet_stream(spark, src), ["user_id"], "ts", "event_id", "v", threshold=1.0
+    )
+    q = to_memory_sink(out, "dw_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM dw_out").collect()}
+    assert got == {(1, 4, 2, 2.3)}
