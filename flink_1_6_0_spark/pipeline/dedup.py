@@ -56,14 +56,20 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles as ROWS (doc, s) — the hot-path form.
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3, dedupe: bool = True) -> DataFrame:
+    """k-word shingles as ROWS (doc, s) — the hot-path form.
 
     posexplode tokens + window lead: each token is materialized once and the
     shingle assembled from neighbors. Measured ~8× faster than exploding the
     array-expression form (whose element_at references re-evaluate the split
     per element under projection collapse). One shuffle on doc (the window),
-    which the downstream signature reduce needs anyway."""
+    which the downstream signature reduce needs anyway.
+
+    ``dedupe`` gives true SET semantics (one row per distinct shingle) at the
+    cost of a (doc, s) shuffle that also breaks doc-partitioning reuse for
+    downstream per-doc aggregates. Skip it when the consumer is
+    duplicate-insensitive (MinHash: min over a multiset = min over the
+    set)."""
     from pyspark.sql import Window
 
     tk = df.select(
@@ -72,12 +78,12 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     )
     w = Window.partitionBy("doc").orderBy("pos")
     leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
-    return (
+    out = (
         tk.select("doc", F.concat_ws(" ", *leads).alias("s"), leads[-1].alias("__last"))
         .filter(F.col("__last").isNotNull())
         .drop("__last")
-        .distinct()
     )
+    return out.distinct() if dedupe else out
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, num_hashes: int = 16) -> DataFrame:
@@ -91,7 +97,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, shingle_k: int
     explode → groupBy(min×16) form below hashes each shingle ONCE and rides
     Spark's map-side partial aggregation; at 100 TB the only shuffle is the
     (doc → signature) reduce."""
-    sh = shingle_rows(df, id_col, text_col, shingle_k)
+    sh = shingle_rows(df, id_col, text_col, shingle_k, dedupe=False)
     hashed = sh.select("doc", (token_hash(F.col("s")) % MOD).alias("h"))
     aggs = [
         F.min((F.col("h") * (2 * i + 1) + i * 12_345 + 7) % MOD).alias(f"mh{i}")

@@ -63,3 +63,29 @@ def test_sos_outlier_flags_isolated_point(spark):
     got = {r.id: r.outlier_prob for r in sos_outlier(df, perplexity=2.0).collect()}
     assert max(got, key=got.get) == 99
     assert got[99] > 0.8
+
+
+def test_knn_join_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from flink_1_6_0_spark.operators.ml import knn_join
+
+    rng = np.random.default_rng(7)
+    train = rng.standard_normal((30, 4)).round(3)
+    test = rng.standard_normal((5, 4)).round(3)
+    train_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(train)], "id long, vec array<double>"
+    )
+    test_df = spark.createDataFrame(
+        [(100 + i, [float(x) for x in row]) for i, row in enumerate(test)], "id long, vec array<double>"
+    )
+    got = {
+        (r.test_id, r.train_id)
+        for r in knn_join(train_df, test_df, k=3).collect()
+    }
+    want = set()
+    for i, q in enumerate(test):
+        d = np.sqrt(((train - q) ** 2).sum(axis=1))
+        order = np.lexsort((np.arange(len(train)), d))  # ties by train id
+        want |= {(100 + i, int(j)) for j in order[:3]}
+    assert got == want
