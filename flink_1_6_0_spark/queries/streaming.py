@@ -156,3 +156,31 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("session_window.start").alias("session_start"), "n", "sum_value"
     )
     return _materialize(out, "complete")
+
+
+@query(
+    "stream_hop_agg",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 30]) AS o)
+    SELECT ws, event_type, n, sum_value FROM (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts - to_minutes(o)) + to_minutes(o) AS ws,
+             event_type,
+             count(*)             AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events CROSS JOIN offs
+      GROUP BY 1, 2)
+    """,
+    tags=("streaming", "window"),
+)
+def stream_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked HOP (sliding) window aggregate on a live stream — 1-hour
+    windows sliding every 30 minutes (SlidingEventTimeWindows assigner;
+    DataStreamGroupWindowAggregate.scala:256ff maps HOP the same way). Each
+    event lands in size/slide = 2 windows; the oracle replays the assignment
+    as a cross join against the two slide offsets."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = stream.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+    return _materialize(out, "complete")
