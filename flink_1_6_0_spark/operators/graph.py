@@ -218,7 +218,6 @@ def hits(
     vertices: DataFrame,
     edges: DataFrame,
     iterations: int = 5,
-    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Gelly HITS (library/linkanalysis/HITS.java): alternating hub/authority
     power iteration. Each round: authority(v) = Σ hub(u) over in-edges,
@@ -228,8 +227,11 @@ def hits(
 
     Returns (id, hub, authority). Each half-step is one shuffle on the edge
     key plus a scalar normalization (a 1-row agg broadcast back — no
-    driver-side data movement beyond the norm)."""
-    e = edges.select("src", "dst").distinct()
+    driver-side data movement beyond the norm). ``scores`` is checkpointed
+    every iteration: the normalization crossJoin references the frame twice
+    (once through the norm aggregate), so without truncation the lineage
+    doubles per half-step — exponential plan growth."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
     scores = vertices.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
     for i in range(iterations):
         auth = (
@@ -256,8 +258,7 @@ def hits(
         scores = scores.crossJoin(norm_h).select(
             "id", (F.col("hub") / F.when(F.col("n") > 0, F.col("n")).otherwise(1.0)).alias("hub"), "authority"
         )
-        if i % checkpoint_interval == checkpoint_interval - 1:
-            scores = scores.localCheckpoint()
+        scores = scores.localCheckpoint()
     return scores
 
 

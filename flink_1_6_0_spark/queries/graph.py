@@ -255,3 +255,74 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return g.global_clustering_coefficient(edges)
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    ctes = [
+        """edges AS MATERIALIZED (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey)""",
+        "verts AS (SELECT n_nationkey AS id FROM nation)",
+        "hs0 AS (SELECT id, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS authority FROM verts)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+            SELECT v.id, s.hub,
+                   coalesce(m.a, 0) AS authority
+            FROM (SELECT id, hub FROM hs{p}) s JOIN verts v USING (id)
+            LEFT JOIN (SELECT e.dst AS id, sum(s2.hub) AS a
+                       FROM edges e JOIN hs{p} s2 ON e.src = s2.id
+                       GROUP BY e.dst) m ON v.id = m.id)"""
+        )
+        ctes.append(
+            f"""an{k} AS MATERIALIZED (
+            SELECT id, hub,
+                   authority / (CASE WHEN n.nrm > 0 THEN n.nrm ELSE 1 END) AS authority
+            FROM a{k} CROSS JOIN (SELECT sqrt(sum(authority * authority)) AS nrm FROM a{k}) n)"""
+        )
+        ctes.append(
+            f"""h{k} AS MATERIALIZED (
+            SELECT v.id, coalesce(m.h, 0) AS hub, s.authority
+            FROM (SELECT id, authority FROM an{k}) s JOIN verts v USING (id)
+            LEFT JOIN (SELECT e.src AS id, sum(s2.authority) AS h
+                       FROM edges e JOIN an{k} s2 ON e.dst = s2.id
+                       GROUP BY e.src) m ON v.id = m.id)"""
+        )
+        ctes.append(
+            f"""hs{k} AS MATERIALIZED (
+            SELECT id, hub / (CASE WHEN n.nrm > 0 THEN n.nrm ELSE 1 END) AS hub, authority
+            FROM h{k} CROSS JOIN (SELECT sqrt(sum(hub * hub)) AS nrm FROM h{k}) n)"""
+        )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT id, round(hub, 6) AS hub, round(authority, 6) AS authority "
+        f"FROM hs{iterations} ORDER BY id"
+    )
+
+
+@query("graph_hits", oracle=_hits_oracle(), tags=("graph",))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly HITS (library/linkanalysis/HITS.java): 3 hub/authority power
+    iterations with L2 normalization per half-step, on the directed trade
+    graph; the oracle unrolls the identical arithmetic as chained CTEs."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    verts = _nation_vertices(spark, sf_dir)
+    out = g.hits(verts, edges, iterations=3)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    ).orderBy("id")
