@@ -326,3 +326,104 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
     ).orderBy("id")
+
+
+_TRADE_EDGES_CTE = """
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey"""
+
+
+def _label_prop_oracle(iterations: int = 3) -> str:
+    ctes = [
+        f"raw AS MATERIALIZED ({_TRADE_EDGES_CTE})",
+        """sym AS MATERIALIZED (
+        SELECT src, dst FROM raw WHERE src <> dst
+        UNION
+        SELECT dst, src FROM raw WHERE src <> dst)""",
+        "l0 AS MATERIALIZED (SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS label FROM nation)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+            SELECT v.id, coalesce(b.new_label, v.label) AS label
+            FROM l{p} v LEFT JOIN (
+              SELECT id, label AS new_label FROM (
+                SELECT e.src AS id, x.label, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY e.src
+                                          ORDER BY count(*) DESC, x.label ASC) AS rn
+                FROM sym e JOIN l{p} x ON e.dst = x.id
+                GROUP BY e.src, x.label)
+              WHERE rn = 1) b ON v.id = b.id)"""
+        )
+    return f"WITH {', '.join(ctes)} SELECT id, label FROM l{iterations} ORDER BY id"
+
+
+@query("graph_label_propagation", oracle=_label_prop_oracle(), tags=("graph",))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly LabelPropagation (library/LabelPropagation.java): 3 synchronous
+    supersteps of most-frequent-neighbor-label adoption (ties → smallest
+    label) on the undirected trade graph; oracle unrolls the identical
+    argmax per superstep."""
+    n = T(spark, sf_dir, "nation")
+    verts = n.select(
+        F.col("n_nationkey").alias("id"), F.col("n_nationkey").cast("long").alias("label")
+    )
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return g.label_propagation(verts, edges, iterations=3).orderBy("id")
+
+
+def _sssp_oracle(iterations: int = 6) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_TRADE_EDGES_CTE})",
+        "d0 AS MATERIALIZED (SELECT 0 AS id, 0.0::DOUBLE AS distance)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+            SELECT id, min(dist) AS distance FROM (
+              SELECT id, distance AS dist FROM d{p}
+              UNION ALL
+              SELECT e.dst AS id, d.distance + 1.0 AS dist
+              FROM edges e JOIN d{p} d ON e.src = d.id)
+            GROUP BY id)"""
+        )
+    return f"WITH {', '.join(ctes)} SELECT id, distance FROM d{iterations} ORDER BY id"
+
+
+@query("graph_sssp", oracle=_sssp_oracle(), tags=("graph",))
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly SingleSourceShortestPaths: Bellman-Ford hop distances from
+    nation 0 over the directed trade graph (unit weights). Both engines run
+    past convergence (6 supersteps > graph diameter), so the fixpoints
+    agree; unreachable vertices are absent on both sides."""
+    n = T(spark, sf_dir, "nation")
+    verts = n.select(F.col("n_nationkey").alias("id"))
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return g.single_source_shortest_paths(verts, edges, 0, max_iterations=6).orderBy("id")

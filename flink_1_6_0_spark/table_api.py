@@ -146,6 +146,27 @@ class Table:
     def window_session(self, ts: str, gap: str, alias: str = "w") -> "GroupedTable":
         return GroupedTable(self.df, [], window_col=_session(ts, gap).alias(alias), window_alias=alias)
 
+    # -- OVER windows (api/windows.scala Over:397; §2.6) ----------------------
+    def window_over(
+        self,
+        partition_by: list[str],
+        order_by: list[str],
+        preceding_rows: int | None = None,
+        preceding_range_seconds: int | None = None,
+    ) -> "OverWindowedTable":
+        """Over.partitionBy(...).orderBy(...).preceding(...) — unbounded when
+        neither bound is given; ROWS with ``preceding_rows``; RANGE (ordered
+        by an epoch-seconds column) with ``preceding_range_seconds``."""
+        from flink_1_6_0_spark.operators import over as _over
+
+        if preceding_rows is not None:
+            spec = _over.rows_bounded(partition_by, order_by, preceding_rows)
+        elif preceding_range_seconds is not None:
+            spec = _over.range_bounded_seconds(partition_by, order_by[0], preceding_range_seconds)
+        else:
+            spec = _over.rows_unbounded(partition_by, order_by)
+        return OverWindowedTable(self.df, spec)
+
     # -- terminal -------------------------------------------------------------
     def to_data_frame(self) -> DataFrame:
         return self.df
@@ -183,3 +204,20 @@ class GroupedTable:
         return Table(self._df.groupBy(*self._keys).agg(*cols))
 
     select = agg
+
+
+class OverWindowedTable:
+    """Table.window(Over...) analog: ``with_agg`` adds OVER-aggregate columns
+    to every row (Flink 1.6 allows only aggregate functions in OVER —
+    FunctionCatalog.scala:295-461; Spark's ranking functions also work here,
+    exceeding the reference)."""
+
+    def __init__(self, df: DataFrame, spec):
+        self._df = df
+        self._spec = spec
+
+    def with_agg(self, **named_exprs: Column) -> Table:
+        out = self._df
+        for name, col in named_exprs.items():
+            out = out.withColumn(name, col.over(self._spec))
+        return Table(out)

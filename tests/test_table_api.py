@@ -70,3 +70,30 @@ def test_async_enrich_failure_yields_null(spark):
     df = spark.createDataFrame([(i,) for i in range(5)], "x long")
     out = async_enrich(df, flaky, "x", "e").orderBy("x").collect()
     assert [r.e for r in out] == ["0", "1", "2", None, "4"]
+
+
+def test_table_api_over_window(spark):
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.table_api import Table
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)], "k long, seq long, v double"
+    )
+    out = (
+        Table(df)
+        .window_over(["k"], ["seq"])
+        .with_agg(running_sum=F.sum("v"), running_n=F.count("*"))
+        .to_data_frame()
+    )
+    got = {(r.k, r.seq, r.running_sum, r.running_n) for r in out.collect()}
+    assert got == {(1, 1, 10.0, 1), (1, 2, 30.0, 2), (1, 3, 60.0, 3), (2, 1, 5.0, 1)}
+
+    bounded = (
+        Table(df)
+        .window_over(["k"], ["seq"], preceding_rows=1)
+        .with_agg(s2=F.sum("v"))
+        .to_data_frame()
+    )
+    got2 = {(r.k, r.seq, r.s2) for r in bounded.collect()}
+    assert got2 == {(1, 1, 10.0), (1, 2, 30.0), (1, 3, 50.0), (2, 1, 5.0)}
