@@ -82,3 +82,47 @@ def count_window(df: DataFrame, keys: list[str], order_by: list[str | Column], s
     return df.withColumn(
         "count_window", ((F.row_number().over(w) - 1) / size).cast("long")
     )
+
+
+def evicted_window_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    size: str,
+    value: str,
+    keep_last_n: int | None = None,
+    keep_last_seconds: int | None = None,
+) -> DataFrame:
+    """Evictors (flink-streaming-java/.../windowing/evictors/: CountEvictor,
+    TimeEvictor), batch form: a tumbling window collects its elements in
+    event order, the evictor drops all but the retained suffix BEFORE the
+    aggregate — CountEvictor keeps the last ``keep_last_n`` elements,
+    TimeEvictor keeps those within ``keep_last_seconds`` of the window's
+    newest element. Aggregate = sum + count of the survivors.
+
+    Implementation: windowed collect_list of (ts, value) structs sorted by
+    time (array_sort on the struct order), then slice / filter JVM-side —
+    the eviction is an array expression, no UDF. State per (key, window) is
+    the window's element list, same as the reference's evicting window
+    state."""
+    if (keep_last_n is None) == (keep_last_seconds is None):
+        raise ValueError("exactly one of keep_last_n / keep_last_seconds")
+    w = tumble(ts, size)
+    collected = df.groupBy(*keys, w.alias("w")).agg(
+        F.array_sort(F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))).alias("elems")
+    )
+    if keep_last_n is not None:
+        kept = F.when(
+            F.size("elems") > keep_last_n,
+            F.slice("elems", -keep_last_n, keep_last_n),
+        ).otherwise(F.col("elems"))
+    else:
+        newest = F.element_at(F.col("elems"), -1)["t"]
+        horizon = newest - F.expr(f"INTERVAL {keep_last_seconds} SECONDS")
+        kept = F.filter("elems", lambda e: e["t"] >= horizon)
+    return collected.select(
+        *keys,
+        F.col("w.start").alias("w_start"),
+        F.size(kept).alias("n_kept"),
+        F.round(F.aggregate(kept, F.lit(0.0), lambda acc, e: acc + e["v"]), 2).alias("sum_kept"),
+    )

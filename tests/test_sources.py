@@ -184,3 +184,37 @@ def test_avro_gated_when_module_missing(spark, tmp_path):
         write_avro(df, str(tmp_path / "avro_out"))
     except NotImplementedError:
         pass  # expected in this image (no spark-avro jar)
+
+
+def test_count_and_time_evictors(spark):
+    from flink_1_6_0_spark.operators.windows import evicted_window_agg
+
+    rows = [
+        (1, "2024-01-01 00:00:10", 1.0),
+        (1, "2024-01-01 00:20:00", 2.0),
+        (1, "2024-01-01 00:40:00", 4.0),
+        (1, "2024-01-01 01:10:00", 8.0),  # second window
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # CountEvictor: keep last 2 per 1h window
+    got = {
+        (r.k, str(r.w_start), r.n_kept, r.sum_kept)
+        for r in evicted_window_agg(df, ["k"], "ts", "1 hour", "v", keep_last_n=2).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", 2, 6.0),
+        (1, "2024-01-01 01:00:00", 1, 8.0),
+    }
+    # TimeEvictor: keep elements within 25 min of the window's newest
+    got2 = {
+        (r.k, str(r.w_start), r.n_kept, r.sum_kept)
+        for r in evicted_window_agg(
+            df, ["k"], "ts", "1 hour", "v", keep_last_seconds=1500
+        ).collect()
+    }
+    assert got2 == {
+        (1, "2024-01-01 00:00:00", 2, 6.0),
+        (1, "2024-01-01 01:00:00", 1, 8.0),
+    }
