@@ -427,3 +427,61 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("weight", F.lit(1.0))
     )
     return g.single_source_shortest_paths(verts, edges, 0, max_iterations=6).orderBy("id")
+
+
+def _community_oracle(iterations: int = 3, delta: float = 0.5) -> str:
+    ctes = [
+        f"raw AS MATERIALIZED ({_TRADE_EDGES_CTE})",
+        # both directions, UNION ALL: a bidirectional pair sends two messages,
+        # exactly like the operator's edge-list union (no dedup)
+        """sym AS MATERIALIZED (
+        SELECT src, dst, 1.0::DOUBLE AS weight FROM raw
+        UNION ALL
+        SELECT dst, src, 1.0::DOUBLE AS weight FROM raw)""",
+        "s0 AS MATERIALIZED (SELECT n_nationkey AS id, CAST(n_nationkey AS BIGINT) AS label, 1.0::DOUBLE AS score FROM nation)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+            SELECT v.id,
+                   coalesce(b.new_label, v.label) AS label,
+                   CASE WHEN b.new_label IS NOT NULL AND b.new_label <> v.label
+                        THEN b.new_score - {delta}
+                        ELSE coalesce(b.new_score, v.score) END AS score
+            FROM s{p} v LEFT JOIN (
+              SELECT id, label AS new_label, best AS new_score FROM (
+                SELECT e.dst AS id, x.label,
+                       sum(x.score * e.weight) AS total,
+                       max(x.score * e.weight) AS best,
+                       row_number() OVER (PARTITION BY e.dst
+                                          ORDER BY sum(x.score * e.weight) DESC,
+                                                   x.label ASC) AS rn
+                FROM sym e JOIN s{p} x ON e.src = x.id
+                GROUP BY e.dst, x.label)
+              WHERE rn = 1) b ON v.id = b.id)"""
+        )
+    return f"WITH {', '.join(ctes)} SELECT id, label FROM s{iterations} ORDER BY id"
+
+
+@query("graph_community_detection", oracle=_community_oracle(), tags=("graph",))
+def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly CommunityDetection (library/CommunityDetection.java, Leung
+    hop-attenuated label propagation): 3 supersteps on the trade graph, unit
+    weights, delta=0.5 — every score lives on the exact dyadic 0.5 grid, so
+    the float argmax is deterministic across engines and the unrolled-CTE
+    oracle hash-matches."""
+    n = T(spark, sf_dir, "nation")
+    verts = n.select(F.col("n_nationkey").alias("id"))
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    return g.community_detection(verts, edges, iterations=3, delta=0.5).orderBy("id")

@@ -305,3 +305,33 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("b_value"), 2).alias("purchase_value"),
     )
+
+
+@query(
+    "window_count_evictor",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+             value,
+             row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+                                ORDER BY ts DESC, value DESC) AS rn
+      FROM events)
+    SELECT user_id, w_start,
+           CAST(count(*) AS INT)  AS n_kept,
+           round(sum(value), 2)   AS sum_kept
+    FROM ranked WHERE rn <= 3
+    GROUP BY user_id, w_start
+    ORDER BY user_id, w_start
+    """,
+    tags=("batch", "window"),
+)
+def window_count_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountEvictor (windowing/evictors/CountEvictor.java): tumbling 1-hour
+    windows per user keep only their LAST 3 elements (time order, ties by
+    value) before aggregating. The eviction is an array expression over the
+    window's collected elements; the oracle expresses the same retention as
+    a from-the-end row_number."""
+    e = T(spark, sf_dir, "events")
+    out = win_ops.evicted_window_agg(e, ["user_id"], "ts", "1 hour", "value", keep_last_n=3)
+    return out.orderBy("user_id", "w_start")
