@@ -95,3 +95,54 @@ def test_sort_itcase(t3):
     """SortITCase: orderBy desc with limit (batch-only in the reference)."""
     got = [r.a for r in t3.orderBy(F.desc("b"), F.desc("a")).limit(3).collect()]
     assert got == [21, 20, 19]
+
+
+def test_group_window_itcase(spark):
+    """GroupWindowITCase: event-time TUMBLE over the SqlITCase session-window
+    fixture shape ((ts, key, value) rows; stream/sql/SqlITCase.scala:45)."""
+    from flink_1_6_0_spark.operators.windows import tumble
+
+    rows = [
+        (1000, "a", 1), (2000, "a", 2), (3000, "b", 3),
+        (6000, "a", 4), (7000, "b", 5), (11000, "b", 6),
+    ]
+    df = spark.createDataFrame(rows, "ts_ms long, k string, v long").withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    )
+    out = (
+        df.groupBy(tumble("ts", "5 seconds").alias("w"), "k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "k", "n", "s")
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (0, "a", 2, 3), (0, "b", 1, 3),
+        (5, "a", 1, 4), (5, "b", 1, 5),
+        (10, "b", 1, 6),
+    }
+
+
+def test_correlate_itcase(t3):
+    """CorrelateITCase: LATERAL TABLE(split(c)) over the 3-tuple fixture —
+    left join keeps rows whose UDTF yields nothing."""
+    from flink_1_6_0_spark.functions.udf import table_function
+    from flink_1_6_0_spark.operators.correlate import join_lateral
+
+    split = table_function(
+        lambda s: [(w,) for w in s.split() if w.startswith("H")], "word string"
+    )
+    small = t3.filter(F.col("a") <= 5)
+    out = join_lateral(small, split(F.col("c")), ["word"], keep=["a"], outer=True)
+    got = {(r.a, r.word) for r in out.collect()}
+    assert got == {(1, "Hi"), (2, "Hello"), (3, "Hello"), (4, "Hello"), (5, None)}
+
+
+def test_table_source_itcase(spark, t3, tmp_path):
+    """TableSourceITCase: CSV round-trip of the fixture through the
+    CsvTableSource/Sink analogs preserves values and schema."""
+    from flink_1_6_0_spark.sources.batch import read_csv, write_csv
+
+    path = str(tmp_path / "t3_csv")
+    write_csv(t3, path, header=True)
+    back = read_csv(spark, path, schema="a int, b long, c string", header=True)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, t3.collect()))
