@@ -660,3 +660,30 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("o_cnt"),
         F.col("P").alias("p_cnt"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n, round(sum(l.l_extendedprice), 2) AS rev
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("batch", "join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (exceeds the reference — Flink 1.6's
+    PARTITION_HASH has no skew handling): the salt spreads any hot orderkey
+    over 8 reducers; the result is identical to the plain equi-join, which is
+    exactly what the oracle states."""
+    from flink_1_6_0_spark.operators.joins import salted_join
+
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(l, o, "l_orderkey", "o_orderkey", salt=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        .orderBy("o_orderpriority")
+    )
