@@ -687,3 +687,33 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_windowed_stream",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND time_bucket(INTERVAL 1 HOUR, a.ts) = time_bucket(INTERVAL 1 HOUR, b.ts)
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("batch", "join", "window"),
+)
+def join_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed join (JoinedStreams.java:126 where/equalTo/window/apply):
+    clicks ⋈ purchases of the same user inside the same 1-hour tumbling
+    window — the window-start is just an extra equi-key, so the physical
+    plan stays a pure hash join (no range predicate)."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_event_id"), F.col("user_id").alias("b_user_id"), F.col("ts").alias("b_ts")
+    )
+    out = join_ops.windowed_join(
+        clicks, buys, [("user_id", "b_user_id")], "ts", "b_ts", "1 hour"
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"), F.col("b_event_id").alias("purchase_id")
+    ).orderBy("click_id", "purchase_id")
