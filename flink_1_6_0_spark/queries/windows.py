@@ -335,3 +335,33 @@ def window_count_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     out = win_ops.evicted_window_agg(e, ["user_id"], "ts", "1 hour", "value", keep_last_n=3)
     return out.orderBy("user_id", "w_start")
+
+
+@query(
+    "window_count_tumble",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, value,
+             CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                  // 100 AS BIGINT) AS count_window
+      FROM events)
+    SELECT user_id, count_window,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS sum_value
+    FROM numbered
+    GROUP BY user_id, count_window
+    ORDER BY user_id, count_window
+    """,
+    tags=("batch", "window"),
+)
+def window_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countWindow(100) (KeyedStream.countWindow → GlobalWindows +
+    CountTrigger), batch form: rows per user in (ts, event_id) order bucketed
+    into 100-element windows, then aggregated per bucket."""
+    e = T(spark, sf_dir, "events")
+    bucketed = win_ops.count_window(e, ["user_id"], ["ts", "event_id"], 100)
+    return (
+        bucketed.groupBy("user_id", "count_window")
+        .agg(F.count("*").cast("bigint").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("user_id", "count_window")
+    )
