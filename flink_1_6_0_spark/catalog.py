@@ -52,7 +52,11 @@ def normalize_table(name: str, df: DataFrame) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Read every star-schema table from ``sf_dir`` lazily."""
+    """Read every star-schema table from ``sf_dir`` lazily.
+
+    Sets nanosAsLong defensively so events.parquet (TIMESTAMP(NANOS)) reads on
+    a bare session (e.g. the driver's) instead of PARQUET_TYPE_ILLEGAL."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return {
         name: normalize_table(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
         for name in TABLES

@@ -25,5 +25,10 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Nanosecond-timestamp columns arrive as long (nanosAsLong) and are
     normalized to microsecond timestamps — matching DuckDB's ns→µs truncation.
+
+    The nanosAsLong conf is set here defensively: the driver runs queries on a
+    bare SparkSession (no session.py bootstrap), and without it any read of
+    events.parquet (TIMESTAMP(NANOS)) dies with PARQUET_TYPE_ILLEGAL.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_table(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))

@@ -317,7 +317,8 @@ def agg_first_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_multiset_collect",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(o_orderstatus || ':' || cnt::varchar)) AS statuses
+           array_to_string(list_sort(list(o_orderstatus || ':' || cnt::varchar)), ',')
+             AS statuses
     FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
           FROM orders GROUP BY o_orderpriority, o_orderstatus)
     GROUP BY o_orderpriority
@@ -326,12 +327,15 @@ def agg_first_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_multiset_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL COLLECT → multiset (CollectAggFunction.scala; MULTISET type maps to
-    element→count — rendered as a sorted 'value:count' array so the hash is
-    engine-stable)."""
+    element→count — rendered as one sorted comma-joined 'value:count' string so
+    the hash is engine-stable AND the driver canonicalizer (pandas sort_values,
+    which can't sort list cells) never sees an array column)."""
     return (
         T(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(agg_ops.collect_multiset_sorted("o_orderstatus").alias("statuses"))
+        .agg(
+            F.concat_ws(",", agg_ops.collect_multiset_sorted("o_orderstatus")).alias("statuses")
+        )
     )
 
 
