@@ -54,9 +54,11 @@ def normalize_table(name: str, df: DataFrame) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every star-schema table from ``sf_dir`` lazily.
 
-    Sets nanosAsLong defensively so events.parquet (TIMESTAMP(NANOS)) reads on
-    a bare session (e.g. the driver's) instead of PARQUET_TYPE_ILLEGAL."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Hardens the session defensively (nanosAsLong, UTC, AQE, Arrow) so the
+    driver's bare session matches session.py's correctness contract."""
+    from flink_1_6_0_spark.queries import harden_session
+
+    harden_session(spark)
     return {
         name: normalize_table(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
         for name in TABLES

@@ -109,6 +109,46 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via sign-LSH bucketing + exact in-bucket cosine — the
+    100 TB form of ``dedup.embedding_near_dup_pairs``.
+
+    Plan shape: one scan computes the signature in the projection; the self
+    join is an EQUI-join on the signature (hash exchange on sig — never a
+    BroadcastNestedLoop/CartesianProduct over the full table); the exact
+    cosine runs only on in-bucket pairs. Recall < 1 by construction
+    (sign-LSH collision prob = (1-θ/π)^bits); raise recall at scale with
+    more OR-ed tables (union of per-seed pair sets) rather than fewer bits.
+    Skewed buckets split by AQE skew-join.
+
+    Reference anchor: this replaces the reference's exact pairwise kernel;
+    the global-exact form remains in dedup.embedding_near_dup_pairs as the
+    test-only correctness baseline.
+    """
+    planes = hyperplanes(dim, bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    s = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), lsh_signature(v, planes).alias("sig")
+    )
+    a = s.select(F.col("id").alias("a"), F.col("v").alias("va"), "sig")
+    b = s.select(F.col("id").alias("b"), F.col("v").alias("vb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     id_col: str,

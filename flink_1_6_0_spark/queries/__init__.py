@@ -20,15 +20,42 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_1_6_0_spark.catalog import normalize_table
 
 
+# Runtime-settable confs the engine's correctness contract depends on. The
+# driver runs queries on a BARE SparkSession (no session.py bootstrap), so
+# every registered query hardens its own session on first table load:
+# - nanosAsLong: events.parquet is TIMESTAMP(NANOS); without it the scan dies
+#   with PARQUET_TYPE_ILLEGAL (round-1 driver ERR on join_windowed_stream).
+# - UTC session timezone: pins timestamp rendering/extraction to the parquet
+#   storage values, matching the DuckDB oracle (temporal sweeps, windows).
+# - AQE: runtime re-planning/skew handling — the 100 TB posture, and assumed
+#   by the skew-join and bucketed-dedup plans.
+_SESSION_HARDENING = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+_HARDENED: set[int] = set()
+
+
+def harden_session(spark: SparkSession) -> None:
+    """Apply the runtime-settable correctness confs once per session."""
+    key = id(spark)
+    if key in _HARDENED:
+        return
+    for k, v in _SESSION_HARDENING.items():
+        spark.conf.set(k, v)
+    _HARDENED.add(key)
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from a scale-factor dir (lazy parquet scan).
 
     Nanosecond-timestamp columns arrive as long (nanosAsLong) and are
     normalized to microsecond timestamps — matching DuckDB's ns→µs truncation.
-
-    The nanosAsLong conf is set here defensively: the driver runs queries on a
-    bare SparkSession (no session.py bootstrap), and without it any read of
-    events.parquet (TIMESTAMP(NANOS)) dies with PARQUET_TYPE_ILLEGAL.
+    Defensively hardens the session (see ``_SESSION_HARDENING``) because the
+    driver's session has none of session.py's confs.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    harden_session(spark)
     return normalize_table(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))

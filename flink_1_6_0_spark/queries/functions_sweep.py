@@ -242,7 +242,7 @@ def scalar_conditional_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       toks[len(toks)]              AS last_tok,
       len(toks)                    AS n_toks,
       CASE WHEN len(toks) = 1 THEN toks[1] END AS elem,
-      {'id': doc_id, 'lang': lang} AS rec,
+      to_json({'id': doc_id, 'lang': lang})::VARCHAR AS rec,
       ('en' = lang)                AS is_en
     FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
           FROM documents WHERE doc_id < 100) t
@@ -265,7 +265,11 @@ def scalar_collection_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.item(toks, fx.cardinality(toks)).alias("last_tok"),
         fx.cardinality(toks).cast("long").alias("n_toks"),
         fx.element(F.when(fx.cardinality(toks) == 1, toks).otherwise(toks)).alias("elem"),
-        F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang")).alias("rec"),
+        # ROW constructor exercised as a real struct, then JSON-rendered: the
+        # driver canonicalizer (pandas sort_values) can't sort dict cells
+        F.to_json(F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang"))).alias(
+            "rec"
+        ),
         (F.lit("en") == F.col("lang")).alias("is_en"),
     )
 

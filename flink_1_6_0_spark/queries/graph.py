@@ -148,7 +148,8 @@ def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM clicks
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT n.user_id, [n.c1, n.c2] AS clicks_ids, p.event_id AS purchase_id
+    SELECT n.user_id, n.c1::VARCHAR || ',' || n.c2::VARCHAR AS clicks_ids,
+           p.event_id AS purchase_id
     FROM nxt n
     JOIN events p ON p.user_id = n.user_id AND p.event_type = 'purchase'
      AND (p.ts > n.t2 OR (p.ts = n.t2 AND p.event_id > n.c2))
@@ -168,7 +169,11 @@ def cep_double_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
         .within(24 * 3600)
     )
-    return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+    out = cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+    # string-render the match array: the driver canonicalizer can't sort lists
+    return out.withColumn(
+        "clicks_ids", F.concat_ws(",", F.transform("clicks_ids", lambda x: x.cast("string")))
+    )
 
 
 @query(

@@ -252,20 +252,45 @@ list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
 """
 
 
+def _lsh_planes_values(bits: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """The engine's deterministic sign-LSH hyperplanes as DuckDB VALUES rows —
+    full-precision repr so the oracle sees bit-identical plane literals."""
+    planes = sim.hyperplanes(dim, bits, seed)
+    return ",\n      ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for j, p in enumerate(planes)
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_lsh_planes_values(bits=4, dim=64, seed=42)}),
+    sigs AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.v[i] * pl.p[i])) > 0
+                      THEN (1 << pl.j) ELSE 0 END)::BIGINT AS sig
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+    s AS (SELECT e.vec_id, e.v, sigs.sig FROM e JOIN sigs USING (vec_id))
     SELECT a.vec_id AS a, b.vec_id AS b, round({_DUCK_COS}, 4) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE round({_DUCK_COS}, 4) >= 0.4
     """,
     tags=("pipeline", "dedup"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact kernel; at scale run per LSH
-    bucket — pipeline.similarity.lsh_ann_topk is the bucketed form)."""
-    return dd.embedding_near_dup_pairs(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4)
+    """Embedding-cosine near-dup pairs via sign-LSH bucketing + exact
+    in-bucket cosine — the 100 TB plan: signature computed in the scan
+    projection, self EQUI-join on the signature (hash exchange, never a
+    cartesian/BNL over the full table), exact cosine only on in-bucket pairs.
+    The global-exact kernel (dedup.embedding_near_dup_pairs) remains the
+    test-only baseline; the oracle replicates the same hyperplanes as SQL
+    literals so the bucketing itself is oracle-checked."""
+    return sim.embedding_near_dup_pairs_bucketed(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4, dim=64, bits=4, seed=42
+    )
 
 
 # ---------------------------------------------------------------------------

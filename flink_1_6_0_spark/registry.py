@@ -67,11 +67,56 @@ def query(
     return deco
 
 
+# The driver's hard correctness gate covers the FIRST 50 entries of
+# ``queries()`` (round-1 evidence: CORRECTNESS_r01.json stopped at position 50,
+# leaving §2.5–§2.13 with zero driver rows). This explicit head interleaves at
+# least one representative of every SURVEY.md §2 family into that window; the
+# remaining queries follow in module insertion order.
+_PRIORITY_HEAD = (
+    # §2.4/§2.3 TPC-H core (agg, joins, semi/anti, exists-collapse)
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
+    # §2.3 joins: outer, skew-salted, windowed-stream, interval
+    "join_full_outer", "join_skew_salted", "join_windowed_stream", "interval_join_events",
+    # §2.4 aggs: multiset, grouping sets, stddev/var, UDAF
+    "agg_multiset_collect", "agg_grouping_sets", "agg_stddev_var", "udaf_geomean",
+    # §2.8 set ops
+    "setop_union_all", "setop_intersect_all",
+    # §2.9 scalar function sweeps (all nine groups)
+    "scalar_string_sweep", "scalar_math_sweep", "scalar_temporal_sweep",
+    "scalar_conditional_sweep", "scalar_collection_sweep",
+    # §2.1 JSON format
+    "json_props_extract",
+    # §2.5 group windows (+count window, evictor, Flink SQL TUMBLE)
+    "window_tumble", "window_hop", "window_session",
+    "window_count_tumble", "window_count_evictor", "window_tumble_flink_sql",
+    # §2.6 OVER windows
+    "over_rows_unbounded", "over_rows_bounded", "over_range_bounded", "over_ranking",
+    # §2.7 sort/limit
+    "sort_offset_fetch",
+    # §2.2/§2.10 correlate + UDF/UDTF
+    "unnest_tokens", "correlate_lateral_udtf", "udf_scalar_md5",
+    # §2.11 streaming semantics (batch-replay-checked)
+    "stream_tumble_agg", "stream_continuous_agg", "stream_interval_join",
+    # §2.12 CEP
+    "cep_funnel",
+    # §2.13 graph + ML
+    "graph_connected_components", "graph_pagerank", "ml_knn_join",
+    # LLM-pipeline operators
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "ann_cosine_topk", "text_stats", "zip_with_index", "multimodal_decode",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import all query modules and return the registry."""
+    """Import all query modules and return the registry, priority head first."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return _REGISTRY
+    missing = [n for n in _PRIORITY_HEAD if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"_PRIORITY_HEAD names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY_HEAD}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def get(name: str) -> QuerySpec:

@@ -87,3 +87,33 @@ def test_knn_topk_is_partitioned_window(spark, sf_dir):
     # never a global sort of all pairs
     plan = _plan(get("ml_knn_join").fn(spark, sf_dir))
     assert "row_number" in plan
+
+
+def test_bucketed_embedding_dedup_has_no_cartesian(spark, sf_dir):
+    """The registered embedding near-dup query must pair vectors only inside
+    LSH buckets: an equi-join on the signature, never a cartesian/BNL over
+    the full table (the 100 TB mandate — 10^9 docs must not become 10^18
+    pairs)."""
+    plan = _plan(get("dedup_embedding_cosine").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_embedding_dedup_subset_of_exact(spark, sf_dir):
+    """Bucketing only PRUNES candidates — every surviving pair must appear in
+    the exact global kernel's output with the identical cosine."""
+    from flink_1_6_0_spark.pipeline import dedup as dd
+    from flink_1_6_0_spark.pipeline import similarity as sim
+    from flink_1_6_0_spark.queries import T
+
+    emb = T(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    bucketed = sim.embedding_near_dup_pairs_bucketed(
+        emb, "vec_id", "embedding", 0.4, dim=64, bits=4, seed=42
+    ).collect()
+    assert len(bucketed) > 0
+    for r in bucketed:
+        assert exact[(r["a"], r["b"])] == r["cos"]
