@@ -147,8 +147,14 @@ def timestamp_add(unit: str, n, ts: str | Column) -> Column:
 
 def overlaps(s1: str | Column, e1: str | Column, s2: str | Column, e2: str | Column) -> Column:
     """(s1, e1) OVERLAPS (s2, e2) (FunctionCatalog.scala:431) — true when the
-    periods share any instant (SQL-standard half-open comparison)."""
-    return (_c(s1) <= _c(e2)) & (_c(s2) <= _c(e1))
+    periods share any instant (closed-interval comparison, SQL standard).
+
+    Each period is normalized first (Calcite's convertOverlaps sorts the
+    endpoints so s <= e before comparing) — reversed-endpoint periods give
+    the same answer as their sorted form."""
+    lo1, hi1 = F.least(_c(s1), _c(e1)), F.greatest(_c(s1), _c(e1))
+    lo2, hi2 = F.least(_c(s2), _c(e2)), F.greatest(_c(s2), _c(e2))
+    return (lo1 <= hi2) & (lo2 <= hi1)
 
 
 # -- collection -------------------------------------------------------------

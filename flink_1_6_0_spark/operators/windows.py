@@ -119,7 +119,9 @@ def evicted_window_agg(
     else:
         newest = F.element_at(F.col("elems"), -1)["t"]
         horizon = newest - F.expr(f"INTERVAL {keep_last_seconds} SECONDS")
-        kept = F.filter("elems", lambda e: e["t"] >= horizon)
+        # strict >: the reference TimeEvictor evicts timestamp <= cutoff
+        # (TimeEvictor.java:32 keeps strictly newer elements)
+        kept = F.filter("elems", lambda e: e["t"] > horizon)
     return collected.select(
         *keys,
         F.col("w.start").alias("w_start"),

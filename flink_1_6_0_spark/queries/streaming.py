@@ -184,3 +184,39 @@ def stream_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
     return _materialize(out, "complete")
+
+
+@query(
+    "stream_evicted_window",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    b AS (
+      SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS w_start, value,
+             row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL 1 DAY, ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, w_start,
+           count(*) FILTER (WHERE rn <= 2)              AS n_kept,
+           round(sum(value) FILTER (WHERE rn <= 2), 2)  AS sum_kept
+    FROM b, mx
+    WHERE w_start + INTERVAL 1 DAY <= mx.m
+    GROUP BY user_id, w_start
+    """,
+    tags=("streaming", "window", "evictor"),
+)
+def stream_evicted_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CountEvictor(2) over 1-day event-time tumbling windows
+    (CountEvictor.java:28 via WindowedStream.evictor, WindowedStream.java:267):
+    keyed state buffers each open window's elements, the event-time timer
+    fires ripe windows, the evictor keeps the last 2 elements by (ts, id)
+    before the count/sum aggregate. The oracle replays the same semantics
+    with a DESC row_number; only windows whose end the final watermark
+    passed (end <= max ts) fire — the tail window per key stays buffered,
+    exactly like the reference's unfired window state."""
+    from flink_1_6_0_spark.streaming.evictors import stream_evicted_window
+
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    out = stream_evicted_window(
+        stream, ["user_id"], "ts", "event_id", "value", 86400, keep_last_n=2
+    )
+    return _materialize(out, "append")

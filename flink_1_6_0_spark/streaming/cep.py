@@ -680,6 +680,16 @@ def cep_stream(
             rows.append(row)
         newest = events[-1]["__ts"]
         keep = [e for e in events if e["__ts"] >= newest - horizon]
+        # prune emitted signatures whose events aged out of the buffer: a
+        # match whose constituents are gone can never be re-derived, so its
+        # signature is dead weight — without this the emitted set grows
+        # unboundedly over the stream lifetime
+        kept_ids = {e[id_col] for e in keep}
+        emitted = {
+            sig
+            for sig in emitted
+            if all(int(x) in kept_ids for part in sig.split(";") for x in part.split(",") if x)
+        }
         state.update(
             (
                 [e[id_col] for e in keep],

@@ -74,16 +74,29 @@ def foreach_batch_outer_join(
         right_stream.withColumn("__side", F.lit("r")), allowMissingColumns=True
     )
 
+    def write_epoch(side_df: DataFrame, path: str, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried epoch re-delivers the same
+        # rows. Writing each epoch into its own partition with DYNAMIC
+        # partition overwrite makes the state write idempotent — the retry
+        # rewrites partition __epoch=<id> instead of appending a duplicate.
+        (
+            side_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
     def handle(batch: DataFrame, epoch_id: int) -> None:
         lb = batch.filter(F.col("__side") == "l").select(*left_cols)
         rb = batch.filter(F.col("__side") == "r").select(*right_cols)
         if lb.take(1):
-            lb.write.mode("append").parquet(left_state_path)
+            write_epoch(lb, left_state_path, epoch_id)
         if rb.take(1):
-            rb.write.mode("append").parquet(right_state_path)
+            write_epoch(rb, right_state_path, epoch_id)
         try:
-            ls = spark.read.parquet(left_state_path)
-            rs = spark.read.parquet(right_state_path)
+            ls = spark.read.parquet(left_state_path).drop("__epoch")
+            rs = spark.read.parquet(right_state_path).drop("__epoch")
         except Exception:
             return  # one side still empty — outer join not yet defined
         emit_fn(join_fn(ls, rs), epoch_id)

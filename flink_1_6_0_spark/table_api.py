@@ -19,6 +19,7 @@ F.expr), which accepts the Flink expression grammar's SQL-ish core.
 
 from __future__ import annotations
 
+import re as _re
 from functools import reduce
 
 import pyspark.sql.functions as F
@@ -27,6 +28,11 @@ from pyspark.sql import Column, DataFrame
 from flink_1_6_0_spark.operators.windows import session as _session
 from flink_1_6_0_spark.operators.windows import tumble as _tumble
 from flink_1_6_0_spark.operators.windows import hop as _hop
+
+
+# case-insensitive trailing "AS alias" (alias = plain identifier, so an AS
+# inside a trailing string literal or cast never matches)
+_AS_ALIAS = _re.compile(r"^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", _re.IGNORECASE | _re.DOTALL)
 
 
 def _split_exprs(exprs: str) -> list[str]:
@@ -67,8 +73,14 @@ class Table:
     def add_columns(self, exprs: str) -> "Table":
         out = self.df
         for e in _split_exprs(exprs):
-            expr, _, alias = e.rpartition(" as ")
-            out = out.withColumn(alias.strip() if expr else e, F.expr(expr or e))
+            m = _AS_ALIAS.match(e)
+            # the alias split must be TOP-level: a match whose expression side
+            # has unbalanced parens (e.g. the AS inside "CAST(x AS INT)") is
+            # not an alias
+            if m and m.group(1).count("(") == m.group(1).count(")"):
+                out = out.withColumn(m.group(2), F.expr(m.group(1)))
+            else:
+                out = out.withColumn(e, F.expr(e))
         return Table(out)
 
     def rename_columns(self, mapping: dict[str, str]) -> "Table":

@@ -381,3 +381,61 @@ def test_stream_delta_window(spark, tmp_path):
         q.stop()
     got = {tuple(r) for r in spark.sql("SELECT * FROM dw_out").collect()}
     assert got == {(1, 4, 2, 2.3)}
+
+
+def test_stream_evicted_window_count_and_time(spark, tmp_path):
+    """Streaming evictors (CountEvictor.java:28, TimeEvictor.java:32) over
+    event-time tumbling windows: the event-time timer fires ripe windows,
+    the evictor trims the buffer BEFORE the aggregate, the window holding
+    the max-ts sentinel never fires (watermark never passes its end)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.evictors import stream_evicted_window
+
+    # key 1 window [0,600): 6 events vals 1..6 → CountEvictor(3) keeps 4,5,6
+    # key 1 window [600,1200): 1 event  → kept whole
+    # key 2 window [0,600): ts 100/130/160 → TimeEvictor(60s) boundary case
+    # sentinel ts 5000 per key advances the watermark past 1200
+    rows = (
+        [(1, i, float(i), 10 * i) for i in range(1, 7)]
+        + [(1, 100, 50.0, 700), (1, 999, 0.0, 5000)]
+        + [(2, 201, 1.0, 100), (2, 202, 2.0, 130), (2, 203, 4.0, 160), (2, 998, 0.0, 5000)]
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, v double, sec long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    src = str(tmp_path / "ev_src")
+    df.repartition(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src).withWatermark("ts", "0 seconds")
+    out_count = stream_evicted_window(
+        stream, ["user_id"], "ts", "event_id", "v", 600, keep_last_n=3
+    )
+    q = to_memory_sink(out_count, "ev_count", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], int(r["w_start"].timestamp()), r["n_kept"], r["sum_kept"])
+        for r in spark.sql("SELECT * FROM ev_count").collect()
+    }
+    assert got == {(1, 0, 3, 15.0), (1, 600, 1, 50.0), (2, 0, 3, 7.0)}
+
+    out_time = stream_evicted_window(
+        stream, ["user_id"], "ts", "event_id", "v", 600, keep_last_seconds=60
+    )
+    q = to_memory_sink(out_time, "ev_time", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], int(r["w_start"].timestamp()), r["n_kept"], r["sum_kept"])
+        for r in spark.sql("SELECT * FROM ev_time").collect()
+    }
+    # key 2: newest 160, horizon 100 — the ts=100 element is EVICTED (strict >)
+    assert (2, 0, 2, 6.0) in got
+    # key 1 window 0: events every 10 s, newest 60, horizon 0 → all 6 kept
+    assert (1, 0, 6, 21.0) in got
