@@ -220,3 +220,77 @@ def stream_evicted_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id"], "ts", "event_id", "value", 86400, keep_last_n=2
     )
     return _materialize(out, "append")
+
+
+@query(
+    "stream_purging_trigger",
+    oracle="""
+    WITH mx AS (SELECT (epoch_ms(max(ts))::BIGINT) * 1000 AS wmus FROM events),
+    e AS (SELECT user_id, epoch_us(ts)::BIGINT AS tus, value FROM events)
+    SELECT user_id,
+           make_timestamp(tus // 86400000000 * 86400000000)      AS w_start,
+           make_timestamp((tus // 21600000000 + 1) * 21600000000) AS fire_ts,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_v
+    FROM e, mx
+    WHERE (tus // 21600000000 + 1) * 21600000000 <= mx.wmus
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "trigger"),
+)
+def stream_purging_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PurgingTrigger(ContinuousEventTimeTrigger) (PurgingTrigger.java:33
+    wrapping ContinuousEventTimeTrigger.java:32): 1-day tumbling windows fire
+    every 6 h of event time and PURGE — each emission is the delta pane since
+    the previous fire. The oracle maps every event to its fire boundary
+    (ceil to the next 6 h mark) and keeps boundaries the final watermark
+    passed; the equivalence holds because purged panes partition the window
+    by that same ceil."""
+    from flink_1_6_0_spark.streaming.triggers import stream_continuous_window
+
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    out = stream_continuous_window(
+        stream, ["user_id"], "ts", "value", 86400, 21600, purging=True
+    )
+    return _materialize(out, "append")
+
+
+@query(
+    "stream_continuous_trigger",
+    oracle="""
+    WITH mx AS (SELECT (epoch_ms(max(ts))::BIGINT) * 1000 AS wmus FROM events),
+    e AS (SELECT user_id, epoch_us(ts)::BIGINT AS tus, value FROM events),
+    w AS (SELECT user_id, tus // 86400000000 * 86400000000 AS ws, min(tus) AS mn
+          FROM e GROUP BY 1, 2),
+    bounds AS (
+      SELECT w.user_id, w.ws,
+             unnest(generate_series(mn // 21600000000 * 21600000000 + 21600000000,
+                                    least(w.ws + 86400000000, (SELECT wmus FROM mx)),
+                                    21600000000)) AS b
+      FROM w)
+    SELECT b0.user_id,
+           make_timestamp(b0.ws) AS w_start,
+           make_timestamp(b0.b)  AS fire_ts,
+           count(*)              AS n,
+           round(sum(e.value), 2) AS sum_v
+    FROM bounds b0
+    JOIN e ON e.user_id = b0.user_id
+          AND e.tus // 86400000000 * 86400000000 = b0.ws
+          AND e.tus <= b0.b
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "trigger"),
+)
+def stream_continuous_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContinuousEventTimeTrigger.java:32 without purging: 1-day tumbling
+    windows emit a RUNNING pane (all elements as of the boundary) at every
+    6-h event-time mark the watermark passes — the early-fire/update
+    emission pattern. Oracle: per-window boundary series from the first
+    element's ceil mark, cumulative count/sum as of each boundary."""
+    from flink_1_6_0_spark.streaming.triggers import stream_continuous_window
+
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    out = stream_continuous_window(
+        stream, ["user_id"], "ts", "value", 86400, 21600, purging=False
+    )
+    return _materialize(out, "append")

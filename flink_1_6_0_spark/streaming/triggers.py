@@ -1,0 +1,152 @@
+"""Continuous / purging triggers — SURVEY.md §2.5 (the round-1 declared-out
+trigger pair, now closed).
+
+Reference: ContinuousEventTimeTrigger (flink-streaming-java/.../windowing/
+triggers/ContinuousEventTimeTrigger.java:32) fires a window EARLY at every
+``interval`` boundary of event time — on each element it arms a timer at
+``timestamp - (timestamp % interval) + interval`` and re-arms on every fire,
+so a long tumbling window emits a running aggregate as the watermark crosses
+each boundary. PurgingTrigger (PurgingTrigger.java:33) wraps any trigger and
+turns FIRE into FIRE_AND_PURGE: each emission clears the pane, so the next
+fire covers only elements that arrived since.
+
+Spark form: ``applyInPandasWithState`` + event-time timer (the same
+EventTimeTrigger machinery as streaming.evictors):
+
+- keyed state buffers each open tumbling window's (ts, value) pairs plus the
+  window's last-fired boundary;
+- when the watermark passes an unfired boundary ``b``, the window fires:
+  * continuous (purging=False): aggregate over buffered elements with
+    ``ts <= b`` — the running "as of b" pane, nondecreasing per window;
+  * purging (purging=True): aggregate over elements with
+    ``last_b < ts <= b`` (the delta since the previous fire); consumed
+    elements leave state immediately — the purge IS the memory win;
+- the boundary chain ends at the window end (``interval`` must divide
+  ``size`` so the final boundary closes the window exactly like the
+  tumbling EventTimeTrigger), after which the window's state is dropped.
+
+Determinism note (bounded replay / oracle): a fire at boundary ``b`` reads
+the pane "as of event time b" (elements with ts <= b), which equals the
+reference's arrival-state pane whenever arrivals respect the watermark.
+
+Scale: state per key = open-window elements (purging keeps only the unfired
+suffix); keys shard across executors like every keyed window.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def stream_continuous_window(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    size_seconds: int,
+    interval_seconds: int,
+    purging: bool = False,
+) -> DataFrame:
+    """Tumbling event-time window fired every ``interval_seconds`` by a
+    Continuous[EventTime]Trigger, optionally Purging-wrapped.
+
+    ``stream`` must carry a watermark on ``ts_col``. Output one row per
+    (key, window, fire): (keys..., w_start, fire_ts, n, sum_v).
+    """
+    if size_seconds % interval_seconds:
+        raise ValueError("interval must divide the window size")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        [f"{k} long" for k in key_cols]
+        + ["w_start timestamp", "fire_ts timestamp", "n long", "sum_v double"]
+    )
+    state_schema = (
+        "wins array<long>, tss array<double>, vals array<double>, "
+        "fwins array<long>, flast array<long>"
+    )
+    size_us = size_seconds * 1_000_000
+    iv_us = interval_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        wins: list[int] = []
+        tss: list[float] = []
+        vals: list[float] = []
+        lastb: dict[int, int] = {}
+        if state.exists:
+            w0, t0, v0, fw, fl = state.get
+            wins, tss, vals = list(w0), list(t0), list(v0)
+            lastb = {int(w): int(b) for w, b in zip(fw, fl)}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, v in zip(ts_us, pdf[value_col]):
+                t = int(t)
+                wins.append(t // size_us * size_us)
+                tss.append(float(t))
+                vals.append(float(v))
+        wm_ms = state.getCurrentWatermarkMs()
+        rows = []
+        closed: set[int] = set()
+        purged: list[tuple[int, float, float]] = []
+        for w in sorted(set(wins) | set(lastb)):
+            elems = sorted((t, v) for wi, t, v in zip(wins, tss, vals) if wi == w)
+            last = lastb.get(w)
+            if last is None:
+                if not elems:
+                    continue
+                # first boundary after the earliest element (the trigger's
+                # timestamp - (timestamp % interval) + interval)
+                last = int(elems[0][0]) // iv_us * iv_us
+            b = last + iv_us
+            w_end = w + size_us
+            while b <= w_end and b // 1000 <= wm_ms:
+                if purging:
+                    pane = [(t, v) for t, v in elems if last < t <= b]
+                else:
+                    pane = [(t, v) for t, v in elems if t <= b]
+                if pane:
+                    rows.append((w, b, len(pane), round(sum(v for _, v in pane), 2)))
+                last = b
+                b += iv_us
+            if last >= w_end:
+                closed.add(w)  # final boundary fired — window GC
+            else:
+                lastb[w] = last
+                if purging:
+                    purged += [(w, t, v) for t, v in elems if t <= last]
+        for w in closed:
+            lastb.pop(w, None)
+        drop = closed
+        dead = {(x[0], x[1], x[2]) for x in purged}
+        live = [
+            (wi, t, v)
+            for wi, t, v in zip(wins, tss, vals)
+            if wi not in drop and (not purging or (wi, t, v) not in dead)
+        ]
+        wins = [x[0] for x in live]
+        tss = [x[1] for x in live]
+        vals = [x[2] for x in live]
+        if wins or lastb:
+            fw = sorted(lastb)
+            state.update((wins, tss, vals, fw, [lastb[w] for w in fw]))
+            pending = [
+                (lastb.get(w, min((int(t) for wi, t in zip(wins, tss) if wi == w), default=0) // iv_us * iv_us) + iv_us)
+                for w in set(wins) | set(lastb)
+            ]
+            state.setTimeoutTimestamp(max(min(pending) // 1000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if rows:
+            out = pd.DataFrame(rows, columns=["__w", "__b", "n", "sum_v"])
+            out["w_start"] = pd.to_datetime(out["__w"], unit="us")
+            out["fire_ts"] = pd.to_datetime(out["__b"], unit="us")
+            for k, v in zip(key_cols, key):
+                out[k] = v
+            yield out[key_cols + ["w_start", "fire_ts", "n", "sum_v"]]
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -439,3 +439,51 @@ def test_stream_evicted_window_count_and_time(spark, tmp_path):
     assert (2, 0, 2, 6.0) in got
     # key 1 window 0: events every 10 s, newest 60, horizon 0 → all 6 kept
     assert (1, 0, 6, 21.0) in got
+
+
+def test_stream_continuous_and_purging_trigger(spark, tmp_path):
+    """ContinuousEventTimeTrigger.java:32 (early fires every interval of
+    event time, running pane) and PurgingTrigger.java:33 (each fire clears
+    the pane → deltas). Sentinel events push the watermark past the window
+    end; the sentinel's own window never fires."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.triggers import stream_continuous_window
+
+    rows = [
+        (1, 1.0, 50), (1, 2.0, 150), (1, 4.0, 250), (1, 8.0, 450), (1, 0.0, 5000),
+        (2, 10.0, 100), (2, 20.0, 500), (2, 0.0, 5001),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, v double, sec long").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    ).drop("sec")
+    src = str(tmp_path / "ct_src")
+    df.repartition(1).write.parquet(src)
+    stream = read_parquet_stream(spark, src).withWatermark("ts", "0 seconds")
+
+    def run(purging, name):
+        out = stream_continuous_window(
+            stream, ["user_id"], "ts", "v", 600, 200, purging=purging
+        )
+        q = to_memory_sink(out, name, "append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["user_id"], int(r["w_start"].timestamp()), int(r["fire_ts"].timestamp()),
+             r["n"], r["sum_v"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    got = run(False, "ct_cont")
+    assert got == {
+        (1, 0, 200, 2, 3.0), (1, 0, 400, 3, 7.0), (1, 0, 600, 4, 15.0),
+        (2, 0, 200, 1, 10.0), (2, 0, 400, 1, 10.0), (2, 0, 600, 2, 30.0),
+    }
+    got = run(True, "ct_purge")
+    assert got == {
+        (1, 0, 200, 2, 3.0), (1, 0, 400, 1, 4.0), (1, 0, 600, 1, 8.0),
+        (2, 0, 200, 1, 10.0), (2, 0, 600, 1, 20.0),
+    }
