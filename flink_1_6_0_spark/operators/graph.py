@@ -28,12 +28,75 @@ def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return edges.select(src, dst).union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
 
 
+def _checkpoint(df: DataFrame, mode: str) -> DataFrame:
+    """Truncate loop lineage. ``local`` = localCheckpoint (fast default; pins
+    blocks to executors — an executor loss mid-loop kills the job). At 100×
+    scale with preemptible executors use ``reliable``: DataFrame.checkpoint()
+    to the SparkContext checkpoint dir survives executor loss."""
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="graph_ckpt_"))
+        return df.checkpoint()
+    raise ValueError(f"unknown checkpoint_mode {mode!r}; choose 'local' or 'reliable'")
+
+
+def run_vertex_centric(
+    vertices: DataFrame,
+    edges: DataFrame,
+    message_fn,
+    update_fn,
+    max_iterations: int,
+    convergence_fn=None,
+    checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Generic vertex-centric (Pregel) iteration — the entry point a user
+    porting a CUSTOM Gelly algorithm targets.
+
+    Reference: flink-gelly pregel/VertexCentricIteration.java (ComputeFunction
+    = message production + vertex update per superstep) and
+    gsa/GatherSumApplyIteration.java (gather/sum ≈ ``message_fn``'s own
+    aggregation, apply ≈ ``update_fn``).
+
+    Per superstep:
+      1. ``msgs = message_fn(state, edges)`` — produce/aggregate messages
+         keyed by vertex ``id`` (one shuffle: the edge join + groupBy is
+         Pregel's cost model);
+      2. ``state' = update_fn(state, msgs)`` — new vertex state, SAME schema;
+      3. lineage checkpoint every ``checkpoint_interval`` supersteps
+         (``checkpoint_mode``: 'local' fast default / 'reliable' survives
+         executor loss — the Flink-analog choice between pipelined feedback
+         and checkpointed iterations);
+      4. optional ``convergence_fn(old, new) -> bool`` ends the loop early
+         (Gelly's aggregator-based convergence; a ``.count()`` on the changed
+         set is the idiomatic form).
+
+    The library algorithms below (label_propagation is re-expressed through
+    this API as proof) show the intended usage."""
+    state = vertices
+    for i in range(max_iterations):
+        msgs = message_fn(state, edges)
+        new_state = update_fn(state, msgs)
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            new_state = _checkpoint(new_state, checkpoint_mode)
+        if convergence_fn is not None and convergence_fn(state, new_state):
+            return new_state
+        state = new_state
+    return state
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "id",
     max_iterations: int = 20,
     checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Gelly ConnectedComponents (library/ConnectedComponents.java): iterative
     min-label propagation to a fixpoint. Returns (id, component)."""
@@ -58,7 +121,7 @@ def connected_components(
         )
         labels = updated
         if i % checkpoint_interval == checkpoint_interval - 1:
-            labels = labels.localCheckpoint()
+            labels = _checkpoint(labels, checkpoint_mode)
         if changed == 0:
             break
     return labels
@@ -70,6 +133,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Gelly PageRank (library/linkanalysis/PageRank.java): fixed-iteration
     power method, rank' = (1-d)/N + d·Σ rank/out_degree over in-edges.
@@ -91,7 +155,7 @@ def pagerank(
             (F.lit((1 - damping) / n) + damping * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
         )
         if i % checkpoint_interval == checkpoint_interval - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = _checkpoint(ranks, checkpoint_mode)
     return ranks
 
 
@@ -208,7 +272,7 @@ def single_source_shortest_paths(
         )
         dist = updated
         if i % checkpoint_interval == checkpoint_interval - 1:
-            dist = dist.localCheckpoint()
+            dist = _checkpoint(dist, checkpoint_mode)
         if changed == 0:
             break
     return dist
@@ -218,6 +282,7 @@ def hits(
     vertices: DataFrame,
     edges: DataFrame,
     iterations: int = 5,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Gelly HITS (library/linkanalysis/HITS.java): alternating hub/authority
     power iteration. Each round: authority(v) = Σ hub(u) over in-edges,
@@ -258,7 +323,7 @@ def hits(
         scores = scores.crossJoin(norm_h).select(
             "id", (F.col("hub") / F.when(F.col("n") > 0, F.col("n")).otherwise(1.0)).alias("hub"), "authority"
         )
-        scores = scores.localCheckpoint()
+        scores = _checkpoint(scores, checkpoint_mode)
     return scores
 
 
@@ -268,6 +333,7 @@ def community_detection(
     iterations: int = 5,
     delta: float = 0.5,
     checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Gelly CommunityDetection (library/CommunityDetection.java, Leung et
     al. hop-attenuated label propagation). Vertices start as their own
@@ -307,7 +373,7 @@ def community_detection(
             .alias("score"),
         )
         if i % checkpoint_interval == checkpoint_interval - 1:
-            state = state.localCheckpoint()
+            state = _checkpoint(state, checkpoint_mode)
     return state.select("id", "label")
 
 
@@ -356,27 +422,38 @@ def label_propagation(
     """Gelly LabelPropagation (library/LabelPropagation.java): each superstep
     every vertex adopts the most frequent label among its neighbors (ties →
     smallest label, deterministic). Fixed iteration count like the reference.
-    ``vertices`` carries (id, label); returns the same shape."""
+    ``vertices`` carries (id, label); returns the same shape.
+
+    Expressed through ``run_vertex_centric`` — the proof case that the
+    generic Pregel API reproduces a library algorithm unchanged."""
     sym = undirect(edges).distinct()
-    labels = vertices.select("id", F.col(label_col).alias("label"))
-    for i in range(iterations):
+
+    def message_fn(state: DataFrame, e: DataFrame) -> DataFrame:
         counts = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy(sym.src.alias("id"), "label")
+            e.join(state, e.dst == state.id)
+            .groupBy(e.src.alias("id"), "label")
             .agg(F.count("*").alias("cnt"))
         )
         # most frequent neighbor label, ties by smallest label
         from pyspark.sql import Window as _W
 
         w = _W.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
-        best = (
+        return (
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("id", F.col("label").alias("new_label"))
         )
-        labels = labels.join(best, "id", "left").select(
+
+    def update_fn(state: DataFrame, msgs: DataFrame) -> DataFrame:
+        return state.join(msgs, "id", "left").select(
             "id", F.coalesce("new_label", "label").alias("label")
         )
-        if i % checkpoint_interval == checkpoint_interval - 1:
-            labels = labels.localCheckpoint()
-    return labels
+
+    return run_vertex_centric(
+        vertices.select("id", F.col(label_col).alias("label")),
+        sym,
+        message_fn,
+        update_fn,
+        iterations,
+        checkpoint_interval=checkpoint_interval,
+    )

@@ -525,3 +525,60 @@ def test_local_clustering_coefficient(spark):
            __import__("flink_1_6_0_spark.operators.graph", fromlist=["g"]).local_clustering_coefficient(edges).collect()}
     assert got[0] == (2, 1, 1.0) and got[1] == (2, 1, 1.0)
     assert got[2] == (3, 1, round(1 / 3, 6)) and got[3] == (1, 0, 0.0)
+
+
+def test_vertex_centric_reliable_checkpoint(spark):
+    """run_vertex_centric (pregel/VertexCentricIteration.java analog) with
+    checkpoint_mode='reliable': the loop survives lineage truncation through
+    a real checkpoint (RDD files, not executor-pinned blocks) and converges
+    to the same fixpoint."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.graph import connected_components, run_vertex_centric
+
+    # two components: {1,2,3} and {10,11}
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], "id long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            verts, edges, max_iterations=6, checkpoint_interval=2, checkpoint_mode="reliable"
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    # generic API directly: min-label propagation, reliable checkpoints
+    from flink_1_6_0_spark.operators.graph import undirect
+
+    sym = undirect(edges).distinct()
+    labels = verts.select("id", F.col("id").alias("component"))
+
+    def message_fn(state, e):
+        return (
+            e.join(state, e.dst == state.id)
+            .groupBy(e.src.alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+
+    def update_fn(state, msgs):
+        return state.join(msgs, "id", "left").select(
+            "id", F.least("component", F.coalesce("nbr_min", "component")).alias("component")
+        )
+
+    out = run_vertex_centric(
+        labels, sym, message_fn, update_fn, 6,
+        checkpoint_interval=2, checkpoint_mode="reliable",
+    )
+    assert {(r["id"], r["component"]) for r in out.collect()} == got
+
+
+def test_checkpoint_mode_unknown_raises(spark):
+    import pytest as _pytest
+
+    from flink_1_6_0_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    with _pytest.raises(ValueError):
+        connected_components(verts, edges, max_iterations=2, checkpoint_interval=1,
+                             checkpoint_mode="cloud")
