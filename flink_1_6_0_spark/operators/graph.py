@@ -246,6 +246,7 @@ def single_source_shortest_paths(
     source_id,
     max_iterations: int = 10,
     checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Gelly SingleSourceShortestPaths: Bellman-Ford supersteps over a
     weighted edge list (columns src, dst, weight). Returns (id, distance),
