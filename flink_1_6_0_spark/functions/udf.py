@@ -37,10 +37,34 @@ def register_scalar_function(spark: SparkSession, name: str, fn: Callable, retur
     return spark.udf.register(name, fn, return_type)
 
 
-def table_function(fn: Callable[..., list[tuple]], row_schema: str) -> Callable[..., Column]:
+def table_function(
+    fn: Callable[..., list[tuple]], row_schema: str, vectorized: bool = True
+) -> Callable[..., Column]:
     """TableFunction: ``fn(value) -> list of row tuples``. Returns a Column
     builder usable with operators.correlate.join_lateral — the emitted rows
-    travel as array<struct<row_schema>> (one Arrow hop, then explode)."""
+    travel as array<struct<row_schema>> (one Arrow hop, then explode).
+
+    ``vectorized=True`` (default) ships the call as an Arrow-batched pandas
+    UDF — the emitted array<struct> stays on the Arrow path end to end;
+    row-at-a-time ``F.udf`` remains as the opt-out for functions that can't
+    batch (multi-arg table functions use it automatically)."""
+    names = [f.strip().split()[0] for f in row_schema.split(",")]
+
+    if vectorized:
+
+        @F.pandas_udf(f"array<struct<{row_schema}>>")
+        def _vudf(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: [dict(zip(names, row)) for row in fn(v)])
+
+        def call(*cols) -> Column:
+            if len(cols) == 1:
+                return _vudf(*cols)
+            # pandas_udf wraps a single-series signature; multi-arg table
+            # functions fall back to the row path
+            return F.udf(fn, f"array<struct<{row_schema}>>")(*cols)
+
+        return call
+
     udf = F.udf(fn, f"array<struct<{row_schema}>>")
 
     def call(*cols) -> Column:

@@ -121,7 +121,14 @@ def sos_outlier(
     search runs grouped-per-point in a pandas UDF (each group = one row of
     the affinity matrix), and the final product is a sum of log1p's grouped
     by the target point — no driver-side matrix ever materializes.
-    Returns (id, outlier_prob)."""
+    Returns (id, outlier_prob).
+
+    SCALE BOUNDARY (explicit): the cross-join kernel is inherently O(n²) —
+    the algorithm itself is (every point's affinity references every other
+    point), exactly as in the reference. Run it on samples (≤10⁵ points);
+    at 100 TB, sample or pre-cluster first (e.g. IVF assignments from
+    pipeline.similarity) and run SOS per partition — never on the full
+    corpus."""
     import pandas as pd
 
     a = points.select(F.col(id_col).alias("i"), F.col(vec_col).alias("iv"))

@@ -1,0 +1,63 @@
+"""Stream iterations — the documented workaround for DataStream.iterate().
+
+Reference: DataStream.iterate() (flink-streaming-java/.../DataStream.java:529)
+creates a feedback edge: the iteration body splits its output into a feedback
+stream (re-enters the body) and a forward stream (leaves the loop).
+
+Spark Structured Streaming has NO feedback edges (the DAG is acyclic by
+construction), so SURVEY.md §2.11 declares native stream iteration out of
+scope. This module is the sanctioned workaround, demonstrated and tested: a
+driver-side fixpoint loop INSIDE each micro-batch via foreachBatch — the
+feedback edge becomes a per-epoch loop, the forward stream becomes the rows
+emitted as they satisfy the exit predicate.
+
+Semantics vs the reference: Flink's feedback edge is asynchronous across the
+whole stream (a fed-back element may interleave with later arrivals); the
+per-epoch loop confines feedback to the micro-batch that produced it. For
+iterate-until-converged element-wise computations (the reference's canonical
+use: refine each element until a predicate holds) the results are identical;
+cross-element feedback across epochs is not expressible — that remains the
+honest gap behind the declaration.
+
+Scale: each loop pass is a full distributed transformation on the shrinking
+work set; localCheckpoint per pass truncates the growing plan, exactly like
+the graph loops (operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+
+
+def iterate_stream(
+    stream: DataFrame,
+    step_fn: Callable[[DataFrame], DataFrame],
+    exit_predicate: Column,
+    emit_fn: Callable[[DataFrame, int], None],
+    checkpoint: str | None = None,
+    max_iterations: int = 100,
+):
+    """DataStream.iterate() workaround: per micro-batch, apply ``step_fn``
+    repeatedly; rows satisfying ``exit_predicate`` leave the loop through
+    ``emit_fn(rows, epoch_id)``, the rest feed back — until the work set is
+    empty or ``max_iterations`` passes ran.
+    """
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        work = batch
+        for _ in range(max_iterations):
+            if not work.take(1):
+                return
+            stepped = step_fn(work).localCheckpoint()
+            emit_fn(stepped.filter(exit_predicate), epoch_id)
+            work = stepped.filter(~exit_predicate)
+        # iteration budget exhausted: surface the stragglers rather than
+        # silently dropping them (the reference would keep them circulating)
+        emit_fn(work, epoch_id)
+
+    writer = stream.writeStream.outputMode("update").foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -487,3 +487,34 @@ def test_stream_continuous_and_purging_trigger(spark, tmp_path):
         (1, 0, 200, 2, 3.0), (1, 0, 400, 1, 4.0), (1, 0, 600, 1, 8.0),
         (2, 0, 200, 1, 10.0), (2, 0, 600, 1, 20.0),
     }
+
+
+def test_iterate_stream_workaround(spark, tmp_path):
+    """DataStream.iterate() (DataStream.java:529) workaround: per-epoch
+    driver-side fixpoint — the canonical 'subtract until <= 0' feedback loop.
+    10 → 7 → 4 → 1 → -2 exits; 2 → -1 exits; 7 → 4 → 1 → -2 exits."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.iterate import iterate_stream
+
+    df = spark.createDataFrame([(10,), (2,), (7,)], "v long")
+    src = str(tmp_path / "it_src")
+    df.repartition(1).write.parquet(src)
+
+    emitted = []
+
+    def emit(rows, epoch_id):
+        emitted.extend(r["v"] for r in rows.collect())
+
+    q = iterate_stream(
+        read_parquet_stream(spark, src),
+        step_fn=lambda d: d.withColumn("v", F.col("v") - 3),
+        exit_predicate=F.col("v") <= 0,
+        emit_fn=emit,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(emitted) == [-2, -2, -1]
