@@ -74,7 +74,7 @@ def query(
 # remaining queries follow in module insertion order.
 _PRIORITY_HEAD = (
     # §2.4/§2.3 TPC-H core (agg, joins, semi/anti, exists-collapse)
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q21",
     # §2.3 joins: outer, skew-salted, windowed-stream, interval
     "join_full_outer", "join_skew_salted", "join_windowed_stream", "interval_join_events",
     # §2.4 aggs: multiset, grouping sets, stddev/var, UDAF
@@ -86,11 +86,13 @@ _PRIORITY_HEAD = (
     "scalar_conditional_sweep", "scalar_collection_sweep",
     # §2.1 JSON format
     "json_props_extract",
-    # §2.5 group windows (+count window, evictor, Flink SQL TUMBLE)
+    # §2.5 group windows (+count window, Flink SQL TUMBLE) and the
+    # evictor/trigger operators (streaming forms — the round-2 additions)
     "window_tumble", "window_hop", "window_session",
-    "window_count_tumble", "window_count_evictor", "window_tumble_flink_sql",
+    "window_count_tumble", "window_tumble_flink_sql",
+    "stream_evicted_window", "stream_continuous_trigger", "stream_purging_trigger",
     # §2.6 OVER windows
-    "over_rows_unbounded", "over_rows_bounded", "over_range_bounded", "over_ranking",
+    "over_rows_unbounded", "over_range_bounded", "over_ranking",
     # §2.7 sort/limit
     "sort_offset_fetch",
     # §2.2/§2.10 correlate + UDF/UDTF
