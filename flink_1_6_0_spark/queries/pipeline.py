@@ -324,11 +324,33 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", oracle=None, tags=("pipeline", "similarity"))
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_lsh_planes_values(bits=8, dim=64, seed=42)}),
+    sigs AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.v[i] * pl.p[i])) > 0
+                      THEN (1 << pl.j) ELSE 0 END)::BIGINT AS sig
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+    q AS (SELECT e.v AS qv, sigs.sig AS qsig FROM e JOIN sigs USING (vec_id) WHERE e.vec_id = 0)
+    SELECT a.vec_id,
+           round({_DUCK_COS.replace("b.v", "q.qv")}, 4) AS score
+    FROM e a JOIN sigs s ON a.vec_id = s.vec_id CROSS JOIN q
+    WHERE s.sig = q.qsig
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """,
+    tags=("pipeline", "similarity"),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-10 (the 100 TB path: signature computed in
-    the scan, bucket filter prunes before any ordering). Approximate by
-    construction → rows-only check; ann_cosine_topk is the exact baseline."""
+    the scan, bucket filter prunes before any ordering). The bucketing is
+    DETERMINISTIC (seeded hyperplanes shipped as literals), so the oracle
+    replicates the same signatures in SQL and the approximate result is
+    hash-checked exactly; ann_cosine_topk is the recall baseline."""
     return sim.lsh_ann_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", _query_vec(spark, sf_dir), 10, bits=8
     )
