@@ -518,3 +518,50 @@ def test_iterate_stream_workaround(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(emitted) == [-2, -2, -1]
+
+
+def test_evictor_and_trigger_multibatch_invariance(spark, tmp_path):
+    """Results must not depend on micro-batch boundaries: replaying the same
+    events as three single-file batches (watermark advancing per batch,
+    windows firing progressively) yields exactly the single-batch result."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.evictors import stream_evicted_window
+    from flink_1_6_0_spark.streaming.triggers import stream_continuous_window
+
+    batches = [
+        [(1, 1.0, 50), (1, 2.0, 150), (2, 5.0, 90)],
+        [(1, 4.0, 250), (2, 6.0, 480), (1, 8.0, 700)],
+        [(1, 16.0, 1300), (2, 7.0, 1350), (1, 0.0, 5000), (2, 0.0, 5000)],
+    ]
+    multi = str(tmp_path / "mb_src")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long, v double, sec long").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        ).drop("sec")
+        df.repartition(1).write.mode("append").parquet(multi)
+    single = str(tmp_path / "sb_src")
+    spark.read.parquet(multi).repartition(1).write.parquet(single)
+
+    def run(op, src, name):
+        stream = read_parquet_stream(spark, src).withWatermark("ts", "0 seconds")
+        q = to_memory_sink(op(stream), name, "append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    # evictor needs an id col — synthesize a deterministic one from the value
+    ev = lambda s: stream_evicted_window(
+        s.withColumn("event_id", (F.col("v") * 10).cast("long")),
+        ["user_id"], "ts", "event_id", "v", 600, keep_last_n=2,
+    )
+    assert run(ev, multi, "mb_ev") == run(ev, single, "sb_ev")
+
+    tr = lambda s: stream_continuous_window(s, ["user_id"], "ts", "v", 600, 200, purging=True)
+    assert run(tr, multi, "mb_tr") == run(tr, single, "sb_tr")
+
+    tc = lambda s: stream_continuous_window(s, ["user_id"], "ts", "v", 600, 200, purging=False)
+    assert run(tc, multi, "mb_tc") == run(tc, single, "sb_tc")
