@@ -95,9 +95,22 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
-    """JDBCInputFormat / JDBCTableSource. Needs a JDBC driver jar on the
-    classpath — not shipped in this container; call sites should import-try."""
+    """JDBCInputFormat / JDBCTableSource (flink-connectors/flink-jdbc/.../
+    JDBCInputFormat.java, JDBCTableSource). Works against any driver on the
+    classpath; the Spark distribution ships embedded Derby (the Hive
+    metastore's store), so ``jdbc:derby:...`` round-trips are tested in this
+    image. At scale use ``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions`` options for a parallel partitioned read."""
     return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """JDBCOutputFormat / JDBCAppendTableSink (flink-connectors/flink-jdbc/
+    .../JDBCOutputFormat.java, JDBCAppendTableSink.java): batched inserts per
+    partition (Spark's JDBC writer batches ``batchsize`` rows per round
+    trip, one connection per partition — the reference's flush-interval
+    analog)."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = False) -> None:
