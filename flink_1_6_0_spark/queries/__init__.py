@@ -34,7 +34,13 @@ _SESSION_HARDENING = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # a bare session defaults to 200 shuffle partitions — wasteful overhead at
+    # test SFs and on the driver's single-JVM; AQE coalesces upward-sized
+    # plans anyway, and session.py's own value (cores) still wins when set
+    # first because harden_session never overrides an explicit non-default
 }
+
+_SHUFFLE_DEFAULT = "200"  # Spark's built-in default — only then do we resize
 
 _HARDENED: set[int] = set()
 
@@ -46,6 +52,8 @@ def harden_session(spark: SparkSession) -> None:
         return
     for k, v in _SESSION_HARDENING.items():
         spark.conf.set(k, v)
+    if spark.conf.get("spark.sql.shuffle.partitions", _SHUFFLE_DEFAULT) == _SHUFFLE_DEFAULT:
+        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
     _HARDENED.add(key)
 
 
