@@ -28,7 +28,14 @@ from flink_1_6_0_spark.catalog import normalize_table
 def read_parquet_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """A parquet directory replayed as a stream (readFile watch-mode analog;
     also the test harness for every windowed-agg/join query: bounded input
-    drives the stream to completion with processAllAvailable)."""
+    drives the stream to completion with processAllAvailable).
+
+    Hardens the session first: the schema probe below dies on
+    TIMESTAMP(NANOS) parquet (events table) unless nanosAsLong is set — and
+    a bare driver session may run a streaming query before any batch one."""
+    from flink_1_6_0_spark.queries import harden_session
+
+    harden_session(spark)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
