@@ -276,17 +276,19 @@ def stream_purging_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bounds b0
     JOIN e ON e.user_id = b0.user_id
           AND e.tus // 86400000000 * 86400000000 = b0.ws
-          AND e.tus <= b0.b
+          AND e.tus < b0.b
     GROUP BY 1, 2, 3
     """,
     tags=("streaming", "trigger"),
 )
 def stream_continuous_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ContinuousEventTimeTrigger.java:32 without purging: 1-day tumbling
-    windows emit a RUNNING pane (all elements as of the boundary) at every
+    windows emit a RUNNING pane (elements with ts < boundary) at every
     6-h event-time mark the watermark passes — the early-fire/update
     emission pattern. Oracle: per-window boundary series from the first
-    element's ceil mark, cumulative count/sum as of each boundary."""
+    element's ceil mark, cumulative count/sum strictly before each boundary
+    (boundary-exact elements belong to the next pane, per the trigger's
+    timer registration)."""
     from flink_1_6_0_spark.streaming.triggers import stream_continuous_window
 
     stream = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")

@@ -31,6 +31,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def evict_and_aggregate(
+    elems: list[tuple[float, int, float]],
+    keep_last_n: int | None,
+    keep_last_seconds: int | None,
+) -> tuple[int, float]:
+    """Pure eviction kernel for one fired window (unit-/property-testable).
+
+    ``elems`` = sorted (ts_us, id, value). CountEvictor keeps the last
+    ``keep_last_n``; TimeEvictor keeps elements STRICTLY newer than
+    newest - keep_last_seconds (TimeEvictor.java:32 evicts ts <= cutoff).
+    Returns (n_kept, rounded sum of kept values)."""
+    if keep_last_n is not None:
+        kept = elems[-keep_last_n:]
+    else:
+        horizon = elems[-1][0] - keep_last_seconds * 1_000_000
+        kept = [e for e in elems if e[0] > horizon]
+    return len(kept), round(sum(e[2] for e in kept), 2)
+
+
 def stream_evicted_window(
     stream: DataFrame,
     key_cols: list[str],
@@ -84,13 +103,8 @@ def stream_evicted_window(
             elems = sorted(
                 (t, i, v) for wi, t, i, v in zip(wins, tss, ids, vals) if wi == w
             )
-            if keep_last_n is not None:
-                kept = elems[-keep_last_n:]
-            else:
-                # strict >: TimeEvictor evicts timestamp <= newest - windowSize
-                horizon = elems[-1][0] - keep_last_seconds * 1_000_000
-                kept = [e for e in elems if e[0] > horizon]
-            rows.append((w, len(kept), round(sum(e[2] for e in kept), 2)))
+            n_kept, sum_kept = evict_and_aggregate(elems, keep_last_n, keep_last_seconds)
+            rows.append((w, n_kept, sum_kept))
         if ripe:
             fired = set(ripe)
             live = [

@@ -17,16 +17,18 @@ EventTimeTrigger machinery as streaming.evictors):
   window's last-fired boundary;
 - when the watermark passes an unfired boundary ``b``, the window fires:
   * continuous (purging=False): aggregate over buffered elements with
-    ``ts <= b`` — the running "as of b" pane, nondecreasing per window;
+    ``ts < b`` — the running "as of b" pane, nondecreasing per window;
   * purging (purging=True): aggregate over elements with
-    ``last_b < ts <= b`` (the delta since the previous fire); consumed
+    ``last_b <= ts < b`` (the delta since the previous fire — boundary-exact
+    elements belong to the NEXT pane, mirroring the trigger's
+    ``timestamp - ts%interval + interval`` timer registration); consumed
     elements leave state immediately — the purge IS the memory win;
 - the boundary chain ends at the window end (``interval`` must divide
   ``size`` so the final boundary closes the window exactly like the
   tumbling EventTimeTrigger), after which the window's state is dropped.
 
 Determinism note (bounded replay / oracle): a fire at boundary ``b`` reads
-the pane "as of event time b" (elements with ts <= b), which equals the
+the pane "as of event time b" (elements with ts < b), which equals the
 reference's arrival-state pane whenever arrivals respect the watermark.
 
 Scale: state per key = open-window elements (purging keeps only the unfired
@@ -37,6 +39,42 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+
+def fire_continuous_panes(
+    elems: list[tuple[float, float]],
+    last: int,
+    w: int,
+    size_us: int,
+    iv_us: int,
+    wm_ms: int,
+    purging: bool,
+) -> tuple[list[tuple[int, int, int, float]], int]:
+    """Pure pane-firing kernel for one window (unit-/property-testable).
+
+    ``elems`` = sorted (ts_us, value); ``last`` = last fired boundary (µs).
+    Returns (rows, new_last) where rows are (w, boundary, n, rounded sum)
+    for every boundary the watermark passed, skipping empty purging deltas.
+
+    Pane partition is ``[b-iv, b)`` — an element registers the timer at
+    ``timestamp - (timestamp % interval) + interval`` (ContinuousEventTime
+    Trigger.onElement), so a boundary-exact element belongs to the NEXT
+    pane; the cumulative pane at ``b`` is the union of fired panes
+    (``ts < b``).
+    """
+    rows: list[tuple[int, int, int, float]] = []
+    b = last + iv_us
+    w_end = w + size_us
+    while b <= w_end and b // 1000 <= wm_ms:
+        if purging:
+            pane = [(t, v) for t, v in elems if last <= t < b]
+        else:
+            pane = [(t, v) for t, v in elems if t < b]
+        if pane:
+            rows.append((w, b, len(pane), round(sum(v for _, v in pane), 2)))
+        last = b
+        b += iv_us
+    return rows, last
 
 
 def stream_continuous_window(
@@ -100,23 +138,17 @@ def stream_continuous_window(
                 # first boundary after the earliest element (the trigger's
                 # timestamp - (timestamp % interval) + interval)
                 last = int(elems[0][0]) // iv_us * iv_us
-            b = last + iv_us
+            fired, last = fire_continuous_panes(
+                elems, last, w, size_us, iv_us, wm_ms, purging
+            )
+            rows += fired
             w_end = w + size_us
-            while b <= w_end and b // 1000 <= wm_ms:
-                if purging:
-                    pane = [(t, v) for t, v in elems if last < t <= b]
-                else:
-                    pane = [(t, v) for t, v in elems if t <= b]
-                if pane:
-                    rows.append((w, b, len(pane), round(sum(v for _, v in pane), 2)))
-                last = b
-                b += iv_us
             if last >= w_end:
                 closed.add(w)  # final boundary fired — window GC
             else:
                 lastb[w] = last
                 if purging:
-                    purged += [(w, t, v) for t, v in elems if t <= last]
+                    purged += [(w, t, v) for t, v in elems if t < last]
         for w in closed:
             lastb.pop(w, None)
         drop = closed

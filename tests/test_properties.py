@@ -128,3 +128,87 @@ def test_mysql_pattern_translation_total(parts):
     for tok, java in [("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"), ("%i", "mm"), ("%s", "ss")]:
         if tok in fmt:
             assert java in out
+
+
+# ---------------------------------------------------------------------------
+# Streaming pane kernels (evictors / continuous triggers) vs brute-force spec
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=599), min_size=1, max_size=30),
+    n=st.integers(min_value=1, max_value=8),
+)
+def test_count_evictor_kernel_keeps_last_n(ts, n):
+    from flink_1_6_0_spark.streaming.evictors import evict_and_aggregate
+
+    elems = sorted((float(t * 1_000_000), i, float(i)) for i, t in enumerate(ts))
+    n_kept, sum_kept = evict_and_aggregate(elems, n, None)
+    expect = elems[-n:]
+    assert n_kept == len(expect)
+    assert sum_kept == round(sum(e[2] for e in expect), 2)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=599), min_size=1, max_size=30),
+    keep=st.integers(min_value=1, max_value=600),
+)
+def test_time_evictor_kernel_strict_boundary(ts, keep):
+    """TimeEvictor.java:32 evicts timestamp <= newest - windowSize: an
+    element exactly at the cutoff is evicted (the round-1 ADVICE bug)."""
+    from flink_1_6_0_spark.streaming.evictors import evict_and_aggregate
+
+    elems = sorted((float(t * 1_000_000), i, 1.0) for i, t in enumerate(ts))
+    n_kept, _ = evict_and_aggregate(elems, None, keep)
+    newest = elems[-1][0]
+    expect = [e for e in elems if e[0] > newest - keep * 1_000_000]
+    assert n_kept == len(expect)
+    assert n_kept >= 1  # the newest element always survives
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=599), min_size=1, max_size=25),
+    wm_s=st.integers(min_value=0, max_value=1200),
+    purging=st.booleans(),
+)
+def test_continuous_trigger_kernel_vs_spec(ts, wm_s, purging):
+    """Panes must partition (purging) / accumulate (continuous) the window:
+    fired boundaries are exactly those <= watermark, each pane matches the
+    brute-force 'events as of / since' definition, and purged deltas are a
+    disjoint cover of everything fired."""
+    from flink_1_6_0_spark.streaming.triggers import fire_continuous_panes
+
+    size_us, iv_us = 600 * 1_000_000, 200 * 1_000_000
+    elems = sorted((float(t * 1_000_000), 1.0) for t in ts)
+    first_anchor = int(elems[0][0]) // iv_us * iv_us
+    wm_ms = wm_s * 1000
+    rows, last = fire_continuous_panes(elems, first_anchor, 0, size_us, iv_us, wm_ms, purging)
+
+    boundaries = []
+    b = first_anchor + iv_us
+    while b <= size_us and b // 1000 <= wm_ms:
+        boundaries.append(b)
+        b += iv_us
+    assert last == (boundaries[-1] if boundaries else first_anchor)
+
+    fired = {r[1]: r for r in rows}
+    prev = first_anchor
+    total = 0
+    for bb in boundaries:
+        if purging:
+            pane = [e for e in elems if prev <= e[0] < bb]
+        else:
+            pane = [e for e in elems if e[0] < bb]
+        if pane:
+            assert fired[bb][2] == len(pane)
+        else:
+            assert bb not in fired
+        prev = bb
+        total += len(pane) if purging else 0
+    assert set(fired) <= set(boundaries)
+    if purging and boundaries and boundaries[-1] == size_us:
+        # full window fired: purged deltas cover every element exactly once
+        assert total == len(elems)
