@@ -90,6 +90,116 @@ def run_vertex_centric(
     return state
 
 
+def _neighbor_view(state: DataFrame, edges: DataFrame, direction: str = "out") -> DataFrame:
+    """GSA neighbor set: one row per (gathering vertex, neighbor) pair with
+    the neighbor's CURRENT state and the edge's payload columns.
+
+    Mirrors GatherSumApplyIteration.java:165-191 — ``out`` joins state on the
+    edge source and keys by the target (ProjectKeyWithNeighborOUT:415 emits
+    ``(edge.target, Neighbor(srcValue, edgeValue))``); ``in`` is the mirror;
+    ``all`` is the union. Columns: ``id`` (the gathering vertex), ``nb_<c>``
+    for every non-id state column, plus the edge columns minus src/dst."""
+    others = [c for c in state.columns if c != "id"]
+    edge_payload = [c for c in edges.columns if c not in ("src", "dst")]
+    nb = state.select(
+        F.col("id").alias("_nbid"), *[F.col(c).alias(f"nb_{c}") for c in others]
+    )
+
+    def side(join_on: str, key: str) -> DataFrame:
+        return edges.join(nb, F.col(join_on) == F.col("_nbid")).select(
+            F.col(key).alias("id"), *[f"nb_{c}" for c in others], *edge_payload
+        )
+
+    if direction == "out":
+        return side("src", "dst")
+    if direction == "in":
+        return side("dst", "src")
+    if direction == "all":
+        return side("src", "dst").unionByName(side("dst", "src"))
+    raise ValueError(f"unknown direction {direction!r}; choose 'out', 'in' or 'all'")
+
+
+def run_gather_sum_apply(
+    vertices: DataFrame,
+    edges: DataFrame,
+    gather_fn,
+    sum_fn,
+    apply_fn,
+    max_iterations: int,
+    direction: str = "out",
+    convergence_fn=None,
+    checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Generic gather-sum-apply iteration — Gelly's second iteration model
+    (gsa/GatherSumApplyIteration.java; GatherFunction/SumFunction/
+    ApplyFunction contracts in the same package).
+
+    Per superstep (exactly the reference's three operators):
+      1. gather — ``gather_fn(neighbors)`` maps the per-edge neighbor view
+         (see ``_neighbor_view``: ``id`` + ``nb_*`` state + edge payload) to
+         partials ``(id, m)`` (GatherUdf, a pure map — no shuffle);
+      2. sum — ``sum_fn(gathered)`` reduces partials per vertex, e.g.
+         ``g.groupBy("id").agg(...)`` (SumUdf; Spark's groupBy gives the
+         map-side combine the reference gets from ``reduce``);
+      3. apply — ``apply_fn(state, summed)`` joins the summed messages back
+         onto the state and emits the new state, SAME schema (ApplyUdf; the
+         reference's DeltaIteration only keeps changed vertices — express
+         that by having ``convergence_fn`` count changes).
+
+    Cost model: one shuffle for the neighbor join + one for the sum — same
+    as ``run_vertex_centric`` when ``message_fn`` joins then aggregates; GSA
+    just names the map/reduce split so combiners apply. ``direction`` follows
+    GSAConfiguration.setDirection (default OUT).
+
+    ``single_source_shortest_paths`` below runs through this API (the
+    reference ships the same algorithm as GSASingleSourceShortestPaths.java)."""
+    state = vertices
+    for i in range(max_iterations):
+        gathered = gather_fn(_neighbor_view(state, edges, direction))
+        summed = sum_fn(gathered)
+        new_state = apply_fn(state, summed)
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            new_state = _checkpoint(new_state, checkpoint_mode)
+        if convergence_fn is not None and convergence_fn(state, new_state):
+            return new_state
+        state = new_state
+    return state
+
+
+def run_scatter_gather(
+    vertices: DataFrame,
+    edges: DataFrame,
+    scatter_fn,
+    gather_fn,
+    max_iterations: int,
+    convergence_fn=None,
+    checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Generic scatter-gather ("spargel") iteration — Gelly's third model
+    (spargel/ScatterGatherIteration.java: ScatterFunction sends messages
+    along edges, spargel GatherFunction folds the message iterator into a
+    new vertex value).
+
+    The dataflow is identical to ``run_vertex_centric`` with the roles
+    named per the spargel contracts: ``scatter_fn(state, edges) -> msgs``
+    (ScatterFunction.sendMessageTo — produce messages keyed by receiver
+    ``id``) and ``gather_fn(state, msgs) -> state'`` (GatherFunction.
+    updateVertex — combine messages and update). Kept as a distinct entry
+    point so each reference iteration API has a same-shaped target."""
+    return run_vertex_centric(
+        vertices,
+        edges,
+        scatter_fn,
+        gather_fn,
+        max_iterations,
+        convergence_fn=convergence_fn,
+        checkpoint_interval=checkpoint_interval,
+        checkpoint_mode=checkpoint_mode,
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -250,33 +360,53 @@ def single_source_shortest_paths(
 ) -> DataFrame:
     """Gelly SingleSourceShortestPaths: Bellman-Ford supersteps over a
     weighted edge list (columns src, dst, weight). Returns (id, distance),
-    unreachable vertices omitted."""
-    dist = vertices.select(F.col("id")).withColumn(
-        "distance", F.when(F.col("id") == source_id, F.lit(0.0))
-    ).filter(F.col("distance").isNotNull())
-    for i in range(max_iterations):
-        relax = (
-            edges.join(dist, edges.src == dist.id)
-            .select(F.col("dst").alias("id"), (F.col("distance") + F.col("weight")).alias("d"))
-            .groupBy("id")
-            .agg(F.min("d").alias("d"))
+    unreachable vertices omitted.
+
+    Expressed through ``run_gather_sum_apply`` — the exact decomposition of
+    GSASingleSourceShortestPaths.java: gather = neighbor distance + edge
+    weight (CalculateDistances:112), sum = min (ChooseMinDistance:120),
+    apply = keep the smaller of old and relaxed (UpdateDistance:128)."""
+    init = (
+        vertices.select(F.col("id"))
+        .withColumn("distance", F.when(F.col("id") == source_id, F.lit(0.0)))
+        .filter(F.col("distance").isNotNull())
+    )
+
+    def gather(nbrs: DataFrame) -> DataFrame:
+        return nbrs.select("id", (F.col("nb_distance") + F.col("weight")).alias("m"))
+
+    def sum_fn(gathered: DataFrame) -> DataFrame:
+        return gathered.groupBy("id").agg(F.min("m").alias("m"))
+
+    def apply_fn(dist: DataFrame, summed: DataFrame) -> DataFrame:
+        return dist.join(summed, "id", "full").select(
+            "id",
+            F.least(
+                F.coalesce("distance", F.lit(float("inf"))),
+                F.coalesce("m", F.lit(float("inf"))),
+            ).alias("distance"),
         )
-        updated = (
-            dist.join(relax, "id", "full")
-            .select("id", F.least(F.coalesce("distance", F.lit(float("inf"))), F.coalesce("d", F.lit(float("inf")))).alias("distance"))
-        )
-        changed = (
-            updated.alias("u")
-            .join(dist.alias("l"), "id", "left")
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return (
+            new.alias("u")
+            .join(old.alias("l"), "id", "left")
             .filter(F.col("l.distance").isNull() | (F.col("u.distance") < F.col("l.distance")))
             .count()
+            == 0
         )
-        dist = updated
-        if i % checkpoint_interval == checkpoint_interval - 1:
-            dist = _checkpoint(dist, checkpoint_mode)
-        if changed == 0:
-            break
-    return dist
+
+    return run_gather_sum_apply(
+        init,
+        edges,
+        gather,
+        sum_fn,
+        apply_fn,
+        max_iterations,
+        convergence_fn=converged,
+        checkpoint_interval=checkpoint_interval,
+        checkpoint_mode=checkpoint_mode,
+    )
 
 
 def hits(

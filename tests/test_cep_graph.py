@@ -582,3 +582,94 @@ def test_checkpoint_mode_unknown_raises(spark):
     with _pytest.raises(ValueError):
         connected_components(verts, edges, max_iterations=2, checkpoint_interval=1,
                              checkpoint_mode="cloud")
+
+
+def test_gsa_custom_max_propagation(spark):
+    """run_gather_sum_apply (gsa/GatherSumApplyIteration.java analog) with a
+    CUSTOM algorithm: max-value propagation over an undirected graph — each
+    superstep a vertex gathers neighbor values, sums with max, applies
+    greatest(old, max). Exercises the 'all' edge direction (GSAConfiguration
+    .setDirection) and the gather/sum/apply operator split."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.graph import run_gather_sum_apply
+
+    # chain 0-1-2 with values 5,1,9 and an isolated vertex 3 (value 7):
+    # the chain converges to 9 everywhere; 3 keeps 7 (no gather rows)
+    verts = spark.createDataFrame(
+        [(0, 5.0), (1, 1.0), (2, 9.0), (3, 7.0)], "id long, value double"
+    )
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+
+    out = run_gather_sum_apply(
+        verts,
+        edges,
+        gather_fn=lambda nbrs: nbrs.select("id", F.col("nb_value").alias("m")),
+        sum_fn=lambda g: g.groupBy("id").agg(F.max("m").alias("m")),
+        apply_fn=lambda state, summed: state.join(summed, "id", "left").select(
+            "id", F.greatest("value", F.coalesce("m", "value")).alias("value")
+        ),
+        max_iterations=4,
+        direction="all",
+        checkpoint_interval=2,
+    )
+    got = {(r["id"], r["value"]) for r in out.collect()}
+    assert got == {(0, 9.0), (1, 9.0), (2, 9.0), (3, 7.0)}
+
+
+def test_gsa_neighbor_view_directions(spark):
+    """_neighbor_view keying follows ProjectKeyWithNeighborOUT/IN
+    (GatherSumApplyIteration.java:415): OUT keys by edge target with the
+    SOURCE's state; IN is the mirror; edge payload columns ride along."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.graph import _neighbor_view
+
+    state = spark.createDataFrame([(0, 10.0), (1, 20.0)], "id long, value double")
+    edges = spark.createDataFrame([(0, 1, 99.0)], "src long, dst long, weight double")
+
+    out_rows = _neighbor_view(state, edges, "out").collect()
+    assert [(r["id"], r["nb_value"], r["weight"]) for r in out_rows] == [(1, 10.0, 99.0)]
+
+    in_rows = _neighbor_view(state, edges, "in").collect()
+    assert [(r["id"], r["nb_value"], r["weight"]) for r in in_rows] == [(0, 20.0, 99.0)]
+
+    all_rows = _neighbor_view(state, edges, "all").collect()
+    assert {(r["id"], r["nb_value"]) for r in all_rows} == {(1, 10.0), (0, 20.0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _neighbor_view(state, edges, "sideways")
+
+
+def test_scatter_gather_min_label(spark):
+    """run_scatter_gather (spargel/ScatterGatherIteration.java analog):
+    ScatterFunction sends the vertex's label along its edges, spargel
+    GatherFunction keeps the min of incoming messages — connected
+    components, the reference's own spargel example."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.graph import run_scatter_gather, undirect
+
+    edges = undirect(spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long"))
+    labels = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], "id long").select(
+        "id", F.col("id").alias("component")
+    )
+
+    def scatter_fn(state, e):
+        return (
+            e.join(state, e.src == state.id)
+            .groupBy(e.dst.alias("id"))
+            .agg(F.min("component").alias("msg"))
+        )
+
+    def gather_fn(state, msgs):
+        return state.join(msgs, "id", "left").select(
+            "id", F.least("component", F.coalesce("msg", "component")).alias("component")
+        )
+
+    out = run_scatter_gather(labels, edges, scatter_fn, gather_fn, 6, checkpoint_interval=2)
+    assert {(r["id"], r["component"]) for r in out.collect()} == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+    }
