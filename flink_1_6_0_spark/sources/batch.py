@@ -72,26 +72,85 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro format (reference: flink-formats/flink-avro). Spark's avro
-    DataSource lives in the external spark-avro module; this image ships only
-    the avro core jars, so the call shape is declared and gated."""
+    """Avro container files (reference: flink-formats/flink-avro
+    AvroInputFormat.java). Prefers Spark's native avro DataSource when its
+    jar is present; otherwise reads via the pure-Python codec in
+    sources/avro_format.py: `binaryFile` distributes one container file per
+    task, `mapInPandas` decodes Arrow-batched — the same file-per-split
+    parallelism as AvroInputFormat (block-splitting within one file is not
+    implemented; write many medium files, the 100 TB norm)."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # pragma: no cover - depends on jar presence
-        raise NotImplementedError(
-            "spark-avro module jar not present in this image; "
-            "add org.apache.spark:spark-avro to spark.jars.packages"
-        ) from exc
+    except Exception:
+        pass  # spark-avro DataSource jar absent — pure-Python path below
+
+    import pandas as pd
+
+    from flink_1_6_0_spark.sources import avro_format as A
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    first = files.select("content").head()
+    if first is None:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    spark_schema = A.avro_to_spark_schema(A.read_schema(bytes(first["content"])))
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                _, recs = A.read_container(bytes(content))
+                rows.extend(recs)
+            yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
+                {n: [] for n in names}
+            )
+
+    return files.select("content").mapInPandas(decode, schema=spark_schema)
 
 
-def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite", codec: str = "deflate") -> None:
+    """Avro container sink (reference: flink-formats/flink-avro
+    AvroOutputFormat.java). Native DataSource when present; otherwise each
+    partition serializes its rows into one container file (deflate blocks,
+    per-file random sync marker) named by TaskContext.partitionId — the
+    file-per-task layout the reference's OutputFormat produces."""
     try:
         df.write.mode(mode).format("avro").save(path)
-    except Exception as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "spark-avro module jar not present in this image; "
-            "add org.apache.spark:spark-avro to spark.jars.packages"
-        ) from exc
+        return
+    except Exception:
+        pass  # spark-avro DataSource jar absent — pure-Python path below
+
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from flink_1_6_0_spark.sources import avro_format as A
+
+    if os.path.exists(path):
+        if mode == "overwrite":
+            shutil.rmtree(path)
+        elif mode == "error":
+            raise FileExistsError(path)
+    os.makedirs(path, exist_ok=True)
+    avro_schema = A.spark_to_avro_schema(df.schema)
+    run_id = uuid.uuid4().hex[:8]
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            recs.extend(pdf.to_dict("records"))
+        if recs:
+            fname = os.path.join(path, f"part-{pid:05d}-{run_id}.avro")
+            with open(fname, "wb") as fh:
+                fh.write(A.write_container(recs, avro_schema, codec))
+            yield pd.DataFrame({"path": [fname], "rows": [len(recs)]})
+
+    df.mapInPandas(encode, "path string, rows long").collect()
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
