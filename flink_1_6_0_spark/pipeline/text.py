@@ -117,3 +117,34 @@ def fingerprint(col: str | Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + token_hash(t) % MOD) % MOD,
     )
+
+
+def bigrams(col: str | Column) -> Column:
+    """Adjacent word bigrams of the tokenized text — the unit of the Gopher
+    repetition signal (Rae et al. 2021, "duplicate n-gram fraction"). Empty
+    array below two tokens (guards Spark's descending `sequence`)."""
+    t = tokenize(_c(col))
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_segments(col: str | Column, width: int = 10) -> Column:
+    """Non-overlapping ``width``-token segments — the "line" unit for
+    cross-document boilerplate dedup on newline-free text (the CCNet /
+    RefinedWeb line-dedup step; trailing partial segment dropped). Pure
+    Column expressions: the explode+groupBy consumer keeps the whole
+    pipeline JVM-side."""
+    t = tokenize(_c(col))
+    nseg = F.floor(F.size(t) / width).cast("int")
+    return F.when(
+        F.size(t) >= width,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * width + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

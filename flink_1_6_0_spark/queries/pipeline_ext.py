@@ -332,3 +332,83 @@ def ml_sos_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
     )
     return sos_outlier(emb, perplexity=10.0).orderBy(F.desc("outlier_prob"), "id").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter + cross-doc segment dedup (round-2 additions).
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents),
+b AS (SELECT doc_id,
+        list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM t WHERE len(toks) >= 2)
+SELECT doc_id,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN (len(bg) - len(list_distinct(bg))) * 5 > len(bg)
+                 THEN 1 ELSE 0 END AS INT) AS is_repetitive
+FROM b ORDER BY doc_id
+"""
+
+
+@query("text_repetition_filter", oracle=_REP_ORACLE, tags=("pipeline", "text"))
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021 §A.1.1: duplicate
+    n-gram fraction): per-doc duplicate-bigram counts and a >20% flag. The
+    threshold compare stays in integers ((n-d)*5 > n) so the oracle hash is
+    float-free. One scan, pure Column expressions — no UDF, no shuffle
+    beyond the final sort."""
+    docs = T(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id", tx.bigrams(F.lower(F.col("text"))).alias("bg")
+    ).filter(F.size("bg") >= 1)
+    n, d = F.size("bg"), F.size(F.array_distinct("bg"))
+    return out.select(
+        "doc_id",
+        n.cast("bigint").alias("n_bigrams"),
+        d.cast("bigint").alias("n_distinct"),
+        ((n - d) * 5 > n).cast("int").alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+_SEG_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents),
+s AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(toks)//10 - 1),
+         i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS seg
+      FROM t WHERE len(toks) >= 10)
+SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM s GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, seg LIMIT 50
+"""
+
+
+@query("text_segment_dedup", oracle=_SEG_ORACLE, tags=("pipeline", "text", "dedup"))
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection — the CCNet/RefinedWeb
+    line-level dedup step, with non-overlapping 10-token segments standing
+    in for lines on this newline-free corpus: segments appearing in ≥2
+    distinct documents, most-shared first.
+
+    Scale: explode → one groupBy on the segment string (map-side partial
+    agg); at 100 TB hash the segment to 64 bits before the shuffle and
+    carry an example string via `first()` — here the raw string keys the
+    oracle comparison. Deterministic total order + LIMIT for the driver
+    contract."""
+    docs = T(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.explode(tx.word_segments(F.lower(F.col("text")), 10)).alias("seg"),
+    )
+    return (
+        segs.groupBy("seg")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "seg")
+        .limit(50)
+    )

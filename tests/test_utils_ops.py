@@ -57,3 +57,25 @@ def test_deterministic_sample_rate_column(spark):
     out = U.deterministic_sample(df, F.col("id"), rate)
     by_grp = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert by_grp[0] > 3 * by_grp[1]  # stratified rates actually differ
+
+
+def test_bigrams_and_word_segments_edges(spark):
+    """Edge guards for the repetition/segment-dedup builders: below-threshold
+    docs yield EMPTY arrays (Spark's sequence() turns descending without the
+    guard and would fabricate elements), trailing partial segments drop."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.pipeline import text as tx
+
+    df = spark.createDataFrame(
+        [("one",), ("a b",), ("a b c d e f g",), ("",)], "text string"
+    )
+    rows = df.select(
+        tx.bigrams("text").alias("bg"),
+        tx.word_segments("text", 3).alias("segs"),
+    ).collect()
+    assert rows[0].bg == [] and rows[0].segs == []          # single token
+    assert rows[1].bg == ["a b"] and rows[1].segs == []     # below width
+    assert rows[2].bg == ["a b", "b c", "c d", "d e", "e f", "f g"]
+    assert rows[2].segs == ["a b c", "d e f"]               # partial "g" dropped
+    assert rows[3].bg == [] and rows[3].segs == []          # empty text
