@@ -200,6 +200,41 @@ def run_scatter_gather(
     )
 
 
+def bipartite_projection(
+    edges: DataFrame,
+    side: str = "top",
+    full: bool = False,
+    top_col: str = "top",
+    bottom_col: str = "bottom",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Bipartite graph projections — bipartite/BipartiteGraph.java:127
+    (projectionTopSimple), :171 (projectionBottomSimple), :215/:281 (full
+    forms). An edge (src, dst) exists in the projection iff both are
+    connected to the same vertex of the OTHER side; like the reference's
+    FlatJoin, each shared neighbor emits one edge per orientation
+    (src != dst guard = BipartiteGraph.java:148).
+
+    Columns out: (src, dst) + ``ev_src``/``ev_dst`` when ``value_col`` is
+    given (the Tuple2<EV,EV> of the simple projection) + ``via`` (the shared
+    other-side vertex) when ``full=True`` (the Projection payload's link
+    vertex).
+
+    Scale: ONE self equi-join shuffled on the shared-side key — no
+    enumeration of the quadratic pair space outside skewed hubs, which AQE
+    skew-join splits; at extreme hub degrees pre-cap the per-hub neighbor
+    list (the standard co-occurrence mitigation)."""
+    key, other = (top_col, bottom_col) if side == "top" else (bottom_col, top_col)
+    if side not in ("top", "bottom"):
+        raise ValueError(f"side must be 'top' or 'bottom', got {side!r}")
+    ev = [F.col(value_col)] if value_col else []
+    a = edges.select(F.col(key).alias("src"), F.col(other).alias("via"), *[e.alias("ev_src") for e in ev])
+    b = edges.select(F.col(key).alias("dst"), F.col(other).alias("via"), *[e.alias("ev_dst") for e in ev])
+    out = a.join(b, "via").filter(F.col("src") != F.col("dst"))
+    cols = ["src", "dst"] + (["ev_src", "ev_dst"] if value_col else []) + (["via"] if full else [])
+    return out.select(*cols)
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

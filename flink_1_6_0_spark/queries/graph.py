@@ -490,3 +490,28 @@ def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return g.community_detection(verts, edges, iterations=3, delta=0.5).orderBy("id")
+
+
+_BIPARTITE_ORACLE = """
+WITH e AS (SELECT DISTINCT l_partkey AS top, l_orderkey AS bottom
+           FROM lineitem WHERE l_orderkey % 50 = 0)
+SELECT a.top AS src, b.top AS dst, a.bottom AS via
+FROM e a JOIN e b ON a.bottom = b.bottom AND a.top <> b.top
+ORDER BY src, dst, via
+"""
+
+
+@query("graph_bipartite_projection", oracle=_BIPARTITE_ORACLE, tags=("graph",))
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly BipartiteGraph.projectionTopFull analog (bipartite/
+    BipartiteGraph.java:215; simple form :127): parts (top) linked when the
+    same order (bottom) contains both — the co-purchase graph. One self
+    equi-join on the order key; edges carry the shared order as ``via``
+    (the full projection's link payload)."""
+    l = T(spark, sf_dir, "lineitem")
+    edges = (
+        l.filter(F.col("l_orderkey") % 50 == 0)
+        .select(F.col("l_partkey").alias("top"), F.col("l_orderkey").alias("bottom"))
+        .distinct()
+    )
+    return g.bipartite_projection(edges, side="top", full=True).orderBy("src", "dst", "via")

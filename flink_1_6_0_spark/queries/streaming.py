@@ -296,3 +296,53 @@ def stream_continuous_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id"], "ts", "value", 86400, 21600, purging=False
     )
     return _materialize(out, "append")
+
+
+@query(
+    "stream_session_append",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id,
+             min(ts)                      AS session_start,
+             max(ts) + INTERVAL 10 MINUTE AS session_end,
+             count(*)                     AS n,
+             round(sum(value), 2)         AS sum_value
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT * FROM sess
+    WHERE session_end <= (SELECT max(ts) FROM events)
+    """,
+    tags=("streaming", "window"),
+)
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGING event-time session windows on a live stream — the semantics
+    Flink implements via the WindowOperator merging path
+    (WindowOperator.java:304, EventTimeSessionWindows + the merging window
+    assigner protocol). Spark's native `session_window` gap-merges in the
+    state store; append mode emits a session only once its end (last event
+    + gap) is at or below the watermark, so the bounded replay withholds
+    the stream-tail sessions — the oracle applies the same fire condition
+    (session_end <= final watermark = max ts at 0s delay)."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    agg = stream.groupBy(F.session_window("ts", "10 minutes"), F.col("user_id")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+        "sum_value",
+    )
+    return _materialize(out, "append")

@@ -673,3 +673,29 @@ def test_scatter_gather_min_label(spark):
     assert {(r["id"], r["component"]) for r in out.collect()} == {
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
     }
+
+
+def test_bipartite_projections(spark):
+    """BipartiteGraph.java:127/171/215: top/bottom, simple/full, edge-value
+    passthrough. Users {u1,u2} both touch item A -> one edge per orientation
+    per shared item; no self-edges."""
+    from flink_1_6_0_spark.operators.graph import bipartite_projection
+
+    e = spark.createDataFrame(
+        [("u1", "A", 5), ("u2", "A", 3), ("u2", "B", 1), ("u3", "B", 2)],
+        "top string, bottom string, w int",
+    )
+    top = {(r.src, r.dst) for r in bipartite_projection(e, "top").collect()}
+    assert top == {("u1", "u2"), ("u2", "u1"), ("u2", "u3"), ("u3", "u2")}
+
+    bottom = {(r.src, r.dst) for r in bipartite_projection(e, "bottom").collect()}
+    assert bottom == {("A", "B"), ("B", "A")}  # via u2
+
+    full = {(r.src, r.dst, r.via, r.ev_src, r.ev_dst)
+            for r in bipartite_projection(e, "top", full=True, value_col="w").collect()}
+    assert ("u1", "u2", "A", 5, 3) in full and ("u2", "u1", "A", 3, 5) in full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bipartite_projection(e, "sideways")
