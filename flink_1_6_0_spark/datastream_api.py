@@ -26,6 +26,63 @@ from flink_1_6_0_spark.operators.windows import session as _session
 from flink_1_6_0_spark.operators.windows import tumble as _tumble
 
 
+class _BatchGroupState:
+    """GroupState stand-in for BOUNDED inputs: in batch every row of the key
+    is in the single grouped pass, so per-group transient state reproduces
+    the keyed-state semantics exactly (Flink's unified bounded/unbounded
+    contract). Supports the subset of pyspark GroupState the process
+    functions use."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state not set")
+        return self._v
+
+    @property
+    def getOption(self):
+        return self._v
+
+    @property
+    def hasTimedOut(self):
+        return False
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+
+def _process_with_state(df: DataFrame, keys: list[str], fn, out_schema: str,
+                        state_schema: str, mode: str, timeout: str) -> DataFrame:
+    """KeyedProcessFunction dispatch: applyInPandasWithState on streams;
+    on bounded frames, the same ``fn(key, pdf_iter, state)`` runs under
+    applyInPandas with a per-group _BatchGroupState."""
+    if df.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        to = getattr(GroupStateTimeout, timeout)
+        return df.groupBy(*keys).applyInPandasWithState(fn, out_schema, state_schema, mode, to)
+
+    import pandas as pd
+
+    def run(key, pdf):
+        frames = [f for f in fn(key, iter([pdf]), _BatchGroupState()) if len(f)]
+        return pd.concat(frames) if frames else pd.DataFrame(
+            columns=[c.strip().split()[0] for c in out_schema.split(",")]
+        )
+
+    return df.groupBy(*keys).applyInPandas(run, out_schema)
+
+
 class DataStream:
     """DataStream.java surface over a (batch or streaming) DataFrame."""
 
@@ -73,6 +130,19 @@ class DataStream:
         return DataStream(self.df.withWatermark(ts_col, delay) if self.df.isStreaming else self.df)
 
     # -- keying (DataStream.java:288) ---------------------------------------
+    def connect(self, other: "DataStream") -> "ConnectedStreams":
+        """connect(other) (DataStream.java:273) → ConnectedStreams: two
+        differently-typed streams sharing one downstream operator."""
+        return ConnectedStreams(self.df, other.df)
+
+    def split(self, **selectors: Column) -> "SplitStream":
+        """split(OutputSelector) (DataStream.java:238): route each element to
+        named outputs by predicate; retrieve with .select(name). Spark form:
+        each select() is a filter over the SAME source frame — Catalyst
+        collapses the common scan, so this costs one pass like the
+        reference's single OutputSelector evaluation."""
+        return SplitStream(self.df, selectors)
+
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
@@ -168,12 +238,10 @@ class KeyedStream:
     def process(self, fn, out_schema: str, state_schema: str, mode: str = "append", timeout: str = "NoTimeout") -> DataStream:
         """KeyedProcessFunction (ProcessFunction.java:51,70,85 — processElement
         + onTimer + keyed state) → applyInPandasWithState; timers are state
-        timeouts."""
-        from pyspark.sql.streaming.state import GroupStateTimeout
-
-        to = getattr(GroupStateTimeout, timeout)
+        timeouts. On bounded inputs the same fn runs with per-group batch
+        state (the unified-API contract)."""
         return DataStream(
-            self.df.groupBy(*self.keys).applyInPandasWithState(fn, out_schema, state_schema, mode, to)
+            _process_with_state(self.df, self.keys, fn, out_schema, state_schema, mode, timeout)
         )
 
     def window(self, window_col: Column) -> "WindowedDataStream":
@@ -248,4 +316,87 @@ class WindowedDataStream:
         one pandas frame per (key, window)."""
         return DataStream(
             self.df.groupBy(self.window_col.alias("window"), *self.keys).applyInPandas(fn, schema=schema)
+        )
+
+
+class SplitStream:
+    """SplitStream.java surface: named filtered views of one stream."""
+
+    def __init__(self, df: DataFrame, selectors: dict[str, Column]):
+        self.df = df
+        self.selectors = selectors
+
+    def select(self, *names: str) -> DataStream:
+        """SplitStream.select — union of the named outputs (an element can
+        reach several outputs, as with OutputSelector's Iterable)."""
+        preds = [self.selectors[n] for n in names]
+        out = self.df.filter(preds[0])
+        for p in preds[1:]:
+            out = out.unionByName(self.df.filter(p))
+        return DataStream(out)
+
+
+class ConnectedStreams:
+    """ConnectedStreams.java:58 — two input streams, one operator. The Spark
+    form is a TAGGED UNION: each side is mapped to the shared output (or
+    state-input) schema, a literal ``side`` column distinguishes the inputs,
+    and downstream operators see one frame — same dataflow, no special
+    two-input operator needed."""
+
+    def __init__(self, df1: DataFrame, df2: DataFrame):
+        self.df1 = df1
+        self.df2 = df2
+
+    def map_expr(self, cols1: list[Column], cols2: list[Column]) -> DataStream:
+        """CoMapFunction via Column expressions (ConnectedStreams.java:226
+        map(CoMapFunction) — map1 on the first input, map2 on the second;
+        both must produce the same schema). Stays in whole-stage codegen."""
+        return DataStream(self.df1.select(*cols1).unionByName(self.df2.select(*cols2)))
+
+    def map(self, fn1, fn2, schema: str) -> DataStream:
+        """CoMapFunction via opaque pandas functions — Arrow-batched per
+        side, then unioned (each fn: iterator-of-frames form as mapInPandas)."""
+        return DataStream(
+            self.df1.mapInPandas(fn1, schema).unionByName(self.df2.mapInPandas(fn2, schema))
+        )
+
+    flat_map = map  # CoFlatMapFunction (:257) — pandas fns may emit 0..n rows
+
+    def key_by(self, keys1: list[str], keys2: list[str]) -> "ConnectedKeyedStreams":
+        """keyBy(keySelector1, keySelector2) (ConnectedStreams.java:93)."""
+        return ConnectedKeyedStreams(self.df1, self.df2, keys1, keys2)
+
+
+class ConnectedKeyedStreams:
+    """Keyed two-input process — CoProcessFunction (ConnectedStreams.java:292
+    process(CoProcessFunction)) with SHARED keyed state across both inputs
+    (the reference's TwoInputStreamOperator state unification)."""
+
+    def __init__(self, df1: DataFrame, df2: DataFrame, keys1: list[str], keys2: list[str]):
+        self.df1 = df1
+        self.df2 = df2
+        self.keys1 = keys1
+        self.keys2 = keys2
+
+    def process(
+        self,
+        fn,
+        out_schema: str,
+        state_schema: str,
+        mode: str = "append",
+        timeout: str = "NoTimeout",
+    ) -> DataStream:
+        """``fn(key, pdf_iter, state)`` sees the tagged union: rows carry
+        ``side`` (1|2) plus the union of both inputs' columns (absent side's
+        columns null), keyed by the aligned key columns (side-2 keys renamed
+        to side-1 names). One shuffle on the shared key — identical to the
+        reference's keyed two-input exchange."""
+        a = self.df1.select(F.lit(1).alias("side"), "*")
+        b = self.df2.select(F.lit(2).alias("side"), "*")
+        for k1, k2 in zip(self.keys1, self.keys2):
+            if k1 != k2:
+                b = b.withColumnRenamed(k2, k1)
+        tagged = a.unionByName(b, allowMissingColumns=True)
+        return DataStream(
+            _process_with_state(tagged, self.keys1, fn, out_schema, state_schema, mode, timeout)
         )

@@ -160,3 +160,74 @@ def test_physical_partitioning_ops(spark, sf_dir):
         .toString()
     )
     assert "Broadcast" in plan
+
+
+def test_split_select(spark, sf_dir):
+    """DataStream.split/select (DataStream.java:238, SplitStream): named
+    predicate outputs; selecting two names unions them (an element may reach
+    several outputs)."""
+    ds = _events(spark, sf_dir)
+    split = ds.split(
+        clicks=F.col("event_type") == "click",
+        purchases=F.col("event_type") == "purchase",
+        cheap=F.col("value") < 1.0,
+    )
+    n_clicks = split.select("clicks").df.count()
+    n_buys = split.select("purchases").df.count()
+    both = split.select("clicks", "purchases").df.count()
+    assert both == n_clicks + n_buys
+    base = ds.df
+    assert n_clicks == base.filter(F.col("event_type") == "click").count()
+
+
+def test_connected_streams_co_map(spark, sf_dir):
+    """ConnectedStreams.map(CoMapFunction) (ConnectedStreams.java:226): two
+    differently-shaped inputs mapped per-side to one output schema."""
+    clicks = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    nations = DataStream(T(spark, sf_dir, "nation"))
+    out = clicks.connect(nations).map_expr(
+        [F.col("event_id").cast("string").alias("label"), F.lit("event").alias("kind")],
+        [F.col("n_name").alias("label"), F.lit("nation").alias("kind")],
+    )
+    counts = {r["kind"]: r["count"] for r in out.df.groupBy("kind").count().collect()}
+    assert counts["nation"] == 25
+    assert counts["event"] == clicks.df.count()
+
+
+def test_connected_keyed_co_process_shared_state(spark, sf_dir, tmp_path):
+    """CoProcessFunction with SHARED keyed state (ConnectedStreams.java:292):
+    a control side sets a per-key threshold in state; the data side emits
+    rows only once its key's control row has been seen. Batch-mode
+    applyInPandasWithState over the tagged union."""
+    from flink_1_6_0_spark.datastream_api import DataStream as DS
+
+    control = DS(
+        spark.createDataFrame([("u1", 5.0)], "user string, threshold double")
+    )
+    data = DS(
+        spark.createDataFrame(
+            [("u1", 3.0), ("u1", 9.0), ("u2", 100.0)], "user string, v double"
+        )
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd_
+
+        thr = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("side").iterrows():
+                if r["side"] == 1:
+                    thr = r["threshold"]
+                    state.update((float(thr),))
+                elif thr is not None and r["v"] > thr:
+                    rows.append((key[0], float(r["v"])))
+        yield pd_.DataFrame(rows, columns=["user", "v"])
+
+    out = (
+        control.connect(data)
+        .key_by(["user"], ["user"])
+        .process(fn, "user string, v double", "thr double")
+        .df.collect()
+    )
+    assert {(r.user, r.v) for r in out} == {("u1", 9.0)}
