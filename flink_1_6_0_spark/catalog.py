@@ -39,15 +39,29 @@ BROADCAST_DIMS = ("region", "nation")
 
 def normalize_table(name: str, df: DataFrame) -> DataFrame:
     """Normalize driver-generated quirks: events.ts is TIMESTAMP(NANOS)
-    parquet, read as long nanoseconds (spark.sql.legacy.parquet.nanosAsLong)
-    and converted here to a microsecond timestamp — the same truncation
-    DuckDB applies when it reads ns into its µs TIMESTAMP."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    parquet. Depending on the Spark version it arrives as either
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer `div`, not `/`: double division loses µs precision at ~1.7e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    - long nanoseconds (Spark <=3.x honoring
+      ``spark.sql.legacy.parquet.nanosAsLong``) — convert via integer
+      div 1000 to a microsecond timestamp, the same truncation DuckDB
+      applies when it reads ns into its µs TIMESTAMP; or
+    - TIMESTAMP_NTZ (Spark 4.x, where ``nanosAsLong`` is a no-op) —
+      cast to TIMESTAMP, which is value-preserving under the UTC session
+      timezone and restores event-time/watermark eligibility
+      (``withWatermark`` rejects NTZ).
+
+    Dtype-dispatching on what actually arrived makes the pipeline
+    engine-version-proof rather than config-dependent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer `div`, not `/`: double division loses µs precision at ~1.7e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

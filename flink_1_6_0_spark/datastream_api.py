@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from flink_1_6_0_spark.operators.joins import interval_join as _interval_join
+from flink_1_6_0_spark.operators.joins import windowed_co_group as _windowed_co_group
 from flink_1_6_0_spark.operators.joins import windowed_join as _windowed_join
 from flink_1_6_0_spark.operators.windows import hop as _hop
 from flink_1_6_0_spark.operators.windows import session as _session
@@ -83,6 +84,27 @@ def _process_with_state(df: DataFrame, keys: list[str], fn, out_schema: str,
     return df.groupBy(*keys).applyInPandas(run, out_schema)
 
 
+def _fold_groups(df: DataFrame, group_cols: list[str], initial: dict, fold_fn,
+                 schema: str, order_by: list[str]) -> DataFrame:
+    """fold(initialValue, FoldFunction) kernel (WindowedStream.java:422,470;
+    KeyedStream fold): accumulate-with-seed over each group's rows, visited in
+    ``order_by`` order (fold is order-sensitive — the reference folds in
+    arrival order; a bounded frame has no arrival order, so the caller names
+    one). ``fold_fn(acc, row) -> acc`` with ``acc`` a dict seeded from
+    ``initial``; the output row is the group columns plus the final
+    accumulator, so ``schema`` must list both."""
+    import pandas as pd
+
+    def run(pdf):
+        acc = dict(initial)
+        for row in pdf.sort_values(order_by).itertuples(index=False):
+            acc = fold_fn(acc, row)
+        head = {c: pdf.iloc[0][c] for c in group_cols}
+        return pd.DataFrame([{**head, **acc}])
+
+    return df.groupBy(*group_cols).applyInPandas(run, schema)
+
+
 class DataStream:
     """DataStream.java surface over a (batch or streaming) DataFrame."""
 
@@ -142,6 +164,29 @@ class DataStream:
         collapses the common scan, so this costs one pass like the
         reference's single OutputSelector evaluation."""
         return SplitStream(self.df, selectors)
+
+    # -- non-keyed (All) windows (DataStream.java:748,769,785) --------------
+    def window_all(self, window_col: Column) -> "WindowedDataStream":
+        """windowAll(assigner) (DataStream.java:748, AllWindowedStream.java) —
+        a window over the WHOLE stream, no keys. The reference javadoc warns
+        this is inherently non-parallel (all elements on one task); here the
+        groupBy has only the window column, so each window is still one
+        reducer — same contract, but distinct windows spread across the
+        cluster, which is strictly better than the reference's parallelism-1
+        operator."""
+        return WindowedDataStream(self.df, [], window_col)
+
+    def time_window_all(self, ts: str, size: str, slide: str | None = None) -> "WindowedDataStream":
+        """timeWindowAll (DataStream.java:769) — tumbling, or sliding when
+        ``slide`` is given (the reference's two overloads)."""
+        return self.window_all(_tumble(ts, size) if slide is None else _hop(ts, slide, size))
+
+    def count_window_all(self, order_by: list[str], size: int) -> "CountWindowedDataStream":
+        """countWindowAll (DataStream.java:785) — buckets of ``size`` rows over
+        the whole stream. The row numbering runs in one partition (exactly the
+        reference's non-parallel AllWindowedStream); per-bucket aggregation
+        after it is distributed."""
+        return CountWindowedDataStream(self.df, [], order_by, size)
 
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
@@ -257,6 +302,25 @@ class KeyedStream:
     def session_window(self, ts: str, gap: str) -> "WindowedDataStream":
         return self.window(_session(ts, gap))
 
+    def count_window(self, order_by: list[str], size: int) -> "CountWindowedDataStream":
+        """countWindow(size) (KeyedStream.countWindow) — per-key buckets of
+        ``size`` rows in ``order_by`` order."""
+        return CountWindowedDataStream(self.df, self.keys, order_by, size)
+
+    def fold(self, initial: dict, fold_fn, schema: str, order_by: list[str]) -> DataStream:
+        """KeyedStream fold (deprecated-in-1.6 but present): rolling
+        accumulate-with-seed per key. On a bounded frame the rolling fold's
+        last emission per key is the full fold — that final accumulator is
+        what this returns (one row per key; ``schema`` = keys + acc fields).
+        Order-sensitive: rows visit ``fold_fn`` in ``order_by`` order."""
+        return DataStream(_fold_groups(self.df, self.keys, initial, fold_fn, schema, order_by))
+
+    def co_group(self, other: "KeyedStream") -> "CoGroupedStreams":
+        """coGroup(other).where().equalTo() (DataStream.java:730,
+        CoGroupedStreams.java:126) — the where/equalTo keys are the two
+        KeyedStreams' keys; chain ``.window(...).apply(...)``."""
+        return CoGroupedStreams(self, other)
+
     def _paired_keys(self, other: "KeyedStream") -> list[tuple[str, str]]:
         if len(self.keys) != len(other.keys):
             raise ValueError(
@@ -316,6 +380,75 @@ class WindowedDataStream:
         one pandas frame per (key, window)."""
         return DataStream(
             self.df.groupBy(self.window_col.alias("window"), *self.keys).applyInPandas(fn, schema=schema)
+        )
+
+    def fold(self, initial: dict, fold_fn, schema: str, order_by: list[str]) -> DataStream:
+        """WindowedStream.fold (WindowedStream.java:422,470) —
+        accumulate-with-seed per (key, window), emitted at window end. One
+        output row per window: window_start, window_end, keys, then the final
+        accumulator fields (``schema`` must list all of them)."""
+        win = self.df.withColumn("__window", self.window_col).select(
+            F.col("__window.start").alias("window_start"),
+            F.col("__window.end").alias("window_end"),
+            *[c for c in self.df.columns],
+        )
+        group_cols = ["window_start", "window_end", *self.keys]
+        return DataStream(_fold_groups(win, group_cols, initial, fold_fn, schema, order_by))
+
+
+class CountWindowedDataStream:
+    """countWindow / countWindowAll result: rows bucketed into windows of
+    ``size`` rows per key (KeyedStream.countWindow; DataStream.java:785).
+    The bucket index rides as ``count_window``; aggregation over
+    (keys, count_window) is an ordinary distributed hash agg."""
+
+    def __init__(self, df: DataFrame, keys: list[str], order_by: list[str], size: int):
+        from flink_1_6_0_spark.operators.windows import count_window as _count_window
+
+        self.df = _count_window(df, keys, order_by, size)
+        self.keys = keys
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        return DataStream(self.df.groupBy(*self.keys, "count_window").agg(*aggs))
+
+    reduce = aggregate
+
+    def sum(self, col: str) -> DataStream:
+        return self.aggregate(F.sum(col).alias(f"sum_{col}"))
+
+    def apply(self, fn, schema: str) -> DataStream:
+        return DataStream(self.df.groupBy(*self.keys, "count_window").applyInPandas(fn, schema=schema))
+
+
+class CoGroupedStreams:
+    """coGroup().where().equalTo().window().apply() builder
+    (CoGroupedStreams.java:126): per-window full-outer grouped dual-input
+    apply — unlike the windowed JOIN, the function fires for every
+    (key, window) present on EITHER side, with the absent side empty."""
+
+    def __init__(self, left: "KeyedStream", right: "KeyedStream"):
+        self.left = left
+        self.right = right
+        self._window: str | None = None
+        self._left_ts = self._right_ts = None
+
+    def window(self, left_ts: str, right_ts: str, window: str) -> "CoGroupedStreams":
+        """Tumbling-window assigner over both inputs (the reference's
+        window(TumblingEventTimeWindows.of(...)))."""
+        self._left_ts, self._right_ts, self._window = left_ts, right_ts, window
+        return self
+
+    def apply(self, fn, schema: str) -> DataStream:
+        """``fn(key, left_pdf, right_pdf) -> pdf`` — CoGroupFunction's
+        (Iterable, Iterable, Collector) as Arrow-batched pandas cogroup."""
+        if self._window is None:
+            raise ValueError("call .window(left_ts, right_ts, size) before .apply()")
+        keys = self.left._paired_keys(self.right)
+        return DataStream(
+            _windowed_co_group(
+                self.left.df, self.right.df, keys,
+                self._left_ts, self._right_ts, self._window, fn, schema,
+            )
         )
 
 

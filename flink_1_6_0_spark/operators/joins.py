@@ -73,6 +73,36 @@ def co_group(
     )
 
 
+def windowed_co_group(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    window: str,
+    fn,
+    schema,
+) -> DataFrame:
+    """Streaming windowed coGroup: coGroup().where().equalTo().window().apply()
+    (CoGroupedStreams.java:126, DataStream.java:730).
+
+    Unlike the windowed JOIN (inner, pairwise), coGroup hands the function
+    BOTH groups for every (key, window) that appears on EITHER side — a
+    per-window full-outer grouped apply. pandas cogroup gives exactly that
+    contract: ``fn(key, left_pdf, right_pdf)`` with an empty frame for the
+    absent side, mirroring CoGroupFunction(Iterable, Iterable, Collector).
+
+    Scale: both sides shuffle once on (window_start, keys) — the same
+    exchange the reference's two-input window operator performs; Arrow moves
+    each co-group as a batch, never row-at-a-time.
+    """
+    lw = left.withColumn("__w", F.window(F.col(left_ts), window)["start"])
+    rw = right.withColumn("__w", F.window(F.col(right_ts), window)["start"])
+    lkeys = ["__w"] + [lk for lk, _ in keys]
+    rkeys = ["__w"] + [rk for _, rk in keys]
+    return lw.groupBy(*lkeys).cogroup(rw.groupBy(*rkeys)).applyInPandas(fn, schema=schema)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -218,7 +218,7 @@ def over_range_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rangeBetween needs a numeric key; epoch(ts) truncates to seconds on both
     engines)."""
     e = T(spark, sf_dir, "events").withColumn(
-        "__epoch", F.col("ts").cast("long")
+        "__epoch", F.unix_seconds(F.col("ts"))
     )
     w = over_ops.range_bounded_seconds(["user_id"], "__epoch", 3600)
     return e.select(

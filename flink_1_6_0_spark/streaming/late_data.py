@@ -7,11 +7,17 @@ window aggregate.
 
 Spark has no built-in late-data side output (the watermark silently drops
 late rows). The capture pattern: fork the stream BEFORE the watermark is
-applied — the main branch aggregates with the watermark; the late branch
-compares each row's event time against a (conservative, processing-side)
-high-water mark and files laggards. The cleanest exact form runs in
-foreachBatch where the batch's own max(ts) approximates the watermark;
-both are provided.
+applied; per micro-batch, rows behind the ENGINE watermark (from
+``query.lastProgress.eventTime.watermark`` — max event time over prior
+batches minus the delay, the same min-of-sources watermark the main
+aggregate uses) are routed to the late branch. No extra driver job per
+batch: the watermark is read off the progress report, not recomputed.
+
+lastProgress at batch N describes batch N-1, so the bound is the watermark
+as of the END of the previous batch — exactly when Spark (and Flink's
+window operator at watermark advance) would start dropping those rows.
+Before any progress exists, the watermark is Flink's Long.MIN_VALUE
+equivalent: nothing is late.
 """
 
 from __future__ import annotations
@@ -21,29 +27,60 @@ from pyspark.sql import DataFrame
 
 
 def split_late(df: DataFrame, ts_col: str, delay: str, high_watermark_ts) -> tuple[DataFrame, DataFrame]:
-    """Batch/foreachBatch form: given the current high watermark (max event
-    time seen so far minus nothing), split rows into (on_time, late) where
-    late means ts < high_watermark - delay — exactly the rows Flink's window
-    operator would route to the late-data tag."""
+    """Batch form: given a high-water mark (max event time seen), split rows
+    into (on_time, late) where late means ts < high_watermark - delay —
+    exactly the rows Flink's window operator would route to the late tag."""
     bound = F.lit(high_watermark_ts).cast("timestamp") - F.expr(f"INTERVAL {delay}")
     on_time = df.filter(F.col(ts_col) >= bound)
     late = df.filter(F.col(ts_col) < bound)
     return on_time, late
 
 
-def foreach_batch_late_capture(stream: DataFrame, ts_col: str, delay: str, on_time_fn, late_fn):
-    """Streaming form: per micro-batch, rows behind (batch-max(ts) - delay)
-    are routed to ``late_fn``, the rest to ``on_time_fn`` — the
-    sideOutputLateData(tag) shape with the batch max as the watermark proxy
-    (conservative within a batch; across batches the true watermark is
-    min-of-sources, which Spark manages for the main aggregate itself)."""
+def foreach_batch_late_capture(
+    stream: DataFrame,
+    ts_col: str,
+    delay: str,
+    on_time_fn,
+    late_fn,
+    checkpoint: str | None = None,
+):
+    """Streaming sideOutputLateData(tag): starts (and returns) a foreachBatch
+    query that routes each micro-batch's rows behind the engine watermark to
+    ``late_fn`` and the rest to ``on_time_fn``.
+
+    The watermark comes from the query's own progress report — the true
+    engine watermark, not a batch-local max — so a micro-batch consisting
+    ENTIRELY of stragglers is still classified late (the batch-max proxy
+    would wave it through). First batch: no watermark yet → all on time,
+    matching Flink's initial Long.MIN_VALUE watermark.
+    """
+    holder: dict = {"max_seen": None}
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        hwm = batch.agg(F.max(ts_col)).collect()[0][0]
-        if hwm is None:
-            return
-        on_time, late = split_late(batch, ts_col, delay, hwm)
+        # lastProgress (posted at the END of the previous batch) carries that
+        # batch's max event time; the running max over all prior batches is
+        # the engine's watermark input, and max_seen - delay its watermark at
+        # the START of this batch. The `watermark` progress field itself lags
+        # one further batch (it reports the value USED, not the one advanced
+        # to), so the running max is the faithful read.
+        q = holder.get("q")
+        if q is not None and q.lastProgress:
+            seen = (q.lastProgress.get("eventTime") or {}).get("max")
+            if seen and (holder["max_seen"] is None or seen > holder["max_seen"]):
+                holder["max_seen"] = seen  # ISO-8601 UTC strings sort correctly
+        if holder["max_seen"]:
+            bound = F.lit(holder["max_seen"]).cast("timestamp") - F.expr(f"INTERVAL {delay}")
+            on_time = batch.filter(F.col(ts_col) >= bound)
+            late = batch.filter(F.col(ts_col) < bound)
+        else:
+            on_time, late = batch, batch.limit(0)
         on_time_fn(on_time, epoch_id)
         late_fn(late, epoch_id)
 
-    return stream.writeStream.outputMode("append").foreachBatch(handle)
+    # the watermark column must be declared for the engine to track/report it
+    writer = stream.withWatermark(ts_col, delay).writeStream.outputMode("update").foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    holder["q"] = q
+    return q

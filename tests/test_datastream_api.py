@@ -231,3 +231,127 @@ def test_connected_keyed_co_process_shared_state(spark, sf_dir, tmp_path):
         .df.collect()
     )
     assert {(r.user, r.v) for r in out} == {("u1", 9.0)}
+
+
+def test_window_all_tumbling(spark, sf_dir):
+    """windowAll/timeWindowAll (DataStream.java:748,769): whole-stream window,
+    no keys — counts per window must equal the keyed-less groupBy."""
+    out = _events(spark, sf_dir).time_window_all("ts", "6 hours").aggregate(
+        F.count("*").alias("n")
+    )
+    got = {(r["window_start"], r["window_end"]): r["n"] for r in out.df.collect()}
+    want = {
+        (r["w"]["start"], r["w"]["end"]): r["n"]
+        for r in T(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_window_all_sliding(spark, sf_dir):
+    out = _events(spark, sf_dir).time_window_all("ts", "12 hours", slide="6 hours")
+    total = T(spark, sf_dir, "events").count()
+    n = out.aggregate(F.count("*").alias("n")).df.agg(F.sum("n")).first()[0]
+    assert n == 2 * total  # every row lands in exactly size/slide windows
+
+
+def test_count_window_all(spark, sf_dir):
+    """countWindowAll (DataStream.java:785): buckets of 64 rows; every bucket
+    except the last is full, indices are dense from 0."""
+    size = 64
+    out = _events(spark, sf_dir).count_window_all(["event_id"], size).aggregate(
+        F.count("*").alias("n")
+    )
+    rows = sorted((r["count_window"], r["n"]) for r in out.df.collect())
+    total = T(spark, sf_dir, "events").count()
+    assert [w for w, _ in rows] == list(range(len(rows)))
+    assert all(n == size for _, n in rows[:-1])
+    assert sum(n for _, n in rows) == total
+
+
+def test_keyed_count_window(spark, sf_dir):
+    size = 16
+    out = _events(spark, sf_dir).key_by("event_type").count_window(["event_id"], size).sum("value")
+    per_key = {r["event_type"]: r["n"] for r in
+               T(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = out.df.groupBy("event_type").agg(F.count("*").alias("buckets")).collect()
+    for r in got:
+        n = per_key[r["event_type"]]
+        assert r["buckets"] == -(-n // size)  # ceil(n/size) buckets per key
+
+
+def test_keyed_fold(spark, sf_dir):
+    """fold = accumulate-with-seed, order-sensitive: a string concat in
+    event_id order distinguishes fold from any commutative agg."""
+    def fold_fn(acc, row):
+        acc["ids"] = acc["ids"] + "," + str(row.event_id)
+        acc["n"] = acc["n"] + 1
+        return acc
+
+    out = _events(spark, sf_dir).key_by("event_type").fold(
+        {"ids": "seed", "n": 0}, fold_fn,
+        "event_type string, ids string, n long", order_by=["event_id"],
+    )
+    got = {r["event_type"]: (r["ids"], r["n"]) for r in out.df.collect()}
+    pdf = T(spark, sf_dir, "events").select("event_type", "event_id").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        ids = "seed," + ",".join(str(i) for i in sorted(grp["event_id"]))
+        assert got[etype] == (ids, len(grp))
+
+
+def test_windowed_fold(spark, sf_dir):
+    """WindowedStream.fold (WindowedStream.java:422): seeded accumulator per
+    (key, window); cross-check totals against the plain windowed agg."""
+    def fold_fn(acc, row):
+        acc["total"] = acc["total"] + row.value
+        return acc
+
+    out = (
+        _events(spark, sf_dir)
+        .key_by("event_type")
+        .tumbling_window("ts", "1 day")
+        .fold({"total": 100.0}, fold_fn,
+              "window_start timestamp, window_end timestamp, event_type string, total double",
+              order_by=["event_id"])
+    )
+    got = {(r["window_start"], r["event_type"]): round(r["total"], 4) for r in out.df.collect()}
+    want = {
+        (r["w"]["start"], r["event_type"]): round(100.0 + r["s"], 4)
+        for r in T(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_windowed_co_group(spark, sf_dir):
+    """Streaming windowed coGroup (CoGroupedStreams.java:126): fires for every
+    (key, window) on EITHER side — asymmetric groups must surface with the
+    absent side empty, unlike the inner windowed join."""
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events")
+    left = DataStream(ev.filter(F.col("event_type") == "click")).key_by("user_id")
+    right = DataStream(ev.filter(F.col("event_type") == "purchase")).key_by("user_id")
+
+    def fn(key, lpdf, rpdf):
+        return pd.DataFrame([{
+            "user_id": key[1], "w": key[0],
+            "n_click": len(lpdf), "n_purchase": len(rpdf),
+        }])
+
+    out = left.co_group(right).window("ts", "ts", "1 day").apply(
+        fn, "user_id long, w timestamp, n_click long, n_purchase long"
+    )
+    rows = out.df.collect()
+    assert sum(r["n_click"] for r in rows) == ev.filter("event_type = 'click'").count()
+    assert sum(r["n_purchase"] for r in rows) == ev.filter("event_type = 'purchase'").count()
+    # full-outer contract: one-sided (key, window) groups appear
+    assert any(r["n_click"] == 0 for r in rows)
+    assert any(r["n_purchase"] == 0 for r in rows)
+    # and the pairing is genuine: no (key, window) appears twice
+    seen = [(r["user_id"], r["w"]) for r in rows]
+    assert len(seen) == len(set(seen))

@@ -380,3 +380,22 @@ def test_socket_text_stream_live(spark):
         q.stop()
         server.close()
     assert got == {"alpha", "beta", "gamma"}
+
+
+def test_events_ts_normalizes_to_timestamp(spark, sf_dir):
+    """Pinned contract: events.ts (TIMESTAMP-NANOS parquet) must normalize to
+    plain TIMESTAMP regardless of engine version. Spark <=3.x reads it as long
+    ns under nanosAsLong; Spark 4.x ignores that conf and yields TIMESTAMP_NTZ
+    (withWatermark rejects NTZ). Both arrival dtypes must dispatch to TIMESTAMP
+    — this is the second environment-drift bite on this column, hence the pin."""
+    from pyspark.sql.types import TimestampType
+
+    from flink_1_6_0_spark.catalog import load_tables
+    from flink_1_6_0_spark.sources.stream import events_stream
+
+    batch_ts = load_tables(spark, sf_dir)["events"].schema["ts"].dataType
+    assert isinstance(batch_ts, TimestampType), f"batch events.ts is {batch_ts}"
+    stream_ts = events_stream(spark, sf_dir).schema["ts"].dataType
+    assert isinstance(stream_ts, TimestampType), f"stream events.ts is {stream_ts}"
+    # and watermark assignment — the operation that broke — must be legal
+    events_stream(spark, sf_dir).withWatermark("ts", "1 minute")

@@ -608,3 +608,61 @@ def test_parquet_sink_checkpoint_recovery_no_duplicates(spark, tmp_path):
     assert final.count() == 30  # no re-delivery of the first 20
     assert sorted(r["v"] for r in final.collect()) == list(range(30))
     assert all(r["doubled"] == 2 * r["v"] for r in final.collect())
+
+
+def test_late_data_capture_engine_watermark(spark, tmp_path):
+    """sideOutputLateData (WindowedStream.java:178) on the ENGINE watermark:
+    a micro-batch consisting entirely of stragglers must be classified late —
+    the old batch-local max(ts) proxy would wave such rows through, since the
+    batch's own max is itself behind the watermark."""
+    import datetime as dt
+    import time
+
+    from flink_1_6_0_spark.streaming.late_data import foreach_batch_late_capture
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "ts timestamp, v long"
+    spark.createDataFrame([(t(10, 0), 1), (t(10, 30), 2)], schema).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+
+    on_time_rows, late_rows = [], []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = foreach_batch_late_capture(
+        stream, "ts", "10 minutes",
+        lambda b, e: on_time_rows.extend((r["ts"], r["v"]) for r in b.collect()),
+        lambda b, e: late_rows.extend((r["ts"], r["v"]) for r in b.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: no watermark yet -> everything on time (Flink MIN_VALUE watermark)
+        assert sorted(v for _, v in on_time_rows) == [1, 2] and late_rows == []
+        # watermark after batch 1 = 10:30 - 10min = 10:20; feed one late (10:05)
+        # and one on-time (10:25) row. Batch-max proxy bound would be
+        # 10:25-10:10=10:15, also flagging 10:05 — so add a third batch that is
+        # ONLY stragglers, where the proxy bound (10:10-10:10=10:00) would pass
+        # both rows and the engine watermark rejects both.
+        spark.createDataFrame([(t(10, 5), 3), (t(10, 25), 4)], schema).coalesce(1).write.parquet(
+            str(src / "b.parquet")
+        )
+        time.sleep(1.1)  # distinct mtime so file-source ordering is stable
+        q.processAllAvailable()
+        assert sorted(v for _, v in on_time_rows) == [1, 2, 4]
+        assert [v for _, v in late_rows] == [3]
+        spark.createDataFrame([(t(10, 5), 5), (t(10, 10), 6)], schema).coalesce(1).write.parquet(
+            str(src / "c.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(v for _, v in late_rows) == [3, 5, 6]
+    assert sorted(v for _, v in on_time_rows) == [1, 2, 4]
