@@ -184,6 +184,9 @@ class Table:
         return self.df
 
     def collect(self):
+        """Eager materialization to the driver (DataSet.collect mirror).
+        DEBUG-ONLY at scale: pulls every row into driver memory — never in a
+        pipeline hot path; write to a sink or keep composing DataFrames."""
         return self.df.collect()
 
     def count(self) -> int:
