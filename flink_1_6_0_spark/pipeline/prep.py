@@ -1,0 +1,118 @@
+"""Training-data preparation operators, round 3: PII redaction, benchmark
+contamination checking, and sequence packing.
+
+Engine extensions beyond the reference surface (BASELINE.json north star) —
+the operations a 100 TB pretraining pipeline runs between raw text and
+tokenized shards:
+
+- **PII redaction**: regex scrubbing of emails / IPv4s / long digit runs.
+  Pure `regexp_replace` Column chains — JVM-side, one scan, no Python.
+  Patterns avoid lookaround/backrefs so Java regex (Spark) and RE2 (DuckDB)
+  agree byte-for-byte.
+- **Contamination check**: n-gram overlap of the corpus against a
+  benchmark/eval set (the GPT-3/PaLM decontamination step). The benchmark
+  side is tiny → its shingle set broadcasts; the corpus side is one
+  explode+join scan, never an all-pairs comparison.
+- **Sequence packing**: concatenate-in-order packing of documents into
+  fixed token-budget bins per shard (the standard pretraining batch prep).
+  An exclusive running sum + integer division — one window over each
+  shard, no greedy driver loop; shards bound partition width so the window
+  state stays small at any corpus size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from flink_1_6_0_spark.pipeline.text import token_count
+
+# Lookaround-free, backref-free patterns — identical semantics in Java
+# regex and RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+DIGITS_RE = r"\b[0-9]{7,}\b"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_redact(col: str | Column) -> Column:
+    """Redact emails, IPv4 addresses, then long digit runs (phone/account
+    numbers). Order matters: emails and IPs are redacted before the bare
+    digit-run pass so their digits don't double-match."""
+    c = F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return F.regexp_replace(c, DIGITS_RE, "<NUM>")
+
+
+def pii_counts(col: str | Column) -> tuple[Column, Column, Column]:
+    """Match counts per category (email, ip, digit-run), counted on the same
+    progressively-redacted text the redactor sees."""
+    c0 = _c(col)
+    n_email = F.size(F.regexp_extract_all(c0, F.lit(EMAIL_RE), 0))
+    c1 = F.regexp_replace(c0, EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(c1, F.lit(IPV4_RE), 0))
+    c2 = F.regexp_replace(c1, IPV4_RE, "<IP>")
+    n_num = F.size(F.regexp_extract_all(c2, F.lit(DIGITS_RE), 0))
+    return n_email, n_ip, n_num
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the number
+    of its distinct k-token shingles that appear in ANY benchmark document.
+
+    Scale design: the benchmark shingle set is small and bounded (eval sets
+    are KBs–MBs, not TBs) — `F.broadcast` ships it to every executor, so the
+    100 TB corpus side is a single scan + map-side semi-join-shaped equi-join
+    on the shingle string, with a per-doc count after. No shuffle of the
+    corpus beyond the final per-doc aggregate on ``id_col``.
+    """
+    from flink_1_6_0_spark.pipeline.dedup import shingle_rows
+
+    corpus_sh = shingle_rows(corpus, id_col, text_col, k=k)  # (doc, s)
+    bench_sh = shingle_rows(benchmark, id_col, text_col, k=k).select("s").distinct()
+    hits = corpus_sh.join(F.broadcast(bench_sh), "s")
+    return hits.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count("*").alias("n_contaminated")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Sequential sequence packing: documents are concatenated in ``id_col``
+    order within a deterministic shard and split into bins of ``budget``
+    tokens — each doc's bin is ``floor(tokens_before_it / budget)`` (the
+    GPT-style pack-then-chunk, where a document may straddle the boundary
+    and is assigned to the bin it starts in).
+
+    One window (exclusive running sum) per shard; shard count bounds the
+    sort width, so this is ``num_shards`` bounded sorts, not a global one.
+    Adds: shard, n_tokens, offset (token offset within the shard stream),
+    bin (the training sequence index within the shard).
+    """
+    n_tok = token_count(text_col)
+    shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    ).withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
+    return out.withColumn("bin", F.floor(F.col("offset") / budget).cast("long"))

@@ -1,0 +1,130 @@
+"""Training-data prep queries, round 3: PII redaction, benchmark
+contamination, sequence packing (pipeline/prep.py operators, oracle-checked).
+
+The documents table's synthetic text has no digits or '@', so the PII query
+builds a deterministic PII-bearing column from doc_id/source IDENTICALLY on
+both engines before redacting — the redaction regexes then have real work to
+do and the value-hash check covers match+replace semantics, not just a
+no-op pass-through.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_6_0_spark.pipeline import prep
+from flink_1_6_0_spark.queries import T
+from flink_1_6_0_spark.registry import query
+
+# Same synthetic-PII construction in Spark and DuckDB: an email, an IPv4 and
+# a long account number derived from doc_id, embedded around the real text.
+_PII_SPARK = F.concat_ws(
+    " ",
+    F.concat(F.lit("user"), F.col("doc_id"), F.lit("@"), F.col("source"), F.lit(".example.com")),
+    F.substring(F.col("text"), 1, 40),
+    F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+    F.concat(F.lit("acct "), (F.col("doc_id") * 1234567 + 10000000).cast("string")),
+)
+
+_PII_DUCK = (
+    "concat_ws(' ', 'user' || doc_id || '@' || source || '.example.com', "
+    "substr(text, 1, 40), "
+    "'10.0.' || (doc_id % 256) || '.7', "
+    "'acct ' || (doc_id * 1234567 + 10000000))"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_PII_DUCK} AS t FROM documents),
+    r1 AS (SELECT doc_id, t,
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1,
+                  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email
+           FROM raw),
+    r2 AS (SELECT doc_id, t1,
+                  regexp_replace(t1, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g') AS t2,
+                  n_email,
+                  len(regexp_extract_all(t1, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ip
+           FROM r1)
+    SELECT doc_id,
+           regexp_replace(t2, '\\b[0-9]{{7,}}\\b', '<NUM>', 'g') AS redacted,
+           n_email, n_ip,
+           len(regexp_extract_all(t2, '\\b[0-9]{{7,}}\\b')) AS n_num
+    FROM r2
+    """,
+    tags=("pipeline", "text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as pure regexp_replace Column chains (JVM-side, one
+    scan — the shape that holds at 100 TB). Patterns are lookaround-free so
+    Java regex and RE2 agree; counts are taken on the progressively redacted
+    text so categories don't double-count each other's digits."""
+    d = T(spark, sf_dir, "documents").select("doc_id", _PII_SPARK.alias("t"))
+    n_email, n_ip, n_num = prep.pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        prep.pii_redact(F.col("t")).alias("redacted"),
+        n_email.cast("long").alias("n_email"),
+        n_ip.cast("long").alias("n_ip"),
+        n_num.cast("long").alias("n_num"),
+    )
+
+
+@query(
+    "contamination_ngram",
+    oracle="""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+    btoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM bench),
+    bsh AS (SELECT DISTINCT tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM btoks, unnest(generate_series(1, len(tt) - 2)) AS g(i)),
+    ctoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM corp),
+    csh AS (SELECT DISTINCT doc_id, tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM ctoks, unnest(generate_series(1, len(tt) - 2)) AS g(i))
+    SELECT csh.doc_id, count(*) AS n_contaminated
+    FROM csh JOIN bsh USING (s)
+    GROUP BY csh.doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM eval-overlap
+    step): distinct 3-token shingle hits of each corpus doc against a
+    broadcast benchmark shingle set — corpus side is one scan, benchmark
+    side ships to every executor; no corpus shuffle beyond the per-doc
+    count."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return prep.contaminated_docs(corpus, bench, "doc_id", "text", k=3)
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             (doc_id % 8)::INT AS shard,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+      FROM documents)
+    SELECT doc_id, shard, n_tokens,
+           coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)::BIGINT AS offset,
+           (coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) // 256)::BIGINT AS bin
+    FROM t
+    """,
+    tags=("pipeline", "utils"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate-in-order within
+    a deterministic shard, split at a 256-token budget — an exclusive
+    running sum + integer division, i.e. num_shards bounded sorts instead of
+    a global one."""
+    return prep.pack_sequences(
+        T(spark, sf_dir, "documents"), "doc_id", "text", budget=256, num_shards=8
+    )

@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "flink_1_6_0_spark.queries.windows",
     "flink_1_6_0_spark.queries.pipeline",
     "flink_1_6_0_spark.queries.pipeline_ext",
+    "flink_1_6_0_spark.queries.pipeline_prep",
     "flink_1_6_0_spark.queries.streaming",
     "flink_1_6_0_spark.queries.facade",
     "flink_1_6_0_spark.queries.graph",

@@ -1,0 +1,80 @@
+"""Training-data prep operator tests (pipeline/prep.py): PII redaction,
+benchmark contamination, sequence packing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.pipeline import prep
+
+
+def test_pii_redact_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.1 port"),
+            (3, "acct 12345678 and card 123456789012"),
+            (4, "short 123456 stays"),  # < 7 digits: untouched
+            (5, "mixed a@b.io 10.0.0.7 99999999"),
+        ],
+        "id long, t string",
+    )
+    n_email, n_ip, n_num = prep.pii_counts(F.col("t"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            prep.pii_redact("t").alias("red"),
+            n_email.alias("ne"),
+            n_ip.alias("ni"),
+            n_num.alias("nn"),
+        ).collect()
+    }
+    assert rows[1]["red"] == "mail <EMAIL> now" and rows[1]["ne"] == 1
+    assert rows[2]["red"] == "server at <IP> port" and rows[2]["ni"] == 1
+    assert rows[3]["red"] == "acct <NUM> and card <NUM>" and rows[3]["nn"] == 2
+    assert rows[4]["red"] == "short 123456 stays" and rows[4]["nn"] == 0
+    assert rows[5]["red"] == "mixed <EMAIL> <IP> <NUM>"
+    # the IP's digits must not leak into the digit-run count
+    assert (rows[5]["ne"], rows[5]["ni"], rows[5]["nn"]) == (1, 1, 1)
+
+
+def test_contamination_hits_and_broadcast_plan(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),      # 1 shared shingle
+            (2, "alpha beta gamma delta z"),  # 2 shared shingles
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prep.contaminated_docs(corpus, bench, "doc_id", "text", k=3)
+    got = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}  # doc 3 absent: no hits
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+    assert "BroadcastHashJoin" in plan  # benchmark side ships, corpus never shuffles for the join
+
+
+def test_pack_sequences_bins(spark):
+    # one shard (num_shards=1): docs of 100 tokens each, budget 256 ->
+    # offsets 0,100,200,300,...; bins 0,0,0,1,...
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(6)], "doc_id long, text string"
+    )
+    out = prep.pack_sequences(docs, "doc_id", "text", budget=256, num_shards=1)
+    rows = sorted((r["doc_id"], r["offset"], r["bin"]) for r in out.collect())
+    assert rows == [(0, 0, 0), (1, 100, 0), (2, 200, 0), (3, 300, 1), (4, 400, 1), (5, 500, 1)]
+
+
+def test_pack_sequences_shard_isolation(spark):
+    # shards pack independently: same doc stream split over 2 shards
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(4)], "doc_id long, text string"
+    )
+    out = prep.pack_sequences(docs, "doc_id", "text", budget=15, num_shards=2)
+    rows = {r["doc_id"]: (r["shard"], r["offset"], r["bin"]) for r in out.collect()}
+    # shard 0: docs 0,2 -> offsets 0,10; shard 1: docs 1,3 -> offsets 0,10
+    assert rows == {0: (0, 0, 0), 2: (0, 10, 0), 1: (1, 0, 0), 3: (1, 10, 0)}
