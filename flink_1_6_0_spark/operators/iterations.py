@@ -1,0 +1,88 @@
+"""Batch iterations — the DataSet API's bulk and delta iteration operators.
+
+Reference: DataSet.iterate (flink-java/.../DataSet.java:1156 →
+IterativeDataSet.closeWith(result[, terminationCriterion]),
+IterativeDataSet.java:63,82) and DataSet.iterateDelta (DataSet.java:1206 →
+DeltaIteration.closeWith(solutionSetDelta, newWorkset),
+DeltaIteration.java:94). These are the primitives Gelly's iteration models
+compile onto; the generic graph entry points (operators/graph.py
+run_vertex_centric / run_gather_sum_apply / run_scatter_gather) are the
+specialized forms.
+
+Spark-first design: Spark has no feedback edges, so the loop runs on the
+driver while ALL data stays distributed — each pass is a new DataFrame
+lineage segment, truncated every ``checkpoint_interval`` passes
+(localCheckpoint by default; 'reliable' = checkpoint to the checkpoint dir,
+surviving executor loss like Flink's checkpointed iterations). The
+per-iteration driver action (`isEmpty` on the termination criterion /
+workset) mirrors the reference's synchronization barrier between
+supersteps — it is a superstep boundary, not a data collect: only the
+emptiness bit reaches the driver.
+
+Scale notes: the delta iteration's solution-set upsert is one hash shuffle
+per pass on the solution keys — the analog of the reference's indexed
+solution set (DeltaIteration keeps the solution partitioned by key and
+joins the delta in place). The workset is usually a small shrinking
+frontier; Spark broadcasts it automatically under the join threshold, which
+is exactly the behavior you want as the iteration converges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from flink_1_6_0_spark.operators.graph import _checkpoint
+
+
+def iterate(
+    df: DataFrame,
+    step_fn,
+    max_iterations: int,
+    termination_fn=None,
+    checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Bulk iteration (DataSet.java:1156; IterativeDataSet.closeWith).
+
+    ``step_fn(df) -> df`` produces the next iteration's input (same schema).
+    Terminates after ``max_iterations``, or earlier when
+    ``termination_fn(prev, cur)`` returns an EMPTY DataFrame — the
+    reference's termination-criterion contract (IterativeDataSet.java:82:
+    "iteration is terminated once the termination criterion is empty")."""
+    state = df
+    for i in range(max_iterations):
+        new_state = step_fn(state)
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            new_state = _checkpoint(new_state, checkpoint_mode)
+        if termination_fn is not None and termination_fn(state, new_state).isEmpty():
+            return new_state
+        state = new_state
+    return state
+
+
+def iterate_delta(
+    solution: DataFrame,
+    workset: DataFrame,
+    step_fn,
+    max_iterations: int,
+    key_cols: list[str],
+    checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Delta iteration (DataSet.java:1206; DeltaIteration.closeWith).
+
+    ``step_fn(solution, workset) -> (solution_delta, new_workset)``. Each
+    pass upserts ``solution_delta`` into the solution set by ``key_cols``
+    (anti-join + union — the distributed form of the reference's indexed
+    solution-set update) and feeds ``new_workset`` to the next pass.
+    Terminates when the workset is empty (DeltaIteration's contract) or
+    after ``max_iterations``. Returns the final solution set."""
+    for i in range(max_iterations):
+        if workset.isEmpty():
+            break
+        delta, workset = step_fn(solution, workset)
+        solution = solution.join(delta, key_cols, "left_anti").unionByName(delta)
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            solution = _checkpoint(solution, checkpoint_mode)
+            workset = _checkpoint(workset, checkpoint_mode)
+    return solution

@@ -79,3 +79,61 @@ def test_bigrams_and_word_segments_edges(spark):
     assert rows[2].bg == ["a b", "b c", "c d", "d e", "e f", "f g"]
     assert rows[2].segs == ["a b c", "d e f"]               # partial "g" dropped
     assert rows[3].bg == [] and rows[3].segs == []          # empty text
+
+
+def test_bulk_iteration_termination_criterion(spark):
+    """DataSet.iterate + closeWith(result, terminationCriterion)
+    (IterativeDataSet.java:82): loop ends the pass AFTER the criterion
+    frame turns empty, before max_iterations."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.iterations import iterate
+
+    df = spark.createDataFrame([(0,), (1,)], "v long")
+    passes = []
+
+    def step(d):
+        passes.append(1)
+        return d.select((F.col("v") + 1).alias("v"))
+
+    out = iterate(
+        df, step, max_iterations=50,
+        termination_fn=lambda prev, cur: cur.filter(F.col("v") < 4),
+    )
+    got = sorted(r["v"] for r in out.collect())
+    # criterion {v<4} first empty when min value reaches 4 -> 0,1 advanced 4 passes
+    assert got == [4, 5]
+    assert len(passes) == 4 < 50
+
+
+def test_delta_iteration_upsert_and_drain(spark):
+    """DataSet.iterateDelta (DataSet.java:1206): per-pass solution upsert by
+    key + workset-driven termination — min-label propagation on a path graph
+    converges in path-length passes, then the workset drains."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.iterations import iterate_delta
+
+    # path 0-1-2-3; solution starts as own id; workset = initial labels
+    solution = spark.createDataFrame([(i, i) for i in range(4)], "id long, label long")
+    workset = spark.createDataFrame([(i, i) for i in range(4)], "id long, label long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+
+    def step(sol, ws):
+        cand = (
+            ws.join(edges, ws["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("label"))
+        )
+        improved = (
+            cand.alias("c")
+            .join(sol.alias("s"), "id")
+            .filter(F.col("c.label") < F.col("s.label"))
+            .select("id", F.col("c.label").alias("label"))
+        )
+        return improved, improved
+
+    out = iterate_delta(solution, workset, step, max_iterations=50, key_cols=["id"])
+    assert {(r["id"], r["label"]) for r in out.collect()} == {(0, 0), (1, 0), (2, 0), (3, 0)}
