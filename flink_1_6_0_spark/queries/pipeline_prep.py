@@ -19,13 +19,16 @@ from flink_1_6_0_spark.registry import query
 
 # Same synthetic-PII construction in Spark and DuckDB: an email, an IPv4 and
 # a long account number derived from doc_id, embedded around the real text.
-_PII_SPARK = F.concat_ws(
-    " ",
-    F.concat(F.lit("user"), F.col("doc_id"), F.lit("@"), F.col("source"), F.lit(".example.com")),
-    F.substring(F.col("text"), 1, 40),
-    F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
-    F.concat(F.lit("acct "), (F.col("doc_id") * 1234567 + 10000000).cast("string")),
-)
+# (A function, not a module-level Column: classic-API Column construction
+# needs an active SparkContext, and registry modules import session-free.)
+def _pii_spark():
+    return F.concat_ws(
+        " ",
+        F.concat(F.lit("user"), F.col("doc_id"), F.lit("@"), F.col("source"), F.lit(".example.com")),
+        F.substring(F.col("text"), 1, 40),
+        F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        F.concat(F.lit("acct "), (F.col("doc_id") * 1234567 + 10000000).cast("string")),
+    )
 
 _PII_DUCK = (
     "concat_ws(' ', 'user' || doc_id || '@' || source || '.example.com', "
@@ -61,7 +64,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — the shape that holds at 100 TB). Patterns are lookaround-free so
     Java regex and RE2 agree; counts are taken on the progressively redacted
     text so categories don't double-count each other's digits."""
-    d = T(spark, sf_dir, "documents").select("doc_id", _PII_SPARK.alias("t"))
+    d = T(spark, sf_dir, "documents").select("doc_id", _pii_spark().alias("t"))
     n_email, n_ip, n_num = prep.pii_counts(F.col("t"))
     return d.select(
         "doc_id",

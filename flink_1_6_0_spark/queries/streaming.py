@@ -346,3 +346,70 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
     return _materialize(out, "append")
+
+
+@query(
+    "stream_over_rows",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) AS running_sum,
+           count(*)        OVER w      AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER aggregate (RowTimeUnboundedOver.scala:254 semantics):
+    running sum/count per key in event order, accumulators in keyed state
+    (applyInPandasWithState — Spark forbids window functions on streams).
+    The bounded single-file replay delivers in-order, so the batch OVER
+    oracle is exact."""
+    from flink_1_6_0_spark.streaming.over_agg import stream_running_agg
+
+    out = stream_running_agg(
+        events_stream(spark, sf_dir), ["user_id"], "ts", "event_id", "value"
+    )
+    return _materialize(out, "append")
+
+
+@query(
+    "stream_outer_join",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.event_id AS click_id, NULL AS purchase_id
+    FROM c, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+          AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts + INTERVAL 30 MINUTE)
+      AND c.ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    tags=("streaming", "join"),
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an explicit time bound
+    (NonWindowLeftRightJoin.scala semantics under idle-state retention —
+    see streaming/nonwindow_join.py). Matches emit eagerly; unmatched left
+    rows null-pad once the engine watermark (final value: max ts − 1 min
+    delay) passes their join-window end — the oracle applies that exact
+    fire condition, mirroring Flink's state-cleanup emission."""
+    from flink_1_6_0_spark.streaming.nonwindow_join import bounded_outer_join
+
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        *[F.col(c).alias(f"b_{c}") for c in ev.columns]
+    )
+    joined = bounded_outer_join(
+        clicks, buys, [("user_id", "b_user_id")], "ts", "b_ts", bound="30 minutes"
+    ).select(
+        F.col("event_id").alias("click_id"), F.col("b_event_id").alias("purchase_id")
+    )
+    return _materialize(joined, "append")
