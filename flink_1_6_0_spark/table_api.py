@@ -145,6 +145,12 @@ class Table:
     def offset(self, n: int) -> "Table":
         return Table(self.df.offset(n))
 
+    def limit(self, offset: int, fetch: int | None = None) -> "Table":
+        """table.scala limit(offset[, fetch]) — the deprecated-in-1.6 alias
+        of offset/fetch; kept for surface parity."""
+        out = self.offset(offset)
+        return out.fetch(fetch) if fetch is not None else out
+
     def fetch(self, n: int) -> "Table":
         return Table(self.df.limit(n))
 
@@ -178,6 +184,26 @@ class Table:
         else:
             spec = _over.rows_unbounded(partition_by, order_by)
         return OverWindowedTable(self.df, spec)
+
+    # -- schema / sinks (table.scala getSchema/printSchema/insertInto/
+    #    writeToSink) ---------------------------------------------------------
+    def get_schema(self):
+        """TableSchema accessor → the Spark StructType."""
+        return self.df.schema
+
+    def print_schema(self) -> None:
+        self.df.printSchema()
+
+    def insert_into(self, table_name: str) -> None:
+        """table.scala insertInto: append into a registered sink table (the
+        session catalog's saveAsTable plays the TableSink registry role)."""
+        self.df.write.mode("append").saveAsTable(table_name)
+
+    def write_to_sink(self, sink_fn) -> None:
+        """table.scala writeToSink(TableSink): hand the frame to a sink
+        callable (``sink_fn(df)`` configures/executes the write) — the
+        DataStream facade's add_sink twin."""
+        sink_fn(self.df)
 
     # -- terminal -------------------------------------------------------------
     def to_data_frame(self) -> DataFrame:

@@ -97,3 +97,26 @@ def test_table_api_over_window(spark):
     )
     got2 = {(r.k, r.seq, r.s2) for r in bounded.collect()}
     assert got2 == {(1, 1, 10.0), (1, 2, 30.0), (1, 3, 50.0), (2, 1, 5.0)}
+
+
+def test_limit_schema_and_sinks(spark, sf_dir, tmp_path):
+    """table.scala surface parity: limit(offset, fetch), getSchema,
+    insertInto (catalog sink), writeToSink (callable sink)."""
+    from flink_1_6_0_spark.queries import T
+    from flink_1_6_0_spark.table_api import Table
+
+    t = Table(T(spark, sf_dir, "nation")).order_by("n_nationkey")
+    lim = t.limit(5, 3)
+    assert [r["n_nationkey"] for r in lim.df.collect()] == [5, 6, 7]
+    assert t.get_schema()["n_name"].dataType.typeName() == "string"
+
+    out = str(tmp_path / "sinkout")
+    t.fetch(2).write_to_sink(lambda df: df.write.parquet(out))
+    assert spark.read.parquet(out).count() == 2
+
+    spark.sql("DROP TABLE IF EXISTS nation_sink")
+    try:
+        t.fetch(3).insert_into("nation_sink")
+        assert spark.table("nation_sink").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_sink")
