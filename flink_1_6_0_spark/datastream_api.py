@@ -146,12 +146,30 @@ class DataStream:
             out = out.union(o.df)
         return DataStream(out)
 
+    def assign_timestamps(self, ts_col: str, delay: str) -> "DataStream":
+        """Deprecated 1.6 alias of assignTimestampsAndWatermarks
+        (DataStream.java:858)."""
+        return self.assign_timestamps_and_watermarks(ts_col, delay)
+
     def assign_timestamps_and_watermarks(self, ts_col: str, delay: str) -> "DataStream":
         """assignTimestampsAndWatermarks + BoundedOutOfOrdernessTimestampExtractor
         (DataStream.java:888, functions/timestamps/)."""
         return DataStream(self.df.withWatermark(ts_col, delay) if self.df.isStreaming else self.df)
 
     # -- keying (DataStream.java:288) ---------------------------------------
+    def process(self, fn: Callable, schema: str) -> "DataStream":
+        """Non-keyed process (DataStream.java:638, ProcessFunction without
+        keyed state): arbitrary per-element logic, Arrow-batched. For keyed
+        state + timers use ``key_by(...).process(...)``."""
+
+        def run(batches):
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        return DataStream(self.df.mapInPandas(run, schema=schema))
+
     def connect(self, other: "DataStream") -> "ConnectedStreams":
         """connect(other) (DataStream.java:273) → ConnectedStreams: two
         differently-typed streams sharing one downstream operator."""
@@ -249,6 +267,22 @@ class DataStream:
     def write_as_text(self, path: str) -> None:
         self.df.write.mode("overwrite").text(path)
 
+    def write_to_socket(self, host: str, port: int, serializer=None) -> None:
+        """writeToSocket (DataStream.java:1120): each partition opens one TCP
+        connection and streams its rows — the N-connections shape of the
+        reference's parallelism-N socket sink (theirs pins parallelism 1;
+        ours documents the multi-writer contract instead)."""
+        ser = serializer or (lambda row: (",".join(str(v) for v in row) + "\n").encode())
+
+        def send(rows) -> None:
+            import socket
+
+            with socket.create_connection((host, port)) as s:
+                for r in rows:
+                    s.sendall(ser(r))
+
+        self.df.foreachPartition(send)
+
     def add_sink(self, writer_fn):
         """addSink — caller-provided writer (foreachBatch for streams)."""
         return writer_fn(self.df)
@@ -301,6 +335,18 @@ class KeyedStream:
 
     def session_window(self, ts: str, gap: str) -> "WindowedDataStream":
         return self.window(_session(ts, gap))
+
+    def time_window(self, ts: str, size: str, slide: str | None = None) -> "WindowedDataStream":
+        """timeWindow (KeyedStream.java:tumbling/sliding overloads) — the
+        reference's shorthand for window(Tumbling/SlidingEventTimeWindows)."""
+        return self.tumbling_window(ts, size) if slide is None else self.sliding_window(ts, slide, size)
+
+    def as_queryable_state(self, name: str, *aggs: Column, mode: str = "complete"):
+        """asQueryableState (KeyedStream.java:1004): publish this keyed
+        aggregate as a point-lookupable state table while the stream runs."""
+        from flink_1_6_0_spark.streaming.queryable_state import QueryableState
+
+        return QueryableState(self.df.groupBy(*self.keys).agg(*aggs), name, mode)
 
     def count_window(self, order_by: list[str], size: int) -> "CountWindowedDataStream":
         """countWindow(size) (KeyedStream.countWindow) — per-key buckets of

@@ -355,3 +355,69 @@ def test_windowed_co_group(spark, sf_dir):
     # and the pairing is genuine: no (key, window) appears twice
     seen = [(r["user_id"], r["w"]) for r in rows]
     assert len(seen) == len(set(seen))
+
+
+def test_process_nonkeyed_and_write_to_socket(spark, sf_dir):
+    """DataStream.process (non-keyed, DataStream.java:638) and writeToSocket
+    (DataStream.java:1120) against a live in-process TCP server."""
+    import socket
+    import threading
+
+    out = _events(spark, sf_dir).filter(F.col("event_type") == "purchase").process(
+        lambda pdf: pd.DataFrame({"eid": pdf["event_id"], "v2": pdf["value"] * 2}),
+        schema="eid long, v2 double",
+    )
+    n = out.df.count()
+    assert n == T(spark, sf_dir, "events").filter("event_type = 'purchase'").count() > 0
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(64)
+    got: list[bytes] = []
+    stop = threading.Event()
+
+    def serve():
+        server.settimeout(0.5)
+        while not stop.is_set():
+            try:
+                conn, _ = server.accept()
+            except socket.timeout:
+                continue
+            with conn:
+                while chunk := conn.recv(65536):
+                    got.append(chunk)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        out.map_expr("eid").write_to_socket("127.0.0.1", port)
+        stop.set()
+        t.join(timeout=5)
+    finally:
+        server.close()
+    lines = b"".join(got).decode().strip().splitlines()
+    assert len(lines) == n and {int(x) for x in lines} == {
+        r["eid"] for r in out.df.collect()
+    }
+
+
+def test_keyed_time_window_and_queryable_state(spark, sf_dir):
+    ks = _events(spark, sf_dir).key_by("event_type")
+    tw = ks.time_window("ts", "1 day").aggregate(F.count("*").alias("n"))
+    assert tw.df.count() > 0
+    sliding = ks.time_window("ts", "1 day", slide="12 hours").aggregate(F.count("*").alias("n"))
+    assert sliding.df.agg(F.sum("n")).first()[0] == 2 * T(spark, sf_dir, "events").count()
+
+    from flink_1_6_0_spark.sources.stream import events_stream
+
+    qs = DataStream(events_stream(spark, sf_dir)).key_by("event_type").as_queryable_state(
+        "qs_facade", F.count("*").alias("n")
+    )
+    try:
+        qs.query.processAllAvailable()
+        want = T(spark, sf_dir, "events").filter("event_type = 'click'").count()
+        assert qs.lookup("event_type", "click")[0]["n"] == want
+    finally:
+        qs.stop()
