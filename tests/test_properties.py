@@ -266,3 +266,84 @@ def test_avro_container_roundtrip_identity(rows, codec):
     # float32 values survive only to float32 precision — compare via repack
     norm = lambda r: {**r, "f": _struct.unpack("<f", _struct.pack("<f", r["f"]))[0]}  # noqa: E731
     assert [norm(dict(r)) for r in rows] == back
+
+
+# ---------------------------------------------------------------------------
+# PII redaction patterns (pure-regex property; the Spark path is
+# oracle-checked in text_pii_redact)
+# ---------------------------------------------------------------------------
+
+_WORDS = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8), min_size=0, max_size=12
+)
+_EMAILS = st.lists(
+    st.builds(
+        lambda u, d: f"{u}@{d}.com",
+        st.text(alphabet=string.ascii_lowercase + "._", min_size=1, max_size=10).filter(
+            lambda s: not s.startswith(".") ),
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+    ),
+    max_size=3,
+)
+_IPS = st.lists(
+    st.builds(lambda a, b, c, d: f"{a}.{b}.{c}.{d}", *[st.integers(0, 255)] * 4), max_size=3
+)
+_NUMS = st.lists(st.integers(min_value=10**7, max_value=10**12).map(str), max_size=3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words=_WORDS, emails=_EMAILS, ips=_IPS, nums=_NUMS)
+def test_pii_patterns_catch_all_and_idempotent(words, emails, ips, nums):
+    """Every injected email/IP/digit-run is caught (no PII survives), plain
+    words survive untouched, and redaction is idempotent. Pure `re` here —
+    the patterns avoid constructs where Java regex and RE2/PCRE diverge."""
+    import random
+
+    from flink_1_6_0_spark.pipeline.prep import DIGITS_RE, EMAIL_RE, IPV4_RE
+
+    rng = random.Random(42)
+    parts = words + emails + ips + nums
+    rng.shuffle(parts)
+    text = " ".join(parts)
+
+    def redact(s: str) -> str:
+        s = re.sub(EMAIL_RE, "<EMAIL>", s)
+        s = re.sub(IPV4_RE, "<IP>", s)
+        return re.sub(DIGITS_RE, "<NUM>", s)
+
+    red = redact(text)
+    assert not re.search(EMAIL_RE, red)
+    assert not re.search(IPV4_RE, red)
+    assert not re.search(DIGITS_RE, red)
+    assert redact(red) == red  # idempotent
+    for w in words:
+        assert w in red  # plain words survive
+    # every injected email redacts (emails may swallow a neighbour only via
+    # the local-part, which spaces prevent)
+    assert red.count("<EMAIL>") == len(emails)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing vs a prefix-sum reference (Spark-backed, few examples)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    budget=st.integers(min_value=5, max_value=60),
+)
+def test_pack_sequences_matches_prefix_sum_reference(spark, sizes, budget):
+    from flink_1_6_0_spark.pipeline.prep import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, "doc_id", "text", budget=budget, num_shards=3)
+    got = {r["doc_id"]: (r["shard"], r["offset"], r["bin"]) for r in out.collect()}
+    # reference: per shard, exclusive prefix sums in doc_id order
+    cum: dict[int, int] = {}
+    for i, n in enumerate(sizes):
+        shard = i % 3
+        before = cum.get(shard, 0)
+        assert got[i] == (shard, before, before // budget), (i, n, got[i])
+        cum[shard] = before + n
