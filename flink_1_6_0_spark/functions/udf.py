@@ -73,6 +73,23 @@ def table_function(
     return call
 
 
+def register_table_function(spark: SparkSession, name: str, fn: Callable[..., list[tuple]], row_schema: str):
+    """registerFunction for a TableFunction, SQL-callable: after this,
+    ``FROM t, LATERAL TABLE(name(col))`` works through the SQL front end
+    (plans.sql_frontend rewrites LATERAL TABLE → Spark's native LATERAL
+    table-function syntax, which plans as a Generate node — same dataflow as
+    DataStreamCorrelate). The UDTF body yields ``fn``'s row tuples."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=row_schema)
+    class _Fn:
+        def eval(self, *args):
+            yield from fn(*args)
+
+    spark.udtf.register(name, _Fn)
+    return _Fn
+
+
 def aggregate_function(df: DataFrame, group_cols: list[str], fn, out_schema: str) -> DataFrame:
     """AggregateFunction applied over groups (accumulate/getValue collapsed
     into one grouped-map pass; merge is Spark's shuffle)."""

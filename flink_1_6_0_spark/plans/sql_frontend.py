@@ -96,13 +96,41 @@ def _render(name: str, args: list[str]) -> str:
     raise ValueError(f"unknown accessor {name}")
 
 
+# Flink correlate spelling: [LEFT JOIN] LATERAL TABLE(f(args)) — Spark's
+# native form drops the TABLE() wrapper (the function call itself is the
+# lateral table reference; Spark plans it as a Generate, the same dataflow
+# as the reference's DataStreamCorrelate.scala:38).
+_LATERAL_TABLE_RE = re.compile(r"\bLATERAL\s+TABLE\s*\(", re.IGNORECASE)
+
+
+def _rewrite_lateral_table(sql: str) -> str:
+    """``LATERAL TABLE(f(x))`` → ``LATERAL f(x)`` (balanced-paren unwrap;
+    trailing ``AS T(cols)`` aliases and ``ON TRUE`` join conditions pass
+    through — Spark accepts both spellings)."""
+    while True:
+        m = _LATERAL_TABLE_RE.search(sql)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1].strip()
+        sql = sql[: m.start()] + "LATERAL " + inner + sql[i:]
+
+
 def rewrite_flink_sql(sql: str) -> str:
-    """Rewrite TUMBLE/HOP/SESSION(+accessors) to window()/session_window().
+    """Rewrite TUMBLE/HOP/SESSION(+accessors) to window()/session_window()
+    and LATERAL TABLE(f(x)) to Spark's native lateral table-function call.
 
     GROUP BY window(...) and SELECT window(...).start work directly in Spark
     SQL because identical window() calls unify into one grouping expression.
     Non-window SQL passes through untouched.
     """
+    sql = _rewrite_lateral_table(sql)
     out, pos = [], 0
     while True:
         hit = _find_call(sql, pos)

@@ -65,3 +65,43 @@ def test_end_to_end_sql(spark):
         "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) ORDER BY ws"
     ).collect()
     assert [r["s"] for r in rows] == [3.0, 4.0]
+
+
+def test_lateral_table_rewrite_pure():
+    from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+    got = rewrite_flink_sql(
+        "SELECT a, word FROM t, LATERAL TABLE(split(c)) AS T(word)"
+    )
+    assert got == "SELECT a, word FROM t, LATERAL split(c) AS T(word)"
+    # LEFT JOIN form with ON TRUE passes through
+    got2 = rewrite_flink_sql(
+        "SELECT a, word FROM t LEFT JOIN LATERAL TABLE(split(c)) AS T(word) ON TRUE"
+    )
+    assert "LEFT JOIN LATERAL split(c) AS T(word) ON TRUE" in got2
+    # nested parens unwrap correctly
+    got3 = rewrite_flink_sql("SELECT * FROM t, LATERAL TABLE(f(g(x), h(y)))")
+    assert got3 == "SELECT * FROM t, LATERAL f(g(x), h(y))"
+
+
+def test_lateral_table_end_to_end(spark):
+    """Flink SQL LATERAL TABLE(udtf(c)) (TableFunction.scala:82 applied via
+    SQL) through registration + front-end rewrite + execution."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.functions.udf import register_table_function
+    from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+    register_table_function(
+        spark, "split_words", lambda s: [(w, len(w)) for w in s.split(" ")],
+        "word string, wlen int",
+    )
+    spark.createDataFrame([(1, "ab c"), (2, "de")], "id long, s string").createOrReplaceTempView(
+        "lt_t"
+    )
+    out = spark.sql(
+        rewrite_flink_sql("SELECT id, word, wlen FROM lt_t, LATERAL TABLE(split_words(s))")
+    )
+    assert {(r["id"], r["word"], r["wlen"]) for r in out.collect()} == {
+        (1, "ab", 2), (1, "c", 1), (2, "de", 2),
+    }
