@@ -65,14 +65,129 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema="doc_id long, width int, height int, n_bytes long")
 
 
+def _ppm_tokens(data: bytes):
+    """Netpbm header tokenizer: whitespace-separated tokens, '#' comments."""
+    i = 0
+    while True:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        yield data[i:j], j + 1  # token, offset just past its delimiter
+        i = j
+
+
+def decode_ppm(data: bytes) -> dict:
+    """REAL decode of binary Netpbm images (P6 RGB / P5 grayscale) — header
+    parse + per-channel pixel means, pure stdlib (the point: media decode
+    does not require third-party libs for every format; PIL-gated formats
+    stay honestly stubbed)."""
+    toks = _ppm_tokens(data)
+    magic, _ = next(toks)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm image: {magic!r}")
+    (w, _), (h, _), (maxval, body_start) = next(toks), next(toks), next(toks)
+    w, h, maxval = int(w), int(h), int(maxval)
+    channels = 3 if magic == b"P6" else 1
+    px = data[body_start : body_start + w * h * channels]
+    if len(px) != w * h * channels:
+        raise ValueError("truncated pixel data")
+    sums = [0] * channels
+    for i, b in enumerate(px):
+        sums[i % channels] += b
+    n = w * h
+    # exact int sum / exact int count: bit-identical IEEE division in any
+    # engine — no rounding here (Python round() half-to-even vs SQL
+    # half-away diverges on ties; leave rounding to the consumer)
+    means = [s / n for s in sums] + [None] * (3 - channels)
+    return {
+        "kind": "image", "width": w, "height": h, "channels": channels,
+        "mean_c0": means[0], "mean_c1": means[1], "mean_c2": means[2],
+        "sample_rate": None, "n_samples": None,
+    }
+
+
+def decode_wav(data: bytes) -> dict:
+    """REAL decode of RIFF/WAVE audio: fmt-chunk walk + PCM16 mean |amp|,
+    pure stdlib ``struct``/``array``."""
+    import struct
+
+    if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, fmt, pcm = 12, None, b""
+    while i + 8 <= len(data):
+        cid, size = data[i : i + 4], struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    _, channels, sample_rate, _, block_align, bits = fmt
+    n_samples = len(pcm) // block_align if block_align else 0
+    mean_abs = None
+    if bits == 16 and pcm:
+        import array
+
+        a = array.array("h")
+        a.frombytes(pcm[: (len(pcm) // 2) * 2])
+        mean_abs = sum(abs(v) for v in a) / len(a)  # exact ints → exact division
+    return {
+        "kind": "audio", "width": None, "height": None, "channels": channels,
+        "mean_c0": mean_abs, "mean_c1": None, "mean_c2": None,
+        "sample_rate": sample_rate, "n_samples": n_samples,
+    }
+
+
+_REAL_DECODERS = {"ppm": decode_ppm, "pgm": decode_ppm, "wav": decode_wav}
+
+MEDIA_DECODE_SCHEMA = (
+    "doc_id long, kind string, width int, height int, channels int, "
+    "mean_c0 double, mean_c1 double, mean_c2 double, sample_rate int, n_samples long"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Dispatch real decoders by ``meta.format`` over Arrow batches — the
+    production shape: one mapInPandas over the pruned (doc_id, media, format)
+    columns, one output row per media object. Unknown formats raise (the
+    PIL-gated path below)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media, fmt in zip(pdf["doc_id"], pdf["media"], pdf["fmt"]):
+                dec = _REAL_DECODERS.get(fmt)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"format {fmt!r} needs an external decoder (PIL/ffmpeg) "
+                        "not shipped in this environment"
+                    )
+                rows.append({"doc_id": doc_id, **dec(bytes(media))})
+            yield pd.DataFrame(rows)
+
+    pruned = df.select("doc_id", "media", F.col("meta.format").alias("fmt"))
+    return pruned.mapInPandas(decode, schema=MEDIA_DECODE_SCHEMA)
+
+
 def decode_image_real(df: DataFrame) -> DataFrame:
-    """Real image decode — requires PIL, which this container does not ship."""
+    """Real image decode for formats that need PIL (JPEG/PNG/...) — the
+    container ships no media libraries, so this stays honestly gated; PPM/
+    PGM/WAV decode for real via ``decode_media`` above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "real image decoding needs pillow; this environment ships no media "
-            "libraries — use decode_image_meta (deterministic stub) instead"
+            "JPEG/PNG decoding needs pillow; this environment ships no media "
+            "libraries — PPM/PGM/WAV have native decoders (decode_media), "
+            "other formats use decode_image_meta (deterministic stub)"
         ) from exc
     raise NotImplementedError("wire PIL decode here when the dependency exists")
 

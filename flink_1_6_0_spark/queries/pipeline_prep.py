@@ -131,3 +131,37 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.pack_sequences(
         T(spark, sf_dir, "documents"), "doc_id", "text", budget=256, num_shards=8
     )
+
+
+@query(
+    "multimodal_real_decode",
+    oracle="""
+    WITH t AS (SELECT doc_id, least(32, length(text))::INT AS w, text FROM documents)
+    SELECT doc_id, 'image' AS kind, w AS width, 1 AS height, 1 AS channels,
+           list_sum(list_transform(generate_series(1, w),
+                                   i -> ascii(substr(text, i, 1)))) / w AS mean_c0
+    FROM t
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the production plumbing: a valid binary PGM
+    (P5) is assembled per document (header + the text's first bytes as
+    grayscale pixels), decoded by the pure-stdlib netpbm decoder inside
+    mapInPandas, and the pixel means are value-checked against DuckDB
+    computing the same byte average — the decoder, not a stub, is on the
+    oracle path."""
+    from flink_1_6_0_spark.pipeline import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    w = F.least(F.lit(32), F.length("text")).cast("int")
+    media = F.concat(
+        F.encode(F.concat_ws("", F.lit("P5\n"), w.cast("string"), F.lit(" 1\n255\n")), "utf-8"),
+        F.encode(F.substring(F.col("text"), 1, 32), "utf-8"),
+    )
+    src = d.select(
+        "doc_id",
+        media.alias("media"),
+        F.struct(F.lit("pgm").alias("format"), F.length(media).alias("n_bytes")).alias("meta"),
+    )
+    return mm.decode_media(src).select("doc_id", "kind", "width", "height", "channels", "mean_c0")

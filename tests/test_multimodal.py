@@ -1,0 +1,74 @@
+"""Multimodal decode tests: REAL pure-stdlib decoders (PPM/PGM/WAV) through
+the Arrow mapInPandas plumbing, plus the honest PIL gate."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from flink_1_6_0_spark.pipeline import multimodal as mm
+
+
+def _ppm(w, h, pixels, magic=b"P6", maxval=255):
+    return magic + b"\n# a comment\n" + f"{w} {h}\n{maxval}\n".encode() + bytes(pixels)
+
+
+def _wav(samples, channels=1, rate=8000, bits=16):
+    import array
+
+    pcm = array.array("h", samples).tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_ppm_and_pgm_kernels():
+    # 2x1 RGB: red pixel + blue pixel -> mean r=127.5, g=0, b=127.5
+    img = _ppm(2, 1, [255, 0, 0, 0, 0, 255])
+    d = mm.decode_ppm(img)
+    assert (d["width"], d["height"], d["channels"]) == (2, 1, 3)
+    assert (d["mean_c0"], d["mean_c1"], d["mean_c2"]) == (127.5, 0.0, 127.5)
+    g = mm.decode_ppm(_ppm(2, 2, [0, 100, 200, 56], magic=b"P5"))
+    assert (g["width"], g["height"], g["channels"], g["mean_c0"]) == (2, 2, 1, 89.0)
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII netpbm: not supported
+
+
+def test_decode_wav_kernel():
+    d = mm.decode_wav(_wav([100, -100, 300, -300], rate=16000))
+    assert d["sample_rate"] == 16000 and d["n_samples"] == 4 and d["channels"] == 1
+    assert d["mean_c0"] == 200.0
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFXjunk")
+
+
+def test_decode_media_distributed(spark):
+    """The production path: binary column + format metadata → mapInPandas
+    dispatch → one decoded row per object, image and audio in one frame."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, bytearray(_ppm(2, 1, [255, 0, 0, 0, 0, 255])), "ppm"),
+        (2, bytearray(_wav([100, -100, 300, -300])), "wav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, fmt string").select(
+        "doc_id", "media",
+        F.struct(F.col("fmt").alias("format"), F.length("media").alias("n_bytes")).alias("meta"),
+    )
+    got = {r["doc_id"]: r for r in mm.decode_media(df).collect()}
+    assert got[1]["kind"] == "image" and got[1]["width"] == 2 and got[1]["mean_c2"] == 127.5
+    assert got[2]["kind"] == "audio" and got[2]["n_samples"] == 4 and got[2]["mean_c0"] == 200.0
+
+    bad = spark.createDataFrame([(3, bytearray(b"\xff\xd8jpeg"), "jpeg")], "doc_id long, media binary, fmt string").select(
+        "doc_id", "media",
+        F.struct(F.col("fmt").alias("format"), F.length("media").alias("n_bytes")).alias("meta"),
+    )
+    with pytest.raises(Exception, match="external decoder"):
+        mm.decode_media(bad).collect()
+
+
+def test_decode_image_real_gate():
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.decode_image_real(None)
