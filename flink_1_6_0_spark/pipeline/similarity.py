@@ -177,3 +177,31 @@ def lsh_ann_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def l2_norm(vec_col: Column) -> Column:
+    """Euclidean norm of an array column — F.aggregate dot product, JVM-side."""
+    v = vec_col.cast("array<double>")
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def normalize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, min_norm: float = 1e-6
+) -> DataFrame:
+    """Embedding hygiene for similarity pipelines: drop degenerate (near-zero
+    norm) vectors, emit unit-normalized embeddings + the original norm.
+
+    One scan, pure array expressions — the cleanup pass every ANN/dedup
+    pipeline runs before indexing; at 100 TB it matters that this never
+    leaves the scan projection (no UDF, no shuffle)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = l2_norm(F.col(vec_col))
+    return (
+        df.select(F.col(id_col), v.alias(vec_col), n.alias("norm"))
+        .filter(F.col("norm") > min_norm)
+        .select(
+            id_col,
+            F.transform(F.col(vec_col), lambda x: x / F.col("norm")).alias("unit"),
+            "norm",
+        )
+    )

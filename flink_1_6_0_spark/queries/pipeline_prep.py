@@ -165,3 +165,23 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("pgm").alias("format"), F.length(media).alias("n_bytes")).alias("meta"),
     )
     return mm.decode_media(src).select("doc_id", "kind", "width", "height", "channels", "mean_c0")
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+               FROM embeddings)
+    SELECT vec_id, list_transform(v, x -> x / norm) AS unit, norm
+    FROM t WHERE norm > 0.000001
+    """,
+    tags=("pipeline", "similarity"),
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene before ANN/dedup indexing: drop near-zero-norm
+    vectors, emit unit vectors + norms — pure array expressions in the scan
+    projection (no UDF, no shuffle)."""
+    from flink_1_6_0_spark.pipeline.similarity import normalize_embeddings
+
+    return normalize_embeddings(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")

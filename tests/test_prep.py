@@ -78,3 +78,15 @@ def test_pack_sequences_shard_isolation(spark):
     rows = {r["doc_id"]: (r["shard"], r["offset"], r["bin"]) for r in out.collect()}
     # shard 0: docs 0,2 -> offsets 0,10; shard 1: docs 1,3 -> offsets 0,10
     assert rows == {0: (0, 0, 0), 2: (0, 10, 0), 1: (1, 0, 0), 3: (1, 10, 0)}
+
+
+def test_embedding_normalize_drops_degenerate(spark):
+    from flink_1_6_0_spark.pipeline.similarity import normalize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [0.0, 1e-9])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in normalize_embeddings(df, "vec_id", "embedding").collect()}
+    assert set(out) == {1}  # zero and near-zero vectors dropped
+    assert out[1]["norm"] == 5.0 and out[1]["unit"] == [0.6, 0.8]
