@@ -61,3 +61,52 @@ def iterate_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def iterate_stream_feedback(
+    spark,
+    source_dir: str,
+    schema: str,
+    step_fn: Callable[[DataFrame], DataFrame],
+    exit_predicate: Column,
+    emit_fn: Callable[[DataFrame, int], None],
+    checkpoint: str | None = None,
+):
+    """TRUE cross-epoch feedback — DataStream.iterate() (DataStream.java:529)
+    with the feedback edge realized as the query's own source directory.
+
+    The iteration body runs in foreachBatch; rows that fail the exit
+    predicate are written back into ``source_dir`` as new parquet files,
+    which the SAME continuous query discovers in a later micro-batch — so a
+    fed-back element re-enters the body asynchronously and interleaves with
+    later external arrivals, exactly the reference's feedback-edge contract
+    (and unlike ``iterate_stream`` above, which confines feedback to the
+    batch that produced it). Spark's DAG stays acyclic; the cycle lives in
+    the storage layer, the same trick Flink's iteration head/tail tasks play
+    with their in-memory feedback channel.
+
+    External producers keep writing new files into ``source_dir``
+    concurrently; the loop drains when every circulating element has exited
+    (the stream then idles, like a Flink iteration with an empty feedback
+    queue). Caller stops the query.
+
+    Scale: feedback rows are written once per pass (parquet append, unique
+    file names — the file-source log tracks them exactly-once); the loop's
+    state is ON DISK between passes, so a million circulating elements cost
+    no executor memory, and stragglers re-shard across the cluster each
+    pass instead of pinning to the task that produced them."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        stepped = step_fn(batch).localCheckpoint()
+        emit_fn(stepped.filter(exit_predicate), epoch_id)
+        feedback = stepped.filter(~exit_predicate)
+        if feedback.take(1):
+            feedback.write.mode("append").parquet(source_dir)
+
+    writer = stream.writeStream.outputMode("update").foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -666,3 +666,53 @@ def test_late_data_capture_engine_watermark(spark, tmp_path):
         q.stop()
     assert sorted(v for _, v in late_rows) == [3, 5, 6]
     assert sorted(v for _, v in on_time_rows) == [1, 2, 4]
+
+
+def test_iterate_stream_feedback_cross_epoch(spark, tmp_path):
+    """DataStream.iterate (DataStream.java:529) with a REAL cross-epoch
+    feedback edge: fed-back elements re-enter the SAME continuous query in
+    later micro-batches and interleave with later external arrivals — the
+    semantics the per-epoch workaround can't express."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.streaming.iterate import iterate_stream_feedback
+
+    src = tmp_path / "loop"
+    src.mkdir()
+    schema = "id long, v long"
+    spark.createDataFrame([(1, 3), (2, 1)], schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    done: list[tuple[int, int, int]] = []
+    epochs: set[int] = set()
+
+    def emit(df, epoch_id):
+        rows = df.collect()
+        if rows:
+            epochs.add(epoch_id)
+            done.extend((r["id"], r["v"], epoch_id) for r in rows)
+
+    q = iterate_stream_feedback(
+        spark, str(src), schema,
+        step_fn=lambda d: d.select("id", (F.col("v") - 1).alias("v")),
+        exit_predicate=F.col("v") <= 0,
+        emit_fn=emit,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(done) < 2:
+            q.processAllAvailable()
+        # id=2 exits after 1 pass, id=1 after 3 passes — different epochs:
+        # the element really circulated across micro-batches
+        assert {(i, v) for i, v, _ in done} == {(1, 0), (2, 0)}
+        assert len({e for _, _, e in done}) == 2
+        # a LATER external arrival joins the running loop and circulates too
+        spark.createDataFrame([(3, 2)], schema).coalesce(1).write.mode("append").parquet(str(src))
+        deadline = time.time() + 60
+        while time.time() < deadline and len(done) < 3:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(i, v) for i, v, _ in done} == {(1, 0), (2, 0), (3, 0)}
