@@ -377,9 +377,10 @@ def stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_outer_join",
     oracle="""
-    WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events),
-    c AS (SELECT * FROM events WHERE event_type = 'click'),
-    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 1 MINUTE AS w)
     SELECT c.event_id AS click_id, p.event_id AS purchase_id
     FROM c JOIN p ON c.user_id = p.user_id
        AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts + INTERVAL 30 MINUTE
@@ -397,9 +398,12 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with an explicit time bound
     (NonWindowLeftRightJoin.scala semantics under idle-state retention —
     see streaming/nonwindow_join.py). Matches emit eagerly; unmatched left
-    rows null-pad once the engine watermark (final value: max ts − 1 min
-    delay) passes their join-window end — the oracle applies that exact
-    fire condition, mirroring Flink's state-cleanup emission."""
+    rows null-pad once the engine watermark passes their join-window end.
+    The watermark is MIN over both inputs' watermark nodes (each side
+    filters before withWatermark, so its node sees only its own max event
+    time − delay) — Flink's min-of-inputs rule exactly; the oracle applies
+    that fire condition. Verified empirically: the single unmatched click
+    newer than (max click ts − 1 min − 30 min) stays in state."""
     from flink_1_6_0_spark.streaming.nonwindow_join import bounded_outer_join
 
     ev = events_stream(spark, sf_dir)
