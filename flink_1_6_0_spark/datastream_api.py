@@ -428,6 +428,10 @@ class WindowedDataStream:
             self.df.groupBy(self.window_col.alias("window"), *self.keys).applyInPandas(fn, schema=schema)
         )
 
+    # ProcessWindowFunction (WindowedStream.java:process) — same contract as
+    # apply: the window's full contents as one frame
+    process = apply
+
     def fold(self, initial: dict, fold_fn, schema: str, order_by: list[str]) -> DataStream:
         """WindowedStream.fold (WindowedStream.java:422,470) —
         accumulate-with-seed per (key, window), emitted at window end. One
