@@ -417,3 +417,25 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"), F.col("b_event_id").alias("purchase_id")
     )
     return _materialize(joined, "append")
+
+
+@query(
+    "stream_distinct_agg",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "agg"),
+)
+def stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT aggregate (DistinctAccumulator.scala — Flink keeps
+    a per-key distinct map inside the accumulator). Spark forbids
+    count(DISTINCT) on streams, so the operator is the two-stage form with
+    identical semantics: stateful dropDuplicates on the (group, value) pair
+    — the distinct map, externalized to the state store — then an ordinary
+    streaming count per group. Same state bound as the reference: one entry
+    per live (key, value)."""
+    ev = events_stream(spark, sf_dir).select("event_type", "user_id")
+    distinct = ev.dropDuplicates(["event_type", "user_id"])
+    agg = distinct.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    return _materialize(agg, "complete")
