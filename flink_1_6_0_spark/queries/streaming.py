@@ -439,3 +439,42 @@ def stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct = ev.dropDuplicates(["event_type", "user_id"])
     agg = distinct.groupBy("event_type").agg(F.count("*").alias("n_users"))
     return _materialize(agg, "complete")
+
+
+@query(
+    "stream_cep_funnel",
+    oracle="""
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id, c.event_id AS purchase_id
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+      AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+    JOIN events c ON b.user_id = c.user_id
+      AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+    WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
+      AND c.ts - a.ts <= INTERVAL 24 HOUR
+    """,
+    tags=("streaming", "cep"),
+)
+def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP executor (PatternStream via applyInPandasWithState —
+    keyed NFA buffer in the state store, cleanup timers, cross-batch match
+    dedup) on the same view⟶click⟶purchase funnel the batch NFA runs —
+    identical oracle, so the two executors are verified equivalent."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by_any("click", lambda e: e["event_type"] == "click")
+        .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        events_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+    )
+    return _materialize(out, "append")
