@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_1_6_0_spark.catalog import normalize_table
+from flink_1_6_0_spark.catalog import read_table
 
 
 # Runtime-settable confs the engine's correctness contract depends on. The
@@ -66,4 +66,4 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     driver's session has none of session.py's confs.
     """
     harden_session(spark)
-    return normalize_table(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    return read_table(spark, sf_dir, name)

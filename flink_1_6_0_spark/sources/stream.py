@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_1_6_0_spark.catalog import normalize_table
+from flink_1_6_0_spark.catalog import _events_read_schema, normalize_table
 
 
 def read_parquet_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -46,8 +46,21 @@ def read_parquet_stream(spark: SparkSession, path: str, max_files_per_trigger: i
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TESTDATA events table as a stream (ts normalized from ns)."""
-    return normalize_table("events", read_parquet_stream(spark, os.path.join(sf_dir, "events.parquet")))
+    """The TESTDATA events table as a stream (ts normalized from ns).
+
+    When events.ts arrives TIMESTAMP_NTZ the explicit TIMESTAMP read schema
+    does the conversion inside the scan (same trick as catalog.read_table —
+    no cast projection per micro-batch); otherwise normalize post-read."""
+    path = os.path.join(sf_dir, "events.parquet")
+    from flink_1_6_0_spark.queries import harden_session
+
+    harden_session(spark)
+    schema = _events_read_schema(spark, path)
+    if schema is not None:
+        reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        return reader.parquet(os.path.dirname(path))
+    return normalize_table("events", read_parquet_stream(spark, path))
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
