@@ -103,8 +103,10 @@ def decode_ppm(data: bytes) -> dict:
     n = w * h
     # exact int sum / exact int count: bit-identical IEEE division in any
     # engine — no rounding here (Python round() half-to-even vs SQL
-    # half-away diverges on ties; leave rounding to the consumer)
-    means = [s / n for s in sums] + [None] * (3 - channels)
+    # half-away diverges on ties; leave rounding to the consumer).
+    # Zero-pixel images (w*h == 0) are structurally valid netpbm: means are
+    # NULL, not a ZeroDivisionError that would sink the whole batch.
+    means = ([s / n for s in sums] if n else [None] * channels) + [None] * (3 - channels)
     return {
         "kind": "image", "width": w, "height": h, "channels": channels,
         "mean_c0": means[0], "mean_c1": means[1], "mean_c2": means[2],

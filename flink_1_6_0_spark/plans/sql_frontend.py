@@ -106,11 +106,21 @@ _LATERAL_TABLE_RE = re.compile(r"\bLATERAL\s+TABLE\s*\(", re.IGNORECASE)
 def _rewrite_lateral_table(sql: str) -> str:
     """``LATERAL TABLE(f(x))`` → ``LATERAL f(x)`` (balanced-paren unwrap;
     trailing ``AS T(cols)`` aliases and ``ON TRUE`` join conditions pass
-    through — Spark accepts both spellings)."""
+    through — Spark accepts both spellings).
+
+    Matches inside single-quoted string literals are left alone, and an
+    unbalanced paren scan raises instead of silently truncating (round-3
+    ADVICE)."""
+    pos = 0
     while True:
-        m = _LATERAL_TABLE_RE.search(sql)
+        m = _LATERAL_TABLE_RE.search(sql, pos)
         if not m:
             return sql
+        # a match inside a single-quoted literal is data, not syntax: an odd
+        # number of preceding unescaped quotes means we're inside one
+        if sql.count("'", 0, m.start()) % 2 == 1:
+            pos = m.end()
+            continue
         depth, i = 1, m.end()
         while i < len(sql) and depth:
             if sql[i] == "(":
@@ -118,8 +128,13 @@ def _rewrite_lateral_table(sql: str) -> str:
             elif sql[i] == ")":
                 depth -= 1
             i += 1
+        if depth:
+            raise ValueError(
+                f"unbalanced parentheses after LATERAL TABLE( at offset {m.start()}: {sql[m.start():m.start()+60]!r}"
+            )
         inner = sql[m.end() : i - 1].strip()
         sql = sql[: m.start()] + "LATERAL " + inner + sql[i:]
+        pos = m.start()
 
 
 def rewrite_flink_sql(sql: str) -> str:

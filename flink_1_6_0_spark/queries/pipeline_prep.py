@@ -58,6 +58,7 @@ _PII_DUCK = (
     FROM r2
     """,
     tags=("pipeline", "text", "pii"),
+    bench=True,
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing as pure regexp_replace Column chains (JVM-side, one
@@ -136,10 +137,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_real_decode",
     oracle="""
-    WITH t AS (SELECT doc_id, least(32, length(text))::INT AS w, text FROM documents)
+    WITH s AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '_', 'g') AS ptext FROM documents),
+    t AS (SELECT doc_id, least(32, length(ptext))::INT AS w, ptext FROM s)
     SELECT doc_id, 'image' AS kind, w AS width, 1 AS height, 1 AS channels,
            list_sum(list_transform(generate_series(1, w),
-                                   i -> ascii(substr(text, i, 1)))) / w AS mean_c0
+                                   i -> ascii(substr(ptext, i, 1)))) / w AS mean_c0
     FROM t
     """,
     tags=("pipeline", "multimodal"),
@@ -150,14 +152,20 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale pixels), decoded by the pure-stdlib netpbm decoder inside
     mapInPandas, and the pixel means are value-checked against DuckDB
     computing the same byte average — the decoder, not a stub, is on the
-    oracle path."""
+    oracle path.
+
+    The pixel source is sanitized to printable ASCII first (non-ASCII → '_',
+    identically on both sides): multi-byte UTF-8 would make byte length
+    exceed the declared width and Spark's byte means diverge from DuckDB's
+    per-char ascii() averages (round-3 ADVICE)."""
     from flink_1_6_0_spark.pipeline import multimodal as mm
 
     d = T(spark, sf_dir, "documents")
-    w = F.least(F.lit(32), F.length("text")).cast("int")
+    ptext = F.regexp_replace(F.col("text"), "[^ -~]", "_")
+    w = F.least(F.lit(32), F.length(ptext)).cast("int")
     media = F.concat(
         F.encode(F.concat_ws("", F.lit("P5\n"), w.cast("string"), F.lit(" 1\n255\n")), "utf-8"),
-        F.encode(F.substring(F.col("text"), 1, 32), "utf-8"),
+        F.encode(F.substring(ptext, 1, 32), "utf-8"),
     )
     src = d.select(
         "doc_id",

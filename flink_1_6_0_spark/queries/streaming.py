@@ -434,10 +434,13 @@ def stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics: stateful dropDuplicates on the (group, value) pair
     — the distinct map, externalized to the state store — then an ordinary
     streaming count per group. Same state bound as the reference: one entry
-    per live (key, value)."""
-    ev = events_stream(spark, sf_dir).select("event_type", "user_id")
-    distinct = ev.dropDuplicates(["event_type", "user_id"])
-    agg = distinct.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    per live (key, value); the operator's ``idle_state_retention`` parameter
+    (streaming/group_agg.py) adds the withIdleStateRetentionTime analog —
+    not used here so the oracle stays an exact all-time distinct."""
+    from flink_1_6_0_spark.streaming.group_agg import distinct_agg
+
+    ev = events_stream(spark, sf_dir)
+    agg = distinct_agg(ev, ["event_type"], "user_id", agg_alias="n_users")
     return _materialize(agg, "complete")
 
 

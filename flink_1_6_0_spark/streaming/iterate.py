@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
@@ -71,6 +72,8 @@ def iterate_stream_feedback(
     exit_predicate: Column,
     emit_fn: Callable[[DataFrame, int], None],
     checkpoint: str | None = None,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
 ):
     """TRUE cross-epoch feedback — DataStream.iterate() (DataStream.java:529)
     with the feedback edge realized as the query's own source directory.
@@ -94,15 +97,41 @@ def iterate_stream_feedback(
     file names — the file-source log tracks them exactly-once); the loop's
     state is ON DISK between passes, so a million circulating elements cost
     no executor memory, and stragglers re-shard across the cluster each
-    pass instead of pinning to the task that produced them."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    pass instead of pinning to the task that produced them.
+
+    Source hygiene on long-running loops: every feedback pass appends files
+    into ``source_dir``, so the directory AND the file-source listing log
+    grow without bound unless processed files are retired. Pass
+    ``clean_source='delete'`` (processed files are removed after commit) or
+    ``clean_source='archive'`` with ``archive_dir`` (moved aside) — Spark's
+    file-source ``cleanSource`` option — to keep the per-batch listing cost
+    flat. See SCALING.md §feedback-file accumulation.
+
+    Semantics notes (round-3 ADVICE):
+
+    - ``exit_predicate`` is NULL-total: rows where it evaluates to NULL EXIT
+      the loop (coalesced to true) rather than being silently dropped by
+      both branches — a NULL-looping row could never terminate.
+    - Delivery is AT-LEAST-ONCE at the emit boundary: ``emit_fn`` runs
+      before the feedback write, so a failure between the two replays the
+      batch and re-emits its exited rows (feedback rows are not duplicated —
+      the rewritten files carry new names and the replayed batch re-derives
+      them). Idempotent sinks (parquet upsert, keyed stores) absorb this,
+      the same contract as Flink's at-least-once checkpointing mode."""
+    reader = spark.readStream.schema(schema)
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if archive_dir:
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    stream = reader.parquet(source_dir)
+    exit_total = F.coalesce(exit_predicate.cast("boolean"), F.lit(True))
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if not batch.take(1):
             return
         stepped = step_fn(batch).localCheckpoint()
-        emit_fn(stepped.filter(exit_predicate), epoch_id)
-        feedback = stepped.filter(~exit_predicate)
+        emit_fn(stepped.filter(exit_total), epoch_id)
+        feedback = stepped.filter(~exit_total)
         if feedback.take(1):
             feedback.write.mode("append").parquet(source_dir)
 

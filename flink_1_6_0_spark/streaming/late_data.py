@@ -22,6 +22,10 @@ equivalent: nothing is late.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -43,6 +47,7 @@ def foreach_batch_late_capture(
     on_time_fn,
     late_fn,
     checkpoint: str | None = None,
+    query_name: str | None = None,
 ):
     """Streaming sideOutputLateData(tag): starts (and returns) a foreachBatch
     query that routes each micro-batch's rows behind the engine watermark to
@@ -53,8 +58,31 @@ def foreach_batch_late_capture(
     ENTIRELY of stragglers is still classified late (the batch-max proxy
     would wave it through). First batch: no watermark yet → all on time,
     matching Flink's initial Long.MIN_VALUE watermark.
+
+    Restart + first-batch hardening (round-3 ADVICE):
+
+    - The handler resolves its own StreamingQuery by ``queryName`` from the
+      session's query manager, so the very first micro-batch (which can run
+      before ``start()`` returns to the caller) already reads progress —
+      no assignment race.
+    - When ``checkpoint`` is a local path, the running max event time is
+      persisted to ``<checkpoint>/late_capture_watermark.json`` after each
+      batch and re-seeded on restart, so a restarted query never classifies
+      stragglers on-time while the engine's persisted watermark is ahead.
+      For non-local checkpoint URIs (hdfs://, s3://) the seed file is
+      skipped and the first post-restart batch falls back to all-on-time —
+      the documented gap until a batch completes.
     """
-    holder: dict = {"max_seen": None}
+    holder: dict = {"max_seen": None, "q": None}
+    name = query_name or f"late_capture_{uuid.uuid4().hex[:10]}"
+    wm_path = None
+    if checkpoint and "://" not in checkpoint:
+        wm_path = os.path.join(checkpoint, "late_capture_watermark.json")
+        if os.path.exists(wm_path):
+            try:
+                holder["max_seen"] = json.load(open(wm_path)).get("max_seen")
+            except (OSError, ValueError):
+                pass  # corrupt seed file degrades to the no-seed behavior
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         # lastProgress (posted at the END of the previous batch) carries that
@@ -64,6 +92,11 @@ def foreach_batch_late_capture(
         # one further batch (it reports the value USED, not the one advanced
         # to), so the running max is the faithful read.
         q = holder.get("q")
+        if q is None:
+            for aq in batch.sparkSession.streams.active:
+                if aq.name == name:
+                    holder["q"] = q = aq
+                    break
         if q is not None and q.lastProgress:
             seen = (q.lastProgress.get("eventTime") or {}).get("max")
             if seen and (holder["max_seen"] is None or seen > holder["max_seen"]):
@@ -76,9 +109,19 @@ def foreach_batch_late_capture(
             on_time, late = batch, batch.limit(0)
         on_time_fn(on_time, epoch_id)
         late_fn(late, epoch_id)
+        if wm_path and holder["max_seen"]:
+            tmp = f"{wm_path}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"max_seen": holder["max_seen"]}, fh)
+            os.replace(tmp, wm_path)  # atomic — a crash never leaves a torn file
 
     # the watermark column must be declared for the engine to track/report it
-    writer = stream.withWatermark(ts_col, delay).writeStream.outputMode("update").foreachBatch(handle)
+    writer = (
+        stream.withWatermark(ts_col, delay)
+        .writeStream.queryName(name)
+        .outputMode("update")
+        .foreachBatch(handle)
+    )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()

@@ -716,3 +716,174 @@ def test_iterate_stream_feedback_cross_epoch(spark, tmp_path):
     finally:
         q.stop()
     assert {(i, v) for i, v, _ in done} == {(1, 0), (2, 0), (3, 0)}
+
+
+def test_iterate_feedback_clean_source(spark, tmp_path):
+    """cleanSource='delete' retires processed feedback files after commit, so
+    the source listing stays flat on a long-running loop (SCALING.md
+    §feedback-file accumulation) instead of growing one file per pass."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.streaming.iterate import iterate_stream_feedback
+
+    src = tmp_path / "loop"
+    src.mkdir()
+    schema = "id long, v long"
+    spark.createDataFrame([(1, 4)], schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    done: list[int] = []
+    q = iterate_stream_feedback(
+        spark, str(src), schema,
+        step_fn=lambda d: d.select("id", (F.col("v") - 1).alias("v")),
+        exit_predicate=F.col("v") <= 0,
+        emit_fn=lambda df, _e: done.extend(r["id"] for r in df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+        clean_source="delete",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not done:
+            q.processAllAvailable()
+        assert done == [1]
+        # drain one more empty cycle so the cleaner commits the tail batches
+        q.processAllAvailable()
+        time.sleep(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 5 files were written over the loop's lifetime (1 seed + 4 feedback
+    # passes); the cleaner must have retired at least the committed prefix —
+    # a growing directory means exited files are still being re-listed.
+    remaining = list(src.glob("*.parquet"))
+    assert len(remaining) < 5
+
+
+def test_iterate_feedback_null_predicate_exits(spark, tmp_path):
+    """A NULL exit_predicate row EXITS (coalesced to true) instead of being
+    silently dropped by both filter branches (round-3 ADVICE)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.streaming.iterate import iterate_stream_feedback
+
+    src = tmp_path / "loop"
+    src.mkdir()
+    schema = "id long, v long"
+    # id=9's v goes 1 -> 0 -> NULL is impossible here; instead seed a NULL v
+    # directly: step leaves NULL as NULL, predicate v <= 0 evaluates NULL
+    spark.createDataFrame([(9, None)], schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    done: list[tuple[int, object]] = []
+    q = iterate_stream_feedback(
+        spark, str(src), schema,
+        step_fn=lambda d: d,
+        exit_predicate=F.col("v") <= 0,
+        emit_fn=lambda df, _e: done.extend((r["id"], r["v"]) for r in df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not done:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert done == [(9, None)]
+
+
+def test_distinct_agg_idle_state_retention(spark, tmp_path):
+    """distinct_agg's idle_state_retention (withIdleStateRetentionTime,
+    api/queryConfig.scala:72): an expired (key, value) pair is EVICTED from
+    the distinct state, so its reappearance counts AGAIN — while the
+    no-retention form keeps it forever and counts it once."""
+    from datetime import datetime, timezone
+
+    from flink_1_6_0_spark.streaming.group_agg import distinct_agg
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc).replace(tzinfo=None)
+
+    schema = "grp string, uid long, ts timestamp"
+    files = [
+        [("A", 1, t(0))],            # seed: (A,1) enters state
+        [("B", 9, t(3))],            # watermark -> t(3)-1h = t(2): (A,1) expires
+        [("A", 1, t(2, 30))],        # (A,1) reappears AFTER eviction
+    ]
+
+    def run(retention):
+        src = tmp_path / f"src_{retention or 'none'}"
+        src.mkdir()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = distinct_agg(
+            stream, ["grp"], "uid", agg_alias="n",
+            idle_state_retention=retention, ts_col="ts" if retention else None,
+        )
+        name = f"distinct_ttl_{retention or 'none'}".replace(" ", "_")
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+        )
+        try:
+            for rows in files:
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+                q.processAllAvailable()
+            return {r["grp"]: r["n"] for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+
+    # no retention: (A,1) deduped forever -> A counted once
+    assert run(None) == {"A": 1, "B": 1}
+    # 1h retention: state for (A,1) evicted once the watermark passed
+    # t(0)+1h, so the t(2,30) reappearance is counted a second time
+    assert run("1 hour") == {"A": 2, "B": 1}
+
+
+def test_late_data_capture_restart_seed(spark, tmp_path):
+    """Restart gap (round-3 ADVICE): after a checkpoint restart the engine's
+    persisted watermark is ahead, but the helper's in-memory max was lost —
+    the seed file re-arms it, so the FIRST post-restart batch of stragglers
+    is already classified late instead of waved through."""
+    import datetime as dt
+    import json as _json
+
+    from flink_1_6_0_spark.streaming.late_data import foreach_batch_late_capture
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    # simulate the pre-restart run having advanced the watermark to 10:30
+    (ckpt / "late_capture_watermark.json").write_text(
+        _json.dumps({"max_seen": "2024-01-01T10:30:00.000Z"})
+    )
+    schema = "ts timestamp, v long"
+    # first post-restart batch: one straggler (10:05), one on-time (10:25)
+    spark.createDataFrame([(t(10, 5), 1), (t(10, 25), 2)], schema).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+
+    on_time_rows, late_rows = [], []
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    q = foreach_batch_late_capture(
+        stream, "ts", "10 minutes",
+        lambda b, e: on_time_rows.extend(r["v"] for r in b.collect()),
+        lambda b, e: late_rows.extend(r["v"] for r in b.collect()),
+        checkpoint=str(ckpt),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # seeded watermark 10:30 - 10min = 10:20: v=1 (10:05) late, v=2 (10:25) on time.
+    # Without the seed both would be on-time (no progress yet on batch 1).
+    assert late_rows == [1]
+    assert on_time_rows == [2]
