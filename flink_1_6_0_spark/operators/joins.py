@@ -184,3 +184,67 @@ def windowed_join(
     for lk, rk in keys:
         cond = cond & (lw[lk] == rw[rk])
     return lw.join(rw, cond, how).drop(lw["__w"]).withColumnRenamed("__w", "window")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of (point-in-time) join: for each left row, the single most recent
+    right row with ``right_ts <= left_ts`` on the same key (``backward``;
+    ``forward`` = earliest right row with ``right_ts >= left_ts``). The
+    engine's extension tier — the reference expresses this only as a custom
+    ProcessFunction over keyed state (per-key sorted MapState replay, the
+    pattern its temporal-join docs sketch); here it is one declarative plan.
+
+    Scale design: NOT a range join (no O(n·m) per-key pair explosion, no
+    driver loop). Both sides are union-tagged into one stream, hash-shuffled
+    once on the key, sorted per partition by (ts, side), and the right
+    payload is carried forward with last(ignorenulls) over an
+    unbounded-preceding window — one shuffle + one sort for any data size,
+    the same asymptotics as a sort-merge join. Equal timestamps match
+    (right sorts before left at ties, DuckDB ASOF's >= semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    lcols = left.columns
+    # __side orders right rows BEFORE left rows at equal ts so ties match
+    tagged_l = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+    from pyspark.sql import Window
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_payload]
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_payload]
+
+    unioned = tagged_l.unionByName(tagged_r)
+    filled = unioned.select("*", *fill)
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__f_{c}").alias(f"r_{c}") for c in right_payload],
+    )
+    return out

@@ -203,3 +203,57 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0)).cast("long"), F.lit(every_n_bytes).cast("long")
     )
     return df.select("doc_id", F.explode(offsets).alias("frame_offset"))
+
+
+def ahash_pgm(data: bytes, n_bits: int = 64) -> int | None:
+    """Perceptual average-hash of a binary netpbm image: 1 bit per pixel
+    (scan order, strictly-above-mean), packed MSB-first into an integer over
+    the first ``n_bits`` pixels. Exact integer arithmetic throughout
+    (pixel*n > sum avoids float mean comparisons), so any engine computes
+    the identical hash. None for zero-pixel images."""
+    toks = _ppm_tokens(data)
+    magic, _ = next(toks)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm image: {magic!r}")
+    (w, _), (h, _), (maxval, body_start) = next(toks), next(toks), next(toks)
+    w, h = int(w), int(h)
+    channels = 3 if magic == b"P6" else 1
+    n = w * h
+    if n == 0:
+        return None
+    # grayscale reduction for P6: per-pixel channel sum (exact ints)
+    raw = data[body_start : body_start + n * channels]
+    px = (
+        [raw[i] for i in range(n)]
+        if channels == 1
+        else [raw[3 * i] + raw[3 * i + 1] + raw[3 * i + 2] for i in range(n)]
+    )
+    total = sum(px)
+    bits = 0
+    take = min(n, n_bits)
+    for i in range(take):
+        bits = (bits << 1) | (1 if px[i] * n > total else 0)
+    return bits
+
+
+def media_ahash(df: DataFrame, n_bits: int = 64) -> DataFrame:
+    """Average-hash over the real decode path (near-dup detection for image
+    corpora: equal hashes — or small Hamming distance — bucket together the
+    way MinHash bands bucket text). Same Arrow mapInPandas shape as
+    decode_media; output (doc_id, ahash) with ahash NULL for empty images.
+
+    Scale: per-doc constant work, no shuffle; the downstream near-dup pass
+    is a groupBy(ahash) — the image analog of dedup_exact's one hash
+    shuffle."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": [ahash_pgm(bytes(m), n_bits) for m in pdf["media"]],
+                }
+            )
+
+    pruned = df.select("doc_id", "media")
+    return pruned.mapInPandas(hash_batches, schema="doc_id long, ahash long")

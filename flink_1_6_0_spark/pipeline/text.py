@@ -148,3 +148,68 @@ def word_segments(col: str | Column, width: int = 10) -> Column:
             lambda i: F.concat_ws(" ", F.slice(t, i * width + 1, width)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def unigram_logppl(docs: DataFrame, doc_id: str, text_col: str) -> DataFrame:
+    """CCNet-style LM perplexity scoring (the quality gate CCNet runs with a
+    Wikipedia-trained KenLM; here the unigram LM is trained on the corpus
+    itself, which keeps the operator deterministic and oracle-checkable —
+    swap the vocab frame for a pre-trained table to reproduce CCNet
+    exactly). Output: one row per doc with token count and
+    log-perplexity = avg over tokens of -ln p(token).
+
+    Scale shape: vocab is one corpus-wide groupBy(token) — the same shuffle
+    a TF-IDF pass pays; the corpus total is a 1x1 broadcast scalar (NOT a
+    single-partition window); doc-token x vocab is a shuffle equi-join on
+    the token (AQE handles stopword skew). Nothing is collected."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(doc_id), F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    vocab_p = vocab.crossJoin(F.broadcast(total))  # 1x1 scalar, broadcast
+    scored = toks.join(vocab_p, "tok")
+    return scored.groupBy(doc_id).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.avg(-F.log(F.col("n_tok") / F.col("n_total"))).alias("log_ppl"),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    doc_id: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (the public C4 recipe: keep lines that
+    end in terminal punctuation and have enough words; drop whole pages
+    containing boilerplate markers or code braces; require a minimum of
+    surviving lines). Pure Column expressions over a line split — one scan,
+    no UDF, no shuffle.
+
+    Returns (doc_id, cleaned, n_lines_kept) for surviving docs only."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(F.col(text_col), "\n")
+    keep = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words),
+    )
+    bad = (
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        | F.col(text_col).contains("{")
+        | F.lower(F.col(text_col)).contains("javascript")
+    )
+    return (
+        docs.select(F.col(doc_id), F.col(text_col), keep.alias("__keep"), bad.alias("__bad"))
+        .filter(~F.col("__bad") & (F.size("__keep") >= min_lines))
+        .select(
+            F.col(doc_id),
+            F.array_join("__keep", "\n").alias("cleaned"),
+            F.size("__keep").cast("long").alias("n_lines_kept"),
+        )
+    )

@@ -193,3 +193,141 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_6_0_spark.pipeline.similarity import normalize_embeddings
 
     return normalize_embeddings(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@query(
+    "text_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE len(t.tok) > 0
+    ),
+    vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+    tot AS (SELECT sum(n_tok) AS n_total FROM vocab),
+    scored AS (
+      SELECT toks.doc_id, vocab.n_tok, tot.n_total
+      FROM toks JOIN vocab USING (tok), tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(-ln(n_tok / n_total)), 3) AS log_ppl
+    FROM scored GROUP BY doc_id
+    HAVING round(avg(-ln(n_tok / n_total)), 3) < 9.0
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity gate: score every document with a corpus-trained
+    unigram LM and keep those under a log-perplexity ceiling (low ppl ≈
+    head/common text, high ppl ≈ tail/noise — CCNet's head/middle/tail
+    split). See pipeline/text.unigram_logppl for the scale shape."""
+    from flink_1_6_0_spark.pipeline.text import unigram_logppl
+
+    d = T(spark, sf_dir, "documents")
+    scored = unigram_logppl(d, "doc_id", "text")
+    return scored.select(
+        "doc_id", "n_tokens", F.round("log_ppl", 3).alias("log_ppl")
+    ).filter(F.col("log_ppl") < 9.0)
+
+
+@query(
+    "text_c4_clean",
+    oracle="""
+    WITH tt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, (len(tk) + 7) // 8 - 1),
+                            i -> array_to_string(tk[8*i+1 : 8*i+8], ' ')
+                                 || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+             AS lines
+      FROM tt
+    ),
+    doc AS (
+      SELECT doc_id,
+             array_to_string(CASE WHEN doc_id % 97 = 0
+                                  THEN list_append(lines, 'lorem ipsum dolor sit amet consectetur.')
+                                  ELSE lines END, chr(10)) AS text2
+      FROM built
+    ),
+    kept AS (
+      SELECT doc_id, text2,
+             list_filter(string_split(text2, chr(10)),
+                         l -> regexp_matches(trim(l), '[.!?"]$')
+                              AND len(string_split_regex(trim(l), '\\s+')) >= 5) AS keep
+      FROM doc
+    )
+    SELECT doc_id, array_to_string(keep, chr(10)) AS cleaned, len(keep)::BIGINT AS n_lines_kept
+    FROM kept
+    WHERE NOT (contains(lower(text2), 'lorem ipsum') OR contains(text2, '{')
+               OR contains(lower(text2), 'javascript'))
+      AND len(keep) >= 3
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (public C4 recipe: terminal-punctuation lines
+    with >=5 words, >=3 surviving lines, boilerplate/brace pages dropped) —
+    pipeline/text.c4_line_filter, pure Column expressions.
+
+    The synthetic corpus has no line structure, so the query first BUILDS a
+    deterministic multi-line page from each doc's tokens identically on both
+    engines (8-token lines, 2 of 3 ending in '.', a lorem-ipsum line
+    injected into every 97th doc) — the filter then has real work to do and
+    the value hash covers both the keep and the drop paths."""
+    from flink_1_6_0_spark.pipeline.text import c4_line_filter, tokenize
+
+    d = T(spark, sf_dir, "documents")
+    tk = tokenize(F.trim(F.col("text")))
+    nlines = F.ceil(F.size(tk) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lines = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.concat(lines, F.array(F.lit("lorem ipsum dolor sit amet consectetur."))),
+    ).otherwise(lines)
+    built = d.select("doc_id", F.array_join(lines, "\n").alias("text2"))
+    return c4_line_filter(built, "doc_id", "text2", min_words=5, min_lines=3)
+
+
+@query(
+    "multimodal_ahash",
+    oracle="""
+    WITH s AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '_', 'g') AS ptext FROM documents),
+    t AS (SELECT doc_id, least(32, length(ptext))::INT AS w, ptext FROM s),
+    px AS (SELECT doc_id, w,
+                  list_transform(generate_series(1, w), i -> ascii(substr(ptext, i, 1))) AS p
+           FROM t)
+    SELECT doc_id,
+           CASE WHEN w = 0 THEN NULL ELSE
+             list_sum(list_transform(generate_series(1, w),
+                      i -> CASE WHEN p[i] * w > list_sum(p) THEN 1::BIGINT << (w - i) ELSE 0 END))::BIGINT
+           END AS ahash
+    FROM px
+    """,
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash through the REAL decode path: the same
+    per-document binary PGM as multimodal_real_decode, hashed by
+    pipeline/multimodal.ahash_pgm (strictly-above-mean bit per pixel,
+    MSB-first, exact integer compare p*n > sum so every engine agrees) —
+    the image-corpus analog of dedup_exact's content hash; near-dups then
+    bucket by groupBy(ahash) or small Hamming distance."""
+    from flink_1_6_0_spark.pipeline import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    ptext = F.regexp_replace(F.col("text"), "[^ -~]", "_")
+    w = F.least(F.lit(32), F.length(ptext)).cast("int")
+    media = F.concat(
+        F.encode(F.concat_ws("", F.lit("P5\n"), w.cast("string"), F.lit(" 1\n255\n")), "utf-8"),
+        F.encode(F.substring(ptext, 1, 32), "utf-8"),
+    )
+    src = d.select("doc_id", media.alias("media"))
+    return mm.media_ahash(src)

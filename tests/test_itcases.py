@@ -146,3 +146,32 @@ def test_table_source_itcase(spark, t3, tmp_path):
     write_csv(t3, path, header=True)
     back = read_csv(spark, path, schema="a int, b long, c string", header=True)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, t3.collect()))
+
+
+def test_asof_join_forward_and_ties(spark):
+    """asof_join: backward picks the latest right <= left ts (ties match);
+    forward picks the earliest right >= left ts; unmatched lefts null-pad."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 7, 70.0)], "k long, ts long, rv double"
+    )
+    back = {
+        (r["k"], r["ts"]): r["r_rv"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["rv"], "backward").collect()
+    }
+    # (1,10) ties with right ts=10 -> matches; (1,20) takes latest <=20 = 15;
+    # (2,5) has no right <=5 -> NULL
+    assert back == {(1, 10): 100.0, (1, 20): 150.0, (2, 5): None}
+
+    fwd = {
+        (r["k"], r["ts"]): r["r_rv"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["rv"], "forward").collect()
+    }
+    # (1,10) tie -> 100.0; (1,20) no right >=20 -> NULL; (2,5) earliest >=5 = 7
+    assert fwd == {(1, 10): 100.0, (1, 20): None, (2, 5): 70.0}

@@ -72,3 +72,18 @@ def test_decode_media_distributed(spark):
 def test_decode_image_real_gate():
     with pytest.raises(NotImplementedError, match="pillow"):
         mm.decode_image_real(None)
+
+
+def test_ahash_pgm_p5_p6_and_empty():
+    """ahash bit semantics: strictly-above-mean, MSB-first; P6 reduces to
+    per-pixel channel sums; zero-pixel images hash to None."""
+    from flink_1_6_0_spark.pipeline.multimodal import ahash_pgm
+
+    # P5 3x1, pixels 10,20,30: mean=20 -> bits (10>20)=0,(20>20)=0,(30>20)=1 -> 0b001
+    assert ahash_pgm(b"P5\n3 1\n255\n" + bytes([10, 20, 30])) == 0b001
+    # P6 2x1, pixel sums (3, 300): mean=151.5 -> bits 0,1 -> 0b01
+    assert ahash_pgm(b"P6\n2 1\n255\n" + bytes([1, 1, 1, 100, 100, 100])) == 0b01
+    # zero pixels -> None, not an exception
+    assert ahash_pgm(b"P5\n0 1\n255\n") is None
+    # n_bits truncation: 4 pixels, keep the first 2 bits only
+    assert ahash_pgm(b"P5\n4 1\n255\n" + bytes([9, 1, 1, 1]), n_bits=2) == 0b10

@@ -90,3 +90,39 @@ def test_embedding_normalize_drops_degenerate(spark):
     out = {r["vec_id"]: r for r in normalize_embeddings(df, "vec_id", "embedding").collect()}
     assert set(out) == {1}  # zero and near-zero vectors dropped
     assert out[1]["norm"] == 5.0 and out[1]["unit"] == [0.6, 0.8]
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 cleaning: terminal-punctuation + min-words line keep, boilerplate
+    page drop, min surviving-lines page drop."""
+    from flink_1_6_0_spark.pipeline.text import c4_line_filter
+
+    rows = [
+        # doc 1: 3 good lines + 1 bad (no punct) + 1 bad (short) -> kept
+        (1, "one two three four five.\nsix seven eight nine ten!\n"
+            'eleven twelve thirteen fourteen fifteen?\nno terminal punct here\nshort line.'),
+        # doc 2: only 2 good lines -> dropped (min_lines=3)
+        (2, "one two three four five.\nsix seven eight nine ten."),
+        # doc 3: boilerplate marker -> dropped even with 3 good lines
+        (3, "one two three four five.\nsix seven eight nine ten.\n"
+            "eleven twelve thirteen fourteen fifteen.\nlorem ipsum dolor."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cleaned"], r["n_lines_kept"])
+           for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert set(out) == {1}
+    cleaned, n = out[1]
+    assert n == 3 and cleaned.count("\n") == 2 and "no terminal" not in cleaned
+
+
+def test_unigram_logppl_exact(spark):
+    """Perplexity scoring: hand-checked unigram probabilities."""
+    import math
+
+    from flink_1_6_0_spark.pipeline.text import unigram_logppl
+
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["log_ppl"]) for r in unigram_logppl(df, "doc_id", "text").collect()}
+    assert got[1][0] == 3 and abs(got[1][1] - (-math.log(0.75))) < 1e-12
+    assert got[2][0] == 1 and abs(got[2][1] - (-math.log(0.25))) < 1e-12
