@@ -213,3 +213,36 @@ def c4_line_filter(
             F.size("__keep").cast("long").alias("n_lines_kept"),
         )
     )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    doc_id: str,
+    text_col: str,
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Overlapping token-window chunking (context-window packing for training
+    and retrieval corpora): fixed-size token chunks starting every
+    ``size - overlap`` tokens, last chunk ragged. Pure Column expressions —
+    tokenize once, posexplode the chunk sequence; per-doc work is linear in
+    doc length and nothing shuffles."""
+    from pyspark.sql import functions as F
+
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    tk = tokenize(F.trim(F.col(text_col)))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(tk) - F.lit(overlap)) / F.lit(float(step)))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(tk, i * step + 1, size),
+    )
+    return docs.select(F.col(doc_id), F.posexplode(chunks).alias("chunk_id", "__c")).select(
+        F.col(doc_id),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("__c", " ").alias("chunk"),
+        F.size("__c").cast("long").alias("n_tokens"),
+    )

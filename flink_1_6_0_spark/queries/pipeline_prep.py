@@ -331,3 +331,25 @@ def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", media.alias("media"))
     return mm.media_ahash(src)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 greatest(1, ceil((len(tk) - 8) / 24.0))::INT AS nc
+          FROM tt)
+    SELECT doc_id, i::BIGINT AS chunk_id,
+           array_to_string(tk[24*i+1 : 24*i+32], ' ') AS chunk,
+           len(tk[24*i+1 : 24*i+32])::BIGINT AS n_tokens
+    FROM c, unnest(generate_series(0, nc - 1)) AS g(i)
+    """,
+    tags=("pipeline", "text", "utils"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (size=32, overlap=8 → a chunk
+    every 24 tokens, ragged tail) — pipeline/text.chunk_overlap."""
+    from flink_1_6_0_spark.pipeline.text import chunk_overlap
+
+    return chunk_overlap(T(spark, sf_dir, "documents"), "doc_id", "text", size=32, overlap=8)

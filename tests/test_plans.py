@@ -142,3 +142,29 @@ def test_window_all_distributes_windows(spark, sf_dir):
     plan = _plan(get("window_all_tumble").fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(window" in plan.lower().replace("#", "").replace(" ", "") or "hashpartitioning" in plan.lower()
+
+
+def test_asof_join_single_pass_no_cartesian(spark, sf_dir):
+    """asof_join is union-tag + window-fill: every row shuffles ONCE (one
+    Exchange per union branch, both hashing the key), and there is no range
+    join — a CartesianProduct / BroadcastNestedLoopJoin node would mean the
+    per-key pair explosion the design exists to avoid."""
+    plan = _plan(get("join_asof_events").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_c4_clean_single_scan(spark, sf_dir):
+    """C4 page cleaning is a pure projection+filter over one scan: no
+    shuffle, no Python eval node."""
+    plan = _plan(get("text_c4_clean").fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_perplexity_stays_jvm_side(spark, sf_dir):
+    """The perplexity gate is joins + aggs only — tokenization and scoring
+    must not fall back to Python."""
+    plan = _plan(get("text_perplexity_filter").fn(spark, sf_dir))
+    assert "EvalPython" not in plan
