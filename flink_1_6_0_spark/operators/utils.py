@@ -88,3 +88,43 @@ def deterministic_sample(
     rate = F.lit(rate_permille) if isinstance(rate_permille, int) else rate_permille
     gate = F.pmod(portable_hash(F.concat(key.cast("string"), F.lit(salt))), F.lit(1000))
     return df.filter(gate < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in exactly one
+    named split by its hash bucket (permille ranges over the same
+    engine-portable md5 gate as ``deterministic_sample``). Pure projection —
+    no shuffle, no RNG, stable under re-partitioning and re-runs, so a
+    100 TB corpus splits identically on every cluster.
+
+    ``splits``: name → permille, must sum to <= 1000; rows above the last
+    range get NULL (held out)."""
+    if sum(splits.values()) > 1000:
+        raise ValueError("split permilles exceed 1000")
+    gate = F.pmod(portable_hash(F.concat(F.col(key).cast("string"), F.lit(salt))), F.lit(1000))
+    expr = F.lit(None).cast("string")
+    lo = 0
+    conds = []
+    for name, permille in splits.items():
+        conds.append((lo, lo + permille, name))
+        lo += permille
+    for a, b, name in reversed(conds):
+        expr = F.when((gate >= a) & (gate < b), F.lit(name)).otherwise(expr)
+    return df.select("*", expr.alias("split"))
+
+
+def corpus_shuffle_key(df: DataFrame, key: str, salt: str = "shuffle") -> DataFrame:
+    """Deterministic global shuffle order for training: a portable-hash sort
+    key (md5 of id+salt). Downstream writers sort WITHIN shards by it
+    (shard via doc_shard_assign / pack_sequences) — the pseudo-random
+    training order every epoch pipeline needs, reproducible across engines
+    and cluster layouts, without a global sort."""
+    return df.select(
+        "*",
+        portable_hash(F.concat(F.col(key).cast("string"), F.lit(salt))).alias("shuffle_key"),
+    )

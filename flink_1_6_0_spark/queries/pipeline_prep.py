@@ -353,3 +353,32 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_6_0_spark.pipeline.text import chunk_overlap
 
     return chunk_overlap(T(spark, sf_dir, "documents"), "doc_id", "text", size=32, overlap=8)
+
+
+@query(
+    "corpus_split_shuffle",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT % 1000 AS gate,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 15))::BIGINT AS shuffle_key
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN gate < 900 THEN 'train'
+                WHEN gate < 950 THEN 'val'
+                WHEN gate < 1000 THEN 'test' END AS split,
+           shuffle_key
+    FROM g
+    """,
+    tags=("pipeline", "utils"),
+)
+def corpus_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment + reproducible shuffle
+    sort key, both via the engine-portable md5 gate (operators/utils.py
+    split_assign / corpus_shuffle_key) — pure projection, no shuffle, no
+    RNG; the same row lands in the same split on any engine or cluster."""
+    from flink_1_6_0_spark.operators.utils import corpus_shuffle_key, split_assign
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    out = split_assign(d, "doc_id", {"train": 900, "val": 50, "test": 50})
+    return corpus_shuffle_key(out, "doc_id").select("doc_id", "split", "shuffle_key")

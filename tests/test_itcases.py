@@ -175,3 +175,40 @@ def test_asof_join_forward_and_ties(spark):
     }
     # (1,10) tie -> 100.0; (1,20) no right >=20 -> NULL; (2,5) earliest >=5 = 7
     assert fwd == {(1, 10): 100.0, (1, 20): None, (2, 5): 70.0}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check (seeded): asof_join backward/forward vs
+    pandas.merge_asof — an independent reference implementation — over a few
+    hundred rows with duplicate left timestamps, tie timestamps, and
+    unmatched keys."""
+    import random
+
+    import pandas as pd
+
+    from flink_1_6_0_spark.operators.joins import asof_join
+
+    rng = random.Random(42)
+    left_rows = [
+        (rng.randint(1, 6), rng.randint(0, 50), i) for i in range(300)
+    ]  # (k, ts, lid) — duplicate (k, ts) pairs allowed on the left
+    right_pairs = {(rng.randint(1, 7), rng.randint(0, 50)) for _ in range(150)}
+    right_rows = [(k, ts, float(k * 1000 + ts)) for k, ts in right_pairs]  # unique (k, ts)
+
+    left = spark.createDataFrame(left_rows, "k long, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, rv double")
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "rv"]).sort_values("ts", kind="stable")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["r_rv"]
+            for r in asof_join(left, right, "k", "ts", "ts", ["rv"], direction).collect()
+        }
+        exp_df = pd.merge_asof(lpd, rpd, on="ts", by="k", direction=direction)
+        exp = {
+            int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, f"direction={direction}"

@@ -137,3 +137,25 @@ def test_delta_iteration_upsert_and_drain(spark):
 
     out = iterate_delta(solution, workset, step, max_iterations=50, key_cols=["id"])
     assert {(r["id"], r["label"]) for r in out.collect()} == {(0, 0), (1, 0), (2, 0), (3, 0)}
+
+
+def test_split_assign_exclusive_and_stable(spark):
+    """split_assign: every row gets exactly one split, assignment is a pure
+    function of the key (stable across re-partitioning), ranges are
+    exclusive, permille overflow raises."""
+    import pytest
+
+    from flink_1_6_0_spark.operators.utils import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = split_assign(df, "k", {"train": 800, "val": 100, "test": 100})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # roughly proportional (hash-uniform; generous bounds)
+    assert counts["train"] > 1400 and counts["val"] > 100 and counts["test"] > 100
+    # stability: same assignment regardless of physical layout
+    again = split_assign(df.repartition(13), "k", {"train": 800, "val": 100, "test": 100})
+    assert out.select("k", "split").exceptAll(again.select("k", "split")).count() == 0
+    with pytest.raises(ValueError):
+        split_assign(df, "k", {"a": 600, "b": 600})
