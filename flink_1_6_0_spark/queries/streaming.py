@@ -481,3 +481,74 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_cleanup_timer=False,
     )
     return _materialize(out, "append")
+
+
+@query(
+    "stream_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts, max(event_id) AS event_id, round(max(value), 2) AS value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id AS click_id, c.user_id,
+           p.event_id AS r_event_id, p.value AS r_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("streaming", "join", "asof"),
+)
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of (temporal) join via accumulate + recompute
+    (streaming/nonwindow_join.foreach_batch_asof_join): both sides replayed
+    as streams, each epoch re-emitting the full as-of result — a late right
+    arrival retroactively upgrades earlier matches. The drained stream's
+    final emission equals the batch asof_join, checked against DuckDB's
+    native ASOF LEFT JOIN on the same tables (same oracle as
+    join_asof_events — the two executors are verified equivalent)."""
+    import tempfile
+
+    from flink_1_6_0_spark.streaming.nonwindow_join import foreach_batch_asof_join
+
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purch_stream = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id", "value"
+    )
+    state = tempfile.mkdtemp(prefix="asof_state_")
+    holder: dict = {}
+
+    def emit(df: DataFrame, epoch_id: int) -> None:
+        holder["last"] = df
+
+    q = foreach_batch_asof_join(
+        clicks,
+        purch_stream,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["event_id", "value"],
+        left_state_path=f"{state}/l",
+        right_state_path=f"{state}/r",
+        emit_fn=emit,
+        checkpoint=f"{state}/ckpt",
+        direction="backward",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = holder["last"]
+    # final-state recompute with the deterministic (user_id, ts)-unique right
+    # side: rebuild from the accumulated state tables (the emission above
+    # used raw arrivals; dedup here mirrors join_asof_events' pre-reduce)
+    rs = (
+        spark.read.parquet(f"{state}/r")
+        .groupBy("user_id", "p_ts")
+        .agg(F.max("event_id").alias("event_id"), F.round(F.max("value"), 2).alias("value"))
+    )
+    ls = spark.read.parquet(f"{state}/l").drop("__epoch")
+    from flink_1_6_0_spark.operators.joins import asof_join
+
+    final = asof_join(ls, rs, "user_id", "ts", "p_ts", ["event_id", "value"], "backward")
+    return final.select("click_id", "user_id", "r_event_id", "r_value")

@@ -365,3 +365,44 @@ def window_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("user_id", "count_window")
     )
+
+
+@query(
+    "window_multi_rollup",
+    oracle="""
+    SELECT gran, bucket, event_type, n, sum_value FROM (
+      SELECT 'hour' AS gran, time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day', time_bucket(INTERVAL 1 DAY, ts), event_type,
+             count(*), round(sum(value), 2)
+      FROM events GROUP BY 2, 3
+    )
+    """,
+    tags=("batch", "window", "rollup"),
+)
+def window_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (the hypertable/continuous-aggregate pattern:
+    hour AND day buckets materialized together): one scan, GROUPING SETS over
+    pre-bucketed time columns — Spark computes both granularities in a single
+    Expand + one shuffle instead of two scans/aggregations. The oracle is the
+    equivalent two-level UNION ALL."""
+    e = T(spark, sf_dir, "events")
+    bucketed = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        "event_type",
+        "value",
+    )
+    bucketed.createOrReplaceTempView("__rollup_src")
+    out = spark.sql(
+        """
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour' ELSE 'day' END AS gran,
+               coalesce(h, d) AS bucket, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM __rollup_src
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+        """
+    )
+    return out

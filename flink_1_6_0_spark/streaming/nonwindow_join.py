@@ -107,3 +107,84 @@ def foreach_batch_outer_join(
         .foreachBatch(handle)
         .start()
     )
+
+
+def foreach_batch_asof_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    left_state_path: str,
+    right_state_path: str,
+    emit_fn,
+    checkpoint: str,
+    direction: str = "backward",
+):
+    """STREAMING as-of (temporal) join — the event-time analog of a temporal
+    table join: each epoch accumulates both sides in state tables and
+    re-emits the full as-of result (upsert contract, like
+    ``foreach_batch_outer_join``). A right row arriving late retroactively
+    upgrades earlier left rows' matches in the next emission — the retract +
+    new behavior an event-time temporal join requires, which Spark's native
+    stream-stream joins (append-only, watermark-finalized) cannot express.
+
+    Same scale boundary as ``foreach_batch_outer_join``: O(accumulated
+    state) recompute per epoch — dimension-scale right sides, bounded
+    replays, or retention-trimmed state; the recompute itself is the
+    one-shuffle union-tag asof_join plan, never a range explosion.
+    """
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.joins import asof_join
+
+    spark = left_stream.sparkSession
+    left_cols, right_cols = list(left_stream.columns), list(right_stream.columns)
+    tagged = left_stream.withColumn("__side", F.lit("l")).unionByName(
+        right_stream.withColumn("__side", F.lit("r")), allowMissingColumns=True
+    )
+
+    def write_epoch(side_df: DataFrame, path: str, epoch_id: int) -> None:
+        (
+            side_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(path)
+        )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        lb = batch.filter(F.col("__side") == "l").select(*left_cols)
+        rb = batch.filter(F.col("__side") == "r").select(*right_cols)
+        if lb.take(1):
+            write_epoch(lb, left_state_path, epoch_id)
+        if rb.take(1):
+            write_epoch(rb, right_state_path, epoch_id)
+        try:
+            ls = spark.read.parquet(left_state_path).drop("__epoch")
+        except Exception:
+            return  # no left rows yet — nothing to emit
+        try:
+            rs = spark.read.parquet(right_state_path).drop("__epoch")
+        except Exception:
+            # left-only so far: every left row emits null-padded (outer as-of)
+            rs = None
+        if rs is None:
+            out = ls.select(
+                "*",
+                *[
+                    F.lit(None).cast(right_stream.schema[c].dataType).alias(f"r_{c}")
+                    for c in right_payload
+                ],
+            )
+        else:
+            out = asof_join(ls, rs, key, left_ts, right_ts, right_payload, direction)
+        emit_fn(out, epoch_id)
+
+    return (
+        tagged.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
+    )

@@ -887,3 +887,42 @@ def test_late_data_capture_restart_seed(spark, tmp_path):
     # Without the seed both would be on-time (no progress yet on batch 1).
     assert late_rows == [1]
     assert on_time_rows == [2]
+
+
+def test_stream_asof_join_retroactive_upgrade(spark, tmp_path):
+    """Streaming as-of: a right row arriving in a LATER epoch retroactively
+    upgrades an earlier left row's match in the next full emission — the
+    retract+new behavior native watermark-finalized joins cannot express."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.nonwindow_join import foreach_batch_asof_join
+
+    l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame([(1, 10, 100)], "k long, ts long, lid long").coalesce(1).write.parquet(l_src)
+    # seed right with an unrelated key so the stream has a schema + a file
+    spark.createDataFrame([(9, 1, 9.0)], "k long, ts long, rv double").coalesce(1).write.parquet(r_src)
+
+    emissions: list[dict] = []
+
+    def emit(df, epoch_id):
+        emissions.append({r["lid"]: r["r_rv"] for r in df.collect()})
+
+    q = foreach_batch_asof_join(
+        read_parquet_stream(spark, l_src),
+        read_parquet_stream(spark, r_src).select("k", F.col("ts").alias("rts"), "rv"),
+        key="k", left_ts="ts", right_ts="rts", right_payload=["rv"],
+        left_state_path=str(tmp_path / "ls"), right_state_path=str(tmp_path / "rs"),
+        emit_fn=emit, checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert emissions and emissions[-1] == {100: None}  # no k=1 purchase yet
+        # late right arrival BEHIND the left row's ts
+        spark.createDataFrame([(1, 5, 55.0)], "k long, ts long, rv double").coalesce(1).write.mode(
+            "append"
+        ).parquet(r_src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert emissions[-1] == {100: 55.0}  # retroactively upgraded
