@@ -382,3 +382,39 @@ def corpus_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select("doc_id")
     out = split_assign(d, "doc_id", {"train": 900, "val": 50, "test": 50})
     return corpus_shuffle_key(out, "doc_id").select("doc_id", "split", "shuffle_key")
+
+
+@query(
+    "doc_length_quantiles",
+    oracle="""
+    WITH t AS (SELECT source, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+               FROM documents)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(quantile_cont(n_tokens, 0.25), 2) AS p25,
+           round(quantile_cont(n_tokens, 0.50), 2) AS p50,
+           round(quantile_cont(n_tokens, 0.90), 2) AS p90,
+           round(quantile_cont(n_tokens, 0.99), 2) AS p99
+    FROM t GROUP BY source
+    """,
+    tags=("pipeline", "text", "stats"),
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution (the corpus-profiling step before
+    setting packing budgets and length filters): exact interpolated
+    percentiles via Spark SQL `percentile` — same linear interpolation as
+    DuckDB's quantile_cont. At 100 TB swap `percentile` for
+    `percentile_approx` (t-digest sketch, mergeable map-side) — same call
+    shape, documented trade; the exact form is the oracle-checkable one."""
+    from flink_1_6_0_spark.pipeline.text import token_count
+
+    d = T(spark, sf_dir, "documents").select(
+        "source", token_count(F.trim(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(n_tokens, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(n_tokens, 0.90)"), 2).alias("p90"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 2).alias("p99"),
+    )

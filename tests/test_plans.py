@@ -168,3 +168,27 @@ def test_perplexity_stays_jvm_side(spark, sf_dir):
     must not fall back to Python."""
     plan = _plan(get("text_perplexity_filter").fn(spark, sf_dir))
     assert "EvalPython" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both join sides by the key makes the join co-located: the
+    plan must contain NO Exchange (the 100 TB fact-fact join strategy —
+    pre-bucket once at write time, join shuffle-free forever after)."""
+    import pyspark.sql.functions as F
+
+    n_buckets = 4
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        a = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+        b = spark.range(0, 10000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("b"))
+        a.write.bucketBy(n_buckets, "k").sortBy("k").mode("overwrite").saveAsTable("bj_a")
+        b.write.bucketBy(n_buckets, "k").sortBy("k").mode("overwrite").saveAsTable("bj_b")
+        joined = spark.table("bj_a").join(spark.table("bj_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
