@@ -740,6 +740,7 @@ def join_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     tags=("batch", "join", "asof"),
+    bench=True,
 )
 def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click paired with the user's most recent
