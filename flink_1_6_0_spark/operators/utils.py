@@ -128,3 +128,20 @@ def corpus_shuffle_key(df: DataFrame, key: str, salt: str = "shuffle") -> DataFr
         "*",
         portable_hash(F.concat(F.col(key).cast("string"), F.lit(salt))).alias("shuffle_key"),
     )
+
+
+def sample_n_per_key(df: DataFrame, key: str, id_col: str, n: int, salt: str = "pick") -> DataFrame:
+    """Uniform-without-replacement sample of ``n`` rows per key, deterministic:
+    rank by the portable md5 hash of the row id inside each key and keep the
+    first ``n``. No RNG state, stable across engines/partitionings (the
+    'inspect 1000 random docs per source' operator); one hash shuffle on the
+    key — the same cost as any per-key top-n."""
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(key).orderBy(
+            portable_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt))).asc(),
+            F.col(id_col).asc(),
+        )
+    )
+    return df.withColumn("__rk", rk).filter(F.col("__rk") <= n).drop("__rk")

@@ -246,3 +246,44 @@ def chunk_overlap(
         F.array_join("__c", " ").alias("chunk"),
         F.size("__c").cast("long").alias("n_tokens"),
     )
+
+
+def unigram_logppl_topk(
+    docs: DataFrame,
+    doc_id: str,
+    text_col: str,
+    k: int = 1000,
+    floor_permille: int = 1,
+) -> DataFrame:
+    """The BROADCAST scale path of :func:`unigram_logppl` (SCALING.md): the
+    vocabulary is truncated to the top-``k`` tokens by corpus frequency and
+    broadcast; out-of-vocabulary tokens score a floor probability
+    (``floor_permille``/1000). Turns the token-shuffle join into a
+    broadcast hash join — at 100 TB the vocab side is KBs while the corpus
+    side never shuffles. Integer-exact probabilities (n_tok/n_total and the
+    permille floor) keep the score engine-portable."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(doc_id), F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    # deterministic top-k (frequency desc, token asc tiebreak) via
+    # orderBy().limit() — TakeOrderedAndProject, k·partitions rows to the
+    # driver, NOT a single-partition sort of the whole vocabulary
+    topk = vocab.orderBy(F.col("n_tok").desc(), F.col("tok").asc()).limit(k)
+    joined = (
+        toks.join(F.broadcast(topk), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(doc_id),
+            F.coalesce(
+                F.col("n_tok") / F.col("n_total"), F.lit(floor_permille / 1000.0)
+            ).alias("p"),
+        )
+    )
+    return joined.groupBy(doc_id).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.avg(-F.log(F.col("p"))).alias("log_ppl"),
+    )

@@ -418,3 +418,61 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.90)"), 2).alias("p90"),
         F.round(F.expr("percentile(n_tokens, 0.99)"), 2).alias("p99"),
     )
+
+
+@query(
+    "text_perplexity_topk_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE len(t.tok) > 0
+    ),
+    vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+    tot AS (SELECT sum(n_tok) AS n_total FROM vocab),
+    topk AS (SELECT tok, n_tok FROM vocab ORDER BY n_tok DESC, tok ASC LIMIT 25),
+    scored AS (
+      SELECT toks.doc_id,
+             coalesce(topk.n_tok / tot.n_total, 0.001) AS p
+      FROM toks LEFT JOIN topk USING (tok), tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(-ln(p)), 3) AS log_ppl
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_perplexity_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-vocab perplexity (the 100 TB path of text_perplexity_filter):
+    top-25 tokens by corpus frequency broadcast to every executor,
+    out-of-vocab floored at 1/1000 — the corpus side never shuffles on the
+    token (pipeline/text.unigram_logppl_topk)."""
+    from flink_1_6_0_spark.pipeline.text import unigram_logppl_topk
+
+    d = T(spark, sf_dir, "documents")
+    out = unigram_logppl_topk(d, "doc_id", "text", k=25, floor_permille=1)
+    return out.select("doc_id", "n_tokens", F.round("log_ppl", 3).alias("log_ppl"))
+
+
+@query(
+    "sample_n_per_source",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'pick'), 1, 15))::BIGINT ASC,
+                        doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+    tags=("pipeline", "utils"),
+)
+def sample_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of 5 docs per source (hash-rank inside
+    each key — operators/utils.sample_n_per_key): the corpus-inspection
+    operator, reproducible on any engine or cluster layout."""
+    from flink_1_6_0_spark.operators.utils import sample_n_per_key
+
+    d = T(spark, sf_dir, "documents").select("source", "doc_id")
+    return sample_n_per_key(d, "source", "doc_id", n=5)
