@@ -192,3 +192,12 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_perplexity_topk_broadcasts_vocab(spark, sf_dir):
+    """The top-K vocab path must broadcast (no corpus shuffle on the token)
+    and pick its top-K with TakeOrdered, never a single-partition sort."""
+    plan = _plan(get("text_perplexity_topk_vocab").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan
+    assert "SortMergeJoin" not in plan
