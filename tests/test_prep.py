@@ -126,3 +126,40 @@ def test_unigram_logppl_exact(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["log_ppl"]) for r in unigram_logppl(df, "doc_id", "text").collect()}
     assert got[1][0] == 3 and abs(got[1][1] - (-math.log(0.75))) < 1e-12
     assert got[2][0] == 1 and abs(got[2][1] - (-math.log(0.25))) < 1e-12
+
+
+def test_chunk_overlap_invariants(spark):
+    """chunk_overlap invariants: full coverage (concatenating each chunk's
+    first `step` tokens reconstructs the doc), exact overlap between
+    consecutive chunks, ragged tail <= size, chunk_ids dense from 0."""
+    from flink_1_6_0_spark.pipeline.text import chunk_overlap
+
+    size, overlap = 6, 2
+    step = size - overlap
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(17))),  # ragged tail
+        (2, " ".join(f"u{i}" for i in range(4))),   # shorter than size
+        (3, "x"),                                    # single token
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_overlap(df, "doc_id", "text", size=size, overlap=overlap)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk"].split(" "), r["n_tokens"]) for r in out.collect())
+    )
+    by_doc: dict[int, list] = {}
+    for d, cid, toks, n in rows:
+        assert len(toks) == n <= size
+        by_doc.setdefault(d, []).append((cid, toks))
+    for d, text in docs:
+        orig = text.split(" ")
+        chunks = by_doc[d]
+        assert [cid for cid, _ in chunks] == list(range(len(chunks)))  # dense ids
+        # reconstruction: first `step` tokens of each chunk + full tail chunk
+        recon = []
+        for cid, toks in chunks[:-1]:
+            recon.extend(toks[:step])
+        recon.extend(chunks[-1][1])
+        assert recon == orig, d
+        # exact overlap between consecutive chunks
+        for (c1, t1), (c2, t2) in zip(chunks, chunks[1:]):
+            assert t1[step:] == t2[: len(t1) - step]
