@@ -476,3 +476,48 @@ def sample_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents").select("source", "doc_id")
     return sample_n_per_key(d, "source", "doc_id", n=5)
+
+
+@query(
+    "prep_pipeline_e2e",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, source, text
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 30
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+      FROM gated GROUP BY text
+    ),
+    split AS (
+      SELECT doc_id, source,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT % 1000 < 900
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM deduped)
+    SELECT source, split, count(*)::BIGINT AS n_docs
+    FROM split GROUP BY source, split
+    """,
+    tags=("pipeline", "e2e"),
+)
+def prep_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end prep pipeline COMPOSITION — the operators chained the way a
+    real corpus build chains them, in one lazy plan (quality gate → exact
+    dedup keeping the smallest doc_id → deterministic 90/10 split →
+    per-(source, split) accounting). Each stage is the already-verified
+    operator (pipeline/text.token_count, pipeline/dedup.exact_dedup,
+    operators/utils.split_assign); the composition itself is what this
+    query checks. Single scan + two shuffles (dedup groupBy, final agg) —
+    the split is a pure projection."""
+    from flink_1_6_0_spark.operators.utils import split_assign
+    from flink_1_6_0_spark.pipeline.text import token_count
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gated = d.filter(token_count(F.trim(F.col("text"))) >= 30)
+    # exact dedup, carrying the kept row's source: min_by over the content
+    deduped = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("source", "doc_id").alias("source")
+    )
+    split = split_assign(deduped.select("doc_id", "source"), "doc_id", {"train": 900})
+    split = split.withColumn("split", F.coalesce(F.col("split"), F.lit("heldout")))
+    return split.groupBy("source", "split").agg(F.count("*").cast("long").alias("n_docs"))
