@@ -148,6 +148,65 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Substring-level exact duplication (the Lee et al. '22 "Deduplicating
+    Training Data Makes Language Models Better" signal): for every document,
+    how much of it is covered by k-token shingles that ALSO occur in some
+    other document, and the longest such contiguous span.
+
+    Emits one row per affected doc: (doc, n_dup_shingles, n_shingles,
+    dup_frac, max_dup_span_tokens) — the inputs to a span-cut or doc-drop
+    policy. Within-doc self-repetition is deliberately excluded (that is
+    text.repetition_stats' job); a shingle counts as duplicated only when it
+    appears in >=2 DISTINCT documents.
+
+    Scale shape (100 TB honest):
+    - positioned shingles via one posexplode + window lead (each token
+      materialized once), hashed to a bigint so the wide shingle string
+      never shuffles;
+    - cross-doc detection is min(doc)!=max(doc) over a hash-partitioned
+      window — no count-distinct, no join-back (a groupBy+join would
+      recompute the whole shingle pipeline or require a persist);
+    - the longest-run computation is gaps-and-islands (pos - row_number)
+      per doc — state bounded by document length, never by corpus size.
+    """
+    from pyspark.sql import Window
+
+    tk = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("pos0", "t"),
+    )
+    wlead = Window.partitionBy("doc").orderBy("pos0")
+    leads = [F.col("t")] + [F.lead("t", j).over(wlead) for j in range(1, k)]
+    sh = (
+        tk.select(
+            "doc",
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc", "pos", (token_hash(F.col("s")) % MOD).alias("h"))
+    )
+    wh = Window.partitionBy("h")
+    wdoc = Window.partitionBy("doc")
+    marked = sh.withColumn(
+        "dup", F.min("doc").over(wh) != F.max("doc").over(wh)
+    ).withColumn("n_shingles", F.count("*").over(wdoc))
+    d = marked.filter(F.col("dup"))
+    wrun = Window.partitionBy("doc").orderBy("pos")
+    isl = d.withColumn("isl", F.col("pos") - F.row_number().over(wrun))
+    runs = isl.groupBy("doc", "isl").agg(
+        F.count("*").alias("run"), F.first("n_shingles").alias("n_shingles")
+    )
+    return runs.groupBy("doc").agg(
+        F.sum("run").cast("long").alias("n_dup_shingles"),
+        F.first("n_shingles").cast("long").alias("n_shingles"),
+        F.round(F.sum("run") / F.first("n_shingles"), 6).alias("dup_frac"),
+        (F.max("run") + F.lit(k - 1)).cast("long").alias("max_dup_span_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -85,6 +85,57 @@ def contaminated_docs(
     )
 
 
+def contamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    m: int = 8192,
+) -> DataFrame:
+    """``contaminated_docs`` with a Bloom-filter pre-filter on the corpus
+    side — the shape that survives a LARGE benchmark suite at 100 TB.
+
+    Build side (like a broadcast-hash-join build): the benchmark shingles
+    reduce to a fixed ``m``-bit bitmap (two index slices of the portable md5
+    hash per shingle). The driver collects at most ``m`` distinct bit
+    positions — bounded by the filter size, NEVER by benchmark or corpus
+    rows — and ships the bitmap as a literal array (m bytes) to every
+    executor inside the scan projection.
+
+    Probe side: a corpus shingle reaches the exact broadcast join ONLY if
+    both its bits are set. False positives are then removed by the exact
+    join, so the result is IDENTICAL to ``contaminated_docs`` (the oracle is
+    the plain exact query) while the join input shrinks by roughly the bloom
+    rejection rate — at 100 TB that is the difference between joining every
+    shingle of the corpus and joining a few percent of them.
+    """
+    from flink_1_6_0_spark.pipeline.dedup import shingle_rows
+    from flink_1_6_0_spark.pipeline.text import token_hash
+
+    bench_sh = shingle_rows(benchmark, id_col, text_col, k=k).select("s").distinct()
+    h = token_hash(F.col("s"))
+    bit1, bit2 = F.pmod(h, F.lit(m)), F.pmod(F.floor(h / F.lit(m)), F.lit(m)).cast("long")
+    positions = (
+        bench_sh.select(F.explode(F.array(bit1, bit2)).alias("bit")).distinct().collect()
+    )
+    bitmap = [0] * m
+    for r in positions:
+        bitmap[int(r["bit"])] = 1
+    bits = F.lit(bitmap)
+
+    corpus_sh = shingle_rows(corpus, id_col, text_col, k=k)
+    ch = token_hash(F.col("s"))
+    cand = corpus_sh.filter(
+        (F.element_at(bits, F.pmod(ch, F.lit(m)).cast("int") + 1) == 1)
+        & (F.element_at(bits, F.pmod(F.floor(ch / F.lit(m)), F.lit(m)).cast("int") + 1) == 1)
+    )
+    hits = cand.join(F.broadcast(bench_sh), "s")
+    return hits.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count("*").alias("n_contaminated")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

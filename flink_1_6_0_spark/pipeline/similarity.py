@@ -179,6 +179,120 @@ def lsh_ann_topk(
     )
 
 
+def _topk_per_qid(scored: DataFrame, k: int, salt: int = 32) -> DataFrame:
+    """Two-phase salted top-k per query id over (qid, id, score) rows.
+
+    A single window partitioned by qid is the textbook skew trap: every
+    scored corpus row for one query lands on one task. Phase 1 takes a local
+    top-k inside (qid, id % salt) — ``salt`` bounded sorts that keep all
+    cores busy; phase 2 ranks only salt·k survivors per qid. Deterministic
+    ties: (score DESC, id ASC) in both phases, so the salting is invisible
+    in the result."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("qid", F.pmod(F.col("id"), F.lit(salt))).orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    local = scored.withColumn("__rn", F.row_number().over(w1)).filter(F.col("__rn") <= k)
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        local.drop("__rn")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_per_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int,
+    salt: int = 32,
+) -> DataFrame:
+    """Exact cosine top-k for EVERY query point (the batch form of
+    cosine_topk): broadcast the query set, score in the scan projection,
+    salted two-phase per-qid top-k. Returns (qid, id, score, rank)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).cast("array<double>").alias("qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score")
+    )
+    return _topk_per_qid(scored, k, salt)
+
+
+def lsh_topk_per_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    salt: int = 32,
+) -> DataFrame:
+    """Sign-LSH ANN top-k for every query point: both sides get the same
+    deterministic signature; candidates meet on a sig equi-join (the query
+    side broadcasts), so only in-bucket vectors are ever scored."""
+    planes = hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("sig", lsh_signature(F.col("v"), planes))
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).cast("array<double>").alias("qv")
+    ).withColumn("sig", lsh_signature(F.col("qv"), planes))
+    scored = c.join(F.broadcast(q), "sig").select(
+        "qid", "id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score")
+    )
+    return _topk_per_qid(scored, k, salt)
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k of the sign-LSH index against the exact scan, per query —
+    the measurement every ANN deployment runs before trusting the index
+    (and re-runs as the corpus drifts). Both sides are deterministic, so
+    the recall numbers themselves are oracle-checkable. Returns
+    (qid, n_exact, n_hit, recall)."""
+    exact = topk_per_query(corpus, queries, id_col, vec_col, qid_col, qvec_col, k)
+    approx = lsh_topk_per_query(
+        corpus, queries, id_col, vec_col, qid_col, qvec_col, k, dim, bits, seed
+    )
+    hits = (
+        exact.select("qid", "id")
+        .join(approx.select("qid", "id"), ["qid", "id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(k), 4).alias("recall"),
+        )
+    )
+
+
 def l2_norm(vec_col: Column) -> Column:
     """Euclidean norm of an array column — F.aggregate dot product, JVM-side."""
     v = vec_col.cast("array<double>")

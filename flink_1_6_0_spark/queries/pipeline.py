@@ -245,6 +245,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1)
 
 
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id AS doc, {_TOKS.format(c='lower(text)')} AS tt FROM documents),
+    pos AS (SELECT doc, g.i AS pos,
+                   {_TH.format(s="tt[g.i] || ' ' || tt[g.i+1] || ' ' || tt[g.i+2] || ' ' || tt[g.i+3] || ' ' || tt[g.i+4]")} % {_MOD} AS h
+            FROM tk, unnest(generate_series(1, len(tt) - 4)) AS g(i)
+            WHERE len(tt) >= 5),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc) <> max(doc)),
+    tot AS (SELECT doc, count(*) AS n_shingles FROM pos GROUP BY doc),
+    d AS (SELECT doc, pos FROM pos JOIN dup USING (h)),
+    isl AS (SELECT doc, pos,
+                   pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS isl
+            FROM d),
+    runs AS (SELECT doc, isl, count(*) AS run FROM isl GROUP BY doc, isl)
+    SELECT r.doc AS doc_id,
+           sum(r.run)::BIGINT AS n_dup_shingles,
+           any_value(t.n_shingles)::BIGINT AS n_shingles,
+           round(sum(r.run) / any_value(t.n_shingles), 6) AS dup_frac,
+           (max(r.run) + 4)::BIGINT AS max_dup_span_tokens
+    FROM runs r JOIN tot t ON r.doc = t.doc
+    GROUP BY r.doc
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup signal (Lee et al. '22): per-doc count
+    and longest contiguous run of 5-token shingles that also occur in
+    another document — positioned shingles hashed once, cross-doc detection
+    via min/max-doc over a hash window (no count-distinct, no join-back),
+    gaps-and-islands for the longest duplicated span."""
+    return dd.duplicate_span_stats(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    ).withColumnRenamed("doc", "doc_id")
+
+
 _DUCK_COS = """
 list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
  (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
@@ -353,6 +389,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked exactly; ann_cosine_topk is the recall baseline."""
     return sim.lsh_ann_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", _query_vec(spark, sf_dir), 10, bits=8
+    )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(j, p) AS (VALUES
+      {_lsh_planes_values(bits=8, dim=64, seed=42)}),
+    sigs AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.v[i] * pl.p[i])) > 0
+                      THEN (1 << pl.j) ELSE 0 END)::BIGINT AS sig
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+    q AS (SELECT vec_id AS qid, v, sig FROM e JOIN sigs USING (vec_id) WHERE vec_id % 97 = 0),
+    ex AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, a.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY round({_DUCK_COS.replace("b.v", "q.v")}, 4) DESC, a.vec_id) AS rn
+        FROM e a CROSS JOIN q)
+      WHERE rn <= 10),
+    ls AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, a.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY round({_DUCK_COS.replace("b.v", "q.v")}, 4) DESC, a.vec_id) AS rn
+        FROM e a JOIN sigs s ON a.vec_id = s.vec_id JOIN q ON s.sig = q.sig)
+      WHERE rn <= 10),
+    hit AS (SELECT qid, count(*) AS n_hit FROM ex JOIN ls USING (qid, vec_id) GROUP BY qid),
+    base AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+    SELECT base.qid, n_exact::BIGINT AS n_exact,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(n_hit, 0) / 10.0, 4) AS recall
+    FROM base LEFT JOIN hit USING (qid)
+    """,
+    tags=("pipeline", "similarity"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH index vs the exact scan, per query point
+    (every 97th vector) — the index-quality measurement an ANN deployment
+    runs before trusting approximate results. Exact side: broadcast query
+    set + salted two-phase per-qid top-k (no single-task skew); LSH side:
+    signature equi-join. Both deterministic, so even the recall numbers
+    hash-match the oracle."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 97 == 0)
+    return sim.ann_recall_at_k(
+        e, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, dim=64, bits=8, seed=42,
     )
 
 

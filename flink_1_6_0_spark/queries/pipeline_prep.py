@@ -106,6 +106,38 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_bloom",
+    oracle="""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+    btoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM bench),
+    bsh AS (SELECT DISTINCT tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM btoks, unnest(generate_series(1, len(tt) - 2)) AS g(i)),
+    ctoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM corp),
+    csh AS (SELECT DISTINCT doc_id, tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM ctoks, unnest(generate_series(1, len(tt) - 2)) AS g(i))
+    SELECT csh.doc_id, count(*) AS n_contaminated
+    FROM csh JOIN bsh USING (s)
+    GROUP BY csh.doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the exact contamination check with
+    an 8192-bit Bloom filter (two md5-derived bit slices per shingle) probed
+    inside the corpus scan, so only bloom-positive shingles reach the exact
+    broadcast join. The filter build collects at most m bit positions
+    (bounded by the FILTER size, never by data size); false positives are
+    removed by the exact join, so the result — and the oracle — is the plain
+    exact query. The 100 TB shape when the benchmark suite outgrows a
+    comfortable broadcast."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return prep.contamination_bloom(corpus, bench, "doc_id", "text", k=3, m=8192)
+
+
+@query(
     "pack_sequences",
     oracle="""
     WITH t AS (

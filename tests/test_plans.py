@@ -201,3 +201,31 @@ def test_perplexity_topk_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrdered" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_substring_no_cartesian_no_python(spark, sf_dir):
+    """Substring-span dedup must stay window/agg shaped: hash-partitioned
+    windows and aggregates only — no join-back (which would recompute the
+    shingle pipeline), no cartesian, no Python in the plan."""
+    plan = _plan(get("dedup_substring").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ann_recall_lsh_side_is_equi_join(spark, sf_dir):
+    """The LSH candidate side of the recall query must meet on a signature
+    equi-join with the tiny query set broadcast — the only nested-loop
+    allowed is the exact baseline's broadcast of the query vectors."""
+    plan = _plan(get("ann_recall_eval").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_bloom_prefilter_in_scan(spark, sf_dir):
+    """The bloom probe must run as a Filter over the corpus scan (pure
+    Column math over the literal bitmap — no Python, no extra shuffle
+    before the exact broadcast join)."""
+    plan = _plan(get("contamination_bloom").fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -163,3 +163,51 @@ def test_chunk_overlap_invariants(spark):
         # exact overlap between consecutive chunks
         for (c1, t1), (c2, t2) in zip(chunks, chunks[1:]):
             assert t1[step:] == t2[: len(t1) - step]
+
+
+def test_contamination_bloom_matches_exact_and_prunes(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),
+            (2, "alpha beta gamma delta z"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in prep.contaminated_docs(corpus, bench, "doc_id", "text", k=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in prep.contamination_bloom(corpus, bench, "doc_id", "text", k=3, m=512).collect()
+    }
+    assert bloom == exact == {1: 1, 2: 2}
+    # the exact verify is still a broadcast join (bloom false positives removed)
+    out = prep.contamination_bloom(corpus, bench, "doc_id", "text", k=3, m=512)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_span_stats_cross_doc_only(spark):
+    from flink_1_6_0_spark.pipeline.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),            # shares a 2-shingle run with doc 2
+            (2, "z z a b c d e f q q"),
+            (3, "totally unique words only here today"),
+            (4, "p q r s t p q r s t"),        # WITHIN-doc repetition only: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r for r in duplicate_span_stats(df, "doc_id", "text", k=5).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_dup_shingles"] == 2 and rows[1]["n_shingles"] == 4
+    assert rows[1]["max_dup_span_tokens"] == 6  # run of 2 five-grams = 6 tokens
+    assert rows[2]["n_dup_shingles"] == 2 and rows[2]["n_shingles"] == 6
+    assert rows[2]["max_dup_span_tokens"] == 6
+    assert abs(rows[2]["dup_frac"] - 2 / 6) < 1e-6

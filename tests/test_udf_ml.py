@@ -89,3 +89,46 @@ def test_knn_join_matches_numpy_bruteforce(spark):
         order = np.lexsort((np.arange(len(train)), d))  # ties by train id
         want |= {(100 + i, int(j)) for j in order[:3]}
     assert got == want
+
+
+def test_ann_recall_matches_numpy_reference(spark):
+    """ann_recall_at_k vs a brute-force numpy replication of both the exact
+    and LSH sides (same hyperplanes, same rounding, same tie-breaks)."""
+    import numpy as np
+
+    from flink_1_6_0_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(7)
+    dim, n, k, bits = 8, 40, 5, 3
+    vecs = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id % 10 = 0")  # 4 query points
+
+    got = {
+        r["qid"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in sim.ann_recall_at_k(
+            df, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=k, dim=dim, bits=bits, seed=42,
+        ).collect()
+    }
+
+    planes = sim.hyperplanes(dim, bits, seed=42)
+    sigs = [sum(1 << j for j in range(bits) if float(planes[j] @ v) > 0) for v in vecs]
+
+    def topk(qi, candidates):
+        qv = vecs[qi]
+        scored = [
+            (round(float(vecs[i] @ qv / (np.linalg.norm(vecs[i]) * np.linalg.norm(qv))), 4), i)
+            for i in candidates
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return [i for _, i in scored[:k]]
+
+    for qi in range(0, n, 10):
+        exact = topk(qi, range(n))
+        approx = topk(qi, [i for i in range(n) if sigs[i] == sigs[qi]])
+        n_hit = len(set(exact) & set(approx))
+        assert got[qi] == (k, n_hit, round(n_hit / k, 4)), qi
+    # sanity: the query point itself is always its own nearest neighbor
+    assert all(g[0] == k for g in got.values())
