@@ -75,53 +75,62 @@ def query(
 # least one representative of every SURVEY.md §2 family into that window; the
 # remaining queries follow in module insertion order.
 _PRIORITY_HEAD = (
-    # --- round-4 rotation (VERDICT r3 task 2): the 9 round-3 queries the
-    # driver has never checked move INTO the 50-wide window; the swapped-out
-    # family-duplicates (tpch_q3/q6, window_session, stream_session_append,
-    # scalar_temporal_sweep, stream_purging_trigger, over_ranking,
-    # dedup_embedding_cosine, graph_pagerank) stay registered + loc-verified,
-    # and every §2 family keeps >=1 representative in the window. ---
+    # --- round-5 rotation: the 9 round-3 queries stay (their FIRST driver
+    # check is this round's CORRECTNESS run); 15 family-duplicates the driver
+    # already verified in r3 (join_full_outer, join_windowed_stream,
+    # agg_multiset_collect, scalar_math_sweep, window_count_tumble,
+    # window_tumble_flink_sql, window_all_tumble, stream_hop/session_agg,
+    # over_range_bounded, unnest_tokens, stream_continuous_agg, cep_funnel,
+    # dedup_exact, multimodal_decode) rotate OUT (all stay registered +
+    # loc-verified) in favor of the round-4 additions; every §2 family keeps
+    # >=1 representative in the window. ---
     # §2.4/§2.3 TPC-H core (agg, joins, semi/anti, exists-collapse)
     "tpch_q1", "tpch_q9", "tpch_q21",
-    # §2.3 joins: outer, skew-salted, windowed-stream, interval, stream outer
-    "join_full_outer", "join_skew_salted", "join_windowed_stream", "interval_join_events",
-    "stream_outer_join",
-    # §2.4 aggs: multiset, grouping sets, UDAF, fold, streaming DISTINCT agg
-    "agg_multiset_collect", "agg_grouping_sets", "udaf_geomean", "fold_keyed",
-    "stream_distinct_agg",
+    # §2.3 joins: skew-salted, interval, stream outer, as-of (batch + stream)
+    "join_skew_salted", "interval_join_events", "stream_outer_join",
+    "join_asof_events", "stream_asof_join",
+    # §2.4 aggs: grouping sets, UDAF, fold, streaming DISTINCT agg
+    "agg_grouping_sets", "udaf_geomean", "fold_keyed", "stream_distinct_agg",
     # §2.8 set ops
     "setop_union_all",
-    # §2.9 scalar function sweeps (string/math represent the family;
+    # §2.9 scalar function sweeps (string represents the family; math/
     # temporal/conditional/collection stay loc-verified outside the window)
-    "scalar_string_sweep", "scalar_math_sweep",
+    "scalar_string_sweep",
     # §2.1 JSON format
     "json_props_extract",
-    # §2.5 group windows (+count window, Flink SQL TUMBLE, windowAll) and the
-    # streaming window family (session represented by stream_session_agg)
-    "window_tumble",
-    "window_count_tumble", "window_tumble_flink_sql", "window_all_tumble",
+    # §2.5 group windows: batch tumble, multi-granularity rollup, streaming
+    # tumble, evictor, trigger (session/hop/count/SQL-TUMBLE/windowAll were
+    # driver-verified in r3 and stay loc-verified)
+    "window_tumble", "window_multi_rollup",
     "stream_evicted_window", "stream_continuous_trigger",
-    "stream_hop_agg", "stream_session_agg",
     # §2.6 OVER windows (batch + the r3 streaming OVER)
-    "over_rows_unbounded", "over_range_bounded", "stream_over_rows",
+    "over_rows_unbounded", "stream_over_rows",
     # §2.7 sort/limit
     "sort_offset_fetch",
     # §2.2/§2.10 correlate + UDF/UDTF
-    "unnest_tokens", "correlate_lateral_udtf", "udf_scalar_md5",
+    "correlate_lateral_udtf", "udf_scalar_md5",
     # §2.11 streaming semantics (batch-replay-checked)
-    "stream_tumble_agg", "stream_continuous_agg", "stream_interval_join",
-    # §2.12 CEP (batch NFA + the r3 streaming NFA)
-    "cep_funnel", "stream_cep_funnel",
+    "stream_tumble_agg", "stream_interval_join", "stream_dedup_first_per_user",
+    # §2.12 CEP (the streaming NFA; the batch NFA was driver-verified in r3)
+    "stream_cep_funnel",
     # §2.13 graph + ML
     "graph_connected_components", "ml_knn_join",
-    # §2.3 windowed coGroup (round-3 facade add)
+    # §2.3 windowed coGroup
     "cogroup_windowed",
-    # LLM-pipeline operators (+ r3 prep tier: PII, contamination, packing,
-    # real decoders, embedding hygiene)
-    "dedup_exact", "dedup_minhash_lsh",
-    "ann_cosine_topk", "text_stats", "multimodal_decode",
-    "text_pii_redact", "contamination_ngram", "pack_sequences",
-    "multimodal_real_decode", "embedding_normalize",
+    # LLM-pipeline operators: dedup (minhash, substring spans), similarity
+    # (exact top-k + LSH recall eval), text prep (stats, PII, contamination
+    # exact + bloom, packing, chunking, C4 clean, perplexity, quantiles,
+    # split/shuffle, per-source sampling), multimodal (real decode, ahash),
+    # embedding hygiene, end-to-end composition
+    "dedup_minhash_lsh", "dedup_substring",
+    "ann_cosine_topk", "ann_recall_eval",
+    "text_stats", "text_pii_redact",
+    "contamination_ngram", "contamination_bloom",
+    "pack_sequences", "text_chunk_overlap", "text_c4_clean",
+    "text_perplexity_topk_vocab", "doc_length_quantiles",
+    "corpus_split_shuffle", "sample_n_per_source",
+    "multimodal_real_decode", "multimodal_ahash",
+    "embedding_normalize", "prep_pipeline_e2e",
 )
 
 
