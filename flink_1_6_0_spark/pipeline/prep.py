@@ -167,3 +167,57 @@ def pack_sequences(
         n_tok.cast("long").alias("n_tokens"),
     ).withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
     return out.withColumn("bin", F.floor(F.col("offset") / budget).cast("long"))
+
+
+def rebalance_language_mix(
+    df: DataFrame,
+    id_col: str,
+    lang_col: str,
+    targets: dict[str, float] | None = None,
+    salt: str = "langmix",
+) -> DataFrame:
+    """Deterministic downsampling to a target language mix (the data-mixture
+    step before pretraining: cap over-represented languages instead of
+    training on the crawl's natural skew).
+
+    Per language, the keep-rate is ``min(1, target_share · N_total /
+    n_lang)`` — languages at or under their target share keep everything
+    (this only ever REMOVES over-representation; it never upsamples). The
+    gate is the portable md5 hash of the row id (permille granularity), so
+    the same document survives on any engine, cluster layout, or re-run.
+    ``targets`` maps language → share (must sum to <= 1); ``None`` means a
+    uniform share per observed language.
+
+    Scale shape: the language histogram is a map-side-combined groupBy of
+    LANGUAGE-cardinality rows; rates broadcast back; the corpus side is one
+    scan + filter — no corpus shuffle at all. Adds ``rate_permille`` to the
+    surviving rows.
+    """
+    from flink_1_6_0_spark.operators.utils import deterministic_sample
+
+    counts = df.groupBy(lang_col).agg(F.count("*").alias("__n_lang"))
+    total = counts.agg(F.sum("__n_lang").alias("__n_total"))
+    with_tot = counts.crossJoin(F.broadcast(total))
+    if targets is None:
+        n_langs = counts.agg(F.count("*").alias("__k"))
+        with_tot = with_tot.crossJoin(F.broadcast(n_langs)).withColumn(
+            "__share", F.lit(1.0) / F.col("__k")
+        )
+    else:
+        if sum(targets.values()) > 1.0 + 1e-9:
+            raise ValueError("target shares exceed 1")
+        share = F.lit(None).cast("double")
+        for lang, s in reversed(list(targets.items())):
+            share = F.when(F.col(lang_col) == lang, F.lit(float(s))).otherwise(share)
+        with_tot = with_tot.withColumn("__share", share)
+    rates = with_tot.select(
+        lang_col,
+        F.least(
+            F.lit(1000),
+            F.floor(F.lit(1000.0) * F.col("__share") * F.col("__n_total") / F.col("__n_lang")),
+        )
+        .cast("int")
+        .alias("rate_permille"),
+    )
+    joined = df.join(F.broadcast(rates), lang_col)
+    return deterministic_sample(joined, F.col(id_col), F.col("rate_permille"), salt)

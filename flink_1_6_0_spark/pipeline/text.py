@@ -287,3 +287,69 @@ def unigram_logppl_topk(
         F.count("*").cast("long").alias("n_tokens"),
         F.avg(-F.log(F.col("p"))).alias("log_ppl"),
     )
+
+
+def vocab_coverage(docs: DataFrame, text_col: str, coverage: float = 0.95) -> DataFrame:
+    """Tokenizer-vocabulary construction: the smallest frequency-ranked token
+    prefix that covers ``coverage`` of all token occurrences (the standard
+    pre-BPE vocab truncation / coverage analysis). Emits one row per kept
+    token: (token, n, rank, cum_frac).
+
+    Scale shape: the corpus collapses to (token, count) via a map-side
+    partial agg — from there everything is VOCABULARY-sized, not
+    corpus-sized. The global frequency ranking is the zip_with_index
+    two-phase plan, not a single-partition window: range-repartition by
+    (-n, token), per-partition running sums, then broadcast per-partition
+    (row, sum) offsets. Boundary placement never changes the result — the
+    (n, token) key is unique per row, so the global cumulative order is
+    well-defined regardless of where ranges split.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(tokenize(F.lower(_c(text_col)))).alias("token")).filter(
+        F.length("token") > 0
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").alias("tn"))
+
+    ranged = counts.withColumn("__neg", -F.col("n")).repartitionByRange(
+        "__neg", "token"
+    ).withColumn("__pid", F.spark_partition_id())
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"), F.sum("n").alias("__psum"))
+        .withColumn(
+            "__row_off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__sum_off",
+            F.coalesce(
+                F.sum("__psum").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__row_off", "__sum_off")
+    )
+    local = Window.partitionBy("__pid").orderBy("__neg", "token")
+    ranked = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("rank", (F.row_number().over(local) + F.col("__row_off")).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("n").over(local.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("__sum_off"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") - F.col("n") < F.lit(coverage) * F.col("tn"))
+        .select("token", "n", "rank", F.round(F.col("cum") / F.col("tn"), 6).alias("cum_frac"))
+    )

@@ -269,6 +269,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.doc
     """,
     tags=("pipeline", "dedup"),
+    bench=True,
 )
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup signal (Lee et al. '22): per-doc count

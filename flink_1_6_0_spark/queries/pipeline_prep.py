@@ -553,3 +553,59 @@ def prep_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = split_assign(deduped.select("doc_id", "source"), "doc_id", {"train": 900})
     split = split.withColumn("split", F.coalesce(F.col("split"), F.lit("heldout")))
     return split.groupBy("source", "split").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents),
+    tf AS (SELECT token FROM t WHERE length(token) > 0),
+    c AS (SELECT token, count(*)::BIGINT AS n FROM tf GROUP BY token),
+    tot AS (SELECT sum(n) AS tn FROM c),
+    r AS (SELECT token, n,
+            row_number() OVER (ORDER BY n DESC, token) AS rank,
+            sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c)
+    SELECT token, n, rank::BIGINT AS rank, round(cum * 1.0 / tn, 6) AS cum_frac
+    FROM r, tot
+    WHERE cum - n < 0.95 * tn
+    """,
+    tags=("pipeline", "text", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary truncation: the smallest frequency-ranked token
+    prefix covering 95% of all token occurrences — corpus collapses to
+    (token, count) map-side; the global frequency ranking is the
+    zip_with_index two-phase plan (range repartition + broadcast offsets),
+    never a single-partition window over the vocabulary."""
+    from flink_1_6_0_spark.pipeline.text import vocab_coverage
+
+    return vocab_coverage(T(spark, sf_dir, "documents"), "text", coverage=0.95)
+
+
+@query(
+    "corpus_lang_rebalance",
+    oracle="""
+    WITH c AS (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_lang) AS n_total, count(*) AS k FROM c),
+    r AS (SELECT lang,
+                 least(1000, floor(1000.0 * (1.0 / k) * n_total / n_lang))::INT AS rate_permille
+          FROM c, tot)
+    SELECT d.doc_id, d.lang, r.rate_permille
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'langmix'), 1, 15))::BIGINT % 1000
+          < r.rate_permille
+    """,
+    tags=("pipeline", "utils", "sampling"),
+)
+def corpus_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing to a uniform share per language: keep-rate
+    min(1, share·N/n_lang) per language (only ever downsamples the
+    over-represented), md5-gated per doc so the surviving subset is
+    identical on any engine or cluster. Language histogram is
+    language-cardinality small → rates broadcast; corpus side is one scan +
+    filter, zero corpus shuffle."""
+    from flink_1_6_0_spark.pipeline.prep import rebalance_language_mix
+
+    out = rebalance_language_mix(T(spark, sf_dir, "documents"), "doc_id", "lang")
+    return out.select("doc_id", "lang", "rate_permille")

@@ -211,3 +211,52 @@ def test_duplicate_span_stats_cross_doc_only(spark):
     assert rows[2]["n_dup_shingles"] == 2 and rows[2]["n_shingles"] == 6
     assert rows[2]["max_dup_span_tokens"] == 6
     assert abs(rows[2]["dup_frac"] - 2 / 6) < 1e-6
+
+
+def test_vocab_coverage_two_phase_matches_naive(spark):
+    """The distributed two-phase ranking must equal the naive global window
+    (rank, cum_frac and the coverage cut) on a corpus with heavy ties."""
+    from collections import Counter
+
+    from flink_1_6_0_spark.pipeline.text import vocab_coverage
+
+    docs = [
+        (1, "the the the cat sat on the mat"),
+        (2, "a cat and a dog and a bird"),
+        (3, "the dog sat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["token"]: (r["n"], r["rank"], r["cum_frac"]) for r in
+           vocab_coverage(df, "text", coverage=0.8).collect()}
+
+    counts = Counter(t for _, txt in docs for t in txt.lower().split())
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum, want = 0, {}
+    for rank, (tok, n) in enumerate(ranked, 1):
+        if cum < 0.8 * total:  # cum - n < cov*total with cum already advanced
+            want[tok] = (n, rank, round((cum + n) / total, 6))
+        cum += n
+    assert got == want
+
+
+def test_rebalance_language_mix_downsamples_only(spark):
+    from flink_1_6_0_spark.pipeline.prep import rebalance_language_mix
+
+    rows = [(i, "en" if i < 80 else ("de" if i < 90 else "fr")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_language_mix(df, "doc_id", "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # under-represented langs keep everything (rate clamps at 1000)
+    assert len(by_lang["de"]) == 10 and by_lang["de"][0]["rate_permille"] == 1000
+    assert len(by_lang["fr"]) == 10 and by_lang["fr"][0]["rate_permille"] == 1000
+    # the over-represented language is gated at ~ share*N/n_lang = 416 permille
+    assert by_lang["en"][0]["rate_permille"] == 416
+    assert 0 < len(by_lang["en"]) < 80
+    # explicit targets must validate
+    import pytest
+
+    with pytest.raises(ValueError):
+        rebalance_language_mix(df, "doc_id", "lang", targets={"en": 0.9, "de": 0.5})
