@@ -319,3 +319,86 @@ def normalize_embeddings(
             "norm",
         )
     )
+
+
+def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
+    """Distributed Gram matrix XᵀX of an embedding column.
+
+    The MLlib RowMatrix pattern: each Arrow batch contributes a dim×dim
+    partial Gram (numpy, vectorized) emitted as dim² (index, value) rows —
+    partitions × dim² tiny rows, summed engine-side, dim² doubles collected.
+    Driver memory is bounded by the DIMENSION squared, never by row count —
+    the only all-reduce a 100 TB PCA needs."""
+    import pandas as pd
+    import pyspark.sql.functions as _F
+
+    idx = np.arange(dim * dim)
+
+    def partial(batches):
+        acc = np.zeros((dim, dim))
+        for pdf in batches:
+            X = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            if len(X):
+                acc += X.T @ X
+        yield pd.DataFrame({"ij": idx, "v": acc.ravel()})
+
+    flat = (
+        df.select(vec_col)
+        .mapInPandas(partial, schema="ij long, v double")
+        .groupBy("ij")
+        .agg(_F.sum("v").alias("v"))
+        .collect()
+    )
+    g = np.zeros(dim * dim)
+    for r in flat:
+        g[r["ij"]] = r["v"]
+    return g.reshape(dim, dim)
+
+
+def pca_components(df: DataFrame, vec_col: str, dim: int, k: int = 2):
+    """Top-k principal components of an embedding column.
+
+    Mean vector + count via plain JVM aggregates (dim avg expressions);
+    covariance assembled on the driver from the distributed Gram
+    (C = (G − n·μμᵀ)/(n−1), a dim×dim matrix); eigendecomposition is
+    driver-side numpy on that tiny matrix (the standard big-data PCA split:
+    the DATA never leaves the cluster, only dim²+dim floats do). Components
+    are sign-fixed (largest-|entry| positive) so results are reproducible.
+    Returns (mean, components[k, dim], eigenvalues[k])."""
+    v = F.col(vec_col).cast("array<double>")
+    row = df.select(v.alias("v")).agg(
+        F.count("*").alias("n"),
+        *[F.avg(F.element_at(F.col("v"), i + 1)).alias(f"m{i}") for i in range(dim)],
+    ).first()
+    n = row["n"]
+    mean = np.array([row[f"m{i}"] for i in range(dim)])
+    g = gram_matrix(df, vec_col, dim)
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T
+    for i in range(len(comps)):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, eigvals[order]
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 2
+) -> DataFrame:
+    """Project every embedding onto the top-k principal components —
+    (id, pc1..pck). The projection itself is pure Column math over the
+    broadcast component literals (one scan, no shuffle, no Python):
+    pc_i = (v − μ)·c_i computed as v·c_i − μ·c_i with the scalar μ·c_i
+    folded into the literal."""
+    mean, comps, _ = pca_components(df, vec_col, dim, k)
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for i, c in enumerate(comps):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(v, lit_c, lambda x, y: x * y), F.lit(0.0), lambda s, t: s + t
+        )
+        cols.append(F.round(dot - F.lit(float(mean @ c)), 4).alias(f"pc{i + 1}"))
+    return df.select(*cols)

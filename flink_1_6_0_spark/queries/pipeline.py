@@ -523,3 +523,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding", _query_vec(spark, sf_dir), 10,
         centroid_stride=64, nprobe=2,
     )
+
+
+@query(
+    "embedding_pca_project",
+    oracle=None,  # eigen-decomposition float jitter across partition orders
+    # is not bit-reproducible in SQL — rows-only driver check; the numpy
+    # equivalence is pytest-verified (test_udf_ml.py)
+    tags=("pipeline", "similarity", "ml"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (MLlib RowMatrix pattern): Arrow-batched partial Gram
+    matrices reduced engine-side, dim²+dim floats to the driver, tiny eigh,
+    projection as pure Column math over broadcast component literals — the
+    corpus-visualization / whitening step of an embedding pipeline. The
+    data never leaves the cluster; driver memory is bounded by dim², never
+    by rows."""
+    return sim.pca_project(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, k=2)

@@ -132,3 +132,35 @@ def test_ann_recall_matches_numpy_reference(spark):
         assert got[qi] == (k, n_hit, round(n_hit / k, 4)), qi
     # sanity: the query point itself is always its own nearest neighbor
     assert all(g[0] == k for g in got.values())
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed Gram + driver eigh must reproduce plain numpy PCA
+    (same centering, same sign convention) to float tolerance."""
+    import numpy as np
+
+    from flink_1_6_0_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 60, 6, 2
+    base = rng.standard_normal((n, 2)) @ rng.standard_normal((2, dim))  # rank-2 + noise
+    X = base + 0.01 * rng.standard_normal((n, dim)) + rng.standard_normal(dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in
+           sim.pca_project(df, "vec_id", "embedding", dim=dim, k=k).collect()}
+
+    mu = X.mean(axis=0)
+    cov = np.cov(X - mu, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:k]].T
+    for i in range(k):  # same sign fix as the operator
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    proj = (X - mu) @ comps.T
+    for i in range(n):
+        assert abs(got[i][0] - round(proj[i, 0], 4)) <= 1e-3, i
+        assert abs(got[i][1] - round(proj[i, 1], 4)) <= 1e-3, i
