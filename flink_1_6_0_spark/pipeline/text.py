@@ -353,3 +353,29 @@ def vocab_coverage(docs: DataFrame, text_col: str, coverage: float = 0.95) -> Da
         .filter(F.col("cum") - F.col("n") < F.lit(coverage) * F.col("tn"))
         .select("token", "n", "rank", F.round(F.col("cum") / F.col("tn"), 6).alias("cum_frac"))
     )
+
+
+def length_outliers(
+    docs: DataFrame, id_col: str, text_col: str, group_col: str, z_thresh: float = 2.0
+) -> DataFrame:
+    """Group-wise length-outlier detection: documents whose token count sits
+    more than ``z_thresh`` sample standard deviations from their group's
+    mean (the per-source anomaly screen before length filters are set —
+    a global cutoff is wrong when sources have different length regimes).
+
+    Scale shape: per-group stats are a map-side-combined groupBy of
+    GROUP-cardinality rows, broadcast back onto the corpus — one scan plus
+    a BroadcastHashJoin, no corpus shuffle. The comparison runs on the
+    ROUNDED z (4 dp) so the boundary is engine-portable."""
+    base = docs.select(
+        F.col(id_col), F.col(group_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    stats = base.groupBy(group_col).agg(
+        F.avg("n_tokens").alias("__mu"), F.stddev_samp("n_tokens").alias("__sd")
+    )
+    z = F.round((F.col("n_tokens") - F.col("__mu")) / F.col("__sd"), 4)
+    return (
+        base.join(F.broadcast(stats), group_col)
+        .select(id_col, group_col, "n_tokens", z.alias("z"))
+        .filter(F.abs(F.col("z")) > z_thresh)
+    )

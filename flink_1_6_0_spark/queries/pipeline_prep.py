@@ -609,3 +609,28 @@ def corpus_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = rebalance_language_mix(T(spark, sf_dir, "documents"), "doc_id", "lang")
     return out.select("doc_id", "lang", "rate_permille")
+
+
+@query(
+    "text_length_outliers",
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+               FROM documents),
+    s AS (SELECT source, avg(n_tokens) AS mu, stddev_samp(n_tokens) AS sd
+          FROM t GROUP BY source)
+    SELECT doc_id, t.source, n_tokens, round((n_tokens - mu) / sd, 4) AS z
+    FROM t JOIN s ON t.source = s.source
+    WHERE abs(round((n_tokens - mu) / sd, 4)) > 1.6
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length z-score outliers (|z| > 1.6 on the rounded z;
+    the synthetic corpus is near-uniform so |z| tops out below 2):
+    group stats broadcast back — one scan + BroadcastHashJoin, no corpus
+    shuffle; the screen that catches truncated/concatenated documents a
+    global length cutoff misses."""
+    from flink_1_6_0_spark.pipeline.text import length_outliers
+
+    return length_outliers(T(spark, sf_dir, "documents"), "doc_id", "text", "source", 1.6)

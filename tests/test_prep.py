@@ -260,3 +260,14 @@ def test_rebalance_language_mix_downsamples_only(spark):
 
     with pytest.raises(ValueError):
         rebalance_language_mix(df, "doc_id", "lang", targets={"en": 0.9, "de": 0.5})
+
+
+def test_length_outliers_group_wise(spark):
+    from flink_1_6_0_spark.pipeline.text import length_outliers
+
+    rows = [(i, "a", "w " * 10) for i in range(10)] + [(99, "a", "w " * 200)]
+    rows += [(i, "b", "w " * 200) for i in range(100, 110)]  # long is NORMAL in group b
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = length_outliers(df, "doc_id", "text", "source", z_thresh=2.0).collect()
+    assert [r["doc_id"] for r in out] == [99]  # only the within-group anomaly
+    assert out[0]["z"] > 2.0
