@@ -373,7 +373,9 @@ def length_outliers(
     stats = base.groupBy(group_col).agg(
         F.avg("n_tokens").alias("__mu"), F.stddev_samp("n_tokens").alias("__sd")
     )
-    z = F.round((F.col("n_tokens") - F.col("__mu")) / F.col("__sd"), 4)
+    # try_divide: a zero-variance group has no outliers — NULL z drops out of
+    # the filter (ANSI division would throw; DuckDB's x/0.0 is NULL too)
+    z = F.round(F.try_divide(F.col("n_tokens") - F.col("__mu"), F.col("__sd")), 4)
     return (
         base.join(F.broadcast(stats), group_col)
         .select(id_col, group_col, "n_tokens", z.alias("z"))
