@@ -229,3 +229,11 @@ def test_contamination_bloom_prefilter_in_scan(spark, sf_dir):
     plan = _plan(get("contamination_bloom").fn(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_ranking_is_range_partitioned(spark, sf_dir):
+    """The vocabulary ranking must be the two-phase range-partitioned plan —
+    a RangePartitioning exchange over the counts, never a single-partition
+    window over the whole vocabulary (the corpus-sized window trap)."""
+    plan = _plan(get("text_vocab_coverage").fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()

@@ -271,3 +271,46 @@ def test_length_outliers_group_wise(spark):
     out = length_outliers(df, "doc_id", "text", "source", z_thresh=2.0).collect()
     assert [r["doc_id"] for r in out] == [99]  # only the within-group anomaly
     assert out[0]["z"] > 2.0
+
+
+def test_duplicate_span_stats_matches_python_spec(spark):
+    """Seeded random corpora vs a pure-Python specification of the span
+    statistics (small vocab forces rich cross-doc duplication and runs)."""
+    import random
+    from collections import defaultdict
+
+    from flink_1_6_0_spark.pipeline.dedup import duplicate_span_stats
+
+    rnd = random.Random(13)
+    vocab = list("abcdefgh")
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 20))))
+        for i in range(30)
+    ]
+    k = 3
+    sh_docs = defaultdict(set)
+    positions = {}
+    for d, txt in docs:
+        toks = txt.split()
+        ps = [(i + 1, " ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+        positions[d] = ps
+        for _, s in ps:
+            sh_docs[s].add(d)
+    want = {}
+    for d, _ in docs:
+        dup_pos = sorted(p for p, s in positions[d] if len(sh_docs[s]) >= 2)
+        if not dup_pos:
+            continue
+        runs, cur = [], 1
+        for a, b in zip(dup_pos, dup_pos[1:]):
+            cur = cur + 1 if b == a + 1 else (runs.append(cur), 1)[1]
+        runs.append(cur)
+        n_sh = len(positions[d])
+        want[d] = (len(dup_pos), n_sh, round(len(dup_pos) / n_sh, 6), max(runs) + k - 1)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_dup_shingles"], r["n_shingles"], r["dup_frac"], r["max_dup_span_tokens"])
+        for r in duplicate_span_stats(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == want
