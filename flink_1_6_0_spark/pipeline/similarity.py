@@ -402,3 +402,40 @@ def pca_project(
         )
         cols.append(F.round(dot - F.lit(float(mean @ c)), 4).alias(f"pc{i + 1}"))
     return df.select(*cols)
+
+
+def lsh_multitable_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    bits: int = 8,
+    tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN top-k: ``tables`` independent hash tables
+    (seeds seed..seed+T-1) OR-ed together — the standard recall lever
+    (P[miss] = (1-p)^T instead of 1-p) without touching the per-table
+    precision.
+
+    Scale shape: all T signatures are computed in the SAME scan projection
+    and the candidate test is one OR of T equality predicates — no explode,
+    no union (a T-branch union would re-scan the corpus T times), no extra
+    exchange; exact cosine runs only on rows that match at least one table.
+    ``cosine_topk`` is the exact baseline; recall is measurable with
+    ``ann_recall_at_k``'s machinery."""
+    dim = len(query_vec)
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cond = F.lit(False)
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed + t)
+        qsig = int(sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+        cond = cond | (lsh_signature(v, planes) == qsig)
+    return (
+        df.filter(cond)
+        .select(F.col(id_col), F.round(cosine(v, q), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

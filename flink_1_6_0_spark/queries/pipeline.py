@@ -540,3 +540,46 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     data never leaves the cluster; driver memory is bounded by dim², never
     by rows."""
     return sim.pca_project(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, k=2)
+
+
+def _lsh_planes_values_tables(bits: int, dim: int, tables: int, seed: int = 42) -> str:
+    """(table, bit, plane) VALUES rows for the multi-table oracle."""
+    rows = []
+    for t in range(tables):
+        for j, p in enumerate(sim.hyperplanes(dim, bits, seed + t)):
+            rows.append(f"({t}, {j}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(t, j, p) AS (VALUES
+      {{PLANES}}),
+    sigs AS (
+      SELECT e.vec_id, pl.t,
+             SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.v[i] * pl.p[i])) > 0
+                      THEN (1 << pl.j) ELSE 0 END)::BIGINT AS sig
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+    q AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig)
+    SELECT a.vec_id,
+           round({_DUCK_COS.replace("b.v", "qv.v")}, 4) AS score
+    FROM e a JOIN cand USING (vec_id) CROSS JOIN qv
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """.replace("{PLANES}", _lsh_planes_values_tables(bits=8, dim=64, tables=3, seed=42)),
+    tags=("pipeline", "similarity"),
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN top-10 (3 OR-ed tables, seeds 42..44): the recall
+    lever — candidates match ANY table's bucket; all signatures computed in
+    one scan projection, no explode/union. Superset of ann_lsh_topk's
+    candidates by construction; recall measured by ann_recall_eval's
+    machinery."""
+    return sim.lsh_multitable_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), 10, bits=8, tables=3, seed=42,
+    )

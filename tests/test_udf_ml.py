@@ -164,3 +164,26 @@ def test_pca_matches_numpy_reference(spark):
     for i in range(n):
         assert abs(got[i][0] - round(proj[i, 0], 4)) <= 1e-3, i
         assert abs(got[i][1] - round(proj[i, 1], 4)) <= 1e-3, i
+
+
+def test_multitable_lsh_candidates_superset(spark, sf_dir):
+    """OR-ing more hash tables only ADDS candidates: table-0's bucket matches
+    are a subset of the 3-table candidate set, and every returned score
+    agrees with the exact kernel."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.pipeline import similarity as sim
+    from flink_1_6_0_spark.queries import T
+
+    emb = T(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    one = {r["vec_id"] for r in
+           sim.lsh_ann_topk(emb, "vec_id", "embedding", qv, 1000, bits=8, seed=42).collect()}
+    multi = {r["vec_id"]: r["score"] for r in
+             sim.lsh_multitable_topk(emb, "vec_id", "embedding", qv, 1000, bits=8,
+                                     tables=3, seed=42).collect()}
+    assert one <= set(multi)
+    exact = {r["vec_id"]: r["score"] for r in
+             sim.cosine_topk(emb, "vec_id", "embedding", qv, 1000).collect()}
+    for vid, s in multi.items():
+        assert exact[vid] == s
