@@ -381,3 +381,41 @@ def length_outliers(
         .select(id_col, group_col, "n_tokens", z.alias("z"))
         .filter(F.abs(F.col("z")) > z_thresh)
     )
+
+
+def bigram_logppl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bigram language-model perplexity per document, add-one smoothed:
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), score = mean −ln P over the
+    doc's bigrams — the conditional upgrade of :func:`unigram_logppl`
+    (CCNet-style LM gating with one token of context).
+
+    Counts are corpus-wide integers (engine-exact probabilities); the only
+    floats are ln and the final mean, rounded for portability. Scale shape:
+    the corpus explodes to bigram rows ONCE (shingle_rows k=2); both count
+    tables are map-side-combined groupBys; scoring is two equi-joins (on the
+    bigram, then its context word) — the same skew profile as any token
+    join (AQE skew-split), with the unigram_logppl_topk broadcast-truncation
+    trick available when the bigram table outgrows a comfortable shuffle."""
+    from flink_1_6_0_spark.pipeline.dedup import shingle_rows
+
+    bg = shingle_rows(docs, id_col, text_col, k=2, dedupe=False).withColumn(
+        "w1", F.split_part(F.col("s"), F.lit(" "), F.lit(1))
+    )
+    c2 = bg.groupBy("s").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("t"))
+        .filter(F.length("t") > 0)
+        .agg(F.count_distinct("t").alias("V"))
+    )
+    p = (F.col("c2") + 1) / (F.col("c1") + F.col("V"))
+    return (
+        bg.join(c2, "s")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("log_ppl"),
+        )
+    )

@@ -634,3 +634,33 @@ def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_6_0_spark.pipeline.text import length_outliers
 
     return length_outliers(T(spark, sf_dir, "documents"), "doc_id", "text", "source", 1.6)
+
+
+@query(
+    "text_bigram_logppl",
+    oracle="""
+    WITH tk AS (SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS tt
+                FROM documents),
+    bg AS (SELECT doc, tt[i] AS w1, tt[i] || ' ' || tt[i+1] AS s
+           FROM tk, unnest(generate_series(1, len(tt) - 1)) AS g(i)
+           WHERE len(tt) >= 2),
+    c2 AS (SELECT s, count(*)::BIGINT AS c2 FROM bg GROUP BY s),
+    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT t)::BIGINT AS V
+          FROM (SELECT unnest(tt) AS t FROM tk) WHERE length(t) > 0)
+    SELECT bg.doc AS doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln((c2.c2 + 1) / (c1.c1 + v.V))), 6) AS log_ppl
+    FROM bg JOIN c2 USING (s) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY bg.doc
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity, add-one smoothed — the conditional upgrade of
+    the unigram CCNet gate: P(w2|w1) = (c(bigram)+1)/(c(context)+V). Counts
+    are corpus-wide integers (exact probabilities both engines); one bigram
+    explode, two map-side-combined count tables, two equi-joins."""
+    from flink_1_6_0_spark.pipeline.text import bigram_logppl
+
+    out = bigram_logppl(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return out

@@ -314,3 +314,30 @@ def test_duplicate_span_stats_matches_python_spec(spark):
         for r in duplicate_span_stats(df, "doc_id", "text", k=k).collect()
     }
     assert got == want
+
+
+def test_bigram_logppl_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from flink_1_6_0_spark.pipeline.text import bigram_logppl
+
+    docs = [(1, "a b a b c"), (2, "b c a b"), (3, "c c c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["log_ppl"]) for r in
+           bigram_logppl(df, "doc_id", "text").collect()}
+
+    all_bg, all_w1 = Counter(), Counter()
+    toks = {d: t.split() for d, t in docs}
+    for d, tt in toks.items():
+        for a, b in zip(tt, tt[1:]):
+            all_bg[(a, b)] += 1
+            all_w1[a] += 1
+    vocab = len({w for tt in toks.values() for w in tt})
+    for d, tt in toks.items():
+        ps = [
+            -math.log((all_bg[(a, b)] + 1) / (all_w1[a] + vocab))
+            for a, b in zip(tt, tt[1:])
+        ]
+        assert got[d][0] == len(ps)
+        assert abs(got[d][1] - round(sum(ps) / len(ps), 6)) < 1e-6, d
