@@ -552,3 +552,46 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final = asof_join(ls, rs, "user_id", "ts", "p_ts", ["event_id", "value"], "backward")
     return final.select("click_id", "user_id", "r_event_id", "r_value")
+
+
+@query(
+    "stream_quality_monitor",
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             round((least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0)
+                  + least(5.0 * len(list_filter(string_split_regex(trim(text), '\\s+'),
+                          t -> list_contains(['the','and','of','to','a','in','is','that'], t)))
+                          / len(string_split_regex(trim(text), '\\s+')), 1.0)
+                  + CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                                      t -> length(t)))
+                              / len(string_split_regex(trim(text), '\\s+')) BETWEEN 3.0 AND 8.0
+                         THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS q
+      FROM documents)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           round(avg(q), 4) AS avg_quality
+    FROM q GROUP BY source
+    """,
+    tags=("streaming", "pipeline", "quality"),
+)
+def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-quality monitor: the documents table replayed as a
+    live stream, per-source running (n_docs, n_pass, avg quality) in
+    complete mode — the dashboard a crawl-ingest pipeline keeps while data
+    lands. Quality scoring is the same pure-Column expression as the batch
+    `text_quality` gate (JVM-side per micro-batch); state is one row per
+    source."""
+    import os
+
+    from flink_1_6_0_spark.pipeline.text import quality_score
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+
+    docs = read_parquet_stream(spark, os.path.join(sf_dir, "documents.parquet"))
+    scored = docs.select("source", quality_score("text").alias("q"))
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+    return _materialize(agg, "complete")
