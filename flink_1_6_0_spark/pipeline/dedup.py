@@ -148,6 +148,54 @@ def minhash_lsh_pairs(
     )
 
 
+def _dup_shingle_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Positions of k-token shingles that occur in >=2 DISTINCT documents —
+    the shared kernel of ``duplicate_span_stats`` (report) and
+    ``cut_duplicate_spans`` (apply). Returns (doc, pos, n_shingles) with
+    1-based pos.
+
+    - n_shingles is knowable BEFORE the explode (|tokens| - k + 1): carrying
+      it through the rows saves a whole per-doc count window. The token
+      array is materialized in its OWN projection first — referencing
+      tokenize() from both size() and posexplode() in one select re-runs the
+      split per reference (no CSE across Generate; measured 3x slower).
+    - positioned shingles via one posexplode + window lead (each token
+      materialized once), hashed to a bigint so the wide shingle string
+      never shuffles;
+    - cross-doc detection is min(doc)!=max(doc) over a hash-partitioned
+      window — no count-distinct, no join-back (a groupBy+join would
+      recompute the whole shingle pipeline or require a persist)."""
+    from pyspark.sql import Window
+
+    pre = df.select(
+        F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("__tk")
+    )
+    tk = pre.select(
+        "doc",
+        F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long").alias("n_shingles"),
+        F.posexplode("__tk").alias("pos0", "t"),
+    )
+    wlead = Window.partitionBy("doc").orderBy("pos0")
+    leads = [F.col("t")] + [F.lead("t", j).over(wlead) for j in range(1, k)]
+    sh = (
+        tk.select(
+            "doc",
+            "n_shingles",
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat_ws(" ", *leads).alias("s"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc", "n_shingles", "pos", (token_hash(F.col("s")) % MOD).alias("h"))
+    )
+    wh = Window.partitionBy("h")
+    return (
+        sh.withColumn("dup", F.min("doc").over(wh) != F.max("doc").over(wh))
+        .filter(F.col("dup"))
+        .select("doc", "pos", "n_shingles")
+    )
+
+
 def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """Substring-level exact duplication (the Lee et al. '22 "Deduplicating
     Training Data Makes Language Models Better" signal): for every document,
@@ -172,37 +220,7 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) 
     """
     from pyspark.sql import Window
 
-    # n_shingles is knowable BEFORE the explode (|tokens| - k + 1): carrying
-    # it through the rows saves a whole per-doc count window (one fewer
-    # corpus-wide exchange than counting after the fact). The token array is
-    # materialized in its OWN projection first — referencing tokenize() from
-    # both size() and posexplode() in one select re-runs the split per
-    # reference (no CSE across Generate; measured 3x slower).
-    pre = df.select(
-        F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("__tk")
-    )
-    tk = pre.select(
-        "doc",
-        F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long").alias("n_shingles"),
-        F.posexplode("__tk").alias("pos0", "t"),
-    )
-    wlead = Window.partitionBy("doc").orderBy("pos0")
-    leads = [F.col("t")] + [F.lead("t", j).over(wlead) for j in range(1, k)]
-    sh = (
-        tk.select(
-            "doc",
-            "n_shingles",
-            (F.col("pos0") + 1).alias("pos"),
-            F.concat_ws(" ", *leads).alias("s"),
-            leads[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .select("doc", "n_shingles", "pos", (token_hash(F.col("s")) % MOD).alias("h"))
-    )
-    wh = Window.partitionBy("h")
-    d = sh.withColumn("dup", F.min("doc").over(wh) != F.max("doc").over(wh)).filter(
-        F.col("dup")
-    )
+    d = _dup_shingle_positions(df, id_col, text_col, k)
     wrun = Window.partitionBy("doc").orderBy("pos")
     isl = d.withColumn("isl", F.col("pos") - F.row_number().over(wrun))
     runs = isl.groupBy("doc", "isl").agg(
@@ -213,6 +231,45 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) 
         F.first("n_shingles").cast("long").alias("n_shingles"),
         F.round(F.sum("run") / F.first("n_shingles"), 6).alias("dup_frac"),
         (F.max("run") + F.lit(k - 1)).cast("long").alias("max_dup_span_tokens"),
+    )
+
+
+def cut_duplicate_spans(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """APPLY the Lee et al. '22 policy: remove every token covered by a
+    cross-document duplicated k-shingle and reassemble the document —
+    ``duplicate_span_stats`` is the report, this is the edit.
+
+    Per doc: covered token indices = union of [pos, pos+k-1] over duplicated
+    shingle positions (one explode of k-length ranges, distinct); surviving
+    tokens drop out via a left-anti join on (doc, idx) and reassemble in
+    index order (array_sort over (idx, token) structs — no nondeterministic
+    collect ordering). Docs whose every token is covered disappear (fully
+    duplicated content). Emits (doc, cleaned, n_kept, n_removed)."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure with stats)
+
+    d = _dup_shingle_positions(df, id_col, text_col, k)
+    covered = d.select(
+        "doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx")
+    ).distinct()
+    pre = df.select(
+        F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("__tk")
+    )
+    toks = pre.select(
+        "doc", F.size("__tk").cast("long").alias("n_tokens"), F.posexplode("__tk").alias("pos0", "t")
+    ).select("doc", "n_tokens", (F.col("pos0") + 1).alias("idx"), "t")
+    kept = toks.join(covered, ["doc", "idx"], "left_anti")
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "t"))), lambda s: s["t"]
+                ),
+                " ",
+            ).alias("cleaned"),
+            F.count("*").cast("long").alias("n_kept"),
+            (F.first("n_tokens") - F.count("*")).cast("long").alias("n_removed"),
+        )
     )
 
 

@@ -583,3 +583,36 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         _query_vec(spark, sf_dir), 10, bits=8, tables=3, seed=42,
     )
+
+
+@query(
+    "dedup_substring_cut",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id AS doc, {_TOKS.format(c='lower(text)')} AS tt FROM documents),
+    pos AS (SELECT doc, g.i AS pos,
+                   {_TH.format(s="tt[g.i] || ' ' || tt[g.i+1] || ' ' || tt[g.i+2] || ' ' || tt[g.i+3] || ' ' || tt[g.i+4]")} % {_MOD} AS h
+            FROM tk, unnest(generate_series(1, len(tt) - 4)) AS g(i)
+            WHERE len(tt) >= 5),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc) <> max(doc)),
+    d AS (SELECT doc, pos FROM pos JOIN dup USING (h)),
+    cov AS (SELECT DISTINCT doc, u.x AS idx
+            FROM d, unnest(generate_series(pos, pos + 4)) AS u(x)),
+    toks AS (SELECT doc, len(tt)::BIGINT AS n_tokens, g.i AS idx, tt[g.i] AS t
+             FROM tk, unnest(generate_series(1, len(tt))) AS g(i)),
+    kept AS (SELECT toks.* FROM toks ANTI JOIN cov USING (doc, idx))
+    SELECT doc AS doc_id,
+           string_agg(t, ' ' ORDER BY idx) AS cleaned,
+           count(*)::BIGINT AS n_kept,
+           (any_value(n_tokens) - count(*))::BIGINT AS n_removed
+    FROM kept GROUP BY doc
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of substring dedup: cut every token covered by a
+    cross-document duplicated 5-shingle and reassemble the survivors in
+    order (deterministic array_sort reassembly, left-anti coverage join) —
+    dedup_substring reports, this edits."""
+    return dd.cut_duplicate_spans(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    ).withColumnRenamed("doc", "doc_id")

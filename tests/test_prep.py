@@ -341,3 +341,26 @@ def test_bigram_logppl_matches_python_reference(spark):
         ]
         assert got[d][0] == len(ps)
         assert abs(got[d][1] - round(sum(ps) / len(ps), 6)) < 1e-6, d
+
+
+def test_cut_duplicate_spans_semantics(spark):
+    from flink_1_6_0_spark.pipeline.dedup import cut_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "z z a b c d e f q q"),
+            (3, "totally unique words only here today"),
+            (4, "p q r s t p q r s t"),  # within-doc repetition: untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r for r in cut_duplicate_spans(df, "doc_id", "text", k=5).collect()}
+    # doc1: dup shingles at pos 1-2 cover tokens 1..6 -> "g h" survives
+    assert rows[1]["cleaned"] == "g h" and rows[1]["n_kept"] == 2 and rows[1]["n_removed"] == 6
+    # doc2: dup at pos 3-4 cover tokens 3..8 -> "z z q q"
+    assert rows[2]["cleaned"] == "z z q q" and rows[2]["n_removed"] == 6
+    # untouched docs come back whole
+    assert rows[3]["cleaned"] == "totally unique words only here today"
+    assert rows[3]["n_removed"] == 0
+    assert rows[4]["cleaned"] == "p q r s t p q r s t"
