@@ -616,3 +616,31 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cut_duplicate_spans(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=5
     ).withColumnRenamed("doc", "doc_id")
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe,
+           len({_TOKS.format(c='text')})::BIGINT AS n_ws,
+           round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                 * 1.0 / len({_TOKS.format(c='text')}), 4) AS fertility
+    FROM documents
+    """,
+    tags=("pipeline", "text", "vocab"),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-vs-whitespace token accounting (the 'fertility' ratio a
+    tokenizer team tracks per corpus slice): BPE-ish tokens (letter runs /
+    digit runs / single punctuation) against whitespace tokens — both pure
+    JVM regex, one scan."""
+    d = T(spark, sf_dir, "documents")
+    n_bpe = F.size(tx.tokenize_bpe_ish(F.col("text"))).cast("long")
+    n_ws = tx.token_count("text").cast("long")
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        n_ws.alias("n_ws"),
+        F.round(n_bpe / n_ws, 4).alias("fertility"),
+    )

@@ -128,7 +128,7 @@ _PRIORITY_HEAD = (
     "contamination_ngram", "contamination_bloom",
     "pack_sequences", "text_chunk_overlap", "text_c4_clean",
     "text_perplexity_topk_vocab", "doc_length_quantiles",
-    "corpus_split_shuffle", "sample_n_per_source",
+    "corpus_split_shuffle", "stream_quality_monitor",
     "multimodal_real_decode", "multimodal_ahash",
     "embedding_normalize", "prep_pipeline_e2e",
 )
