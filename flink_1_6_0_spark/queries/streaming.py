@@ -595,3 +595,47 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("q"), 4).alias("avg_quality"),
     )
     return _materialize(agg, "complete")
+
+
+@query(
+    "stream_contamination",
+    oracle="""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    btoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM bench),
+    bsh AS (SELECT DISTINCT tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM btoks, unnest(generate_series(1, len(tt) - 2)) AS g(i)),
+    ctoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM corp),
+    csh AS (SELECT DISTINCT doc_id, tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM ctoks, unnest(generate_series(1, len(tt) - 2)) AS g(i))
+    SELECT csh.doc_id, count(*) AS n_contaminated
+    FROM csh JOIN bsh USING (s)
+    GROUP BY csh.doc_id
+    """,
+    tags=("streaming", "pipeline", "dedup"),
+)
+def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination monitor: documents arrive as a live stream,
+    shingles explode per micro-batch (array-expression shingles — no window,
+    streaming-legal) and meet the STATIC broadcast benchmark shingle set in
+    a stream-static BroadcastHashJoin; per-doc hit counts accumulate in
+    complete mode. The flag-contaminated-data-as-it-lands shape — state is
+    one row per contaminated doc, the benchmark side ships once."""
+    import os
+
+    from flink_1_6_0_spark.pipeline.dedup import word_shingles
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+
+    bench = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % 13 == 0)
+        .select(F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+        .distinct()
+    )
+    stream = read_parquet_stream(spark, os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") % 13 != 0
+    )
+    sh = stream.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+    hits = sh.join(F.broadcast(bench), "s")
+    agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_contaminated"))
+    return _materialize(agg, "complete")
