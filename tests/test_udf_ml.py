@@ -187,3 +187,27 @@ def test_multitable_lsh_candidates_superset(spark, sf_dir):
              sim.cosine_topk(emb, "vec_id", "embedding", qv, 1000).collect()}
     for vid, s in multi.items():
         assert exact[vid] == s
+
+
+def test_topk_per_query_salt_invariant(spark):
+    """The two-phase salted top-k must return IDENTICAL (qid, id, score,
+    rank) rows for any salt — the salting exists for parallelism only."""
+    import numpy as np
+
+    from flink_1_6_0_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter("vec_id < 3")
+    outs = []
+    for salt in (1, 7, 64):
+        rows = sim.topk_per_query(
+            df, q, "vec_id", "embedding", "vec_id", "embedding", k=5, salt=salt
+        ).collect()
+        outs.append(sorted((r["qid"], r["rank"], r["id"], r["score"]) for r in rows))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 15  # 3 qids x k
