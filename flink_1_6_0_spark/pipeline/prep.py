@@ -186,7 +186,9 @@ def rebalance_language_mix(
     gate is the portable md5 hash of the row id (permille granularity), so
     the same document survives on any engine, cluster layout, or re-run.
     ``targets`` maps language → share (must sum to <= 1); ``None`` means a
-    uniform share per observed language.
+    uniform share per observed language. With explicit ``targets``,
+    languages NOT in the map get a NULL rate and are dropped entirely —
+    an explicit mixture spec is exhaustive by definition.
 
     Scale shape: the language histogram is a map-side-combined groupBy of
     LANGUAGE-cardinality rows; rates broadcast back; the corpus side is one

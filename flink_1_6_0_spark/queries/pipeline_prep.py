@@ -664,3 +664,47 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = bigram_logppl(T(spark, sf_dir, "documents"), "doc_id", "text")
     return out
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+    WITH t AS (SELECT lang, source,
+                      len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+               FROM documents),
+    tot AS (SELECT sum(n_tokens) AS all_tokens FROM t)
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(sum(n_tokens) / tot.all_tokens, 6) AS token_share,
+           round(avg(n_tokens), 2) AS mean_tokens
+    FROM t, tot
+    GROUP BY lang, source, tot.all_tokens
+    """,
+    tags=("pipeline", "stats"),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card: per (lang, source) doc/token counts, corpus
+    token share and mean length — the governance report published with a
+    training set. One map-side-combined groupBy; the corpus total rides a
+    1x1 broadcast scalar."""
+    from flink_1_6_0_spark.pipeline.text import token_count
+
+    d = T(spark, sf_dir, "documents").select(
+        "lang", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    tot = d.agg(F.sum("n_tokens").alias("all_tokens"))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_docs", "total_tokens",
+            F.round(F.col("total_tokens") / F.col("all_tokens"), 6).alias("token_share"),
+            "mean_tokens",
+        )
+    )
