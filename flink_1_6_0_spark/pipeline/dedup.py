@@ -254,9 +254,17 @@ def cut_duplicate_spans(df: DataFrame, id_col: str, text_col: str, k: int = 8) -
     pre = df.select(
         F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("__tk")
     )
-    toks = pre.select(
-        "doc", F.size("__tk").cast("long").alias("n_tokens"), F.posexplode("__tk").alias("pos0", "t")
-    ).select("doc", "n_tokens", (F.col("pos0") + 1).alias("idx"), "t")
+    toks = (
+        pre.select(
+            "doc",
+            F.size("__tk").cast("long").alias("n_tokens"),
+            F.posexplode("__tk").alias("pos0", "t"),
+        )
+        # split('') yields one empty token: drop it so whitespace-only docs
+        # vanish instead of surviving as cleaned='' with n_kept=1
+        .filter(F.length("t") > 0)
+        .select("doc", "n_tokens", (F.col("pos0") + 1).alias("idx"), "t")
+    )
     kept = toks.join(covered, ["doc", "idx"], "left_anti")
     return (
         kept.groupBy("doc")

@@ -598,7 +598,8 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov AS (SELECT DISTINCT doc, u.x AS idx
             FROM d, unnest(generate_series(pos, pos + 4)) AS u(x)),
     toks AS (SELECT doc, len(tt)::BIGINT AS n_tokens, g.i AS idx, tt[g.i] AS t
-             FROM tk, unnest(generate_series(1, len(tt))) AS g(i)),
+             FROM tk, unnest(generate_series(1, len(tt))) AS g(i)
+             WHERE length(tt[g.i]) > 0),
     kept AS (SELECT toks.* FROM toks ANTI JOIN cov USING (doc, idx))
     SELECT doc AS doc_id,
            string_agg(t, ' ' ORDER BY idx) AS cleaned,

@@ -364,3 +364,41 @@ def test_cut_duplicate_spans_semantics(spark):
     assert rows[3]["cleaned"] == "totally unique words only here today"
     assert rows[3]["n_removed"] == 0
     assert rows[4]["cleaned"] == "p q r s t p q r s t"
+
+
+def test_cut_duplicate_spans_matches_python_spec(spark):
+    """Seeded random corpora: the cut operator vs a pure-Python spec of
+    coverage removal (same shingle definition, same reassembly)."""
+    import random
+    from collections import defaultdict
+
+    from flink_1_6_0_spark.pipeline.dedup import cut_duplicate_spans
+
+    rnd = random.Random(29)
+    vocab = list("abcdef")
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 15))))
+        for i in range(25)
+    ]
+    k = 3
+    sh_docs = defaultdict(set)
+    toks = {d: t.split() for d, t in docs}
+    for d, tt in toks.items():
+        for i in range(len(tt) - k + 1):
+            sh_docs[" ".join(tt[i : i + k])].add(d)
+    want = {}
+    for d, tt in toks.items():
+        covered = set()
+        for i in range(len(tt) - k + 1):
+            if len(sh_docs[" ".join(tt[i : i + k])]) >= 2:
+                covered.update(range(i, i + k))
+        kept = [t for j, t in enumerate(tt) if j not in covered]
+        if kept:
+            want[d] = (" ".join(kept), len(kept), len(tt) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc"]: (r["cleaned"], r["n_kept"], r["n_removed"])
+        for r in cut_duplicate_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == want
