@@ -209,6 +209,11 @@ def asof_join(
     unbounded-preceding window — one shuffle + one sort for any data size,
     the same asymptotics as a sort-merge join. Equal timestamps match
     (right sorts before left at ties, DuckDB ASOF's >= semantics).
+
+    Determinism contract: if the right side has MULTIPLE rows at the same
+    (key, ts), which one wins is sort-order dependent — pre-aggregate the
+    right side to unique (key, ts) (as join_asof_events does) when a
+    reproducible pick matters.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
