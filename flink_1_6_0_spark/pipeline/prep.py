@@ -113,9 +113,15 @@ def contamination_bloom(
     from flink_1_6_0_spark.pipeline.dedup import shingle_rows
     from flink_1_6_0_spark.pipeline.text import token_hash
 
+    def _bits(col):
+        # two INDEPENDENT 60-bit hashes from one md5: hex digits 1-15 and
+        # 16-30 — pure integer math (no double division whose 53-bit
+        # mantissa would fold high hash bits)
+        h2 = F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+        return F.pmod(token_hash(col), F.lit(m)), F.pmod(h2, F.lit(m))
+
     bench_sh = shingle_rows(benchmark, id_col, text_col, k=k).select("s").distinct()
-    h = token_hash(F.col("s"))
-    bit1, bit2 = F.pmod(h, F.lit(m)), F.pmod(F.floor(h / F.lit(m)), F.lit(m)).cast("long")
+    bit1, bit2 = _bits(F.col("s"))
     positions = (
         bench_sh.select(F.explode(F.array(bit1, bit2)).alias("bit")).distinct().collect()
     )
@@ -125,10 +131,10 @@ def contamination_bloom(
     bits = F.lit(bitmap)
 
     corpus_sh = shingle_rows(corpus, id_col, text_col, k=k)
-    ch = token_hash(F.col("s"))
+    cbit1, cbit2 = _bits(F.col("s"))
     cand = corpus_sh.filter(
-        (F.element_at(bits, F.pmod(ch, F.lit(m)).cast("int") + 1) == 1)
-        & (F.element_at(bits, F.pmod(F.floor(ch / F.lit(m)), F.lit(m)).cast("int") + 1) == 1)
+        (F.element_at(bits, cbit1.cast("int") + 1) == 1)
+        & (F.element_at(bits, cbit2.cast("int") + 1) == 1)
     )
     hits = cand.join(F.broadcast(bench_sh), "s")
     return hits.groupBy(F.col("doc").alias(id_col)).agg(
