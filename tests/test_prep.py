@@ -402,3 +402,42 @@ def test_cut_duplicate_spans_matches_python_spec(spark):
         for r in cut_duplicate_spans(df, "doc_id", "text", k=k).collect()
     }
     assert got == want
+
+
+def test_percentile_approx_tracks_exact_quantiles(spark, sf_dir, duck):
+    """The documented 100 TB swap for doc_length_quantiles (percentile ->
+    percentile_approx t-digest sketch) must stay within sketch tolerance of
+    the exact interpolated quantiles on real data."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.pipeline.text import token_count
+    from flink_1_6_0_spark.queries import T
+
+    d = T(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("long").alias("n")
+    )
+    approx = {
+        r["source"]: (r["p50"], r["p90"])
+        for r in d.groupBy("source")
+        .agg(
+            F.percentile_approx("n", 0.5, 10000).alias("p50"),
+            F.percentile_approx("n", 0.9, 10000).alias("p90"),
+        )
+        .collect()
+    }
+    exact = {
+        r["source"]: (r["p50"], r["p90"])
+        for r in d.groupBy("source")
+        .agg(
+            F.expr("percentile(n, 0.5)").alias("p50"),
+            F.expr("percentile(n, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for src, (a50, a90) in approx.items():
+        e50, e90 = exact[src]
+        # percentile_approx returns an observed value; exact interpolates —
+        # allow one observation of slack
+        assert abs(a50 - e50) <= max(2.0, 0.05 * e50), src
+        assert abs(a90 - e90) <= max(2.0, 0.05 * e90), src
