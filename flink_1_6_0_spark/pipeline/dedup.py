@@ -122,6 +122,11 @@ def minhash_lsh_pairs(
     materializes. Skewed buckets (giant near-dup clusters) are handled by
     AQE skew-join splitting.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash token_hash('') —
+        # one global bucket, the exact O(n²) this function exists to avoid;
+        # non-divisible bands would silently drop trailing signature hashes
+        raise ValueError(f"bands must divide num_hashes (got {num_hashes=}, {bands=})")
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
     # one explode, not a bands-way union: a union would re-evaluate the whole

@@ -82,18 +82,29 @@ def _ppm_tokens(data: bytes):
         i = j
 
 
-def decode_ppm(data: bytes) -> dict:
-    """REAL decode of binary Netpbm images (P6 RGB / P5 grayscale) — header
-    parse + per-channel pixel means, pure stdlib (the point: media decode
-    does not require third-party libs for every format; PIL-gated formats
-    stay honestly stubbed)."""
+def _netpbm_header(data: bytes) -> tuple[bytes, int, int, int, int, int]:
+    """Shared binary-netpbm header parse → (magic, w, h, maxval, channels,
+    body_start). Raises ValueError for non-netpbm magic and for maxval > 255
+    (16-bit netpbm stores TWO big-endian bytes per sample — silently
+    decoding it as 1 byte/sample would interleave high/low bytes)."""
     toks = _ppm_tokens(data)
     magic, _ = next(toks)
     if magic not in (b"P6", b"P5"):
         raise ValueError(f"not a binary netpbm image: {magic!r}")
     (w, _), (h, _), (maxval, body_start) = next(toks), next(toks), next(toks)
     w, h, maxval = int(w), int(h), int(maxval)
+    if maxval > 255:
+        raise ValueError(f"16-bit netpbm (maxval={maxval}) not supported: 2 bytes/sample")
     channels = 3 if magic == b"P6" else 1
+    return magic, w, h, maxval, channels, body_start
+
+
+def decode_ppm(data: bytes) -> dict:
+    """REAL decode of binary Netpbm images (P6 RGB / P5 grayscale) — header
+    parse + per-channel pixel means, pure stdlib (the point: media decode
+    does not require third-party libs for every format; PIL-gated formats
+    stay honestly stubbed)."""
+    _, w, h, _, channels, body_start = _netpbm_header(data)
     px = data[body_start : body_start + w * h * channels]
     if len(px) != w * h * channels:
         raise ValueError("truncated pixel data")
@@ -210,19 +221,20 @@ def ahash_pgm(data: bytes, n_bits: int = 64) -> int | None:
     (scan order, strictly-above-mean), packed MSB-first into an integer over
     the first ``n_bits`` pixels. Exact integer arithmetic throughout
     (pixel*n > sum avoids float mean comparisons), so any engine computes
-    the identical hash. None for zero-pixel images."""
-    toks = _ppm_tokens(data)
-    magic, _ = next(toks)
-    if magic not in (b"P6", b"P5"):
-        raise ValueError(f"not a binary netpbm image: {magic!r}")
-    (w, _), (h, _), (maxval, body_start) = next(toks), next(toks), next(toks)
-    w, h = int(w), int(h)
-    channels = 3 if magic == b"P6" else 1
+    the identical hash. None for zero-pixel images.
+
+    The packed value is reinterpreted as SIGNED int64 (two's complement)
+    when bit 63 is set — Arrow/Spark `long` cannot hold 2^63..2^64-1, and a
+    bijective reinterpretation preserves both equality and Hamming-distance
+    semantics (the only operations an average-hash supports)."""
+    _, w, h, _, channels, body_start = _netpbm_header(data)
     n = w * h
     if n == 0:
         return None
     # grayscale reduction for P6: per-pixel channel sum (exact ints)
     raw = data[body_start : body_start + n * channels]
+    if len(raw) != n * channels:
+        raise ValueError("truncated pixel data")
     px = (
         [raw[i] for i in range(n)]
         if channels == 1
@@ -233,7 +245,7 @@ def ahash_pgm(data: bytes, n_bits: int = 64) -> int | None:
     take = min(n, n_bits)
     for i in range(take):
         bits = (bits << 1) | (1 if px[i] * n > total else 0)
-    return bits
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
 def media_ahash(df: DataFrame, n_bits: int = 64) -> DataFrame:

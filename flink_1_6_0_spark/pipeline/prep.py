@@ -218,14 +218,17 @@ def rebalance_language_mix(
         for lang, s in reversed(list(targets.items())):
             share = F.when(F.col(lang_col) == lang, F.lit(float(s))).otherwise(share)
         with_tot = with_tot.withColumn("__share", share)
-    rates = with_tot.select(
-        lang_col,
+    # NULL __share (language absent from an explicit targets map) must yield
+    # a NULL rate so the gate drops those rows — F.least SKIPS nulls, so
+    # least(1000, NULL) would be 1000 (keep-everything, the opposite)
+    capped = F.when(
+        F.col("__share").isNull(), F.lit(None).cast("int")
+    ).otherwise(
         F.least(
             F.lit(1000),
             F.floor(F.lit(1000.0) * F.col("__share") * F.col("__n_total") / F.col("__n_lang")),
-        )
-        .cast("int")
-        .alias("rate_permille"),
+        ).cast("int")
     )
+    rates = with_tot.select(lang_col, capped.alias("rate_permille"))
     joined = df.join(F.broadcast(rates), lang_col)
     return deterministic_sample(joined, F.col(id_col), F.col("rate_permille"), salt)

@@ -270,7 +270,9 @@ def ann_recall_at_k(
     the measurement every ANN deployment runs before trusting the index
     (and re-runs as the corpus drifts). Both sides are deterministic, so
     the recall numbers themselves are oracle-checkable. Returns
-    (qid, n_exact, n_hit, recall)."""
+    (qid, n_exact, n_hit, recall) with recall = n_hit / n_exact — the
+    denominator is the EXACT result size, so a perfect index scores 1.0
+    even when the corpus holds fewer than k vectors."""
     exact = topk_per_query(corpus, queries, id_col, vec_col, qid_col, qvec_col, k)
     approx = lsh_topk_per_query(
         corpus, queries, id_col, vec_col, qid_col, qvec_col, k, dim, bits, seed
@@ -288,7 +290,7 @@ def ann_recall_at_k(
             "qid",
             F.col("n_exact").cast("long").alias("n_exact"),
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(k), 4).alias("recall"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4).alias("recall"),
         )
     )
 

@@ -240,7 +240,11 @@ def chunk_overlap(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(tk, i * step + 1, size),
     )
-    return docs.select(F.col(doc_id), F.posexplode(chunks).alias("chunk_id", "__c")).select(
+    # whitespace-only docs would otherwise emit one phantom (chunk='',
+    # n_tokens=1) row — split('') yields [''] (same artifact guarded in
+    # dedup.cut_duplicate_spans)
+    src = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    return src.select(F.col(doc_id), F.posexplode(chunks).alias("chunk_id", "__c")).select(
         F.col(doc_id),
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join("__c", " ").alias("chunk"),

@@ -423,7 +423,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
     SELECT base.qid, n_exact::BIGINT AS n_exact,
            coalesce(n_hit, 0)::BIGINT AS n_hit,
-           round(coalesce(n_hit, 0) / 10.0, 4) AS recall
+           round(coalesce(n_hit, 0) * 1.0 / n_exact, 4) AS recall
     FROM base LEFT JOIN hit USING (qid)
     """,
     tags=("pipeline", "similarity"),
@@ -434,7 +434,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before trusting approximate results. Exact side: broadcast query
     set + salted two-phase per-qid top-k (no single-task skew); LSH side:
     signature equi-join. Both deterministic, so even the recall numbers
-    hash-match the oracle."""
+    hash-match the oracle; recall = n_hit / n_exact."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 97 == 0)
     return sim.ann_recall_at_k(

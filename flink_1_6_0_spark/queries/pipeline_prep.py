@@ -368,7 +368,8 @@ def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_chunk_overlap",
     oracle="""
-    WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+    WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+             WHERE length(trim(text)) > 0),
     c AS (SELECT doc_id, tk,
                  greatest(1, ceil((len(tk) - 8) / 24.0))::INT AS nc
           FROM tt)

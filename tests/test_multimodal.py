@@ -87,3 +87,43 @@ def test_ahash_pgm_p5_p6_and_empty():
     assert ahash_pgm(b"P5\n0 1\n255\n") is None
     # n_bits truncation: 4 pixels, keep the first 2 bits only
     assert ahash_pgm(b"P5\n4 1\n255\n" + bytes([9, 1, 1, 1]), n_bits=2) == 0b10
+
+
+def test_ahash_bit63_arrow_safe(spark):
+    """A >=64px image whose first pixel is above the mean sets bit 63: the
+    hash must arrive as a SIGNED long through Arrow (two's-complement
+    reinterpretation), not crash the conversion."""
+    from flink_1_6_0_spark.pipeline.multimodal import ahash_pgm, media_ahash
+
+    px = bytes([255] + [0] * 63)  # pixel 0 far above mean -> bit 63 set
+    img = b"P5\n64 1\n255\n" + px
+    h = ahash_pgm(img)
+    assert h < 0  # wrapped
+    assert (h + (1 << 64)) >> 63 == 1
+    df = spark.createDataFrame([(1, bytearray(img))], "doc_id long, media binary")
+    got = media_ahash(df).collect()
+    assert got[0]["ahash"] == h  # end-to-end through Arrow
+
+
+def test_netpbm_16bit_rejected():
+    import pytest
+
+    from flink_1_6_0_spark.pipeline.multimodal import ahash_pgm, decode_ppm
+
+    img16 = b"P5\n2 1\n65535\n" + bytes(4)
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_ppm(img16)
+    with pytest.raises(ValueError, match="16-bit"):
+        ahash_pgm(img16)
+
+
+def test_minhash_bands_validated(spark):
+    import pytest
+
+    from flink_1_6_0_spark.pipeline.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=5)

@@ -441,3 +441,24 @@ def test_percentile_approx_tracks_exact_quantiles(spark, sf_dir, duck):
         # allow one observation of slack
         assert abs(a50 - e50) <= max(2.0, 0.05 * e50), src
         assert abs(a90 - e90) <= max(2.0, 0.05 * e90), src
+
+
+def test_rebalance_explicit_targets_drop_unlisted(spark):
+    """Languages absent from an explicit targets map must be DROPPED —
+    regression for F.least(1000, NULL) = 1000 silently keeping them all."""
+    from flink_1_6_0_spark.pipeline.prep import rebalance_language_mix
+
+    rows = [(i, "en" if i < 40 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_language_mix(df, "doc_id", "lang", targets={"en": 0.5}).collect()
+    assert {r["lang"] for r in out} == {"en"}
+
+
+def test_chunk_overlap_skips_empty_docs(spark):
+    from flink_1_6_0_spark.pipeline.text import chunk_overlap
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = chunk_overlap(df, "doc_id", "text", size=4, overlap=1).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # no phantom ('', 1) chunks
