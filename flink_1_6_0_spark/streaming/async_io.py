@@ -39,7 +39,14 @@ def async_enrich(
     schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {output_col} {output_type}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with ThreadPoolExecutor(max_workers=capacity) as pool:
+        # No `with` block: ThreadPoolExecutor.__exit__ is shutdown(wait=True),
+        # which would block the partition task FOREVER on a hung fn even
+        # after its future timed out. Python cannot kill a running thread, so
+        # the honest contract is: timed-out futures are cancelled (drops them
+        # if not yet started) and shutdown never waits — a hung request costs
+        # one pool slot, not the whole batch.
+        pool = ThreadPoolExecutor(max_workers=capacity)
+        try:
             for pdf in batches:
                 futures = [pool.submit(fn, v) for v in pdf[input_col]]
                 results = []
@@ -47,9 +54,12 @@ def async_enrich(
                     try:
                         results.append(fut.result(timeout=timeout_seconds))
                     except Exception:
+                        fut.cancel()
                         results.append(None)
                 out = pdf.copy()
                 out[output_col] = results
                 yield out
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     return df.mapInPandas(run, schema=schema)

@@ -43,7 +43,10 @@ def evict_and_aggregate(
     newest - keep_last_seconds (TimeEvictor.java:32 evicts ts <= cutoff).
     Returns (n_kept, rounded sum of kept values)."""
     if keep_last_n is not None:
-        kept = elems[-keep_last_n:]
+        if keep_last_n < 0:
+            raise ValueError(f"keep_last_n must be >= 0, got {keep_last_n}")
+        # elems[-0:] is the WHOLE list — CountEvictor(0) keeps zero elements
+        kept = elems[-keep_last_n:] if keep_last_n > 0 else []
     else:
         horizon = elems[-1][0] - keep_last_seconds * 1_000_000
         kept = [e for e in elems if e[0] > horizon]

@@ -47,13 +47,19 @@ def iterate_stream(
     """
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        # NULL-total exit predicate (same contract as iterate_stream_feedback):
+        # NULL ⇒ exit — filter(pred) and filter(~pred) BOTH drop NULL rows,
+        # so without the coalesce such rows would silently vanish
+        exit_total = F.coalesce(exit_predicate.cast("boolean"), F.lit(True))
         work = batch
         for _ in range(max_iterations):
             if not work.take(1):
                 return
             stepped = step_fn(work).localCheckpoint()
-            emit_fn(stepped.filter(exit_predicate), epoch_id)
-            work = stepped.filter(~exit_predicate)
+            emit_fn(stepped.filter(exit_total), epoch_id)
+            work = stepped.filter(~exit_total)
         # iteration budget exhausted: surface the stragglers rather than
         # silently dropping them (the reference would keep them circulating)
         emit_fn(work, epoch_id)

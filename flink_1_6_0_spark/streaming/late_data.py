@@ -102,9 +102,7 @@ def foreach_batch_late_capture(
             if seen and (holder["max_seen"] is None or seen > holder["max_seen"]):
                 holder["max_seen"] = seen  # ISO-8601 UTC strings sort correctly
         if holder["max_seen"]:
-            bound = F.lit(holder["max_seen"]).cast("timestamp") - F.expr(f"INTERVAL {delay}")
-            on_time = batch.filter(F.col(ts_col) >= bound)
-            late = batch.filter(F.col(ts_col) < bound)
+            on_time, late = split_late(batch, ts_col, delay, holder["max_seen"])
         else:
             on_time, late = batch, batch.limit(0)
         on_time_fn(on_time, epoch_id)

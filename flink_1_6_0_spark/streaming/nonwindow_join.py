@@ -49,6 +49,37 @@ def bounded_outer_join(
     )
 
 
+def _write_epoch(side_df: DataFrame, path: str, epoch_id: int) -> None:
+    """Idempotent per-epoch state write shared by the foreachBatch joins.
+
+    foreachBatch is at-least-once: a retried epoch re-delivers the same
+    rows. Writing each epoch into its own partition with DYNAMIC partition
+    overwrite makes the state write idempotent — the retry rewrites
+    partition __epoch=<id> instead of appending a duplicate."""
+    import pyspark.sql.functions as F
+
+    (
+        side_df.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+def _read_state(spark, path: str, schema) -> DataFrame:
+    """Accumulated state table, or an EMPTY frame with the side's schema
+    before its first write. Only the missing-path error is swallowed —
+    a genuinely corrupt state path must surface, not silently skip an
+    emission."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).drop("__epoch")
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def foreach_batch_outer_join(
     left_stream: DataFrame,
     right_stream: DataFrame,
@@ -74,31 +105,21 @@ def foreach_batch_outer_join(
         right_stream.withColumn("__side", F.lit("r")), allowMissingColumns=True
     )
 
-    def write_epoch(side_df: DataFrame, path: str, epoch_id: int) -> None:
-        # foreachBatch is at-least-once: a retried epoch re-delivers the same
-        # rows. Writing each epoch into its own partition with DYNAMIC
-        # partition overwrite makes the state write idempotent — the retry
-        # rewrites partition __epoch=<id> instead of appending a duplicate.
-        (
-            side_df.withColumn("__epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__epoch")
-            .parquet(path)
-        )
+    left_schema, right_schema = left_stream.schema, right_stream.schema
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         lb = batch.filter(F.col("__side") == "l").select(*left_cols)
         rb = batch.filter(F.col("__side") == "r").select(*right_cols)
         if lb.take(1):
-            write_epoch(lb, left_state_path, epoch_id)
+            _write_epoch(lb, left_state_path, epoch_id)
         if rb.take(1):
-            write_epoch(rb, right_state_path, epoch_id)
-        try:
-            ls = spark.read.parquet(left_state_path).drop("__epoch")
-            rs = spark.read.parquet(right_state_path).drop("__epoch")
-        except Exception:
-            return  # one side still empty — outer join not yet defined
+            _write_epoch(rb, right_state_path, epoch_id)
+        # a side with no arrivals yet joins as an EMPTY relation — an outer
+        # join_fn then null-pads the populated side immediately (Flink's
+        # NonWindowLeftRightJoin behavior), instead of emitting nothing
+        # until both sides have data
+        ls = _read_state(spark, left_state_path, left_schema)
+        rs = _read_state(spark, right_state_path, right_schema)
         emit_fn(join_fn(ls, rs), epoch_id)
 
     return (
@@ -145,42 +166,21 @@ def foreach_batch_asof_join(
         right_stream.withColumn("__side", F.lit("r")), allowMissingColumns=True
     )
 
-    def write_epoch(side_df: DataFrame, path: str, epoch_id: int) -> None:
-        (
-            side_df.withColumn("__epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__epoch")
-            .parquet(path)
-        )
+    left_schema, right_schema = left_stream.schema, right_stream.schema
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         lb = batch.filter(F.col("__side") == "l").select(*left_cols)
         rb = batch.filter(F.col("__side") == "r").select(*right_cols)
         if lb.take(1):
-            write_epoch(lb, left_state_path, epoch_id)
+            _write_epoch(lb, left_state_path, epoch_id)
         if rb.take(1):
-            write_epoch(rb, right_state_path, epoch_id)
-        try:
-            ls = spark.read.parquet(left_state_path).drop("__epoch")
-        except Exception:
-            return  # no left rows yet — nothing to emit
-        try:
-            rs = spark.read.parquet(right_state_path).drop("__epoch")
-        except Exception:
-            # left-only so far: every left row emits null-padded (outer as-of)
-            rs = None
-        if rs is None:
-            out = ls.select(
-                "*",
-                *[
-                    F.lit(None).cast(right_stream.schema[c].dataType).alias(f"r_{c}")
-                    for c in right_payload
-                ],
-            )
-        else:
-            out = asof_join(ls, rs, key, left_ts, right_ts, right_payload, direction)
-        emit_fn(out, epoch_id)
+            _write_epoch(rb, right_state_path, epoch_id)
+        # missing sides read as EMPTY relations: asof_join against an empty
+        # right side null-pads every left row (the outer as-of contract),
+        # and an empty left side emits an empty result — no special cases
+        ls = _read_state(spark, left_state_path, left_schema)
+        rs = _read_state(spark, right_state_path, right_schema)
+        emit_fn(asof_join(ls, rs, key, left_ts, right_ts, right_payload, direction), epoch_id)
 
     return (
         tagged.writeStream.outputMode("append")

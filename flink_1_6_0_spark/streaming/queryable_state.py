@@ -29,10 +29,13 @@ class QueryableState:
         )
 
     def lookup(self, key_col: str, key_value) -> list:
-        """Point lookup into the current state (getKvState analog)."""
-        return (
-            self.spark.table(self.name).filter(f"{key_col} = {key_value!r}").collect()
-        )
+        """Point lookup into the current state (getKvState analog). Column
+        predicate, not SQL-string interpolation — repr() of non-str/int keys
+        (timestamps, bytes) is not valid SQL, and quoting by hand is an
+        injection surface."""
+        import pyspark.sql.functions as F
+
+        return self.spark.table(self.name).filter(F.col(key_col) == key_value).collect()
 
     def stop(self) -> None:
         self.query.stop()

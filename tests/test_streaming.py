@@ -926,3 +926,74 @@ def test_stream_asof_join_retroactive_upgrade(spark, tmp_path):
     finally:
         q.stop()
     assert emissions[-1] == {100: 55.0}  # retroactively upgraded
+
+
+def test_nonwindow_outer_join_left_only_emits_null_padded(spark, tmp_path):
+    """Regression: with only the LEFT side populated, the outer join must
+    emit null-padded left rows immediately (empty-relation right side), not
+    stay silent until both sides have data."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.nonwindow_join import foreach_batch_outer_join
+
+    l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string").repartition(1).write.parquet(l_src)
+    # right source directory exists but holds NO rows
+    spark.createDataFrame([], "rk long, rv string").repartition(1).write.parquet(r_src)
+
+    results = {}
+
+    def emit(df, epoch):
+        results["last"] = [
+            tuple(r) for r in df.select("k", "lv", "rv").orderBy("k").collect()
+        ]
+
+    q = foreach_batch_outer_join(
+        read_parquet_stream(spark, l_src),
+        read_parquet_stream(spark, r_src),
+        lambda a, b: a.join(b, a.k == b.rk, "left").select("k", "lv", "rv"),
+        str(tmp_path / "lstate"),
+        str(tmp_path / "rstate"),
+        emit,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert results["last"] == [(1, "a", None), (2, "b", None)]
+
+
+def test_evictor_kernel_keep_zero_and_negative():
+    import pytest
+
+    from flink_1_6_0_spark.streaming.evictors import evict_and_aggregate
+
+    elems = [(1.0, 1, 10.0), (2.0, 2, 20.0)]
+    assert evict_and_aggregate(elems, keep_last_n=0, keep_last_seconds=None) == (0, 0.0)
+    with pytest.raises(ValueError):
+        evict_and_aggregate(elems, keep_last_n=-1, keep_last_seconds=None)
+
+
+def test_queryable_state_lookup_nonstring_key(spark, sf_dir):
+    """Point lookup must work for timestamp keys (Column predicate, not
+    repr()-interpolated SQL)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import events_stream
+    from flink_1_6_0_spark.streaming.queryable_state import QueryableState
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    qs = QueryableState(agg, "qs_ts_lookup", mode="complete")
+    try:
+        qs.query.processAllAvailable()
+        any_h = spark.table("qs_ts_lookup").limit(1).collect()[0]["h"]
+        rows = qs.lookup("h", any_h)  # datetime key — repr() would be invalid SQL
+        assert len(rows) == 1 and rows[0]["n"] >= 1
+    finally:
+        qs.stop()
