@@ -79,6 +79,10 @@ def similar_to(col: str | Column, pattern: str) -> Column:
         elif ch == "\\" and i + 1 < len(pattern):
             rx.append(re.escape(pattern[i + 1]))
             i += 1
+        elif ch in ".^$":
+            # literal in SQL SIMILAR TO, special in Java regex — escape
+            # (Calcite's SIMILAR TO translation does the same)
+            rx.append(re.escape(ch))
         else:
             rx.append(ch)
         i += 1
@@ -127,10 +131,18 @@ def mysql_to_java_pattern(fmt: str) -> str:
                 raise ValueError(f"unsupported MySQL pattern token {tok!r}")
             i += 2
         else:
-            # literal chars that collide with java pattern letters need quoting
-            ch = fmt[i]
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
-            i += 1
+            # literal RUN quoted as one unit: per-char quoting would render
+            # adjacent literals as 'h''o''u''r''s', which java.time reads as
+            # h'o'u'r's ('' inside a quoted run is an ESCAPED quote)
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            run = fmt[i:j]
+            if any(c.isalpha() for c in run) or "'" in run:
+                out.append("'" + run.replace("'", "''") + "'")
+            else:
+                out.append(run)
+            i = j
     return "".join(out)
 
 

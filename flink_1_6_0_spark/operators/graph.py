@@ -304,36 +304,42 @@ def pagerank(
     return ranks
 
 
+def _oriented_edges(edges: DataFrame) -> DataFrame:
+    """Deduped small→large-oriented undirected edge list — the shared prep
+    for triangle enumeration (src < dst implies src != dst, so no separate
+    self-loop filter). One spelling, used by all four triangle/clustering
+    entry points, so the symmetrize/dedup semantics cannot drift."""
+    return undirect(edges).filter(F.col("src") < F.col("dst")).distinct()
+
+
+def _sym_simple_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrized simple (self-loop-free, deduped) edge list — the degree
+    side of the clustering coefficients."""
+    return undirect(edges).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _enumerate_triangles(edges: DataFrame) -> DataFrame:
+    """Each triangle exactly once as (a, b, c) with a < b < c (ordered
+    two-hop join over the oriented edge list)."""
+    e = _oriented_edges(edges)
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"])
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Gelly TriangleEnumerator: count triangles via ordered two-hop join —
     edges oriented small→large id so each triangle is found exactly once.
     Returns a 1-row frame (n_triangles)."""
-    e = (
-        undirect(edges)
-        .filter(F.col("src") < F.col("dst"))
-        .distinct()
-    )
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    return (
-        ab.join(bc, "b")
-        .join(ac, ["a", "c"])
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    return _enumerate_triangles(edges).agg(F.count("*").alias("n_triangles"))
 
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """Triangles incident to each vertex: enumerate each triangle once on the
     small→large-oriented edge list, then credit all three corners.
     Returns (id, n_tri)."""
-    e = undirect(edges).filter(F.col("src") != F.col("dst")).distinct().filter(
-        F.col("src") < F.col("dst")
-    )
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    tris = _enumerate_triangles(edges)
     corners = (
         tris.select(F.col("a").alias("id"))
         .union(tris.select(F.col("b").alias("id")))
@@ -347,7 +353,7 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     LocalClusteringCoefficient.java): per vertex, triangles / possible
     neighbor pairs deg·(deg-1)/2 (0 when deg < 2). Returns (id, degree,
     n_tri, coeff)."""
-    sym = undirect(edges).filter(F.col("src") != F.col("dst")).distinct()
+    sym = _sym_simple_edges(edges)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
     tri = triangles_per_vertex(edges)
     return deg.join(tri, "id", "left").select(
@@ -370,7 +376,7 @@ def global_clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Gelly GlobalClusteringCoefficient: 3·triangles / wedges, where wedges
     = Σ_v deg·(deg-1)/2 (open+closed length-2 paths). One row
     (n_triangles, n_wedges, coeff)."""
-    sym = undirect(edges).filter(F.col("src") != F.col("dst")).distinct()
+    sym = _sym_simple_edges(edges)
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"))
     tris = triangle_count(edges)

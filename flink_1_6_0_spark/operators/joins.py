@@ -151,7 +151,13 @@ def salted_join(
     Spark's AQE skew-join (on by default in the session) handles most cases
     without salting; this operator is for deterministic pre-salting when the
     skew is known (e.g. a null-heavy foreign key) or AQE is unavailable.
+
+    Only inner/left-side join types are legal: the right side is REPLICATED
+    ``salt``×, so right/full outer would emit each unmatched right row once
+    per replica.
     """
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter", "leftsemi", "leftanti"):
+        raise ValueError(f"salted_join replicates the right side; {how!r} would multiply unmatched right rows")
     salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     salted_right = right.select("*", salts)

@@ -107,15 +107,22 @@ def evicted_window_agg(
     state."""
     if (keep_last_n is None) == (keep_last_seconds is None):
         raise ValueError("exactly one of keep_last_n / keep_last_seconds")
+    if keep_last_n is not None and keep_last_n < 0:
+        raise ValueError(f"keep_last_n must be >= 0, got {keep_last_n}")
     w = tumble(ts, size)
     collected = df.groupBy(*keys, w.alias("w")).agg(
         F.array_sort(F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))).alias("elems")
     )
     if keep_last_n is not None:
-        kept = F.when(
-            F.size("elems") > keep_last_n,
-            F.slice("elems", -keep_last_n, keep_last_n),
-        ).otherwise(F.col("elems"))
+        if keep_last_n == 0:
+            # F.slice start of -0 is 0, which Spark rejects — CountEvictor(0)
+            # keeps nothing (parity with streaming/evictors.py)
+            kept = F.slice("elems", 1, 0)
+        else:
+            kept = F.when(
+                F.size("elems") > keep_last_n,
+                F.slice("elems", -keep_last_n, keep_last_n),
+            ).otherwise(F.col("elems"))
     else:
         newest = F.element_at(F.col("elems"), -1)["t"]
         horizon = newest - F.expr(f"INTERVAL {keep_last_seconds} SECONDS")

@@ -60,18 +60,32 @@ _CALL_RE = re.compile(
 
 
 def _find_call(sql: str, start: int):
-    """Find the next Flink group-window call; return (name, args, span)."""
-    m = _CALL_RE.search(sql, start)
-    if not m:
-        return None
-    depth, i = 1, m.end()
-    while i < len(sql) and depth:
-        if sql[i] == "(":
-            depth += 1
-        elif sql[i] == ")":
-            depth -= 1
-        i += 1
-    return m.group(1).upper(), sql[m.end() : i - 1], (m.start(), i)
+    """Find the next Flink group-window call; return (name, args, span).
+
+    Same guards as the LATERAL rewriter: matches inside single-quoted
+    string literals are data, not syntax, and an unbalanced paren scan
+    raises instead of silently rewriting a truncated span."""
+    pos = start
+    while True:
+        m = _CALL_RE.search(sql, pos)
+        if not m:
+            return None
+        if sql.count("'", 0, m.start()) % 2 == 1:  # inside a string literal
+            pos = m.end()
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(
+                f"unbalanced parentheses in group-window call at offset {m.start()}: "
+                f"{sql[m.start():m.start() + 60]!r}"
+            )
+        return m.group(1).upper(), sql[m.end() : i - 1], (m.start(), i)
 
 
 def _render(name: str, args: list[str]) -> str:

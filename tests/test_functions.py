@@ -67,3 +67,34 @@ def test_sha1_exceeds_reference(spark):
 
     got = _one(spark, F.sha1(F.lit("abc")))
     assert got == hashlib.sha1(b"abc").hexdigest()
+
+
+def test_mysql_pattern_adjacent_literals(spark):
+    """Regression: consecutive literal letters must render as ONE quoted run
+    ('hours'), not per-char 'h''o''u''r''s' (java.time reads '' inside a
+    quoted run as an escaped apostrophe)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.functions.scalar import date_format, mysql_to_java_pattern
+
+    assert mysql_to_java_pattern("%H hours") == "HH' hours'"  # one quoted run
+    assert mysql_to_java_pattern("%Y-%m") == "yyyy-MM"
+    row = (
+        spark.range(1)
+        .select(date_format(F.lit("2020-03-04 14:00:00").cast("timestamp"), "%H hours").alias("s"))
+        .first()
+    )
+    assert row["s"] == "14 hours"
+
+
+def test_similar_to_sql_literal_metachars(spark):
+    """SQL SIMILAR TO treats . ^ $ as literals; Java regex does not."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.functions.scalar import similar_to
+
+    df = spark.createDataFrame([("3.14",), ("3X14",), ("5$",), ("5",)], "s string")
+    got = {r["s"] for r in df.filter(similar_to(F.col("s"), "3.14")).collect()}
+    assert got == {"3.14"}  # not 3X14
+    got = {r["s"] for r in df.filter(similar_to(F.col("s"), "5$")).collect()}
+    assert got == {"5$"}  # the literal string, not end-anchor semantics

@@ -105,3 +105,15 @@ def test_lateral_table_end_to_end(spark):
     assert {(r["id"], r["word"], r["wlen"]) for r in out.collect()} == {
         (1, "ab", 2), (1, "c", 1), (2, "de", 2),
     }
+
+
+def test_group_window_rewriter_guards():
+    import pytest
+
+    from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+    # TUMBLE inside a string literal is data, not syntax
+    sql = "SELECT 'TUMBLE(a, b)' AS doc FROM t"
+    assert rewrite_flink_sql(sql) == sql
+    with pytest.raises(ValueError, match="unbalanced"):
+        rewrite_flink_sql("SELECT TUMBLE(ts, INTERVAL '1' HOUR FROM t")
