@@ -31,10 +31,9 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Tables small enough to broadcast in joins at ANY scale factor (TPC-H fixed
-# or near-fixed cardinality dims). customer/supplier/part grow with SF and are
-# left to AQE + the autoBroadcastJoinThreshold.
-BROADCAST_DIMS = ("region", "nation")
+# region/nation are fixed-cardinality dims that always broadcast — enforced
+# where it matters (explicit F.broadcast in the TPC-H queries) and by AQE's
+# autoBroadcastJoinThreshold elsewhere; no separate registry needed.
 
 
 def normalize_table(name: str, df: DataFrame) -> DataFrame:

@@ -75,11 +75,15 @@ def _process_with_state(df: DataFrame, keys: list[str], fn, out_schema: str,
 
     import pandas as pd
 
+    from pyspark.sql.types import StructType
+
+    # real DDL parse — a naive comma split breaks on nested types
+    # (struct<lat:double,lon:double> would split mid-type)
+    out_cols = StructType.fromDDL(out_schema).fieldNames()
+
     def run(key, pdf):
         frames = [f for f in fn(key, iter([pdf]), _BatchGroupState()) if len(f)]
-        return pd.concat(frames) if frames else pd.DataFrame(
-            columns=[c.strip().split()[0] for c in out_schema.split(",")]
-        )
+        return pd.concat(frames) if frames else pd.DataFrame(columns=out_cols)
 
     return df.groupBy(*keys).applyInPandas(run, out_schema)
 
@@ -573,7 +577,20 @@ class ConnectedKeyedStreams:
         ``side`` (1|2) plus the union of both inputs' columns (absent side's
         columns null), keyed by the aligned key columns (side-2 keys renamed
         to side-1 names). One shuffle on the shared key — identical to the
-        reference's keyed two-input exchange."""
+        reference's keyed two-input exchange.
+
+        Name-collision guards: renaming a side-2 key onto a side-1 key name
+        that side 2 ALSO carries as a payload column would make the key
+        ambiguous, and a pre-existing ``side`` column would collide with the
+        injected tag — both raise instead of failing downstream with
+        AMBIGUOUS_REFERENCE."""
+        if "side" in self.df1.columns or "side" in self.df2.columns:
+            raise ValueError("inputs must not carry a 'side' column (reserved for the union tag)")
+        for k1, k2 in zip(self.keys1, self.keys2):
+            if k1 != k2 and k1 in self.df2.columns:
+                raise ValueError(
+                    f"side-2 key {k2!r} aligns to {k1!r}, but side 2 already has a {k1!r} column"
+                )
         a = self.df1.select(F.lit(1).alias("side"), "*")
         b = self.df2.select(F.lit(2).alias("side"), "*")
         for k1, k2 in zip(self.keys1, self.keys2):

@@ -126,7 +126,20 @@ class TableEnvironment:
         """registerTableSource for a parquet source (CsvTableSource analog,
         flink-table/.../sources/CsvTableSource.scala:50 — parquet because the
         engine is columnar-first; CSV via ``sources.batch.read_csv``)."""
-        df = self.spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampNTZType
+
+        from flink_1_6_0_spark.catalog import normalize_table
+
+        # route through the catalog's ns-timestamp normalization, then cast
+        # any remaining TIMESTAMP_NTZ column to TIMESTAMP regardless of the
+        # registered view name (normalize_table keys on 'events'): a raw NTZ
+        # column breaks TUMBLE and withWatermark downstream, and under the
+        # UTC session timezone the cast is value-preserving
+        df = normalize_table(name, self.spark.read.parquet(path))
+        for f in df.schema.fields:
+            if isinstance(f.dataType, TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         df.createOrReplaceTempView(name)
         return df
 

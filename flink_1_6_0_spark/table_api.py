@@ -36,15 +36,20 @@ _AS_ALIAS = _re.compile(r"^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", _re.IGNO
 
 
 def _split_exprs(exprs: str) -> list[str]:
-    out, depth, cur = [], 0, []
+    """Top-level comma split, paren- AND quote-aware: a comma or paren inside
+    a single-quoted literal is data ('' escapes toggle twice, netting out)."""
+    out, depth, cur, in_q = [], 0, [], False
     for ch in exprs:
-        depth += ch in "(["
-        depth -= ch in ")]"
-        if ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            depth += ch in "(["
+            depth -= ch in ")]"
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
     if cur:
         out.append("".join(cur).strip())
     return out
@@ -139,8 +144,15 @@ class Table:
 
     # -- sort / fetch (table.scala:692,777,798) -------------------------------
     def order_by(self, *fields: str | Column) -> "Table":
-        cols = [F.expr(f[: -len(".desc")]).desc() if isinstance(f, str) and f.endswith(".desc") else f for f in fields]
-        return Table(self.df.orderBy(*cols))
+        def _dir(f):
+            if isinstance(f, str):
+                if f.endswith(".desc"):
+                    return F.expr(f[: -len(".desc")]).desc()
+                if f.endswith(".asc"):  # Flink's explicit-ascending spelling
+                    return F.expr(f[: -len(".asc")]).asc()
+            return f
+
+        return Table(self.df.orderBy(*[_dir(f) for f in fields]))
 
     def offset(self, n: int) -> "Table":
         return Table(self.df.offset(n))
@@ -232,7 +244,13 @@ class GroupedTable:
         return GroupedTable(self._df, list(fields), self._window_col, self._window_alias)
 
     def agg(self, *exprs: str | Column) -> Table:
-        cols = [F.expr(e) if isinstance(e, str) else e for e in exprs]
+        # same comma-list contract as Table.select: .agg('count(a) as n, sum(b) as s')
+        cols = []
+        for e in exprs:
+            if isinstance(e, str):
+                cols.extend(F.expr(x) for x in _split_exprs(e))
+            else:
+                cols.append(e)
         if self._window_col is not None:
             out = self._df.groupBy(self._window_col, *self._keys).agg(*cols)
             w = self._window_alias

@@ -421,3 +421,46 @@ def test_keyed_time_window_and_queryable_state(spark, sf_dir):
         assert qs.lookup("event_type", "click")[0]["n"] == want
     finally:
         qs.stop()
+
+
+def test_connected_keyed_collision_guards(spark, sf_dir):
+    import pytest
+
+    from flink_1_6_0_spark.datastream_api import DataStream
+
+    d1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    d2 = spark.createDataFrame([(1, 2, "b")], "user_id long, id long, w string")
+    with pytest.raises(ValueError, match="already has"):
+        DataStream(d1).connect(DataStream(d2)).key_by(["id"], ["user_id"]).process(
+            lambda k, it, st: iter([]), "id long, n long", "n long"
+        )
+    d3 = spark.createDataFrame([(1, 0)], "id long, side int")
+    with pytest.raises(ValueError, match="side"):
+        DataStream(d3).connect(DataStream(d1)).key_by(["id"], ["id"]).process(
+            lambda k, it, st: iter([]), "id long, n long", "n long"
+        )
+
+
+def test_process_empty_group_nested_schema(spark):
+    """Empty-group fallback must parse the out schema with a real DDL parser
+    (nested struct types break a naive comma split)."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.datastream_api import DataStream
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, x double")
+
+    def fn(key, it, state):
+        for pdf in it:
+            if key[0] == 1:  # group 2 emits nothing -> fallback path
+                yield pd.DataFrame(
+                    {"id": [key[0]], "loc": [{"lat": 1.0, "lon": 2.0}]}
+                )
+
+    out = (
+        DataStream(df)
+        .key_by("id")
+        .process(fn, "id long, loc struct<lat:double,lon:double>", "n long")
+        .df.collect()
+    )
+    assert len(out) == 1 and out[0]["loc"]["lat"] == 1.0

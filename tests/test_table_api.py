@@ -120,3 +120,38 @@ def test_limit_schema_and_sinks(spark, sf_dir, tmp_path):
         assert spark.table("nation_sink").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_sink")
+
+
+def test_split_exprs_quote_aware(spark, sf_dir):
+    from flink_1_6_0_spark.queries import T
+    """Commas/parens inside string literals are data, not separators."""
+    from flink_1_6_0_spark.table_api import Table, _split_exprs
+
+    assert _split_exprs("'a,b' as s, c") == ["'a,b' as s", "c"]
+    assert _split_exprs("instr(a, '(') , b") == ["instr(a, '(')", "b"]
+    t = Table(T(spark, sf_dir, "region"))
+    row = t.select("'a,b' as s, r_name").df.limit(1).collect()[0]
+    assert row["s"] == "a,b"
+
+
+def test_grouped_agg_comma_list_and_order_by_asc(spark, sf_dir):
+    from flink_1_6_0_spark.queries import T
+    from flink_1_6_0_spark.table_api import Table
+
+    t = Table(T(spark, sf_dir, "nation"))
+    out = t.group_by("n_regionkey").agg("count(n_name) as n, max(n_name) as m")
+    assert set(out.df.columns) == {"n_regionkey", "n", "m"}
+    asc = t.order_by("n_name.asc").df.limit(3).collect()
+    desc = t.order_by("n_name.desc").df.limit(3).collect()
+    assert [r["n_name"] for r in asc] == sorted(r["n_name"] for r in asc)
+    assert asc[0]["n_name"] != desc[0]["n_name"]
+
+
+def test_register_parquet_normalizes_events_ts(spark, sf_dir):
+    import os
+
+    from flink_1_6_0_spark.session import TableEnvironment
+
+    env = TableEnvironment(spark)
+    df = env.register_parquet("events_reg_test", os.path.join(sf_dir, "events.parquet"))
+    assert df.schema["ts"].dataType.typeName() == "timestamp"  # not ntz/bigint
