@@ -423,3 +423,126 @@ def bigram_logppl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg(-F.log(p)), 6).alias("log_ppl"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    num_merges: int = 10,
+    end_of_word: str = "</w>",
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE tokenizer training (the Sennrich '16 / GPT-2 merge
+    loop): learn ``num_merges`` merge rules from the corpus, most frequent
+    adjacent symbol pair first. Returns [(left, right, weighted_count), ...]
+    in merge order.
+
+    Scale shape — the textbook trick carries over: BPE trains on the WORD
+    DICTIONARY (type, frequency), not the raw corpus, so after one
+    corpus-wide groupBy(word) every iteration touches only vocabulary-sized
+    data. Per merge: adjacent pairs explode from each word's symbol array
+    weighted by word frequency (map-side combined count), the single argmax
+    row comes to the driver (ties: count desc, pair asc — deterministic),
+    and the merge itself is a greedy-left scan implemented as a pure
+    F.aggregate over (symbol, next) pairs — no Python in the per-word path.
+    localCheckpoint per iteration caps the lineage the same way the bulk
+    batch iterations do (operators/iterations.py)."""
+    vocab = (
+        docs.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.split(F.col("w"), "(?!$)"),  # chars, no trailing empty
+                F.array(F.lit(end_of_word)),
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        vocab = vocab.select(
+            "freq", _merge_pair_scan(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def _merge_pair_scan(syms: Column, a: str, b: str) -> Column:
+    """Greedy-left merge of adjacent (a, b) symbol pairs — the BPE merge
+    step as a pure F.aggregate over (cur, next) pairs with a skip flag
+    ('skip' marks an element already consumed as a merge's second half).
+    Shared by training (over the word dictionary) and apply (over text)."""
+    la, lb = F.lit(a), F.lit(b)
+    zipped = F.zip_with(
+        syms,
+        F.concat(F.slice(syms, 2, F.size(syms)), F.array(F.lit(""))),
+        lambda cur, nxt: F.struct(cur.alias("cur"), nxt.alias("nxt")),
+    )
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(acc, p):
+        return (
+            F.when(acc["skip"], F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")))
+            .when(
+                (p["cur"] == la) & (p["nxt"] == lb),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.concat(la, lb))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(p["cur"])).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    return F.aggregate(zipped, acc0, step, lambda acc: acc["out"])
+
+
+def bpe_segment(
+    col: str | Column,
+    merges: list[tuple[str, str, int]],
+    end_of_word: str = "</w>",
+) -> Column:
+    """Apply learned BPE merges to a text column → array of subword tokens
+    (the tokenizer's encode step): each word splits to characters + the
+    end-of-word marker, then every merge rule replays IN LEARNED ORDER via
+    the same greedy-left scan as training — one Column expression chain, no
+    Python per row. For thousand-rule production vocabularies, a single
+    Arrow-batched pass with a rank-indexed pair dict is the faster shape;
+    the expression form is exact and JVM-side for the rule counts a test
+    corpus learns."""
+    words = tokenize(F.lower(_c(col)))
+    segs = F.transform(
+        words,
+        lambda w: F.concat(F.split(w, "(?!$)"), F.array(F.lit(end_of_word))),
+    )
+    for a, b, _ in merges:
+        segs = F.transform(segs, lambda s: _merge_pair_scan(s, a, b))
+    return F.flatten(segs)

@@ -709,3 +709,24 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens",
         )
     )
+
+
+@query(
+    "text_bpe_train",
+    oracle=None,  # iterative (argmax + merge per round) — not SQL-expressible;
+    # the python-reference equivalence is pytest-verified (test_prep.py)
+    tags=("pipeline", "text", "vocab"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 12 merge rules learned from the
+    corpus word dictionary (Sennrich '16 loop — weighted pair counts, argmax
+    to the driver, greedy-left merge as a pure Column scan). Returns the
+    merge table (rank, left, right, weighted_count) — deterministic
+    (count desc, pair asc tie-break)."""
+    from flink_1_6_0_spark.pipeline.text import bpe_train
+
+    merges = bpe_train(T(spark, sf_dir, "documents"), "text", num_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, left string, right string, weighted_count long",
+    )

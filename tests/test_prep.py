@@ -462,3 +462,55 @@ def test_chunk_overlap_skips_empty_docs(spark):
     )
     rows = chunk_overlap(df, "doc_id", "text", size=4, overlap=1).collect()
     assert {r["doc_id"] for r in rows} == {1}  # no phantom ('', 1) chunks
+
+
+def test_bpe_train_and_segment_match_python_reference(spark):
+    """Distributed BPE vs the classic in-memory algorithm (Sennrich '16):
+    identical merge rules in identical order, identical segmentation."""
+    from collections import Counter
+
+    from flink_1_6_0_spark.pipeline.text import bpe_segment, bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest widest widest",
+        "low lower newest",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = bpe_train(df, "text", num_merges=8)
+
+    # reference implementation on the word dictionary
+    vocab = Counter(w for t in texts for w in t.lower().split())
+    symbols = {w: list(w) + ["</w>"] for w in vocab}
+    want = []
+    for _ in range(8):
+        pairs = Counter()
+        for w, freq in vocab.items():
+            s = symbols[w]
+            for x, y in zip(s, s[1:]):
+                pairs[(x, y)] += freq
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        want.append((a, b, n))
+        for w, s in symbols.items():  # greedy-left merge
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symbols[w] = out
+    assert got == want
+
+    # apply side: segmentation equals the reference symbol tables
+    seg = {r["doc_id"]: r["sub"] for r in
+           df.select("doc_id", bpe_segment("text", got).alias("sub")).collect()}
+    for d, t in enumerate(texts):
+        expect = [s for w in t.lower().split() for s in symbols[w]]
+        assert seg[d] == expect, d
