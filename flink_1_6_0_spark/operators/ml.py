@@ -182,3 +182,48 @@ def als(
     from pyspark.ml.recommendation import ALS
 
     return ALS(userCol=user_col, itemCol=item_col, ratingCol=rating_col, rank=rank, seed=42).fit(ratings)
+
+
+def quality_classifier(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Document-quality classifier (the GPT-3 appendix-A quality-filter
+    shape: a linear model over cheap text features, trained on weak labels,
+    scores the whole corpus). Weak label = the heuristic quality gate;
+    features = token count, stopword ratio, mean token length, punctuation
+    ratio — all JVM Column expressions; training is pyspark.ml
+    LogisticRegression (distributed LBFGS, the same treeAggregate pattern
+    the PCA Gram uses). Returns (doc_id, label, prediction).
+
+    At 100 TB: featurization is one scan; LBFGS passes are bounded by
+    max_iter; scoring broadcasts the coefficient vector inside the model
+    transform. Swap the weak label for human ratings / an LM judge column
+    and nothing else changes."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from flink_1_6_0_spark.pipeline.text import (
+        mean_token_len,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    feats = docs.select(
+        F.col(doc_id),
+        token_count(text_col).cast("double").alias("f_ntok"),
+        F.coalesce(stopword_ratio(text_col), F.lit(0.0)).alias("f_stop"),
+        F.coalesce(mean_token_len(text_col), F.lit(0.0)).alias("f_mtl"),
+        F.coalesce(punct_ratio(text_col), F.lit(0.0)).alias("f_punct"),
+        (quality_score(text_col) >= 0.5).cast("double").alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["f_ntok", "f_stop", "f_mtl", "f_punct"], outputCol="features"
+    ).transform(feats)
+    model = LogisticRegression(maxIter=max_iter).fit(assembled)
+    return model.transform(assembled).select(doc_id, "label", "prediction")

@@ -412,3 +412,18 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), "seg")
         .limit(50)
     )
+
+
+@query(
+    "ml_quality_classifier",
+    oracle=None,  # LBFGS float accumulation is partition-order dependent —
+    # rows-only driver check; separability is pytest-asserted
+    tags=("pipeline", "ml", "quality"),
+)
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier trained on the weak heuristic label and
+    scored over the whole corpus (operators/ml.quality_classifier) — the
+    classifier-based quality-filter tier of a pretraining pipeline."""
+    from flink_1_6_0_spark.operators.ml import quality_classifier
+
+    return quality_classifier(T(spark, sf_dir, "documents"))

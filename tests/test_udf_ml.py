@@ -211,3 +211,16 @@ def test_topk_per_query_salt_invariant(spark):
         outs.append(sorted((r["qid"], r["rank"], r["id"], r["score"]) for r in rows))
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) == 15  # 3 qids x k
+
+
+def test_quality_classifier_separates_weak_labels(spark, sf_dir):
+    """The trained linear model must reproduce its (linearly-generated) weak
+    labels almost perfectly on the training corpus — a sanity floor, not a
+    generalization claim."""
+    from flink_1_6_0_spark.operators.ml import quality_classifier
+    from flink_1_6_0_spark.queries import T
+
+    out = quality_classifier(T(spark, sf_dir, "documents")).collect()
+    assert len(out) == 500
+    acc = sum(1 for r in out if r["label"] == r["prediction"]) / len(out)
+    assert acc >= 0.9, acc
