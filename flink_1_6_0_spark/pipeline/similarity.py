@@ -441,3 +441,47 @@ def lsh_multitable_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with TRAINED centroids (pyspark.ml KMeans, seeded) instead of
+    ivf_topk's deterministic stride picks — the production coarse quantizer.
+    Same probe shape: nearest ``nprobe`` centroids by euclidean distance,
+    scan only their inverted lists, exact cosine on the candidates.
+
+    Scale: KMeans fit is Lloyd's over the (distributed) vectors with
+    dataset-size-bounded passes; the centroid table (n_centroids × dim) and
+    the probed centroid ids broadcast; the candidate scan touches
+    ~nprobe/n_centroids of the data."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = F.col(vec_col).cast("array<double>")
+    feat = df.select(F.col(id_col).alias("id"), v.alias("arr")).withColumn(
+        "features", array_to_vector(F.col("arr"))
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
+    assigned = model.transform(feat).select("id", "arr", F.col("prediction").alias("cid"))
+    centers = model.clusterCenters()
+    q = np.asarray(query_vec, dtype=float)
+    probed = sorted(
+        range(len(centers)), key=lambda i: (float(np.linalg.norm(centers[i] - q)), i)
+    )[:nprobe]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cid").isin(probed))
+        .select("id", F.round(cosine(F.col("arr"), qcol), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .withColumnRenamed("id", "vec_id")
+    )

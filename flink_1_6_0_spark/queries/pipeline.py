@@ -645,3 +645,20 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws"),
         F.round(n_bpe / n_ws, 4).alias("fertility"),
     )
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    oracle=None,  # KMeans centroid floats are partition-order dependent —
+    # rows-only driver check; candidate-subset + exact-score agreement is
+    # pytest-asserted
+    tags=("pipeline", "similarity", "ml"),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 with TRAINED (seeded KMeans) centroids — the
+    production coarse quantizer beside ivf_topk's deterministic-stride
+    oracle form."""
+    return sim.ivf_kmeans_topk(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), 10, n_centroids=8, nprobe=2,
+    )

@@ -224,3 +224,22 @@ def test_quality_classifier_separates_weak_labels(spark, sf_dir):
     assert len(out) == 500
     acc = sum(1 for r in out if r["label"] == r["prediction"]) / len(out)
     assert acc >= 0.9, acc
+
+
+def test_ivf_kmeans_scores_agree_with_exact(spark, sf_dir):
+    """Every candidate the trained-centroid IVF returns must carry the exact
+    kernel's cosine for that id (probing only prunes; it never rescores)."""
+    from flink_1_6_0_spark.pipeline import similarity as sim
+    from flink_1_6_0_spark.queries import T
+
+    emb = T(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"]: r["score"] for r in
+             sim.cosine_topk(emb, "vec_id", "embedding", qv, 1000).collect()}
+    got = sim.ivf_kmeans_topk(emb, "vec_id", "embedding", qv, 10).collect()
+    assert 0 < len(got) <= 10
+    for r in got:
+        assert exact[r["vec_id"]] == r["score"]
+    # the query point itself lives in the probed cell (its nearest centroid
+    # is by definition among the closest to it)
+    assert got[0]["vec_id"] == 0 and got[0]["score"] == 1.0
