@@ -762,3 +762,37 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_id").alias("click_id"), "user_id", "r_event_id", "r_value"
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts, max(event_id) AS event_id, round(max(value), 2) AS value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id AS click_id, c.user_id,
+           p.event_id AS r_event_id, p.value AS r_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    tags=("batch", "join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click paired with the user's next
+    simultaneous-or-later purchase (the look-ahead direction of
+    operators/joins.asof_join — same union-tag + window-fill plan with the
+    sort reversed; DuckDB's ASOF with ts <= ts is the native oracle)."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"), F.round(F.max("value"), 2).alias("value"))
+    )
+    out = join_ops.asof_join(
+        clicks, purch, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "value"], direction="forward",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"), "user_id", "r_event_id", "r_value"
+    )
