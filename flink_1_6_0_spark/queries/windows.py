@@ -406,3 +406,37 @@ def window_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out
+
+
+@query(
+    "window_topn",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, user_id,
+             round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT ws, user_id, total,
+             row_number() OVER (PARTITION BY ws ORDER BY total DESC, user_id) AS rn
+      FROM agg)
+    SELECT ws, user_id, total, rn::BIGINT AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("batch", "window", "rank"),
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window TopN (the canonical Flink pattern: tumbling window → per-window
+    ranking → top 3 users by summed value). Window agg is map-side partial;
+    the rank window partitions by window-start, so state is one window's
+    group list — never a global sort. Deterministic ties (total DESC,
+    user_id)."""
+    e = T(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("ws"), "user_id", "total")
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("ws").orderBy(F.desc("total"), F.asc("user_id")))
+    return agg.withColumn("rn", rn.cast("long")).filter(F.col("rn") <= 3)
