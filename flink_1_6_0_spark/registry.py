@@ -86,8 +86,9 @@ _PRIORITY_HEAD = (
     # >=1 representative in the window. ---
     # §2.4/§2.3 TPC-H core (agg, joins, semi/anti, exists-collapse)
     "tpch_q1", "tpch_q9", "tpch_q21",
-    # §2.3 joins: skew-salted, interval, stream outer, as-of (batch + stream)
-    "join_skew_salted", "interval_join_events", "stream_outer_join",
+    # §2.3 joins: interval, stream outer, as-of (batch + stream); skew-salted
+    # and windowed-coGroup were driver-verified in r3 and stay loc-verified
+    "interval_join_events", "stream_outer_join",
     "join_asof_events", "stream_asof_join",
     # §2.4 aggs: grouping sets, UDAF, fold, streaming DISTINCT agg
     "agg_grouping_sets", "udaf_geomean", "fold_keyed", "stream_distinct_agg",
@@ -109,14 +110,13 @@ _PRIORITY_HEAD = (
     "sort_offset_fetch",
     # §2.2/§2.10 correlate + UDF/UDTF
     "correlate_lateral_udtf", "udf_scalar_md5",
-    # §2.11 streaming semantics (batch-replay-checked)
-    "stream_tumble_agg", "stream_interval_join", "stream_dedup_first_per_user",
+    # §2.11 streaming semantics (batch-replay-checked; stream_interval_join
+    # was driver-verified in r3, stream_asof_join reps streaming joins)
+    "stream_tumble_agg", "stream_dedup_first_per_user",
     # §2.12 CEP (the streaming NFA; the batch NFA was driver-verified in r3)
     "stream_cep_funnel",
     # §2.13 graph + ML
     "graph_connected_components", "ml_knn_join",
-    # §2.3 windowed coGroup
-    "cogroup_windowed",
     # LLM-pipeline operators: dedup (minhash, substring spans), similarity
     # (exact top-k + LSH recall eval), text prep (stats, PII, contamination
     # exact + bloom, packing, chunking, C4 clean, perplexity, quantiles,
@@ -127,8 +127,9 @@ _PRIORITY_HEAD = (
     "text_stats", "text_pii_redact",
     "contamination_ngram", "contamination_bloom",
     "pack_sequences", "text_chunk_overlap", "text_c4_clean",
-    "text_perplexity_topk_vocab", "doc_length_quantiles",
-    "corpus_split_shuffle", "stream_quality_monitor",
+    "text_perplexity_topk_vocab", "text_bigram_logppl", "doc_length_quantiles",
+    "corpus_split_shuffle", "corpus_lang_rebalance", "dedup_substring_cut",
+    "stream_quality_monitor",
     "multimodal_real_decode", "multimodal_ahash",
     "embedding_normalize", "prep_pipeline_e2e",
 )
