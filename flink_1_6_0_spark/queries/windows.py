@@ -440,3 +440,53 @@ def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rn = F.row_number().over(W.partitionBy("ws").orderBy(F.desc("total"), F.asc("user_id")))
     return agg.withColumn("rn", rn.cast("long")).filter(F.col("rn") <= 3)
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+               FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM f GROUP BY cohort),
+    joined AS (
+      SELECT f.cohort, (datediff('day', f.cohort, act.wk) // 7)::BIGINT AS week_offset,
+             act.user_id
+      FROM f JOIN act USING (user_id))
+    SELECT j.cohort, j.week_offset,
+           count(DISTINCT j.user_id)::BIGINT AS n_active,
+           any_value(s.cohort_size) AS cohort_size,
+           round(count(DISTINCT j.user_id) * 1.0 / any_value(s.cohort_size), 4) AS retention
+    FROM joined j JOIN sizes s ON j.cohort = s.cohort
+    GROUP BY j.cohort, j.week_offset
+    """,
+    tags=("batch", "window", "analytics"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (the classic product-analytics rollup): users
+    cohorted by first-activity ISO week, per-cohort weekly active fraction.
+    date_trunc('week') anchors Mondays identically on both engines (7-day
+    window() buckets would NOT align: Spark anchors 1970-01-01, DuckDB
+    2000-01-03). Two map-side-combined aggregates + one equi-join on
+    user_id; cohort sizes broadcast back."""
+    e = T(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    f = e.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = e.select("user_id", wk.alias("wk")).distinct()
+    sizes = f.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    joined = f.join(act, "user_id").select(
+        "cohort",
+        F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )
