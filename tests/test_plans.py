@@ -237,3 +237,11 @@ def test_vocab_coverage_ranking_is_range_partitioned(spark, sf_dir):
     window over the whole vocabulary (the corpus-sized window trap)."""
     plan = _plan(get("text_vocab_coverage").fn(spark, sf_dir))
     assert "rangepartitioning" in plan.lower()
+
+
+def test_window_topn_rank_is_window_partitioned(spark, sf_dir):
+    """The TopN rank must partition by window-start (bounded per-window
+    state) — never a global single-partition sort."""
+    plan = _plan(get("window_topn").fn(spark, sf_dir))
+    assert "row_number" in plan
+    assert "SinglePartition" not in plan
