@@ -662,3 +662,52 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         _query_vec(spark, sf_dir), 10, n_centroids=8, nprobe=2,
     )
+
+
+@query(
+    "dedup_summary_report",
+    oracle=f"""
+    WITH exact AS (
+      SELECT count(*) AS n_groups, sum(n_copies) AS n_docs_in_groups
+      FROM (SELECT count(*) AS n_copies FROM documents GROUP BY lang, source)),
+    tk AS (SELECT doc_id AS doc, {_TOKS.format(c='lower(text)')} AS tt FROM documents),
+    pos AS (SELECT doc, g.i AS pos,
+                   {_TH.format(s="tt[g.i] || ' ' || tt[g.i+1] || ' ' || tt[g.i+2] || ' ' || tt[g.i+3] || ' ' || tt[g.i+4]")} % {_MOD} AS h
+            FROM tk, unnest(generate_series(1, len(tt) - 4)) AS g(i)
+            WHERE len(tt) >= 5),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc) <> max(doc)),
+    sub AS (SELECT count(DISTINCT doc) AS n_docs_span_dup
+            FROM pos JOIN dup USING (h))
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           exact.n_groups::BIGINT AS n_exact_groups,
+           sub.n_docs_span_dup::BIGINT AS n_docs_span_dup,
+           round(sub.n_docs_span_dup * 1.0 / (SELECT count(*) FROM documents), 4)
+             AS span_dup_doc_frac
+    FROM exact, sub
+    """,
+    tags=("pipeline", "dedup", "stats"),
+)
+def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dedup scorecard (one row): exact-duplicate group count and
+    the fraction of documents carrying cross-doc duplicated 5-token spans —
+    the summary a pipeline owner reads before deciding cut thresholds.
+    Composes exact_dedup and the substring kernel; every input collapses to
+    counts before the final 1-row join (broadcast scalars, no wide state)."""
+    docs = T(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    exact = dd.exact_dedup(docs, ["lang", "source"], "doc_id").agg(
+        F.count("*").alias("n_exact_groups")
+    )
+    span_docs = (
+        dd._dup_shingle_positions(docs, "doc_id", "text", k=5)
+        .agg(F.count_distinct("doc").alias("n_docs_span_dup"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(span_docs))
+        .select(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.col("n_exact_groups").cast("long").alias("n_exact_groups"),
+            F.col("n_docs_span_dup").cast("long").alias("n_docs_span_dup"),
+            F.round(F.col("n_docs_span_dup") / F.lit(n_docs), 4).alias("span_dup_doc_frac"),
+        )
+    )
