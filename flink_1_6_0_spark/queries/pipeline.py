@@ -41,6 +41,21 @@ def _duck_shingle_cte(source_sql: str, k: int = 3) -> str:
     """
 
 
+def _duck_dup_pos_cte(k: int = 5) -> str:
+    """DuckDB CTE block shared by the substring-dedup family: tokenized docs
+    -> positioned k-shingle hashes -> cross-doc duplicated hashes. Yields
+    relations tk(doc, tt), pos(doc, pos, h), dup(h)."""
+    sh = " || ' ' || ".join(f"tt[g.i+{j}]" for j in range(k))
+    return f"""
+    tk AS (SELECT doc_id AS doc, {_TOKS.format(c='lower(text)')} AS tt FROM documents),
+    pos AS (SELECT doc, g.i AS pos,
+                   {_TH.format(s=f'({sh})')} % {_MOD} AS h
+            FROM tk, unnest(generate_series(1, len(tt) - {k - 1})) AS g(i)
+            WHERE len(tt) >= {k}),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc) <> max(doc))
+    """
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -248,12 +263,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_substring",
     oracle=f"""
-    WITH tk AS (SELECT doc_id AS doc, {_TOKS.format(c='lower(text)')} AS tt FROM documents),
-    pos AS (SELECT doc, g.i AS pos,
-                   {_TH.format(s="tt[g.i] || ' ' || tt[g.i+1] || ' ' || tt[g.i+2] || ' ' || tt[g.i+3] || ' ' || tt[g.i+4]")} % {_MOD} AS h
-            FROM tk, unnest(generate_series(1, len(tt) - 4)) AS g(i)
-            WHERE len(tt) >= 5),
-    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc) <> max(doc)),
+    WITH {_duck_dup_pos_cte(5)},
     tot AS (SELECT doc, count(*) AS n_shingles FROM pos GROUP BY doc),
     d AS (SELECT doc, pos FROM pos JOIN dup USING (h)),
     isl AS (SELECT doc, pos,
@@ -588,12 +598,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_substring_cut",
     oracle=f"""
-    WITH tk AS (SELECT doc_id AS doc, {_TOKS.format(c='lower(text)')} AS tt FROM documents),
-    pos AS (SELECT doc, g.i AS pos,
-                   {_TH.format(s="tt[g.i] || ' ' || tt[g.i+1] || ' ' || tt[g.i+2] || ' ' || tt[g.i+3] || ' ' || tt[g.i+4]")} % {_MOD} AS h
-            FROM tk, unnest(generate_series(1, len(tt) - 4)) AS g(i)
-            WHERE len(tt) >= 5),
-    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc) <> max(doc)),
+    WITH {_duck_dup_pos_cte(5)},
     d AS (SELECT doc, pos FROM pos JOIN dup USING (h)),
     cov AS (SELECT DISTINCT doc, u.x AS idx
             FROM d, unnest(generate_series(pos, pos + 4)) AS u(x)),
@@ -668,35 +673,32 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_summary_report",
     oracle=f"""
     WITH exact AS (
-      SELECT count(*) AS n_groups, sum(n_copies) AS n_docs_in_groups
+      SELECT sum(n_copies) AS n_docs,
+             count(*) FILTER (n_copies > 1) AS n_groups
       FROM (SELECT count(*) AS n_copies FROM documents GROUP BY lang, source)),
-    tk AS (SELECT doc_id AS doc, {_TOKS.format(c='lower(text)')} AS tt FROM documents),
-    pos AS (SELECT doc, g.i AS pos,
-                   {_TH.format(s="tt[g.i] || ' ' || tt[g.i+1] || ' ' || tt[g.i+2] || ' ' || tt[g.i+3] || ' ' || tt[g.i+4]")} % {_MOD} AS h
-            FROM tk, unnest(generate_series(1, len(tt) - 4)) AS g(i)
-            WHERE len(tt) >= 5),
-    dup AS (SELECT h FROM pos GROUP BY h HAVING min(doc) <> max(doc)),
+    {_duck_dup_pos_cte(5)},
     sub AS (SELECT count(DISTINCT doc) AS n_docs_span_dup
             FROM pos JOIN dup USING (h))
-    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+    SELECT exact.n_docs::BIGINT AS n_docs,
            exact.n_groups::BIGINT AS n_exact_groups,
            sub.n_docs_span_dup::BIGINT AS n_docs_span_dup,
-           round(sub.n_docs_span_dup * 1.0 / (SELECT count(*) FROM documents), 4)
-             AS span_dup_doc_frac
+           round(sub.n_docs_span_dup * 1.0 / exact.n_docs, 4) AS span_dup_doc_frac
     FROM exact, sub
     """,
     tags=("pipeline", "dedup", "stats"),
 )
 def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus dedup scorecard (one row): exact-duplicate group count and
+    """The corpus dedup scorecard (one row): exact-duplicate group count
+    (groups with >= 2 copies — singletons are layout, not duplication) and
     the fraction of documents carrying cross-doc duplicated 5-token spans —
     the summary a pipeline owner reads before deciding cut thresholds.
     Composes exact_dedup and the substring kernel; every input collapses to
-    counts before the final 1-row join (broadcast scalars, no wide state)."""
+    counts before the final 1-row join, and n_docs rides the same aggregate
+    (no eager count() scan at plan-construction time)."""
     docs = T(spark, sf_dir, "documents")
-    n_docs = docs.count()
     exact = dd.exact_dedup(docs, ["lang", "source"], "doc_id").agg(
-        F.count("*").alias("n_exact_groups")
+        F.sum("n_copies").alias("n_docs"),
+        F.count_if(F.col("n_copies") > 1).alias("n_exact_groups"),
     )
     span_docs = (
         dd._dup_shingle_positions(docs, "doc_id", "text", k=5)
@@ -705,9 +707,9 @@ def dedup_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.crossJoin(F.broadcast(span_docs))
         .select(
-            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_exact_groups").cast("long").alias("n_exact_groups"),
             F.col("n_docs_span_dup").cast("long").alias("n_docs_span_dup"),
-            F.round(F.col("n_docs_span_dup") / F.lit(n_docs), 4).alias("span_dup_doc_frac"),
+            F.round(F.col("n_docs_span_dup") / F.col("n_docs"), 4).alias("span_dup_doc_frac"),
         )
     )
