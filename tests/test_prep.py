@@ -514,3 +514,19 @@ def test_bpe_train_and_segment_match_python_reference(spark):
     for d, t in enumerate(texts):
         expect = [s for w in t.lower().split() for s in symbols[w]]
         assert seg[d] == expect, d
+
+
+def test_dedup_scorecard_counts_only_true_duplicate_groups(spark):
+    """A corpus with no exact duplicates must report zero exact groups
+    (singleton (lang, source) cells are layout, not duplication)."""
+    from flink_1_6_0_spark.pipeline.dedup import exact_dedup
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b"), (3, "fr", "c"), (4, "en", "b")],
+        "doc_id long, lang string, source string",
+    )
+    agg = exact_dedup(df, ["lang", "source"], "doc_id").agg(
+        F.count_if(F.col("n_copies") > 1).alias("n_groups")
+    )
+    assert agg.first()["n_groups"] == 0
