@@ -629,3 +629,108 @@ def label_propagation(
         iterations,
         checkpoint_interval=checkpoint_interval,
     )
+
+
+def jaccard_index(edges: DataFrame, min_score: float | None = None) -> DataFrame:
+    """Gelly JaccardIndex (library/similarity/JaccardIndex.java:54): for every
+    vertex pair with at least one shared neighbor, emit the shared-neighbor
+    count, the distinct-neighbor count deg(u)+deg(v)-shared, and the Jaccard
+    score shared/distinct (Result: JaccardIndex.java:504ff).
+
+    Shape: degree once per vertex (one scan), two-paths via a self equi-join
+    keyed on the common neighbor (ONE shuffle on z), pair-count aggregation,
+    then two joins against the small degree table. The reference bounds
+    high-degree-neighbor skew by splitting neighbor groups into spans
+    (GenerateGroupSpans, JaccardIndex.java:257); at scale the same effect
+    comes from AQE skew-join splitting on the z key — hub vertices fan out
+    O(deg²) pairs either way, which is inherent to exact Jaccard.
+
+    Returns (u, v, shared_neighbors, distinct_neighbors, score), u < v.
+    """
+    sym = _sym_simple_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    a = sym.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    pairs = (
+        a.join(b, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared_neighbors"))
+    )
+    out = (
+        pairs.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "shared_neighbors",
+            (F.col("du") + F.col("dv") - F.col("shared_neighbors")).alias("distinct_neighbors"),
+        )
+        .withColumn(
+            "score", F.round(F.col("shared_neighbors") / F.col("distinct_neighbors"), 6)
+        )
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= min_score)
+    return out
+
+
+def adamic_adar(edges: DataFrame, min_score: float | None = None) -> DataFrame:
+    """Gelly AdamicAdar (library/similarity/AdamicAdar.java:58): scores each
+    vertex pair by Σ_z 1/ln(deg(z)) over shared neighbors z, with weight 0
+    for degree-1 neighbors (AdamicAdar.java:243 — 1/log(1) would divide by
+    zero, the reference emits 0.0f).
+
+    The inverse-log weight is joined onto the edge list BEFORE the two-path
+    self-join (mirroring the reference's edge-score step,
+    AdamicAdar.java:160-169), so the pair-generation shuffle carries the
+    weight instead of re-joining the fanned-out pairs. Returns
+    (u, v, score), u < v, score rounded to 6 places for cross-engine
+    float-sum stability.
+    """
+    sym = _sym_simple_edges(edges)
+    w = (
+        sym.groupBy(F.col("src").alias("z"))
+        .agg(F.count("*").alias("dz"))
+        .select(
+            "z",
+            F.when(F.col("dz") == 1, F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.log(F.col("dz")))
+            .alias("w"),
+        )
+    )
+    a = sym.select(F.col("src").alias("z"), F.col("dst").alias("u")).join(w, "z")
+    b = sym.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    out = (
+        a.join(b, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= min_score)
+    return out
+
+
+def vertex_metrics(edges: DataFrame) -> DataFrame:
+    """Gelly VertexMetrics (library/metric/undirected/VertexMetrics.java:124):
+    one-row graph summary — vertex count, (undirected) edge count, average
+    degree, triplet count Σ deg·(deg-1)/2, maximum degree, and maximum
+    per-vertex triplets. Isolated vertices never appear in an edge-derived
+    graph, so counts cover vertices with degree ≥ 1 (the reference's
+    vertexDegree with includeZeroDegreeVertices=false).
+
+    One degree aggregation + one global aggregation — two shuffles total,
+    the second over one row per vertex.
+    """
+    sym = _sym_simple_edges(edges)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    triplets = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+    return deg.agg(
+        F.count("*").alias("vertex_count"),
+        (F.sum("deg") / 2).cast("long").alias("edge_count"),
+        F.round(F.sum("deg") / F.count("*"), 6).alias("average_degree"),
+        F.sum(triplets).alias("triplet_count"),
+        F.max("deg").alias("maximum_degree"),
+        F.max(triplets).alias("maximum_triplets"),
+    )

@@ -227,3 +227,59 @@ def quality_classifier(
     ).transform(feats)
     model = LogisticRegression(maxIter=max_iter).fit(assembled)
     return model.transform(assembled).select(doc_id, "label", "prediction")
+
+
+def _poly_exponents(dim: int, degree: int) -> list[list[int]]:
+    """Exponent vectors of the polynomial base, in the reference's exact
+    order (preprocessing/PolynomialFeatures.scala:166,194): all monomials of
+    degree d first, then d-1, ... down to 1; within a degree the first
+    factor's exponent descends (calculateCombinations' `value to 0 by -1`
+    recursion)."""
+
+    def combos(length: int, value: int) -> list[list[int]]:
+        if length == 0:
+            return []
+        if length == 1:
+            return [[value]]
+        out = []
+        for v in range(value, -1, -1):
+            out.extend([v] + rest for rest in combos(length - 1, value - v))
+        return out
+
+    result: list[list[int]] = []
+    for d in range(degree, 0, -1):
+        result.extend(combos(dim, d))
+    return result
+
+
+def polynomial_features(
+    df: DataFrame,
+    input_col: str,
+    dim: int,
+    degree: int = 2,
+    output_col: str = "poly",
+) -> DataFrame:
+    """preprocessing.PolynomialFeatures analog
+    (PolynomialFeatures.scala:32-58,166): maps an array column (x, y, ...)
+    into the polynomial feature space of the given degree — e.g. (x, y) at
+    degree 3 → (x³, x²y, xy², y³, x², xy, y², x, y).
+
+    Pure Column arithmetic: the exponent combinatorics run driver-side over
+    INDICES only (O(dim^degree) expressions, independent of row count); each
+    monomial is an explicit left-to-right product of element_at factors cast
+    to double, so evaluation is whole-stage-codegen'd JVM work — no Python
+    in the row path, and the IEEE result is bit-reproducible across engines
+    (no pow()).
+    """
+    factors_per_monomial = [
+        [i for i, e in enumerate(exps) for _ in range(e)]
+        for exps in _poly_exponents(dim, degree)
+    ]
+
+    def product(idxs: list[int]):
+        expr = F.element_at(F.col(input_col), idxs[0] + 1).cast("double")
+        for i in idxs[1:]:
+            expr = expr * F.element_at(F.col(input_col), i + 1).cast("double")
+        return expr
+
+    return df.withColumn(output_col, F.array(*[product(m) for m in factors_per_monomial]))

@@ -515,3 +515,96 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return g.bipartite_projection(edges, side="top", full=True).orderBy("src", "dst", "via")
+
+
+def _trade_edges(spark, sf_dir):
+    """Directed distinct cust_nation→supp_nation trade edges (the PageRank
+    graph) — the similarity queries symmetrize it inside the operator."""
+    l, o = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "orders")
+    c, s = T(spark, sf_dir, "customer"), T(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
+_TRADE_SYM_CTES = """
+edges AS (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey),
+sym AS (SELECT src, dst FROM edges WHERE src <> dst
+        UNION
+        SELECT dst, src FROM edges WHERE src <> dst)
+"""
+
+
+@query(
+    "graph_jaccard_index",
+    oracle=f"""
+    WITH {_TRADE_SYM_CTES},
+    deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+    pairs AS (SELECT a.dst AS u, b.dst AS v, count(*) AS shared_neighbors
+              FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+              GROUP BY a.dst, b.dst)
+    SELECT p.u, p.v, p.shared_neighbors,
+           du.deg + dv.deg - p.shared_neighbors AS distinct_neighbors,
+           round(p.shared_neighbors / (du.deg + dv.deg - p.shared_neighbors), 6) AS score
+    FROM pairs p JOIN deg du ON p.u = du.id JOIN deg dv ON p.v = dv.id
+    """,
+    tags=("graph",),
+)
+def graph_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly JaccardIndex (similarity/JaccardIndex.java:54) on the undirected
+    nation trade graph: shared/distinct neighbor counts and the Jaccard score
+    per distance-2 vertex pair — two-path self-join keyed on the common
+    neighbor, no all-pairs cartesian."""
+    return g.jaccard_index(_trade_edges(spark, sf_dir))
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_TRADE_SYM_CTES},
+    w AS (SELECT src AS z,
+                 CASE WHEN count(*) = 1 THEN 0.0 ELSE 1.0 / ln(count(*)) END AS w
+          FROM sym GROUP BY src)
+    SELECT a.dst AS u, b.dst AS v, round(sum(w.w), 6) AS score
+    FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+    JOIN w ON w.z = a.src
+    GROUP BY a.dst, b.dst
+    """,
+    tags=("graph",),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly AdamicAdar (similarity/AdamicAdar.java:58): Σ 1/ln(deg(z)) over
+    shared neighbors z (degree-1 neighbors contribute 0, matching
+    AdamicAdar.java:243); the inverse-log weight rides the edge list through
+    the two-path join."""
+    return g.adamic_adar(_trade_edges(spark, sf_dir))
+
+
+@query(
+    "graph_vertex_metrics",
+    oracle=f"""
+    WITH {_TRADE_SYM_CTES},
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+    SELECT count(*) AS vertex_count,
+           (sum(deg) / 2)::BIGINT AS edge_count,
+           round(sum(deg)::DOUBLE / count(*), 6) AS average_degree,
+           (sum(deg * (deg - 1) / 2))::BIGINT AS triplet_count,
+           max(deg) AS maximum_degree,
+           (max(deg * (deg - 1) / 2))::BIGINT AS maximum_triplets
+    FROM deg
+    """,
+    tags=("graph",),
+)
+def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly VertexMetrics (metric/undirected/VertexMetrics.java:124): one-row
+    degree-profile summary of the undirected trade graph."""
+    return g.vertex_metrics(_trade_edges(spark, sf_dir))

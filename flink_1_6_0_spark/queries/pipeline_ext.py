@@ -427,3 +427,37 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_6_0_spark.operators.ml import quality_classifier
 
     return quality_classifier(T(spark, sf_dir, "documents"))
+
+
+@query(
+    "ml_poly_features",
+    oracle="""
+    SELECT vec_id,
+           embedding[1]::DOUBLE * embedding[1]::DOUBLE AS p1,
+           embedding[1]::DOUBLE * embedding[2]::DOUBLE AS p2,
+           embedding[1]::DOUBLE * embedding[3]::DOUBLE AS p3,
+           embedding[2]::DOUBLE * embedding[2]::DOUBLE AS p4,
+           embedding[2]::DOUBLE * embedding[3]::DOUBLE AS p5,
+           embedding[3]::DOUBLE * embedding[3]::DOUBLE AS p6,
+           embedding[1]::DOUBLE AS p7,
+           embedding[2]::DOUBLE AS p8,
+           embedding[3]::DOUBLE AS p9
+    FROM embeddings
+    """,
+    tags=("pipeline", "ml"),
+)
+def ml_poly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkML PolynomialFeatures (preprocessing/PolynomialFeatures.scala:32):
+    degree-2 polynomial base over the first 3 embedding dims, in the
+    reference's monomial order (x², xy, xz, y², yz, z², x, y, z). Monomials
+    are explicit double products (no pow), so Spark and the oracle agree
+    bit-for-bit — no rounding needed."""
+    from flink_1_6_0_spark.operators.ml import polynomial_features
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 3).alias("v3")
+    )
+    out = polynomial_features(emb, "v3", dim=3, degree=2)
+    return out.select(
+        "vec_id", *[F.element_at("poly", i + 1).alias(f"p{i + 1}") for i in range(9)]
+    )
