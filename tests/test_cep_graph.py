@@ -699,3 +699,41 @@ def test_bipartite_projections(spark):
 
     with _pytest.raises(ValueError):
         bipartite_projection(e, "sideways")
+
+
+# -- similarity tier (library/similarity/, metric/undirected/) ---------------
+
+
+def test_jaccard_index_star(spark):
+    # star: leaves share exactly the center; deg(leaf)=1 → score 1/(1+1-1)=1
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    rows = {(r["u"], r["v"]): r for r in g.jaccard_index(edges).collect()}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+    for r in rows.values():
+        assert (r["shared_neighbors"], r["distinct_neighbors"], r["score"]) == (1, 1, 1.0)
+
+
+def test_jaccard_index_path(spark):
+    # path 0-1-2-3: only (0,2) via 1 and (1,3) via 2; 1/(1+2-1) = 0.5
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    rows = {(r["u"], r["v"]): r["score"] for r in g.jaccard_index(edges).collect()}
+    assert rows == {(0, 2): 0.5, (1, 3): 0.5}
+    assert g.jaccard_index(edges, min_score=0.6).count() == 0
+
+
+def test_adamic_adar_star(spark):
+    import math
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    rows = {(r["u"], r["v"]): r["score"] for r in g.adamic_adar(edges).collect()}
+    w = round(1.0 / math.log(3), 6)  # shared neighbor 0 has degree 3
+    assert rows == {(1, 2): w, (1, 3): w, (2, 3): w}
+
+
+def test_vertex_metrics_k4(spark):
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    r = g.vertex_metrics(edges).collect()[0]
+    assert (r["vertex_count"], r["edge_count"], r["average_degree"]) == (4, 6, 3.0)
+    assert (r["triplet_count"], r["maximum_degree"], r["maximum_triplets"]) == (12, 3, 3)

@@ -243,3 +243,13 @@ def test_ivf_kmeans_scores_agree_with_exact(spark, sf_dir):
     # the query point itself lives in the probed cell (its nearest centroid
     # is by definition among the closest to it)
     assert got[0]["vec_id"] == 0 and got[0]["score"] == 1.0
+
+
+def test_polynomial_features_reference_order(spark):
+    # PolynomialFeatures.scala:32 — (x, y) at degree 3 → (x³, x²y, xy², y³,
+    # x², xy, y², x, y); exercised with (2, 3).
+    from flink_1_6_0_spark.operators.ml import polynomial_features
+
+    df = spark.createDataFrame([(1, [2.0, 3.0])], "id long, v array<double>")
+    out = polynomial_features(df, "v", dim=2, degree=3).collect()[0]["poly"]
+    assert out == [8.0, 12.0, 18.0, 27.0, 4.0, 6.0, 9.0, 2.0, 3.0]
