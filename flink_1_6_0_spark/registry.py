@@ -115,8 +115,10 @@ _PRIORITY_HEAD = (
     "stream_tumble_agg", "stream_dedup_first_per_user",
     # §2.12 CEP (the streaming NFA; the batch NFA was driver-verified in r3)
     "stream_cep_funnel",
-    # §2.13 graph + ML
-    "graph_connected_components", "ml_knn_join",
+    # §2.13 graph + ML: the similarity tier and PolynomialFeatures are new
+    # this round (never driver-checked); connected_components and knn_join
+    # were driver-verified in r3 and stay loc-verified
+    "graph_jaccard_index", "ml_poly_features",
     # LLM-pipeline operators: dedup (minhash, substring spans), similarity
     # (exact top-k + LSH recall eval), text prep (stats, PII, contamination
     # exact + bloom, packing, chunking, C4 clean, perplexity, quantiles,
