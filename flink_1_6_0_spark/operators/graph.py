@@ -734,3 +734,44 @@ def vertex_metrics(edges: DataFrame) -> DataFrame:
         F.max("deg").alias("maximum_degree"),
         F.max(triplets).alias("maximum_triplets"),
     )
+
+
+def average_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Gelly AverageClusteringCoefficient (library/clustering/undirected/
+    AverageClusteringCoefficient.java:37,131): mean of the per-vertex local
+    clustering coefficients (degree<2 vertices contribute 0). One row
+    (vertex_count, average_coeff) — aggregates the local_clustering_
+    coefficient frame, so the cost is the same triangle enumeration."""
+    local = local_clustering_coefficient(edges)
+    return local.agg(
+        F.count("*").alias("vertex_count"),
+        F.round(F.sum("coeff") / F.count("*"), 6).alias("average_coeff"),
+    )
+
+
+def triadic_census(edges: DataFrame) -> DataFrame:
+    """Gelly TriadicCensus (library/clustering/undirected/
+    TriadicCensus.java:95-121): closed-form triad counts from the vertex
+    metrics + the triangle count — no triple enumeration beyond the
+    triangle join. Column order follows Result: triads_03 (no edges),
+    triads_12 (one edge), triads_21 (open triplet), triads_30 (triangle).
+
+    Pure integer arithmetic on two 1-row frames (a broadcast cross of
+    singletons); the reference uses BigInteger — we hold longs, exact up to
+    ~3M vertices (n³/6 < 2⁶³), a documented boundary."""
+    vm = vertex_metrics(edges).select(
+        F.col("vertex_count").alias("n"),
+        F.col("edge_count").alias("m"),
+        F.col("triplet_count").alias("trip"),
+    )
+    t = triangle_count(edges).select(F.col("n_triangles").alias("t"))
+    n, m, trip, tt = F.col("n"), F.col("m"), F.col("trip"), F.col("t")
+    t21 = trip - 3 * tt
+    t12 = m * (n - 2) - 2 * t21 - 3 * tt
+    t03 = (n * (n - 1) * (n - 2) / 6).cast("long") - t12 - t21 - tt
+    return vm.crossJoin(F.broadcast(t)).select(
+        t03.alias("triads_03"),
+        t12.alias("triads_12"),
+        t21.alias("triads_21"),
+        tt.alias("triads_30"),
+    )

@@ -608,3 +608,61 @@ def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gelly VertexMetrics (metric/undirected/VertexMetrics.java:124): one-row
     degree-profile summary of the undirected trade graph."""
     return g.vertex_metrics(_trade_edges(spark, sf_dir))
+
+
+_TRADE_TRI_CTES = f"""
+{_TRADE_SYM_CTES},
+ori AS (SELECT src, dst FROM sym WHERE src < dst),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+tri AS (SELECT a.src AS a, a.dst AS b, b.dst AS c
+        FROM ori a JOIN ori b ON a.dst = b.src
+        JOIN ori e3 ON e3.src = a.src AND e3.dst = b.dst)
+"""
+
+
+@query(
+    "graph_avg_clustering",
+    oracle=f"""
+    WITH {_TRADE_TRI_CTES},
+    corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+    ntri AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id),
+    coeffs AS (
+        SELECT CASE WHEN d.deg >= 2
+                    THEN round(2.0 * coalesce(t.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+                    ELSE 0.0 END AS coeff
+        FROM deg d LEFT JOIN ntri t ON d.src = t.id)
+    SELECT count(*) AS vertex_count, round(sum(coeff) / count(*), 6) AS average_coeff
+    FROM coeffs
+    """,
+    tags=("graph",),
+)
+def graph_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly AverageClusteringCoefficient (clustering/undirected/
+    AverageClusteringCoefficient.java:37) over the undirected trade graph —
+    mean of the per-vertex local coefficients."""
+    return g.average_clustering_coefficient(_trade_edges(spark, sf_dir))
+
+
+@query(
+    "graph_triadic_census",
+    oracle=f"""
+    WITH {_TRADE_TRI_CTES},
+    vm AS (SELECT count(*) AS n, (sum(deg) / 2)::BIGINT AS m,
+                  (sum(deg * (deg - 1) / 2))::BIGINT AS trip
+           FROM deg),
+    tc AS (SELECT count(*) AS t FROM tri)
+    SELECT (n * (n - 1) * (n - 2) / 6)::BIGINT
+             - (m * (n - 2) - 2 * (trip - 3 * t) - 3 * t)
+             - (trip - 3 * t) - t                          AS triads_03,
+           m * (n - 2) - 2 * (trip - 3 * t) - 3 * t        AS triads_12,
+           trip - 3 * t                                    AS triads_21,
+           t                                               AS triads_30
+    FROM vm, tc
+    """,
+    tags=("graph",),
+)
+def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly TriadicCensus (clustering/undirected/TriadicCensus.java:95):
+    exact triad-type counts of the undirected trade graph from the closed
+    form over vertex metrics + triangle count."""
+    return g.triadic_census(_trade_edges(spark, sf_dir))

@@ -737,3 +737,22 @@ def test_vertex_metrics_k4(spark):
     r = g.vertex_metrics(edges).collect()[0]
     assert (r["vertex_count"], r["edge_count"], r["average_degree"]) == (4, 6, 3.0)
     assert (r["triplet_count"], r["maximum_degree"], r["maximum_triplets"]) == (12, 3, 3)
+
+
+def test_triadic_census_k4_and_star(spark):
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    r = g.triadic_census(k4).collect()[0]
+    assert tuple(r) == (0, 0, 0, 4)
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    r = g.triadic_census(star).collect()[0]
+    assert tuple(r) == (1, 0, 3, 0)  # {1,2,3} empty; 3 wedges through center
+
+
+def test_average_clustering_coefficient(spark):
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    r = g.average_clustering_coefficient(k4).collect()[0]
+    assert (r["vertex_count"], r["average_coeff"]) == (4, 1.0)
