@@ -245,3 +245,20 @@ def test_window_topn_rank_is_window_partitioned(spark, sf_dir):
     plan = _plan(get("window_topn").fn(spark, sf_dir))
     assert "row_number" in plan
     assert "SinglePartition" not in plan
+
+
+def test_jaccard_two_path_is_equi_join(spark, sf_dir):
+    """The similarity pair generation must be a hash/sort-merge equi-join on
+    the common-neighbor key — an all-pairs cartesian would be O(n²) in the
+    vertex count instead of O(Σ deg²) in the two-path count."""
+    plan = _plan(get("graph_jaccard_index").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_poly_features_stays_jvm_side(spark, sf_dir):
+    """PolynomialFeatures is pure Column arithmetic — no Python/Arrow eval
+    node may appear in the row path."""
+    plan = _plan(get("ml_poly_features").fn(spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert marker not in plan
