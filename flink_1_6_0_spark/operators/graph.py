@@ -775,3 +775,37 @@ def triadic_census(edges: DataFrame) -> DataFrame:
         t21.alias("triads_21"),
         tt.alias("triads_30"),
     )
+
+
+def edge_metrics(edges: DataFrame) -> DataFrame:
+    """Gelly EdgeMetrics (library/metric/undirected/EdgeMetrics.java:44,196):
+    triangle/rectangle triplet counts and their per-vertex maxima. Per
+    vertex, ``low`` = incident edges whose far endpoint dominates it in
+    (degree, id) order (EdgeStats, :136-143); triangle triplets =
+    C(low, 2), rectangle triplets = C(low, 2) + low·(deg-low) (:212-213).
+
+    Two joins against the degree table annotate each directed edge copy,
+    then one per-vertex aggregation and one global fold — no triangle
+    enumeration (that is the point of the low/high split: it bounds the
+    count work by degrees alone)."""
+    sym = _sym_simple_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    ann = sym.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("ds")), "src").join(
+        deg.select(F.col("id").alias("dst"), F.col("deg").alias("dt")), "dst"
+    )
+    low_flag = F.when(
+        (F.col("ds") < F.col("dt"))
+        | ((F.col("ds") == F.col("dt")) & (F.col("src") < F.col("dst"))),
+        1,
+    ).otherwise(0)
+    per_v = ann.groupBy("src").agg(
+        F.count("*").alias("deg"), F.sum(low_flag).alias("low")
+    )
+    tri = (F.col("low") * (F.col("low") - 1) / 2).cast("long")
+    rect = tri + F.col("low") * (F.col("deg") - F.col("low"))
+    return per_v.agg(
+        F.sum(tri).alias("triangle_triplet_count"),
+        F.sum(rect).alias("rectangle_triplet_count"),
+        F.max(tri).alias("maximum_triangle_triplets"),
+        F.max(rect).alias("maximum_rectangle_triplets"),
+    )

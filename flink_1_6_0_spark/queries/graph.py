@@ -666,3 +666,28 @@ def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact triad-type counts of the undirected trade graph from the closed
     form over vertex metrics + triangle count."""
     return g.triadic_census(_trade_edges(spark, sf_dir))
+
+
+@query(
+    "graph_edge_metrics",
+    oracle=f"""
+    WITH {_TRADE_SYM_CTES},
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    ann AS (SELECT e.src, e.dst,
+                   CASE WHEN d1.deg < d2.deg
+                          OR (d1.deg = d2.deg AND e.src < e.dst)
+                        THEN 1 ELSE 0 END AS lowf
+            FROM sym e JOIN deg d1 ON e.src = d1.src JOIN deg d2 ON e.dst = d2.src),
+    pv AS (SELECT src, count(*) AS deg, sum(lowf) AS low FROM ann GROUP BY src)
+    SELECT (sum(low * (low - 1) / 2))::BIGINT AS triangle_triplet_count,
+           (sum(low * (low - 1) / 2 + low * (deg - low)))::BIGINT AS rectangle_triplet_count,
+           (max(low * (low - 1) / 2))::BIGINT AS maximum_triangle_triplets,
+           (max(low * (low - 1) / 2 + low * (deg - low)))::BIGINT AS maximum_rectangle_triplets
+    FROM pv
+    """,
+    tags=("graph",),
+)
+def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly EdgeMetrics (metric/undirected/EdgeMetrics.java:44): degree-only
+    triangle/rectangle triplet profile of the undirected trade graph."""
+    return g.edge_metrics(_trade_edges(spark, sf_dir))

@@ -756,3 +756,15 @@ def test_average_clustering_coefficient(spark):
     )
     r = g.average_clustering_coefficient(k4).collect()[0]
     assert (r["vertex_count"], r["average_coeff"]) == (4, 1.0)
+
+
+def test_edge_metrics_k4_and_path(spark):
+    # K4: every vertex deg 3; low = # neighbors dominating in (deg, id) —
+    # vertex 0 has low 3, vertex 1 low 2, vertex 2 low 1, vertex 3 low 0
+    # → triangle triplets 3+1+0+0 = 4, rectangle 3C2+3·0 + ... = per-vertex
+    # C(low,2)+low·high: v0 3+0=3, v1 1+2=3, v2 0+2=2, v3 0+0=0 → 8
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    r = g.edge_metrics(k4).collect()[0]
+    assert tuple(r) == (4, 8, 3, 3)
