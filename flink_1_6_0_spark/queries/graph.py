@@ -691,3 +691,89 @@ def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gelly EdgeMetrics (metric/undirected/EdgeMetrics.java:44): degree-only
     triangle/rectangle triplet profile of the undirected trade graph."""
     return g.edge_metrics(_trade_edges(spark, sf_dir))
+
+
+_GEN_ORACLE = """
+SELECT 'cycle' AS gen, i AS src, (i + 1) % 10 AS dst FROM range(10) t(i)
+UNION ALL SELECT 'cycle', i, (i + 9) % 10 FROM range(10) t(i)
+UNION ALL SELECT 'path', i, i + 1 FROM range(7) t(i) WHERE i < 6
+UNION ALL SELECT 'path', i, i - 1 FROM range(7) t(i) WHERE i > 0
+UNION ALL SELECT 'star', 0, i FROM range(1, 6) t(i)
+UNION ALL SELECT 'star', i, 0 FROM range(1, 6) t(i)
+UNION ALL SELECT 'complete', a.i, b.j FROM range(5) a(i), range(5) b(j) WHERE a.i <> b.j
+UNION ALL SELECT 'singleton', 2 * i, 2 * i + 1 FROM range(4) t(i)
+UNION ALL SELECT 'singleton', 2 * i + 1, 2 * i FROM range(4) t(i)
+UNION ALL SELECT 'echo', i, (i + 3) % 8 FROM range(8) t(i)
+UNION ALL SELECT 'echo', i, (i + 4) % 8 FROM range(8) t(i)
+UNION ALL SELECT 'echo', i, (i + 5) % 8 FROM range(8) t(i)
+UNION ALL SELECT 'hypercube', i, CASE WHEN (i // 4) % 2 = 0 THEN i + 4 ELSE i - 4 END FROM range(8) t(i)
+UNION ALL SELECT 'hypercube', i, CASE WHEN (i // 2) % 2 = 0 THEN i + 2 ELSE i - 2 END FROM range(8) t(i)
+UNION ALL SELECT 'hypercube', i, CASE WHEN i % 2 = 0 THEN i + 1 ELSE i - 1 END FROM range(8) t(i)
+UNION ALL SELECT 'grid', i, i - 4 FROM range(12) t(i) WHERE i // 4 > 0
+UNION ALL SELECT 'grid', i, i + 4 FROM range(12) t(i) WHERE i // 4 < 2
+UNION ALL SELECT 'grid', i, CASE WHEN i % 4 > 0 THEN i - 1 ELSE i + 3 END FROM range(12) t(i)
+UNION ALL SELECT 'grid', i, CASE WHEN i % 4 < 3 THEN i + 1 ELSE i - 3 END FROM range(12) t(i)
+UNION ALL SELECT 'circulant', i, (i + 3) % 9 FROM range(9) t(i)
+UNION ALL SELECT 'circulant', i, (i + 4) % 9 FROM range(9) t(i)
+UNION ALL SELECT 'circulant', i, (i + 5) % 9 FROM range(9) t(i)
+UNION ALL SELECT 'circulant', i, (i + 6) % 9 FROM range(9) t(i)
+"""
+
+
+@query("graph_generators", oracle=_GEN_ORACLE, tags=("graph",))
+def graph_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly graph generators (flink-gelly generator/): cycle, path, star,
+    complete, singleton-edge, echo, hypercube, grid, and circulant — each
+    produced by spark.range + Column arithmetic (no driver materialization)
+    and checked against its closed form. Both edge directions, as the
+    reference emits."""
+    from flink_1_6_0_spark.operators import graph_gen as gg
+
+    sets = [
+        ("cycle", gg.cycle_graph(spark, 10)),
+        ("path", gg.path_graph(spark, 7)),
+        ("star", gg.star_graph(spark, 6)),
+        ("complete", gg.complete_graph(spark, 5)),
+        ("singleton", gg.singleton_edge_graph(spark, 4)),
+        ("echo", gg.echo_graph(spark, 8, 3)),
+        ("hypercube", gg.hypercube_graph(spark, 3)),
+        ("grid", gg.grid_graph(spark, [(3, False), (4, True)])),
+        ("circulant", gg.circulant_graph(spark, 9, [(3, 4)])),
+    ]
+    out = None
+    for name, edges in sets:
+        tagged = edges.select(F.lit(name).alias("gen"), "src", "dst")
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def _rmat_oracle(scale: int = 6, edges: int = 256, seed: int = 42,
+                 a: float = 0.57, b: float = 0.19, c: float = 0.19) -> str:
+    bits = 60
+    t1, t2, t3 = (int(x * (1 << bits)) for x in (a, a + b, a + b + c))
+    return f"""
+    WITH draws AS (
+        SELECT e.k, l.l,
+               ('0x' || substr(md5('{seed}:' || e.k || ':' || l.l), 1, 15))::BIGINT AS h
+        FROM range({edges}) e(k), range({scale}) l(l)),
+    bits AS (
+        SELECT k, l,
+               CASE WHEN h < {t2} THEN 0 ELSE 1 END AS sbit,
+               CASE WHEN h < {t1} OR (h >= {t2} AND h < {t3}) THEN 0 ELSE 1 END AS dbit
+        FROM draws)
+    SELECT sum(sbit * (1 << ({scale} - 1 - l)))::BIGINT AS src,
+           sum(dbit * (1 << ({scale} - 1 - l)))::BIGINT AS dst
+    FROM bits GROUP BY k
+    """
+
+
+@query("graph_gen_rmat", oracle=_rmat_oracle(), tags=("graph",))
+def graph_gen_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly RMatGraph (generator/RMatGraph.java:49, Graph500 defaults):
+    2⁶ vertices, 256 edges by recursive quadrant descent. The quadrant draw
+    is the portable counter-based hash against exact integer thresholds, so
+    the oracle replays the identical bit stream — a deterministic RMat that
+    needs no RNG state (the scale-correct choice; see module docstring)."""
+    from flink_1_6_0_spark.operators import graph_gen as gg
+
+    return gg.rmat_graph(spark, scale=6, edge_count=256, seed=42)

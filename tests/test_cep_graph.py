@@ -768,3 +768,48 @@ def test_edge_metrics_k4_and_path(spark):
     )
     r = g.edge_metrics(k4).collect()[0]
     assert tuple(r) == (4, 8, 3, 3)
+
+
+# -- graph generators (generator/) -------------------------------------------
+
+
+def test_generators_edge_counts_and_shapes(spark):
+    from flink_1_6_0_spark.operators import graph_gen as gg
+
+    assert gg.cycle_graph(spark, 10).count() == 20  # n undirected → 2n
+    assert gg.path_graph(spark, 7).count() == 12  # n-1 undirected
+    assert gg.complete_graph(spark, 5).count() == 20  # n(n-1)
+    assert gg.hypercube_graph(spark, 4).count() == 64  # d·2^d
+    assert gg.empty_graph(spark, 9).count() == 0
+    assert gg.generated_vertices(spark, 9).count() == 9
+    # hypercube neighbors differ in exactly one bit
+    hc = {(r.src, r.dst) for r in gg.hypercube_graph(spark, 3).collect()}
+    assert hc == {(i, i ^ (1 << b)) for i in range(8) for b in range(3)}
+    # every generated undirected edge set is symmetric
+    for edges in (
+        gg.cycle_graph(spark, 6),
+        gg.grid_graph(spark, [(3, True), (2, False)]),
+        gg.echo_graph(spark, 8, 3),
+        gg.singleton_edge_graph(spark, 3),
+        gg.star_graph(spark, 5),
+    ):
+        s = {(r.src, r.dst) for r in edges.collect()}
+        assert s == {(d, u) for u, d in s}
+
+
+def test_grid_size2_wrap_is_forced_off(spark):
+    from flink_1_6_0_spark.operators import graph_gen as gg
+
+    # GridGraph.java:77 — wrap on a size-2 dim would duplicate the edge
+    assert gg.grid_graph(spark, [(2, True)]).count() == 2
+
+
+def test_rmat_is_partitioning_invariant(spark):
+    from flink_1_6_0_spark.operators import graph_gen as gg
+
+    a = sorted(map(tuple, gg.rmat_graph(spark, 5, 64, seed=7).collect()))
+    b = sorted(
+        map(tuple, gg.rmat_graph(spark, 5, 64, seed=7).repartition(13).collect())
+    )
+    assert a == b
+    assert all(0 <= s < 32 and 0 <= d < 32 for s, d in a)
