@@ -777,3 +777,40 @@ def graph_gen_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_6_0_spark.operators import graph_gen as gg
 
     return gg.rmat_graph(spark, scale=6, edge_count=256, seed=42)
+
+
+@query(
+    "graph_api_pipeline",
+    oracle=f"""
+    WITH {_TRADE_SYM_CTES},
+    ids AS (SELECT DISTINCT src AS id FROM sym),
+    v AS (SELECT i.id, n.n_name AS value FROM ids i
+          JOIN nation n ON n.n_nationkey = i.id WHERE i.id < 20),
+    e AS (SELECT e.src, e.dst FROM edges e
+          WHERE e.src < 20 AND e.dst < 20
+            AND EXISTS (SELECT 1 FROM ids x WHERE x.id = e.src)
+            AND EXISTS (SELECT 1 FROM ids x WHERE x.id = e.dst)),
+    deg AS (SELECT id, count(*) AS degree
+            FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+            GROUP BY id)
+    SELECT v.id, v.value, coalesce(d.degree, 0) AS degree
+    FROM v LEFT JOIN deg d ON v.id = d.id
+    """,
+    tags=("graph",),
+)
+def graph_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly Graph API end-to-end (Graph.java): fromDataSet over the trade
+    edges → joinWithVertices (nation names onto the vertex values) →
+    filterOnVertices (subgraph re-validates edge endpoints) → getDegrees
+    (zero-degree vertices kept) — the fluent surface a Gelly user composes,
+    checked as one chain."""
+    from flink_1_6_0_spark.graph_api import Graph
+
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    )
+    g = Graph.from_dataset(_trade_edges(spark, sf_dir))
+    g = g.map_vertices(F.col("id").cast("string"))
+    g = g.join_with_vertices(n, lambda old, new: new)
+    g = g.filter_on_vertices(F.col("id") < 20)
+    return g.get_degrees().join(g.get_vertices(), "id").select("id", "value", "degree")
