@@ -809,3 +809,48 @@ def edge_metrics(edges: DataFrame) -> DataFrame:
         F.max(tri).alias("maximum_triangle_triplets"),
         F.max(rect).alias("maximum_rectangle_triplets"),
     )
+
+
+def vertex_metrics_directed(edges: DataFrame) -> DataFrame:
+    """Gelly directed VertexMetrics (library/metric/directed/
+    VertexMetrics.java:115-157): per vertex degree = distinct neighbors,
+    out/in degrees over the deduped directed edge set; bidirectional edges
+    per vertex = out + in - degree (:152), summed globally and halved
+    (:126). One row: vertex_count, unidirectional_edge_count,
+    bidirectional_edge_count, triplet_count, maximum_degree,
+    maximum_out_degree, maximum_in_degree, maximum_triplets. Self-loops
+    are dropped.
+
+    Three degree aggregations over one deduped edge frame + one global
+    fold — the same degrees-only cost shape as the undirected form."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("indeg"))
+    nbr = (
+        e.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
+        .union(e.select(F.col("dst").alias("id"), F.col("src").alias("nb")))
+        .distinct()
+    )
+    deg = nbr.groupBy("id").agg(F.count("*").alias("deg"))
+    pv = (
+        deg.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
+    )
+    bidir = F.col("outdeg") + F.col("indeg") - F.col("deg")
+    triplets = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+    return pv.agg(
+        F.count("*").alias("vertex_count"),
+        (F.sum(F.col("deg") - bidir) / 2).cast("long").alias("unidirectional_edge_count"),
+        (F.sum(bidir) / 2).cast("long").alias("bidirectional_edge_count"),
+        F.sum(triplets).alias("triplet_count"),
+        F.max("deg").alias("maximum_degree"),
+        F.max("outdeg").alias("maximum_out_degree"),
+        F.max("indeg").alias("maximum_in_degree"),
+        F.max(triplets).alias("maximum_triplets"),
+    )

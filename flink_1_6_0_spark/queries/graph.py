@@ -814,3 +814,41 @@ def graph_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = g.join_with_vertices(n, lambda old, new: new)
     g = g.filter_on_vertices(F.col("id") < 20)
     return g.get_degrees().join(g.get_vertices(), "id").select("id", "value", "degree")
+
+
+@query(
+    "graph_vertex_metrics_directed",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+    outd AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
+    ind  AS (SELECT dst AS id, count(*) AS indeg  FROM edges GROUP BY dst),
+    nbr  AS (SELECT src AS id, dst AS nb FROM edges
+             UNION SELECT dst, src FROM edges),
+    deg  AS (SELECT id, count(*) AS deg FROM nbr GROUP BY id),
+    pv   AS (SELECT d.id, d.deg, coalesce(o.outdeg, 0) AS outdeg,
+                    coalesce(i.indeg, 0) AS indeg
+             FROM deg d LEFT JOIN outd o ON d.id = o.id
+                        LEFT JOIN ind  i ON d.id = i.id)
+    SELECT count(*) AS vertex_count,
+           (sum(deg - (outdeg + indeg - deg)) / 2)::BIGINT AS unidirectional_edge_count,
+           (sum(outdeg + indeg - deg) / 2)::BIGINT AS bidirectional_edge_count,
+           (sum(deg * (deg - 1) / 2))::BIGINT AS triplet_count,
+           max(deg) AS maximum_degree,
+           max(outdeg) AS maximum_out_degree,
+           max(indeg) AS maximum_in_degree,
+           (max(deg * (deg - 1) / 2))::BIGINT AS maximum_triplets
+    FROM pv
+    """,
+    tags=("graph",),
+)
+def graph_vertex_metrics_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly directed VertexMetrics (metric/directed/VertexMetrics.java):
+    uni/bidirectional edge split + degree profile of the DIRECTED trade
+    graph (the undirected form is graph_vertex_metrics)."""
+    return g.vertex_metrics_directed(_trade_edges(spark, sf_dir))

@@ -813,3 +813,16 @@ def test_rmat_is_partitioning_invariant(spark):
     )
     assert a == b
     assert all(0 <= s < 32 and 0 <= d < 32 for s, d in a)
+
+
+def test_vertex_metrics_directed_mixed(spark):
+    # 0→1 (uni), 1⇄2 (bi), 2→0 (uni): degrees all 2; out 0:1, 1:2, 2:2... wait
+    # edges: (0,1),(1,2),(2,1),(2,0) → deg(0)=2,deg(1)=2,deg(2)=2;
+    # out: 0:1,1:1,2:2; in: 0:1,1:2,2:1; bidir per v: 0:0,1:1,2:1 → 1 bi edge
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1), (2, 0)], "src long, dst long"
+    )
+    r = g.vertex_metrics_directed(edges).collect()[0]
+    assert (r["vertex_count"], r["unidirectional_edge_count"], r["bidirectional_edge_count"]) == (3, 2, 1)
+    assert (r["maximum_degree"], r["maximum_out_degree"], r["maximum_in_degree"]) == (2, 2, 2)
+    assert (r["triplet_count"], r["maximum_triplets"]) == (3, 1)
