@@ -106,7 +106,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, shingle_k: int
     return hashed.groupBy("doc").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -114,14 +114,10 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
-
-    Plan shape (the 100 TB story): scan → explode shingles → signature reduce
-    → band/bucket rows → self equi-join on (band, bucket) → distinct pairs.
-    The shuffle keys are doc then LSH bucket; no O(n²) comparison ever
-    materializes. Skewed buckets (giant near-dup clusters) are handled by
-    AQE skew-join splitting.
-    """
+    """LSH band/bucket rows (doc, band, bh) — the shared substrate of
+    self-join near-dup detection (minhash_lsh_pairs) and corpus-probe
+    incremental dedup (incremental_dedup). Docs with fewer than
+    ``shingle_k`` tokens produce no signature and therefore no buckets."""
     if bands < 1 or num_hashes % bands != 0:
         # bands > num_hashes would make every band hash token_hash('') —
         # one global bucket, the exact O(n²) this function exists to avoid;
@@ -140,9 +136,28 @@ def minhash_lsh_pairs(
                 F.lit(b).alias("band"), (token_hash(F.concat_ws("_", *parts)) % MOD).alias("bh")
             )
         )
-    buckets = sigs.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
+    return sigs.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Plan shape (the 100 TB story): scan → explode shingles → signature reduce
+    → band/bucket rows → self equi-join on (band, bucket) → distinct pairs.
+    The shuffle keys are doc then LSH bucket; no O(n²) comparison ever
+    materializes. Skewed buckets (giant near-dup clusters) are handled by
+    AQE skew-join splitting.
+    """
+    buckets = minhash_band_buckets(df, id_col, text_col, shingle_k, num_hashes, bands)
     left = buckets.select(F.col("doc").alias("a"), "band", "bh")
     right = buckets.select(F.col("doc").alias("b"), "band", "bh")
     return (
@@ -375,4 +390,64 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingest dedup: flag each NEW document against an EXISTING
+    corpus — the daily-crawl pattern where re-deduplicating the whole corpus
+    per batch would be O(corpus) instead of O(batch).
+
+    Two probes, both anti-join-shaped:
+    - ``exact_dup``: md5 content key of the batch semi-joined against the
+      corpus key set (the key table is what a production pipeline persists
+      between ingests — probing it is one broadcast or shuffle of BATCH
+      size, never a corpus rescan);
+    - ``near_dup``: the batch's MinHash band buckets probed against the
+      corpus's distinct (band, bucket) set — same LSH substrate as
+      minhash_lsh_pairs, reused via minhash_band_buckets, so batch and
+      corpus agree bit-for-bit on bucketing. At scale the corpus bucket
+      table is likewise computed once and persisted; each ingest only
+      signatures its own documents.
+
+    Returns one row per new doc: (doc, exact_dup, near_dup). Within-batch
+    duplicates are NOT flagged here — run the self-join pass on the batch
+    separately (they compose: flag-vs-corpus ∪ flag-within-batch)."""
+    new_keyed = new_docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    corpus_keys = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    exact = (
+        new_keyed.select("doc", F.md5("__t").alias("__h"))
+        .join(corpus_keys, "__h", "left_semi")
+        .select("doc")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    batch_buckets = minhash_band_buckets(new_docs, id_col, text_col, shingle_k, num_hashes, bands)
+    corpus_buckets = (
+        minhash_band_buckets(corpus, id_col, text_col, shingle_k, num_hashes, bands)
+        .select("band", "bh")
+        .distinct()
+    )
+    near = (
+        batch_buckets.join(corpus_buckets, ["band", "bh"], "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        new_keyed.select("doc")
+        .join(exact, "doc", "left")
+        .join(near, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
     )

@@ -232,3 +232,56 @@ def rebalance_language_mix(
     rates = with_tot.select(lang_col, capped.alias("rate_permille"))
     joined = df.join(F.broadcast(rates), lang_col)
     return deterministic_sample(joined, F.col(id_col), F.col("rate_permille"), salt)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R α-smoothing rule):
+    group shares p_i = n_i/N are flattened to q_i ∝ p_i^α (α=1 natural mix,
+    α→0 uniform — rebalance_language_mix is that limit), and each group is
+    down-sampled toward expected share q_i: keep-rate min(1, q_i·N/n_i),
+    md5-gated per row at permille granularity so the surviving subset is
+    identical on any engine, cluster layout, or re-run.
+
+    Like the uniform rebalance this only ever DOWN-samples over-represented
+    groups; under-represented groups keep rate 1000‰ (true temperature
+    sampling would upsample them — repeat-epoch weighting is the training
+    loader's job, not the corpus filter's).
+
+    Scale shape: group histogram = one map-side-combined groupBy of
+    GROUP-cardinality rows; two scalar broadcasts (total, normalizer); the
+    corpus side is one scan + filter — no corpus shuffle. Adds
+    ``rate_permille``."""
+    from flink_1_6_0_spark.operators.utils import deterministic_sample
+
+    # the histogram is GROUP-cardinality small, so the two corpus-level
+    # scalars (total, normalizer) come from unpartitioned windows over it —
+    # no self-derived crossJoins (which trip Spark's ambiguity analysis),
+    # and the single-partition window is over a handful of rows, not data
+    wfull = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    rates = (
+        counts.withColumn("__tot", F.sum("__n").over(wfull))
+        .withColumn("__w", F.pow(F.col("__n") / F.col("__tot"), F.lit(float(alpha))))
+        .withColumn("__norm", F.sum("__w").over(wfull))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1000),
+                F.floor(
+                    F.lit(1000.0) * (F.col("__w") / F.col("__norm")) * F.col("__tot") / F.col("__n")
+                ),
+            )
+            .cast("int")
+            .alias("rate_permille"),
+        )
+    )
+    joined = df.join(F.broadcast(rates), group_col)
+    return deterministic_sample(joined, F.col(id_col), F.col("rate_permille"), salt)

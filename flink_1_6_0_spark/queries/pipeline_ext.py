@@ -461,3 +461,49 @@ def ml_poly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", *[F.element_at("poly", i + 1).alias(f"p{i + 1}") for i in range(9)]
     )
+
+
+def _duck_incremental_oracle(bands: int = 4, rows: int = 4) -> str:
+    from flink_1_6_0_spark.pipeline.text import MOD as _MOD
+
+    sig = _duck_lsh_oracle.__globals__["_duck_minhash_sig"](bands * rows)
+    band_rows = []
+    for b in range(bands):
+        parts = " || '_' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
+        band_rows.append(
+            f"SELECT doc, {b} AS band, {_TH.format(s=f'({parts})')} % {_MOD} AS bh FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_rows)
+    shingle_cte = _duck_lsh_oracle.__globals__["_duck_shingle_cte"](
+        "SELECT doc_id AS doc, text FROM documents"
+    )
+    return f"""
+    WITH {shingle_cte},
+    sigs AS (SELECT doc, [{', '.join(sig)}] AS sig FROM shingled),
+    buckets AS ({buckets}),
+    nb AS (SELECT doc, band, bh FROM buckets WHERE doc % 5 = 0),
+    cb AS (SELECT DISTINCT band, bh FROM buckets WHERE doc % 5 <> 0)
+    SELECT n.doc_id AS doc,
+           EXISTS (SELECT 1 FROM documents c
+                   WHERE c.doc_id % 5 <> 0 AND c.text = n.text) AS exact_dup,
+           EXISTS (SELECT 1 FROM nb JOIN cb USING (band, bh)
+                   WHERE nb.doc = n.doc_id) AS near_dup
+    FROM documents n WHERE n.doc_id % 5 = 0
+    """
+
+
+@query(
+    "dedup_incremental",
+    oracle=_duck_incremental_oracle(),
+    tags=("pipeline", "dedup"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the doc_id%5==0 slice plays the incoming
+    batch, the rest the standing corpus — each new doc flagged exact-dup
+    (content-key probe) and near-dup (MinHash band-bucket probe) WITHOUT
+    re-deduplicating the corpus (pipeline/dedup.incremental_dedup; at scale
+    both probe tables are persisted between ingests)."""
+    d = T(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dd.incremental_dedup(new_docs, corpus, "doc_id", "text")

@@ -730,3 +730,33 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank long, left string, right string, weighted_count long",
     )
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+    t AS (SELECT sum(n) AS nn FROM c),
+    w AS (SELECT lang, n, pow(n / (SELECT nn FROM t), 0.3) AS w FROM c),
+    z AS (SELECT sum(w) AS zz FROM w),
+    r AS (SELECT lang, n,
+                 least(1000, floor(1000.0 * (w / (SELECT zz FROM z))
+                                   * (SELECT nn FROM t) / n))::INT AS rate_permille
+          FROM w)
+    SELECT d.doc_id, d.lang, r.rate_permille
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'tempmix'), 1, 15))::BIGINT % 1000
+          < r.rate_permille
+    """,
+    tags=("pipeline", "utils", "sampling"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/XLM-R temperature sampling (α=0.3) over the skewed per-language
+    mixture: shares flattened to p^α, over-represented languages (en, 44%
+    of the corpus) md5-gate-down-sampled
+    toward the smoothed mix — deterministic on any engine
+    (pipeline/prep.temperature_sample)."""
+    from flink_1_6_0_spark.pipeline.prep import temperature_sample
+
+    out = temperature_sample(T(spark, sf_dir, "documents"), "doc_id", "lang", alpha=0.3)
+    return out.select("doc_id", "lang", "rate_permille")

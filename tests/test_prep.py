@@ -530,3 +530,43 @@ def test_dedup_scorecard_counts_only_true_duplicate_groups(spark):
         F.count_if(F.col("n_copies") > 1).alias("n_groups")
     )
     assert agg.first()["n_groups"] == 0
+
+
+def test_incremental_dedup_flags(spark):
+    from flink_1_6_0_spark.pipeline.dedup import incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about other things entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact copy of corpus doc 1
+            (11, base.rsplit(" ", 1)[0] + " changed"),  # tail-edit near dup
+            (12, "fresh unrelated content never seen before in any corpus document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: (r.exact_dup, r.near_dup) for r in incremental_dedup(new, corpus, "doc_id", "text").collect()}
+    assert out == {10: (True, True), 11: (False, True), 12: (False, False)}
+
+
+def test_temperature_sample_limits(spark):
+    from flink_1_6_0_spark.pipeline.prep import temperature_sample
+
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    # α=1 keeps the natural mix: every keep-rate is 1000‰ (no-op filter)
+    r1 = temperature_sample(df, "doc_id", "g", alpha=1.0)
+    assert {x.rate_permille for x in r1.select("rate_permille").distinct().collect()} == {1000}
+    assert r1.count() == 100
+    # α=0 is the uniform-share limit: big capped at share·N/n = 0.5·100/90,
+    # small at min(1, 5.0) → rates (555, 1000)
+    r0 = temperature_sample(df, "doc_id", "g", alpha=0.0)
+    rates = {x.g: x.rate_permille for x in r0.select("g", "rate_permille").distinct().collect()}
+    assert rates == {"big": 555, "small": 1000}
+    # 0<α<1 lands between: big's rate strictly inside (555, 1000)
+    rm = temperature_sample(df, "doc_id", "g", alpha=0.5)
+    mid = {x.g: x.rate_permille for x in rm.select("g", "rate_permille").distinct().collect()}
+    assert 555 < mid["big"] < 1000 and mid["small"] == 1000
