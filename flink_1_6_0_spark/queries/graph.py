@@ -852,3 +852,55 @@ def graph_vertex_metrics_directed(spark: SparkSession, sf_dir: str) -> DataFrame
     uni/bidirectional edge split + degree profile of the DIRECTED trade
     graph (the undirected form is graph_vertex_metrics)."""
     return g.vertex_metrics_directed(_trade_edges(spark, sf_dir))
+
+
+_TRADE_DIRECTED_LCC_CTES = """
+edges AS (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey),
+nbr AS (SELECT src AS id, dst AS nb FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT id, count(*) AS degree FROM nbr GROUP BY id),
+cr AS (SELECT n1.id, count(*) AS n_between
+       FROM edges e
+       JOIN nbr n1 ON n1.nb = e.src
+       JOIN nbr n2 ON n2.id = n1.id AND n2.nb = e.dst
+       GROUP BY n1.id),
+lcc AS (SELECT d.id, d.degree, coalesce(c.n_between, 0) AS n_between,
+               CASE WHEN d.degree >= 2
+                    THEN round(coalesce(c.n_between, 0) / (d.degree * (d.degree - 1)), 6)
+                    ELSE 0.0 END AS coeff
+        FROM deg d LEFT JOIN cr c ON d.id = c.id)
+"""
+
+
+@query(
+    "graph_lcc_directed",
+    oracle=f"WITH {_TRADE_DIRECTED_LCC_CTES} SELECT * FROM lcc",
+    tags=("graph",),
+)
+def graph_lcc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly directed LocalClusteringCoefficient (clustering/directed/
+    LocalClusteringCoefficient.java): directed neighbor-pair edges over
+    deg·(deg-1), per vertex of the directed trade graph."""
+    return g.local_clustering_coefficient_directed(_trade_edges(spark, sf_dir))
+
+
+@query(
+    "graph_gcc_directed",
+    oracle=f"""
+    WITH {_TRADE_DIRECTED_LCC_CTES}
+    SELECT count(*) AS vertex_count,
+           round(sum(n_between)::DOUBLE / sum(degree * (degree - 1)), 6) AS global_coeff,
+           round(avg(coeff), 6) AS average_coeff
+    FROM lcc
+    """,
+    tags=("graph",),
+)
+def graph_gcc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly directed Global/Average ClusteringCoefficient (clustering/
+    directed/) — one-row fold of the directed local frame."""
+    return g.global_clustering_coefficient_directed(_trade_edges(spark, sf_dir))

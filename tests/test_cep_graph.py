@@ -826,3 +826,16 @@ def test_vertex_metrics_directed_mixed(spark):
     assert (r["vertex_count"], r["unidirectional_edge_count"], r["bidirectional_edge_count"]) == (3, 2, 1)
     assert (r["maximum_degree"], r["maximum_out_degree"], r["maximum_in_degree"]) == (2, 2, 2)
     assert (r["triplet_count"], r["maximum_triplets"]) == (3, 1)
+
+
+def test_directed_clustering_coefficient(spark):
+    # directed triangle 0→1→2→0 plus reverse edge 1→0:
+    # N(v) = all others (deg 2) for every v; directed edges among neighbors:
+    # v0: (1,2),(2,1)? only (1,2) exists → 1;  v1: (2,0) → 1;  v2: (0,1),(1,0) → 2
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (1, 0)], "src long, dst long")
+    rows = {r.id: (r.n_between, r.coeff) for r in
+            g.local_clustering_coefficient_directed(edges).collect()}
+    assert rows == {0: (1, 0.5), 1: (1, 0.5), 2: (2, 1.0)}
+    agg = g.global_clustering_coefficient_directed(edges).collect()[0]
+    assert (agg.vertex_count, agg.global_coeff) == (3, round(4 / 6, 6))
+    assert agg.average_coeff == round((0.5 + 0.5 + 1.0) / 3, 6)
