@@ -57,6 +57,31 @@ class Graph:
         value = vertex_initializer(F.col("id")) if vertex_initializer else F.lit(None)
         return Graph(ids.withColumn("value", value), edges)
 
+    @staticmethod
+    def from_csv(
+        spark,
+        edges_path: str,
+        vertices_path: str | None = None,
+        vertex_initializer=None,
+    ) -> "Graph":
+        """Graph.fromCsvReader (GraphCsvReader.java): edge CSV (src, dst[,
+        value]); optional vertex CSV (id, value). Headerless, comma-delim —
+        the reference's defaults."""
+        e = spark.read.csv(edges_path, inferSchema=True)
+        cols = ["src", "dst"] + (["value"] if len(e.columns) > 2 else [])
+        e = e.toDF(*cols[: len(e.columns)])
+        if vertices_path is None:
+            return Graph.from_dataset(e, vertex_initializer)
+        v = spark.read.csv(vertices_path, inferSchema=True).toDF("id", "value")
+        if "value" not in e.columns:
+            e = e.withColumn("value", F.lit(None))
+        return Graph(v, e)
+
+    def run(self, algorithm):
+        """Graph.run(GraphAlgorithm) — apply a library algorithm or analytic
+        to this graph; ``algorithm`` is any callable of (vertices, edges)."""
+        return algorithm(self.vertices, self.edges)
+
     # -- accessors -----------------------------------------------------------
 
     def get_vertices(self) -> DataFrame:

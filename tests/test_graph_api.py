@@ -154,3 +154,16 @@ def test_vertex_centric_through_facade(spark):
 
     out = g.run_vertex_centric_iteration(message_fn, update_fn, 4)
     assert {r.value for r in out.collect()} == {0}
+
+
+def test_from_csv_and_run(spark, tmp_path):
+    ep = str(tmp_path / "edges.csv")
+    with open(ep, "w") as f:
+        f.write("0,1\n1,2\n2,0\n")
+    g = Graph.from_csv(spark, ep)
+    assert g.number_of_vertices() == 3 and g.number_of_edges() == 3
+    # run() a library algorithm over the facade graph
+    from flink_1_6_0_spark.operators.graph import vertex_metrics
+
+    r = g.run(lambda v, e: vertex_metrics(e)).collect()[0]
+    assert (r.vertex_count, r.edge_count) == (3, 3)
