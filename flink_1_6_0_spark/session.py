@@ -170,3 +170,40 @@ class TableEnvironment:
         """registerFunction (TableEnvironment.scala:337) for ScalarFunction.
         UDTF/UDAF registration lives in functions.udf."""
         self.spark.udf.register(name, fn, return_type)
+
+    # -- catalog introspection / DML --------------------------------------
+    def scan(self, name: str):
+        """TableEnvironment.scan (TableEnvironment.scala:502): a registered
+        table as a fluent Table."""
+        from flink_1_6_0_spark.table_api import Table
+
+        return Table(self.spark.table(name))
+
+    def list_tables(self) -> list[str]:
+        """listTables (TableEnvironment.scala:480)."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def explain(self, table_or_df) -> str:
+        """TableEnvironment.explain: the optimized physical plan as a string
+        (Catalyst's formatted explain replaces the AST/logical/physical
+        triptych the reference prints)."""
+        df = getattr(table_or_df, "df", table_or_df)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    def sql_update(self, stmt: str) -> None:
+        """sqlUpdate (TableEnvironment.scala:715): INSERT INTO <table>
+        <query> — the query side gets the same Flink-SQL front-end rewrite,
+        the sink side appends via the DataFrameWriterV2 path."""
+        import re as _re
+
+        from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+        m = _re.match(r"\s*INSERT\s+INTO\s+(\w+)\s+(.*)", stmt, _re.IGNORECASE | _re.DOTALL)
+        if not m:
+            raise ValueError("sql_update supports INSERT INTO <table> <query>")
+        target, query = m.group(1), m.group(2)
+        # the query half gets the Flink front-end rewrite, then the whole
+        # statement runs as engine SQL (works for v1 and v2 catalog tables)
+        self.spark.sql(f"INSERT INTO {target} {rewrite_flink_sql(query)}")

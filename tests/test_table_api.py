@@ -155,3 +155,21 @@ def test_register_parquet_normalizes_events_ts(spark, sf_dir):
     env = TableEnvironment(spark)
     df = env.register_parquet("events_reg_test", os.path.join(sf_dir, "events.parquet"))
     assert df.schema["ts"].dataType.typeName() == "timestamp"  # not ntz/bigint
+
+
+def test_env_scan_list_explain_sql_update(spark, tmp_path):
+    from flink_1_6_0_spark.session import TableEnvironment
+
+    te = TableEnvironment(spark)
+    te.register_table("te_src", spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    assert "te_src" in te.list_tables()
+    t = te.scan("te_src")
+    assert t.count() == 2
+    assert "Scan" in te.explain(t)
+    # sqlUpdate appends into a (V2-writable) saved table
+    spark.sql("DROP TABLE IF EXISTS te_sink")
+    (tmp_path / "te_sink").mkdir()
+    spark.sql(f"CREATE TABLE te_sink (id BIGINT, s STRING) USING parquet LOCATION '{tmp_path}/te_sink'")
+    te.sql_update("INSERT INTO te_sink SELECT id, s FROM te_src WHERE id > 1")
+    assert spark.table("te_sink").count() == 1
+    spark.sql("DROP TABLE te_sink")
