@@ -68,11 +68,17 @@ class Graph:
         value]); optional vertex CSV (id, value). Headerless, comma-delim —
         the reference's defaults."""
         e = spark.read.csv(edges_path, inferSchema=True)
-        cols = ["src", "dst"] + (["value"] if len(e.columns) > 2 else [])
-        e = e.toDF(*cols[: len(e.columns)])
+        if len(e.columns) not in (2, 3):
+            raise ValueError(
+                f"edge CSV must have 2 (src,dst) or 3 (src,dst,value) fields, got {len(e.columns)}"
+            )
+        e = e.toDF(*["src", "dst", "value"][: len(e.columns)])
         if vertices_path is None:
             return Graph.from_dataset(e, vertex_initializer)
-        v = spark.read.csv(vertices_path, inferSchema=True).toDF("id", "value")
+        v = spark.read.csv(vertices_path, inferSchema=True)
+        if len(v.columns) != 2:
+            raise ValueError(f"vertex CSV must have 2 (id,value) fields, got {len(v.columns)}")
+        v = v.toDF("id", "value")
         if "value" not in e.columns:
             e = e.withColumn("value", F.lit(None))
         return Graph(v, e)
@@ -138,11 +144,19 @@ class Graph:
     def join_with_vertices(self, inputs: DataFrame, fn) -> "Graph":
         """joinWithVertices: inputs (id, val); matched vertices get
         fn(old_value, new_val), unmatched keep their value (the reference's
-        coGroup emits the original when the input side is empty)."""
+        coGroup emits the original when the input side is empty). Duplicate
+        input ids apply ONE arbitrary row (the reference consumes only the
+        first of the coGroup iterator — equally order-dependent); a match
+        whose value is NULL still counts as a match (join marker, not a
+        value-null test)."""
         j = self.vertices.join(
-            inputs.select(F.col("id"), F.col(inputs.columns[1]).alias("__new")), "id", "left"
+            inputs.select(F.col("id"), F.col(inputs.columns[1]).alias("__new"))
+            .dropDuplicates(["id"])
+            .withColumn("__hit", F.lit(True)),
+            "id",
+            "left",
         )
-        value = F.when(F.col("__new").isNotNull(), fn(F.col("value"), F.col("__new"))).otherwise(
+        value = F.when(F.col("__hit"), fn(F.col("value"), F.col("__new"))).otherwise(
             F.col("value")
         )
         return Graph(j.select("id", value.alias("value")), self.edges)
@@ -151,8 +165,12 @@ class Graph:
         in_cols = inputs.columns
         sel = [F.col(c).alias(k) for c, k in zip(in_cols[: len(keys)], keys)]
         sel.append(F.col(in_cols[len(keys)]).alias("__new"))
-        j = self.edges.join(inputs.select(*sel), keys, "left")
-        value = F.when(F.col("__new").isNotNull(), fn(F.col("value"), F.col("__new"))).otherwise(
+        j = self.edges.join(
+            inputs.select(*sel).dropDuplicates(keys).withColumn("__hit", F.lit(True)),
+            keys,
+            "left",
+        )
+        value = F.when(F.col("__hit"), fn(F.col("value"), F.col("__new"))).otherwise(
             F.col("value")
         )
         return Graph(self.vertices, j.select("src", "dst", value.alias("value")))
@@ -300,16 +318,26 @@ class Graph:
         vertices rebuilt from the surviving endpoints with NULL values.
         ``distinct_edges=True`` dedups; False keeps pairwise matches (each
         copy on one side consumes one copy on the other — replicated with
-        per-copy sequence numbers, one window each side)."""
+        per-copy sequence numbers, one window each side). NULL edge values
+        compare EQUAL (the reference's NullValue is a real value; a plain
+        equi-join on value would make every facade-default graph intersect
+        to empty), via a null-safe join condition."""
+        ob = other.edges.select(
+            F.col("src").alias("__s"), F.col("dst").alias("__d"), F.col("value").alias("__v")
+        )
+        cond = (
+            (F.col("src") == F.col("__s"))
+            & (F.col("dst") == F.col("__d"))
+            & F.col("value").eqNullSafe(F.col("__v"))
+        )
         if distinct_edges:
-            matched = self.edges.join(
-                other.edges, ["src", "dst", "value"], "left_semi"
-            ).distinct()
+            matched = self.edges.join(ob, cond, "left_semi").distinct()
         else:
             w = Window.partitionBy("src", "dst", "value").orderBy(F.monotonically_increasing_id())
             a = self.edges.withColumn("__n", F.row_number().over(w))
-            b = other.edges.withColumn("__n", F.row_number().over(w))
-            matched = a.join(b, ["src", "dst", "value", "__n"], "left_semi").drop("__n")
+            wb = Window.partitionBy("__s", "__d", "__v").orderBy(F.monotonically_increasing_id())
+            b = ob.withColumn("__n2", F.row_number().over(wb))
+            matched = a.join(b, cond & (F.col("__n") == F.col("__n2")), "left_semi").drop("__n")
         return Graph.from_dataset(matched)
 
     # -- validation (Graph.validate, validation/InvalidVertexIdsValidator) ---

@@ -757,8 +757,12 @@ def triadic_census(edges: DataFrame) -> DataFrame:
     triads_12 (one edge), triads_21 (open triplet), triads_30 (triangle).
 
     Pure integer arithmetic on two 1-row frames (a broadcast cross of
-    singletons); the reference uses BigInteger — we hold longs, exact up to
-    ~3M vertices (n³/6 < 2⁶³), a documented boundary."""
+    singletons); the n-choose-3 term is computed with INTEGER division
+    (n·(n-1) div 2, then ·(n-2) div 3 — each step exact), never a double
+    cast whose 53-bit mantissa would silently round past ~208k vertices.
+    The reference uses BigInteger; longs here are exact until the
+    intermediate product overflows at ~2.6M vertices — switch the five
+    scalars to DecimalType(38,0) beyond that."""
     vm = vertex_metrics(edges).select(
         F.col("vertex_count").alias("n"),
         F.col("edge_count").alias("m"),
@@ -768,7 +772,7 @@ def triadic_census(edges: DataFrame) -> DataFrame:
     n, m, trip, tt = F.col("n"), F.col("m"), F.col("trip"), F.col("t")
     t21 = trip - 3 * tt
     t12 = m * (n - 2) - 2 * t21 - 3 * tt
-    t03 = (n * (n - 1) * (n - 2) / 6).cast("long") - t12 - t21 - tt
+    t03 = F.expr("((n * (n - 1)) div 2 * (n - 2)) div 3") - t12 - t21 - tt
     return vm.crossJoin(F.broadcast(t)).select(
         t03.alias("triads_03"),
         t12.alias("triads_12"),

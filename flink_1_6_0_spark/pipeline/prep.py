@@ -273,10 +273,16 @@ def temperature_sample(
         .withColumn("__norm", F.sum("__w").over(wfull))
         .select(
             group_col,
+            # +1e-6 before the floor: the float normalizer Σp^α can land a
+            # mathematically-exact rate (e.g. exactly 1000 at α=1, the
+            # natural-mix no-op) a few ulps BELOW its integer, and a bare
+            # floor would silently drop ~0.1% of such groups; the epsilon
+            # absorbs float dust without moving any true sub-integer rate
             F.least(
                 F.lit(1000),
                 F.floor(
                     F.lit(1000.0) * (F.col("__w") / F.col("__norm")) * F.col("__tot") / F.col("__n")
+                    + F.lit(1e-6)
                 ),
             )
             .cast("int")

@@ -21,7 +21,13 @@ from flink_1_6_0_spark.operators.graph import connected_components
 from flink_1_6_0_spark.pipeline import dedup as dd
 from flink_1_6_0_spark.pipeline import text as tx
 from flink_1_6_0_spark.queries import T
-from flink_1_6_0_spark.queries.pipeline import _duck_lsh_oracle, _TH, _TOKS
+from flink_1_6_0_spark.queries.pipeline import (
+    _duck_lsh_oracle,
+    _duck_minhash_sig,
+    _duck_shingle_cte,
+    _TH,
+    _TOKS,
+)
 from flink_1_6_0_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -466,7 +472,7 @@ def ml_poly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_incremental_oracle(bands: int = 4, rows: int = 4) -> str:
     from flink_1_6_0_spark.pipeline.text import MOD as _MOD
 
-    sig = _duck_lsh_oracle.__globals__["_duck_minhash_sig"](bands * rows)
+    sig = _duck_minhash_sig(bands * rows)
     band_rows = []
     for b in range(bands):
         parts = " || '_' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
@@ -474,9 +480,7 @@ def _duck_incremental_oracle(bands: int = 4, rows: int = 4) -> str:
             f"SELECT doc, {b} AS band, {_TH.format(s=f'({parts})')} % {_MOD} AS bh FROM sigs"
         )
     buckets = " UNION ALL ".join(band_rows)
-    shingle_cte = _duck_lsh_oracle.__globals__["_duck_shingle_cte"](
-        "SELECT doc_id AS doc, text FROM documents"
-    )
+    shingle_cte = _duck_shingle_cte("SELECT doc_id AS doc, text FROM documents")
     return f"""
     WITH {shingle_cte},
     sigs AS (SELECT doc, [{', '.join(sig)}] AS sig FROM shingled),

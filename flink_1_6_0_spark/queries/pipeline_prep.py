@@ -741,7 +741,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (SELECT sum(w) AS zz FROM w),
     r AS (SELECT lang, n,
                  least(1000, floor(1000.0 * (w / (SELECT zz FROM z))
-                                   * (SELECT nn FROM t) / n))::INT AS rate_permille
+                                   * (SELECT nn FROM t) / n + 1e-6))::INT AS rate_permille
           FROM w)
     SELECT d.doc_id, d.lang, r.rate_permille
     FROM documents d JOIN r USING (lang)

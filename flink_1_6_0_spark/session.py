@@ -200,7 +200,13 @@ class TableEnvironment:
 
         from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
 
-        m = _re.match(r"\s*INSERT\s+INTO\s+(\w+)\s+(.*)", stmt, _re.IGNORECASE | _re.DOTALL)
+        # target may be qualified (db.t) or backquoted, with an optional
+        # column list — (\w+) alone would reject valid statements
+        m = _re.match(
+            r"\s*INSERT\s+INTO\s+((?:[\w.]+|`[^`]+`(?:\.`[^`]+`)*)(?:\s*\([^)]*\))?)\s+(.*)",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
         if not m:
             raise ValueError("sql_update supports INSERT INTO <table> <query>")
         target, query = m.group(1), m.group(2)

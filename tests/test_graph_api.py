@@ -167,3 +167,26 @@ def test_from_csv_and_run(spark, tmp_path):
 
     r = g.run(lambda v, e: vertex_metrics(e)).collect()[0]
     assert (r.vertex_count, r.edge_count) == (3, 3)
+
+
+def test_intersect_null_values_match(spark):
+    # facade-default graphs carry NULL edge values; NullValue compares equal
+    # in the reference, so intersect must be null-safe (review finding)
+    e1 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    e2 = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    g1, g2 = Graph.from_dataset(e1), Graph.from_dataset(e2)
+    assert {(r.src, r.dst) for r in g1.intersect(g2).edges.collect()} == {(1, 2)}
+    assert g1.intersect(g2, distinct_edges=False).number_of_edges() == 1
+
+
+def test_join_with_vertices_duplicate_and_null_inputs(spark):
+    g = _g(spark)
+    # duplicate input ids must not duplicate vertices (one arbitrary row applies)
+    dup = spark.createDataFrame([(0, 1), (0, 2)], "id long, v long")
+    j = g.join_with_vertices(dup, lambda old, new: old + new)
+    assert j.number_of_vertices() == 4
+    assert dict(j.vertices.collect())[0] in (1, 2)  # 0 + one of the inputs
+    # a matched row with NULL value still counts as a match
+    nul = spark.createDataFrame([(0, None)], "id long, v string")
+    jn = g.join_with_vertices(nul, lambda old, new: F.lit(-1))
+    assert dict(jn.vertices.collect())[0] == -1

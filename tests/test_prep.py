@@ -570,3 +570,16 @@ def test_temperature_sample_limits(spark):
     rm = temperature_sample(df, "doc_id", "g", alpha=0.5)
     mid = {x.g: x.rate_permille for x in rm.select("g", "rate_permille").distinct().collect()}
     assert 555 < mid["big"] < 1000 and mid["small"] == 1000
+
+
+def test_temperature_sample_alpha1_is_exact_noop_for_awkward_counts(spark):
+    # counts whose p^1 shares sum to just over 1.0 in float used to floor
+    # rate 999 instead of 1000 (review finding); the epsilon guard fixes it
+    from flink_1_6_0_spark.pipeline.prep import temperature_sample
+
+    rows = [(i, g) for g, n in zip("abcde", [808, 215, 97, 500, 30]) for i in range(n)]
+    rows = [(j, g) for j, (i, g) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    r = temperature_sample(df, "doc_id", "g", alpha=1.0)
+    assert {x.rate_permille for x in r.select("rate_permille").distinct().collect()} == {1000}
+    assert r.count() == 1650
