@@ -213,3 +213,10 @@ class TableEnvironment:
         # the query half gets the Flink front-end rewrite, then the whole
         # statement runs as engine SQL (works for v1 and v2 catalog tables)
         self.spark.sql(f"INSERT INTO {target} {rewrite_flink_sql(query)}")
+
+    def connect(self, connector):
+        """TableEnvironment.connect (TableEnvironment.scala:554): start a
+        descriptor-based registration — see flink_1_6_0_spark.descriptors."""
+        from flink_1_6_0_spark.descriptors import ConnectTableDescriptor
+
+        return ConnectTableDescriptor(self, connector)

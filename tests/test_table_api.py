@@ -173,3 +173,42 @@ def test_env_scan_list_explain_sql_update(spark, tmp_path):
     te.sql_update("INSERT INTO te_sink SELECT id, s FROM te_src WHERE id > 1")
     assert spark.table("te_sink").count() == 1
     spark.sql("DROP TABLE te_sink")
+
+
+def test_descriptor_connect_csv_with_rowtime(spark, tmp_path):
+    from flink_1_6_0_spark.descriptors import Csv, FileSystem, Rowtime, Schema
+    from flink_1_6_0_spark.session import TableEnvironment
+
+    p = tmp_path / "ev.csv"
+    p.write_text("1,2024-01-01 00:00:00\n2,2024-01-01 00:00:05\n")
+    te = TableEnvironment(spark)
+    df = (
+        te.connect(FileSystem().path(str(p)))
+        .with_format(Csv().field("id", "LONG").field("ts", "SQL_TIMESTAMP"))
+        .with_schema(
+            Schema()
+            .field("id", "LONG")
+            .field("ts", "SQL_TIMESTAMP")
+            .rowtime(Rowtime().timestamps_from_field("ts").watermarks_periodic_bounded(2000))
+        )
+        .register_table_source("desc_events")
+    )
+    assert [f.name for f in df.schema.fields] == ["id", "ts"]
+    assert spark.sql("SELECT count(*) AS n FROM desc_events").collect()[0].n == 2
+    assert te.rowtime_of("desc_events") == ("ts", "2.0 seconds")
+
+
+def test_descriptor_connect_json(spark, tmp_path):
+    from flink_1_6_0_spark.descriptors import FileSystem, Json, Schema
+    from flink_1_6_0_spark.session import TableEnvironment
+
+    p = tmp_path / "d.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    te = TableEnvironment(spark)
+    df = (
+        te.connect(FileSystem().path(str(p)))
+        .with_format(Json())
+        .with_schema(Schema().field("a", "LONG").field("b", "STRING"))
+        .register_table_source("desc_json")
+    )
+    assert df.count() == 2 and dict(df.collect()) == {1: "x", 2: "y"}
