@@ -159,3 +159,43 @@ def test_split_assign_exclusive_and_stable(spark):
     assert out.select("k", "split").exceptAll(again.select("k", "split")).count() == 0
     with pytest.raises(ValueError):
         split_assign(df, "k", {"a": 600, "b": 600})
+
+
+def test_accumulators_and_observation(spark):
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.accumulators import (
+        AverageAccumulator,
+        broadcast_variable,
+        histogram,
+        int_counter,
+        observe_metrics,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    # plan-side: Observation metrics piggyback on the action
+    out, obs = observe_metrics(df, "job", n=F.count(F.lit(1)), total=F.sum("x"))
+    assert out.count() == 10
+    assert obs.get == {"n": 10, "total": 45}
+    # python-side: counters + histogram inside mapInPandas
+    acc = int_counter(spark)
+    hist = histogram(spark)
+
+    def count_batch(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            hist.add({int(k): int(v) for k, v in (pdf["x"] % 3).value_counts().items()})
+            yield pdf
+
+    df.repartition(4).mapInPandas(count_batch, "x long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert acc.value == 10
+    assert hist.value == {0: 4, 1: 3, 2: 3}
+    # average accumulator
+    avg = AverageAccumulator(spark)
+    avg.add(2.0), avg.add(4.0)
+    assert avg.local_value == 3.0
+    # broadcast variable (withBroadcastSet analog)
+    bc = broadcast_variable(spark.createDataFrame([("k", 7)], "k string, v long"))
+    assert bc.value[0].v == 7
