@@ -145,3 +145,53 @@ def sample_n_per_key(df: DataFrame, key: str, id_col: str, n: int, salt: str = "
         )
     )
     return df.withColumn("__rk", rk).filter(F.col("__rk") <= n).drop("__rk")
+
+
+def summarize(df: DataFrame) -> DataFrame:
+    """DataSetUtils.summarize (flink-java utils/DataSetUtils.java +
+    summarize/aggregation/NumericSummaryAggregator.java): per-NUMERIC-column
+    statistics — non-missing / missing counts, min, max, sum, mean,
+    variance, standard deviation. Variance is the SAMPLE variance
+    (m2/(n-1), NumericSummaryAggregator.java:134), matching var_samp.
+
+    One scan: every column's aggregates run in a single agg pass; the
+    per-column rows come from exploding a schema-sized struct array — no
+    driver loop over data, and column count (not row count) bounds the
+    expression size. All stats are cast to double for a uniform row type.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import NumericType
+
+    num_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+    if not num_cols:
+        raise ValueError("summarize: no numeric columns")
+    aggs = []
+    for c in num_cols:
+        aggs.extend(
+            [
+                F.count(c).alias(f"__nm_{c}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"__ms_{c}"),
+                F.min(c).cast("double").alias(f"__mn_{c}"),
+                F.max(c).cast("double").alias(f"__mx_{c}"),
+                F.sum(c).cast("double").alias(f"__sm_{c}"),
+                F.avg(c).cast("double").alias(f"__av_{c}"),
+                F.var_samp(c).cast("double").alias(f"__vr_{c}"),
+                F.stddev_samp(c).cast("double").alias(f"__sd_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__nm_{c}").alias("non_missing"),
+            F.col(f"__ms_{c}").alias("missing"),
+            F.col(f"__mn_{c}").alias("min"),
+            F.col(f"__mx_{c}").alias("max"),
+            F.col(f"__sm_{c}").alias("sum"),
+            F.col(f"__av_{c}").alias("mean"),
+            F.col(f"__vr_{c}").alias("variance"),
+            F.col(f"__sd_{c}").alias("std_dev"),
+        )
+        for c in num_cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -511,3 +511,44 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     return dd.incremental_dedup(new_docs, corpus, "doc_id", "text")
+
+
+@query(
+    "dataset_summarize",
+    oracle="""
+    SELECT 'l_quantity' AS column, count(l_quantity) AS non_missing,
+           count(*) - count(l_quantity) AS missing,
+           min(l_quantity)::DOUBLE AS min, max(l_quantity)::DOUBLE AS max,
+           round(sum(l_quantity)::DOUBLE, 6) AS sum, round(avg(l_quantity), 6) AS mean,
+           round(var_samp(l_quantity), 6) AS variance, round(stddev_samp(l_quantity), 6) AS std_dev
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+           min(l_discount)::DOUBLE, max(l_discount)::DOUBLE,
+           round(sum(l_discount)::DOUBLE, 6), round(avg(l_discount), 6),
+           round(var_samp(l_discount), 6), round(stddev_samp(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(l_tax), count(*) - count(l_tax),
+           min(l_tax)::DOUBLE, max(l_tax)::DOUBLE,
+           round(sum(l_tax)::DOUBLE, 6), round(avg(l_tax), 6),
+           round(var_samp(l_tax), 6), round(stddev_samp(l_tax), 6)
+    FROM lineitem
+    """,
+    tags=("pipeline", "utils"),
+)
+def dataset_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSetUtils.summarize over lineitem's bounded-magnitude numeric
+    columns (quantity/discount/tax — variance magnitudes where round(6) is
+    cross-engine safe): one scan, schema-sized struct explode
+    (operators/utils.summarize)."""
+    from flink_1_6_0_spark.operators.utils import summarize
+
+    out = summarize(
+        T(spark, sf_dir, "lineitem").select("l_quantity", "l_discount", "l_tax")
+    )
+    return out.select(
+        "column", "non_missing", "missing", "min", "max",
+        F.round("sum", 6).alias("sum"), F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"), F.round("std_dev", 6).alias("std_dev"),
+    )

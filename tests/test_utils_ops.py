@@ -199,3 +199,14 @@ def test_accumulators_and_observation(spark):
     # broadcast variable (withBroadcastSet analog)
     bc = broadcast_variable(spark.createDataFrame([("k", 7)], "k string, v long"))
     assert bc.value[0].v == 7
+
+
+def test_summarize_missing_counts(spark):
+    from flink_1_6_0_spark.operators.utils import summarize
+
+    df = spark.createDataFrame([(1.0, "a"), (None, "b"), (3.0, "c")], "x double, s string")
+    r = {row.column: row for row in summarize(df).collect()}
+    assert set(r) == {"x"}  # string column excluded
+    assert (r["x"].non_missing, r["x"].missing) == (2, 1)
+    assert (r["x"].min, r["x"].max, r["x"].sum, r["x"].mean) == (1.0, 3.0, 4.0, 2.0)
+    assert r["x"].variance == 2.0  # sample variance, (n-1) denominator
