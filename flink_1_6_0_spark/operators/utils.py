@@ -195,3 +195,73 @@ def summarize(df: DataFrame) -> DataFrame:
         for c in num_cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def summarize_strings(df: DataFrame) -> DataFrame:
+    """StringColumnSummary (summarize/StringColumnSummary.java:29-36): per
+    STRING column — non-null / null / empty counts, min/max/mean length.
+    Same one-scan struct-explode shape as ``summarize``."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType
+
+    cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    if not cols:
+        raise ValueError("summarize_strings: no string columns")
+    aggs = []
+    for c in cols:
+        ln = F.length(c)
+        aggs.extend(
+            [
+                F.count(c).alias(f"__nn_{c}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"__nl_{c}"),
+                F.count(F.when(F.col(c) == "", 1)).alias(f"__em_{c}"),
+                F.min(ln).alias(f"__mn_{c}"),
+                F.max(ln).alias(f"__mx_{c}"),
+                F.avg(ln).alias(f"__av_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__nn_{c}").alias("non_null"),
+            F.col(f"__nl_{c}").alias("nulls"),
+            F.col(f"__em_{c}").alias("empty"),
+            F.col(f"__mn_{c}").alias("min_length"),
+            F.col(f"__mx_{c}").alias("max_length"),
+            F.col(f"__av_{c}").alias("mean_length"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def summarize_booleans(df: DataFrame) -> DataFrame:
+    """BooleanColumnSummary (summarize/BooleanColumnSummary.java:29-34):
+    true / false / null counts per BOOLEAN column."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import BooleanType
+
+    cols = [f.name for f in df.schema.fields if isinstance(f.dataType, BooleanType)]
+    if not cols:
+        raise ValueError("summarize_booleans: no boolean columns")
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.when(F.col(c), 1)).alias(f"__t_{c}"),
+                F.count(F.when(~F.col(c), 1)).alias(f"__f_{c}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"__n_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__t_{c}").alias("true_count"),
+            F.col(f"__f_{c}").alias("false_count"),
+            F.col(f"__n_{c}").alias("null_count"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -210,3 +210,16 @@ def test_summarize_missing_counts(spark):
     assert (r["x"].non_missing, r["x"].missing) == (2, 1)
     assert (r["x"].min, r["x"].max, r["x"].sum, r["x"].mean) == (1.0, 3.0, 4.0, 2.0)
     assert r["x"].variance == 2.0  # sample variance, (n-1) denominator
+
+
+def test_summarize_strings_and_booleans(spark):
+    from flink_1_6_0_spark.operators.utils import summarize_booleans, summarize_strings
+
+    df = spark.createDataFrame(
+        [("abc", True), ("", False), (None, None), ("de", True)], "s string, b boolean"
+    )
+    srow = summarize_strings(df).collect()[0]
+    assert (srow.non_null, srow.nulls, srow.empty) == (3, 1, 1)
+    assert (srow.min_length, srow.max_length) == (0, 3)
+    brow = summarize_booleans(df).collect()[0]
+    assert (brow.true_count, brow.false_count, brow.null_count) == (2, 1, 1)
