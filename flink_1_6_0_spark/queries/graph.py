@@ -558,6 +558,7 @@ sym AS (SELECT src, dst FROM edges WHERE src <> dst
     FROM pairs p JOIN deg du ON p.u = du.id JOIN deg dv ON p.v = dv.id
     """,
     tags=("graph",),
+    bench=True,
 )
 def graph_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gelly JaccardIndex (similarity/JaccardIndex.java:54) on the undirected

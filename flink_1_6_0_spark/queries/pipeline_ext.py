@@ -500,6 +500,7 @@ def _duck_incremental_oracle(bands: int = 4, rows: int = 4) -> str:
     "dedup_incremental",
     oracle=_duck_incremental_oracle(),
     tags=("pipeline", "dedup"),
+    bench=True,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: the doc_id%5==0 slice plays the incoming
