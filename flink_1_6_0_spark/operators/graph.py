@@ -917,3 +917,33 @@ def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
         ).alias("global_coeff"),
         F.round(F.avg("coeff"), 6).alias("average_coeff"),
     )
+
+
+def transitive_closure(edges: DataFrame, max_iterations: int = 10,
+                       checkpoint_interval: int = 3) -> DataFrame:
+    """TransitiveClosureNaive (flink-examples-batch graph/
+    TransitiveClosureNaive.java — the canonical bulk-iteration program):
+    all reachable (src, dst) pairs by repeated path extension
+    paths ∪ (paths ⋈ edges), deduped, to fixpoint.
+
+    Driver-side supersteps with lineage checkpoints (the DataSet bulk
+    iteration substrate); the fixpoint check is a count per superstep —
+    the same work the reference's termination criterion does. The closure
+    itself can be O(n²) rows on dense graphs — that is the OUTPUT size,
+    inherent to the problem, not a join blow-up."""
+    e = edges.select("src", "dst").distinct()
+    paths = e
+    n = paths.count()
+    for i in range(max_iterations):
+        ext = (
+            paths.join(e.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")), "dst")
+            .select("src", F.col("nxt").alias("dst"))
+        )
+        new_paths = paths.union(ext).distinct()
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            new_paths = _checkpoint(new_paths, "local")
+        m = new_paths.count()
+        if m == n:
+            return paths
+        paths, n = new_paths, m
+    return paths

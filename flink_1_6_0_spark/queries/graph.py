@@ -905,3 +905,27 @@ def graph_gcc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gelly directed Global/Average ClusteringCoefficient (clustering/
     directed/) — one-row fold of the directed local frame."""
     return g.global_clustering_coefficient_directed(_trade_edges(spark, sf_dir))
+
+
+@query(
+    "graph_transitive_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey),
+    tc AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+    SELECT src, dst FROM tc
+    """,
+    tags=("graph",),
+)
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransitiveClosureNaive (the reference's canonical bulk-iteration
+    example) over the directed trade graph — iterative path extension to
+    fixpoint, checked against DuckDB's recursive CTE."""
+    return g.transitive_closure(_trade_edges(spark, sf_dir), max_iterations=8)

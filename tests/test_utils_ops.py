@@ -223,3 +223,22 @@ def test_summarize_strings_and_booleans(spark):
     assert (srow.min_length, srow.max_length) == (0, 3)
     brow = summarize_booleans(df).collect()[0]
     assert (brow.true_count, brow.false_count, brow.null_count) == (2, 1, 1)
+
+
+def test_examples_batch_programs_run(spark):
+    """The canonical example programs (flink-examples parity) run end-to-end
+    on their sample inputs."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from examples.word_count import SAMPLE, word_count
+
+    df = spark.createDataFrame([(line,) for line in SAMPLE], "value string")
+    rows = word_count(df).collect()
+    assert rows[0].word == "to" and rows[0]["count"] == 3
+
+    from flink_1_6_0_spark.operators.graph import transitive_closure
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    tc = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    assert tc == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
