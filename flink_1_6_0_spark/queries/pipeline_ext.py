@@ -553,3 +553,35 @@ def dataset_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum", 6).alias("sum"), F.round("mean", 6).alias("mean"),
         F.round("variance", 6).alias("variance"), F.round("std_dev", 6).alias("std_dev"),
     )
+
+
+@query(
+    "pi_estimation",
+    oracle="""
+    SELECT round(4.0 * count(*) / 100000, 6) AS pi_estimate
+    FROM range(100000) t(i)
+    WHERE (('0x' || substr(md5(i || ':x'), 1, 15))::BIGINT / 1152921504606846976.0)
+         * (('0x' || substr(md5(i || ':x'), 1, 15))::BIGINT / 1152921504606846976.0)
+         + (('0x' || substr(md5(i || ':y'), 1, 15))::BIGINT / 1152921504606846976.0)
+         * (('0x' || substr(md5(i || ':y'), 1, 15))::BIGINT / 1152921504606846976.0)
+       <= 1.0
+    """,
+    tags=("misc",),
+)
+def pi_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PiEstimation (flink-examples-batch misc/PiEstimation.java) with the
+    engine's deterministic-RNG convention: sample points come from the
+    portable counter hash instead of a seeded RNG, so the estimate is
+    identical on any engine/partitioning and the oracle replays it exactly
+    (long→double conversion and the square/compare are IEEE-identical)."""
+    n = 100_000
+    h = lambda c, tag: (
+        F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(tag))), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / float(1 << 60)
+    )
+    pts = spark.range(n).select(h(F.col("id"), ":x").alias("x"), h(F.col("id"), ":y").alias("y"))
+    return pts.filter(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0).agg(
+        F.round(4.0 * F.count("*") / n, 6).alias("pi_estimate")
+    )
