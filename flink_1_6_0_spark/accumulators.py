@@ -87,9 +87,10 @@ class AverageAccumulator:
         self._sum = spark.sparkContext.accumulator(0.0)
         self._count = spark.sparkContext.accumulator(0)
 
-    def add(self, value: float, n: int = 1) -> None:
+    def add(self, value: float) -> None:
+        """add(double) — one observation (AverageAccumulator.java contract)."""
         self._sum.add(float(value))
-        self._count.add(n)
+        self._count.add(1)
 
     @property
     def local_value(self) -> float:

@@ -91,14 +91,13 @@ class Csv(FormatDescriptor):
 
 
 class Json(FormatDescriptor):
-    """descriptors/Json analog (flink-formats/flink-json): explicit schema
-    or derive from the declared Schema."""
-
-    def __init__(self):
-        self._derive = True
+    """descriptors/Json analog (flink-formats/flink-json): the record schema
+    comes from the declared Schema (or engine inference for batch reads)."""
 
     def derive_schema(self) -> "Json":
-        self._derive = True
+        """Fluent no-op kept for reference-API parity — schema derivation
+        from the declared Schema is ALWAYS on here (``_read`` consults only
+        ``with_schema``)."""
         return self
 
 
@@ -166,6 +165,11 @@ class ConnectTableDescriptor:
     def _read(self) -> DataFrame:
         spark = self._env.spark
         if isinstance(self._connector, Kafka):
+            if not self._connector._bootstrap or not self._connector._topic:
+                raise ValueError(
+                    "Kafka descriptor needs .topic(...) and "
+                    ".property('bootstrap.servers', ...)"
+                )
             from flink_1_6_0_spark.sources.stream import kafka_stream
 
             return kafka_stream(spark, self._connector._bootstrap, self._connector._topic)
@@ -174,6 +178,10 @@ class ConnectTableDescriptor:
         path = self._connector._path
         reader = spark.readStream if self._streaming else spark.read
         if isinstance(self._format, Csv):
+            if not self._format._fields and not (self._schema and self._schema._fields):
+                # the reference requires declared fields; a bare Csv() would
+                # silently register a zero-column view
+                raise ValueError("Csv format needs field(...) calls or a with_schema(...)")
             schema = StructType(
                 [
                     StructField(n, _parse_datatype_string(t), True)

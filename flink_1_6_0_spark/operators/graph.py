@@ -920,7 +920,8 @@ def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
 
 
 def transitive_closure(edges: DataFrame, max_iterations: int = 10,
-                       checkpoint_interval: int = 3) -> DataFrame:
+                       checkpoint_interval: int = 3,
+                       require_convergence: bool = True) -> DataFrame:
     """TransitiveClosureNaive (flink-examples-batch graph/
     TransitiveClosureNaive.java — the canonical bulk-iteration program):
     all reachable (src, dst) pairs by repeated path extension
@@ -930,7 +931,13 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10,
     iteration substrate); the fixpoint check is a count per superstep —
     the same work the reference's termination criterion does. The closure
     itself can be O(n²) rows on dense graphs — that is the OUTPUT size,
-    inherent to the problem, not a join blow-up."""
+    inherent to the problem, not a join blow-up.
+
+    ``require_convergence=True`` (default) raises if the fixpoint is not
+    reached within ``max_iterations`` — a partial closure is
+    indistinguishable from the real one downstream, so silence is the
+    wrong failure mode (longest-path hop count bounds the rounds needed;
+    each extension adds one hop)."""
     e = edges.select("src", "dst").distinct()
     paths = e
     n = paths.count()
@@ -946,4 +953,9 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10,
         if m == n:
             return paths
         paths, n = new_paths, m
+    if require_convergence:
+        raise RuntimeError(
+            f"transitive_closure did not reach a fixpoint in {max_iterations} "
+            "iterations — raise max_iterations (needed rounds ≈ longest path's hop count)"
+        )
     return paths

@@ -159,7 +159,6 @@ def summarize(df: DataFrame) -> DataFrame:
     driver loop over data, and column count (not row count) bounds the
     expression size. All stats are cast to double for a uniform row type.
     """
-    import pyspark.sql.functions as F
     from pyspark.sql.types import NumericType
 
     num_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
@@ -201,7 +200,6 @@ def summarize_strings(df: DataFrame) -> DataFrame:
     """StringColumnSummary (summarize/StringColumnSummary.java:29-36): per
     STRING column — non-null / null / empty counts, min/max/mean length.
     Same one-scan struct-explode shape as ``summarize``."""
-    import pyspark.sql.functions as F
     from pyspark.sql.types import StringType
 
     cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
@@ -239,7 +237,6 @@ def summarize_strings(df: DataFrame) -> DataFrame:
 def summarize_booleans(df: DataFrame) -> DataFrame:
     """BooleanColumnSummary (summarize/BooleanColumnSummary.java:29-34):
     true / false / null counts per BOOLEAN column."""
-    import pyspark.sql.functions as F
     from pyspark.sql.types import BooleanType
 
     cols = [f.name for f in df.schema.fields if isinstance(f.dataType, BooleanType)]

@@ -200,14 +200,16 @@ class TableEnvironment:
 
         from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
 
-        # target may be qualified (db.t) or backquoted, with an optional
-        # column list — (\w+) alone would reject valid statements
+        # target = dot-separated segments, each bare or backquoted (mixed
+        # quoting like db.`my t` is valid Spark SQL), optional column list;
+        # whitespace before the query is optional after a column list
         m = _re.match(
-            r"\s*INSERT\s+INTO\s+((?:[\w.]+|`[^`]+`(?:\.`[^`]+`)*)(?:\s*\([^)]*\))?)\s+(.*)",
+            r"\s*INSERT\s+INTO\s+"
+            r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*(?:\s*\([^)]*\))?)\s*(.+)",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
-        if not m:
+        if not m or not m.group(2).strip():
             raise ValueError("sql_update supports INSERT INTO <table> <query>")
         target, query = m.group(1), m.group(2)
         # the query half gets the Flink front-end rewrite, then the whole

@@ -228,9 +228,6 @@ def test_summarize_strings_and_booleans(spark):
 def test_examples_batch_programs_run(spark):
     """The canonical example programs (flink-examples parity) run end-to-end
     on their sample inputs."""
-    import sys
-
-    sys.path.insert(0, "examples")
     from examples.word_count import SAMPLE, word_count
 
     df = spark.createDataFrame([(line,) for line in SAMPLE], "value string")
