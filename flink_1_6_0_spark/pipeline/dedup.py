@@ -451,3 +451,30 @@ def incremental_dedup(
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
         )
     )
+
+
+def cross_corpus_lsh_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus candidate near-duplicate PAIRS (a, b) — the pair-level
+    counterpart of incremental_dedup's boolean flags, for when the pipeline
+    needs to know WHICH standing document an incoming one collides with
+    (provenance, canonical-pick, dedup audits).
+
+    Same band-bucket substrate (minhash_band_buckets both sides, equi-join
+    on (band, bh), distinct pairs) — never an all-pairs comparison; at
+    scale the right side's bucket table is the persisted corpus index."""
+    lb = minhash_band_buckets(left, id_col, text_col, shingle_k, num_hashes, bands)
+    rb = minhash_band_buckets(right, id_col, text_col, shingle_k, num_hashes, bands)
+    return (
+        lb.select(F.col("doc").alias("a"), "band", "bh")
+        .join(rb.select(F.col("doc").alias("b"), "band", "bh"), ["band", "bh"])
+        .select("a", "b")
+        .distinct()
+    )

@@ -585,3 +585,42 @@ def pi_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.filter(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0).agg(
         F.round(4.0 * F.count("*") / n, 6).alias("pi_estimate")
     )
+
+
+def _duck_cross_lsh_oracle(bands: int = 4, rows: int = 4) -> str:
+    from flink_1_6_0_spark.pipeline.text import MOD as _M
+
+    sig = _duck_minhash_sig(bands * rows)
+    band_rows = []
+    for b in range(bands):
+        parts = " || '_' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
+        band_rows.append(
+            f"SELECT doc, {b} AS band, {_TH.format(s=f'({parts})')} % {_M} AS bh FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_rows)
+    shingle_cte = _duck_shingle_cte("SELECT doc_id AS doc, text FROM documents")
+    return f"""
+    WITH {shingle_cte},
+    sigs AS (SELECT doc, [{', '.join(sig)}] AS sig FROM shingled),
+    buckets AS ({buckets})
+    SELECT DISTINCT x.doc AS a, y.doc AS b
+    FROM buckets x JOIN buckets y ON x.band = y.band AND x.bh = y.bh
+    WHERE x.doc % 5 = 0 AND y.doc % 5 <> 0
+    """
+
+
+@query(
+    "dedup_cross_corpus_pairs",
+    oracle=_duck_cross_lsh_oracle(),
+    tags=("pipeline", "dedup"),
+)
+def dedup_cross_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LSH candidate pairs: WHICH standing document each
+    incoming one collides with (the provenance-level view incremental
+    dedup's booleans summarize) — bucket equi-join between the two
+    corpora's band tables (pipeline/dedup.cross_corpus_lsh_pairs)."""
+    d = T(spark, sf_dir, "documents")
+    return dd.cross_corpus_lsh_pairs(
+        d.filter(F.col("doc_id") % 5 == 0), d.filter(F.col("doc_id") % 5 != 0),
+        "doc_id", "text",
+    )

@@ -583,3 +583,24 @@ def test_temperature_sample_alpha1_is_exact_noop_for_awkward_counts(spark):
     r = temperature_sample(df, "doc_id", "g", alpha=1.0)
     assert {x.rate_permille for x in r.select("rate_permille").distinct().collect()} == {1000}
     assert r.count() == 1650
+
+
+def test_cross_corpus_pairs_consistent_with_incremental_flags(spark):
+    # every near_dup=True doc from incremental_dedup appears as a left id in
+    # the pair view, and vice versa — the two outputs are one substrate
+    from flink_1_6_0_spark.pipeline.dedup import cross_corpus_lsh_pairs, incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "entirely different words about other topics")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, "fresh text never seen before in anything")],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc for r in incremental_dedup(new, corpus, "doc_id", "text").collect() if r.near_dup
+    }
+    paired = {r.a for r in cross_corpus_lsh_pairs(new, corpus, "doc_id", "text").collect()}
+    assert flagged == paired == {10}
