@@ -929,3 +929,79 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     example) over the directed trade graph — iterative path extension to
     fixpoint, checked against DuckDB's recursive CTE."""
     return g.transitive_closure(_trade_edges(spark, sf_dir), max_iterations=8)
+
+
+_DIRECTED_CENSUS_ORACLE = """
+WITH edges AS (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey),
+ids AS (SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges),
+ps AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+              CASE WHEN count(*) = 2 THEN 3
+                   ELSE max(CASE WHEN src < dst THEN 2 ELSE 1 END) END AS code
+       FROM edges GROUP BY least(src, dst), greatest(src, dst)),
+tr AS (
+    SELECT a.id AS a, b.id AS b, c.id AS c,
+           coalesce(ab.code, 0) AS sab, coalesce(bc.code, 0) AS sbc,
+           coalesce(ac.code, 0) AS sac
+    FROM ids a JOIN ids b ON a.id < b.id JOIN ids c ON b.id < c.id
+    LEFT JOIN ps ab ON ab.u = a.id AND ab.v = b.id
+    LEFT JOIN ps bc ON bc.u = b.id AND bc.v = c.id
+    LEFT JOIN ps ac ON ac.u = a.id AND ac.v = c.id),
+cl AS (
+    SELECT *,
+           (sab = 3)::INT + (sbc = 3)::INT + (sac = 3)::INT AS nm,
+           (sab = 0)::INT + (sbc = 0)::INT + (sac = 0)::INT AS nn,
+           -- asym-out / asym-in counts per triple vertex (mutual excluded)
+           (sab = 2)::INT + (sac = 2)::INT AS oa,
+           (sab = 1)::INT + (sbc = 2)::INT AS ob,
+           (sbc = 1)::INT + (sac = 1)::INT AS oc,
+           (sab = 1)::INT + (sac = 1)::INT AS ia,
+           (sab = 2)::INT + (sbc = 1)::INT AS ib,
+           (sbc = 2)::INT + (sac = 2)::INT AS ic
+    FROM tr),
+typed AS (
+    SELECT CASE
+        WHEN nm = 3 THEN 't300'
+        WHEN nm = 2 AND nn = 0 THEN 't210'
+        WHEN nm = 2 THEN 't201'
+        WHEN nm = 1 AND nn = 2 THEN 't102'
+        WHEN nm = 1 AND nn = 1 THEN
+            CASE WHEN (CASE WHEN sbc = 3 THEN oa WHEN sac = 3 THEN ob ELSE oc END) = 1
+                 THEN 't111d' ELSE 't111u' END
+        WHEN nm = 1 THEN
+            CASE (CASE WHEN sbc = 3 THEN oa WHEN sac = 3 THEN ob ELSE oc END)
+                 WHEN 2 THEN 't120d' WHEN 0 THEN 't120u' ELSE 't120c' END
+        WHEN nn = 3 THEN 't003'
+        WHEN nn = 2 THEN 't012'
+        WHEN nn = 1 THEN
+            CASE WHEN greatest(oa, ob, oc) = 2 THEN 't021d'
+                 WHEN greatest(ia, ib, ic) = 2 THEN 't021u'
+                 ELSE 't021c' END
+        ELSE CASE WHEN oa = 1 AND ob = 1 AND oc = 1 THEN 't030c' ELSE 't030t' END
+    END AS t
+    FROM cl)
+SELECT {cols}
+FROM typed
+""".format(
+    cols=", ".join(
+        f"sum((t = '{k}')::INT)::BIGINT AS {k}"
+        for k in ["t003", "t012", "t102", "t021d", "t021u", "t021c", "t111d", "t111u",
+                  "t030t", "t030c", "t201", "t120d", "t120u", "t120c", "t210", "t300"]
+    )
+)
+
+
+@query("graph_triadic_census_directed", oracle=_DIRECTED_CENSUS_ORACLE, tags=("graph",))
+def graph_triadic_census_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly directed TriadicCensus (clustering/directed/TriadicCensus.java)
+    — all 16 Holland-Leinhardt triad types of the directed trade graph.
+    Engine side: triangle direction profiles + degree-split wedges + the
+    reference's subtraction cascade; oracle side: an INDEPENDENT direct
+    classification of all vertex triples — the two derivations must agree
+    on every class."""
+    return g.triadic_census_directed(_trade_edges(spark, sf_dir))

@@ -916,3 +916,63 @@ def test_similarity_and_census_match_brute_force_on_random_graphs(spark):
         assert tuple(em) == (
             sum(tri.values()), sum(rect.values()), max(tri.values()), max(rect.values())
         )
+
+
+def test_directed_triadic_census_matches_brute_force(spark):
+    """All 16 Holland-Leinhardt classes vs an O(n³) triple classifier on
+    random directed graphs (deterministic seed)."""
+    import itertools
+    import random
+
+    def brute(vertices, es):
+        keys = ["t003", "t012", "t102", "t021d", "t021u", "t021c", "t111d", "t111u",
+                "t030t", "t030c", "t201", "t120d", "t120u", "t120c", "t210", "t300"]
+        counts = dict.fromkeys(keys, 0)
+        for a, b, c in itertools.combinations(sorted(vertices), 3):
+            pairs = [(a, b), (b, c), (a, c)]
+            st = ["m" if (u, v) in es and (v, u) in es
+                  else "f" if (u, v) in es else "r" if (v, u) in es else "n"
+                  for u, v in pairs]
+            nm, nn = st.count("m"), st.count("n")
+            na = 3 - nm - nn
+            arrows = [(u, v) if s == "f" else (v, u)
+                      for (u, v), s in zip(pairs, st) if s in "fr"]
+            if nm == 3:
+                k = "t300"
+            elif nm == 2:
+                k = "t210" if na else "t201"
+            elif nm == 1 and na == 0:
+                k = "t102"
+            elif nm == 1 and na == 1:
+                mp = pairs[st.index("m")]
+                k = "t111d" if arrows[0][1] in mp else "t111u"
+            elif nm == 1:
+                mp = pairs[st.index("m")]
+                z = next(v for v in (a, b, c) if v not in mp)
+                srcs = sum(1 for s, _ in arrows if s == z)
+                k = {2: "t120d", 0: "t120u", 1: "t120c"}[srcs]
+            elif na == 0:
+                k = "t003"
+            elif na == 1:
+                k = "t012"
+            elif na == 2:
+                s1, s2 = arrows[0][0], arrows[1][0]
+                t1, t2 = arrows[0][1], arrows[1][1]
+                k = "t021d" if s1 == s2 else "t021u" if t1 == t2 else "t021c"
+            else:
+                outs = {}
+                for s, _ in arrows:
+                    outs[s] = outs.get(s, 0) + 1
+                k = "t030c" if all(v == 1 for v in outs.values()) else "t030t"
+            counts[k] += 1
+        return counts
+
+    rnd = random.Random(11)
+    for _ in range(2):
+        n = 7
+        es = {(a, b) for a in range(n) for b in range(n) if a != b and rnd.random() < 0.3}
+        active = {v for e in es for v in e}
+        df = spark.createDataFrame(sorted(es), "src long, dst long")
+        row = g.triadic_census_directed(df).collect()[0]
+        got = dict(zip(row.__fields__, row))
+        assert got == brute(active, es)
