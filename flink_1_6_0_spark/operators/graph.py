@@ -1082,3 +1082,14 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
         t120d.alias("t120d"), t120u.alias("t120u"), t120c.alias("t120c"),
         t210.alias("t210"), t300.alias("t300"),
     )
+
+
+def edge_metrics_directed(edges: DataFrame) -> DataFrame:
+    """Gelly directed EdgeMetrics (library/metric/directed/
+    EdgeMetrics.java:50,89-99,232-240): identical computation to the
+    undirected form — the reference's directed variant reduces each vertex
+    pair to ONE record (ReduceEdgeStats) over the distinct-neighbor
+    relation with degree = distinct-neighbor count, which is exactly what
+    ``edge_metrics`` already computes (its _sym_simple_edges symmetrize +
+    dedup IS that relation). Kept as a named entry point for API parity."""
+    return edge_metrics(edges)
