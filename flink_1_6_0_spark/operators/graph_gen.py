@@ -165,6 +165,8 @@ def rmat_graph(
     a: float = 0.57,
     b: float = 0.19,
     c: float = 0.19,
+    noise_enabled: bool = False,
+    noise: float = 0.10,
 ) -> DataFrame:
     """RMatGraph.java:49-55 (Graph500 defaults A=0.57, B=C=0.19, D=0.05,
     noise off): 2^scale vertices, ``edge_count`` edges drawn by recursive
@@ -174,27 +176,71 @@ def rmat_graph(
     The draw is the counter-based portable hash of (seed, k, ℓ) compared
     against exact integer thresholds ⌊cum·2⁶⁰⌋ — fully deterministic per
     (edge, level), independent of partitioning, and bit-replayable in SQL.
-    Self-loops and duplicate edges are kept, as in the reference."""
-    t1 = int(a * (1 << _HASH_BITS))
-    t2 = int((a + b) * (1 << _HASH_BITS))
-    t3 = int((a + b + c) * (1 << _HASH_BITS))
+    Self-loops and duplicate edges are kept, as in the reference.
+
+    ``noise_enabled`` (RMatGraph.setNoise:133, strength ∈ [0, 2]): after
+    each level's draw, a/b/c/d are each scaled by (1 − noise/2 + u·noise)
+    with four fresh hash draws and renormalized (GenerateEdges:243-249) —
+    the per-edge parameter walk that de-correlates the quadrant fractal.
+    The noise path folds a (a, b, c, d, x, y) struct across levels (same
+    counter-hash determinism; float thresholds instead of integer ones)."""
     e = spark.range(edge_count).select(F.col("id").alias("k"))
     levels = F.sequence(F.lit(0), F.lit(scale - 1))
 
-    def bits(which: str):
-        # level ℓ=0 first ⇒ most significant: fold acc·2 + bit, pure integers
-        def per_level(l):
-            h = _hash60(F.lit(str(seed)), F.col("k").cast("string"), l.cast("string"))
-            if which == "src":
-                bit = F.when(h < t2, F.lit(0)).otherwise(F.lit(1))
-            else:
-                bit = F.when((h < t1) | ((h >= t2) & (h < t3)), F.lit(0)).otherwise(F.lit(1))
-            return bit.cast("long")
+    def u(l, tag: str):
+        return _hash60(
+            F.lit(str(seed)), F.col("k").cast("string"), l.cast("string"), F.lit(tag)
+        ).cast("double") / float(1 << _HASH_BITS)
 
-        return F.aggregate(
-            F.transform(levels, per_level),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc * 2 + x,
+    if not noise_enabled:
+        t1 = int(a * (1 << _HASH_BITS))
+        t2 = int((a + b) * (1 << _HASH_BITS))
+        t3 = int((a + b + c) * (1 << _HASH_BITS))
+
+        def bits(which: str):
+            # level ℓ=0 first ⇒ most significant: fold acc·2 + bit, integers
+            def per_level(l):
+                h = _hash60(F.lit(str(seed)), F.col("k").cast("string"), l.cast("string"))
+                if which == "src":
+                    bit = F.when(h < t2, F.lit(0)).otherwise(F.lit(1))
+                else:
+                    bit = F.when((h < t1) | ((h >= t2) & (h < t3)), F.lit(0)).otherwise(F.lit(1))
+                return bit.cast("long")
+
+            return F.aggregate(
+                F.transform(levels, per_level),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2 + x,
+            )
+
+        return e.select(bits("src").alias("src"), bits("dst").alias("dst"))
+
+    if not (0.0 <= noise <= 2.0):
+        raise ValueError("noise must be in [0, 2]")
+
+    def step(acc, l):
+        av, bv, cv, dv = acc["a"], acc["b"], acc["c"], acc["d"]
+        r = u(l, "q")
+        xbit = F.when(r <= av + bv, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        ybit = (
+            F.when((r <= av) | ((r > av + bv) & (r <= av + bv + cv)), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        na = av * (1.0 - noise / 2 + u(l, "a") * noise)
+        nb = bv * (1.0 - noise / 2 + u(l, "b") * noise)
+        nc = cv * (1.0 - noise / 2 + u(l, "c") * noise)
+        nd = dv * (1.0 - noise / 2 + u(l, "d") * noise)
+        s = na + nb + nc + nd
+        return F.struct(
+            (na / s).alias("a"), (nb / s).alias("b"), (nc / s).alias("c"), (nd / s).alias("d"),
+            (acc["x"] * 2 + xbit).alias("x"), (acc["y"] * 2 + ybit).alias("y"),
         )
 
-    return e.select(bits("src").alias("src"), bits("dst").alias("dst"))
+    init = F.struct(
+        F.lit(float(a)).alias("a"), F.lit(float(b)).alias("b"), F.lit(float(c)).alias("c"),
+        F.lit(float(1.0 - a - b - c)).alias("d"),
+        F.lit(0).cast("long").alias("x"), F.lit(0).cast("long").alias("y"),
+    )
+    folded = F.aggregate(levels, init, step)
+    return e.select(folded["x"].alias("src"), folded["y"].alias("dst"))

@@ -976,3 +976,21 @@ def test_directed_triadic_census_matches_brute_force(spark):
         row = g.triadic_census_directed(df).collect()[0]
         got = dict(zip(row.__fields__, row))
         assert got == brute(active, es)
+
+
+def test_rmat_noise_path(spark):
+    from flink_1_6_0_spark.operators import graph_gen as gg
+
+    a = sorted(map(tuple, gg.rmat_graph(spark, 5, 64, seed=7, noise_enabled=True).collect()))
+    # deterministic under repartitioning, in-range, full count
+    b = sorted(map(tuple, gg.rmat_graph(spark, 5, 64, seed=7, noise_enabled=True)
+                   .repartition(11).collect()))
+    assert a == b and len(a) == 64
+    assert all(0 <= s < 32 and 0 <= d < 32 for s, d in a)
+    # the parameter walk must actually change the draw vs the noiseless path
+    base = sorted(map(tuple, gg.rmat_graph(spark, 5, 64, seed=7).collect()))
+    assert a != base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gg.rmat_graph(spark, 5, 64, noise_enabled=True, noise=3.0)
