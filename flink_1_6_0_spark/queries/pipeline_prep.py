@@ -760,3 +760,93 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = temperature_sample(T(spark, sf_dir, "documents"), "doc_id", "lang", alpha=0.3)
     return out.select("doc_id", "lang", "rate_permille")
+
+
+
+def _quality_sql() -> str:
+    """The text_quality oracle's quality expression, shared so the weighted
+    sampler's oracle can never drift from the scorer's."""
+    import flink_1_6_0_spark.queries.pipeline  # noqa: F401 — registers text_quality
+    from flink_1_6_0_spark.registry import get
+
+    return get("text_quality").oracle
+
+
+def _qws_oracle() -> str:
+    return f"""
+    WITH q AS ({_quality_sql()})
+    SELECT d.doc_id, q.quality, floor(q.quality * 1000)::INT AS rate_permille
+    FROM documents d JOIN q USING (doc_id)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'qsample'), 1, 15))::BIGINT % 1000
+          < floor(q.quality * 1000)::INT
+    """
+
+
+@query(
+    "corpus_quality_weighted_sample",
+    oracle=_qws_oracle(),
+    tags=("pipeline", "quality", "sampling"),
+)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (soft) filtering — the FineWeb-Edu/DCLM-style
+    alternative to a hard threshold: each document's keep-probability IS its
+    quality score (rate_permille = ⌊quality·1000⌋), applied through the
+    deterministic md5 gate so the sampled corpus is reproducible anywhere.
+    One scan: the score and the gate are pure Column expressions."""
+    from flink_1_6_0_spark.operators.utils import deterministic_sample
+    from flink_1_6_0_spark.pipeline import text as tx
+
+    d = T(spark, sf_dir, "documents").withColumn("quality", tx.quality_score("text"))
+    d = d.withColumn("rate_permille", F.floor(F.col("quality") * 1000).cast("int"))
+    out = deterministic_sample(d, F.col("doc_id"), F.col("rate_permille"), salt="qsample")
+    return out.select("doc_id", "quality", "rate_permille")
+
+
+@query(
+    "corpus_diversity_report",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM documents),
+    tok_stats AS (
+        SELECT source, count(*) AS n_tokens, count(DISTINCT t) AS n_types
+        FROM toks GROUP BY source),
+    bgs AS (
+        SELECT source, unnest(CASE WHEN len(tt) >= 2
+                 THEN [tt[i] || ' ' || tt[i+1] FOR i IN range(1, len(tt))]
+                 ELSE [] END) AS bg
+        FROM (SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS tt
+              FROM documents)),
+    bg_stats AS (
+        SELECT source, count(*) AS n_bigrams, count(DISTINCT bg) AS n_distinct_bigrams
+        FROM bgs GROUP BY source)
+    SELECT t.source, t.n_tokens, t.n_types,
+           round(t.n_types / t.n_tokens, 6) AS ttr,
+           b.n_bigrams, b.n_distinct_bigrams,
+           round(b.n_distinct_bigrams / b.n_bigrams, 6) AS bigram_ttr
+    FROM tok_stats t JOIN bg_stats b USING (source)
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def corpus_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity report: type-token ratio and distinct-
+    bigram fraction — the data-card metric that flags template/boilerplate
+    sources (low diversity) before training. Two explode+groupBy scans with
+    map-side combine; SOURCE-cardinality output."""
+    from flink_1_6_0_spark.pipeline import text as tx
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tx.tokenize(F.lower(F.col("text")))).alias("t"))
+    tok_stats = toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"), F.countDistinct("t").alias("n_types")
+    )
+    bgs = d.select("source", F.explode(tx.bigrams(F.lower(F.col("text")))).alias("bg"))
+    bg_stats = bgs.groupBy("source").agg(
+        F.count("*").alias("n_bigrams"), F.countDistinct("bg").alias("n_distinct_bigrams")
+    )
+    return tok_stats.join(bg_stats, "source").select(
+        "source", "n_tokens", "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        "n_bigrams", "n_distinct_bigrams",
+        F.round(F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6).alias("bigram_ttr"),
+    )
