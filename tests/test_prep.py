@@ -604,3 +604,22 @@ def test_cross_corpus_pairs_consistent_with_incremental_flags(spark):
     }
     paired = {r.a for r in cross_corpus_lsh_pairs(new, corpus, "doc_id", "text").collect()}
     assert flagged == paired == {10}
+
+
+def test_approx_count_distinct_within_hll_tolerance(spark, sf_dir):
+    """The 100 TB swap for exact countDistinct in the diversity report is
+    approx_count_distinct (HyperLogLog++); its relative error at rsd=0.01
+    must hold on real token data."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.pipeline.text import tokenize
+    from flink_1_6_0_spark.queries import T
+
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("t")
+    )
+    row = toks.agg(
+        F.countDistinct("t").alias("exact"),
+        F.approx_count_distinct("t", 0.01).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
