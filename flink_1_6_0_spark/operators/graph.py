@@ -1013,8 +1013,14 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
         .otherwise(F.when(cyc, "030c").otherwise("030t"))
     )
     kinds = ["030t", "030c", "120d", "120u", "120c", "210", "300"]
+    # coalesce: F.sum over an EMPTY triangle set is NULL, which would
+    # propagate through the whole subtraction cascade on triangle-free
+    # graphs (chains, DAGs) — every count must default to 0
     tri_hist = tri.select(ttype.alias("t")).agg(
-        *[F.sum((F.col("t") == k).cast("long")).alias(f"tri_{k}") for k in kinds]
+        *[
+            F.coalesce(F.sum((F.col("t") == k).cast("long")), F.lit(0)).alias(f"tri_{k}")
+            for k in kinds
+        ]
     )
 
     # per-vertex degree split → wedge counts (VertexDegreesHelper:270-291)

@@ -184,6 +184,9 @@ def rmat_graph(
     the per-edge parameter walk that de-correlates the quadrant fractal.
     The noise path folds a (a, b, c, d, x, y) struct across levels (same
     counter-hash determinism; float thresholds instead of integer ones)."""
+    if not (0.0 <= noise <= 2.0):
+        # validated eagerly regardless of the flag (RMatGraph.setNoise:134)
+        raise ValueError("noise must be in [0, 2]")
     e = spark.range(edge_count).select(F.col("id").alias("k"))
     levels = F.sequence(F.lit(0), F.lit(scale - 1))
 
@@ -214,9 +217,6 @@ def rmat_graph(
             )
 
         return e.select(bits("src").alias("src"), bits("dst").alias("dst"))
-
-    if not (0.0 <= noise <= 2.0):
-        raise ValueError("noise must be in [0, 2]")
 
     def step(acc, l):
         av, bv, cv, dv = acc["a"], acc["b"], acc["c"], acc["d"]

@@ -187,7 +187,12 @@ def _duck_minhash_sig(num_hashes: int = 16) -> list[str]:
     ]
 
 
-def _duck_lsh_oracle(bands: int = 4, rows: int = 4) -> str:
+def _duck_buckets_cte(bands: int = 4, rows: int = 4,
+                      source_sql: str = "SELECT doc_id AS doc, text FROM documents") -> str:
+    """Shared CTE chain ``shingled → sigs → buckets`` replaying
+    minhash_band_buckets — the ONE spelling every LSH oracle
+    (self-join, incremental, cross-corpus) builds on, so the band hashing
+    can never diverge between them."""
     sig = _duck_minhash_sig(bands * rows)
     band_rows = []
     for b in range(bands):
@@ -196,11 +201,15 @@ def _duck_lsh_oracle(bands: int = 4, rows: int = 4) -> str:
             f"SELECT doc, {b} AS band, {_TH.format(s=f'({parts})')} % {_MOD} AS bh FROM sigs"
         )
     buckets = " UNION ALL ".join(band_rows)
-    return f"""
-    WITH {_duck_shingle_cte('SELECT doc_id AS doc, text FROM documents')},
+    return f"""{_duck_shingle_cte(source_sql)},
     sigs AS (
       SELECT doc, [{', '.join(sig)}] AS sig FROM shingled
-    ), buckets AS ({buckets})
+    ), buckets AS ({buckets})"""
+
+
+def _duck_lsh_oracle(bands: int = 4, rows: int = 4) -> str:
+    return f"""
+    WITH {_duck_buckets_cte(bands, rows)}
     SELECT DISTINCT x.doc AS a, y.doc AS b
     FROM buckets x JOIN buckets y ON x.band = y.band AND x.bh = y.bh
     WHERE x.doc < y.doc

@@ -22,9 +22,8 @@ from flink_1_6_0_spark.pipeline import dedup as dd
 from flink_1_6_0_spark.pipeline import text as tx
 from flink_1_6_0_spark.queries import T
 from flink_1_6_0_spark.queries.pipeline import (
+    _duck_buckets_cte,
     _duck_lsh_oracle,
-    _duck_minhash_sig,
-    _duck_shingle_cte,
     _TH,
     _TOKS,
 )
@@ -470,21 +469,8 @@ def ml_poly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_incremental_oracle(bands: int = 4, rows: int = 4) -> str:
-    from flink_1_6_0_spark.pipeline.text import MOD as _MOD
-
-    sig = _duck_minhash_sig(bands * rows)
-    band_rows = []
-    for b in range(bands):
-        parts = " || '_' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
-        band_rows.append(
-            f"SELECT doc, {b} AS band, {_TH.format(s=f'({parts})')} % {_MOD} AS bh FROM sigs"
-        )
-    buckets = " UNION ALL ".join(band_rows)
-    shingle_cte = _duck_shingle_cte("SELECT doc_id AS doc, text FROM documents")
     return f"""
-    WITH {shingle_cte},
-    sigs AS (SELECT doc, [{', '.join(sig)}] AS sig FROM shingled),
-    buckets AS ({buckets}),
+    WITH {_duck_buckets_cte(bands, rows)},
     nb AS (SELECT doc, band, bh FROM buckets WHERE doc % 5 = 0),
     cb AS (SELECT DISTINCT band, bh FROM buckets WHERE doc % 5 <> 0)
     SELECT n.doc_id AS doc,
@@ -588,21 +574,8 @@ def pi_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_cross_lsh_oracle(bands: int = 4, rows: int = 4) -> str:
-    from flink_1_6_0_spark.pipeline.text import MOD as _M
-
-    sig = _duck_minhash_sig(bands * rows)
-    band_rows = []
-    for b in range(bands):
-        parts = " || '_' || ".join(f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
-        band_rows.append(
-            f"SELECT doc, {b} AS band, {_TH.format(s=f'({parts})')} % {_M} AS bh FROM sigs"
-        )
-    buckets = " UNION ALL ".join(band_rows)
-    shingle_cte = _duck_shingle_cte("SELECT doc_id AS doc, text FROM documents")
     return f"""
-    WITH {shingle_cte},
-    sigs AS (SELECT doc, [{', '.join(sig)}] AS sig FROM shingled),
-    buckets AS ({buckets})
+    WITH {_duck_buckets_cte(bands, rows)}
     SELECT DISTINCT x.doc AS a, y.doc AS b
     FROM buckets x JOIN buckets y ON x.band = y.band AND x.bh = y.bh
     WHERE x.doc % 5 = 0 AND y.doc % 5 <> 0

@@ -765,11 +765,13 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_sql() -> str:
     """The text_quality oracle's quality expression, shared so the weighted
-    sampler's oracle can never drift from the scorer's."""
+    sampler's oracle can never drift from the scorer's. Reads _REGISTRY
+    directly: get()/load_all() here would re-entrantly import ALL query
+    modules while this one is half-initialized (review finding)."""
     import flink_1_6_0_spark.queries.pipeline  # noqa: F401 — registers text_quality
-    from flink_1_6_0_spark.registry import get
+    from flink_1_6_0_spark.registry import _REGISTRY
 
-    return get("text_quality").oracle
+    return _REGISTRY["text_quality"].oracle
 
 
 def _qws_oracle() -> str:
@@ -822,9 +824,12 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         FROM bgs GROUP BY source)
     SELECT t.source, t.n_tokens, t.n_types,
            round(t.n_types / t.n_tokens, 6) AS ttr,
-           b.n_bigrams, b.n_distinct_bigrams,
-           round(b.n_distinct_bigrams / b.n_bigrams, 6) AS bigram_ttr
-    FROM tok_stats t JOIN bg_stats b USING (source)
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           coalesce(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                THEN round(b.n_distinct_bigrams / b.n_bigrams, 6)
+                ELSE 0.0 END AS bigram_ttr
+    FROM tok_stats t LEFT JOIN bg_stats b USING (source)
     """,
     tags=("pipeline", "text", "quality"),
 )
@@ -844,9 +849,16 @@ def corpus_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg_stats = bgs.groupBy("source").agg(
         F.count("*").alias("n_bigrams"), F.countDistinct("bg").alias("n_distinct_bigrams")
     )
-    return tok_stats.join(bg_stats, "source").select(
+    # LEFT join + zero fill: a source of only sub-2-token documents has NO
+    # bigram rows — an inner join would drop exactly the degenerate source
+    # this report exists to flag (review finding)
+    return tok_stats.join(bg_stats, "source", "left").select(
         "source", "n_tokens", "n_types",
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
-        "n_bigrams", "n_distinct_bigrams",
-        F.round(F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6).alias("bigram_ttr"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.round(F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6),
+        ).otherwise(0.0).alias("bigram_ttr"),
     )

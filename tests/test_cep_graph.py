@@ -994,3 +994,12 @@ def test_rmat_noise_path(spark):
 
     with _pytest.raises(ValueError):
         gg.rmat_graph(spark, 5, 64, noise_enabled=True, noise=3.0)
+
+
+def test_directed_census_triangle_free_graph(spark):
+    # empty triangle set must yield ZERO counts, not NULL propagation
+    # (review finding: F.sum over no rows is NULL)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r = g.triadic_census_directed(e).collect()[0]
+    assert r.t021c == 1 and r.t003 == 0 and r.t300 == 0
+    assert all(v is not None for v in r)
