@@ -168,7 +168,9 @@ def minhash_lsh_pairs(
     )
 
 
-def _dup_shingle_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _dup_shingle_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int, small_data: bool = False
+) -> DataFrame:
     """Positions of k-token shingles that occur in >=2 DISTINCT documents —
     the shared kernel of ``duplicate_span_stats`` (report) and
     ``cut_duplicate_spans`` (apply). Returns (doc, pos, n_shingles) with
@@ -182,9 +184,17 @@ def _dup_shingle_positions(df: DataFrame, id_col: str, text_col: str, k: int) ->
     - positioned shingles via one posexplode + window lead (each token
       materialized once), hashed to a bigint so the wide shingle string
       never shuffles;
-    - cross-doc detection is min(doc)!=max(doc) over a hash-partitioned
-      window — no count-distinct, no join-back (a groupBy+join would
-      recompute the whole shingle pipeline or require a persist)."""
+    - cross-doc detection (default, scale-safe): persist the positioned
+      shingles, ``groupBy(h).agg(min(doc) != max(doc))`` — partial
+      aggregation combines map-side so a boilerplate shingle with 10⁹
+      occurrences never lands in one task — then LEFT SEMI join back on h
+      (AQE splits any remaining skewed join partition). The persist is what
+      makes the join-back not recompute the whole shingle pipeline; blocks
+      are LRU-evicted / freed with the session (one-shot query callers).
+    - ``small_data=True`` keeps the old single-pass form (min/max over a
+      hash-partitioned window, no persist) — fine when every distinct
+      shingle's occurrence list fits one task, wrong at corpus scale
+      (round-4 verdict #2)."""
     from pyspark.sql import Window
 
     pre = df.select(
@@ -208,12 +218,23 @@ def _dup_shingle_positions(df: DataFrame, id_col: str, text_col: str, k: int) ->
         .filter(F.col("__last").isNotNull())
         .select("doc", "n_shingles", "pos", (token_hash(F.col("s")) % MOD).alias("h"))
     )
-    wh = Window.partitionBy("h")
-    return (
-        sh.withColumn("dup", F.min("doc").over(wh) != F.max("doc").over(wh))
+    if small_data:
+        wh = Window.partitionBy("h")
+        return (
+            sh.withColumn("dup", F.min("doc").over(wh) != F.max("doc").over(wh))
+            .filter(F.col("dup"))
+            .select("doc", "pos", "n_shingles")
+        )
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    cross = (
+        sh.groupBy("h")
+        .agg((F.min("doc") != F.max("doc")).alias("dup"))
         .filter(F.col("dup"))
-        .select("doc", "pos", "n_shingles")
+        .select("h")
     )
+    return sh.join(cross, "h", "left_semi").select("doc", "pos", "n_shingles")
 
 
 def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
@@ -232,9 +253,9 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str, k: int = 8) 
     - positioned shingles via one posexplode + window lead (each token
       materialized once), hashed to a bigint so the wide shingle string
       never shuffles;
-    - cross-doc detection is min(doc)!=max(doc) over a hash-partitioned
-      window — no count-distinct, no join-back (a groupBy+join would
-      recompute the whole shingle pipeline or require a persist);
+    - cross-doc detection via the persisted groupBy(h) + semi-join kernel
+      (``_dup_shingle_positions``) — partial aggregation combines map-side,
+      so no single shingle hash can straggler/OOM one task;
     - the longest-run computation is gaps-and-islands (pos - row_number)
       per doc — state bounded by document length, never by corpus size.
     """

@@ -213,7 +213,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
                FROM embeddings)
-    SELECT vec_id, list_transform(v, x -> x / norm) AS unit, norm
+    SELECT vec_id, unnest(range(len(v)))::INT AS dim,
+           unnest(list_transform(v, x -> x / norm)) AS unit_val, norm
     FROM t WHERE norm > 0.000001
     """,
     tags=("pipeline", "similarity"),
@@ -221,10 +222,21 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding hygiene before ANN/dedup indexing: drop near-zero-norm
     vectors, emit unit vectors + norms — pure array expressions in the scan
-    projection (no UDF, no shuffle)."""
+    projection (no UDF, no shuffle).
+
+    Registered output is the EXPLODED form (vec_id, dim, unit_val, norm):
+    the driver's canonicalizer sorts raw pandas columns, and array-typed
+    cells are unhashable there (round-4 verdict #1). The array-shaped
+    operator itself is unchanged (pipeline/similarity.normalize_embeddings);
+    this query flattens only at the comparison boundary. Both engines
+    compute the identical IEEE sequence (cast→square→ordered sum→sqrt→
+    divide), so raw doubles hash equal."""
     from flink_1_6_0_spark.pipeline.similarity import normalize_embeddings
 
-    return normalize_embeddings(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    unit = normalize_embeddings(T(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return unit.select(
+        "vec_id", F.posexplode("unit").alias("dim", "unit_val"), "norm"
+    ).select("vec_id", "dim", "unit_val", "norm")
 
 
 @query(

@@ -75,65 +75,55 @@ def query(
 # least one representative of every SURVEY.md §2 family into that window; the
 # remaining queries follow in module insertion order.
 _PRIORITY_HEAD = (
-    # --- round-5 rotation: the 9 round-3 queries stay (their FIRST driver
-    # check is this round's CORRECTNESS run); 15 family-duplicates the driver
-    # already verified in r3 (join_full_outer, join_windowed_stream,
-    # agg_multiset_collect, scalar_math_sweep, window_count_tumble,
-    # window_tumble_flink_sql, window_all_tumble, stream_hop/session_agg,
-    # over_range_bounded, unnest_tokens, stream_continuous_agg, cep_funnel,
-    # dedup_exact, multimodal_decode) rotate OUT (all stay registered +
-    # loc-verified) in favor of the round-4 additions; every §2 family keeps
-    # >=1 representative in the window. ---
-    # §2.4/§2.3 TPC-H core (agg, joins, semi/anti, exists-collapse)
-    "tpch_q1", "tpch_q9", "tpch_q21",
-    # §2.3 joins: interval, stream outer, as-of (batch + stream); skew-salted
-    # and windowed-coGroup were driver-verified in r3 and stay loc-verified
-    "interval_join_events", "stream_outer_join",
-    "join_asof_events", "stream_asof_join",
-    # §2.4 aggs: grouping sets, UDAF, fold, streaming DISTINCT agg
-    "agg_grouping_sets", "udaf_geomean", "fold_keyed", "stream_distinct_agg",
-    # §2.8 set ops
-    "setop_union_all",
-    # §2.9 scalar function sweeps (string represents the family; math/
-    # temporal/conditional/collection stay loc-verified outside the window)
-    "scalar_string_sweep",
-    # §2.1 JSON format
-    "json_props_extract",
-    # §2.5 group windows: batch tumble, multi-granularity rollup, streaming
-    # tumble, evictor, trigger (session/hop/count/SQL-TUMBLE/windowAll were
-    # driver-verified in r3 and stay loc-verified)
-    "window_tumble", "window_multi_rollup",
-    "stream_evicted_window", "stream_continuous_trigger",
-    # §2.6 OVER windows (batch + the r3 streaming OVER)
-    "over_rows_unbounded", "stream_over_rows",
-    # §2.7 sort/limit
-    "sort_offset_fetch",
-    # §2.2/§2.10 correlate + UDF/UDTF
-    "correlate_lateral_udtf", "udf_scalar_md5",
-    # §2.11 streaming semantics (batch-replay-checked; stream_interval_join
-    # was driver-verified in r3, stream_asof_join reps streaming joins)
-    "stream_tumble_agg", "stream_dedup_first_per_user",
-    # §2.12 CEP (the streaming NFA; the batch NFA was driver-verified in r3)
-    "stream_cep_funnel",
-    # §2.13 graph + ML: the similarity tier and PolynomialFeatures are new
-    # this round (never driver-checked); connected_components and knn_join
-    # were driver-verified in r3 and stay loc-verified
-    "graph_jaccard_index", "ml_poly_features",
-    # LLM-pipeline operators: dedup (minhash, substring spans), similarity
-    # (exact top-k + LSH recall eval), text prep (stats, PII, contamination
-    # exact + bloom, packing, chunking, C4 clean, perplexity, quantiles,
-    # split/shuffle, per-source sampling), multimodal (real decode, ahash),
-    # embedding hygiene, end-to-end composition
-    "dedup_minhash_lsh", "dedup_substring",
-    "ann_cosine_topk", "ann_recall_eval",
-    "text_stats", "text_pii_redact",
-    "contamination_ngram", "contamination_bloom",
-    "pack_sequences", "text_chunk_overlap", "text_c4_clean",
-    "text_perplexity_topk_vocab", "text_bigram_logppl", "doc_length_quantiles",
-    "corpus_split_shuffle", "corpus_lang_rebalance", "dedup_substring_cut",
-    "stream_quality_monitor",
-    "multimodal_real_decode", "multimodal_ahash",
-    "embedding_normalize", "prep_pipeline_e2e",
+    # --- round-5 rotation (r4 verdict task 2): 117 of 186 registered queries
+    # have driver evidence from rounds 1-4; 69 have never been driver-checked.
+    # This window keeps 9 stable sentinels (>=1 per §2 family, all driver-green
+    # in r4) and rotates in 41 of the 69 — the whole r4 Gelly tier, the
+    # dedup/ann/corpus/sql_* groups, and the misc batch stragglers. The
+    # remaining 28 never-checked queries are scheduled for the round-6 window:
+    #   text_langid, text_fingerprint, text_quality, text_repetition_filter,
+    #   text_segment_dedup, text_perplexity_filter, text_vocab_coverage,
+    #   text_length_outliers, text_bpe_token_stats, text_bpe_train,
+    #   dedup_ngram_jaccard, dedup_summary_report, dedup_cross_corpus_pairs,
+    #   multimodal_frame_sample, embedding_pca_project, ann_ivf_kmeans_topk,
+    #   sample_stratified, sample_n_per_source, tfidf_top_terms,
+    #   ngram_bigram_top20, doc_shard_assign, quality_filter_funnel,
+    #   ml_sos_outlier, ml_quality_classifier, dataset_summarize,
+    #   pi_estimation, stream_contamination, cep_double_click.
+    # Everything rotated out stays registered + locally oracle-verified. ---
+    #
+    # §2 sentinels (stable across rotations, all drv4-green):
+    "tpch_q1",                 # §2.3/§2.4 join+agg core
+    "stream_asof_join",        # §2.11 streaming join semantics
+    "window_tumble",           # §2.5 group windows
+    "over_rows_unbounded",     # §2.6 OVER windows
+    "udaf_geomean",            # §2.10 UDF/UDAF contract
+    "stream_cep_funnel",       # §2.12 CEP streaming NFA
+    "dedup_minhash_lsh",       # LLM-pipeline dedup
+    "multimodal_real_decode",  # multimodal plumbing
+    "embedding_normalize",     # r4's one red — fixed shape, must prove green
+    #
+    # §2.13 Gelly tier (entire r4 addition, zero driver evidence until now):
+    "graph_triangle_count", "graph_summarize", "graph_clustering_coeff",
+    "graph_hits", "graph_label_propagation", "graph_sssp",
+    "graph_community_detection", "graph_bipartite_projection",
+    "graph_adamic_adar", "graph_vertex_metrics", "graph_avg_clustering",
+    "graph_triadic_census", "graph_edge_metrics", "graph_generators",
+    "graph_gen_rmat", "graph_api_pipeline", "graph_vertex_metrics_directed",
+    "graph_lcc_directed", "graph_gcc_directed", "graph_transitive_closure",
+    "graph_triadic_census_directed",
+    # LLM-pipeline: incremental/simhash/cluster dedup, LSH/IVF/multiprobe ANN
+    "dedup_incremental", "dedup_simhash", "dedup_cluster_canonical",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_multiprobe_topk",
+    # corpus sampling / reporting tier
+    "corpus_datacard", "corpus_temperature_mix",
+    "corpus_quality_weighted_sample", "corpus_diversity_report",
+    # §2.3 SQL subquery rewrites
+    "sql_in_subquery", "sql_exists_correlated", "sql_scalar_correlated",
+    "sql_not_in_subquery", "sql_having_groupagg",
+    # misc batch stragglers (§2.6/§2.3/§2.5 variants + events analytics)
+    "window_topn", "join_asof_forward", "over_rows_bounded",
+    "events_cohort_retention", "window_count_evictor",
 )
 
 

@@ -14,7 +14,7 @@ import duckdb
 from flink_1_6_0_spark.catalog import TABLES
 from flink_1_6_0_spark.registry import load_all
 from flink_1_6_0_spark.session import get_spark
-from tests.helpers import normalize
+from tests.helpers import driver_canon, normalize
 
 
 def main() -> int:
@@ -25,11 +25,15 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     failures = 0
-    for name, spec in sorted(load_all().items()):
+    specs = load_all()
+    if filt == "--head":  # exactly the driver's 50-query gate window, in order
+        specs, filt = {n: specs[n] for n in list(specs)[:50]}, ""
+    for name, spec in sorted(specs.items()):
         if filt and filt not in name:
             continue
         try:
             sp = spec.fn(spark, sf).toPandas()
+            driver_canon(sp)  # the driver's raw sort_values — unhashable cells throw
             if spec.oracle is None:
                 print(f"{name}: rows={len(sp)} (no oracle — rows-only)")
                 continue

@@ -34,6 +34,17 @@ def _norm_cell(v):
     return v
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """The driver's EXACT canonicalization step: raw pandas ``sort_values``
+    over all columns sorted by name — no cell normalization of any kind.
+    An array/map/struct-typed cell raises ``TypeError: unhashable type``
+    here precisely as it does in the driver's harness (round-4 verdict #1),
+    so running this over every registered query's output makes that class
+    of driver-red impossible to reintroduce."""
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
 def normalize(df: pd.DataFrame) -> list[tuple]:
     """Sort columns by name, normalize cells, sort rows — the driver's model."""
     cols = sorted(df.columns)
@@ -45,6 +56,9 @@ def assert_frames_match(spark_df, duck_rel, query_name: str = "") -> None:
     """Compare a Spark DataFrame against a DuckDB relation (both executed)."""
     sp = spark_df.toPandas()
     dk = duck_rel.fetchdf()
+    # Must survive the driver's raw sort_values canon (unhashable cells throw).
+    driver_canon(sp)
+    driver_canon(dk)
     assert sorted(sp.columns) == sorted(dk.columns), (
         f"{query_name}: column mismatch spark={sorted(sp.columns)} duck={sorted(dk.columns)}"
     )

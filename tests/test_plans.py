@@ -203,14 +203,19 @@ def test_perplexity_topk_broadcasts_vocab(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_dedup_substring_no_cartesian_no_python(spark, sf_dir):
-    """Substring-span dedup must stay window/agg shaped: hash-partitioned
-    windows and aggregates only — no join-back (which would recompute the
-    shingle pipeline), no cartesian, no Python in the plan."""
+def test_dedup_substring_skew_safe_aggregate(spark, sf_dir):
+    """Cross-doc detection must be the persisted partial-aggregate + semi-join
+    kernel (round-4 verdict #2): min/max(doc) per shingle hash with a
+    MAP-SIDE partial phase — never Window.partitionBy(h), which funnels
+    every occurrence of one boilerplate shingle into a single task at corpus
+    scale. The persisted shingle table (InMemoryTableScan) is what keeps the
+    join-back from recomputing the whole shingle pipeline."""
     plan = _plan(get("dedup_substring").fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan
 
 
 def test_ann_recall_lsh_side_is_equi_join(spark, sf_dir):

@@ -623,3 +623,17 @@ def test_approx_count_distinct_within_hll_tolerance(spark, sf_dir):
         F.approx_count_distinct("t", 0.01).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_dup_shingle_kernel_small_data_path_equivalent(spark, sf_dir):
+    """The skew-safe default (persist + groupBy(h) + semi-join) and the
+    small-data window form must agree row-for-row — the r5 kernel swap
+    (round-4 verdict #2) is a plan change, not a semantics change."""
+    from flink_1_6_0_spark.pipeline.dedup import _dup_shingle_positions
+    from flink_1_6_0_spark.queries import T
+
+    d = T(spark, sf_dir, "documents")
+    default = _dup_shingle_positions(d, "doc_id", "text", 8).collect()
+    window = _dup_shingle_positions(d, "doc_id", "text", 8, small_data=True).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, window))
+    assert len(default) > 0
