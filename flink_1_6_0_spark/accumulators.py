@@ -16,6 +16,16 @@ Two Spark substrates, chosen by where the metric lives:
   mapInPandas/applyInPandas user code, ``SparkContext.accumulator`` (and a
   dict-merging param for Histogram) — the direct RuntimeContext analog.
 
+  **At-least-once caveat** (differs from the reference): Spark only
+  guarantees exactly-once accumulator updates inside *actions*; updates made
+  in *transformations* (which is where mapInPandas runs) can be re-applied
+  when a task is retried or speculatively duplicated, so these counters can
+  over-count under failure/speculation — unlike Flink's job-exact
+  JobExecutionResult accumulators. When the count must be exact, use
+  ``observe_metrics`` (plan-side, exactly-once by construction) or disable
+  speculative execution (``spark.speculation=false``, the default) and
+  accept retry-skew only on task failure.
+
 Broadcast variables: Flink broadcast sets are small by contract (they are
 materialized per task). ``broadcast_variable`` collects the DataFrame and
 ships it via ``sc.broadcast`` for use inside Python functions; for

@@ -666,13 +666,14 @@ def jaccard_index(edges: DataFrame, min_score: float | None = None) -> DataFrame
             "shared_neighbors",
             (F.col("du") + F.col("dv") - F.col("shared_neighbors")).alias("distinct_neighbors"),
         )
-        .withColumn(
-            "score", F.round(F.col("shared_neighbors") / F.col("distinct_neighbors"), 6)
-        )
+        .withColumn("score", F.col("shared_neighbors") / F.col("distinct_neighbors"))
     )
+    # threshold on the EXACT ratio (JaccardIndex.java filters the raw float);
+    # rounding happens only in the output projection, so pairs within 5e-7 of
+    # min_score are kept/dropped identically to the reference
     if min_score is not None:
         out = out.filter(F.col("score") >= min_score)
-    return out
+    return out.withColumn("score", F.round(F.col("score"), 6))
 
 
 def adamic_adar(edges: DataFrame, min_score: float | None = None) -> DataFrame:
@@ -705,11 +706,13 @@ def adamic_adar(edges: DataFrame, min_score: float | None = None) -> DataFrame:
         a.join(b, "z")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .agg(F.sum("w").alias("score"))
     )
+    # exact-sum threshold first (AdamicAdar.java filters the unrounded float),
+    # round only for cross-engine output stability
     if min_score is not None:
         out = out.filter(F.col("score") >= min_score)
-    return out
+    return out.withColumn("score", F.round(F.col("score"), 6))
 
 
 def vertex_metrics(edges: DataFrame) -> DataFrame:

@@ -120,7 +120,10 @@ def contamination_bloom(
         h2 = F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
         return F.pmod(token_hash(col), F.lit(m)), F.pmod(h2, F.lit(m))
 
-    bench_sh = shingle_rows(benchmark, id_col, text_col, k=k).select("s").distinct()
+    # persisted: the benchmark shingle set feeds BOTH the bitmap build and
+    # the exact broadcast join — one shingle pipeline, not two (benchmark
+    # suites are MBs, so the cache cost is nil at any scale)
+    bench_sh = shingle_rows(benchmark, id_col, text_col, k=k).select("s").distinct().persist()
     bit1, bit2 = _bits(F.col("s"))
     positions = (
         bench_sh.select(F.explode(F.array(bit1, bit2)).alias("bit")).distinct().collect()

@@ -923,6 +923,7 @@ def graph_gcc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT src, dst FROM tc
     """,
     tags=("graph",),
+    bench=True,
 )
 def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransitiveClosureNaive (the reference's canonical bulk-iteration
@@ -996,7 +997,7 @@ FROM typed
 )
 
 
-@query("graph_triadic_census_directed", oracle=_DIRECTED_CENSUS_ORACLE, tags=("graph",))
+@query("graph_triadic_census_directed", oracle=_DIRECTED_CENSUS_ORACLE, tags=("graph",), bench=True)
 def graph_triadic_census_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gelly directed TriadicCensus (clustering/directed/TriadicCensus.java)
     — all 16 Holland-Leinhardt triad types of the directed trade graph.

@@ -121,6 +121,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY csh.doc_id
     """,
     tags=("pipeline", "text", "dedup"),
+    bench=True,
 )
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination — the exact contamination check with

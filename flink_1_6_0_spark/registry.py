@@ -79,8 +79,12 @@ _PRIORITY_HEAD = (
     # have driver evidence from rounds 1-4; 69 have never been driver-checked.
     # This window keeps 9 stable sentinels (>=1 per §2 family, all driver-green
     # in r4) and rotates in 41 of the 69 — the whole r4 Gelly tier, the
-    # dedup/ann/corpus/sql_* groups, and the misc batch stragglers. The
-    # remaining 28 never-checked queries are scheduled for the round-6 window:
+    # dedup/ann/corpus/sql_* groups, and the misc batch stragglers.
+    # ROUND-6 NOTE: round 5 ended before the driver's correctness gate ran
+    # (no CORRECTNESS_r05.json exists), so this window has produced no
+    # evidence yet — it is kept VERBATIM for round 6 so the 41 rotated-in
+    # queries finally get driver rows. The remaining 28 never-checked
+    # queries move to the round-7 window:
     #   text_langid, text_fingerprint, text_quality, text_repetition_filter,
     #   text_segment_dedup, text_perplexity_filter, text_vocab_coverage,
     #   text_length_outliers, text_bpe_token_stats, text_bpe_train,

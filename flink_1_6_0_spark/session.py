@@ -202,16 +202,35 @@ class TableEnvironment:
 
         # target = dot-separated segments, each bare or backquoted (mixed
         # quoting like db.`my t` is valid Spark SQL), optional column list;
-        # whitespace before the query is optional after a column list
+        # whitespace before the query is optional after a column list. The
+        # parenthesized group is a COLUMN LIST only when it is not itself a
+        # query — `INSERT INTO t (SELECT ...)` is valid in both engines, so a
+        # paren opening a SELECT/WITH/VALUES stays on the query side
         m = _re.match(
             r"\s*INSERT\s+INTO\s+"
-            r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*(?:\s*\([^)]*\))?)\s*(.+)",
+            r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*"
+            r"(?:\s*\((?!\s*(?:SELECT|WITH|VALUES)\b)[^)]*\))?)\s*(.+)",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
         if not m or not m.group(2).strip():
             raise ValueError("sql_update supports INSERT INTO <table> <query>")
-        target, query = m.group(1), m.group(2)
+        target, query = m.group(1), m.group(2).strip()
+        # strip ONE level of outer parens wrapping the whole query (the
+        # Flink-SQL rewriter expects a bare SELECT/WITH/VALUES) — only when
+        # the opening paren's match IS the final character, so a query like
+        # `(SELECT a) UNION (SELECT b)` is left untouched
+        if query.startswith("(") and query.endswith(")"):
+            depth = 0
+            for i, ch in enumerate(query):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        if i == len(query) - 1:
+                            query = query[1:-1].strip()
+                        break
         # the query half gets the Flink front-end rewrite, then the whole
         # statement runs as engine SQL (works for v1 and v2 catalog tables)
         self.spark.sql(f"INSERT INTO {target} {rewrite_flink_sql(query)}")

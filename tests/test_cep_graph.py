@@ -721,6 +721,29 @@ def test_jaccard_index_path(spark):
     assert g.jaccard_index(edges, min_score=0.6).count() == 0
 
 
+def test_jaccard_min_score_filters_exact_not_rounded(spark):
+    """r4 ADVICE: the threshold applies to the EXACT ratio, not the
+    6-decimal rounding. Pair (1,3) here scores exactly 1/3; rounding first
+    (0.333333 < 1/3) would wrongly drop it at min_score=1/3."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 5)], "src long, dst long"
+    )
+    kept = {(r["u"], r["v"]) for r in g.jaccard_index(edges, min_score=1 / 3).collect()}
+    assert (1, 3) in kept
+
+
+def test_adamic_adar_min_score_filters_exact_not_rounded(spark):
+    """Same exact-before-round contract for Adamic-Adar: threshold at the
+    exact 1/ln(3) sum must keep the star pairs (rounded 0.910239 is BELOW
+    the exact 0.9102392266...)."""
+    import math
+
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    exact = 1.0 / math.log(3)
+    assert round(exact, 6) < exact  # precondition: rounding goes DOWN here
+    assert g.adamic_adar(edges, min_score=exact).count() == 3
+
+
 def test_adamic_adar_star(spark):
     import math
 

@@ -172,6 +172,13 @@ def test_env_scan_list_explain_sql_update(spark, tmp_path):
     spark.sql(f"CREATE TABLE te_sink (id BIGINT, s STRING) USING parquet LOCATION '{tmp_path}/te_sink'")
     te.sql_update("INSERT INTO te_sink SELECT id, s FROM te_src WHERE id > 1")
     assert spark.table("te_sink").count() == 1
+    # parenthesized query form — valid in both Flink and Spark; the paren
+    # group must NOT be consumed as a column list (r4 ADVICE)
+    te.sql_update("INSERT INTO te_sink (SELECT id, s FROM te_src WHERE id = 1)")
+    assert spark.table("te_sink").count() == 2
+    # explicit column list still works
+    te.sql_update("INSERT INTO te_sink (id, s) SELECT id, s FROM te_src WHERE id = 1")
+    assert spark.table("te_sink").count() == 3
     spark.sql("DROP TABLE te_sink")
 
 
