@@ -125,9 +125,16 @@ def minhash_band_buckets(
         raise ValueError(f"bands must divide num_hashes (got {num_hashes=}, {bands=})")
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
-    # one explode, not a bands-way union: a union would re-evaluate the whole
-    # shingle→signature pipeline once per branch (exchange reuse is not
-    # guaranteed); the struct-array explode evaluates it once
+    return _buckets_from_sigs(sigs, bands, rows)
+
+
+def _buckets_from_sigs(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Band/bucket rows from an existing signature frame — shared so callers
+    holding (persisted) signatures don't recompute the shingle pipeline.
+
+    One explode, not a bands-way union: a union would re-evaluate the whole
+    shingle→signature pipeline once per branch (exchange reuse is not
+    guaranteed); the struct-array explode evaluates it once."""
     band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
@@ -138,6 +145,80 @@ def minhash_band_buckets(
         )
     return sigs.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash quality calibration: for every LSH candidate pair, the
+    signature-estimated Jaccard (fraction of agreeing minhash components —
+    the unbiased MinHash estimator) next to the EXACT shingle-set Jaccard,
+    with the absolute error. This is the measure-don't-guess companion to
+    ``minhash_lsh_pairs``: it tells you whether 16 hashes / 4 bands is
+    enough for YOUR corpus before you commit a 100 TB dedup run to it
+    (the same role ann_recall_eval plays for the ANN tier).
+
+    Scale design: signatures are computed ONCE (persisted) and feed both the
+    banded self-join (candidate pairs, never O(n²)) and the per-pair
+    agreement count (a column expression over the joined signature rows).
+    The exact-Jaccard side only materializes shingles for candidate pairs:
+    two broadcast-or-shuffle equi-joins keyed on (pair, shingle), state
+    bounded by candidate count × doc shingle count — the pairs LSH already
+    filtered, not all pairs.
+    """
+    rows = num_hashes // bands  # validated below via minhash_band_buckets rules
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes (got {num_hashes=}, {bands=})")
+    sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes).persist()
+    buckets = _buckets_from_sigs(sigs, bands, rows)
+    pairs = (
+        buckets.select(F.col("doc").alias("a"), "band", "bh")
+        .join(buckets.select(F.col("doc").alias("b"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc").alias("a"), *[F.col(f"mh{i}").alias(f"__amh{i}") for i in range(num_hashes)])
+    sb = sigs.select(F.col("doc").alias("b"), *[F.col(f"mh{i}").alias(f"__bmh{i}") for i in range(num_hashes)])
+    agree = sum(
+        (F.col(f"__amh{i}") == F.col(f"__bmh{i}")).cast("int") for i in range(num_hashes)
+    )
+    est = pairs.join(sa, "a").join(sb, "b").select(
+        "a", "b", (agree / F.lit(num_hashes)).alias("__est")
+    )
+    sh = shingle_rows(df, id_col, text_col, shingle_k, dedupe=True).persist()
+    cnt = sh.groupBy("doc").agg(F.count("*").alias("__n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc").alias("a"), "s"), "a")
+        .join(sh.select(F.col("doc").alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    exact = (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(cnt.select(F.col("doc").alias("a"), F.col("__n").alias("__na")), "a")
+        .join(cnt.select(F.col("doc").alias("b"), F.col("__n").alias("__nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.coalesce(F.col("__inter"), F.lit(0))
+                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__inter"), F.lit(0)))
+            ).alias("__exact"),
+        )
+    )
+    return est.join(exact, ["a", "b"]).select(
+        "a",
+        "b",
+        F.round(F.col("__est"), 6).alias("est_jaccard"),
+        F.round(F.col("__exact"), 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias("abs_err"),
     )
 
 

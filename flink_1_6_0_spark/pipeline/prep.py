@@ -145,6 +145,89 @@ def contamination_bloom(
     )
 
 
+def eval_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    dirty_threshold: float = 0.8,
+) -> DataFrame:
+    """Eval-side contamination report — the REVERSE direction of
+    ``contaminated_docs``: for every benchmark/eval document, the fraction of
+    its distinct k-shingles that appear anywhere in the training corpus, plus
+    a ``dirty`` flag at ``dirty_threshold`` (the GPT-3 appendix-C "dirty
+    eval example" bookkeeping: you can't always clean the corpus, but you
+    must know which eval rows overlap it).
+
+    Scale design: the corpus is never shuffled on its own keys. The bounded
+    benchmark shingle set broadcasts INTO the corpus scan; the only
+    aggregation state is the matched subset of benchmark shingles (bounded by
+    the benchmark size, not the corpus), which then left-joins back to the
+    per-doc benchmark shingles. ``dirty`` is computed from the UNROUNDED
+    fraction (exact int-ratio double, engine-portable); the reported fraction
+    is rounded for output only.
+    """
+    from flink_1_6_0_spark.pipeline.dedup import shingle_rows
+
+    bsh = shingle_rows(benchmark, id_col, text_col, k=k)  # (doc, s) set-per-doc
+    bset = bsh.select("s").distinct()
+    corpus_sh = shingle_rows(corpus, id_col, text_col, k=k, dedupe=False)
+    # distinct over ONLY bench-matched shingles — state bounded by |benchmark|
+    hit = corpus_sh.join(F.broadcast(bset), "s").select("s").distinct()
+    frac = F.col("n_hit") / F.col("n_shingles")
+    return (
+        bsh.join(F.broadcast(hit.withColumn("__hit", F.lit(1))), "s", "left")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= dirty_threshold).alias("dirty"),
+        )
+    )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data-mix planning table (the GPT-3/mT5/DoReMi sampling-weights step):
+    per source, token counts → temperature-flattened sampling probability
+    p_s ∝ tokens_s^alpha → planned tokens under ``budget`` → effective
+    epochs (planned/actual; >1 means the source repeats, the usual fate of
+    small high-quality sources).
+
+    ``alpha=0.5`` (sqrt) by default: IEEE sqrt is correctly rounded, so the
+    plan is bit-identical across engines — pow(x, 0.3) is not. One per-source
+    aggregate (map-side combined) + a broadcast 1-row normalizer: the 100 TB
+    corpus is scanned once and never shuffled beyond the per-source partial
+    aggregation; the plan table itself is |sources| rows.
+    """
+    stats = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = F.pow(F.col("n_tokens"), alpha) if alpha != 0.5 else F.sqrt(F.col("n_tokens"))
+    z = stats.agg(F.sum(w).alias("__z"))
+    return stats.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(w / F.col("__z"), 6).alias("sample_prob"),
+        F.round(F.lit(float(budget)) * w / F.col("__z"), 3).alias("planned_tokens"),
+        F.round(F.lit(float(budget)) * w / F.col("__z") / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -230,6 +230,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_calibration_oracle(bands: int = 4, rows: int = 4) -> str:
+    nh = bands * rows
+    return f"""
+    WITH {_duck_buckets_cte(bands, rows)},
+    pairs AS (SELECT DISTINCT x.doc AS a, y.doc AS b
+              FROM buckets x JOIN buckets y ON x.band = y.band AND x.bh = y.bh
+              WHERE x.doc < y.doc),
+    m AS (SELECT p.a, p.b,
+                 len(list_filter(range(1, {nh + 1}), i -> sa.sig[i] = sb.sig[i])) / {nh}.0 AS est,
+                 len(list_intersect(ia.sh, ib.sh))::DOUBLE
+                   / (len(ia.sh) + len(ib.sh) - len(list_intersect(ia.sh, ib.sh))) AS ex
+          FROM pairs p
+          JOIN sigs sa ON sa.doc = p.a JOIN sigs sb ON sb.doc = p.b
+          JOIN shingled ia ON ia.doc = p.a JOIN shingled ib ON ib.doc = p.b)
+    SELECT a, b, round(est, 6) AS est_jaccard, round(ex, 6) AS exact_jaccard,
+           round(abs(est - ex), 6) AS abs_err
+    FROM m
+    """
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=_duck_calibration_oracle(),
+    tags=("pipeline", "dedup"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: signature-estimated vs exact Jaccard
+    (+ absolute error) for every LSH candidate pair — the measurement that
+    says whether 16 hashes / 4 bands is adequate BEFORE a 100 TB dedup run
+    commits to them. Signatures computed once (persisted) feed both the
+    banded pair join and the agreement estimate; exact Jaccard only
+    materializes for LSH candidates, never all pairs."""
+    return dd.minhash_calibration(
+        T(spark, sf_dir, "documents"), "doc_id", "text", shingle_k=3, num_hashes=16, bands=4
+    )
+
+
 def _duck_simhash(bits: int = 32) -> str:
     toks = _TOKS.format(c="lower(text)")
     hashes = f"list_transform({toks}, t -> {_TH.format(s='t')})"

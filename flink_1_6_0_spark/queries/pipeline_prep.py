@@ -875,3 +875,63 @@ def corpus_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6),
         ).otherwise(0.0).alias("bigram_ttr"),
     )
+
+
+@query(
+    "contamination_eval_report",
+    oracle="""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+    btoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM bench),
+    bsh AS (SELECT DISTINCT doc_id, tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM btoks, unnest(generate_series(1, len(tt) - 2)) AS g(i)),
+    ctoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM corp),
+    csh AS (SELECT DISTINCT tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
+            FROM ctoks, unnest(generate_series(1, len(tt) - 2)) AS g(i))
+    SELECT b.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS overlap_frac,
+           (sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) >= 0.8 AS dirty
+    FROM bsh b LEFT JOIN csh c USING (s)
+    GROUP BY b.doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+)
+def contamination_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination bookkeeping (GPT-3 appendix-C "dirty eval
+    examples"): per benchmark doc, the fraction of its distinct 3-shingles
+    found anywhere in the training corpus + a dirty flag at 0.8. The corpus
+    is scanned once with the broadcast benchmark shingle set probed inside
+    the scan; aggregation state is bounded by the benchmark size."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return prep.eval_contamination_report(corpus, bench, "doc_id", "text", k=3)
+
+
+@query(
+    "corpus_token_budget",
+    oracle="""
+    WITH stats AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+    z AS (SELECT sum(sqrt(n_tokens)) AS z FROM stats)
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(n_tokens) / z.z, 6) AS sample_prob,
+           round(1000000.0 * sqrt(n_tokens) / z.z, 3) AS planned_tokens,
+           round(1000000.0 * sqrt(n_tokens) / z.z / n_tokens, 6) AS epochs
+    FROM stats, z
+    """,
+    tags=("pipeline", "sampling"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix plan (GPT-3/mT5/DoReMi sampling-weights table): per-source
+    token counts -> temperature-flattened sampling probabilities (alpha=0.5,
+    IEEE-exact sqrt) -> planned tokens and effective epochs under a 1M-token
+    budget. One per-source aggregate over a single corpus scan + a broadcast
+    1-row normalizer."""
+    return prep.token_budget_plan(
+        T(spark, sf_dir, "documents"), "source", "text", budget=1_000_000, alpha=0.5
+    )

@@ -267,3 +267,29 @@ def test_poly_features_stays_jvm_side(spark, sf_dir):
     plan = _plan(get("ml_poly_features").fn(spark, sf_dir))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
         assert marker not in plan
+
+
+def test_eval_contamination_report_broadcast_probe(spark, sf_dir):
+    """The corpus side of the eval-contamination report must probe a
+    BROADCAST benchmark shingle set (no corpus-keyed shuffle) and never
+    degrade to a cartesian."""
+    plan = _plan(get("contamination_eval_report").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_plan_broadcast_normalizer_and_partial_agg(spark, sf_dir):
+    """The mix plan's 1-row normalizer ships by broadcast; the per-source
+    token aggregate has a map-side partial phase."""
+    plan = _plan(get("corpus_token_budget").fn(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "Broadcast" in plan  # BroadcastExchange/BroadcastNestedLoopJoin for the 1-row z
+
+
+def test_minhash_calibration_no_cartesian_and_cached_sigs(spark, sf_dir):
+    """Calibration must reuse the persisted signature frame (InMemory scan)
+    and produce candidate pairs only through the banded equi-join — no
+    cartesian anywhere in the plan."""
+    plan = _plan(get("dedup_minhash_calibration").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan

@@ -637,3 +637,63 @@ def test_dup_shingle_kernel_small_data_path_equivalent(spark, sf_dir):
     window = _dup_shingle_positions(d, "doc_id", "text", 8, small_data=True).collect()
     assert sorted(map(tuple, default)) == sorted(map(tuple, window))
     assert len(default) > 0
+
+
+def test_token_budget_plan_math(spark):
+    """sqrt-temperature mix plan: probabilities sum to 1, epochs =
+    budget*prob/tokens, and the flattening LIFTS the small source's share
+    above its proportional share."""
+    import math
+
+    df = spark.createDataFrame(
+        [("big", "a b c d e f g h"), ("big", "a b c d e f g h"), ("small", "a b")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in prep.token_budget_plan(df, "source", "text", budget=100).collect()}
+    assert rows["big"]["n_tokens"] == 16 and rows["small"]["n_tokens"] == 2
+    z = math.sqrt(16) + math.sqrt(2)
+    assert abs(rows["small"]["sample_prob"] - math.sqrt(2) / z) < 1e-6
+    assert abs(sum(r["sample_prob"] for r in rows.values()) - 1.0) < 2e-6
+    # epochs = planned/actual
+    assert abs(rows["small"]["epochs"] - (100 * math.sqrt(2) / z) / 2) < 1e-3
+    # temperature flattening: small source's share > its token share (2/18)
+    assert rows["small"]["sample_prob"] > 2 / 18
+
+
+def test_eval_contamination_report_directions_and_flag(spark):
+    """Per-BENCH-doc overlap fraction: a fully-contained bench doc is dirty,
+    a disjoint one is clean with frac 0."""
+    corpus = spark.createDataFrame(
+        [(10, "w x y z w x y z")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1, "w x y z"), (2, "p q r s t")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in prep.eval_contamination_report(corpus, bench, "doc_id", "text", k=3).collect()}
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_hit"] == 2
+    assert rows[1]["overlap_frac"] == 1.0 and rows[1]["dirty"] is True
+    assert rows[2]["n_hit"] == 0 and rows[2]["dirty"] is False
+
+
+def test_minhash_calibration_identical_docs(spark):
+    """Identical documents must calibrate to est=exact=1.0 with zero error;
+    the near-dup pair's exact Jaccard must be < 1 and the estimator within
+    the 16-hash granularity of it."""
+    from flink_1_6_0_spark.pipeline.dedup import minhash_calibration
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy dog tomorrow maybe"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["a"], r["b"]): r for r in minhash_calibration(df, "doc_id", "text").collect()}
+    assert rows[(1, 2)]["est_jaccard"] == 1.0
+    assert rows[(1, 2)]["exact_jaccard"] == 1.0
+    assert rows[(1, 2)]["abs_err"] == 0.0
+    for pair in ((1, 3), (2, 3)):
+        if pair in rows:  # LSH may or may not surface the near-dup pair
+            assert rows[pair]["exact_jaccard"] < 1.0
+            assert rows[pair]["abs_err"] <= 1.0
