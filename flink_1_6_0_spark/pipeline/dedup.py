@@ -523,8 +523,34 @@ def incremental_dedup(
     Returns one row per new doc: (doc, exact_dup, near_dup). Within-batch
     duplicates are NOT flagged here — run the self-join pass on the batch
     separately (they compose: flag-vs-corpus ∪ flag-within-batch)."""
-    new_keyed = new_docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
     corpus_keys = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    corpus_buckets = (
+        minhash_band_buckets(corpus, id_col, text_col, shingle_k, num_hashes, bands)
+        .select("band", "bh")
+        .distinct()
+    )
+    return _incremental_probe(
+        new_docs, corpus_keys, corpus_buckets, id_col, text_col, shingle_k, num_hashes, bands
+    )
+
+
+def _incremental_probe(
+    new_docs: DataFrame,
+    corpus_keys: DataFrame,
+    corpus_buckets: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """The probe half of ``incremental_dedup``, taking the PERSISTED-shaped
+    probe tables directly: ``corpus_keys(__h)`` (distinct md5 content keys)
+    and ``corpus_buckets(band, bh)`` (distinct LSH buckets). This is the
+    exact interface a standing-corpus pipeline maintains between ingests —
+    the batch form computes the tables per call, the streaming form
+    (``streaming_incremental_dedup``) reads and appends them across epochs."""
+    new_keyed = new_docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
     exact = (
         new_keyed.select("doc", F.md5("__t").alias("__h"))
         .join(corpus_keys, "__h", "left_semi")
@@ -532,13 +558,8 @@ def incremental_dedup(
         .withColumn("exact_dup", F.lit(True))
     )
     batch_buckets = minhash_band_buckets(new_docs, id_col, text_col, shingle_k, num_hashes, bands)
-    corpus_buckets = (
-        minhash_band_buckets(corpus, id_col, text_col, shingle_k, num_hashes, bands)
-        .select("band", "bh")
-        .distinct()
-    )
     near = (
-        batch_buckets.join(corpus_buckets, ["band", "bh"], "left_semi")
+        batch_buckets.join(corpus_buckets.select("band", "bh"), ["band", "bh"], "left_semi")
         .select("doc")
         .distinct()
         .withColumn("near_dup", F.lit(True))
@@ -552,6 +573,95 @@ def incremental_dedup(
             F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
         )
+    )
+
+
+def seed_dedup_state(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Materialize the standing-corpus probe tables for
+    ``streaming_incremental_dedup``: ``<state_dir>/keys`` (distinct md5
+    content keys) and ``<state_dir>/buckets`` (distinct LSH band buckets).
+    Run once over the existing corpus; the stream appends to both as it
+    ingests. Epoch partition __epoch=-1 marks the seed (the streaming
+    side's idempotent per-epoch writes use the same layout)."""
+    keys = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    buckets = (
+        minhash_band_buckets(corpus, id_col, text_col, shingle_k, num_hashes, bands)
+        .select("band", "bh")
+        .distinct()
+    )
+    for df, sub in ((keys, "keys"), (buckets, "buckets")):
+        (
+            df.withColumn("__epoch", F.lit(-1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(f"{state_dir}/{sub}")
+        )
+
+
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    emit_fn,
+    checkpoint: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """CONTINUOUS incremental-ingest dedup — the daily-crawl pattern running
+    as a stream: each micro-batch of documents is flagged exact-dup /
+    near-dup against the standing probe tables (seeded by
+    ``seed_dedup_state``, grown by every prior epoch), then its own keys and
+    buckets are appended so later batches dedup against it.
+
+    Per epoch: probe FIRST (against pre-batch state — a batch never matches
+    itself; within-batch dups compose via the self-join pass, same contract
+    as the batch form), emit the flags, then append. State writes reuse the
+    idempotent per-epoch dynamic-partition layout of the foreachBatch joins
+    (streaming/nonwindow_join), so a retried epoch overwrites its own
+    partition instead of duplicating it. State size: |distinct content keys|
+    + |distinct buckets| — the same tables a batch pipeline persists, never
+    the corpus text. The probes are batch-sized left-semi joins; the key/
+    bucket predicates reach the parquet state scans."""
+    from flink_1_6_0_spark.streaming.nonwindow_join import _read_state, _write_epoch
+
+    spark = doc_stream.sparkSession
+    key_schema = "`__h` string"
+    bucket_schema = "`band` int, `bh` bigint"
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        keys = _read_state(spark, f"{state_dir}/keys", key_schema)
+        buckets = _read_state(spark, f"{state_dir}/buckets", bucket_schema)
+        flags = _incremental_probe(
+            batch, keys, buckets, id_col, text_col, shingle_k, num_hashes, bands
+        )
+        emit_fn(flags, epoch_id)
+        new_keys = batch.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+        new_buckets = (
+            minhash_band_buckets(batch, id_col, text_col, shingle_k, num_hashes, bands)
+            .select("band", "bh")
+            .distinct()
+        )
+        if new_keys.take(1):
+            _write_epoch(new_keys, f"{state_dir}/keys", epoch_id)
+        if new_buckets.take(1):
+            _write_epoch(new_buckets, f"{state_dir}/buckets", epoch_id)
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .start()
     )
 
 

@@ -639,3 +639,51 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = sh.join(F.broadcast(bench), "s")
     agg = hits.groupBy("doc_id").agg(F.count("*").alias("n_contaminated"))
     return _materialize(agg, "complete")
+
+
+# one shared spelling with the batch dedup_incremental oracle — the drained
+# single-file stream must equal the batch probe exactly
+from flink_1_6_0_spark.queries.pipeline_ext import _duck_incremental_oracle  # noqa: E402
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle=_duck_incremental_oracle(),
+    tags=("streaming", "pipeline", "dedup"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS incremental-ingest dedup: the doc_id%5==0 slice streams in
+    as the live crawl; each micro-batch is flagged against the standing
+    probe tables seeded from the rest of the corpus
+    (pipeline/dedup.streaming_incremental_dedup), and its own keys/buckets
+    are appended so later epochs dedup against it too. The documents table
+    is one parquet file, so the drained stream is a single epoch and the
+    final flags equal the batch dedup_incremental — same oracle, same
+    spelling (cross-EPOCH accumulation is pinned separately in
+    tests/test_prep.py with a two-wave stream)."""
+    import os
+    import tempfile
+
+    from flink_1_6_0_spark.pipeline.dedup import (
+        seed_dedup_state,
+        streaming_incremental_dedup,
+    )
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    corpus = spark.read.parquet(docs_path).filter(F.col("doc_id") % 5 != 0)
+    work = tempfile.mkdtemp(prefix="sid_")
+    seed_dedup_state(corpus, "doc_id", "text", f"{work}/state")
+    stream = read_parquet_stream(spark, docs_path).filter(F.col("doc_id") % 5 == 0)
+
+    def emit(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(f"{work}/flags")
+
+    q = streaming_incremental_dedup(
+        stream, "doc_id", "text", f"{work}/state", emit, f"{work}/ckpt"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(f"{work}/flags")

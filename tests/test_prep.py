@@ -697,3 +697,51 @@ def test_minhash_calibration_identical_docs(spark):
         if pair in rows:  # LSH may or may not surface the near-dup pair
             assert rows[pair]["exact_jaccard"] < 1.0
             assert rows[pair]["abs_err"] <= 1.0
+
+
+def test_streaming_incremental_dedup_cross_epoch(spark, tmp_path):
+    """Two-wave stream: wave 1 probes ONLY the seeded corpus; wave 2 must
+    also see wave 1's appended keys/buckets — a wave-2 copy of a wave-1 doc
+    flags exact_dup even though the seed corpus never contained it."""
+    from flink_1_6_0_spark.pipeline.dedup import (
+        seed_dedup_state,
+        streaming_incremental_dedup,
+    )
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    seed_dedup_state(corpus, "doc_id", "text", state)
+
+    src = str(tmp_path / "src")
+    # wave 1: one copy of the corpus doc (exact dup) + one novel doc
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+
+    flags: dict[int, dict] = {}
+
+    def emit(df, epoch_id):
+        flags.update({r["doc"]: {"exact": r["exact_dup"], "near": r["near_dup"]} for r in df.collect()})
+
+    q = streaming_incremental_dedup(
+        read_parquet_stream(spark, src), "doc_id", "text", state, emit, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert flags[1]["exact"] is True and flags[1]["near"] is True
+        assert flags[2]["exact"] is False and flags[2]["near"] is False
+        # wave 2: a copy of wave-1's NOVEL doc — dup only via appended state
+        spark.createDataFrame(
+            [(3, "one two three four five six seven")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert flags[3]["exact"] is True and flags[3]["near"] is True
