@@ -193,6 +193,36 @@ def eval_contamination_report(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff — the reproducibility audit between two versions
+    of a dataset: per document id, ``added`` (only in new), ``removed``
+    (only in old), ``changed`` (both, content key differs) or ``unchanged``.
+    Content equality is the md5 key (the same key exact-dedup and the
+    incremental probe tables use), so "changed" means byte-level text
+    change, not metadata drift.
+
+    One full outer equi-join on the id — both sides hash-shuffle once on
+    ``id_col`` (or co-located bucketing makes it shuffle-free); the
+    comparison is a projection. No text leaves the scan: only (id, md5)
+    rides the shuffle, so 100 TB of text costs two narrow key columns.
+    """
+    o = old.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__oh"))
+    n = new.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__nh"))
+    return o.join(n, "__id", "full_outer").select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__oh") != F.col("__nh"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
 def token_budget_plan(
     df: DataFrame,
     source_col: str,

@@ -935,3 +935,34 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.token_budget_plan(
         T(spark, sf_dir, "documents"), "source", "text", budget=1_000_000, alpha=0.5
     )
+
+
+@query(
+    "corpus_version_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+    new AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h
+            FROM documents WHERE doc_id % 13 <> 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.h IS NULL THEN 'added'
+                WHEN new.h IS NULL THEN 'removed'
+                WHEN old.h <> new.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    """,
+    tags=("pipeline", "utils"),
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (reproducibility audit):
+    old = doc_id%11!=0 slice, new = doc_id%13!=0 slice with every 7th doc's
+    text rewritten — per doc added/removed/changed/unchanged by md5 content
+    key. Only (id, md5) rides the full-outer join shuffle, never text
+    (prep.corpus_diff)."""
+    docs = T(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(F.col("text")),
+    )
+    return prep.corpus_diff(old, new, "doc_id", "text")

@@ -293,3 +293,12 @@ def test_minhash_calibration_no_cartesian_and_cached_sigs(spark, sf_dir):
     plan = _plan(get("dedup_minhash_calibration").fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_corpus_diff_shuffles_keys_not_text(spark, sf_dir):
+    """The version diff's full-outer join must shuffle on the projected
+    (id, md5) pair — the text column is reduced to its hash BEFORE the
+    exchange, so corpus bytes never ride the shuffle."""
+    plan = _plan(get("corpus_version_diff").fn(spark, sf_dir))
+    assert "hashpartitioning(__id" in plan
+    assert "CartesianProduct" not in plan

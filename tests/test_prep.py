@@ -745,3 +745,16 @@ def test_streaming_incremental_dedup_cross_epoch(spark, tmp_path):
     finally:
         q.stop()
     assert flags[3]["exact"] is True and flags[3]["near"] is True
+
+
+def test_corpus_diff_all_statuses(spark):
+    """Every status class: removed (only-old), added (only-new), changed
+    (content-key differs), unchanged (byte-identical)."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in prep.corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
