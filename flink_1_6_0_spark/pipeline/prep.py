@@ -131,7 +131,11 @@ def contamination_bloom(
     bitmap = [0] * m
     for r in positions:
         bitmap[int(r["bit"])] = 1
-    bits = F.lit(bitmap)
+    # the bitmap ships via ONE sql-parsed array expression, not F.lit on a
+    # Python list: F.lit crosses py4j per element (~3 s of driver time at
+    # m=8192, measured — it dominated the whole query); the parsed form
+    # costs ~1 ms and folds to the same array literal in the plan
+    bits = F.expr(f"array({','.join(map(str, bitmap))})")
 
     corpus_sh = shingle_rows(corpus, id_col, text_col, k=k)
     cbit1, cbit2 = _bits(F.col("s"))
