@@ -254,6 +254,7 @@ def _duck_calibration_oracle(bands: int = 4, rows: int = 4) -> str:
     "dedup_minhash_calibration",
     oracle=_duck_calibration_oracle(),
     tags=("pipeline", "dedup"),
+    bench=True,
 )
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: signature-estimated vs exact Jaccard
