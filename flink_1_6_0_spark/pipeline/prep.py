@@ -121,8 +121,10 @@ def contamination_bloom(
         return F.pmod(token_hash(col), F.lit(m)), F.pmod(h2, F.lit(m))
 
     # persisted: the benchmark shingle set feeds BOTH the bitmap build and
-    # the exact broadcast join — one shingle pipeline, not two (benchmark
-    # suites are MBs, so the cache cost is nil at any scale)
+    # the exact broadcast join — one shingle pipeline, not two. The cache is
+    # benchmark-bounded BY CONTRACT (eval suites are MBs) and lives until
+    # session cache eviction; callers running many bloom sweeps in one
+    # session can spark.catalog.clearCache() between them
     bench_sh = shingle_rows(benchmark, id_col, text_col, k=k).select("s").distinct().persist()
     bit1, bit2 = _bits(F.col("s"))
     positions = (
@@ -179,20 +181,27 @@ def eval_contamination_report(
     corpus_sh = shingle_rows(corpus, id_col, text_col, k=k, dedupe=False)
     # distinct over ONLY bench-matched shingles — state bounded by |benchmark|
     hit = corpus_sh.join(F.broadcast(bset), "s").select("s").distinct()
-    frac = F.col("n_hit") / F.col("n_shingles")
-    return (
+    stats = (
         bsh.join(F.broadcast(hit.withColumn("__hit", F.lit(1))), "s", "left")
         .groupBy(F.col("doc").alias(id_col))
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
         )
+    )
+    # left join from the benchmark id table: a sub-k-token eval doc has NO
+    # shingles, but it must still appear in the report (clean, frac 0) —
+    # silently dropping it defeats the bookkeeping (review finding)
+    frac = F.col("n_hit") / F.col("n_shingles")
+    return (
+        benchmark.select(F.col(id_col))
+        .join(stats, id_col, "left")
         .select(
             id_col,
-            "n_shingles",
-            "n_hit",
-            F.round(frac, 6).alias("overlap_frac"),
-            (frac >= dirty_threshold).alias("dirty"),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.coalesce(F.round(frac, 6), F.lit(0.0)).alias("overlap_frac"),
+            F.coalesce(frac >= dirty_threshold, F.lit(False)).alias("dirty"),
         )
     )
 
@@ -215,13 +224,25 @@ def corpus_diff(
     comparison is a projection. No text leaves the scan: only (id, md5)
     rides the shuffle, so 100 TB of text costs two narrow key columns.
     """
-    o = old.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__oh"))
-    n = new.select(F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__nh"))
+    # explicit presence markers: md5(NULL) is NULL, so hash-nullness can NOT
+    # stand in for "side missing" — a NULL-text doc would masquerade as
+    # added/removed (review finding). Hash comparison is null-safe for the
+    # same reason (NULL text on both sides = unchanged).
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(text_col)).alias("__oh"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(text_col)).alias("__nh"),
+        F.lit(True).alias("__in_new"),
+    )
     return o.join(n, "__id", "full_outer").select(
         F.col("__id").alias(id_col),
-        F.when(F.col("__oh").isNull(), "added")
-        .when(F.col("__nh").isNull(), "removed")
-        .when(F.col("__oh") != F.col("__nh"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("__oh").eqNullSafe(F.col("__nh")), "changed")
         .otherwise("unchanged")
         .alias("status"),
     )

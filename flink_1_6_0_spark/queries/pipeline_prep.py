@@ -887,14 +887,19 @@ def corpus_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM btoks, unnest(generate_series(1, len(tt) - 2)) AS g(i)),
     ctoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM corp),
     csh AS (SELECT DISTINCT tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2] AS s
-            FROM ctoks, unnest(generate_series(1, len(tt) - 2)) AS g(i))
-    SELECT b.doc_id,
-           count(*) AS n_shingles,
-           sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
-           round(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS overlap_frac,
-           (sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) >= 0.8 AS dirty
-    FROM bsh b LEFT JOIN csh c USING (s)
-    GROUP BY b.doc_id
+            FROM ctoks, unnest(generate_series(1, len(tt) - 2)) AS g(i)),
+    hits AS (
+        SELECT b.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        FROM bsh b LEFT JOIN csh c USING (s)
+        GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_shingles, 0) AS n_shingles,
+           coalesce(h.n_hit, 0) AS n_hit,
+           coalesce(round(h.n_hit::DOUBLE / h.n_shingles, 6), 0.0) AS overlap_frac,
+           coalesce((h.n_hit::DOUBLE / h.n_shingles) >= 0.8, false) AS dirty
+    FROM bench d LEFT JOIN hits h USING (doc_id)
     """,
     tags=("pipeline", "text", "dedup"),
 )

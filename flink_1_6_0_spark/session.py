@@ -219,18 +219,31 @@ class TableEnvironment:
         # strip ONE level of outer parens wrapping the whole query (the
         # Flink-SQL rewriter expects a bare SELECT/WITH/VALUES) — only when
         # the opening paren's match IS the final character, so a query like
-        # `(SELECT a) UNION (SELECT b)` is left untouched
+        # `(SELECT a) UNION (SELECT b)` is left untouched. The scan skips
+        # quoted regions ('...' literals with '' escapes, `...` identifiers)
+        # so parens INSIDE strings don't derail the depth count
         if query.startswith("(") and query.endswith(")"):
-            depth = 0
-            for i, ch in enumerate(query):
-                if ch == "(":
+            depth, i, n = 0, 0, len(query)
+            while i < n:
+                ch = query[i]
+                if ch in ("'", "`"):
+                    i += 1
+                    while i < n:
+                        if query[i] == ch:
+                            if ch == "'" and i + 1 < n and query[i + 1] == "'":
+                                i += 2  # '' escape inside a string literal
+                                continue
+                            break
+                        i += 1
+                elif ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
                     if depth == 0:
-                        if i == len(query) - 1:
+                        if i == n - 1:
                             query = query[1:-1].strip()
                         break
+                i += 1
         # the query half gets the Flink front-end rewrite, then the whole
         # statement runs as engine SQL (works for v1 and v2 catalog tables)
         self.spark.sql(f"INSERT INTO {target} {rewrite_flink_sql(query)}")

@@ -758,3 +758,68 @@ def test_corpus_diff_all_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in prep.corpus_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_read_state_before_excludes_replayed_epoch(spark, tmp_path):
+    """Retry semantics: a replayed epoch's own committed partition must be
+    invisible to its probe (review finding) — only the seed (-1) and
+    strictly-earlier epochs feed the read."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.pipeline.dedup import _read_state_before
+    from flink_1_6_0_spark.streaming.nonwindow_join import _write_epoch
+
+    path = str(tmp_path / "keys")
+    for epoch, h in ((-1, "seed"), (0, "e0"), (1, "e1")):
+        _write_epoch(spark.createDataFrame([(h,)], "`__h` string"), path, epoch)
+    got = {r["__h"] for r in _read_state_before(spark, path, "`__h` string", 1).collect()}
+    assert got == {"seed", "e0"}
+    # missing path -> empty frame with the schema
+    empty = _read_state_before(spark, str(tmp_path / "nope"), "`__h` string", 0)
+    assert empty.count() == 0 and empty.columns == ["__h"]
+
+
+def test_corpus_diff_null_text(spark):
+    """md5(NULL) is NULL: presence must come from side markers, not hash
+    nullness (review finding) — NULL-text docs classify by presence and
+    null-safe comparison, not as phantom adds/removes."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "now"), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in prep.corpus_diff(old, new, "doc_id", "text").collect()}
+    # 1: only-old (NULL text) -> removed; 2: NULL->text -> changed; 3: text->NULL -> changed
+    assert got == {1: "removed", 2: "changed", 3: "changed"}
+    both_null = prep.corpus_diff(
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        "doc_id", "text",
+    ).collect()
+    assert both_null[0]["status"] == "unchanged"
+
+
+def test_eval_contamination_report_keeps_short_docs(spark):
+    """A sub-k-token eval doc has no shingles but must still appear in the
+    report as clean (review finding)."""
+    corpus = spark.createDataFrame([(10, "w x y z")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, "w x"), (2, "w x y z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in prep.eval_contamination_report(corpus, bench, "doc_id", "text", k=3).collect()}
+    assert rows[1]["n_shingles"] == 0 and rows[1]["n_hit"] == 0
+    assert rows[1]["overlap_frac"] == 0.0 and rows[1]["dirty"] is False
+    assert rows[2]["dirty"] is True
+
+
+def test_minhash_calibration_bands_validation(spark):
+    import pytest
+
+    from flink_1_6_0_spark.pipeline.dedup import minhash_calibration
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_calibration(df, "doc_id", "text", bands=0)
+    with pytest.raises(ValueError):
+        minhash_calibration(df, "doc_id", "text", num_hashes=16, bands=5)

@@ -179,6 +179,13 @@ def test_env_scan_list_explain_sql_update(spark, tmp_path):
     # explicit column list still works
     te.sql_update("INSERT INTO te_sink (id, s) SELECT id, s FROM te_src WHERE id = 1")
     assert spark.table("te_sink").count() == 3
+    # a ')' inside a string literal must not derail the outer-paren strip
+    # (review finding: the depth scan skips quoted regions)
+    te.sql_update(
+        "INSERT INTO te_sink (SELECT id, concat(')', s) AS s FROM te_src WHERE id = 2)"
+    )
+    assert spark.table("te_sink").count() == 4
+    assert spark.sql("SELECT count(*) c FROM te_sink WHERE s = ')b'").collect()[0]["c"] == 1
     spark.sql("DROP TABLE te_sink")
 
 
