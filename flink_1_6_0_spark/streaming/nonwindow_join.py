@@ -81,60 +81,111 @@ def _read_state(spark, path: str, schema) -> DataFrame:
 
 
 def _horizon_tracker():
-    """Closure-held event-time high-water mark for the foreachBatch joins.
+    """Closure-held PER-SIDE event-time high-water marks for the foreachBatch
+    joins ("l" / "r"), Flink-style: the retention horizon derives from the
+    MINIMUM across inputs, so a side running ahead (backfill, replay) can
+    never finalize the other side's fresh rows (review finding — a max-based
+    horizon silently dropped every row of the lagging stream).
 
     foreachBatch handlers run on the driver, so a plain dict survives across
     epochs of one query run; after a restart it re-seeds from the first
     batch (a horizon that briefly lags only retains MORE state, never less —
     safe in the same way late-data capture's restart seed is)."""
-    return {"max_ts": None}
+    return {"l": None, "r": None}
 
 
-def _advance_horizon(track: dict, batch: DataFrame, ts_cols: list[str]) -> None:
-    """Advance the high-water mark to the max event time in this batch.
-    ``F.greatest`` skips NULLs, so the union-tagged batch (where each row
-    carries only its own side's timestamp) needs no per-side split."""
+def _advance_horizon(
+    track: dict, batch: DataFrame, left_ts: str | None, right_ts: str | None
+) -> None:
+    """Advance each side's high-water mark from the union-tagged batch
+    (one aggregate, split by the ``__side`` tag so identical column names on
+    the two sides cannot cross-contaminate the marks)."""
     import pyspark.sql.functions as F
 
-    cols = list(dict.fromkeys(ts_cols))
-    expr = F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
-    agg = batch.agg(F.max(expr)).first()[0]
-    if agg is not None and (track["max_ts"] is None or agg > track["max_ts"]):
-        track["max_ts"] = agg
+    aggs, sides = [], []
+    if left_ts:
+        aggs.append(F.max(F.when(F.col("__side") == "l", F.col(left_ts))))
+        sides.append("l")
+    if right_ts:
+        aggs.append(F.max(F.when(F.col("__side") == "r", F.col(right_ts))))
+        sides.append("r")
+    if not aggs:
+        return
+    row = batch.agg(*aggs).first()
+    for side, v in zip(sides, row):
+        if v is not None and (track[side] is None or v > track[side]):
+            track[side] = v
+
+
+def _horizon_base(track: dict, need_right: bool):
+    """The watermark the horizon cut derives from: min across the sides in
+    play, or None (no trim yet) while any required side is unseen."""
+    if track["l"] is None:
+        return None
+    if not need_right:
+        return track["l"]
+    if track["r"] is None:
+        return None
+    return min(track["l"], track["r"])
 
 
 def _horizon_cut(max_ts, retention: float):
-    """(high-water mark − retention), for timestamp OR numeric event-time
-    columns (epoch seconds / logical ticks work the same way)."""
+    """(high-water mark − retention), typed by the event-time column:
+    int/float/Decimal event times subtract numerically (epoch seconds /
+    logical ticks), datetimes subtract a timedelta. A plain DATE column is
+    rejected eagerly — `date - timedelta(seconds=n)` silently floors to the
+    same date for sub-day retention, a no-op trim the caller would never
+    notice (review finding); cast to timestamp instead."""
     import datetime as dt
+    from decimal import Decimal
 
+    if isinstance(max_ts, bool):  # bool is an int subclass; never an event time
+        raise TypeError("boolean event-time column")
+    if isinstance(max_ts, Decimal):
+        return max_ts - Decimal(str(retention))
     if isinstance(max_ts, (int, float)):
         return max_ts - retention
-    return max_ts - dt.timedelta(seconds=retention)
+    if isinstance(max_ts, dt.datetime):
+        return max_ts - dt.timedelta(seconds=retention)
+    if isinstance(max_ts, dt.date):
+        raise TypeError(
+            "DATE-typed event time: sub-day retention would silently no-op; "
+            "cast the column to timestamp"
+        )
+    raise TypeError(f"unsupported event-time type {type(max_ts).__name__}")
 
 
-def _trim_left(ls: DataFrame, left_ts: str, track: dict, retention: float | None) -> DataFrame:
-    """Retention trim: rows older than (high-water-mark − retention) are
-    FINAL — they already carried their last emission and drop out of both
-    the per-epoch join and the re-emitted result. The ts predicate reaches
-    the parquet state scan (row-group min/max skipping), so old epochs cost
-    a footer read, not a row scan."""
+def _trim_left(ls: DataFrame, left_ts: str, horizon) -> DataFrame:
+    """Retention trim: rows older than the horizon are FINAL — they already
+    carried their last emission and drop out of both the per-epoch join and
+    the re-emitted result. NULL event times are exempt (a row without event
+    time is not subject to event-time retention — with no retention it was
+    emitted null-padded, and enabling retention must not disappear it;
+    review finding). The ts predicate reaches the parquet state scan
+    (row-group min/max skipping), so old epochs cost a footer read, not a
+    row scan."""
     import pyspark.sql.functions as F
 
-    if retention is None or track["max_ts"] is None:
+    if horizon is None:
         return ls
-    return ls.filter(F.col(left_ts) >= F.lit(_horizon_cut(track["max_ts"], retention)))
+    return ls.filter(F.col(left_ts).isNull() | (F.col(left_ts) >= F.lit(horizon)))
+
+
+def _latest_per_key(df: DataFrame, key: str, ts: str) -> DataFrame:
+    """One row per key: the latest by ``ts`` — the shared kernel of the
+    dimension trim and the asof standing-version compaction."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
 def _trim_right_dimension(rs: DataFrame, key: str, right_ts: str) -> DataFrame:
     """Dimension-table contract: only the LATEST version per key can ever
     match future left rows in an equi-join, so older versions are dead
     state. One bounded per-key window, state = |keys|, not |history|."""
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(key).orderBy(F.col(right_ts).desc())
-    return rs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return _latest_per_key(rs, key, right_ts)
 
 
 def foreach_batch_outer_join(
@@ -164,15 +215,25 @@ def foreach_batch_outer_join(
     run (round-4 verdict #3). Two trims bound it:
 
     - ``left_retention`` (seconds, with ``left_ts``): left rows older than
-      (event-time high-water mark − retention) are treated as FINAL — they
-      stop being re-joined and re-emitted. This is exactly Flink's
-      idle-state retention applied to the left map state.
+      (retention horizon) are treated as FINAL — they stop being re-joined
+      and re-emitted. This is exactly Flink's idle-state retention applied
+      to the left map state. The horizon derives from the MIN of the two
+      sides' event-time high-water marks when ``right_ts`` is also given
+      (Flink's multi-input watermark rule — a backfilled right stream can
+      never finalize live left rows); with only ``left_ts`` configured, the
+      left clock alone drives finalization (caller's explicit opt-in).
+      NULL event times are never trimmed.
     - ``right_is_dimension`` (with ``right_key`` + ``right_ts``): keeps only
       the latest row per key on the right — the dimension-table contract
       (older versions can never match again in an equi-join). Right state
       becomes |keys|, not |history|.
     """
     import pyspark.sql.functions as F
+
+    if left_retention is not None and (left_retention <= 0 or not left_ts):
+        raise ValueError("left_retention requires left_ts and a positive value")
+    if right_is_dimension and not (right_key and right_ts):
+        raise ValueError("right_is_dimension requires right_key and right_ts")
 
     spark = left_stream.sparkSession
     left_cols, right_cols = list(left_stream.columns), list(right_stream.columns)
@@ -182,7 +243,6 @@ def foreach_batch_outer_join(
 
     left_schema, right_schema = left_stream.schema, right_stream.schema
     track = _horizon_tracker()
-    ts_cols = [c for c in (left_ts, right_ts) if c]
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         lb = batch.filter(F.col("__side") == "l").select(*left_cols)
@@ -191,17 +251,19 @@ def foreach_batch_outer_join(
             _write_epoch(lb, left_state_path, epoch_id)
         if rb.take(1):
             _write_epoch(rb, right_state_path, epoch_id)
-        if left_retention is not None and ts_cols:
-            _advance_horizon(track, batch, ts_cols)
+        if left_retention is not None:
+            _advance_horizon(track, batch, left_ts, right_ts)
         # a side with no arrivals yet joins as an EMPTY relation — an outer
         # join_fn then null-pads the populated side immediately (Flink's
         # NonWindowLeftRightJoin behavior), instead of emitting nothing
         # until both sides have data
         ls = _read_state(spark, left_state_path, left_schema)
         rs = _read_state(spark, right_state_path, right_schema)
-        if left_retention is not None and left_ts:
-            ls = _trim_left(ls, left_ts, track, left_retention)
-        if right_is_dimension and right_key and right_ts:
+        if left_retention is not None:
+            base = _horizon_base(track, need_right=bool(right_ts))
+            if base is not None:
+                ls = _trim_left(ls, left_ts, _horizon_cut(base, left_retention))
+        if right_is_dimension:
             rs = _trim_right_dimension(rs, right_key, right_ts)
         emit_fn(join_fn(ls, rs), epoch_id)
 
@@ -236,14 +298,23 @@ def foreach_batch_asof_join(
     stream-stream joins (append-only, watermark-finalized) cannot express.
 
     Unbounded state is the parity default; ``retention`` (seconds) bounds
-    the per-epoch recompute (round-4 verdict #3): left rows older than
-    (event-time high-water mark − retention) are FINAL and drop out of the
-    join and the emission. The right side trims direction-aware:
+    the per-epoch recompute (round-4 verdict #3). The horizon is
+    ``min(left high-water mark, right high-water mark) − retention`` —
+    Flink's multi-input watermark rule, so a backfilled/ahead side never
+    finalizes the other side's fresh rows — and no trim happens until both
+    sides have produced an event time. Left rows older than the horizon are
+    FINAL and drop out of the join and the emission (NULL event times are
+    exempt). The right side trims direction-aware:
 
     - ``backward``: a right row older than the horizon can still be the
       standing "most recent version" for a retained left row, but only the
-      LATEST such row per key matters — keep rows ≥ horizon plus one
-      latest-per-key row below it (state → |keys| + in-retention rows).
+      LATEST such row per key matters. The standing rows live in a COMPACTED
+      side table (``<right_state_path>_standing``) maintained incrementally:
+      each epoch folds in only the rows that crossed the horizon since the
+      last epoch (a row-group-skippable ts range), so per-epoch right-side
+      cost is |keys| + in-retention rows — NOT a rescan of all history
+      (review finding). After a driver restart the standing table re-seeds
+      from full below-horizon history once, then returns to incremental.
     - ``forward``: a forward match needs right_ts ≥ left_ts ≥ horizon, so
       everything below the horizon is dead state — drop it outright.
 
@@ -252,9 +323,14 @@ def foreach_batch_asof_join(
     the one-shuffle union-tag asof_join plan, never a range explosion.
     """
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
+    from pyspark.errors import AnalysisException
 
     from flink_1_6_0_spark.operators.joins import asof_join
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if retention is not None and retention <= 0:
+        raise ValueError("retention must be positive")
 
     spark = left_stream.sparkSession
     left_cols, right_cols = list(left_stream.columns), list(right_stream.columns)
@@ -264,21 +340,31 @@ def foreach_batch_asof_join(
 
     left_schema, right_schema = left_stream.schema, right_stream.schema
     track = _horizon_tracker()
+    standing_path = f"{right_state_path}_standing"
 
-    def _trim_right_asof(rs: DataFrame) -> DataFrame:
-        if retention is None or track["max_ts"] is None:
-            return rs
-        horizon = _horizon_cut(track["max_ts"], retention)
+    def _read_standing() -> DataFrame:
+        try:
+            return spark.read.parquet(standing_path)
+        except AnalysisException:
+            return spark.createDataFrame([], right_schema)
+
+    def _trim_right_asof(rs: DataFrame, horizon, cleanup: list) -> DataFrame:
         if direction == "forward":
-            return rs.filter(F.col(right_ts) >= F.lit(horizon))
+            return rs.filter(F.col(right_ts).isNull() | (F.col(right_ts) >= F.lit(horizon)))
         recent = rs.filter(F.col(right_ts) >= F.lit(horizon))
-        w = Window.partitionBy(key).orderBy(F.col(right_ts).desc())
-        standing = (
-            rs.filter(F.col(right_ts) < F.lit(horizon))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # incremental standing compaction: prev standing (≤ |keys| rows) +
+        # only the rows whose ts crossed into [prev_horizon, horizon)
+        crossing = rs.filter(F.col(right_ts) < F.lit(horizon))
+        lo = track.get("standing_lo")
+        if lo is not None:
+            crossing = crossing.filter(F.col(right_ts) >= F.lit(lo))
+        standing = _latest_per_key(
+            _read_standing().unionByName(crossing), key, right_ts
+        ).persist()
+        cleanup.append(standing)
+        standing.count()  # materialize BEFORE overwriting the path it read
+        standing.write.mode("overwrite").parquet(standing_path)
+        track["standing_lo"] = horizon
         return recent.unionByName(standing)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -289,16 +375,27 @@ def foreach_batch_asof_join(
         if rb.take(1):
             _write_epoch(rb, right_state_path, epoch_id)
         if retention is not None:
-            _advance_horizon(track, batch, [left_ts, right_ts])
+            _advance_horizon(track, batch, left_ts, right_ts)
         # missing sides read as EMPTY relations: asof_join against an empty
         # right side null-pads every left row (the outer as-of contract),
         # and an empty left side emits an empty result — no special cases
         ls = _read_state(spark, left_state_path, left_schema)
         rs = _read_state(spark, right_state_path, right_schema)
-        if retention is not None:
-            ls = _trim_left(ls, left_ts, track, retention)
-            rs = _trim_right_asof(rs)
-        emit_fn(asof_join(ls, rs, key, left_ts, right_ts, right_payload, direction), epoch_id)
+        cleanup: list = []
+        try:
+            if retention is not None:
+                base = _horizon_base(track, need_right=True)
+                if base is not None:
+                    horizon = _horizon_cut(base, retention)
+                    ls = _trim_left(ls, left_ts, horizon)
+                    rs = _trim_right_asof(rs, horizon, cleanup)
+            emit_fn(
+                asof_join(ls, rs, key, left_ts, right_ts, right_payload, direction),
+                epoch_id,
+            )
+        finally:
+            for df in cleanup:
+                df.unpersist()
 
     return (
         tagged.writeStream.outputMode("append")

@@ -1003,17 +1003,22 @@ def test_foreach_batch_outer_join_retention_trims_state(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        # horizon=100: old row inside retention; dimension trim keeps only v2
+        # horizon base = min(l=100, r=90) → cut is negative: nothing trims;
+        # dimension trim keeps only v2
         assert results["last"] == [(1, "old", "v2")]
-        # epoch 2: a new left row 10_000 ticks later pushes the horizon past
-        # the old row (10100 - 500 > 100) — it is FINAL and leaves the emission
+        # epoch 2: BOTH sides advance ~10k ticks — the min-watermark horizon
+        # passes the old left row (min(10100, 10050) - 500 > 100), it is
+        # FINAL and leaves the emission; dimension trim now keeps v3
         spark.createDataFrame([(1, 10100, "new")], "k long, ts long, lv string").coalesce(1).write.mode(
             "append"
         ).parquet(l_src)
+        spark.createDataFrame([(1, 10050, "v3")], "rk long, rts long, rv string").coalesce(1).write.mode(
+            "append"
+        ).parquet(r_src)
         q.processAllAvailable()
     finally:
         q.stop()
-    assert results["last"] == [(1, "new", "v2")]
+    assert results["last"] == [(1, "new", "v3")]
 
 
 def test_foreach_batch_asof_join_retention_standing_version(spark, tmp_path):
@@ -1048,11 +1053,17 @@ def test_foreach_batch_asof_join_retention_standing_version(spark, tmp_path):
     try:
         q.processAllAvailable()
         assert emissions[-1] == {100: 2.0}
-        # push the horizon: new left row at ts=10_000 finalizes lid=100
-        # (10_000 - 500 > 100) yet still matches the standing right version
-        spark.createDataFrame([(1, 10_000, 200)], "k long, ts long, lid long").coalesce(1).write.mode(
+        # push the min-watermark horizon: both sides advance (left 8600,
+        # right 9000 → horizon 8600-500=8100), finalizing lid=100. The new
+        # left row at 8600 precedes the recent right row (9000), so its
+        # backward match must come from the COMPACTED standing version (2.0)
+        # — the latest-per-key right row below the horizon
+        spark.createDataFrame([(1, 8600, 200)], "k long, ts long, lid long").coalesce(1).write.mode(
             "append"
         ).parquet(l_src)
+        spark.createDataFrame([(1, 9000, 2.5)], "k long, ts long, rv double").coalesce(1).write.mode(
+            "append"
+        ).parquet(r_src)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -1091,3 +1102,63 @@ def test_queryable_state_lookup_nonstring_key(spark, sf_dir):
         assert len(rows) == 1 and rows[0]["n"] >= 1
     finally:
         qs.stop()
+
+
+def test_foreach_batch_join_eager_validation(spark, tmp_path):
+    """Bad options fail BEFORE the query starts (review finding), not as a
+    per-epoch StreamingQueryException after state is written."""
+    import pytest
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.nonwindow_join import (
+        foreach_batch_asof_join,
+        foreach_batch_outer_join,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 10)], "k long, ts long").coalesce(1).write.parquet(src)
+    s = read_parquet_stream(spark, src)
+    with pytest.raises(ValueError, match="direction"):
+        foreach_batch_asof_join(s, s, "k", "ts", "ts", [], "a", "b", print, "c", direction="forwards")
+    with pytest.raises(ValueError, match="retention"):
+        foreach_batch_asof_join(s, s, "k", "ts", "ts", [], "a", "b", print, "c", retention=-5)
+    with pytest.raises(ValueError, match="left_retention"):
+        foreach_batch_outer_join(s, s, None, "a", "b", print, "c", left_retention=10)
+    with pytest.raises(ValueError, match="right_is_dimension"):
+        foreach_batch_outer_join(s, s, None, "a", "b", print, "c", right_is_dimension=True)
+
+
+def test_retention_null_event_time_exempt(spark, tmp_path):
+    """A left row with NULL event time is not subject to event-time
+    retention (review finding): it keeps being emitted null-padded even
+    after the horizon passes every real timestamp."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.nonwindow_join import foreach_batch_outer_join
+
+    l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, None, "nots"), (1, 10_000, "live")], "k long, ts long, lv string"
+    ).coalesce(1).write.parquet(l_src)
+    spark.createDataFrame([(1, 9_900, "v")], "rk long, rts long, rv string").coalesce(1).write.parquet(r_src)
+
+    results = {}
+
+    def emit(df, epoch):
+        results["last"] = sorted((r["lv"], r["rv"]) for r in df.collect())
+
+    q = foreach_batch_outer_join(
+        read_parquet_stream(spark, l_src),
+        read_parquet_stream(spark, r_src),
+        lambda a, b: a.join(b, a.k == b.rk, "left").select("k", "lv", "rv"),
+        str(tmp_path / "ls"), str(tmp_path / "rs"), emit, str(tmp_path / "ck"),
+        left_ts="ts", left_retention=50, right_key="rk", right_ts="rts",
+        right_is_dimension=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # horizon = min(10000, 9900) - 50 = 9850: the NULL-ts row survives
+    assert results["last"] == [("live", "v"), ("nots", "v")]
