@@ -121,8 +121,13 @@ def interval_join(
     Batch form: equi-join on keys + range residual. Catalyst pushes the range
     condition into the join; with AQE the smaller side broadcasts. The
     streaming form (same condition + watermarks) lives in
-    streaming.interval_join.
+    streaming.interval_join. Keys are REQUIRED — Flink's interval join is
+    defined on keyed streams, and a keyless time-range join would compile
+    to a nested-loop cartesian, exactly the blow-up the equi-key exists to
+    prevent (review finding).
     """
+    if not keys:
+        raise ValueError("interval_join requires at least one equi-key pair")
     cond = None
     for lk, rk in keys:
         c = left[lk] == right[rk]
@@ -189,7 +194,22 @@ def windowed_join(
     cond = lw["__w"] == rw["__w"]
     for lk, rk in keys:
         cond = cond & (lw[lk] == rw[rk])
-    return lw.join(rw, cond, how).drop(lw["__w"]).withColumnRenamed("__w", "window")
+    joined = lw.join(rw, cond, how)
+    hown = how.replace("_", "").lower()
+    if hown in ("semi", "leftsemi", "anti", "leftanti"):
+        # only left columns survive a semi/anti join — the left __w IS the
+        # window column (previously the rename silently no-op'd and the
+        # window vanished; review finding)
+        return joined.withColumnRenamed("__w", "window")
+    # outer joins: an unmatched row still belongs to ITS OWN window — take
+    # whichever side is present (they are equal on matches by the join
+    # condition; review finding: keeping only the right __w made every
+    # unmatched left row's window NULL)
+    return (
+        joined.withColumn("window", F.coalesce(lw["__w"], rw["__w"]))
+        .drop(lw["__w"])
+        .drop(rw["__w"])
+    )
 
 
 def asof_join(
@@ -220,42 +240,48 @@ def asof_join(
     (key, ts), which one wins is sort-order dependent — pre-aggregate the
     right side to unique (key, ts) (as join_asof_events does) when a
     reproducible pick matters.
+
+    The payload carries forward as ONE struct, not per-column fills: a
+    matched right row must arrive whole even when some of its payload
+    fields are NULL — per-column last(ignorenulls) would skip the NULL
+    field and stitch together a chimera of different right rows (review
+    finding; DuckDB ASOF / pandas merge_asof return the matched row's NULL
+    faithfully, and so does this).
     """
+    from pyspark.sql.types import StructField, StructType
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if not right_payload:
+        raise ValueError("asof_join needs at least one right payload column")
     lcols = left.columns
+    rstruct = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_payload]
+    )
     # __side orders right rows BEFORE left rows at equal ts so ties match
     tagged_l = left.select(
         F.col(key).alias("__k"), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(rstruct).alias("__rrow"),
     )
     tagged_r = right.select(
         F.col(key).alias("__k"), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("__rrow"),
     )
     from pyspark.sql import Window
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        fill = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_payload]
-    else:
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        fill = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in right_payload]
+    order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     unioned = tagged_l.unionByName(tagged_r)
-    filled = unioned.select("*", *fill)
+    filled = unioned.select("*", F.last("__rrow", ignorenulls=True).over(w).alias("__frow"))
     out = filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__f_{c}").alias(f"r_{c}") for c in right_payload],
+        *[F.col(f"__frow.{c}").alias(f"r_{c}") for c in right_payload],
     )
     return out

@@ -34,7 +34,10 @@ def hop(ts: str | Column, slide: str, size: str) -> Column:
 
 def session(ts: str | Column, gap: str | Column) -> Column:
     """EventTimeSessionWindows (static gap) / DynamicEventTimeSessionWindows
-    (gap as an expression — Spark session_window accepts a Column gap)."""
+    (gap as an expression — Spark session_window accepts a Column gap).
+    A Column gap must be CalendarIntervalType: build it with
+    ``F.make_interval(...)`` (an ``INTERVAL n MINUTE`` literal is
+    DayTimeIntervalType and is rejected)."""
     return F.session_window(ts, gap)
 
 
@@ -62,10 +65,9 @@ def session_dynamic_gap(ts: str | Column, gap_expr: Column) -> Column:
     """DynamicEventTimeSessionWindows (assigners/DynamicEventTimeSessionWindows
     .java) — per-element gap from an expression; SURVEY.md §7 flags this as a
     hard part, but Spark ≥3.2 session_window accepts a Column gap directly.
-    The gap expression must be CalendarIntervalType — build it with
-    ``F.make_interval(...)`` (an ``INTERVAL n MINUTE`` literal is
-    DayTimeIntervalType and is rejected)."""
-    return F.session_window(ts, gap_expr)
+    Named alias of ``session`` (same expression, same CalendarIntervalType
+    caveat) kept for reference-API discoverability."""
+    return session(ts, gap_expr)
 
 
 def count_window(df: DataFrame, keys: list[str], order_by: list[str | Column], size: int) -> DataFrame:
@@ -109,6 +111,10 @@ def evicted_window_agg(
         raise ValueError("exactly one of keep_last_n / keep_last_seconds")
     if keep_last_n is not None and keep_last_n < 0:
         raise ValueError(f"keep_last_n must be >= 0, got {keep_last_n}")
+    if keep_last_seconds is not None and keep_last_seconds < 0:
+        # symmetric with keep_last_n: a negative horizon would silently
+        # evict everything instead of failing fast (review finding)
+        raise ValueError(f"keep_last_seconds must be >= 0, got {keep_last_seconds}")
     w = tumble(ts, size)
     collected = df.groupBy(*keys, w.alias("w")).agg(
         F.array_sort(F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))).alias("elems")

@@ -212,3 +212,62 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in exp_df.itertuples()
         }
         assert got == exp, f"direction={direction}"
+
+
+def test_asof_join_null_payload_field_no_chimera(spark):
+    """A matched right row must arrive WHOLE: a NULL payload field on the
+    matched row stays NULL instead of being backfilled from an older right
+    row (review finding — per-column fills stitched together rows that
+    never existed; DuckDB ASOF and pandas merge_asof return the NULL)."""
+    from flink_1_6_0_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 30, 900)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "old"), (1, 20, None, "new")],
+        "k long, ts long, a double, b string",
+    )
+    row = asof_join(left, right, "k", "ts", "ts", ["a", "b"]).collect()[0]
+    assert row["r_b"] == "new"
+    assert row["r_a"] is None  # NOT 100.0 from the older row
+
+
+def test_windowed_join_outer_keeps_left_window(spark):
+    """Outer windowed join: an unmatched left row keeps ITS OWN window
+    (review finding — the right side's window was NULL there), and semi
+    joins still expose the window column."""
+    import datetime as dt
+
+    from flink_1_6_0_spark.operators.joins import windowed_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 20)
+    left = spark.createDataFrame([(1, t0, "L1"), (2, t0, "L2")], "k long, ts timestamp, lv string")
+    right = spark.createDataFrame([(1, t0, "R1")], "k2 long, ts2 timestamp, rv string")
+    out = windowed_join(left, right, [("k", "k2")], "ts", "ts2", "1 hour", how="left")
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["window"]["start"] == dt.datetime(2024, 1, 1, 0, 0)
+    assert rows[2]["rv"] is None
+    assert rows[2]["window"] is not None  # unmatched left row keeps its window
+    assert rows[2]["window"]["start"] == dt.datetime(2024, 1, 1, 0, 0)
+    semi = windowed_join(left, right, [("k", "k2")], "ts", "ts2", "1 hour", how="left_semi")
+    assert set(semi.columns) == {"k", "ts", "lv", "window"}
+    assert semi.count() == 1
+
+
+def test_interval_join_requires_keys(spark):
+    import pytest
+
+    from flink_1_6_0_spark.operators.joins import interval_join
+
+    df = spark.createDataFrame([(1, 10)], "k long, ts long")
+    with pytest.raises(ValueError, match="equi-key"):
+        interval_join(df, df, [], "ts", "ts", "0 seconds", "1 hour")
+
+
+def test_evicted_window_negative_seconds_raises(spark):
+    import pytest
+
+    from flink_1_6_0_spark.operators.windows import evicted_window_agg
+
+    df = spark.createDataFrame([(1, 10, 1.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="keep_last_seconds"):
+        evicted_window_agg(df, ["k"], "ts", "1 hour", "v", keep_last_seconds=-10)
