@@ -252,7 +252,10 @@ class Pattern:
 
 
 def _scan(
-    events: list[dict], pattern: Pattern, timeouts: list | None = None
+    events: list[dict],
+    pattern: Pattern,
+    timeouts: list | None = None,
+    closed_negations_only: bool = False,
 ) -> list[tuple[tuple[int, ...], ...]]:
     """Ordered NFA scan over one key's events; returns one tuple-of-index-
     tuples per match (one inner tuple per stage; quantified stages contribute
@@ -261,7 +264,13 @@ def _scan(
 
     Match policy: *_ANY stages/repeat-counts enumerate every combination
     (allowCombinations); NEXT/FOLLOWED_BY take the first candidate per slot
-    and the LONGEST valid repeat run (greedy, Pattern.java:361)."""
+    and the LONGEST valid repeat run (greedy, Pattern.java:361).
+
+    ``closed_negations_only`` (the STREAMING executor sets it): a match whose
+    acceptance rests on the ABSENCE of an event at/after the buffer's end is
+    undecided — more events may arrive — so it is withheld until an observed
+    event (or the within horizon) closes the negated region. The batch
+    executor sees complete data and emits immediately."""
     out: list[tuple[tuple[int, ...], ...]] = []
     n = len(events)
     within_us = pattern.within_micros
@@ -277,21 +286,25 @@ def _scan(
         """All index-tuples for one quantified stage: each run picks repeats
         per the inner contiguity (strict adjacency when consecutive()).
         ``all_starts`` (the pattern's begin stage) anchors at every candidate
-        — any event may begin a match regardless of contiguity."""
+        — any event may begin a match regardless of contiguity. When the
+        stage IS the anchor (start_ts None), the run's own first event
+        starts the ``within`` clock, so repeats of the begin stage are
+        horizon-bounded too (review finding: an anchored times(2) ignored
+        within between its own repeats)."""
         runs: list[tuple[int, ...]] = []
 
-        def grow(run: tuple[int, ...]):
+        def grow(run: tuple[int, ...], run_start):
             extended = False
             if len(run) < st.max_times:
                 prev = run[-1]
                 nxt = [prev + 1] if st.consecutive_repeats else range(prev + 1, n)
                 for idx in nxt:
-                    if idx >= n or not in_horizon(idx, start_ts):
+                    if idx >= n or not in_horizon(idx, run_start):
                         break
                     if st.until_pred is not None and st.until_pred(events[idx]):
                         break  # until(): stop accepting, event not consumed
                     if st.predicate(events[idx]):
-                        grow(run + (idx,))
+                        grow(run + (idx,), run_start)
                         extended = True
                         if st.contiguity != FOLLOWED_BY_ANY and not st.combinations_flag:
                             break  # deterministic: one repeat-chain only
@@ -309,7 +322,7 @@ def _scan(
             if not all_starts and st.until_pred is not None and st.until_pred(events[first]):
                 break
             if st.predicate(events[first]):
-                grow((first,))
+                grow((first,), start_ts if start_ts is not None else events[first]["__ts"])
                 if not all_starts and st.contiguity in (NEXT, FOLLOWED_BY):
                     break  # first matching start only
         return runs
@@ -359,26 +372,56 @@ def _scan(
                 break
         return runs
 
-    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = ()):
+    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = (), anchor_inherit: bool = False):
         if stage_i == len(stages):
+            if pending_not:
+                # the pattern ended with an un-discharged notFollowedBy
+                # (every later stage was skipped): the negation applies to
+                # the remaining in-horizon events — previously it silently
+                # evaporated at emit (review finding)
+                if any(
+                    p(events[i])
+                    for p in pending_not
+                    for i in range(last_idx + 1, n)
+                    if in_horizon(i, start_ts)
+                ):
+                    return
+                if closed_negations_only and (
+                    within_us is None
+                    or start_ts is None
+                    or n == 0
+                    or events[-1]["__ts"] <= start_ts + within_us
+                ):
+                    # streaming: absence isn't confirmed until an observed
+                    # event lies beyond the within horizon — emitting now
+                    # could produce an unretractable false positive
+                    return
             emit(acc, last_idx)
             return
         st = stages[stage_i]
-        anchor_all = top_level and stage_i == 0
+        anchor_all = top_level and (stage_i == 0 or anchor_inherit)
         if getattr(st, "negated", False):
             if st.contiguity == NEXT:
                 # notNext: the immediate successor must not match
                 nxt = last_idx + 1
                 if nxt < n and in_horizon(nxt, start_ts) and st.predicate(events[nxt]):
                     return
-                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not)
+                if closed_negations_only and nxt >= n:
+                    # streaming: no successor observed yet — undecided; the
+                    # match re-derives once one arrives (review finding:
+                    # eager emission here was a permanent false positive)
+                    return
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all)
             else:
                 # notFollowedBy: forbid matches in the gap before the NEXT
                 # positive stage's first event
-                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,))
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,), anchor_inherit=anchor_all)
             return
         if st.min_times == 0:
-            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not)
+            # skipping the anchor stage makes the NEXT positive stage the
+            # effective anchor — without inheritance, matches starting at
+            # later events were never enumerated (review finding)
+            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all)
         if isinstance(st, GroupStage):
             runs = group_runs(st, last_idx, start_ts, anchor_all)
         else:
@@ -622,9 +665,13 @@ def cep_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     _validate_pattern(pattern)
-    horizon_s = buffer_horizon_seconds or pattern.within_seconds
+    # `is not None`, not truthiness: an explicit 0 must be rejected loudly,
+    # not silently replaced by within_seconds (review finding)
+    horizon_s = buffer_horizon_seconds if buffer_horizon_seconds is not None else pattern.within_seconds
     if horizon_s is None:
         raise ValueError("streaming CEP needs within() or an explicit buffer horizon")
+    if horizon_s <= 0:
+        raise ValueError(f"buffer horizon must be positive, got {horizon_s}")
     horizon = int(round(horizon_s * 1_000_000))  # exact µs
 
     out_col_types = _stage_out_cols(pattern)
@@ -666,7 +713,7 @@ def cep_stream(
         seen: set[int] = set()
         events = [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
         rows = []
-        for match in _scan(events, pattern):
+        for match in _scan(events, pattern, closed_negations_only=True):
             sig = ";".join(",".join(str(events[i][id_col]) for i in idxs) for idxs in match)
             if sig in emitted:
                 continue

@@ -33,9 +33,13 @@ from pyspark.sql import DataFrame
 def split_late(df: DataFrame, ts_col: str, delay: str, high_watermark_ts) -> tuple[DataFrame, DataFrame]:
     """Batch form: given a high-water mark (max event time seen), split rows
     into (on_time, late) where late means ts < high_watermark - delay —
-    exactly the rows Flink's window operator would route to the late tag."""
+    exactly the rows Flink's window operator would route to the late tag.
+    A NULL event time is NOT late (no event time ⇒ not subject to
+    event-time lateness); it stays on the on-time branch — both predicates
+    are NULL-false, so without the explicit isNull the row would vanish
+    from BOTH branches (review finding)."""
     bound = F.lit(high_watermark_ts).cast("timestamp") - F.expr(f"INTERVAL {delay}")
-    on_time = df.filter(F.col(ts_col) >= bound)
+    on_time = df.filter(F.col(ts_col).isNull() | (F.col(ts_col) >= bound))
     late = df.filter(F.col(ts_col) < bound)
     return on_time, late
 
@@ -76,8 +80,19 @@ def foreach_batch_late_capture(
     holder: dict = {"max_seen": None, "q": None}
     name = query_name or f"late_capture_{uuid.uuid4().hex[:10]}"
     wm_path = None
-    if checkpoint and "://" not in checkpoint:
-        wm_path = os.path.join(checkpoint, "late_capture_watermark.json")
+    # local-path detection: plain paths and file: URIs (both file:///p and
+    # the single-slash file:/p form) are local — a bare '://' test
+    # misclassified file:/p as local-with-scheme-prefix and crashed the
+    # open() (review finding); any OTHER scheme (hdfs:, s3a:, ...) skips
+    # the seed file as documented
+    local_ckpt = None
+    if checkpoint:
+        if checkpoint.startswith("file:"):
+            local_ckpt = "/" + checkpoint[5:].lstrip("/")
+        elif ":" not in checkpoint.split("/", 1)[0]:
+            local_ckpt = checkpoint
+    if local_ckpt:
+        wm_path = os.path.join(local_ckpt, "late_capture_watermark.json")
         if os.path.exists(wm_path):
             try:
                 holder["max_seen"] = json.load(open(wm_path)).get("max_seen")
@@ -101,12 +116,18 @@ def foreach_batch_late_capture(
             seen = (q.lastProgress.get("eventTime") or {}).get("max")
             if seen and (holder["max_seen"] is None or seen > holder["max_seen"]):
                 holder["max_seen"] = seen  # ISO-8601 UTC strings sort correctly
-        if holder["max_seen"]:
-            on_time, late = split_late(batch, ts_col, delay, holder["max_seen"])
-        else:
-            on_time, late = batch, batch.limit(0)
-        on_time_fn(on_time, epoch_id)
-        late_fn(late, epoch_id)
+        # both branches consume the same batch — persist so the source scan
+        # runs once, not once per callback (review finding)
+        batch.persist()
+        try:
+            if holder["max_seen"]:
+                on_time, late = split_late(batch, ts_col, delay, holder["max_seen"])
+            else:
+                on_time, late = batch, batch.limit(0)
+            on_time_fn(on_time, epoch_id)
+            late_fn(late, epoch_id)
+        finally:
+            batch.unpersist()
         if wm_path and holder["max_seen"]:
             tmp = f"{wm_path}.tmp"
             with open(tmp, "w") as fh:

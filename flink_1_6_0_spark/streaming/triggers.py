@@ -49,6 +49,7 @@ def fire_continuous_panes(
     iv_us: int,
     wm_ms: int,
     purging: bool,
+    new_elems: list[tuple[float, float]] | None = None,
 ) -> tuple[list[tuple[int, int, int, float]], int]:
     """Pure pane-firing kernel for one window (unit-/property-testable).
 
@@ -61,8 +62,24 @@ def fire_continuous_panes(
     Trigger.onElement), so a boundary-exact element belongs to the NEXT
     pane; the cumulative pane at ``b`` is the union of fired panes
     (``ts < b``).
+
+    ``new_elems`` (this batch's arrivals for the window): a NEW element
+    whose timer boundary precedes ``last`` re-registers a timer the
+    watermark has already passed — the reference fires it immediately, so a
+    catch-up pane is emitted for each such boundary instead of the element
+    being purged unfired (review finding). Purging catch-up panes carry
+    only the stragglers themselves (prior pane contents were purged);
+    accumulating catch-up re-fires the cumulative pane as of that boundary.
     """
     rows: list[tuple[int, int, int, float]] = []
+    if new_elems:
+        for b0 in sorted({int(t) // iv_us * iv_us + iv_us for t, _ in new_elems if t < last}):
+            if purging:
+                pane = [(t, v) for t, v in new_elems if b0 - iv_us <= t < min(b0, last)]
+            else:
+                pane = [(t, v) for t, v in elems if t < b0]
+            if pane:
+                rows.append((w, b0, len(pane), round(sum(v for _, v in pane), 2)))
     b = last + iv_us
     w_end = w + size_us
     while b <= w_end and b // 1000 <= wm_ms:
@@ -116,15 +133,18 @@ def stream_continuous_window(
             w0, t0, v0, fw, fl = state.get
             wins, tss, vals = list(w0), list(t0), list(v0)
             lastb = {int(w): int(b) for w, b in zip(fw, fl)}
+        new_by_w: dict[int, list[tuple[float, float]]] = {}
         for pdf in pdfs:
             if not len(pdf):
                 continue
             ts_us = pdf[ts_col].astype("int64") // 1000
             for t, v in zip(ts_us, pdf[value_col]):
                 t = int(t)
-                wins.append(t // size_us * size_us)
+                wi = t // size_us * size_us
+                wins.append(wi)
                 tss.append(float(t))
                 vals.append(float(v))
+                new_by_w.setdefault(wi, []).append((float(t), float(v)))
         wm_ms = state.getCurrentWatermarkMs()
         rows = []
         closed: set[int] = set()
@@ -135,11 +155,14 @@ def stream_continuous_window(
             if last is None:
                 if not elems:
                     continue
-                # first boundary after the earliest element (the trigger's
-                # timestamp - (timestamp % interval) + interval)
-                last = int(elems[0][0]) // iv_us * iv_us
+                # base the pane walk at the WINDOW START: empty panes are
+                # skipped anyway, and anchoring at the first-seen element's
+                # boundary let purging drop later stragglers below it
+                # unfired (review finding)
+                last = w
             fired, last = fire_continuous_panes(
-                elems, last, w, size_us, iv_us, wm_ms, purging
+                elems, last, w, size_us, iv_us, wm_ms, purging,
+                new_elems=sorted(new_by_w.get(w, ())),
             )
             rows += fired
             w_end = w + size_us

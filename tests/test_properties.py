@@ -347,3 +347,81 @@ def test_pack_sequences_matches_prefix_sum_reference(spark, sizes, budget):
         before = cum.get(shard, 0)
         assert got[i] == (shard, before, before // budget), (i, n, got[i])
         cum[shard] = before + n
+
+
+# -- review-pass regressions (round 6): CEP negation/anchor/within kernels --
+
+
+def _ev(t, typ, i):
+    return {"__ts": int(t * 1_000_000), "t": typ, "__id": i}
+
+
+def test_cep_within_bounds_anchored_repeats():
+    """within() applies BETWEEN repeats of the quantified begin stage: the
+    anchor's own first event starts the clock (review finding)."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, _scan
+
+    p = Pattern.begin("a", lambda e: e["t"] == "a").times(2).within(1)
+    assert _scan([_ev(0, "a", 0), _ev(100, "a", 1)], p) == []
+    assert _scan([_ev(0, "a", 0), _ev(0.5, "a", 1)], p) == [((0, 1),)]
+
+
+def test_cep_trailing_not_followed_by_enforced():
+    """A notFollowedBy whose following stages are all skipped must still be
+    enforced against the remaining events (review finding)."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, _scan
+
+    p = (
+        Pattern.begin("a", lambda e: e["t"] == "a")
+        .not_followed_by("nb", lambda e: e["t"] == "b")
+        .followed_by("c", lambda e: e["t"] == "c")
+        .optional()
+    )
+    assert _scan([_ev(0, "a", 0), _ev(1, "b", 1)], p) == []
+    assert _scan([_ev(0, "a", 0), _ev(1, "x", 1)], p) == [((0,), (), ())]
+
+
+def test_cep_optional_begin_inherits_anchor():
+    """Skipping an optional begin makes the next stage the effective anchor:
+    every event may begin its own match (review finding)."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, _scan
+
+    p = Pattern.begin("a", lambda e: e["t"] == "a").optional().followed_by(
+        "b", lambda e: e["t"] == "b"
+    )
+    got = _scan([_ev(0, "b", 0), _ev(1, "b", 1)], p)
+    assert got == [((), (0,)), ((), (1,))]
+
+
+def test_cep_closed_negations_only_streaming_contract():
+    """The streaming executor must not emit a match whose acceptance rests
+    on absence of a not-yet-observed successor (review finding): undecided
+    until an event (or the within horizon) closes the negated region."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, _scan
+
+    p = Pattern.begin("a", lambda e: e["t"] == "a").not_next("nb", lambda e: e["t"] == "b")
+    buf = [_ev(0, "a", 0)]
+    assert _scan(buf, p) == [((0,), ())]  # batch: complete data, emit
+    assert _scan(buf, p, closed_negations_only=True) == []  # stream: hold
+    assert _scan(buf + [_ev(1, "x", 1)], p, closed_negations_only=True) == [((0,), ())]
+    assert _scan(buf + [_ev(1, "b", 1)], p, closed_negations_only=True) == []
+
+
+def test_continuous_trigger_straggler_catch_up_pane():
+    """PURGING mode: a new element below the last-fired boundary fires a
+    catch-up pane instead of being purged unfired (review finding)."""
+    from flink_1_6_0_spark.streaming.triggers import fire_continuous_panes
+
+    US = 1_000_000
+    rows, last = fire_continuous_panes(
+        [(5.7 * US, 1.0)], 0, 0, 10 * US, 5 * US, 5_900, True,
+        new_elems=[(5.7 * US, 1.0)],
+    )
+    assert rows == [] and last == 5 * US
+    rows2, last2 = fire_continuous_panes(
+        [(3.2 * US, 2.0), (5.7 * US, 1.0)], last, 0, 10 * US, 5 * US, 11_000, True,
+        new_elems=[(3.2 * US, 2.0)],
+    )
+    assert (0, 5 * US, 1, 2.0) in rows2  # the straggler's own catch-up pane
+    assert (0, 10 * US, 1, 1.0) in rows2
+    assert last2 == 10 * US
