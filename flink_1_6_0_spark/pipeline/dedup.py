@@ -483,11 +483,15 @@ def ngram_jaccard_pairs(
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns — JVM-side zip_with/
-    aggregate, sequential accumulation (bit-identical to DuckDB's order)."""
+    aggregate, sequential accumulation (bit-identical to DuckDB's order).
+    NULL (not a crash) for a zero-norm vector: under Spark's ANSI mode a
+    bare division raises DIVIDE_BY_ZERO and one degenerate embedding would
+    sink the whole job (review finding); NULL scores drop out of top-k
+    orderings and threshold filters naturally."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:

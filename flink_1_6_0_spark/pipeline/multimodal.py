@@ -208,12 +208,15 @@ def decode_image_real(df: DataFrame) -> DataFrame:
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stub over binary media: emit one row per sampled
     offset (models video frame extraction's fan-out shape — explode over a
-    computed offset sequence, no Python in the plan)."""
+    computed offset sequence, no Python in the plan). Zero-byte media emits
+    NO frames — the greatest(n-1, 0) clamp exists only to keep F.sequence
+    total, and without the filter it fabricated a phantom frame_offset=0
+    row for empty blobs (review finding)."""
     n = F.col("meta.n_bytes")
     offsets = F.sequence(
         F.lit(0).cast("long"), F.greatest(n - 1, F.lit(0)).cast("long"), F.lit(every_n_bytes).cast("long")
     )
-    return df.select("doc_id", F.explode(offsets).alias("frame_offset"))
+    return df.filter(n > 0).select("doc_id", F.explode(offsets).alias("frame_offset"))
 
 
 def ahash_pgm(data: bytes, n_bits: int = 64) -> int | None:
@@ -258,12 +261,21 @@ def media_ahash(df: DataFrame, n_bits: int = 64) -> DataFrame:
     is a groupBy(ahash) — the image analog of dedup_exact's one hash
     shuffle."""
 
+    def hash_one(m) -> int | None:
+        # per-row error isolation: one corrupt/non-netpbm blob in a 100 TB
+        # corpus must yield NULL for that row, not kill the whole near-dup
+        # pass (review finding)
+        try:
+            return ahash_pgm(bytes(m), n_bits)
+        except (ValueError, IndexError):
+            return None
+
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "ahash": [ahash_pgm(bytes(m), n_bits) for m in pdf["media"]],
+                    "ahash": [hash_one(m) for m in pdf["media"]],
                 }
             )
 

@@ -47,6 +47,22 @@ def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
     return sig
 
 
+def _query_signature(planes: np.ndarray, query_vec) -> int:
+    """Driver-side signature of the query vector, accumulated in the SAME
+    left-to-right double order as ``lsh_signature``'s F.aggregate — np.dot's
+    pairwise/SIMD summation can flip the sign of a near-zero plane product,
+    bucketing a corpus vector IDENTICAL to the query differently from the
+    query itself (review finding)."""
+    sig = 0
+    for j, plane in enumerate(planes):
+        acc = 0.0
+        for p, q in zip(plane, query_vec):
+            acc += float(p) * float(q)
+        if acc > 0:
+            sig += 1 << j
+    return sig
+
+
 def ivf_assignments(df: DataFrame, id_col: str, vec_col: str, centroid_stride: int = 64) -> DataFrame:
     """IVF coarse quantizer, deterministic flavor: centroids are the vectors
     whose id is divisible by ``centroid_stride`` (a seeded k-means would work
@@ -167,7 +183,7 @@ def lsh_ann_topk(
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, bits, seed)
-    qsig = int(sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+    qsig = _query_signature(planes, query_vec)
     v = F.col(vec_col).cast("array<double>")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
@@ -433,7 +449,7 @@ def lsh_multitable_topk(
     cond = F.lit(False)
     for t in range(tables):
         planes = hyperplanes(dim, bits, seed + t)
-        qsig = int(sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+        qsig = _query_signature(planes, query_vec)
         cond = cond | (lsh_signature(v, planes) == qsig)
     return (
         df.filter(cond)
@@ -455,8 +471,14 @@ def ivf_kmeans_topk(
 ) -> DataFrame:
     """IVF ANN with TRAINED centroids (pyspark.ml KMeans, seeded) instead of
     ivf_topk's deterministic stride picks — the production coarse quantizer.
-    Same probe shape: nearest ``nprobe`` centroids by euclidean distance,
-    scan only their inverted lists, exact cosine on the candidates.
+
+    Metric alignment (review finding): candidates are RANKED by cosine, so
+    the quantizer trains, assigns, and probes on L2-NORMALIZED vectors —
+    on the unit sphere Euclidean order ≡ cosine order (spherical k-means),
+    whereas Euclid over raw magnitudes can put the cosine-nearest vectors
+    in never-probed cells. Exact scores still compute on the RAW vectors
+    (cosine is scale-invariant). Zero-norm vectors keep their raw form for
+    assignment (their cosine is NULL and they never rank anyway).
 
     Scale: KMeans fit is Lloyd's over the (distributed) vectors with
     dataset-size-bounded passes; the centroid table (n_centroids × dim) and
@@ -467,13 +489,18 @@ def ivf_kmeans_topk(
     from pyspark.ml.functions import array_to_vector
 
     v = F.col(vec_col).cast("array<double>")
-    feat = df.select(F.col(id_col).alias("id"), v.alias("arr")).withColumn(
-        "features", array_to_vector(F.col("arr"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    feat = df.select(F.col(id_col).alias("id"), v.alias("arr"), unit.alias("u")).withColumn(
+        "features", array_to_vector(F.col("u"))
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
     assigned = model.transform(feat).select("id", "arr", F.col("prediction").alias("cid"))
     centers = model.clusterCenters()
     q = np.asarray(query_vec, dtype=float)
+    qn = float(np.linalg.norm(q))
+    if qn > 0:
+        q = q / qn
     probed = sorted(
         range(len(centers)), key=lambda i: (float(np.linalg.norm(centers[i] - q)), i)
     )[:nprobe]

@@ -13,7 +13,7 @@ same value exactly; xxhash64/murmur differ between engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 MOD = 1_000_000_007  # keeps all rolling-hash arithmetic exact in int64 everywhere
 
@@ -50,9 +50,12 @@ def char_count(col: str | Column) -> Column:
 
 
 def punct_ratio(col: str | Column) -> Column:
-    """Punctuation chars / total chars."""
+    """Punctuation chars / total chars; NULL for an empty string (ANSI mode
+    would raise DIVIDE_BY_ZERO on it — review finding)."""
     c = _c(col)
-    return F.char_length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", "")) / F.char_length(c)
+    return F.try_divide(
+        F.char_length(F.regexp_replace(c, r"[^.,;:!?'\"()-]", "")), F.char_length(c)
+    )
 
 
 def stopword_ratio(col: str | Column, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
@@ -162,8 +165,6 @@ def unigram_logppl(docs: DataFrame, doc_id: str, text_col: str) -> DataFrame:
     a TF-IDF pass pays; the corpus total is a 1x1 broadcast scalar (NOT a
     single-partition window); doc-token x vocab is a shuffle equi-join on
     the token (AQE handles stopword skew). Nothing is collected."""
-    from pyspark.sql import functions as F
-
     toks = docs.select(
         F.col(doc_id), F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -191,8 +192,6 @@ def c4_line_filter(
     no UDF, no shuffle.
 
     Returns (doc_id, cleaned, n_lines_kept) for surviving docs only."""
-    from pyspark.sql import functions as F
-
     lines = F.split(F.col(text_col), "\n")
     keep = F.filter(
         lines,
@@ -227,8 +226,6 @@ def chunk_overlap(
     ``size - overlap`` tokens, last chunk ragged. Pure Column expressions —
     tokenize once, posexplode the chunk sequence; per-doc work is linear in
     doc length and nothing shuffles."""
-    from pyspark.sql import functions as F
-
     if overlap >= size:
         raise ValueError("overlap must be < size")
     step = size - overlap
@@ -266,8 +263,6 @@ def unigram_logppl_topk(
     broadcast hash join — at 100 TB the vocab side is KBs while the corpus
     side never shuffles. Integer-exact probabilities (n_tok/n_total and the
     permille floor) keep the score engine-portable."""
-    from pyspark.sql import functions as F
-
     toks = docs.select(
         F.col(doc_id), F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -483,9 +478,14 @@ def bpe_train(
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((a, b, n))
+        prev = vocab
         vocab = vocab.select(
             "freq", _merge_pair_scan(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint()
+        # release the previous iteration's checkpoint blocks — without this
+        # every merge's vocab copy stays pinned in executor storage for the
+        # life of the job (review finding; no-op on the un-checkpointed seed)
+        prev.unpersist()
     return merges
 
 
@@ -538,7 +538,10 @@ def bpe_segment(
     Arrow-batched pass with a rank-indexed pair dict is the faster shape;
     the expression form is exact and JVM-side for the rule counts a test
     corpus learns."""
-    words = tokenize(F.lower(_c(col)))
+    # drop empty "words": tokenize('') yields [''] and split('', '(?!$)')
+    # re-emits '' — a phantom ['', '</w>'] subword pair per blank doc that
+    # training (which filters length>0) never saw (review finding)
+    words = F.filter(tokenize(F.lower(_c(col))), lambda w: w != "")
     segs = F.transform(
         words,
         lambda w: F.concat(F.split(w, "(?!$)"), F.array(F.lit(end_of_word))),

@@ -127,3 +127,29 @@ def test_minhash_bands_validated(spark):
         minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=32)
     with pytest.raises(ValueError, match="bands"):
         minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=5)
+
+
+def test_frame_sample_zero_byte_media_no_phantom(spark):
+    """Zero-byte media emits NO frames (review finding: the sequence clamp
+    fabricated a frame_offset=0 row)."""
+    from flink_1_6_0_spark.pipeline import multimodal as mm
+
+    docs = spark.createDataFrame([(1, ""), (2, "abcdef" * 30)], "doc_id long, text string")
+    out = mm.frame_sample(mm.attach_binary(docs, "doc_id", "text")).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 1 not in ids and 2 in ids
+
+
+def test_media_ahash_isolates_corrupt_blobs(spark):
+    """One corrupt / non-netpbm blob yields a NULL hash for that row, never
+    a job-wide PythonException (review finding)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, bytearray(b""))],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r["ahash"] for r in mm.media_ahash(df).collect()}
+    assert rows == {1: None, 2: None}

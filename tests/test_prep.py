@@ -823,3 +823,23 @@ def test_minhash_calibration_bands_validation(spark):
         minhash_calibration(df, "doc_id", "text", bands=0)
     with pytest.raises(ValueError):
         minhash_calibration(df, "doc_id", "text", num_hashes=16, bands=5)
+
+
+def test_punct_ratio_empty_string_null(spark):
+    """Empty text -> NULL ratio, not an ANSI DIVIDE_BY_ZERO (review finding)."""
+    from flink_1_6_0_spark.pipeline.text import punct_ratio
+
+    df = spark.createDataFrame([("",), ("a.b",)], "t string")
+    got = [r["r"] for r in df.select(punct_ratio("t").alias("r")).collect()]
+    assert got[0] is None and abs(got[1] - 1 / 3) < 1e-9
+
+
+def test_bpe_segment_blank_text_empty(spark):
+    """Blank/whitespace docs segment to [] — no phantom ['', '</w>'] pair
+    (review finding: split('') artifacts inflate token counts)."""
+    from flink_1_6_0_spark.pipeline.text import bpe_segment
+
+    df = spark.createDataFrame([("",), ("   ",), ("ab",)], "t string")
+    got = [r["s"] for r in df.select(bpe_segment("t", []).alias("s")).collect()]
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["a", "b", "</w>"]

@@ -253,3 +253,37 @@ def test_polynomial_features_reference_order(spark):
     df = spark.createDataFrame([(1, [2.0, 3.0])], "id long, v array<double>")
     out = polynomial_features(df, "v", dim=2, degree=3).collect()[0]["poly"]
     assert out == [8.0, 12.0, 18.0, 27.0, 4.0, 6.0, 9.0, 2.0, 3.0]
+
+
+def test_cosine_zero_norm_null_not_crash(spark):
+    """A zero-norm embedding yields a NULL score instead of an ANSI
+    DIVIDE_BY_ZERO that sinks the whole job (review finding)."""
+    from flink_1_6_0_spark.pipeline import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = sim.cosine_topk(df, "vec_id", "embedding", [1.0, 0.0], 5).collect()
+    got = {r["vec_id"]: r["score"] for r in rows}
+    assert got[1] == 1.0
+    assert got.get(2) is None  # NULL score, ordered last — never a crash
+
+
+def test_lsh_query_signature_matches_engine_for_identical_vector(spark):
+    """The query's own vector must land in the query's bucket: driver-side
+    and engine-side signatures accumulate in the same order (review
+    finding — np.dot's pairwise summation could flip a near-zero sign)."""
+    import numpy as np
+
+    from flink_1_6_0_spark.pipeline.similarity import (
+        _query_signature,
+        hyperplanes,
+        lsh_signature,
+    )
+
+    rng = np.random.default_rng(7)
+    qv = [float(x) for x in rng.standard_normal(16)]
+    planes = hyperplanes(16, 8, seed=3)
+    df = spark.createDataFrame([(1, qv)], "id long, v array<double>")
+    engine_sig = df.select(lsh_signature(F.col("v"), planes).alias("s")).first()["s"]
+    assert _query_signature(planes, qv) == engine_sig
