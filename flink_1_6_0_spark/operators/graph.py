@@ -38,6 +38,16 @@ def _checkpoint(df: DataFrame, mode: str) -> DataFrame:
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
+            if not sc.master.startswith("local"):
+                # a driver-local temp dir is unreadable from executors on a
+                # real cluster — the exact environment reliable mode exists
+                # for; silent fallback would die mid-loop with a confusing
+                # FileNotFoundException instead (review finding)
+                raise ValueError(
+                    "checkpoint_mode='reliable' on a cluster needs a shared "
+                    "checkpoint dir: call spark.sparkContext.setCheckpointDir"
+                    "('hdfs://... or s3://...') first"
+                )
             import tempfile
 
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="graph_ckpt_"))
@@ -130,6 +140,7 @@ def run_gather_sum_apply(
     convergence_fn=None,
     checkpoint_interval: int = 3,
     checkpoint_mode: str = "local",
+    require_convergence: bool = False,
 ) -> DataFrame:
     """Generic gather-sum-apply iteration — Gelly's second iteration model
     (gsa/GatherSumApplyIteration.java; GatherFunction/SumFunction/
@@ -153,7 +164,12 @@ def run_gather_sum_apply(
     GSAConfiguration.setDirection (default OUT).
 
     ``single_source_shortest_paths`` below runs through this API (the
-    reference ships the same algorithm as GSASingleSourceShortestPaths.java)."""
+    reference ships the same algorithm as GSASingleSourceShortestPaths.java).
+
+    ``require_convergence``: raise instead of returning a PARTIAL result
+    when max_iterations is exhausted before ``convergence_fn`` fires — a
+    non-converged fixpoint is indistinguishable from the real one
+    downstream (same contract as transitive_closure; review finding)."""
     state = vertices
     for i in range(max_iterations):
         gathered = gather_fn(_neighbor_view(state, edges, direction))
@@ -164,6 +180,12 @@ def run_gather_sum_apply(
         if convergence_fn is not None and convergence_fn(state, new_state):
             return new_state
         state = new_state
+    if require_convergence and convergence_fn is not None:
+        raise RuntimeError(
+            f"gather-sum-apply did not converge within {max_iterations} "
+            "iterations — raise max_iterations (a partial result is "
+            "indistinguishable from a converged one downstream)"
+        )
     return state
 
 
@@ -242,10 +264,14 @@ def connected_components(
     max_iterations: int = 20,
     checkpoint_interval: int = 3,
     checkpoint_mode: str = "local",
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Gelly ConnectedComponents (library/ConnectedComponents.java): iterative
     min-label propagation to a fixpoint. Returns (id, component)."""
-    sym = undirect(edges).distinct()
+    # loop-invariant: materialize the symmetrized/deduped edge frame ONCE —
+    # recomputing its shuffle every superstep multiplied the dominant cost
+    # by the iteration count (review finding)
+    sym = _checkpoint(undirect(edges).distinct(), checkpoint_mode)
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     for i in range(max_iterations):
         # neighbor-minimum per vertex, one shuffle
@@ -269,6 +295,13 @@ def connected_components(
             labels = _checkpoint(labels, checkpoint_mode)
         if changed == 0:
             break
+    else:
+        if require_convergence:
+            raise RuntimeError(
+                f"connected_components did not reach a fixpoint within "
+                f"{max_iterations} iterations — partial components are "
+                "indistinguishable from final ones (review finding)"
+            )
     return labels
 
 
@@ -285,7 +318,12 @@ def pagerank(
     (No dangling-mass redistribution — matches the unrolled SQL oracle.)
     Returns (id, rank)."""
     n = vertices.count()
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    # loop-invariant: the out-degree table is aggregated once, not re-shuffled
+    # per power-method round (review finding)
+    out_deg = _checkpoint(
+        edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
+        checkpoint_mode,
+    )
     ranks = vertices.select(F.col("id"), F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -398,6 +436,7 @@ def single_source_shortest_paths(
     max_iterations: int = 10,
     checkpoint_interval: int = 3,
     checkpoint_mode: str = "local",
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Gelly SingleSourceShortestPaths: Bellman-Ford supersteps over a
     weighted edge list (columns src, dst, weight). Returns (id, distance),
@@ -447,6 +486,10 @@ def single_source_shortest_paths(
         convergence_fn=converged,
         checkpoint_interval=checkpoint_interval,
         checkpoint_mode=checkpoint_mode,
+        # partial Bellman-Ford distances look exactly like final ones —
+        # surface non-convergence instead of returning them (review
+        # finding; same contract as transitive_closure)
+        require_convergence=require_convergence,
     )
 
 
@@ -468,7 +511,9 @@ def hits(
     every iteration: the normalization crossJoin references the frame twice
     (once through the norm aggregate), so without truncation the lineage
     doubles per half-step — exponential plan growth."""
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    # the static edge pin honors checkpoint_mode too — a localCheckpoint
+    # here voided 'reliable' mode's executor-loss guarantee (review finding)
+    e = _checkpoint(edges.select("src", "dst").distinct(), checkpoint_mode)
     scores = vertices.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
     for i in range(iterations):
         auth = (
@@ -520,7 +565,10 @@ def community_detection(
     e = e.select("src", "dst", "weight").union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    state = vertices.select("id", F.col("id").cast("long").alias("label"), F.lit(1.0).alias("score"))
+    # the label IS the vertex id (the groupBy / tie-break logic never needs a
+    # numeric label): casting to long silently NULLed every label for
+    # non-numeric ids (review finding)
+    state = vertices.select("id", F.col("id").alias("label"), F.lit(1.0).alias("score"))
     for i in range(iterations):
         msgs = e.join(
             state.select(F.col("id").alias("src"), "label", "score"), "src"
@@ -567,9 +615,14 @@ def summarize(
         F.min("id").alias("repr_id"), F.count("*").alias("cnt")
     )
     v_sum = groups.select("repr_id", "value", "cnt")
-    v_map = vertices.join(groups, vertices[vertex_value] == groups.value).select(
-        F.col("id"), F.col("repr_id")
-    )
+    # eqNullSafe: NullValue is a real group (facade-default graphs carry
+    # NULL vertex values) — a plain equi-join dropped every NULL-valued
+    # vertex from the id→group map, silently emptying the edge summary
+    # while the NULL group still appeared in the vertex summary (review
+    # finding; same convention as graph_api.intersect)
+    v_map = vertices.join(
+        groups, vertices[vertex_value].eqNullSafe(groups.value)
+    ).select(F.col("id"), F.col("repr_id"))
     e = (
         edges.join(v_map.withColumnRenamed("repr_id", "src_repr"), edges.src == v_map.id)
         .drop("id")
@@ -590,6 +643,7 @@ def label_propagation(
     label_col: str = "label",
     iterations: int = 5,
     checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Gelly LabelPropagation (library/LabelPropagation.java): each superstep
     every vertex adopts the most frequent label among its neighbors (ties →
@@ -598,7 +652,9 @@ def label_propagation(
 
     Expressed through ``run_vertex_centric`` — the proof case that the
     generic Pregel API reproduces a library algorithm unchanged."""
-    sym = undirect(edges).distinct()
+    # loop-invariant symmetrize+dedup shuffle runs once, not per superstep
+    # (review finding)
+    sym = _checkpoint(undirect(edges).distinct(), checkpoint_mode)
 
     def message_fn(state: DataFrame, e: DataFrame) -> DataFrame:
         counts = (
@@ -628,6 +684,7 @@ def label_propagation(
         update_fn,
         iterations,
         checkpoint_interval=checkpoint_interval,
+        checkpoint_mode=checkpoint_mode,
     )
 
 
@@ -913,11 +970,15 @@ def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
     deg·(deg-1), average = mean of the local scores, over the same local
     frame."""
     local = local_clustering_coefficient_directed(edges)
+    wedges = F.sum(F.col("degree") * (F.col("degree") - 1))
     return local.agg(
         F.count("*").alias("vertex_count"),
-        F.round(
-            F.sum("n_between") / F.sum(F.col("degree") * (F.col("degree") - 1)), 6
-        ).alias("global_coeff"),
+        # zero-wedge graphs (every vertex one distinct neighbor) score 0.0,
+        # matching the undirected sibling — the bare division was NULL /
+        # an ANSI DIVIDE_BY_ZERO there (review finding)
+        F.when(wedges > 0, F.round(F.sum("n_between") / wedges, 6))
+        .otherwise(0.0)
+        .alias("global_coeff"),
         F.round(F.avg("coeff"), 6).alias("average_coeff"),
     )
 

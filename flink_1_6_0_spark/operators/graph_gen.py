@@ -187,6 +187,14 @@ def rmat_graph(
     if not (0.0 <= noise <= 2.0):
         # validated eagerly regardless of the flag (RMatGraph.setNoise:134)
         raise ValueError("noise must be in [0, 2]")
+    # a/b/c validated like the reference's setConstants (RMatGraph.java:117):
+    # out-of-range values silently skewed or zeroed the d-quadrant before
+    # (review finding); scale >= 1 because sequence(0, scale-1) at scale=0
+    # descends to [0, -1] and emits vertex ids outside [0, 2^scale)
+    if a < 0 or b < 0 or c < 0 or a + b + c > 1.0:
+        raise ValueError(f"a, b, c must be non-negative with a+b+c <= 1 (got {a}, {b}, {c})")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
     e = spark.range(edge_count).select(F.col("id").alias("k"))
     levels = F.sequence(F.lit(0), F.lit(scale - 1))
 

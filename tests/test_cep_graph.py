@@ -1026,3 +1026,62 @@ def test_directed_census_triangle_free_graph(spark):
     r = g.triadic_census_directed(e).collect()[0]
     assert r.t021c == 1 and r.t003 == 0 and r.t300 == 0
     assert all(v is not None for v in r)
+
+
+def test_summarize_null_vertex_values_kept(spark):
+    """NullValue is a real group: edges between NULL-valued vertices must
+    appear in the edge summary (review finding — the equi-join dropped
+    them while the vertex summary still showed the NULL group)."""
+    vertices = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id long, value string"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    v_sum, e_sum = g.summarize(vertices, edges, "value")
+    vs = {r["value"]: r["cnt"] for r in v_sum.collect()}
+    assert vs == {None: 2, "x": 1}
+    assert e_sum.count() == 2  # both edges survive, incl. the NULL-NULL one
+
+
+def test_community_detection_string_ids(spark):
+    """Non-numeric vertex ids keep their label (review finding — the long
+    cast silently NULLed every label)."""
+    vertices = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r["id"]: r["label"] for r in g.community_detection(vertices, edges, iterations=2).collect()}
+    assert None not in out.values()
+    assert set(out) == {"a", "b", "c"}
+
+
+def test_gcc_directed_zero_wedge_graph(spark):
+    """A single directed edge has zero wedges: global_coeff must be 0.0
+    (matching the undirected sibling), not NULL/DIVIDE_BY_ZERO."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    row = g.global_clustering_coefficient_directed(edges).collect()[0]
+    assert row["global_coeff"] == 0.0
+
+
+def test_rmat_parameter_validation(spark):
+    import pytest
+
+    from flink_1_6_0_spark.operators.graph_gen import rmat_graph
+
+    with pytest.raises(ValueError, match="a, b, c"):
+        rmat_graph(spark, scale=4, edge_count=10, a=0.6, b=0.3, c=0.3)
+    with pytest.raises(ValueError, match="scale"):
+        rmat_graph(spark, scale=0, edge_count=10)
+
+
+def test_sssp_non_convergence_raises(spark):
+    """Partial Bellman-Ford distances are indistinguishable from final ones
+    — exhausting max_iterations raises by default (review finding)."""
+    import pytest
+
+    # a 6-hop path needs ~6 relaxation rounds; cap at 2
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)], "src long, dst long, weight double"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        g.single_source_shortest_paths(vertices, edges, 0, max_iterations=2)
+    ok = g.single_source_shortest_paths(vertices, edges, 0, max_iterations=10)
+    assert {r["id"]: r["distance"] for r in ok.collect()}[6] == 6.0
