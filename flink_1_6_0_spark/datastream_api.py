@@ -514,13 +514,17 @@ class SplitStream:
         self.selectors = selectors
 
     def select(self, *names: str) -> DataStream:
-        """SplitStream.select — union of the named outputs (an element can
-        reach several outputs, as with OutputSelector's Iterable)."""
+        """SplitStream.select — the named outputs as ONE stream. An element
+        matching several selected outputs is delivered ONCE (Flink's
+        DirectedOutput collects the outputs into a set before emitting), so
+        the predicates are OR-ed instead of union-ed — a filter union
+        duplicated multi-match rows and silently inflated downstream
+        aggregates (review finding)."""
         preds = [self.selectors[n] for n in names]
-        out = self.df.filter(preds[0])
+        cond = preds[0]
         for p in preds[1:]:
-            out = out.unionByName(self.df.filter(p))
-        return DataStream(out)
+            cond = cond | p
+        return DataStream(self.df.filter(cond))
 
 
 class ConnectedStreams:

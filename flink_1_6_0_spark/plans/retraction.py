@@ -31,12 +31,30 @@ def _plan_has(df: DataFrame, *fragments: str) -> bool:
 
 def is_append_only(df: DataFrame) -> bool:
     """True when the streaming query emits only inserts: no aggregation, or
-    aggregation over event-time windows bounded by a watermark."""
+    aggregation whose GROUPING contains the event-time window of a
+    watermarked column — Spark finalizes (and therefore appends) aggregate
+    rows only when the watermark bounds the group itself. A watermark
+    elsewhere in the plan does NOT make a keyed aggregation append-safe
+    (``withWatermark().groupBy('user').count()`` still updates forever —
+    review finding: the old any-watermark test chose a mode Spark rejects
+    at start())."""
+    import re
+
     if not df.isStreaming:
         return True
-    has_agg = _plan_has(df, "Aggregate")
-    has_watermark = _plan_has(df, "EventTimeWatermark")
-    return not has_agg or has_watermark
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "Aggregate" not in plan:
+        return True
+    if "EventTimeWatermark" not in plan:
+        return False
+    # the analyzer tags watermark-bound attributes with a `-T<delay>ms`
+    # suffix (e.g. `window#21-T60000ms`); append is legal exactly when such
+    # a tagged attribute sits in the Aggregate's GROUPING list
+    for line in plan.splitlines():
+        m = re.search(r"Aggregate \[([^\]]*)\]", line)
+        if m and re.search(r"-T\d+ms", m.group(1)):
+            return True
+    return False
 
 
 def infer_output_mode(df: DataFrame, sink_capability: str = RETRACT) -> str:
@@ -45,6 +63,10 @@ def infer_output_mode(df: DataFrame, sink_capability: str = RETRACT) -> str:
     Raises when the combination is unsatisfiable — mirroring Flink's
     TableException for updating results on an append sink
     (StreamTableEnvironment.writeToSink)."""
+    if sink_capability not in (APPEND_ONLY, RETRACT, UPSERT):
+        # a typo'd capability must not silently fall through to 'complete'
+        # (review finding)
+        raise ValueError(f"unknown sink capability {sink_capability!r}")
     if is_append_only(df):
         return "append"
     if sink_capability == APPEND_ONLY:
@@ -52,4 +74,4 @@ def infer_output_mode(df: DataFrame, sink_capability: str = RETRACT) -> str:
             "query produces updates but the sink is append-only "
             "(Flink: AppendStreamTableSink cannot accept retractions)"
         )
-    return "update" if sink_capability in (RETRACT, UPSERT) else "complete"
+    return "update"
