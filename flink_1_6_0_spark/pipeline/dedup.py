@@ -176,59 +176,66 @@ def minhash_calibration(
         raise ValueError(f"bands must divide num_hashes (got {num_hashes=}, {bands=})")
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes).persist()
-    buckets = _buckets_from_sigs(sigs, bands, rows)
-    pairs = (
-        buckets.select(F.col("doc").alias("a"), "band", "bh")
-        .join(buckets.select(F.col("doc").alias("b"), "band", "bh"), ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc").alias("a"), *[F.col(f"mh{i}").alias(f"__amh{i}") for i in range(num_hashes)])
-    sb = sigs.select(F.col("doc").alias("b"), *[F.col(f"mh{i}").alias(f"__bmh{i}") for i in range(num_hashes)])
-    agree = sum(
-        (F.col(f"__amh{i}") == F.col(f"__bmh{i}")).cast("int") for i in range(num_hashes)
-    )
-    est = pairs.join(sa, "a").join(sb, "b").select(
-        "a", "b", (agree / F.lit(num_hashes)).alias("__est")
-    )
-    sh = shingle_rows(df, id_col, text_col, shingle_k, dedupe=True).persist()
-    cnt = sh.groupBy("doc").agg(F.count("*").alias("__n"))
-    inter = (
-        pairs.join(sh.select(F.col("doc").alias("a"), "s"), "a")
-        .join(sh.select(F.col("doc").alias("b"), "s"), ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("__inter"))
-    )
-    exact = (
-        pairs.join(inter, ["a", "b"], "left")
-        .join(cnt.select(F.col("doc").alias("a"), F.col("__n").alias("__na")), "a")
-        .join(cnt.select(F.col("doc").alias("b"), F.col("__n").alias("__nb")), "b")
-        .select(
+    sh = None
+    try:
+        buckets = _buckets_from_sigs(sigs, bands, rows)
+        pairs = (
+            buckets.select(F.col("doc").alias("a"), "band", "bh")
+            .join(buckets.select(F.col("doc").alias("b"), "band", "bh"), ["band", "bh"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        sa = sigs.select(F.col("doc").alias("a"), *[F.col(f"mh{i}").alias(f"__amh{i}") for i in range(num_hashes)])
+        sb = sigs.select(F.col("doc").alias("b"), *[F.col(f"mh{i}").alias(f"__bmh{i}") for i in range(num_hashes)])
+        agree = sum(
+            (F.col(f"__amh{i}") == F.col(f"__bmh{i}")).cast("int") for i in range(num_hashes)
+        )
+        est = pairs.join(sa, "a").join(sb, "b").select(
+            "a", "b", (agree / F.lit(num_hashes)).alias("__est")
+        )
+        sh = shingle_rows(df, id_col, text_col, shingle_k, dedupe=True).persist()
+        cnt = sh.groupBy("doc").agg(F.count("*").alias("__n"))
+        inter = (
+            pairs.join(sh.select(F.col("doc").alias("a"), "s"), "a")
+            .join(sh.select(F.col("doc").alias("b"), "s"), ["b", "s"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("__inter"))
+        )
+        exact = (
+            pairs.join(inter, ["a", "b"], "left")
+            .join(cnt.select(F.col("doc").alias("a"), F.col("__n").alias("__na")), "a")
+            .join(cnt.select(F.col("doc").alias("b"), F.col("__n").alias("__nb")), "b")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce(F.col("__inter"), F.lit(0))
+                    / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__inter"), F.lit(0)))
+                ).alias("__exact"),
+            )
+        )
+        out = est.join(exact, ["a", "b"]).select(
             "a",
             "b",
-            (
-                F.coalesce(F.col("__inter"), F.lit(0))
-                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__inter"), F.lit(0)))
-            ).alias("__exact"),
+            F.round(F.col("__est"), 6).alias("est_jaccard"),
+            F.round(F.col("__exact"), 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias("abs_err"),
         )
-    )
-    out = est.join(exact, ["a", "b"]).select(
-        "a",
-        "b",
-        F.round(F.col("__est"), 6).alias("est_jaccard"),
-        F.round(F.col("__exact"), 6).alias("exact_jaccard"),
-        F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias("abs_err"),
-    )
-    # materialize the (pair-sized) result, then release the two corpus-sized
-    # caches — repeated calibration sweeps in one session must not pin
-    # signature+shingle frames until memory pressure skews the measurement
-    # (review finding). The result stays cached for the caller's actions.
-    out = out.persist()
-    out.count()
-    sigs.unpersist()
-    sh.unpersist()
-    return out
+        # materialize the (pair-sized) result, then release the two
+        # corpus-sized caches — repeated calibration sweeps in one session
+        # must not pin signature+shingle frames until memory pressure skews
+        # the measurement. The result stays cached for the caller's actions.
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        # Release caches on EVERY path — an exception while building
+        # pairs/est/exact or during the materializing count() must not leak
+        # corpus-sized persists for the rest of the session (ADVICE r6).
+        sigs.unpersist()
+        if sh is not None:
+            sh.unpersist()
 
 
 def minhash_lsh_pairs(

@@ -945,14 +945,16 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_version_diff",
     oracle="""
-    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+    WITH old AS (SELECT doc_id, md5(text) AS h, true AS in_old
+                 FROM documents WHERE doc_id % 11 <> 0),
     new AS (SELECT doc_id,
-                   md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h
+                   md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h,
+                   true AS in_new
             FROM documents WHERE doc_id % 13 <> 0)
     SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
-           CASE WHEN old.h IS NULL THEN 'added'
-                WHEN new.h IS NULL THEN 'removed'
-                WHEN old.h <> new.h THEN 'changed'
+           CASE WHEN old.in_old IS NULL THEN 'added'
+                WHEN new.in_new IS NULL THEN 'removed'
+                WHEN old.h IS DISTINCT FROM new.h THEN 'changed'
                 ELSE 'unchanged' END AS status
     FROM old FULL OUTER JOIN new USING (doc_id)
     """,

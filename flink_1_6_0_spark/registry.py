@@ -75,28 +75,16 @@ def query(
 # least one representative of every SURVEY.md §2 family into that window; the
 # remaining queries follow in module insertion order.
 _PRIORITY_HEAD = (
-    # --- round-5 rotation (r4 verdict task 2): 117 of 186 registered queries
-    # have driver evidence from rounds 1-4; 69 have never been driver-checked.
-    # This window keeps 9 stable sentinels (>=1 per §2 family, all driver-green
-    # in r4) and rotates in 41 of the 69 — the whole r4 Gelly tier, the
-    # dedup/ann/corpus/sql_* groups, and the misc batch stragglers.
-    # ROUND-6 NOTE: round 5 ended before the driver's correctness gate ran
-    # (no CORRECTNESS_r05.json exists), so this window has produced no
-    # evidence yet — it is kept VERBATIM for round 6 so the 41 rotated-in
-    # queries finally get driver rows. The remaining 28 never-checked
-    # queries move to the round-7 window:
-    #   text_langid, text_fingerprint, text_quality, text_repetition_filter,
-    #   text_segment_dedup, text_perplexity_filter, text_vocab_coverage,
-    #   text_length_outliers, text_bpe_token_stats, text_bpe_train,
-    #   dedup_ngram_jaccard, dedup_summary_report, dedup_cross_corpus_pairs,
-    #   multimodal_frame_sample, embedding_pca_project, ann_ivf_kmeans_topk,
-    #   sample_stratified, sample_n_per_source, tfidf_top_terms,
-    #   ngram_bigram_top20, doc_shard_assign, quality_filter_funnel,
-    #   ml_sos_outlier, ml_quality_classifier, dataset_summarize,
-    #   pi_estimation, stream_contamination, cep_double_click.
+    # --- round-7 rotation (r6 verdict task 1): after r6's fully-green 50/50
+    # gate, 158 of 191 registered queries have driver evidence; 33 never had
+    # any. This window rotates in ALL 33 — the text tier, the remaining
+    # dedup/ann/sampling stragglers, and the five r6 additions (including the
+    # drained oracle form of stream_incremental_dedup) — plus 17 stable
+    # sentinels (>=1 per §2 family, all driver-green in r6). Green here means
+    # FULL closure: every registered query driver-checked at least once.
     # Everything rotated out stays registered + locally oracle-verified. ---
     #
-    # §2 sentinels (stable across rotations, all drv4-green):
+    # §2 sentinels (stable across rotations, all drv6-green):
     "tpch_q1",                 # §2.3/§2.4 join+agg core
     "stream_asof_join",        # §2.11 streaming join semantics
     "window_tumble",           # §2.5 group windows
@@ -105,29 +93,33 @@ _PRIORITY_HEAD = (
     "stream_cep_funnel",       # §2.12 CEP streaming NFA
     "dedup_minhash_lsh",       # LLM-pipeline dedup
     "multimodal_real_decode",  # multimodal plumbing
-    "embedding_normalize",     # r4's one red — fixed shape, must prove green
+    "embedding_normalize",     # embedding hygiene (r4 red, drv6-green)
+    "graph_triangle_count",    # §2.13 Gelly tier representative
+    "sql_in_subquery",         # §2.3 SQL subquery rewrites
+    "corpus_temperature_mix",  # corpus sampling tier
+    "ann_ivf_topk",            # ANN tier
+    "dedup_incremental",       # incremental-ingest dedup substrate
+    "window_count_evictor",    # §2.5 triggers/evictors
+    "join_asof_forward",       # as-of join family
+    "stream_tumble_agg",       # §2.5 streaming window agg (r6 perf outlier)
     #
-    # §2.13 Gelly tier (entire r4 addition, zero driver evidence until now):
-    "graph_triangle_count", "graph_summarize", "graph_clustering_coeff",
-    "graph_hits", "graph_label_propagation", "graph_sssp",
-    "graph_community_detection", "graph_bipartite_projection",
-    "graph_adamic_adar", "graph_vertex_metrics", "graph_avg_clustering",
-    "graph_triadic_census", "graph_edge_metrics", "graph_generators",
-    "graph_gen_rmat", "graph_api_pipeline", "graph_vertex_metrics_directed",
-    "graph_lcc_directed", "graph_gcc_directed", "graph_transitive_closure",
-    "graph_triadic_census_directed",
-    # LLM-pipeline: incremental/simhash/cluster dedup, LSH/IVF/multiprobe ANN
-    "dedup_incremental", "dedup_simhash", "dedup_cluster_canonical",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_multiprobe_topk",
-    # corpus sampling / reporting tier
-    "corpus_datacard", "corpus_temperature_mix",
-    "corpus_quality_weighted_sample", "corpus_diversity_report",
-    # §2.3 SQL subquery rewrites
-    "sql_in_subquery", "sql_exists_correlated", "sql_scalar_correlated",
-    "sql_not_in_subquery", "sql_having_groupagg",
-    # misc batch stragglers (§2.6/§2.3/§2.5 variants + events analytics)
-    "window_topn", "join_asof_forward", "over_rows_bounded",
-    "events_cohort_retention", "window_count_evictor",
+    # text analysis tier (never driver-checked):
+    "text_langid", "text_fingerprint", "text_quality",
+    "text_repetition_filter", "text_segment_dedup", "text_perplexity_filter",
+    "text_vocab_coverage", "text_length_outliers", "text_bpe_token_stats",
+    "text_bpe_train", "tfidf_top_terms", "ngram_bigram_top20",
+    # dedup / ANN stragglers:
+    "dedup_ngram_jaccard", "dedup_summary_report", "dedup_cross_corpus_pairs",
+    "ann_ivf_kmeans_topk", "embedding_pca_project",
+    # sampling / sharding / reporting:
+    "sample_stratified", "sample_n_per_source", "doc_shard_assign",
+    "quality_filter_funnel", "dataset_summarize",
+    # ML facade + misc:
+    "ml_sos_outlier", "ml_quality_classifier", "pi_estimation",
+    "multimodal_frame_sample", "stream_contamination", "cep_double_click",
+    # round-6 additions (registered in r6, never driver-checked):
+    "dedup_minhash_calibration", "contamination_eval_report",
+    "corpus_token_budget", "corpus_version_diff", "stream_incremental_dedup",
 )
 
 

@@ -216,22 +216,26 @@ class TableEnvironment:
         if not m or not m.group(2).strip():
             raise ValueError("sql_update supports INSERT INTO <table> <query>")
         target, query = m.group(1), m.group(2).strip()
-        # strip ONE level of outer parens wrapping the whole query (the
-        # Flink-SQL rewriter expects a bare SELECT/WITH/VALUES) — only when
-        # the opening paren's match IS the final character, so a query like
-        # `(SELECT a) UNION (SELECT b)` is left untouched. The scan skips
-        # quoted regions ('...' literals with '' escapes, `...` identifiers)
-        # so parens INSIDE strings don't derail the depth count
-        if query.startswith("(") and query.endswith(")"):
+        # strip outer parens wrapping the whole query (the Flink-SQL
+        # rewriter expects a bare SELECT/WITH/VALUES) — a level is removed
+        # only when the opening paren's match IS the final character, so a
+        # query like `(SELECT a) UNION (SELECT b)` is left untouched; the
+        # strip LOOPS so `((SELECT ...))` also reaches the rewriter. The scan
+        # skips quoted regions ('...' literals and "..." literals with
+        # doubled-quote escapes, `...` identifiers) so parens INSIDE strings
+        # don't derail the depth count (ADVICE r6: '"' was missing and only
+        # one level was stripped)
+        while query.startswith("(") and query.endswith(")"):
             depth, i, n = 0, 0, len(query)
+            stripped = False
             while i < n:
                 ch = query[i]
-                if ch in ("'", "`"):
+                if ch in ("'", '"', "`"):
                     i += 1
                     while i < n:
                         if query[i] == ch:
-                            if ch == "'" and i + 1 < n and query[i + 1] == "'":
-                                i += 2  # '' escape inside a string literal
+                            if ch in ("'", '"') and i + 1 < n and query[i + 1] == ch:
+                                i += 2  # doubled-quote escape inside a literal
                                 continue
                             break
                         i += 1
@@ -242,8 +246,11 @@ class TableEnvironment:
                     if depth == 0:
                         if i == n - 1:
                             query = query[1:-1].strip()
+                            stripped = True
                         break
                 i += 1
+            if not stripped:
+                break
         # the query half gets the Flink front-end rewrite, then the whole
         # statement runs as engine SQL (works for v1 and v2 catalog tables)
         self.spark.sql(f"INSERT INTO {target} {rewrite_flink_sql(query)}")

@@ -342,13 +342,36 @@ def foreach_batch_asof_join(
     track = _horizon_tracker()
     standing_path = f"{right_state_path}_standing"
 
-    def _read_standing() -> DataFrame:
+    def _standing_versions() -> list[int]:
+        # enumerate v<N> subdirs via the Hadoop FS API so hdfs:///s3://
+        # state paths behave the same as local ones
+        base = spark._jvm.org.apache.hadoop.fs.Path(standing_path)
+        fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(base):
+            return []
+        vs = []
+        for st in fs.listStatus(base):
+            nm = st.getPath().getName()
+            if nm.startswith("v") and nm[1:].isdigit():
+                vs.append(int(nm[1:]))
+        return sorted(vs)
+
+    def _delete_standing_before(v: int) -> None:
+        base = spark._jvm.org.apache.hadoop.fs.Path(standing_path)
+        fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+        for old in _standing_versions():
+            if old < v:
+                fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f"{standing_path}/v{old}"), True)
+
+    def _read_standing(version: int | None) -> DataFrame:
+        if version is None:
+            return spark.createDataFrame([], right_schema)
         try:
-            return spark.read.parquet(standing_path)
+            return spark.read.parquet(f"{standing_path}/v{version}")
         except AnalysisException:
             return spark.createDataFrame([], right_schema)
 
-    def _trim_right_asof(rs: DataFrame, horizon, cleanup: list) -> DataFrame:
+    def _trim_right_asof(rs: DataFrame, horizon) -> DataFrame:
         if direction == "forward":
             return rs.filter(F.col(right_ts).isNull() | (F.col(right_ts) >= F.lit(horizon)))
         recent = rs.filter(F.col(right_ts) >= F.lit(horizon))
@@ -358,12 +381,23 @@ def foreach_batch_asof_join(
         lo = track.get("standing_lo")
         if lo is not None:
             crossing = crossing.filter(F.col(right_ts) >= F.lit(lo))
-        standing = _latest_per_key(
-            _read_standing().unionByName(crossing), key, right_ts
-        ).persist()
-        cleanup.append(standing)
-        standing.count()  # materialize BEFORE overwriting the path it read
-        standing.write.mode("overwrite").parquet(standing_path)
+        # epoch-versioned standing files (ADVICE r6): the compaction WRITES
+        # v<n+1> while its lineage READS v<n>, so a cache-evicted recompute
+        # (e.g. emit_fn re-evaluating the join) can never race the overwrite
+        # of its own input — no persist/count defensive materialization
+        # needed. Older versions become unreferenced once the re-read below
+        # swaps the emitted lineage onto v<n+1>, and are reclaimed
+        # immediately. A write that dies mid-epoch leaves a partial v<n+1>,
+        # which the restart path tolerates: standing_lo resets to None, so
+        # the full below-horizon history is unioned back in and
+        # _latest_per_key re-derives the exact standing set.
+        versions = _standing_versions()
+        cur = versions[-1] if versions else None
+        standing = _latest_per_key(_read_standing(cur).unionByName(crossing), key, right_ts)
+        new_v = (cur or 0) + 1
+        standing.write.mode("overwrite").parquet(f"{standing_path}/v{new_v}")
+        standing = spark.read.parquet(f"{standing_path}/v{new_v}")
+        _delete_standing_before(new_v)
         track["standing_lo"] = horizon
         return recent.unionByName(standing)
 
@@ -381,21 +415,16 @@ def foreach_batch_asof_join(
         # and an empty left side emits an empty result — no special cases
         ls = _read_state(spark, left_state_path, left_schema)
         rs = _read_state(spark, right_state_path, right_schema)
-        cleanup: list = []
-        try:
-            if retention is not None:
-                base = _horizon_base(track, need_right=True)
-                if base is not None:
-                    horizon = _horizon_cut(base, retention)
-                    ls = _trim_left(ls, left_ts, horizon)
-                    rs = _trim_right_asof(rs, horizon, cleanup)
-            emit_fn(
-                asof_join(ls, rs, key, left_ts, right_ts, right_payload, direction),
-                epoch_id,
-            )
-        finally:
-            for df in cleanup:
-                df.unpersist()
+        if retention is not None:
+            base = _horizon_base(track, need_right=True)
+            if base is not None:
+                horizon = _horizon_cut(base, retention)
+                ls = _trim_left(ls, left_ts, horizon)
+                rs = _trim_right_asof(rs, horizon)
+        emit_fn(
+            asof_join(ls, rs, key, left_ts, right_ts, right_payload, direction),
+            epoch_id,
+        )
 
     return (
         tagged.writeStream.outputMode("append")

@@ -18,11 +18,13 @@ EventTimeTrigger machinery as streaming.evictors):
 - when the watermark passes an unfired boundary ``b``, the window fires:
   * continuous (purging=False): aggregate over buffered elements with
     ``ts < b`` — the running "as of b" pane, nondecreasing per window;
-  * purging (purging=True): aggregate over elements with
-    ``last_b <= ts < b`` (the delta since the previous fire — boundary-exact
-    elements belong to the NEXT pane, mirroring the trigger's
-    ``timestamp - ts%interval + interval`` timer registration); consumed
-    elements leave state immediately — the purge IS the memory win;
+  * purging (purging=True): aggregate over the window's remaining UN-PURGED
+    state content with ``ts < b`` (the delta since the previous fire —
+    boundary-exact elements belong to the NEXT pane, mirroring the
+    trigger's ``timestamp - ts%interval + interval`` timer registration; a
+    straggler below an already-fired boundary is folded into the next fire,
+    exactly as the reference's state-content fire would); consumed elements
+    leave state immediately — the purge IS the memory win;
 - the boundary chain ends at the window end (``interval`` must divide
   ``size`` so the final boundary closes the window exactly like the
   tumbling EventTimeTrigger), after which the window's state is dropped.
@@ -49,11 +51,11 @@ def fire_continuous_panes(
     iv_us: int,
     wm_ms: int,
     purging: bool,
-    new_elems: list[tuple[float, float]] | None = None,
 ) -> tuple[list[tuple[int, int, int, float]], int]:
     """Pure pane-firing kernel for one window (unit-/property-testable).
 
-    ``elems`` = sorted (ts_us, value); ``last`` = last fired boundary (µs).
+    ``elems`` = sorted (ts_us, value) — the window's UN-PURGED state content
+    (a purged element never re-enters); ``last`` = last fired boundary (µs).
     Returns (rows, new_last) where rows are (w, boundary, n, rounded sum)
     for every boundary the watermark passed, skipping empty purging deltas.
 
@@ -63,28 +65,25 @@ def fire_continuous_panes(
     pane; the cumulative pane at ``b`` is the union of fired panes
     (``ts < b``).
 
-    ``new_elems`` (this batch's arrivals for the window): a NEW element
-    whose timer boundary precedes ``last`` re-registers a timer the
-    watermark has already passed — the reference fires it immediately, so a
-    catch-up pane is emitted for each such boundary instead of the element
-    being purged unfired (review finding). Purging catch-up panes carry
-    only the stragglers themselves (prior pane contents were purged);
-    accumulating catch-up re-fires the cumulative pane as of that boundary.
+    Straggler semantics (ADVICE r6): the reference fires onElement
+    immediately only when the whole window is already past the watermark;
+    a mid-window element below an already-fired boundary just sits in state
+    and is included in the NEXT scheduled fire — it is never re-fired at
+    its own passed boundary. Hence NO synthetic catch-up rows here: the
+    accumulating pane (``ts < b``) picks stragglers up automatically, and
+    the purging pane fires the remaining STATE CONTENT below ``b`` (not a
+    ``[last, b)`` ts-range, which would silently skip below-``last``
+    stragglers). Everything with ``ts < new_last`` has been consumed by a
+    fired pane iff the walk advanced (``new_last > last``).
     """
     rows: list[tuple[int, int, int, float]] = []
-    if new_elems:
-        for b0 in sorted({int(t) // iv_us * iv_us + iv_us for t, _ in new_elems if t < last}):
-            if purging:
-                pane = [(t, v) for t, v in new_elems if b0 - iv_us <= t < min(b0, last)]
-            else:
-                pane = [(t, v) for t, v in elems if t < b0]
-            if pane:
-                rows.append((w, b0, len(pane), round(sum(v for _, v in pane), 2)))
     b = last + iv_us
     w_end = w + size_us
+    pending = list(elems)  # purging: un-purged state content, consumed per fire
     while b <= w_end and b // 1000 <= wm_ms:
         if purging:
-            pane = [(t, v) for t, v in elems if last <= t < b]
+            pane = [(t, v) for t, v in pending if t < b]
+            pending = [(t, v) for t, v in pending if t >= b]
         else:
             pane = [(t, v) for t, v in elems if t < b]
         if pane:
@@ -133,18 +132,15 @@ def stream_continuous_window(
             w0, t0, v0, fw, fl = state.get
             wins, tss, vals = list(w0), list(t0), list(v0)
             lastb = {int(w): int(b) for w, b in zip(fw, fl)}
-        new_by_w: dict[int, list[tuple[float, float]]] = {}
         for pdf in pdfs:
             if not len(pdf):
                 continue
             ts_us = pdf[ts_col].astype("int64") // 1000
             for t, v in zip(ts_us, pdf[value_col]):
                 t = int(t)
-                wi = t // size_us * size_us
-                wins.append(wi)
+                wins.append(t // size_us * size_us)
                 tss.append(float(t))
                 vals.append(float(v))
-                new_by_w.setdefault(wi, []).append((float(t), float(v)))
         wm_ms = state.getCurrentWatermarkMs()
         rows = []
         closed: set[int] = set()
@@ -160,18 +156,23 @@ def stream_continuous_window(
                 # boundary let purging drop later stragglers below it
                 # unfired (review finding)
                 last = w
+            prev_last = last
             fired, last = fire_continuous_panes(
-                elems, last, w, size_us, iv_us, wm_ms, purging,
-                new_elems=sorted(new_by_w.get(w, ())),
+                elems, last, w, size_us, iv_us, wm_ms, purging
             )
             rows += fired
             w_end = w + size_us
             if last >= w_end:
                 closed.add(w)  # final boundary fired — window GC
+            elif purging and last > prev_last:
+                # consumed = everything below the new boundary, but ONLY if
+                # the walk advanced: with no fire this batch, a straggler
+                # below ``last`` must stay in state for the next fire
+                # (ADVICE r6), not be purged unfired
+                lastb[w] = last
+                purged += [(w, t, v) for t, v in elems if t < last]
             else:
                 lastb[w] = last
-                if purging:
-                    purged += [(w, t, v) for t, v in elems if t < last]
         for w in closed:
             lastb.pop(w, None)
         drop = closed

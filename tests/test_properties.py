@@ -407,21 +407,28 @@ def test_cep_closed_negations_only_streaming_contract():
     assert _scan(buf + [_ev(1, "b", 1)], p, closed_negations_only=True) == []
 
 
-def test_continuous_trigger_straggler_catch_up_pane():
-    """PURGING mode: a new element below the last-fired boundary fires a
-    catch-up pane instead of being purged unfired (review finding)."""
+def test_continuous_trigger_straggler_folds_into_next_fire():
+    """PURGING mode: an element below the last-fired boundary is neither
+    purged unfired nor re-fired at its own passed boundary — it is included
+    in the NEXT scheduled fire's pane, matching the reference trigger where
+    fire always emits the window's un-purged state content (ADVICE r6)."""
     from flink_1_6_0_spark.streaming.triggers import fire_continuous_panes
 
     US = 1_000_000
     rows, last = fire_continuous_panes(
-        [(5.7 * US, 1.0)], 0, 0, 10 * US, 5 * US, 5_900, True,
-        new_elems=[(5.7 * US, 1.0)],
+        [(5.7 * US, 1.0)], 0, 0, 10 * US, 5 * US, 5_900, True
     )
     assert rows == [] and last == 5 * US
+    # straggler 3.2s arrives after boundary 5s already fired: no catch-up
+    # row at 5s; it rides the next fire at 10s together with 5.7s
     rows2, last2 = fire_continuous_panes(
-        [(3.2 * US, 2.0), (5.7 * US, 1.0)], last, 0, 10 * US, 5 * US, 11_000, True,
-        new_elems=[(3.2 * US, 2.0)],
+        [(3.2 * US, 2.0), (5.7 * US, 1.0)], last, 0, 10 * US, 5 * US, 11_000, True
     )
-    assert (0, 5 * US, 1, 2.0) in rows2  # the straggler's own catch-up pane
-    assert (0, 10 * US, 1, 1.0) in rows2
+    assert rows2 == [(0, 10 * US, 2, 3.0)]
     assert last2 == 10 * US
+    # and if the watermark has NOT reached the next boundary, the straggler
+    # stays pending (rows empty, last unchanged) — the caller must not purge
+    rows3, last3 = fire_continuous_panes(
+        [(3.2 * US, 2.0), (5.7 * US, 1.0)], last, 0, 10 * US, 5 * US, 9_000, True
+    )
+    assert rows3 == [] and last3 == last

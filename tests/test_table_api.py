@@ -186,6 +186,16 @@ def test_env_scan_list_explain_sql_update(spark, tmp_path):
     )
     assert spark.table("te_sink").count() == 4
     assert spark.sql("SELECT count(*) c FROM te_sink WHERE s = ')b'").collect()[0]["c"] == 1
+    # a ')' inside a DOUBLE-quoted literal must not close the depth scan
+    # early (ADVICE r6: '"' was missing from the quote-skip set)
+    te.sql_update(
+        'INSERT INTO te_sink (SELECT id, concat(")", s) AS s FROM te_src WHERE id = 1)'
+    )
+    assert spark.table("te_sink").count() == 5
+    assert spark.sql("SELECT count(*) c FROM te_sink WHERE s = ')a'").collect()[0]["c"] == 1
+    # doubly-wrapped query: the strip loops until no outer pair remains
+    te.sql_update("INSERT INTO te_sink ((SELECT id, s FROM te_src WHERE id = 2))")
+    assert spark.table("te_sink").count() == 6
     spark.sql("DROP TABLE te_sink")
 
 
