@@ -17,6 +17,17 @@ Self-comparability (round-3 ADVICE): per-query recorded baselines live in
 BENCHBASE.json; `vs_baseline_matched` is sum(current)/sum(baseline) over the
 queries present in BOTH — so adding or dropping a bench query never skews the
 headline ratio, and no judge recomputes matched-set arithmetic by hand.
+
+Environment fingerprint (round-6 verdict: r6's run came out a uniform ~1.4x
+of r4's on UNCHANGED code — machine-level drift that the raw ratio could not
+distinguish from a plan regression): every run now records an `env` block
+(Spark/JVM/Python versions, CPU count, loadavg before/after) plus a
+fixed-cost SENTINEL — the median wall time of `spark.range(2*10^8).sum()`,
+a data-independent pure-codegen job whose speed tracks the machine, not the
+engine. BENCHBASE.json carries the sentinel measured when the baselines were
+recorded; `vs_baseline_normalized` divides the raw matched ratio by
+(sentinel_now / sentinel_base), so environment drift cancels and what
+remains is plan-level change.
 """
 
 from __future__ import annotations
@@ -38,6 +49,38 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _sentinel_sec(spark, runs: int = 3) -> float:
+    """Median wall time of a fixed, data-independent JVM job (range->sum in
+    whole-stage codegen, no shuffle, no I/O). Machine throughput proxy: a
+    ratio of two sentinel times is the environment's speed ratio."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
+def _env_block(spark) -> dict:
+    import platform
+
+    try:
+        load = os.getloadavg()
+    except OSError:
+        load = (-1.0, -1.0, -1.0)
+    return {
+        "spark_version": spark.version,
+        "java_version": str(
+            spark.sparkContext._jvm.java.lang.System.getProperty("java.version")
+        ),
+        "python_version": platform.python_version(),
+        "cpus": os.cpu_count(),
+        "loadavg_start": [round(x, 2) for x in load],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -46,6 +89,12 @@ def main() -> None:
 
     spark = get_spark(app_name="flink-1.6.0-spark-bench")
     specs = [s for s in load_all().values() if s.bench]
+
+    env = _env_block(spark)
+    # sentinel BEFORE the query sweep: the warm-up below also warms the JVM,
+    # so run one throwaway sentinel first to exclude its own JIT cost
+    _sentinel_sec(spark, runs=1)
+    env["sentinel_sec"] = _sentinel_sec(spark)
 
     # Warm-up pass at the smallest SF: compiles every query's codegen/plan once
     # so the timed runs measure steady-state execution, not first-run JIT.
@@ -73,6 +122,11 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    try:
+        env["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -80,6 +134,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        "env": env,
     }
 
     # Matched-set ratio vs the recorded per-query baselines (BENCHBASE.json).
@@ -92,6 +147,13 @@ def main() -> None:
             ref = sum(baseline[q] for q in matched)
             out["vs_baseline_matched"] = round(cur / ref, 3)
             out["matched_queries"] = len(matched)
+            # sentinel-normalized ratio: divide out the machine-speed drift
+            # measured by the fixed-cost job; >1 here means PLAN-level change
+            sent_base = base.get("sentinel_sec")
+            if sent_base and env.get("sentinel_sec"):
+                drift = env["sentinel_sec"] / sent_base
+                out["env_drift"] = round(drift, 3)
+                out["vs_baseline_normalized"] = round(cur / ref / drift, 3)
             out["per_query_ratio"] = {
                 q: round(timings[q] / baseline[q], 2) for q in matched
             }

@@ -295,6 +295,49 @@ def test_minhash_calibration_no_cartesian_and_cached_sigs(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
+def test_triadic_census_directed_shuffle_budget(spark, sf_dir):
+    """The directed census is ONE pair-state aggregation + one ordered
+    two-hop triangle join + histogram/degree folds and closed-form 1-row
+    arithmetic (operators/graph.py triadic_census_directed). Pin the
+    exchange budget so a refactor that adds a shuffle (e.g. losing the
+    shared `pairs` frame, or a window sneaking in) fails pytest, not the
+    bench (r6 verdict task 5). The two heaviest graph bench queries carry
+    this guard."""
+    import re
+
+    plan = _plan(get("graph_triadic_census_directed").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    # 17 hash-shuffles today (the 4-table trade-edge derivation repeats per
+    # pairs/degree branch in the TEXT; runtime exchange-reuse dedups them)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 20, f"shuffle-exchange count grew to {n_ex}:\n{plan}"
+    # the only single-partition folds allowed are the two 1-row closed-form
+    # frames (histogram + census arithmetic) — never a corpus-sized collapse
+    assert plan.count("SinglePartition") <= 2
+
+
+def test_transitive_closure_superstep_shuffle_budget(spark):
+    """One closure superstep = paths ⋈ edges + union + distinct. Pin its
+    exchange budget on a fresh lineage (max_iterations=1, no checkpoint):
+    the iterative substrate multiplies ANY per-step shuffle by the hop
+    count, so a single added exchange here is hop_count× at scale."""
+    from flink_1_6_0_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = g.transitive_closure(
+        edges, max_iterations=1, checkpoint_interval=10, require_convergence=False
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 6, f"per-superstep exchange count grew to {n_ex}:\n{plan}"
+
+
 def test_corpus_diff_shuffles_keys_not_text(spark, sf_dir):
     """The version diff's full-outer join must shuffle on the projected
     (id, md5) pair — the text column is reduced to its hash BEFORE the
