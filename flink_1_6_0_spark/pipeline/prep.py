@@ -316,6 +316,66 @@ def pack_sequences(
     return out.withColumn("bin", F.floor(F.col("offset") / budget).cast("long"))
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    num_shards: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing — the bin-packing shape real
+    token pipelines use when fragmentation matters more than document order
+    (vs the GPT-style sequential ``pack_sequences``): within a deterministic
+    shard, documents are sorted by (n_tokens DESC, id ASC) and each is
+    placed into the FIRST bin whose remaining capacity fits it, else a new
+    bin opens. A document larger than ``budget`` opens its own (overflowed)
+    bin — FFD's standard oversize convention, and nothing else ever lands
+    there.
+
+    Scale shape: the FFD state (one remaining-capacity list per shard) is
+    inherently sequential, so the kernel runs per shard inside ONE
+    Arrow-batched applyInPandas pass — ``num_shards`` independent tasks,
+    each bounded by its shard's doc count; no global sort, no driver
+    collect. The tie-break (id ASC) makes the assignment reproducible on
+    any engine — the DuckDB oracle replays the identical placement with a
+    recursive CTE.
+
+    Adds: shard, n_tokens, bin (the training-sequence index within the
+    shard).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tok = token_count(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(num_shards)).cast("int").alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    schema = f"{id_col} long, shard int, n_tokens long, bin long"
+
+    def ffd(pdf):
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        ).copy()
+        caps: list[int] = []  # remaining capacity per open bin, index = bin id
+        bins: list[int] = []
+        for tok in pdf["n_tokens"].tolist():
+            placed = -1
+            for j, c in enumerate(caps):
+                if c >= tok:
+                    caps[j] = c - tok
+                    placed = j
+                    break
+            if placed < 0:
+                placed = len(caps)
+                caps.append(budget - tok)
+            bins.append(placed)
+        pdf["bin"] = bins
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(ffd, schema)
+
+
 def rebalance_language_mix(
     df: DataFrame,
     id_col: str,

@@ -168,6 +168,50 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_ffd",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT doc_id, (doc_id % 8)::INT AS shard,
+               len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+               row_number() OVER (PARTITION BY doc_id % 8
+                                  ORDER BY len(string_split_regex(trim(text), '\\s+')) DESC,
+                                           doc_id) AS rn
+        FROM documents),
+    ffd AS (
+        SELECT shard, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS caps,
+               NULL::BIGINT AS doc_id, NULL::BIGINT AS n_tokens, NULL::BIGINT AS bin
+        FROM (SELECT DISTINCT shard FROM items)
+        UNION ALL
+        SELECT f.shard, i.rn,
+               CASE WHEN pos IS NULL
+                    THEN list_append(f.caps, 256 - i.n_tokens)
+                    ELSE list_transform(f.caps, (x, j) -> CASE WHEN j = pos THEN x - i.n_tokens ELSE x END)
+               END,
+               i.doc_id, i.n_tokens,
+               coalesce(pos, len(f.caps) + 1) - 1
+        FROM ffd f
+        JOIN items i ON i.shard = f.shard AND i.rn = f.rn + 1
+        CROSS JOIN LATERAL (
+            SELECT list_min(list_transform(f.caps,
+                   (x, j) -> CASE WHEN x >= i.n_tokens THEN j ELSE NULL END)) AS pos) p
+    )
+    SELECT doc_id, shard, n_tokens, bin FROM ffd WHERE doc_id IS NOT NULL
+    """,
+    tags=("pipeline", "utils"),
+)
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing at a 256-token budget: per-shard FFD in
+    one applyInPandas pass (num_shards independent sequential kernels, no
+    global state). The oracle replays the IDENTICAL deterministic placement
+    — (n_tokens DESC, doc_id) order, first-fitting bin, oversize docs open
+    their own bin — with a DuckDB recursive CTE carrying each shard's
+    remaining-capacity list."""
+    return prep.pack_sequences_ffd(
+        T(spark, sf_dir, "documents"), "doc_id", "text", budget=256, num_shards=8
+    )
+
+
+@query(
     "multimodal_real_decode",
     oracle="""
     WITH s AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '_', 'g') AS ptext FROM documents),

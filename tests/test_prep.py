@@ -80,6 +80,67 @@ def test_pack_sequences_shard_isolation(spark):
     assert rows == {0: (0, 0, 0), 2: (0, 10, 0), 1: (1, 0, 0), 3: (1, 10, 0)}
 
 
+def test_pack_sequences_ffd_matches_reference_and_beats_sequential(spark):
+    """Per-shard FFD must replay the exact driver-side first-fit-decreasing
+    placement (n_tokens DESC, id ASC; first fitting bin; oversize docs open
+    their own bin) and must never use MORE bins than sequential packing on
+    the same data."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, " ".join(["w"] * rng.randint(1, 100))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prep.pack_sequences_ffd(docs, "doc_id", "text", budget=100, num_shards=3)
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["bin"]) for r in out.collect()}
+
+    toks = {i: len(t.split()) for i, t in rows}
+    expect = {}
+    n_bins_ffd = 0
+    for s in range(3):
+        items = sorted(((i, toks[i]) for i in toks if i % 3 == s), key=lambda x: (-x[1], x[0]))
+        caps: list[int] = []
+        for i, tok in items:
+            for j, c in enumerate(caps):
+                if c >= tok:
+                    caps[j] = c - tok
+                    expect[i] = (s, tok, j)
+                    break
+            else:
+                expect[i] = (s, tok, len(caps))
+                caps.append(100 - tok)
+        n_bins_ffd += len(caps)
+    assert got == expect
+    # bin contents never exceed the budget (oversize docs excluded by data)
+    fill: dict[tuple, int] = {}
+    for s, tok, b in got.values():
+        fill[(s, b)] = fill.get((s, b), 0) + tok
+    assert all(v <= 100 for v in fill.values())
+    # FFD's raison d'etre: among NON-SPLITTING packers it beats (or ties)
+    # arrival-order next-fit. (pack_sequences is NOT comparable — it splits
+    # docs across boundaries, so it always hits the ceil(total/budget)
+    # lower bound by construction.)
+    n_bins_nextfit = 0
+    for s in range(3):
+        cap = 0
+        for i in sorted(i for i in toks if i % 3 == s):
+            if toks[i] > cap:
+                n_bins_nextfit += 1
+                cap = 100
+            cap -= toks[i]
+    assert n_bins_ffd <= n_bins_nextfit
+
+
+def test_pack_sequences_ffd_oversize_doc_isolated(spark):
+    docs = spark.createDataFrame(
+        [(0, " ".join(["w"] * 50)), (1, " ".join(["w"] * 120)), (2, " ".join(["w"] * 40))],
+        "doc_id long, text string",
+    )
+    out = prep.pack_sequences_ffd(docs, "doc_id", "text", budget=100, num_shards=1)
+    got = {r["doc_id"]: r["bin"] for r in out.collect()}
+    # 120 > budget opens bin 0 (largest first) and stays alone; 50+40 share bin 1
+    assert got == {1: 0, 0: 1, 2: 1}
+
+
 def test_embedding_normalize_drops_degenerate(spark):
     from flink_1_6_0_spark.pipeline.similarity import normalize_embeddings
 
