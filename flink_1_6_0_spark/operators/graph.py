@@ -1002,7 +1002,11 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10,
     indistinguishable from the real one downstream, so silence is the
     wrong failure mode (longest-path hop count bounds the rounds needed;
     each extension adds one hop)."""
-    e = edges.select("src", "dst").distinct()
+    # pin the loop-invariant edge frame ONCE (same static-edge rule as sssp
+    # :516): without it every superstep's join AND fixpoint count() re-derive
+    # the full upstream lineage — for the registered trade-graph query that
+    # is a 4-table join re-executed per round
+    e = _checkpoint(edges.select("src", "dst").distinct(), "local")
     paths = e
     n = paths.count()
     for i in range(max_iterations):
@@ -1044,16 +1048,25 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
     closed-form integer arithmetic on two 1-row frames. Long-exact to
     ~2.6M vertices (n-choose-3 with integer div), as the undirected form.
     """
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    # pin the distinct edge frame: it is read FIVE times below (pair codes,
+    # out-/in-degree, both arms of the neighbor union) and Spark's exchange
+    # reuse does not canonicalize across these differently-keyed consumers —
+    # without the pin an expensive upstream derivation (the registered
+    # query's 4-table trade join) executes five times (round-7 measurement)
+    e = _checkpoint(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct(),
+        "local",
+    )
     # pair code on u < v: 3 = mutual, 2 = u→v only, 1 = v→u only
     fwd = F.when(F.col("src") < F.col("dst"), 2).otherwise(1)
-    pairs = (
+    pairs = _checkpoint(
         e.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"), fwd.alias("c")
         )
         .groupBy("u", "v")
-        .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code"))
-    )
+        .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code")),
+        "local",
+    )  # read 3× by the ordered two-hop triangle join
     ab = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("code").alias("cab"))
     bc = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"), F.col("code").alias("cbc"))
     ac = pairs.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("code").alias("cac"))

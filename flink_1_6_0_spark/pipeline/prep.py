@@ -357,23 +357,34 @@ def pack_sequences_ffd(
         pdf = pdf.sort_values(
             ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
         ).copy()
-        caps: list[int] = []  # remaining capacity per open bin, index = bin id
-        bins: list[int] = []
-        for tok in pdf["n_tokens"].tolist():
-            placed = -1
-            for j, c in enumerate(caps):
-                if c >= tok:
-                    caps[j] = c - tok
-                    placed = j
-                    break
-            if placed < 0:
-                placed = len(caps)
-                caps.append(budget - tok)
-            bins.append(placed)
-        pdf["bin"] = bins
+        pdf["bin"] = ffd_place(pdf["n_tokens"].tolist(), budget)
         return pdf
 
     return base.groupBy("shard").applyInPandas(ffd, schema)
+
+
+def ffd_place(tokens: list[int], budget: int) -> list[int]:
+    """Pure first-fit placement kernel over an ALREADY-ORDERED size list
+    (callers sort decreasing-with-tie-break first): item i goes to the first
+    bin whose remaining capacity fits it, else opens bin ``len(caps)``.
+    Oversize items open a negative-capacity bin nothing else ever joins.
+    Property-tested (tests/test_properties.py): fills ≤ budget, at most one
+    non-oversize bin ≤ half-full, input-permutation invariance through the
+    sorting caller."""
+    caps: list[int] = []  # remaining capacity per open bin, index = bin id
+    bins: list[int] = []
+    for tok in tokens:
+        placed = -1
+        for j, c in enumerate(caps):
+            if c >= tok:
+                caps[j] = c - tok
+                placed = j
+                break
+        if placed < 0:
+            placed = len(caps)
+            caps.append(budget - tok)
+        bins.append(placed)
+    return bins
 
 
 def rebalance_language_mix(

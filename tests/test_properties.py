@@ -407,6 +407,37 @@ def test_cep_closed_negations_only_streaming_contract():
     assert _scan(buf + [_ev(1, "b", 1)], p, closed_negations_only=True) == []
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=40),
+    budget=st.integers(min_value=100, max_value=300),
+)
+def test_ffd_kernel_invariants(toks, budget):
+    """First-fit-decreasing placement invariants: (1) every bin's fill is
+    <= budget (no oversize items by construction here); (2) at most ONE bin
+    is <= half-full — two half-empty bins would have first-fit merged; (3)
+    the decreasing order means bin ids appear in first-open order 0,1,2,...;
+    (4) input-permutation invariance once the caller sorts."""
+    from flink_1_6_0_spark.pipeline.prep import ffd_place
+
+    ordered = sorted(toks, reverse=True)
+    bins = ffd_place(ordered, budget)
+    fill: dict[int, int] = {}
+    for tok, b in zip(ordered, bins):
+        fill[b] = fill.get(b, 0) + tok
+    assert all(v <= budget for v in fill.values())
+    assert sum(1 for v in fill.values() if v <= budget // 2) <= 1
+    assert sorted(fill) == list(range(len(fill)))  # bins open densely in order
+    # first bin ever opened is bin 0 for the largest item
+    assert bins[0] == 0
+    # permutation invariance: any shuffle of the input, re-sorted, places identically
+    import random as _r
+
+    shuffled = list(toks)
+    _r.Random(0).shuffle(shuffled)
+    assert ffd_place(sorted(shuffled, reverse=True), budget) == bins
+
+
 def test_continuous_trigger_straggler_folds_into_next_fire():
     """PURGING mode: an element below the last-fired boundary is neither
     purged unfired nor re-fired at its own passed boundary — it is included
