@@ -704,7 +704,10 @@ def jaccard_index(edges: DataFrame, min_score: float | None = None) -> DataFrame
 
     Returns (u, v, shared_neighbors, distinct_neighbors, score), u < v.
     """
-    sym = _sym_simple_edges(edges)
+    # pinned: read 3× below (degree + both two-path arms) and exchange reuse
+    # does not fire across the differently-keyed consumers — without the pin
+    # an expensive upstream edge derivation executes three times (round 7)
+    sym = _checkpoint(_sym_simple_edges(edges), "local")
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     a = sym.select(F.col("src").alias("z"), F.col("dst").alias("u"))
     b = sym.select(F.col("src").alias("z"), F.col("dst").alias("v"))
@@ -1058,15 +1061,17 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
         "local",
     )
     # pair code on u < v: 3 = mutual, 2 = u→v only, 1 = v→u only
+    # (NOT pinned: its 3 triangle-join reads recompute only one cheap
+    # aggregation over the PINNED e — a second eager barrier costs more than
+    # it saves, round-7 measurement)
     fwd = F.when(F.col("src") < F.col("dst"), 2).otherwise(1)
-    pairs = _checkpoint(
+    pairs = (
         e.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"), fwd.alias("c")
         )
         .groupBy("u", "v")
-        .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code")),
-        "local",
-    )  # read 3× by the ordered two-hop triangle join
+        .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code"))
+    )
     ab = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("code").alias("cab"))
     bc = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"), F.col("code").alias("cbc"))
     ac = pairs.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("code").alias("cac"))

@@ -1070,6 +1070,65 @@ def test_foreach_batch_asof_join_retention_standing_version(spark, tmp_path):
     assert emissions[-1] == {200: 2.0}
 
 
+def test_foreach_batch_asof_join_restart_with_stale_standing_versions(spark, tmp_path):
+    """Restart path for the epoch-VERSIONED standing table (ADVICE r6 fix):
+    a fresh driver (standing_lo=None) re-seeds from full below-horizon
+    history, so STALE leftover v<N> files from a previous run — even ones
+    holding an outdated latest-version row — must be harmless (union +
+    latest-per-key re-derivation), the compaction must write the next
+    version, and older versions must be reclaimed."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.nonwindow_join import foreach_batch_asof_join
+
+    l_src, r_src = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, 8600, 200)], "k long, ts long, lid long"
+    ).coalesce(1).write.parquet(l_src)
+    spark.createDataFrame(
+        [(1, 10, 1.0), (1, 60, 2.0), (1, 9000, 2.5)], "k long, ts long, rv double"
+    ).coalesce(1).write.parquet(r_src)
+    # leftover standing state from a "previous run": v1 stale (only rv=1.0),
+    # v2 with an id-1 row the fresh history no longer justifies as latest
+    standing = str(tmp_path / "rs") + "_standing"
+    spark.createDataFrame([(1, 10, 1.0)], "k long, rts long, rv double").coalesce(1).write.parquet(
+        standing + "/v1"
+    )
+    spark.createDataFrame([(1, 10, 1.0)], "k long, rts long, rv double").coalesce(1).write.parquet(
+        standing + "/v2"
+    )
+
+    emissions: list[dict] = []
+
+    def emit(df, epoch_id):
+        emissions.append({r["lid"]: r["r_rv"] for r in df.collect()})
+
+    q = foreach_batch_asof_join(
+        read_parquet_stream(spark, l_src),
+        read_parquet_stream(spark, r_src).select("k", F.col("ts").alias("rts"), "rv"),
+        key="k", left_ts="ts", right_ts="rts", right_payload=["rv"],
+        left_state_path=str(tmp_path / "ls"), right_state_path=str(tmp_path / "rs"),
+        emit_fn=emit, checkpoint=str(tmp_path / "ckpt"),
+        retention=500,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # horizon = min(8600, 9000) - 500 = 8100: the left row's backward match
+    # is the true latest below-horizon version rv=2.0 (NOT the stale 1.0 the
+    # leftover standing files claim)
+    assert emissions[-1] == {200: 2.0}
+    # compaction wrote v3 and reclaimed the stale v1/v2
+    versions = sorted(os.listdir(standing))
+    assert versions == ["v3"]
+    got = {r["k"]: r["rv"] for r in spark.read.parquet(standing + "/v3").collect()}
+    assert got == {1: 2.0}
+
+
 def test_evictor_kernel_keep_zero_and_negative():
     import pytest
 
