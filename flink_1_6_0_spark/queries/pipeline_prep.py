@@ -198,6 +198,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, shard, n_tokens, bin FROM ffd WHERE doc_id IS NOT NULL
     """,
     tags=("pipeline", "utils"),
+    bench=True,
 )
 def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing at a 256-token budget: per-shard FFD in
@@ -820,6 +821,76 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _e2e_oracle() -> str:
+    """Composed oracle for the end-to-end pretraining pipeline: each CTE is
+    the (already individually hash-matched) oracle of one stage — quality
+    scorer, exact keep-min dedup, temperature mix on the SURVIVING corpus,
+    sequential packing — so the composition cannot drift from the stages."""
+    tok = "len(string_split_regex(trim(text), '\\s+'))::BIGINT"
+    run = (
+        "coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""
+    WITH q AS ({_quality_sql()}),
+    g AS (SELECT d.doc_id, d.lang, d.text, q.quality
+          FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.5),
+    k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+    s AS (SELECT g.* FROM g JOIN k USING (doc_id)),
+    c AS (SELECT lang, count(*)::BIGINT AS n FROM s GROUP BY lang),
+    t AS (SELECT sum(n) AS nn FROM c),
+    w AS (SELECT lang, n, pow(n / (SELECT nn FROM t), 0.3) AS w FROM c),
+    z AS (SELECT sum(w) AS zz FROM w),
+    r AS (SELECT lang,
+                 least(1000, floor(1000.0 * (w / (SELECT zz FROM z))
+                                   * (SELECT nn FROM t) / n + 1e-6))::INT AS rate_permille
+          FROM w),
+    m AS (SELECT s.* FROM s JOIN r USING (lang)
+          WHERE ('0x' || substr(md5(s.doc_id::VARCHAR || 'tempmix'), 1, 15))::BIGINT % 1000
+                < r.rate_permille),
+    p AS (SELECT doc_id, lang, quality, (doc_id % 8)::INT AS shard, {tok} AS n_tokens
+          FROM m)
+    SELECT doc_id, lang, quality, shard, n_tokens,
+           {run}::BIGINT AS offset,
+           ({run} // 256)::BIGINT AS bin
+    FROM p
+    """
+
+
+@query(
+    "corpus_e2e_pretrain",
+    oracle=None,  # set right after definition — needs _quality_sql at import time
+    tags=("pipeline", "quality", "dedup", "sampling", "utils"),
+    bench=True,
+)
+def corpus_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining corpus pipeline in one composed DataFrame
+    program — the showcase that the stage operators actually compose:
+    quality gate (score >= 0.5, same scorer as text_quality) → exact dedup
+    (keep min doc_id per md5 content key) → temperature mixture sampling
+    (α=0.3 over the SURVIVING corpus's language histogram — stage order
+    matters and the oracle replays it) → sequential 256-token packing over
+    8 shards. Every gate is a deterministic md5 permille rule, so the whole
+    pipeline is reproducible on any engine; the corpus is scanned once and
+    every stage is a Column expression / one-shuffle aggregate on top."""
+    from flink_1_6_0_spark.pipeline import dedup as dd
+    from flink_1_6_0_spark.pipeline import text as tx
+
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", F.round(tx.quality_score("text"), 6)).filter(
+        F.col("quality") >= 0.5
+    )
+    keep = dd.exact_dedup(
+        scored.withColumn("__h", F.md5("text")), ["__h"], "doc_id"
+    ).select(F.col("kept_id").alias("doc_id"))
+    surv = scored.join(keep, "doc_id")
+    mixed = prep.temperature_sample(surv, "doc_id", "lang", alpha=0.3)
+    packed = prep.pack_sequences(mixed, "doc_id", "text", budget=256, num_shards=8)
+    return packed.join(
+        mixed.select("doc_id", "lang", "quality"), "doc_id"
+    ).select("doc_id", "lang", "quality", "shard", "n_tokens", "offset", "bin")
+
+
 def _quality_sql() -> str:
     """The text_quality oracle's quality expression, shared so the weighted
     sampler's oracle can never drift from the scorer's. Reads _REGISTRY
@@ -1017,3 +1088,14 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(F.col("text")),
     )
     return prep.corpus_diff(old, new, "doc_id", "text")
+
+
+# corpus_e2e_pretrain's oracle composes _quality_sql(), which is defined
+# after the query's decorator runs — patch it in once the module is complete
+def _patch_e2e_oracle() -> None:
+    from flink_1_6_0_spark.registry import _REGISTRY
+
+    _REGISTRY["corpus_e2e_pretrain"].oracle = _e2e_oracle()
+
+
+_patch_e2e_oracle()
