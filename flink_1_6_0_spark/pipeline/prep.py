@@ -111,14 +111,18 @@ def contamination_bloom(
     shingle of the corpus and joining a few percent of them.
     """
     from flink_1_6_0_spark.pipeline.dedup import shingle_rows
-    from flink_1_6_0_spark.pipeline.text import token_hash
 
     def _bits(col):
-        # two INDEPENDENT 60-bit hashes from one md5: hex digits 1-15 and
-        # 16-30 — pure integer math (no double division whose 53-bit
-        # mantissa would fold high hash bits)
-        h2 = F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
-        return F.pmod(token_hash(col), F.lit(m)), F.pmod(h2, F.lit(m))
+        # two independent hashes via seeded xxhash64 — a native codegen
+        # expression, no md5 hex-parse in the corpus-scan hot path (round 7:
+        # md5+conv dominated the probe). Cross-engine hash portability does
+        # NOT matter here, unlike the md5 permille gates: the bloom is
+        # engine-internal and the exact join removes its false positives,
+        # so build and probe only need to agree with each other
+        return (
+            F.pmod(F.xxhash64(col), F.lit(m)),
+            F.pmod(F.xxhash64(col, F.lit(1)), F.lit(m)),
+        )
 
     # persisted: the benchmark shingle set feeds BOTH the bitmap build and
     # the exact broadcast join — one shingle pipeline, not two. The cache is
