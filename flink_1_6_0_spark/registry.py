@@ -98,7 +98,6 @@ _PRIORITY_HEAD = (
     "sql_in_subquery",         # §2.3 SQL subquery rewrites
     "corpus_temperature_mix",  # corpus sampling tier
     "ann_ivf_topk",            # ANN tier
-    "window_count_evictor",    # §2.5 triggers/evictors
     "join_asof_forward",       # as-of join family
     "stream_tumble_agg",       # §2.5 streaming window agg (r6 perf outlier)
     #
@@ -119,11 +118,13 @@ _PRIORITY_HEAD = (
     # round-6 additions (registered in r6, never driver-checked):
     "dedup_minhash_calibration", "contamination_eval_report",
     "corpus_token_budget", "corpus_version_diff", "stream_incremental_dedup",
-    # round-7 addition (FFD bin packing — new, needs first driver evidence;
-    # takes the slot of the dedup_incremental sentinel, which is drv6-green
-    # and whose family stays covered by dedup_minhash_lsh + the dedup
-    # stragglers above):
-    "pack_sequences_ffd",
+    # round-7 additions (new ops need first driver evidence; they take the
+    # slots of the dedup_incremental and window_count_evictor sentinels —
+    # both drv6-green, both families untouched this round and still
+    # represented by dedup_minhash_lsh / the window sentinels above). With
+    # these two, green here = EVERY registered query (193) driver-checked
+    # at least once:
+    "pack_sequences_ffd", "corpus_e2e_pretrain",
 )
 
 

@@ -338,6 +338,22 @@ def test_transitive_closure_superstep_shuffle_budget(spark):
     assert n_ex <= 6, f"per-superstep exchange count grew to {n_ex}:\n{plan}"
 
 
+def test_e2e_pretrain_pipeline_plan(spark, sf_dir):
+    """The composed pipeline must stay JVM-side end to end (scorer, dedup,
+    mix, packing are all Column exprs / aggregates), never degrade to a
+    cartesian, and pack within hash-partitioned shards (no global sort, no
+    single-partition window)."""
+    plan = _plan(get("corpus_e2e_pretrain").fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the packing window partitions by the shard key — never a global sort
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan.replace("#", "").replace(" ", "") or "hashpartitioning(shard" in plan
+    # single-partition folds only for the mix's 1-row histogram normalizers
+    # (language-cardinality by contract), never a corpus-sized collapse
+    assert plan.count("SinglePartition") <= 4
+
+
 def test_corpus_diff_shuffles_keys_not_text(spark, sf_dir):
     """The version diff's full-outer join must shuffle on the projected
     (id, md5) pair — the text column is reduced to its hash BEFORE the
