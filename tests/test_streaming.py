@@ -489,6 +489,69 @@ def test_stream_continuous_and_purging_trigger(spark, tmp_path):
     }
 
 
+def test_continuous_trigger_straggler_across_batches(spark, tmp_path):
+    """End-to-end straggler semantics through applyInPandasWithState: a
+    cross-batch element below an already-fired boundary is by definition
+    LATE (a boundary fires only once the watermark passed it, and the
+    watermark never regresses), and Spark's stateful operator drops
+    sub-watermark input before the UDF — matching the reference's
+    zero-allowed-lateness default. So e2e the straggler vanishes cleanly:
+    no phantom catch-up rows at its passed boundary (r7 kernel change), no
+    duplicate cumulative rows, later fires unaffected. (The kernel-level
+    fold-into-next-fire guard — test_continuous_trigger_straggler_folds_
+    into_next_fire — covers intra-batch arrivals and callers without
+    Spark's late filter.)"""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.triggers import stream_continuous_window
+
+    batches = [
+        [(1, 2.0, 150), (1, 3.0, 450)],   # wm 0: no fires, state buffers
+        [(1, 7.0, 550)],                  # wm 450: fires 200 (2.0); 400 empty
+        [(1, 5.0, 100), (9, 0.0, 5000)],  # wm 550: the 100s row is LATE
+                                          # (below the fired 200/400) — dropped
+        [(9, 0.0, 6000)],                 # wm 5000: fires 600 without it
+    ]
+    src = str(tmp_path / "strag_src")
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long, v double, sec long").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        ).drop("sec").repartition(1).write.mode("append").parquet(src)
+
+    def run(purging, name):
+        stream = read_parquet_stream(spark, src).withWatermark("ts", "0 seconds")
+        out = stream_continuous_window(stream, ["user_id"], "ts", "v", 600, 200, purging=purging)
+        q = to_memory_sink(out, name, "append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["user_id"], int(r["w_start"].timestamp()), int(r["fire_ts"].timestamp()),
+             r["n"], r["sum_v"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    # purging: the late straggler is dropped by the watermark filter — no
+    # phantom row at its passed boundary 200, and the 600 delta holds only
+    # the on-time 450+550 rows
+    assert run(True, "strag_p") == {
+        (1, 0, 200, 1, 2.0),
+        (1, 0, 600, 2, 10.0),
+        (9, 4800, 5200, 1, 0.0),
+    }
+    # accumulating: no duplicate (w, 200) row; cumulative panes contain only
+    # on-time elements
+    assert run(False, "strag_c") == {
+        (1, 0, 200, 1, 2.0),
+        (1, 0, 400, 1, 2.0),
+        (1, 0, 600, 3, 12.0),
+        (9, 4800, 5200, 1, 0.0),
+        (9, 4800, 5400, 1, 0.0),  # cumulative re-fire at the window end
+    }
+
+
 def test_iterate_stream_workaround(spark, tmp_path):
     """DataStream.iterate() (DataStream.java:529) workaround: per-epoch
     driver-side fixpoint — the canonical 'subtract until <= 0' feedback loop.
