@@ -15,6 +15,17 @@ Scale notes: each superstep is one shuffle on vertex id (messages = edge
 join), exactly Pregel's cost model. Convergence checks (`.count()` on the
 changed set) are one cheap action per round; the checkpoint interval bounds
 plan growth, which otherwise dominates at high iteration counts.
+
+Multi-read contract (round 7): Spark's exchange reuse does NOT fire across
+the differently-keyed consumers these algorithms create (degree vs pair vs
+neighbor-union reads of the same edge frame), so every read re-executes the
+edge frame's upstream lineage. Iterative loops and the bench-heavy
+algorithms (sssp, pagerank, transitive_closure, triadic_census_directed,
+jaccard_index) pin their loop-invariant / multi-read frames with
+``localCheckpoint()`` internally; for the composite helpers (vertex_metrics
++ triangle_count inside triadic_census, clustering coefficients), pass an
+already-materialized edge frame when the derivation upstream of ``edges``
+is expensive — the algorithms themselves read it a bounded number of times.
 """
 
 from __future__ import annotations
