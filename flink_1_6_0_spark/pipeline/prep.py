@@ -293,6 +293,7 @@ def pack_sequences(
     text_col: str,
     budget: int,
     num_shards: int = 8,
+    carry_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequential sequence packing: documents are concatenated in ``id_col``
     order within a deterministic shard and split into bins of ``budget``
@@ -303,7 +304,10 @@ def pack_sequences(
     One window (exclusive running sum) per shard; shard count bounds the
     sort width, so this is ``num_shards`` bounded sorts, not a global one.
     Adds: shard, n_tokens, offset (token offset within the shard stream),
-    bin (the training sequence index within the shard).
+    bin (the training sequence index within the shard). ``carry_cols``
+    ride along through the window (projection-only — cheaper than a
+    join-back on the id when the caller needs per-doc attributes next to
+    the bin assignment).
     """
     n_tok = token_count(text_col)
     shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
@@ -314,6 +318,7 @@ def pack_sequences(
     )
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         shard.alias("shard"),
         n_tok.cast("long").alias("n_tokens"),
     ).withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))

@@ -885,10 +885,11 @@ def corpus_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("kept_id").alias("doc_id"))
     surv = scored.join(keep, "doc_id")
     mixed = prep.temperature_sample(surv, "doc_id", "lang", alpha=0.3)
-    packed = prep.pack_sequences(mixed, "doc_id", "text", budget=256, num_shards=8)
-    return packed.join(
-        mixed.select("doc_id", "lang", "quality"), "doc_id"
-    ).select("doc_id", "lang", "quality", "shard", "n_tokens", "offset", "bin")
+    packed = prep.pack_sequences(
+        mixed, "doc_id", "text", budget=256, num_shards=8,
+        carry_cols=["lang", "quality"],  # ride the pack window — no join-back
+    )
+    return packed.select("doc_id", "lang", "quality", "shard", "n_tokens", "offset", "bin")
 
 
 def _quality_sql() -> str:
