@@ -375,24 +375,45 @@ def pack_sequences_ffd(
 def ffd_place(tokens: list[int], budget: int) -> list[int]:
     """Pure first-fit placement kernel over an ALREADY-ORDERED size list
     (callers sort decreasing-with-tie-break first): item i goes to the first
-    bin whose remaining capacity fits it, else opens bin ``len(caps)``.
+    bin whose remaining capacity fits it, else opens bin ``n_open``.
     Oversize items open a negative-capacity bin nothing else ever joins.
-    Property-tested (tests/test_properties.py): fills ≤ budget, at most one
-    non-oversize bin ≤ half-full, input-permutation invariance through the
-    sorting caller."""
-    caps: list[int] = []  # remaining capacity per open bin, index = bin id
+
+    O(n log n) via a max-capacity segment tree (leftmost-leaf descent ==
+    first fitting bin): the naive linear scan is O(n · open_bins) — at
+    100 TB shard sizes that quadratic blows up exactly when packing matters
+    most. Property-tested (tests/test_properties.py): identical placement
+    to the naive reference, fills ≤ budget, at most one non-oversize bin
+    ≤ half-full, permutation invariance through the sorting caller."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    size = 1
+    while size < n:
+        size *= 2
+    tree = [-1] * (2 * size)  # max remaining capacity per subtree; -1 = unopened
     bins: list[int] = []
+    n_open = 0
+
+    def _set(leaf: int, val: int) -> None:
+        j = size + leaf
+        tree[j] = val
+        j //= 2
+        while j:
+            tree[j] = tree[2 * j] if tree[2 * j] >= tree[2 * j + 1] else tree[2 * j + 1]
+            j //= 2
+
     for tok in tokens:
-        placed = -1
-        for j, c in enumerate(caps):
-            if c >= tok:
-                caps[j] = c - tok
-                placed = j
-                break
-        if placed < 0:
-            placed = len(caps)
-            caps.append(budget - tok)
-        bins.append(placed)
+        if tree[1] >= tok:
+            j = 1
+            while j < size:  # prefer the LEFT subtree — lowest bin id first
+                j = 2 * j if tree[2 * j] >= tok else 2 * j + 1
+            b = j - size
+            _set(b, tree[j] - tok)
+        else:
+            b = n_open
+            _set(b, budget - tok)
+            n_open += 1
+        bins.append(b)
     return bins
 
 

@@ -407,21 +407,40 @@ def test_cep_closed_negations_only_streaming_contract():
     assert _scan(buf + [_ev(1, "b", 1)], p, closed_negations_only=True) == []
 
 
+def _ffd_naive(tokens, budget):
+    """Reference linear-scan first-fit — the spec the segment-tree kernel
+    must match placement-for-placement."""
+    caps, bins = [], []
+    for tok in tokens:
+        for j, c in enumerate(caps):
+            if c >= tok:
+                caps[j] = c - tok
+                bins.append(j)
+                break
+        else:
+            bins.append(len(caps))
+            caps.append(budget - tok)
+    return bins
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     toks=st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=40),
     budget=st.integers(min_value=100, max_value=300),
 )
 def test_ffd_kernel_invariants(toks, budget):
-    """First-fit-decreasing placement invariants: (1) every bin's fill is
-    <= budget (no oversize items by construction here); (2) at most ONE bin
-    is <= half-full — two half-empty bins would have first-fit merged; (3)
-    the decreasing order means bin ids appear in first-open order 0,1,2,...;
-    (4) input-permutation invariance once the caller sorts."""
+    """First-fit-decreasing placement invariants: (0) the O(n log n)
+    segment-tree kernel places IDENTICALLY to the naive linear first-fit;
+    (1) every bin's fill is <= budget (no oversize items by construction
+    here); (2) at most ONE bin is <= half-full — two half-empty bins would
+    have first-fit merged; (3) the decreasing order means bin ids appear in
+    first-open order 0,1,2,...; (4) input-permutation invariance once the
+    caller sorts."""
     from flink_1_6_0_spark.pipeline.prep import ffd_place
 
     ordered = sorted(toks, reverse=True)
     bins = ffd_place(ordered, budget)
+    assert bins == _ffd_naive(ordered, budget)
     fill: dict[int, int] = {}
     for tok, b in zip(ordered, bins):
         fill[b] = fill.get(b, 0) + tok
