@@ -239,3 +239,16 @@ def test_examples_batch_programs_run(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
     tc = {(r.src, r.dst) for r in transitive_closure(e).collect()}
     assert tc == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+
+def test_example_pretrain_pipeline_runs(spark, sf_dir):
+    """The end-to-end pretraining pipeline example survives its sample run:
+    some docs filtered, every kept doc binned, attributes carried through."""
+    from examples.pretrain_pipeline import pretrain_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pretrain_pipeline(docs)
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()
+    assert {"doc_id", "lang", "quality", "shard", "n_tokens", "offset", "bin"} <= set(out.columns)
+    assert all(r["bin"] >= 0 and r["quality"] >= 0.5 for r in rows)
