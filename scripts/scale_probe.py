@@ -1,0 +1,130 @@
+"""Scaling probe: synthesize an N× dataset from sf0.1 and measure how the
+headline plans ACTUALLY scale — the local stand-in for "would this survive
+100×?" (the bench measures absolute speed at one SF; this measures the
+exponent).
+
+For each probed query, reports t(N×)/t(1×) next to the ideal-linear N.
+A ratio well above N means a superlinear plan (pair blow-up, broadcast
+spill, single-task funnel) — the thing to fix BEFORE a real scale-up.
+
+Synthesis (keys shifted so ids stay unique; facts replicated, dims reused —
+the realistic growth shape where dimension cardinality lags fact growth):
+  events      ×N: event_id shifted, same users (more events per user)
+  documents   ×N: doc_id shifted, per-copy vowel rotation keeps texts
+                  DISTINCT (otherwise dedup output grows as C(N,2) per
+                  group — correct for dedup semantics, wrong for a scaling
+                  exponent probe)
+  embeddings  ×N: vec_id shifted, vectors reused
+  lineitem/orders ×N: orderkeys shifted, same customers/suppliers/parts
+  region/nation/customer/supplier/part: copied as-is
+
+Usage: python scripts/scale_probe.py [N] [out_dir]
+       (default N=8, out_dir=/tmp/spark_graft_scale)
+Prints one JSON line: {"n": N, "queries": {name: {"t1": s, "tn": s,
+"ratio": r}}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.registry import load_all
+from flink_1_6_0_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+# scan/agg/join/window/dedup/ann representatives — one per plan family
+PROBES = [
+    "tpch_q1",            # scan + partial agg
+    "tpch_q3",            # broadcast joins + top-k
+    "tpch_q21",           # heaviest multi-join
+    "window_tumble",      # event-time window agg
+    "text_stats",         # pure-column text scan
+    "dedup_exact",        # one hash shuffle
+    "dedup_minhash_lsh",  # shingle explode + banded self-join
+    "contamination_bloom",# broadcast probe + exact join
+    "ann_cosine_topk",    # broadcast queries + TakeOrdered
+    "join_asof_events",   # union-tag + window fill
+]
+
+
+def synthesize(spark, n: int, out: str) -> None:
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    def times(df, shift_col, shift_by, extra=None):
+        parts = []
+        for i in range(n):
+            d = df.withColumn(shift_col, F.col(shift_col) + F.lit(i * shift_by))
+            if extra is not None:
+                d = extra(d, i)
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    B = 1_000_000_000
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    times(ev, "event_id", B).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    # rotate vowels per copy so replicated texts stay distinct (see module doc)
+    def perturb(d, i):
+        rot = "aeiou"[i % 5 :] + "aeiou"[: i % 5]
+        return d.withColumn("text", F.translate(F.col("text"), "aeiou", rot))
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    times(docs, "doc_id", B, perturb).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    times(emb, "vec_id", B).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    times(li, "l_orderkey", B).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    od = spark.read.parquet(f"{BASE}/orders.parquet")
+    times(od, "o_orderkey", B).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+
+def _consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    spark = get_spark(app_name="scale-probe")
+    synthesize(spark, n, out)
+    specs = load_all()
+    results = {}
+    for name in PROBES:
+        fn = specs[name].fn
+        _consume(fn(spark, BASE))  # warm plan/codegen
+        t1 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _consume(fn(spark, BASE))
+            t1.append(time.perf_counter() - t0)
+        tn = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _consume(fn(spark, out))
+            tn.append(time.perf_counter() - t0)
+        a, b = statistics.median(t1), statistics.median(tn)
+        results[name] = {"t1": round(a, 3), "tn": round(b, 3), "ratio": round(b / a, 2)}
+        print(f"{name}: 1x={a:.3f}s {n}x={b:.3f}s ratio={b / a:.2f}", file=sys.stderr)
+    print(json.dumps({"n": n, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
