@@ -597,3 +597,30 @@ def dedup_cross_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 5 == 0), d.filter(F.col("doc_id") % 5 != 0),
         "doc_id", "text",
     )
+
+
+@query(
+    "skew_report_events",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+    s AS (SELECT sum(n) AS total, avg(n) AS mean FROM c)
+    SELECT user_id, n,
+           round(n / s.total, 6) AS share,
+           round(n / s.mean, 3) AS skew_factor,
+           ceil(n / s.mean)::INT AS suggested_salts
+    FROM c, s
+    ORDER BY n DESC, user_id ASC
+    LIMIT 20
+    """,
+    tags=("pipeline", "utils", "joins"),
+)
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight on events.user_id: the 20 heaviest keys
+    with count, share, skew factor and the salt fan-out that would level
+    them (operators/utils.skew_report) — run this BEFORE committing a
+    100 TB shuffle to a key; feed suggested_salts to joins.skew_salted_join
+    or trust AQE past it. One map-side-combined groupBy + broadcast 1-row
+    stats + TakeOrdered."""
+    from flink_1_6_0_spark.operators.utils import skew_report
+
+    return skew_report(T(spark, sf_dir, "events"), "user_id", top_n=20)

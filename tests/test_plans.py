@@ -338,6 +338,16 @@ def test_transitive_closure_superstep_shuffle_budget(spark):
     assert n_ex <= 6, f"per-superstep exchange count grew to {n_ex}:\n{plan}"
 
 
+def test_skew_report_is_takeordered_with_partial_agg(spark, sf_dir):
+    """The skew pre-flight must cost exactly what the join it de-risks
+    costs: one map-side-combined groupBy + broadcast stats + TakeOrdered —
+    no global sort, no second corpus shuffle."""
+    plan = _plan(get("skew_report_events").fn(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrdered" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_e2e_pretrain_pipeline_plan(spark, sf_dir):
     """The composed pipeline must stay JVM-side end to end (scorer, dedup,
     mix, packing are all Column exprs / aggregates), never degrade to a
