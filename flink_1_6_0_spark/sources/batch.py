@@ -187,3 +187,35 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs (streaming sinks and per-epoch state writers emit
+    one file per micro-batch partition; thousands of KB-files make every
+    later scan seek-bound and blow the driver's split enumeration).
+
+    Sizes the output by the INPUT's actual bytes via the Hadoop FS (works
+    for hdfs:///s3:// paths, not just local), rewrites to
+    ``ceil(bytes / target_file_mb)`` files, and returns the file count.
+    Round-robin repartition (no shuffle key) keeps row order irrelevant and
+    output sizes even; writes to a NEW path — atomic swap/rename is the
+    caller's move so readers never see a half-compacted table (the same
+    versioned-swap rule as the streaming asof standing state).
+    """
+    import math
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
+    out = spark._jvm.org.apache.hadoop.fs.Path(out_path)
+    return sum(
+        1 for st in fs.listStatus(out) if st.getPath().getName().endswith(".parquet")
+    )

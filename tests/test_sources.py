@@ -399,3 +399,33 @@ def test_events_ts_normalizes_to_timestamp(spark, sf_dir):
     assert isinstance(stream_ts, TimestampType), f"stream events.ts is {stream_ts}"
     # and watermark assignment — the operation that broke — must be legal
     events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction collapses a many-small-files table to ceil(bytes/target)
+    files with identical content; the original path is left untouched for
+    the caller's atomic swap."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.batch import compact_parquet
+
+    src = str(tmp_path / "frag")
+    # 40 tiny files (one per append), the streaming-sink fragmentation shape
+    for i in range(40):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 40
+
+    out = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, src, out, target_file_mb=128)
+    n_disk = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_out == n_disk == 1  # 40 KB-files -> one 128MB-target file
+    a = {(r["id"], r["v"]) for r in spark.read.parquet(src).collect()}
+    b = {(r["id"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert a == b and len(a) == 400
+    # source untouched (atomic swap is the caller's move)
+    assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == 40
