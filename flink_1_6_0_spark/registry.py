@@ -98,7 +98,6 @@ _PRIORITY_HEAD = (
     "sql_in_subquery",         # §2.3 SQL subquery rewrites
     "corpus_temperature_mix",  # corpus sampling tier
     "ann_ivf_topk",            # ANN tier
-    "join_asof_forward",       # as-of join family
     "stream_tumble_agg",       # §2.5 streaming window agg (r6 perf outlier)
     #
     # text analysis tier (never driver-checked):
@@ -119,12 +118,13 @@ _PRIORITY_HEAD = (
     "dedup_minhash_calibration", "contamination_eval_report",
     "corpus_token_budget", "corpus_version_diff", "stream_incremental_dedup",
     # round-7 additions (new ops need first driver evidence; they take the
-    # slots of the dedup_incremental and window_count_evictor sentinels —
-    # both drv6-green, both families untouched this round and still
-    # represented by dedup_minhash_lsh / the window sentinels above). With
-    # these two, green here = EVERY registered query (193) driver-checked
-    # at least once:
-    "pack_sequences_ffd", "corpus_e2e_pretrain",
+    # slots of the dedup_incremental, window_count_evictor and
+    # join_asof_forward sentinels — all drv6-green, their families untouched
+    # or still represented (streaming asof keeps the stream_asof_join
+    # sentinel, dedup keeps dedup_minhash_lsh, windows keep window_tumble).
+    # With these three, green here = EVERY registered query (194)
+    # driver-checked at least once:
+    "pack_sequences_ffd", "corpus_e2e_pretrain", "skew_report_events",
 )
 
 
