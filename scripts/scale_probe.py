@@ -53,6 +53,10 @@ PROBES = [
     "contamination_bloom",# broadcast probe + exact join
     "ann_cosine_topk",    # broadcast queries + TakeOrdered
     "join_asof_events",   # union-tag + window fill
+    "skew_report_events", # partial-agg + TakeOrdered pre-flight
+    "pack_sequences_ffd", # Arrow applyInPandas per-shard kernel
+    "corpus_e2e_pretrain",# composed pipeline (score+dedup+mix+pack)
+    "graph_triadic_census_directed",  # fact-join edge derivation + census
 ]
 
 
