@@ -252,3 +252,19 @@ def test_example_pretrain_pipeline_runs(spark, sf_dir):
     assert 0 < len(rows) < docs.count()
     assert {"doc_id", "lang", "quality", "shard", "n_tokens", "offset", "bin"} <= set(out.columns)
     assert all(r["bin"] >= 0 and r["quality"] >= 0.5 for r in rows)
+
+
+def test_skew_report_null_and_dominant_key(spark):
+    """NULL join keys group like any value (the null-heavy-FK case the op
+    exists to catch) and the dominant key's suggested fan-out levels it."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.utils import skew_report
+
+    rows = [(None,)] * 60 + [(1,)] * 30 + [(2,)] * 6 + [(3,)] * 4
+    df = spark.createDataFrame(rows, "k long")
+    got = {r["k"]: r for r in skew_report(df, "k", top_n=10).collect()}
+    assert got[None]["n"] == 60 and got[None]["share"] == 0.6
+    # mean per key = 25 -> null key is 2.4x the average, split in 3
+    assert got[None]["skew_factor"] == 2.4 and got[None]["suggested_salts"] == 3
+    assert got[1]["suggested_salts"] == 2 and got[3]["suggested_salts"] == 1
