@@ -147,11 +147,12 @@ def sample_n_per_key(df: DataFrame, key: str, id_col: str, n: int, salt: str = "
     return df.withColumn("__rk", rk).filter(F.col("__rk") <= n).drop("__rk")
 
 
-def skew_report(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+def skew_report(df: DataFrame, key: str | list[str], top_n: int = 20) -> DataFrame:
     """Join-key skew diagnostic — the pre-flight check before shuffling
-    100 TB on ``key``: the ``top_n`` heaviest keys with their row count,
-    corpus share, skew factor (count / mean-per-key) and a suggested salt
-    fan-out (``ceil(skew_factor)``, the split count that levels that key's
+    100 TB on ``key`` (a column name or a composite-key list): the ``top_n``
+    heaviest keys with their row count, corpus share, skew factor
+    (count / mean-per-key) and a suggested salt fan-out
+    (``ceil(skew_factor)``, the split count that levels that key's
     partition to the average — feed it to joins.skew_salted_join or rely on
     AQE's skew splitting past it).
 
@@ -159,20 +160,21 @@ def skew_report(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
     join itself would do), a broadcast 1-row stats frame, TakeOrdered for
     the top-n — never a global sort or a driver-side histogram.
     """
-    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
     stats = counts.agg(
         F.sum("n").alias("__total"), F.avg("n").alias("__mean")
     )
     return (
         counts.crossJoin(F.broadcast(stats))
         .select(
-            key,
+            *keys,
             "n",
             F.round(F.col("n") / F.col("__total"), 6).alias("share"),
             F.round(F.col("n") / F.col("__mean"), 3).alias("skew_factor"),
             F.ceil(F.col("n") / F.col("__mean")).cast("int").alias("suggested_salts"),
         )
-        .orderBy(F.desc("n"), F.asc(key))
+        .orderBy(F.desc("n"), *[F.asc(k) for k in keys])
         .limit(top_n)
     )
 

@@ -268,3 +268,14 @@ def test_skew_report_null_and_dominant_key(spark):
     # mean per key = 25 -> null key is 2.4x the average, split in 3
     assert got[None]["skew_factor"] == 2.4 and got[None]["suggested_salts"] == 3
     assert got[1]["suggested_salts"] == 2 and got[3]["suggested_salts"] == 1
+
+
+def test_skew_report_composite_key(spark):
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.utils import skew_report
+
+    rows = [(1, "a")] * 8 + [(1, "b")] * 2 + [(2, "a")] * 2
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = {(r["k"], r["s"]): r["n"] for r in skew_report(df, ["k", "s"], top_n=5).collect()}
+    assert got == {(1, "a"): 8, (1, "b"): 2, (2, "a"): 2}
