@@ -219,3 +219,34 @@ def compact_parquet(
     return sum(
         1 for st in fs.listStatus(out) if st.getPath().getName().endswith(".parquet")
     )
+
+
+def fragmentation_report(spark: SparkSession, path: str, small_file_mb: int = 8) -> dict:
+    """The measurement half of small-files maintenance: file count, byte
+    totals and size spread for a parquet path, plus the small-file count
+    that decides whether ``compact_parquet`` is worth a rewrite pass.
+
+    FS-metadata walk only (no data read) — cost is bounded by file count,
+    which is exactly the thing being diagnosed; works on hdfs:///s3://
+    through the Hadoop FS like the compactor.
+    """
+    import statistics
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = sorted(
+        st.getLen()
+        for st in fs.listStatus(jpath)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    )
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "n_small": 0}
+    small = small_file_mb * 1024 * 1024
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": sizes[0],
+        "median_bytes": int(statistics.median(sizes)),
+        "max_bytes": sizes[-1],
+        "n_small": sum(1 for s in sizes if s < small),
+    }

@@ -429,3 +429,21 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert a == b and len(a) == 400
     # source untouched (atomic swap is the caller's move)
     assert sum(1 for f in os.listdir(src) if f.endswith(".parquet")) == 40
+
+
+def test_fragmentation_report_counts_small_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.batch import compact_parquet, fragmentation_report
+
+    src = str(tmp_path / "fragrep")
+    for i in range(10):
+        spark.range(i * 5, i * 5 + 5).coalesce(1).write.mode("append").parquet(src)
+    rep = fragmentation_report(spark, src)
+    assert rep["n_files"] == 10 and rep["n_small"] == 10
+    assert rep["min_bytes"] > 0 and rep["total_bytes"] >= 10 * rep["min_bytes"] // 2
+    out = str(tmp_path / "fragrep_c")
+    compact_parquet(spark, src, out)
+    rep2 = fragmentation_report(spark, out)
+    assert rep2["n_files"] == 1
+    assert fragmentation_report(spark, str(tmp_path / "fragrep_c"))["n_small"] == 1
