@@ -18,8 +18,11 @@ the realistic growth shape where dimension cardinality lags fact growth):
   lineitem/orders ×N: orderkeys shifted, same customers/suppliers/parts
   region/nation/customer/supplier/part: copied as-is
 
-Usage: python scripts/scale_probe.py [N] [out_dir]
-       (default N=8, out_dir=/tmp/spark_graft_scale)
+Usage: python scripts/scale_probe.py [N] [out_dir] [probe_csv]
+       (default N=8, out_dir=/tmp/spark_graft_scale, probe_csv=all; at high
+       N skip the LSH probe — all N copies of a doc are TRUE mutual
+       near-dups, so its pair output grows as C(N,2) per group by
+       semantics, not by plan defect)
 Prints one JSON line: {"n": N, "queries": {name: {"t1": s, "tn": s,
 "ratio": r}}, ...}
 """
@@ -83,10 +86,15 @@ def synthesize(spark, n: int, out: str) -> None:
     ev = spark.read.parquet(f"{BASE}/events.parquet")
     times(ev, "event_id", B).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    # rotate vowels per copy so replicated texts stay distinct (see module doc)
+    # per-copy vowel rotation + a copy-tag token so replicated texts stay
+    # DISTINCT at any N (rotation alone repeats at i%5; identical copies
+    # would shrink exact-dedup groups and quadratically inflate LSH pairs)
     def perturb(d, i):
         rot = "aeiou"[i % 5 :] + "aeiou"[: i % 5]
-        return d.withColumn("text", F.translate(F.col("text"), "aeiou", rot))
+        return d.withColumn(
+            "text",
+            F.concat(F.translate(F.col("text"), "aeiou", rot), F.lit(f" copytag{i}")),
+        )
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     times(docs, "doc_id", B, perturb).write.mode("overwrite").parquet(f"{out}/documents.parquet")
@@ -107,11 +115,12 @@ def _consume(df) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    probes = sys.argv[3].split(",") if len(sys.argv) > 3 else PROBES
     spark = get_spark(app_name="scale-probe")
     synthesize(spark, n, out)
     specs = load_all()
     results = {}
-    for name in PROBES:
+    for name in probes:
         fn = specs[name].fn
         _consume(fn(spark, BASE))  # warm plan/codegen
         t1 = []
