@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "flink_1_6_0_spark.queries.facade",
     "flink_1_6_0_spark.queries.graph",
     "flink_1_6_0_spark.queries.sql_surface",
+    "flink_1_6_0_spark.queries.formats",
 )
 
 
@@ -122,8 +123,10 @@ _PRIORITY_HEAD = (
     # join_asof_forward sentinels — all drv6-green, their families untouched
     # or still represented (streaming asof keeps the stream_asof_join
     # sentinel, dedup keeps dedup_minhash_lsh, windows keep window_tumble).
-    # With these three, green here = EVERY registered query (194)
-    # driver-checked at least once:
+    # With these three, green here = EVERY query registered at window-design
+    # time driver-checked at least once. (Registered later in round 7, for
+    # the ROUND-8 window: source_csv_roundtrip, source_orc_roundtrip,
+    # source_avro_roundtrip — the §2.1 format paths' first driver oracle.)
     "pack_sequences_ffd", "corpus_e2e_pretrain", "skew_report_events",
 )
 
