@@ -39,13 +39,21 @@ def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return edges.select(src, dst).union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
 
 
-def _checkpoint(df: DataFrame, mode: str) -> DataFrame:
+def _checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
     """Truncate loop lineage. ``local`` = localCheckpoint (fast default; pins
     blocks to executors — an executor loss mid-loop kills the job). At 100×
     scale with preemptible executors use ``reliable``: DataFrame.checkpoint()
-    to the SparkContext checkpoint dir survives executor loss."""
+    to the SparkContext checkpoint dir survives executor loss.
+
+    ``eager=False`` defers materialization to the first action while still
+    deduplicating multi-consumer reads at execution time — the right setting
+    for pins taken during single-DataFrame CONSTRUCTION (jaccard, directed
+    census), where an eager barrier would make merely building the frame
+    (e.g. for .explain) execute the upstream derivation (round-7 advice).
+    Driver-loop supersteps keep eager=True: the fixpoint count() follows
+    immediately, and an eager cut keeps the loop's lineage flat."""
     if mode == "local":
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
@@ -62,7 +70,7 @@ def _checkpoint(df: DataFrame, mode: str) -> DataFrame:
             import tempfile
 
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="graph_ckpt_"))
-        return df.checkpoint()
+        return df.checkpoint(eager=eager)
     raise ValueError(f"unknown checkpoint_mode {mode!r}; choose 'local' or 'reliable'")
 
 
@@ -699,7 +707,11 @@ def label_propagation(
     )
 
 
-def jaccard_index(edges: DataFrame, min_score: float | None = None) -> DataFrame:
+def jaccard_index(
+    edges: DataFrame,
+    min_score: float | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
     """Gelly JaccardIndex (library/similarity/JaccardIndex.java:54): for every
     vertex pair with at least one shared neighbor, emit the shared-neighbor
     count, the distinct-neighbor count deg(u)+deg(v)-shared, and the Jaccard
@@ -715,10 +727,12 @@ def jaccard_index(edges: DataFrame, min_score: float | None = None) -> DataFrame
 
     Returns (u, v, shared_neighbors, distinct_neighbors, score), u < v.
     """
-    # pinned: read 3× below (degree + both two-path arms) and exchange reuse
-    # does not fire across the differently-keyed consumers — without the pin
-    # an expensive upstream edge derivation executes three times (round 7)
-    sym = _checkpoint(_sym_simple_edges(edges), "local")
+    # pinned LAZILY: read 3× below (degree + both two-path arms) and exchange
+    # reuse does not fire across the differently-keyed consumers — without
+    # the pin an expensive upstream edge derivation executes three times
+    # (round 7); eager=False so building the frame (explain/plan tests)
+    # stays free and materialization happens at first action (round-7 advice)
+    sym = _checkpoint(_sym_simple_edges(edges), checkpoint_mode, eager=False)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     a = sym.select(F.col("src").alias("z"), F.col("dst").alias("u"))
     b = sym.select(F.col("src").alias("z"), F.col("dst").alias("v"))
@@ -999,7 +1013,8 @@ def global_clustering_coefficient_directed(edges: DataFrame) -> DataFrame:
 
 def transitive_closure(edges: DataFrame, max_iterations: int = 10,
                        checkpoint_interval: int = 3,
-                       require_convergence: bool = True) -> DataFrame:
+                       require_convergence: bool = True,
+                       checkpoint_mode: str = "local") -> DataFrame:
     """TransitiveClosureNaive (flink-examples-batch graph/
     TransitiveClosureNaive.java — the canonical bulk-iteration program):
     all reachable (src, dst) pairs by repeated path extension
@@ -1020,7 +1035,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10,
     # :516): without it every superstep's join AND fixpoint count() re-derive
     # the full upstream lineage — for the registered trade-graph query that
     # is a 4-table join re-executed per round
-    e = _checkpoint(edges.select("src", "dst").distinct(), "local")
+    e = _checkpoint(edges.select("src", "dst").distinct(), checkpoint_mode)
     paths = e
     n = paths.count()
     for i in range(max_iterations):
@@ -1030,7 +1045,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10,
         )
         new_paths = paths.union(ext).distinct()
         if i % checkpoint_interval == checkpoint_interval - 1:
-            new_paths = _checkpoint(new_paths, "local")
+            new_paths = _checkpoint(new_paths, checkpoint_mode)
         m = new_paths.count()
         if m == n:
             return paths
@@ -1043,7 +1058,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10,
     return paths
 
 
-def triadic_census_directed(edges: DataFrame) -> DataFrame:
+def triadic_census_directed(edges: DataFrame, checkpoint_mode: str = "local") -> DataFrame:
     """Gelly directed TriadicCensus (library/clustering/directed/
     TriadicCensus.java:80-180) — all 16 Holland-Leinhardt triad types.
 
@@ -1062,14 +1077,17 @@ def triadic_census_directed(edges: DataFrame) -> DataFrame:
     closed-form integer arithmetic on two 1-row frames. Long-exact to
     ~2.6M vertices (n-choose-3 with integer div), as the undirected form.
     """
-    # pin the distinct edge frame: it is read FIVE times below (pair codes,
-    # out-/in-degree, both arms of the neighbor union) and Spark's exchange
-    # reuse does not canonicalize across these differently-keyed consumers —
-    # without the pin an expensive upstream derivation (the registered
-    # query's 4-table trade join) executes five times (round-7 measurement)
+    # pin the distinct edge frame LAZILY: it is read FIVE times below (pair
+    # codes, out-/in-degree, both arms of the neighbor union) and Spark's
+    # exchange reuse does not canonicalize across these differently-keyed
+    # consumers — without the pin an expensive upstream derivation (the
+    # registered query's 4-table trade join) executes five times (round-7
+    # measurement); eager=False keeps frame CONSTRUCTION free for plan-only
+    # consumers, materializing at first action (round-7 advice)
     e = _checkpoint(
         edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct(),
-        "local",
+        checkpoint_mode,
+        eager=False,
     )
     # pair code on u < v: 3 = mutual, 2 = u→v only, 1 = v→u only
     # (NOT pinned: its 3 triangle-join reads recompute only one cheap

@@ -174,7 +174,12 @@ def skew_report(df: DataFrame, key: str | list[str], top_n: int = 20) -> DataFra
             F.round(F.col("n") / F.col("__mean"), 3).alias("skew_factor"),
             F.ceil(F.col("n") / F.col("__mean")).cast("int").alias("suggested_salts"),
         )
-        .orderBy(F.desc("n"), *[F.asc(k) for k in keys])
+        # NULL keys (advertised: a NULL join key is a real group here) sort
+        # LAST on the tiebreak — pinned explicitly because engines disagree
+        # on ASC NULL order (Spark: first, DuckDB/ANSI default: last) and a
+        # NULL tying on n at the limit boundary must pick the same rows
+        # everywhere (round-7 advice)
+        .orderBy(F.desc("n"), *[F.asc_nulls_last(k) for k in keys])
         .limit(top_n)
     )
 

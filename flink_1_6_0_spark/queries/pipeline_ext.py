@@ -609,7 +609,7 @@ def dedup_cross_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(n / s.mean, 3) AS skew_factor,
            ceil(n / s.mean)::INT AS suggested_salts
     FROM c, s
-    ORDER BY n DESC, user_id ASC
+    ORDER BY n DESC, user_id ASC NULLS LAST
     LIMIT 20
     """,
     tags=("pipeline", "utils", "joins"),

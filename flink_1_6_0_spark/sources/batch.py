@@ -177,6 +177,13 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (JsonRowSerializationSchema analog): one JSON object
+    per line, written per-partition — splittable on read, unlike a single
+    JSON array document."""
+    df.write.mode(mode).json(path)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).text(path)
 
@@ -189,11 +196,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def _parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursively list (path, bytes) for every .parquet data file under
+    ``path`` via the Hadoop FS. Recursive because hive-partitioned tables
+    keep their data files in key=value subdirectories, which a flat
+    listStatus reports as n_files=0 (round-7 advice); works on hdfs:///s3://
+    through the same FS abstraction."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     out_path: str,
     target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-files compaction — the table-maintenance pass every long-lived
     100 TB dataset needs (streaming sinks and per-epoch state writers emit
@@ -207,18 +234,21 @@ def compact_parquet(
     output sizes even; writes to a NEW path — atomic swap/rename is the
     caller's move so readers never see a half-compacted table (the same
     versioned-swap rule as the streaming asof standing state).
+
+    Hive-partitioned inputs: pass ``partition_by`` with the partition
+    columns to keep the key=value directory layout (and partition pruning)
+    in the output; without it the partition columns are flattened into the
+    data files — the rows survive but the pruning layout does not.
     """
     import math
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = fs.getContentSummary(jpath).getLength()
+    total = sum(sz for _, sz in _parquet_files(spark, path))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
-    out = spark._jvm.org.apache.hadoop.fs.Path(out_path)
-    return sum(
-        1 for st in fs.listStatus(out) if st.getPath().getName().endswith(".parquet")
-    )
+    w = spark.read.parquet(path).repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_path)
+    return len(_parquet_files(spark, out_path))
 
 
 def fragmentation_report(spark: SparkSession, path: str, small_file_mb: int = 8) -> dict:
@@ -227,18 +257,13 @@ def fragmentation_report(spark: SparkSession, path: str, small_file_mb: int = 8)
     that decides whether ``compact_parquet`` is worth a rewrite pass.
 
     FS-metadata walk only (no data read) — cost is bounded by file count,
-    which is exactly the thing being diagnosed; works on hdfs:///s3://
-    through the Hadoop FS like the compactor.
+    which is exactly the thing being diagnosed; recursive, so
+    hive-partitioned layouts report their real file population; works on
+    hdfs:///s3:// through the Hadoop FS like the compactor.
     """
     import statistics
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    sizes = sorted(
-        st.getLen()
-        for st in fs.listStatus(jpath)
-        if st.isFile() and st.getPath().getName().endswith(".parquet")
-    )
+    sizes = sorted(sz for _, sz in _parquet_files(spark, path))
     if not sizes:
         return {"n_files": 0, "total_bytes": 0, "n_small": 0}
     small = small_file_mb * 1024 * 1024
