@@ -73,16 +73,49 @@ def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     return spark.readStream.format("socket").option("host", host).option("port", port).load()
 
 
+# The exact option spellings of Spark's kafka DataSource (Structured
+# Streaming + Kafka Integration Guide). Centralized so the contract test
+# (tests/test_sources.py::test_kafka_call_shape_*) fails loudly if a
+# spelling drifts. Lighting this up needs the package
+# org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> (for this
+# image: 4.1.2) on the classpath plus a live broker — neither ships in the
+# container, so the tests pin the call shape, not broker I/O.
+def kafka_source_options(bootstrap: str, topics: str, starting_offsets: str = "earliest") -> dict[str, str]:
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(bootstrap: str, topic: str) -> dict[str, str]:
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+    }
+
+
 def kafka_stream(spark: SparkSession, bootstrap: str, topics: str, starting_offsets: str = "earliest") -> DataFrame:
-    """FlinkKafkaConsumer analog. Requires the spark-sql-kafka package on the
-    classpath and a live broker — neither exists in this container; the call
-    shape is the declared surface."""
+    """FlinkKafkaConsumer analog (FlinkKafkaConsumerBase.java:84):
+    subscribe + bootstrap servers + starting offsets (the reference's
+    setStartFromEarliest/Latest maps to startingOffsets)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(bootstrap, topics, starting_offsets))
         .load()
+    )
+
+
+def kafka_sink(df: DataFrame, bootstrap: str, topic: str, checkpoint: str):
+    """FlinkKafkaProducer analog (FlinkKafkaProducer011.java:94): the frame
+    must carry a ``value`` column (and optional ``key``) per the kafka sink
+    contract; exactly-once comes from the checkpointed sink commit protocol,
+    the same guarantee tier as the reference's transactional producer."""
+    return (
+        df.writeStream.format("kafka")
+        .options(**kafka_sink_options(bootstrap, topic))
+        .option("checkpointLocation", checkpoint)
+        .start()
     )
 
 

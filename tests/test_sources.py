@@ -447,3 +447,96 @@ def test_fragmentation_report_counts_small_files(spark, tmp_path):
     rep2 = fragmentation_report(spark, out)
     assert rep2["n_files"] == 1
     assert fragmentation_report(spark, str(tmp_path / "fragrep_c"))["n_small"] == 1
+
+
+# --- Kafka call-shape contract (round-7 verdict task 4) -------------------
+# The image has no spark-sql-kafka package and no broker (re-probed each
+# round: pyspark/jars has zero kafka artifacts). These tests replace
+# "call-shape only" with a verified contract: (a) the option spellings match
+# the public kafka DataSource exactly and fail loudly on drift, (b) the
+# format string demonstrably reaches Spark's DataSource resolution (the
+# lookup error names it), (c) the fluent call sequence sets format+options
+# end-to-end. Lighting up for real needs
+# org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 on the classpath.
+
+
+class _CaptureReader:
+    def __init__(self):
+        self.fmt, self.opts, self.loaded = None, {}, False
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def options(self, **kw):
+        self.opts.update(kw)
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self):
+        self.loaded = True
+        return self
+
+    def start(self):
+        self.loaded = True
+        return self
+
+
+def test_kafka_option_spellings_pinned():
+    from flink_1_6_0_spark.sources.stream import kafka_sink_options, kafka_source_options
+
+    assert kafka_source_options("b:9092", "clicks", "latest") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "clicks",
+        "startingOffsets": "latest",
+    }
+    assert kafka_source_options("b:9092", "clicks")["startingOffsets"] == "earliest"
+    assert kafka_sink_options("b:9092", "out") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out",
+    }
+
+
+def test_kafka_stream_call_shape():
+    from flink_1_6_0_spark.sources.stream import kafka_stream
+
+    class _FakeSpark:
+        readStream = _CaptureReader()
+
+    r = kafka_stream(_FakeSpark(), "broker1:9092,broker2:9092", "events,clicks")
+    assert r.fmt == "kafka" and r.loaded
+    assert r.opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events,clicks",
+        "startingOffsets": "earliest",
+    }
+
+
+def test_kafka_sink_call_shape():
+    from flink_1_6_0_spark.sources.stream import kafka_sink
+
+    class _FakeDF:
+        writeStream = _CaptureReader()
+
+    r = kafka_sink(_FakeDF(), "b:9092", "out-topic", "/tmp/ckpt")
+    assert r.fmt == "kafka" and r.loaded
+    assert r.opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out-topic",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+
+
+def test_kafka_format_reaches_datasource_lookup(spark):
+    """Without the package, Spark's DataSource resolution must fail NAMING
+    the kafka source — proof the format string arrives at the lookup (and
+    the loud failure a user hits first, per the round-7 verdict)."""
+    import pytest
+
+    from flink_1_6_0_spark.sources.stream import kafka_stream
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        kafka_stream(spark, "localhost:9092", "t")
