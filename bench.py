@@ -127,6 +127,17 @@ def main() -> None:
     except OSError:
         pass
 
+    # End-to-end micro-batch throughput (BASELINE.md bench family 7): rows/s
+    # across a real >=3-micro-batch replay of the date-partitioned lake
+    # through the tumbling-window aggregate (queries/lake.py).
+    throughput: dict | None = None
+    try:
+        from flink_1_6_0_spark.queries.lake import streaming_throughput
+
+        throughput = streaming_throughput(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: streaming throughput skipped: {exc}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -136,6 +147,10 @@ def main() -> None:
         "runs_per_query": runs,
         "env": env,
     }
+    if throughput is not None:
+        out["throughput_rows_s"] = throughput["rows_per_sec"]
+        out["stream_batches"] = throughput["batches"]
+        out["stream_rows"] = throughput["rows"]
 
     # Matched-set ratio vs the recorded per-query baselines (BENCHBASE.json).
     try:

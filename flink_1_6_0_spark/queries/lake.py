@@ -1,0 +1,149 @@
+"""Partitioned-lake queries — partition pruning + multi-micro-batch streaming
+evidence (SURVEY.md §2.1 BucketingSink layout, §2.11 cross-batch state).
+
+These run against a date-partitioned multi-file copy of ``events``
+(sources/partitioned.py) rather than TESTDATA's single file, so they are the
+queries where (a) hive partition pruning actually prunes (PartitionFilters in
+the scan), and (b) a bounded stream executes as >= 3 REAL micro-batches with
+operator state carried across batch boundaries. Oracles run on the original
+``events`` view — the lake copy is value-identical by construction, so a
+hash match also certifies the materialization itself.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_6_0_spark.registry import query
+from flink_1_6_0_spark.sources.partitioned import (
+    partitioned_events_stream,
+    read_partitioned_events,
+)
+from flink_1_6_0_spark.sources.stream import to_memory_sink
+
+
+@query(
+    "events_partition_prune",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+    GROUP BY 1, 2
+    """,
+    tags=("lake", "pruning"),
+    bench=True,
+)
+def events_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-slice aggregate over the date-partitioned lake. The date predicate
+    is a PARTITION filter (hive layout), so 23 of 30 date directories are
+    never even listed into the scan — at 100 TB this is the difference
+    between reading ~23% of the table and all of it. Plan pinned in
+    tests/test_plans.py (PartitionFilters, not PushedFilters)."""
+    ev = read_partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_date").between("2024-01-10", "2024-01-16"))
+        .groupBy("event_date", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        # emit as TIMESTAMP: TESTDATA stores every date as timestamp, and the
+        # driver's hash renders date vs datetime differently; the cast sits
+        # ABOVE the aggregate, so the partition filter is untouched
+        .withColumn("event_date", F.col("event_date").cast("timestamp"))
+    )
+
+
+def _run_stream(df: DataFrame, mode: str, min_batches: int) -> tuple[DataFrame, list]:
+    """Drive a bounded stream to completion; return (result, progress).
+
+    Raises if fewer than ``min_batches`` micro-batches carried input rows —
+    the multi-batch claim is load-bearing (cross-batch state), so a layout
+    change that collapses the replay into one batch must fail loudly, not
+    silently pass on weaker evidence.
+    """
+    spark = df.sparkSession
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = to_memory_sink(df, name, mode)
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    if len(progress) < min_batches:
+        raise AssertionError(
+            f"expected >= {min_batches} non-empty micro-batches, got {len(progress)}"
+        )
+    return spark.table(name), progress
+
+
+@query(
+    "stream_multibatch_tumble",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "lake", "window"),
+)
+def stream_multibatch_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate executed across >= 3 real
+    micro-batches (30 date files, 10 per trigger) — the windowed-agg state
+    accumulates across batches and the final complete-mode emission must
+    still match the batch oracle exactly (WindowOperator.java:102 semantics
+    under incremental arrival)."""
+    stream = partitioned_events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+    result, _ = _run_stream(out, "complete", min_batches=3)
+    return result
+
+
+@query(
+    "stream_multibatch_dedup",
+    oracle="SELECT DISTINCT user_id FROM events",
+    tags=("streaming", "lake", "dedup"),
+)
+def stream_multibatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence dedup across >= 3 micro-batches. Users recur across
+    dates, so the keyed seen-set MUST survive batch boundaries: if state were
+    per-batch the append-mode output would re-emit repeat users and the
+    DISTINCT oracle would hash-mismatch. This is the driver-checkable proof
+    that streaming state is cross-batch, not per-trigger."""
+    stream = partitioned_events_stream(spark, sf_dir).select("user_id")
+    result, _ = _run_stream(stream.dropDuplicates(["user_id"]), "append", min_batches=3)
+    return result
+
+
+def streaming_throughput(spark: SparkSession, sf_dir: str) -> dict:
+    """End-to-end micro-batch throughput figure for bench.py (BASELINE.md
+    bench family 7): rows/s over the full multi-batch replay of the
+    partitioned lake through the tumbling-window aggregate, measured from
+    stream start to last committed batch. Returns
+    ``{rows, sec, rows_per_sec, batches}``."""
+    stream = partitioned_events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    t0 = time.perf_counter()
+    _, progress = _run_stream(
+        agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value"),
+        "complete",
+        min_batches=3,
+    )
+    sec = time.perf_counter() - t0
+    rows = sum(p["numInputRows"] for p in progress)
+    return {
+        "rows": rows,
+        "sec": round(sec, 3),
+        "rows_per_sec": round(rows / sec, 1) if sec > 0 else -1.0,
+        "batches": len(progress),
+    }

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "flink_1_6_0_spark.queries.graph",
     "flink_1_6_0_spark.queries.sql_surface",
     "flink_1_6_0_spark.queries.formats",
+    "flink_1_6_0_spark.queries.lake",
 )
 
 

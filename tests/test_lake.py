@@ -1,0 +1,84 @@
+"""Partitioned-lake tests — materialization contract, pruning execution,
+multi-micro-batch streaming state (round-7 verdict task 2)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from flink_1_6_0_spark.registry import get
+from flink_1_6_0_spark.sources.partitioned import (
+    partitioned_events_dir,
+    partitioned_events_stream,
+    read_partitioned_events,
+)
+
+
+def test_materialization_layout_and_idempotence(spark, sf_dir):
+    d1 = partitioned_events_dir(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
+    # 30 hive partition dirs, exactly one data file each (repartition on the
+    # partition key => one writing task per date)
+    parts = sorted(p for p in os.listdir(d1) if p.startswith("event_date="))
+    assert len(parts) == 30
+    for p in parts[:3] + parts[-3:]:
+        files = [f for f in os.listdir(os.path.join(d1, p)) if f.endswith(".parquet")]
+        assert len(files) == 1, (p, files)
+    # second call is a cache hit — nothing rewritten
+    d2 = partitioned_events_dir(spark, sf_dir)
+    assert d2 == d1
+    assert os.path.getmtime(os.path.join(d1, "_SUCCESS")) == mtime
+
+
+def test_lake_is_value_identical_to_source(spark, sf_dir):
+    from flink_1_6_0_spark.catalog import read_table
+
+    lake = read_partitioned_events(spark, sf_dir)
+    src = read_table(spark, sf_dir, "events")
+    assert lake.count() == src.count()
+    # event_date is derived, everything else byte-identical
+    a = lake.select(*src.columns).exceptAll(src).count()
+    b = src.exceptAll(lake.select(*src.columns)).count()
+    assert a == 0 and b == 0
+    bad = lake.filter(F.to_date("ts") != F.col("event_date")).count()
+    assert bad == 0
+
+
+def test_stream_executes_as_multiple_microbatches(spark, sf_dir):
+    """30 files at 10/trigger => exactly 3 non-empty micro-batches; the
+    registered queries raise if the replay ever collapses to fewer."""
+    import uuid
+
+    from flink_1_6_0_spark.sources.stream import to_memory_sink
+
+    stream = partitioned_events_stream(spark, sf_dir)
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = to_memory_sink(stream.select("event_id"), name, "append")
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert len(progress) == 3, [p["numInputRows"] for p in progress]
+
+
+def test_multibatch_dedup_state_survives_batch_boundaries(spark, sf_dir, duck):
+    """Users recur across date files, so a per-batch seen-set would re-emit
+    them; matching DISTINCT proves keyed state carries across batches."""
+    out = get("stream_multibatch_dedup").fn(spark, sf_dir).toPandas()
+    want = duck.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(out) == want
+    assert out["user_id"].is_unique
+    # sanity: the dedup actually dropped rows (keys DO recur across batches)
+    total = duck.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert want < total
+
+
+def test_streaming_throughput_figure(spark, sf_dir):
+    from flink_1_6_0_spark.queries.lake import streaming_throughput
+
+    t = streaming_throughput(spark, sf_dir)
+    assert t["batches"] >= 3
+    assert t["rows"] == read_partitioned_events(spark, sf_dir).count()
+    assert t["rows_per_sec"] > 0

@@ -371,3 +371,37 @@ def test_corpus_diff_shuffles_keys_not_text(spark, sf_dir):
     plan = _plan(get("corpus_version_diff").fn(spark, sf_dir))
     assert "hashpartitioning(__id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_on_lake_events(spark, sf_dir):
+    """The date predicate over the partitioned lake must land in
+    PartitionFilters (directory-level pruning: unselected dates are never
+    listed, no footer opened) — NOT merely as a pushed data filter. At
+    100 TB this is the difference between scanning 7/30 of the table and
+    all of it."""
+    plan = _plan(get("events_partition_prune").fn(spark, sf_dir))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf and ">= 2024-01-10" in pf and "<= 2024-01-16" in pf, pf
+    # the partition column never appears as a parquet data filter
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert all("event_date" not in p for p in pushed), pushed
+
+
+def test_partition_pruning_reads_only_selected_dates(spark, sf_dir):
+    """Execution-level proof of pruning: the filtered scan touches exactly
+    the 7 selected date files (one file per date by materialization
+    contract)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.partitioned import read_partitioned_events
+
+    ev = read_partitioned_events(spark, sf_dir)
+    files = (
+        ev.filter(F.col("event_date").between("2024-01-10", "2024-01-16"))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert files == 7
