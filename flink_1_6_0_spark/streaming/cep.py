@@ -675,9 +675,37 @@ def cep_stream(
     horizon = int(round(horizon_s * 1_000_000))  # exact µs
 
     out_col_types = _stage_out_cols(pattern)
-    out_cols = [c for c, _ in out_col_types]
     out_schema = ", ".join([f"{k} long" for k in key_cols] + [f"{c} {t}" for c, t in out_col_types])
     state_schema = "buf_ids array<long>, buf_ts array<double>, buf_types array<string>, emitted array<string>"
+
+    fn = _stream_kernel(pattern, key_cols, ts_col, id_col, type_col, horizon, horizon_s, use_cleanup_timer)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if use_cleanup_timer else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def _stream_kernel(
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    horizon: int,
+    horizon_s: float,
+    use_cleanup_timer: bool = True,
+):
+    """The per-key micro-batch NFA state-transition function, factored out of
+    :func:`cep_stream` so tests can drive it DIRECTLY across simulated
+    micro-batch boundaries (tests/test_properties.py interleaves late/
+    duplicate/out-of-order deliveries and asserts batch-executor
+    equivalence — NFA.java:82's order-robustness contract — without paying a
+    Structured Streaming query per hypothesis example)."""
+    out_col_types = _stage_out_cols(pattern)
+    out_cols = [c for c, _ in out_col_types]
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
@@ -750,9 +778,4 @@ def cep_stream(
         if rows:
             yield pd.DataFrame(rows, columns=key_cols + out_cols)
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout if use_cleanup_timer else GroupStateTimeout.NoTimeout
-    )
-    return stream.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
-    )
+    return fn

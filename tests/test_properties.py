@@ -482,3 +482,131 @@ def test_continuous_trigger_straggler_folds_into_next_fire():
         [(3.2 * US, 2.0), (5.7 * US, 1.0)], last, 0, 10 * US, 5 * US, 9_000, True
     )
     assert rows3 == [] and last3 == last
+
+
+# ---------------------------------------------------------------------------
+# Streaming NFA kernel: order-robustness across micro-batch boundaries
+# (round-7 verdict task 5 — NFA.java:82 is order-robust by design)
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for driving _stream_kernel directly."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _drive_kernel(pattern, batches, horizon_s):
+    """Feed delivery batches through the streaming kernel, one micro-batch
+    per call, carrying state; return the set of emitted (a_id, b_id)."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.streaming.cep import _stream_kernel
+
+    fn = _stream_kernel(
+        pattern, ["k"], "ts", "eid", "etype",
+        horizon=int(horizon_s * 1_000_000), horizon_s=horizon_s,
+        use_cleanup_timer=False,
+    )
+    state = _FakeGroupState()
+    got = set()
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "eid": [e[0] for e in batch],
+                "ts": [pd.Timestamp(e[1] * 1_000_000, unit="us") for e in batch],
+                "etype": [e[2] for e in batch],
+            }
+        )
+        for out in fn((1,), [pdf], state) or ():
+            got.update(zip(out["a_id"], out["b_id"]))
+    return got
+
+
+def _batch_matches(pattern, events):
+    """The batch executor's answer on the complete, ordered event set."""
+    evs = sorted(
+        ({"__ts": int(ts * 1_000_000), "eid": i, "etype": ty} for i, ts, ty in events),
+        key=lambda e: (e["__ts"], e["eid"]),
+    )
+    out = set()
+    for match in _scan(evs, pattern):
+        (ai,), (bi,) = match
+        out.add((evs[ai]["eid"], evs[bi]["eid"]))
+    return out
+
+
+@st.composite
+def _deliveries(draw):
+    """Unique-id events + an adversarial delivery: permuted (out-of-order /
+    late), with sampled duplicate re-deliveries, split into >= 3 batches."""
+    n = draw(st.integers(4, 14))
+    events = [
+        (i, draw(st.integers(0, 50)), draw(st.sampled_from(["a", "b", "x"])))
+        for i in range(n)
+    ]
+    order = draw(st.permutations(list(range(n))))
+    delivery = [events[i] for i in order]
+    # duplicate re-deliveries (retried batches re-send rows)
+    for i in draw(st.lists(st.integers(0, n - 1), max_size=4)):
+        delivery.insert(draw(st.integers(0, len(delivery))), events[i])
+    # split into >= 3 batches (possibly empty ones — empty triggers happen)
+    k = draw(st.integers(3, 5))
+    cuts = sorted(draw(st.lists(st.integers(0, len(delivery)), min_size=k - 1, max_size=k - 1)))
+    batches, prev = [], 0
+    for c in cuts + [len(delivery)]:
+        batches.append(delivery[prev:c])
+        prev = c
+    return events, batches
+
+
+@given(_deliveries())
+@settings(max_examples=120, deadline=None)
+def test_cep_stream_kernel_order_robust_across_microbatches(data):
+    """Arbitrary interleaving of late / duplicate / out-of-order events
+    across >= 3 micro-batch boundaries must emit EXACTLY the batch
+    executor's matches — as long as lateness stays inside the buffer
+    horizon (here: horizon 100s > the 50s event span, so nothing is ever
+    trimmed and equivalence must be exact; beyond-horizon lateness is the
+    documented watermark-drop case, tested separately)."""
+    events, batches = data
+    p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100)
+    assert _drive_kernel(p, batches, horizon_s=100.0) == _batch_matches(p, events)
+
+
+def test_cep_stream_kernel_drops_beyond_horizon_lateness():
+    """An event arriving later than the horizon behind the newest seen event
+    is trimmed (the watermark-late contract): its matches are NOT emitted,
+    and timely matches still are."""
+    p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100)
+    # batch 1 advances the clock to t=500; batch 2 delivers an ancient 'a'
+    # (t=0) and a timely pair at t=450/460
+    batches = [
+        [(1, 500, "x")],
+        [(2, 0, "a"), (3, 450, "a"), (4, 460, "b"), (5, 30, "b")],
+    ]
+    got = _drive_kernel(p, batches, horizon_s=100.0)
+    assert got == {(3, 4)}
