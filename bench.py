@@ -152,6 +152,51 @@ def main() -> None:
         out["stream_batches"] = throughput["batches"]
         out["stream_rows"] = throughput["rows"]
 
+    # sf1 bench point (round-8 verdict task 3): a second sweep over the 10×
+    # key-shifted scale-up of sf0.1 (no network → no dbgen; see
+    # sources/scale_synth.py) for the headline subset — real-data scaling
+    # evidence next to SCALEPROBE.json's synthetic exponents. `x10_ratio`
+    # is t(sf1)/t(sf0.1) from the SAME process: /10 of it is the per-decade
+    # exponent (1.0 = perfectly linear in data size).
+    sf1_set = (
+        "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q21",
+        "dedup_minhash_lsh", "corpus_e2e_pretrain",
+        "graph_triadic_census_directed",
+    )
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and abs(sf - 0.1) < 1e-9:
+        try:
+            from flink_1_6_0_spark.sources.scale_synth import sf1_dir
+
+            t0 = time.perf_counter()
+            d1 = sf1_dir(spark)
+            synth_sec = round(time.perf_counter() - t0, 1)
+            by_name = {s.name: s for s in specs}
+            sf1_times: dict[str, float] = {}
+            for name in sf1_set:
+                spec = by_name.get(name)
+                if spec is None:
+                    continue
+                samples = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _consume(spec.fn(spark, d1))
+                    samples.append(time.perf_counter() - t0)
+                sf1_times[name] = round(statistics.median(samples), 3)
+            out["sf1"] = {
+                "sf": 1.0,
+                "note": "10x key-shifted scale-up of sf0.1 (scale_synth.py)",
+                "synth_or_cache_sec": synth_sec,
+                "runs_per_query": 2,
+                "queries": sf1_times,
+                "x10_ratio": {
+                    q: round(sf1_times[q] / timings[q], 2)
+                    for q in sf1_times
+                    if timings.get(q, -1) > 0
+                },
+            }
+        except Exception as exc:
+            print(f"bench: sf1 sweep skipped: {exc}", file=sys.stderr)
+
     # Matched-set ratio vs the recorded per-query baselines (BENCHBASE.json).
     try:
         base = json.load(open(BENCHBASE))
@@ -173,6 +218,19 @@ def main() -> None:
                 q: round(timings[q] / baseline[q], 2) for q in matched
             }
             out["unmatched_new"] = sorted(q for q, t in timings.items() if t >= 0 and q not in baseline)
+        # sf1 sweep vs its own recorded baselines (first recording round
+        # seeds them; thereafter the 2x gate has a real sf1 evidence point)
+        sf1b = base.get("sf1_baseline", {})
+        if "sf1" in out and sf1b:
+            q1 = out["sf1"]["queries"]
+            m1 = [q for q, t in q1.items() if t >= 0 and q in sf1b]
+            if m1:
+                out["sf1"]["vs_baseline_matched"] = round(
+                    sum(q1[q] for q in m1) / sum(sf1b[q] for q in m1), 3
+                )
+                out["sf1"]["per_query_ratio"] = {
+                    q: round(q1[q] / sf1b[q], 2) for q in m1
+                }
     except Exception as exc:
         print(f"bench: baseline comparison skipped: {exc}", file=sys.stderr)
 

@@ -51,10 +51,19 @@ def _checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
     census), where an eager barrier would make merely building the frame
     (e.g. for .explain) execute the upstream derivation (round-7 advice).
     Driver-loop supersteps keep eager=True: the fixpoint count() follows
-    immediately, and an eager cut keeps the loop's lineage flat."""
+    immediately, and an eager cut keeps the loop's lineage flat.
+
+    The multi-consumer-dedup claim holds for localCheckpoint (which persists
+    the RDD immediately) but NOT for a lazy reliable checkpoint — there the
+    first action would recompute the lineage once per differently-keyed
+    consumer plus once more to write the checkpoint files (round-8 advice).
+    Reliable mode therefore persists explicitly before the lazy checkpoint so
+    the first action computes the upstream exactly once."""
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     if mode == "reliable":
+        if not eager:
+            df = df.persist()
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
             if not sc.master.startswith("local"):

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_1_6_0_spark.registry import query
 from flink_1_6_0_spark.sources.partitioned import (
+    CEP_REPLAY_DISORDER_S,
+    cep_funnel_stream,
     partitioned_events_stream,
     read_partitioned_events,
 )
@@ -93,12 +95,16 @@ def _run_stream(df: DataFrame, mode: str, min_batches: int) -> tuple[DataFrame, 
     tags=("streaming", "lake", "window"),
 )
 def stream_multibatch_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregate executed across >= 3 real
-    micro-batches (30 date files, 10 per trigger) — the windowed-agg state
-    accumulates across batches and the final complete-mode emission must
-    still match the batch oracle exactly (WindowOperator.java:102 semantics
-    under incremental arrival)."""
-    stream = partitioned_events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    """Tumbling-window aggregate executed across >= 3 real micro-batches
+    (30 date files, 10 per trigger) — the windowed-agg state accumulates
+    across batches and the final complete-mode emission must still match the
+    batch oracle exactly (WindowOperator.java:102 semantics under incremental
+    arrival). No withWatermark: complete mode ignores watermarks entirely
+    (no state eviction, no late-drop — round-8 advice), so declaring one
+    would overstate the evidence; the watermark-PARTICIPATING path (append
+    mode, late-data drop) is exercised by stream_tumble_agg and
+    streaming/late_data.py."""
+    stream = partitioned_events_stream(spark, sf_dir)
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
@@ -123,13 +129,73 @@ def stream_multibatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "stream_multibatch_cep",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase'))
+    SELECT v.user_id, v.event_id AS view_id, bc.event_id AS click_id,
+           bp.event_id AS purchase_id
+    FROM (SELECT * FROM e WHERE event_type = 'view') v,
+    LATERAL (SELECT c.event_id, c.ts FROM e c
+             WHERE c.event_type = 'click' AND c.user_id = v.user_id
+               AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+               AND c.ts <= v.ts + INTERVAL 24 HOUR
+             ORDER BY c.ts, c.event_id LIMIT 1) bc,
+    LATERAL (SELECT p.event_id FROM e p
+             WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+               AND (p.ts > bc.ts OR (p.ts = bc.ts AND p.event_id > bc.event_id))
+               AND p.ts <= v.ts + INTERVAL 24 HOUR
+             ORDER BY p.ts, p.event_id LIMIT 1) bp
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_multibatch_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-MATCH funnel (followed_by, not _ANY) over the SCRAMBLED
+    multi-batch replay: >= 4 real micro-batches with 2 dates per batch
+    boundary arriving a whole batch late (3-4 days of event-time disorder).
+
+    This is the driver-checkable form of the round-8/9 property-test
+    contract: first-match semantics are NOT match-monotone — a late earlier
+    click changes which click wins — so the eager executor would emit
+    matches the batch executor never produces. The kernel runs in watermark
+    mode (``disorder_seconds`` = the replay's declared disorder bound): the
+    per-key fold point trails the high-water mark, matches emit only once
+    committed, and the final per-user 'closer' event (job-end-watermark
+    analog) sweeps the fold point past all real data so every pending match
+    emits inside the drained query. The oracle is the batch executor's
+    first-match semantics spelled out as LATERAL first-row joins — a hash
+    match certifies the stream kernel equals batch CEP despite the disorder
+    (AbstractKeyedCEPPatternOperator.java:183ff / NFA.java:82 contract)."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("click", lambda e: e["event_type"] == "click")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        cep_funnel_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+    )
+    result, _ = _run_stream(out, "append", min_batches=4)
+    return result
+
+
 def streaming_throughput(spark: SparkSession, sf_dir: str) -> dict:
     """End-to-end micro-batch throughput figure for bench.py (BASELINE.md
     bench family 7): rows/s over the full multi-batch replay of the
     partitioned lake through the tumbling-window aggregate, measured from
     stream start to last committed batch. Returns
     ``{rows, sec, rows_per_sec, batches}``."""
-    stream = partitioned_events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    stream = partitioned_events_stream(spark, sf_dir)
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )

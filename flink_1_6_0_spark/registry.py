@@ -73,20 +73,17 @@ def query(
 
 # The driver's hard correctness gate covers the FIRST 50 entries of
 # ``queries()`` (round-1 evidence: CORRECTNESS_r01.json stopped at position 50,
-# leaving §2.5–§2.13 with zero driver rows). This explicit head interleaves at
-# least one representative of every SURVEY.md §2 family into that window; the
-# remaining queries follow in module insertion order.
-_PRIORITY_HEAD = (
-    # --- round-7 rotation (r6 verdict task 1): after r6's fully-green 50/50
-    # gate, 158 of 191 registered queries have driver evidence; 33 never had
-    # any. This window rotates in ALL 33 — the text tier, the remaining
-    # dedup/ann/sampling stragglers, and the five r6 additions (including the
-    # drained oracle form of stream_incremental_dedup) — plus 17 stable
-    # sentinels (>=1 per §2 family, all driver-green in r6). Green here means
-    # FULL closure: every registered query driver-checked at least once.
-    # Everything rotated out stays registered + locally oracle-verified. ---
-    #
-    # §2 sentinels (stable across rotations, all drv6-green):
+# leaving §2.5–§2.13 with zero driver rows). Rounds 2–8 maintained a static
+# priority head; round 8's window silently failed to rotate (the r8 verdict's
+# headline finding), so from round 9 the head is DERIVED: stable §2-family
+# sentinels, then this round's explicit re-seats (kernels whose code changed),
+# then every registered query that has NEVER appeared in a driver
+# CORRECTNESS_r*.json, then everything else stalest-evidence-first. A new
+# query is automatically in the next window; forgetting to rotate is no
+# longer possible.
+
+# >=1 representative per SURVEY §2 family, stable across rotations.
+_SENTINELS = (
     "tpch_q1",                 # §2.3/§2.4 join+agg core
     "stream_asof_join",        # §2.11 streaming join semantics
     "window_tumble",           # §2.5 group windows
@@ -100,48 +97,64 @@ _PRIORITY_HEAD = (
     "sql_in_subquery",         # §2.3 SQL subquery rewrites
     "corpus_temperature_mix",  # corpus sampling tier
     "ann_ivf_topk",            # ANN tier
-    "stream_tumble_agg",       # §2.5 streaming window agg (r6 perf outlier)
-    #
-    # text analysis tier (never driver-checked):
-    "text_langid", "text_fingerprint", "text_quality",
-    "text_repetition_filter", "text_segment_dedup", "text_perplexity_filter",
-    "text_vocab_coverage", "text_length_outliers", "text_bpe_token_stats",
-    "text_bpe_train", "tfidf_top_terms", "ngram_bigram_top20",
-    # dedup / ANN stragglers:
-    "dedup_ngram_jaccard", "dedup_summary_report", "dedup_cross_corpus_pairs",
-    "ann_ivf_kmeans_topk", "embedding_pca_project",
-    # sampling / sharding / reporting:
-    "sample_stratified", "sample_n_per_source", "doc_shard_assign",
-    "quality_filter_funnel", "dataset_summarize",
-    # ML facade + misc:
-    "ml_sos_outlier", "ml_quality_classifier", "pi_estimation",
-    "multimodal_frame_sample", "stream_contamination", "cep_double_click",
-    # round-6 additions (registered in r6, never driver-checked):
-    "dedup_minhash_calibration", "contamination_eval_report",
-    "corpus_token_budget", "corpus_version_diff", "stream_incremental_dedup",
-    # round-7 additions (new ops need first driver evidence; they take the
-    # slots of the dedup_incremental, window_count_evictor and
-    # join_asof_forward sentinels — all drv6-green, their families untouched
-    # or still represented (streaming asof keeps the stream_asof_join
-    # sentinel, dedup keeps dedup_minhash_lsh, windows keep window_tumble).
-    # With these three, green here = EVERY query registered at window-design
-    # time driver-checked at least once. (Registered later in round 7, for
-    # the ROUND-8 window: source_csv_roundtrip, source_orc_roundtrip,
-    # source_avro_roundtrip — the §2.1 format paths' first driver oracle.)
-    "pack_sequences_ffd", "corpus_e2e_pretrain", "skew_report_events",
+    "stream_tumble_agg",       # §2.5 streaming window agg
+)
+
+# Queries whose kernels changed since their last driver evidence — re-seated
+# for fresh rows this round (r9: the CEP executor pair after the stream-kernel
+# watermark rework; the graph family after r8's lazy checkpoint pins; the
+# skew report after r8's NULL-ordering fix).
+_ROTATE_IN = (
+    "cep_funnel", "cep_double_click",
+    "graph_jaccard_index", "graph_transitive_closure",
+    "graph_triadic_census_directed", "skew_report_events",
 )
 
 
+def _evidence_rounds() -> dict[str, int]:
+    """query name -> latest driver round whose CORRECTNESS_r{N}.json contains
+    it. Reads the repo root next to this package; missing/corrupt files are
+    ignored (a fresh clone simply treats everything as never-checked)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                names = json.load(fh).keys()
+        except (OSError, ValueError):
+            continue
+        for n in names:
+            latest[n] = max(latest.get(n, -1), rnd)
+    return latest
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import all query modules and return the registry, priority head first."""
+    """Import all query modules and return the registry: sentinels, re-seats,
+    never-driver-checked (registration order), then stalest-evidence-first."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    missing = [n for n in _PRIORITY_HEAD if n not in _REGISTRY]
+    missing = [n for n in _SENTINELS + _ROTATE_IN if n not in _REGISTRY]
     if missing:
-        raise KeyError(f"_PRIORITY_HEAD names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _PRIORITY_HEAD}
-    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
-    return ordered
+        raise KeyError(f"priority names not registered: {missing}")
+    evidence = _evidence_rounds()
+    reg_names = list(_REGISTRY)
+    head = list(_SENTINELS) + [n for n in _ROTATE_IN if n not in _SENTINELS]
+    head += [n for n in reg_names if n not in evidence and n not in head]
+    idx = {n: i for i, n in enumerate(reg_names)}
+    rest = sorted(
+        (n for n in reg_names if n not in head),
+        key=lambda n: (evidence.get(n, -1), idx[n]),
+    )
+    return {n: _REGISTRY[n] for n in head + rest}
 
 
 def get(name: str) -> QuerySpec:

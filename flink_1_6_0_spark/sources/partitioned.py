@@ -37,12 +37,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_1_6_0_spark.catalog import read_table
 
-_LAKE_ROOT = "/tmp/spark_graft_lake"
+
+def _lake_root() -> str:
+    """Per-user 0700 cache root (round-8 advice: a fixed world-writable
+    /tmp path could be pre-created by another local user)."""
+    import getpass
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lake_{getpass.getuser()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
 
 
 def _content_key(path: str) -> str:
     st = os.stat(path)
-    raw = f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
+    # st_mtime_ns: a regenerated source of identical size within the same
+    # second must not map to the stale cache entry (round-8 advice)
+    raw = f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}"
     return hashlib.sha1(raw.encode()).hexdigest()[:12]
 
 
@@ -56,7 +69,7 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     ``os.rename``; losers of the race discard their copy.
     """
     src = os.path.join(sf_dir, "events.parquet")
-    dest = os.path.join(_LAKE_ROOT, _content_key(src), "events_by_date")
+    dest = os.path.join(_lake_root(), _content_key(src), "events_by_date")
     if os.path.isfile(os.path.join(dest, "_SUCCESS")):
         return dest
     tmp = f"{dest}.tmp.{os.getpid()}"
@@ -65,13 +78,117 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     # file per partition directory (the compact layout a compactor would aim
     # for; see sources/batch.py compact_parquet)
     ev.repartition("event_date").write.mode("overwrite").partitionBy("event_date").parquet(tmp)
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    try:
-        os.rename(tmp, dest)
-    except OSError:
-        # a concurrent materializer published first — its copy is equivalent
-        shutil.rmtree(tmp, ignore_errors=True)
+    _publish(tmp, dest)
     return dest
+
+
+def _publish(tmp: str, dest: str) -> None:
+    """Atomic-rename publish with corrupt-dest recovery (round-8 advice):
+    rename fails either because a concurrent materializer published first
+    (their copy is equivalent — keep it) or because a CORRUPT dest occupies
+    the path (e.g. a /tmp cleaner removed _SUCCESS); returning the corrupt
+    dir forever was the bug — verify, and if broken, clear it and retry."""
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    for _attempt in range(3):
+        try:
+            os.rename(tmp, dest)
+            return
+        except OSError:
+            if os.path.isfile(os.path.join(dest, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            shutil.rmtree(dest, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise OSError(f"could not publish partitioned lake at {dest}")
+
+
+#: Cross-batch disorder bound (seconds) of the scrambled CEP replay below —
+#: the ``disorder_seconds`` a consumer must pass to ``cep_stream`` to be
+#: exactly batch-equivalent on it. The scramble swaps 2 dates across each
+#: batch boundary, so actual lateness is ~3-4 days; 7 gives slack.
+CEP_REPLAY_DISORDER_S = 7 * 86400
+
+
+def cep_funnel_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per source content) an OUT-OF-ORDER multi-batch
+    replay of the funnel event slice, for driver-checkable evidence that the
+    streaming CEP kernel's watermark mode survives cross-batch disorder.
+
+    Layout: 4 single parquet files with strictly increasing mtimes —
+    Structured Streaming's file source processes oldest-timestamp first, so
+    with ``maxFilesPerTrigger=1`` each file IS one micro-batch, in this
+    order:
+
+      g0: first third of the dates, minus its last 2, plus the next 2 —
+      g1/g2: likewise shifted — i.e. 2 dates at each boundary arrive one
+      whole batch LATE (3-4 days of event time, < CEP_REPLAY_DISORDER_S);
+      g3: one far-future 'closer' event PER USER (the job-end watermark
+      analog: it pushes every key's fold point past all real data, so the
+      kernel's pending matches all emit inside the drained query — no
+      wall-clock timer needed).
+
+    Only funnel-relevant columns/types ship through the state store
+    (user_id, event_id, ts, event_type) — at 100 TB the CEP buffer holds the
+    narrow event skeleton, never the payload (same economy as the reference's
+    SharedBuffer keeping serialized events once)."""
+    import glob as _glob
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dest = os.path.join(_lake_root(), _content_key(src), "cep_funnel_stream")
+    if os.path.isfile(os.path.join(dest, "_SUCCESS")):
+        return dest
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())
+    k = max(1, len(dates) // 3)
+    groups = [list(dates[:k]), list(dates[k : 2 * k]), list(dates[2 * k :])]
+    for a, b in ((0, 1), (1, 2)):
+        if len(groups[a]) > 2 and len(groups[b]) > 2:
+            groups[a][-2:], groups[b][:2] = groups[b][:2], groups[a][-2:]
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    closers = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 9 DAYS"))
+        .withColumn("event_type", F.lit("closer"))
+    )
+    frames = [
+        ev.filter(F.col("event_date").isin(g)).drop("event_date") for g in groups
+    ] + [closers]
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    base = time.time() - 3600  # firmly in the past; only relative order matters
+    for i, df in enumerate(frames):
+        stage = os.path.join(tmp, f"_w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        final = os.path.join(tmp, f"g{i}.parquet")
+        os.replace(part, final)
+        shutil.rmtree(stage)
+        os.utime(final, (base + i * 10, base + i * 10))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    _publish(tmp, dest)
+    return dest
+
+
+def cep_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrambled funnel replay as a stream: 4 files, 1 per trigger, in
+    mtime order — >= 4 real micro-batches with 2 dates per boundary arriving
+    a whole batch late."""
+    path = cep_funnel_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(path, "g0.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
 
 
 def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,87 @@
+"""N× dataset synthesis — the offline stand-in for a bigger scale factor.
+
+The container has no network (DuckDB's tpch dbgen extension cannot be
+installed), so a true TPC-H sf1 is not generatable here. The honest
+alternative is a key-shifted 10× scale-up of sf0.1: facts replicated with
+shifted keys, dimensions reused — the realistic growth shape where dimension
+cardinality lags fact growth, and exactly the synthesis SCALEPROBE.json's
+8×/64× exponents were measured on (scripts/scale_probe.py). ``sf1_dir``
+materializes it once (content-keyed, atomic publish — same cache protocol as
+sources/partitioned.py) so bench.py can carry a second, 10×-larger bench
+point per round.
+
+Text perturbation: per-copy vowel rotation + a copy-tag token keeps
+replicated texts DISTINCT at any N (identical copies would shrink
+exact-dedup groups); copies i and i+5 share a rotation and differ only by
+the tag, so each document gains ~N/5 TRUE near-dup partners — bounded and
+deterministic, which inflates LSH verify work linearly, never
+quadratically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from flink_1_6_0_spark.sources.partitioned import _content_key, _lake_root, _publish
+
+
+def synthesize(spark: SparkSession, base: str, n: int, out: str) -> None:
+    """Write an N× key-shifted copy of ``base`` into ``out`` (non-atomic —
+    callers wanting cache/publish semantics use :func:`sf1_dir`)."""
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+    def times(df, shift_col, shift_by, extra=None):
+        parts = []
+        for i in range(n):
+            d = df.withColumn(shift_col, F.col(shift_col) + F.lit(i * shift_by))
+            if extra is not None:
+                d = extra(d, i)
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    B = 1_000_000_000
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    times(ev, "event_id", B).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    def perturb(d, i):
+        rot = "aeiou"[i % 5 :] + "aeiou"[: i % 5]
+        return d.withColumn(
+            "text",
+            F.concat(F.translate(F.col("text"), "aeiou", rot), F.lit(f" copytag{i}")),
+        )
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    times(docs, "doc_id", B, perturb).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    times(emb, "vec_id", B).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    times(li, "l_orderkey", B).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    od = spark.read.parquet(f"{base}/orders.parquet")
+    times(od, "o_orderkey", B).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+
+def sf1_dir(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
+    """Materialize (once per source content) the 10× scale-up of sf0.1 —
+    the sf1-equivalent bench point — and return its directory."""
+    key = _content_key(os.path.join(base, "lineitem.parquet"))
+    dest = os.path.join(_lake_root(), key, "sf1_x10")
+    if os.path.isfile(os.path.join(dest, "_SUCCESS")):
+        return dest
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    synthesize(spark, base, 10, tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    _publish(tmp, dest)
+    return dest

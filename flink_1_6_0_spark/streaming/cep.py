@@ -636,6 +636,21 @@ def cep_batch_with_timeouts(
     return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
+def _pattern_extendable(pattern: Pattern) -> bool:
+    """True when a later event can EXTEND a match the scan already produced
+    (quantified/greedy stages: a longer run supersedes the shorter one). The
+    watermarked kernel withholds such matches until the pattern's ``within``
+    window has fully passed the fold point — exactly when Flink's NFA closes
+    a looping state (NFA.java:82 advances loop states until the window
+    ends)."""
+    for st in pattern.stages:
+        if st.quantified or getattr(st, "greedy_flag", False):
+            return True
+        if isinstance(st, GroupStage) and _pattern_extendable(st.sub):
+            return True
+    return False
+
+
 def cep_stream(
     stream: DataFrame,
     pattern: Pattern,
@@ -645,18 +660,47 @@ def cep_stream(
     type_col: str,
     buffer_horizon_seconds: float | None = None,
     use_cleanup_timer: bool = True,
+    disorder_seconds: float | None = None,
+    cleanup_timer_ms: int | None = None,
 ):
     """Streaming CEP via applyInPandasWithState (PatternStream analog).
 
     The keyed state IS the NFA buffer: (id, ts, type) triples trimmed to the
-    ``within`` horizon behind the newest event, plus the set of already
-    emitted match signatures (so re-scans across micro-batches never
-    re-emit). ``setTimeoutDuration`` plays the cleanup-timer role
-    (IntervalJoin/NFA timers); timer wake-ups drop idle buffers. Disable
-    ``use_cleanup_timer`` for bounded-replay tests driven by
+    ``within`` horizon behind the persisted per-key high-water mark, plus the
+    set of already emitted match signatures (so re-scans across micro-batches
+    never re-emit). ``setTimeoutDuration`` plays the cleanup-timer role
+    (IntervalJoin/NFA timers); a timer wake-up now FLUSHES the buffer (final
+    scan with negations closable — the stream has been quiet for a full
+    horizon, the event-time analog of the job-end watermark) before dropping
+    it. Disable ``use_cleanup_timer`` for bounded-replay tests driven by
     processAllAvailable — pending processing-time timers keep scheduling
     micro-batches, so the synchronous drain never observes an idle query
     (state is still trimmed on every arriving event either way).
+
+    Disorder handling — two modes, both order-robust the way the reference
+    is (AbstractKeyedCEPPatternOperator.java:183ff buffers elements in a
+    priority queue and folds them into the NFA in timestamp order only when
+    the watermark passes them; elements behind the watermark are dropped):
+
+    * ``disorder_seconds=None`` (default): ascending-event-time analog. Every
+      in-horizon arrival is merged into the buffer and the whole buffer is
+      re-scanned in timestamp order; arrivals more than the horizon behind
+      the high-water mark are dropped BEFORE the scan, so an ancient pair
+      can never match inside its arrival batch. Exact for in-order streams
+      and for match-monotone patterns (``followed_by_any`` — a late event
+      only ADDS matches); a first-match pattern fed cross-batch-late events
+      may emit matches a full-history scan would supersede (append mode
+      cannot retract — use a disorder bound for those).
+    * ``disorder_seconds=D``: the Flink watermark model. A persisted fold
+      point trails the high-water mark by D; only events at or behind the
+      fold point are folded/scanned (newer arrivals stay buffered un-scanned
+      for later batches), and arrivals behind the fold point are dropped as
+      late. Emission therefore waits until no admissible arrival can change
+      the match — EXACT batch equivalence for any delivery order with
+      lateness < D (property-tested in tests/test_properties.py). Matches a
+      later event could still extend (quantified/greedy stages) wait until
+      their ``within`` window passes the fold point. The cleanup-timer flush
+      emits whatever is still pending when the stream goes quiet.
 
     Constraint (documented): streaming predicates see only the event's
     ``type``/``ts``/``id`` fields — the state store keeps the buffer narrow.
@@ -673,12 +717,32 @@ def cep_stream(
     if horizon_s <= 0:
         raise ValueError(f"buffer horizon must be positive, got {horizon_s}")
     horizon = int(round(horizon_s * 1_000_000))  # exact µs
+    if disorder_seconds is not None and disorder_seconds < 0:
+        raise ValueError(f"disorder bound must be >= 0, got {disorder_seconds}")
+    disorder = None if disorder_seconds is None else int(round(disorder_seconds * 1_000_000))
+    if disorder is not None and buffer_horizon_seconds is None:
+        # a match cannot emit until the fold point passes its within-window,
+        # i.e. until hwm >= start + within + disorder — the buffer must keep
+        # events that long or they would be trimmed before emission
+        horizon_s = horizon_s + disorder_seconds
+        horizon = int(round(horizon_s * 1_000_000))
 
     out_col_types = _stage_out_cols(pattern)
     out_schema = ", ".join([f"{k} long" for k in key_cols] + [f"{c} {t}" for c, t in out_col_types])
-    state_schema = "buf_ids array<long>, buf_ts array<double>, buf_types array<string>, emitted array<string>"
+    state_schema = (
+        "buf_ids array<long>, buf_ts array<double>, buf_types array<string>, "
+        "emitted array<string>, hwm double"
+    )
 
-    fn = _stream_kernel(pattern, key_cols, ts_col, id_col, type_col, horizon, horizon_s, use_cleanup_timer)
+    # the cleanup/flush timer is WALL-clock; default follows the event-time
+    # horizon but is separately settable (a 24 h event-time horizon must not
+    # force a 24 h wall-clock wait for the quiescence flush)
+    timer_ms = int(horizon_s * 1000) if cleanup_timer_ms is None else int(cleanup_timer_ms)
+
+    fn = _stream_kernel(
+        pattern, key_cols, ts_col, id_col, type_col, horizon, horizon_s,
+        use_cleanup_timer, disorder, timer_ms,
+    )
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if use_cleanup_timer else GroupStateTimeout.NoTimeout
@@ -697,37 +761,35 @@ def _stream_kernel(
     horizon: int,
     horizon_s: float,
     use_cleanup_timer: bool = True,
+    disorder: int | None = None,
+    timer_ms: int | None = None,
 ):
     """The per-key micro-batch NFA state-transition function, factored out of
     :func:`cep_stream` so tests can drive it DIRECTLY across simulated
     micro-batch boundaries (tests/test_properties.py interleaves late/
     duplicate/out-of-order deliveries and asserts batch-executor
     equivalence — NFA.java:82's order-robustness contract — without paying a
-    Structured Streaming query per hypothesis example)."""
+    Structured Streaming query per hypothesis example).
+
+    State layout: (buf_ids, buf_ts, buf_types, emitted_sigs, hwm). ``hwm`` is
+    the per-key event-time high-water mark over EVERY event ever seen — the
+    watermark analog — persisted so a batch of ancient events cannot reset
+    the clock and match inside its own arrival batch (that was round-8 bug B:
+    ``newest`` was computed from the live buffer only). The fold point is
+    derived, not stored: ``hwm - disorder`` (monotone because hwm is).
+    """
     out_col_types = _stage_out_cols(pattern)
     out_cols = [c for c, _ in out_col_types]
+    within_us = pattern.within_micros
+    extendable = _pattern_extendable(pattern)
 
-    def fn(key, pdfs, state):
-        if state.hasTimedOut:
-            # horizon expired with no new events: the NFA cleanup timer fires,
-            # the buffer is dropped (re-arming here would busy-loop the query)
-            state.remove()
-            return
-        buf_ids: list[int] = []
-        buf_ts: list[float] = []
-        buf_types: list[str] = []
-        emitted: set[str] = set()
+    def load(state):
         if state.exists:
-            bi, bt, bty, em = state.get
-            buf_ids, buf_ts, buf_types, emitted = list(bi), list(bt), list(bty), set(em)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            buf_ids += [int(x) for x in pdf[id_col]]
-            buf_ts += [float(pd.Timestamp(t).value // 1000) for t in pdf[ts_col]]  # µs, exact in double
-            buf_types += [str(x) for x in pdf[type_col]]
-        if not buf_ids:
-            return
+            bi, bt, bty, em, hwm = state.get
+            return list(bi), list(bt), list(bty), set(em), float(hwm)
+        return [], [], [], set(), float("-inf")
+
+    def to_events(buf_ids, buf_ts, buf_types):
         events = sorted(
             (
                 {"__ts": t, id_col: i, type_col: y, "ts_epoch": t}
@@ -735,13 +797,23 @@ def _stream_kernel(
             ),
             key=lambda e: (e["__ts"], e[id_col]),
         )
-        # dedup (a row can reappear on retried batches); scan FIRST, trim the
-        # stored buffer AFTER — trimming first would evict in-batch events
-        # that still complete matches with the batch's newest arrivals
+        # dedup (a row can reappear on retried batches)
         seen: set[int] = set()
-        events = [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
-        rows = []
-        for match in _scan(events, pattern, closed_negations_only=True):
+        return [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
+
+    def emit_new(events, emitted, rows, key, fold_pt, closed_only):
+        """Scan `events`, append matches whose signature is new to `rows`.
+        ``fold_pt`` is +inf on flush: nothing is withheld."""
+        for match in _scan(events, pattern, closed_negations_only=closed_only):
+            if extendable and fold_pt is not None:
+                # a quantified/greedy run can still grow while events inside
+                # its within-window may arrive: hold the match back until the
+                # window has fully passed the fold point (a longer run would
+                # supersede this one — append mode cannot retract)
+                start = min(events[i]["__ts"] for idxs in match for i in idxs) if any(match) else None
+                bound = within_us if within_us is not None else horizon
+                if start is not None and start + bound >= fold_pt:
+                    continue
             sig = ";".join(",".join(str(events[i][id_col]) for i in idxs) for idxs in match)
             if sig in emitted:
                 continue
@@ -753,8 +825,72 @@ def _stream_kernel(
                 ids = [events[i][id_col] for i in idxs]
                 row[col] = ids if st.emits_array else (ids[0] if ids else None)
             rows.append(row)
-        newest = events[-1]["__ts"]
-        keep = [e for e in events if e["__ts"] >= newest - horizon]
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # a full horizon of processing-time silence: the NFA cleanup
+            # timer fires. FLUSH — the event-time analog of the job-end
+            # watermark (AbstractKeyedCEPPatternOperator advances the NFA to
+            # the final watermark): scan everything still buffered with
+            # negations closable and nothing withheld, then drop the state
+            # (re-arming here would busy-loop the query).
+            buf_ids, buf_ts, buf_types, emitted, _hwm = load(state)
+            rows: list[dict] = []
+            if buf_ids:
+                events = to_events(buf_ids, buf_ts, buf_types)
+                emit_new(events, emitted, rows, key, None, closed_only=False)
+            state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=key_cols + out_cols)
+            return
+        buf_ids, buf_ts, buf_types, emitted, hwm = load(state)
+        arr_ids: list[int] = []
+        arr_ts: list[float] = []
+        arr_types: list[str] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            arr_ids += [int(x) for x in pdf[id_col]]
+            arr_ts += [float(pd.Timestamp(t).value // 1000) for t in pdf[ts_col]]  # µs, exact in double
+            arr_types += [str(x) for x in pdf[type_col]]
+        if not (arr_ids or buf_ids):
+            return
+        # late-arrival drop BEFORE the scan (round-8 bug B fix): lateness is
+        # judged against the PRE-batch high-water mark / fold point — an
+        # element is late relative to what the scan has already committed,
+        # never relative to neighbors in its own arrival batch (Flink admits
+        # an element iff it is ahead of the watermark AT ARRIVAL; the
+        # watermark only advances after elements are processed). Strict
+        # comparison: an arrival exactly at the floor is still admissible.
+        admit_floor = (
+            max(hwm - horizon, hwm - disorder) if disorder is not None else hwm - horizon
+        )
+        for i, t, y in zip(arr_ids, arr_ts, arr_types):
+            if t >= admit_floor:
+                buf_ids.append(i)
+                buf_ts.append(t)
+                buf_types.append(y)
+        if arr_ts:
+            hwm = max(hwm, max(arr_ts))
+        fold_pt = hwm - disorder if disorder is not None else hwm
+        events = to_events(buf_ids, buf_ts, buf_types)
+        rows: list[dict] = []
+        if disorder is None:
+            # ascending-time mode: fold the whole buffer (scan FIRST, trim
+            # after — trimming first would evict in-batch events that still
+            # complete matches with the batch's newest arrivals)
+            emit_new(events, emitted, rows, key, None, closed_only=True)
+        else:
+            # watermark mode: fold only the committed prefix (STRICTLY below
+            # the fold point, so a later arrival tying the boundary can never
+            # retro-invalidate a committed first-match); events at/after the
+            # fold point stay buffered UN-scanned so a late-but-in-bound
+            # earlier event can still win exactly as in the batch executor
+            # (round-8 bug A fix)
+            prefix = [e for e in events if e["__ts"] < fold_pt]
+            if prefix:
+                emit_new(prefix, emitted, rows, key, fold_pt, closed_only=True)
+        keep = [e for e in events if e["__ts"] >= hwm - horizon]
         # prune emitted signatures whose events aged out of the buffer: a
         # match whose constituents are gone can never be re-derived, so its
         # signature is dead weight — without this the emitted set grows
@@ -771,10 +907,11 @@ def _stream_kernel(
                 [float(e["__ts"]) for e in keep],
                 [e[type_col] for e in keep],
                 sorted(emitted),
+                float(hwm),
             )
         )
         if use_cleanup_timer:
-            state.setTimeoutDuration(int(horizon_s * 1000))
+            state.setTimeoutDuration(int(horizon_s * 1000) if timer_ms is None else timer_ms)
         if rows:
             yield pd.DataFrame(rows, columns=key_cols + out_cols)
 

@@ -31,14 +31,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import pyspark.sql.functions as F
 
 from flink_1_6_0_spark.registry import load_all
 from flink_1_6_0_spark.session import get_spark
@@ -64,48 +61,10 @@ PROBES = [
 
 
 def synthesize(spark, n: int, out: str) -> None:
-    if os.path.isdir(out):
-        shutil.rmtree(out)
-    os.makedirs(out)
-    for t in ("region", "nation", "customer", "supplier", "part"):
-        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    # shared with bench.py's sf1 block — one synthesis, two consumers
+    from flink_1_6_0_spark.sources.scale_synth import synthesize as _synth
 
-    def times(df, shift_col, shift_by, extra=None):
-        parts = []
-        for i in range(n):
-            d = df.withColumn(shift_col, F.col(shift_col) + F.lit(i * shift_by))
-            if extra is not None:
-                d = extra(d, i)
-            parts.append(d)
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        return u
-
-    B = 1_000_000_000
-    ev = spark.read.parquet(f"{BASE}/events.parquet")
-    times(ev, "event_id", B).write.mode("overwrite").parquet(f"{out}/events.parquet")
-
-    # per-copy vowel rotation + a copy-tag token so replicated texts stay
-    # DISTINCT at any N (rotation alone repeats at i%5; identical copies
-    # would shrink exact-dedup groups and quadratically inflate LSH pairs)
-    def perturb(d, i):
-        rot = "aeiou"[i % 5 :] + "aeiou"[: i % 5]
-        return d.withColumn(
-            "text",
-            F.concat(F.translate(F.col("text"), "aeiou", rot), F.lit(f" copytag{i}")),
-        )
-
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    times(docs, "doc_id", B, perturb).write.mode("overwrite").parquet(f"{out}/documents.parquet")
-
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    times(emb, "vec_id", B).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
-    times(li, "l_orderkey", B).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    od = spark.read.parquet(f"{BASE}/orders.parquet")
-    times(od, "o_orderkey", B).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    _synth(spark, BASE, n, out)
 
 
 def _consume(df) -> None:

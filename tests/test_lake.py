@@ -82,3 +82,49 @@ def test_streaming_throughput_figure(spark, sf_dir):
     assert t["batches"] >= 3
     assert t["rows"] == read_partitioned_events(spark, sf_dir).count()
     assert t["rows_per_sec"] > 0
+
+
+def test_multibatch_cep_out_of_order_first_match(spark, sf_dir, duck):
+    """The scrambled replay delivers 2 dates per batch boundary a whole
+    batch LATE; first-match funnel semantics are not match-monotone, so the
+    watermark-mode kernel must equal the batch executor's answer exactly —
+    the driver-checkable form of the kernel property tests."""
+    spec = get("stream_multibatch_cep")
+    out = spec.fn(spark, sf_dir).toPandas()
+    want = duck.sql(spec.oracle).fetchdf()
+    assert len(out) == len(want)
+    key = ["user_id", "view_id", "click_id", "purchase_id"]
+    got_set = set(map(tuple, out[key].itertuples(index=False)))
+    want_set = set(map(tuple, want[key].itertuples(index=False)))
+    assert got_set == want_set
+    # every view anchors at most one first-match chain
+    assert out["view_id"].is_unique
+
+
+def test_cep_replay_batches_are_out_of_order(spark, sf_dir):
+    """The materialized replay really IS cross-batch disordered: some batch
+    contains a date EARLIER than a date in a previous batch (otherwise the
+    query above would not be exercising the disorder path at all)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from flink_1_6_0_spark.sources.partitioned import cep_funnel_stream_dir
+
+    d = cep_funnel_stream_dir(spark, sf_dir)
+    files = sorted(
+        (os.path.getmtime(os.path.join(d, f)), f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    mins, maxs = [], []
+    for _, f in files:
+        df = spark.read.parquet(os.path.join(d, f)).agg(
+            F.min("ts"), F.max("ts")
+        ).collect()[0]
+        mins.append(df[0])
+        maxs.append(df[1])
+    # batch 1's earliest event predates batch 0's latest (the 2 swapped dates)
+    assert mins[1] < maxs[0]
+    assert mins[2] < maxs[1]
+    # the closer file is strictly after everything real
+    assert mins[3] > maxs[2]

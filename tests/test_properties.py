@@ -515,9 +515,12 @@ class _FakeGroupState:
         pass
 
 
-def _drive_kernel(pattern, batches, horizon_s):
+def _drive_kernel(pattern, batches, horizon_s, disorder_s=None, flush=False):
     """Feed delivery batches through the streaming kernel, one micro-batch
-    per call, carrying state; return the set of emitted (a_id, b_id)."""
+    per call, carrying state; return the set of emitted (a_id, b_id).
+    ``disorder_s`` selects the watermark (fold-point) mode; ``flush=True``
+    fires the cleanup-timer path at the end — the quiescence flush a real
+    query gets after a horizon of silence."""
     import pandas as pd
 
     from flink_1_6_0_spark.streaming.cep import _stream_kernel
@@ -526,6 +529,7 @@ def _drive_kernel(pattern, batches, horizon_s):
         pattern, ["k"], "ts", "eid", "etype",
         horizon=int(horizon_s * 1_000_000), horizon_s=horizon_s,
         use_cleanup_timer=False,
+        disorder=None if disorder_s is None else int(disorder_s * 1_000_000),
     )
     state = _FakeGroupState()
     got = set()
@@ -538,6 +542,10 @@ def _drive_kernel(pattern, batches, horizon_s):
             }
         )
         for out in fn((1,), [pdf], state) or ():
+            got.update(zip(out["a_id"], out["b_id"]))
+    if flush:
+        state.hasTimedOut = True
+        for out in fn((1,), [], state) or ():
             got.update(zip(out["a_id"], out["b_id"]))
     return got
 
@@ -582,12 +590,93 @@ def _deliveries(draw):
 @given(_deliveries())
 @settings(max_examples=120, deadline=None)
 def test_cep_stream_kernel_order_robust_across_microbatches(data):
-    """Arbitrary interleaving of late / duplicate / out-of-order events
-    across >= 3 micro-batch boundaries must emit EXACTLY the batch
-    executor's matches — as long as lateness stays inside the buffer
-    horizon (here: horizon 100s > the 50s event span, so nothing is ever
-    trimmed and equivalence must be exact; beyond-horizon lateness is the
-    documented watermark-drop case, tested separately)."""
+    """WATERMARK MODE (disorder bound >= the event span): arbitrary
+    interleaving of late / duplicate / out-of-order events across >= 3
+    micro-batch boundaries must emit EXACTLY the batch executor's matches
+    once the quiescence flush fires — the Flink contract
+    (AbstractKeyedCEPPatternOperator buffers in a priority queue and folds
+    into the NFA in timestamp order as the watermark passes; the final
+    watermark flushes the rest). No eager append-mode emitter can be exact
+    under UNBOUNDED disorder — a late earlier 'b' always invalidates an
+    already-emitted first-match — which is precisely why emission defers to
+    the fold point here (round-8 bug A)."""
+    events, batches = data
+    p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100)
+    got = _drive_kernel(p, batches, horizon_s=200.0, disorder_s=60.0, flush=True)
+    assert got == _batch_matches(p, events)
+
+
+@st.composite
+def _bounded_disorder_deliveries(draw, disorder=30):
+    """Unique-timestamp events over a span much WIDER than the disorder
+    bound, delivered sorted by (ts + jitter) with jitter < bound — so every
+    arrival's lateness (hwm_at_arrival - ts) is strictly under the bound,
+    yet the fold point sweeps through the data DURING the batches (not just
+    at the flush). Duplicate re-deliveries land at or after the original."""
+    n = draw(st.integers(4, 14))
+    ts = sorted(draw(st.lists(st.integers(0, 120), min_size=n, max_size=n, unique=True)))
+    events = [
+        (i, t, draw(st.sampled_from(["a", "b", "x"]))) for i, t in enumerate(ts)
+    ]
+    jitter = [draw(st.integers(0, disorder - 1)) for _ in range(n)]
+    delivery = [e for _, e in sorted(zip([t + j for (_, t, _), j in zip(events, jitter)], events), key=lambda p: (p[0], p[1][0]))]
+    for i in draw(st.lists(st.integers(0, n - 1), max_size=3)):
+        pos = delivery.index(events[i])
+        delivery.insert(draw(st.integers(pos + 1, len(delivery))), events[i])
+    k = draw(st.integers(3, 6))
+    cuts = sorted(draw(st.lists(st.integers(0, len(delivery)), min_size=k - 1, max_size=k - 1)))
+    batches, prev = [], 0
+    for c in cuts + [len(delivery)]:
+        batches.append(delivery[prev:c])
+        prev = c
+    return events, batches
+
+
+@given(_bounded_disorder_deliveries())
+@settings(max_examples=120, deadline=None)
+def test_cep_stream_kernel_bounded_disorder_folds_exactly(data):
+    """WATERMARK MODE with lateness < disorder bound but a time span much
+    wider than the bound: the fold point advances THROUGH the data during
+    the batches (matches emit incrementally, not only at the flush), no
+    event is ever dropped, and the final output is exactly the batch
+    executor's — the operative Flink guarantee: disorder within the
+    watermark delay is invisible."""
+    events, batches = data
+    p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100)
+    got = _drive_kernel(p, batches, horizon_s=200.0, disorder_s=30.0, flush=True)
+    assert got == _batch_matches(p, events)
+
+
+@st.composite
+def _ordered_deliveries(draw):
+    """Unique-timestamp events delivered in timestamp order ACROSS batches
+    (disorder only within a batch — the ascending-watermark regime the
+    default eager mode targets), split into >= 3 batches."""
+    n = draw(st.integers(4, 14))
+    ts = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n, unique=True))
+    types = [draw(st.sampled_from(["a", "b", "x"])) for _ in range(n)]
+    events = [(i, t, y) for i, (t, y) in enumerate(zip(sorted(ts), types))]
+    k = draw(st.integers(3, 5))
+    cuts = sorted(draw(st.lists(st.integers(0, n), min_size=k - 1, max_size=k - 1)))
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        chunk = events[prev:c]
+        batches.append(draw(st.permutations(chunk)))  # in-batch disorder OK
+        prev = c
+    return events, batches
+
+
+@given(_ordered_deliveries())
+@settings(max_examples=80, deadline=None)
+def test_cep_stream_kernel_eager_exact_on_ordered_delivery(data):
+    """DEFAULT (eager) MODE: when event time is nondecreasing across batch
+    boundaries (in-batch disorder allowed — the scan sorts), the eager
+    full-buffer re-scan emits exactly the batch executor's matches with no
+    flush needed — the regime stream_cep_funnel runs in."""
     events, batches = data
     p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
         "b", lambda e: e["etype"] == "b"
@@ -596,17 +685,22 @@ def test_cep_stream_kernel_order_robust_across_microbatches(data):
 
 
 def test_cep_stream_kernel_drops_beyond_horizon_lateness():
-    """An event arriving later than the horizon behind the newest seen event
-    is trimmed (the watermark-late contract): its matches are NOT emitted,
-    and timely matches still are."""
+    """An event arriving more than the horizon behind the persisted
+    high-water mark is dropped BEFORE the scan (the watermark-late
+    contract): its matches are NOT emitted even within its own arrival
+    batch, and timely matches still are. Exercises both modes — round-8
+    bug B was the default mode computing 'newest' from the live buffer
+    only, letting an ancient pair match inside its arrival batch."""
     p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
         "b", lambda e: e["etype"] == "b"
     ).within(100)
-    # batch 1 advances the clock to t=500; batch 2 delivers an ancient 'a'
-    # (t=0) and a timely pair at t=450/460
+    # batch 1 advances the clock to t=500; batch 2 delivers an ancient pair
+    # (t=0 / t=30, far beyond horizon) and a timely pair at t=450/460
     batches = [
         [(1, 500, "x")],
         [(2, 0, "a"), (3, 450, "a"), (4, 460, "b"), (5, 30, "b")],
     ]
     got = _drive_kernel(p, batches, horizon_s=100.0)
     assert got == {(3, 4)}
+    got_wm = _drive_kernel(p, batches, horizon_s=100.0, disorder_s=50.0, flush=True)
+    assert got_wm == {(3, 4)}

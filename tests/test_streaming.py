@@ -1325,3 +1325,75 @@ def test_late_capture_local_path_detection(tmp_path):
     assert resolve("hdfs:/ck") is None
     assert resolve("hdfs://nn/ck") is None
     assert resolve("s3a://bucket/ck") is None
+
+
+def test_cep_stream_watermark_mode_timer_flush(spark, tmp_path):
+    """Watermark-mode CEP in a REAL applyInPandasWithState query. Two
+    contracts:
+
+    (1) PENDING: with the fold point trailing the high-water mark and no
+        cleanup timer, the completed (a,b) match is NOT emitted after the
+        data drains — committed-pending in state, exactly the deferred
+        emission the kernel property tests pin.
+    (2) FLUSH: with the cleanup timer armed, the quiescence flush (the
+        job-end-watermark analog) emits the pending match. NOTE
+        processAllAvailable cannot be used here — a registered
+        processing-time timeout makes the engine schedule micro-batches
+        continuously (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+        true while the timeout conf is enabled), so the drain never observes
+        an idle query; the test polls the sink instead."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    rows = [(1, 10, "a", 100), (1, 11, "b", 200), (2, 20, "a", 150)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, sec long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    src = str(tmp_path / "cep_flush_src")
+    df.repartition(1).write.parquet(src)
+
+    def pattern():
+        return (
+            Pattern.begin("a", lambda e: e["event_type"] == "a")
+            .followed_by("b", lambda e: e["event_type"] == "b")
+            .within(1000)
+        )
+
+    def build(use_timer, timer_ms=None):
+        return cep_stream(
+            read_parquet_stream(spark, src),
+            pattern(),
+            ["user_id"],
+            "ts",
+            "event_id",
+            "event_type",
+            disorder_seconds=500,  # fold pt = hwm - 500s < all data => pending
+            use_cleanup_timer=use_timer,
+            cleanup_timer_ms=timer_ms,
+        )
+
+    # (1) no timer: drain synchronously; the match stays pending, unemitted
+    q = to_memory_sink(build(False), "cep_pending_out", "append")
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM cep_pending_out").count() == 0
+    finally:
+        q.stop()
+
+    # (2) timer: poll the sink (no processAllAvailable — see docstring)
+    q = to_memory_sink(build(True, timer_ms=3000), "cep_flush_out", "append")
+    got = []
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            got = spark.sql("SELECT * FROM cep_flush_out").collect()
+            if got:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert {(r["user_id"], r["a_id"], r["b_id"]) for r in got} == {(1, 10, 11)}
