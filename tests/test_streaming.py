@@ -1397,3 +1397,66 @@ def test_cep_stream_watermark_mode_timer_flush(spark, tmp_path):
     finally:
         q.stop()
     assert {(r["user_id"], r["a_id"], r["b_id"]) for r in got} == {(1, 10, 11)}
+
+
+def test_cep_stream_state_recovers_across_restart(spark, tmp_path):
+    """applyInPandasWithState CEP state survives a checkpointed stop/restart
+    (the reference's checkpointed NFA-operator contract): a partial match
+    buffered before the stop completes after the restart, and an
+    already-emitted match re-delivered as duplicate input rows is NOT
+    re-emitted — buffer, emitted-signature set and per-key high-water mark
+    all recover from the state store."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_parquet_sink
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    src = str(tmp_path / "cep_rc_src")
+    out = str(tmp_path / "cep_rc_out")
+    ckpt = str(tmp_path / "cep_rc_ckpt")
+
+    def add_file(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, sec long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec").repartition(
+            1
+        ).write.mode("append").parquet(src)
+
+    def pattern():
+        return (
+            Pattern.begin("a", lambda e: e["event_type"] == "a")
+            .followed_by("b", lambda e: e["event_type"] == "b")
+            .within(1000)
+        )
+
+    def run():
+        stream = cep_stream(
+            read_parquet_stream(spark, src),
+            pattern(),
+            ["user_id"],
+            "ts",
+            "event_id",
+            "event_type",
+            use_cleanup_timer=False,
+        )
+        q = to_parquet_sink(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # before the stop: key 1 has only the 'a' (partial, buffered);
+    # key 2 completes a match (emitted)
+    add_file([(1, 10, "a", 100), (2, 20, "a", 100), (2, 21, "b", 200)])
+    run()
+    first = spark.read.parquet(out)
+    assert {(r["user_id"], r["a_id"], r["b_id"]) for r in first.collect()} == {(2, 20, 21)}
+
+    # while down: key 1's 'b' arrives (completes iff the buffer recovered)
+    # and key 2's pair is RE-DELIVERED (re-emits iff the signature set did
+    # not recover)
+    add_file([(1, 11, "b", 300), (2, 20, "a", 100), (2, 21, "b", 200)])
+    run()
+    final = spark.read.parquet(out)
+    got = sorted((r["user_id"], r["a_id"], r["b_id"]) for r in final.collect())
+    assert got == [(1, 10, 11), (2, 20, 21)]
