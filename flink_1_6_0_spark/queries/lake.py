@@ -189,6 +189,75 @@ def stream_multibatch_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "stream_multibatch_cep_timeout",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    v AS (SELECT * FROM e WHERE event_type = 'view'),
+    fc AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS v_ts,
+             c.event_id AS click_id, c.ts AS c_ts
+      FROM v LEFT JOIN LATERAL (
+        SELECT c.event_id, c.ts FROM e c
+        WHERE c.event_type = 'click' AND c.user_id = v.user_id
+          AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+          AND c.ts <= v.ts + INTERVAL 24 HOUR
+        ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE
+    ),
+    fp AS (
+      SELECT fc.user_id, fc.view_id, fc.v_ts, fc.click_id, fc.c_ts,
+             p.event_id AS purchase_id
+      FROM fc LEFT JOIN LATERAL (
+        SELECT p.event_id FROM e p
+        WHERE p.event_type = 'purchase' AND p.user_id = fc.user_id
+          AND fc.click_id IS NOT NULL
+          AND (p.ts > fc.c_ts OR (p.ts = fc.c_ts AND p.event_id > fc.click_id))
+          AND p.ts <= fc.v_ts + INTERVAL 24 HOUR
+        ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+    )
+    SELECT user_id, view_id, click_id, purchase_id,
+           (purchase_id IS NULL) AS timed_out,
+           CASE WHEN click_id IS NULL THEN 'click'
+                WHEN purchase_id IS NULL THEN 'purchase' END AS pending_stage
+    FROM fp
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_multibatch_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CEP TIMEOUT side output on a STREAM
+    (PatternStream.flatSelect timeout handler, CEP.java; batch analog
+    cep_batch_with_timeouts): same scrambled >= 4-micro-batch replay as
+    stream_multibatch_cep, but every view whose funnel dies is reported the
+    moment the fold point passes its 24 h window — ``timed_out=true`` with
+    the stage it was stuck on — alongside the completed matches
+    (``timed_out=false``). The oracle derives match + both timeout kinds
+    from the same LEFT LATERAL first-row chain, so the hash match certifies
+    the timeout trigger (watermark passes start+within) is exactly the
+    batch executor's end-of-data semantics under out-of-order delivery."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("click", lambda e: e["event_type"] == "click")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        cep_funnel_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+        with_timeouts=True,
+    )
+    result, _ = _run_stream(out, "append", min_batches=4)
+    return result
+
+
 def streaming_throughput(spark: SparkSession, sf_dir: str) -> dict:
     """End-to-end micro-batch throughput figure for bench.py (BASELINE.md
     bench family 7): rows/s over the full multi-batch replay of the

@@ -662,6 +662,7 @@ def cep_stream(
     use_cleanup_timer: bool = True,
     disorder_seconds: float | None = None,
     cleanup_timer_ms: int | None = None,
+    with_timeouts: bool = False,
 ):
     """Streaming CEP via applyInPandasWithState (PatternStream analog).
 
@@ -702,6 +703,15 @@ def cep_stream(
       their ``within`` window passes the fold point. The cleanup-timer flush
       emits whatever is still pending when the stream goes quiet.
 
+    ``with_timeouts=True`` adds the reference's TIMEOUT side output
+    (PatternStream.flatSelect's timeout handler, CEP.java): a partial match
+    is reported with ``timed_out=true`` + its ``pending_stage`` the moment
+    the fold point passes ``start + within`` — no admissible arrival can
+    complete it anymore, exactly Flink's watermark-passes-the-window
+    trigger. Requires the watermark mode (``disorder_seconds``): in eager
+    mode late-but-in-horizon arrivals may still complete a window, so there
+    is no sound early trigger. Matches carry ``timed_out=false``.
+
     Constraint (documented): streaming predicates see only the event's
     ``type``/``ts``/``id`` fields — the state store keeps the buffer narrow.
     The batch executor has no such restriction.
@@ -727,8 +737,19 @@ def cep_stream(
         horizon_s = horizon_s + disorder_seconds
         horizon = int(round(horizon_s * 1_000_000))
 
+    if with_timeouts and disorder is None:
+        raise ValueError(
+            "with_timeouts requires disorder_seconds (watermark mode): in "
+            "eager mode a late-but-in-horizon arrival may still complete a "
+            "window, so there is no sound timeout trigger"
+        )
+
     out_col_types = _stage_out_cols(pattern)
-    out_schema = ", ".join([f"{k} long" for k in key_cols] + [f"{c} {t}" for c, t in out_col_types])
+    out_schema = ", ".join(
+        [f"{k} long" for k in key_cols]
+        + [f"{c} {t}" for c, t in out_col_types]
+        + (["timed_out boolean", "pending_stage string"] if with_timeouts else [])
+    )
     state_schema = (
         "buf_ids array<long>, buf_ts array<double>, buf_types array<string>, "
         "emitted array<string>, hwm double"
@@ -741,7 +762,7 @@ def cep_stream(
 
     fn = _stream_kernel(
         pattern, key_cols, ts_col, id_col, type_col, horizon, horizon_s,
-        use_cleanup_timer, disorder, timer_ms,
+        use_cleanup_timer, disorder, timer_ms, with_timeouts,
     )
 
     timeout = (
@@ -763,6 +784,7 @@ def _stream_kernel(
     use_cleanup_timer: bool = True,
     disorder: int | None = None,
     timer_ms: int | None = None,
+    with_timeouts: bool = False,
 ):
     """The per-key micro-batch NFA state-transition function, factored out of
     :func:`cep_stream` so tests can drive it DIRECTLY across simulated
@@ -779,9 +801,17 @@ def _stream_kernel(
     derived, not stored: ``hwm - disorder`` (monotone because hwm is).
     """
     out_col_types = _stage_out_cols(pattern)
-    out_cols = [c for c, _ in out_col_types]
+    out_cols = [c for c, _ in out_col_types] + (
+        ["timed_out", "pending_stage"] if with_timeouts else []
+    )
     within_us = pattern.within_micros
     extendable = _pattern_extendable(pattern)
+
+    def sig_event_ids(sig: str) -> list[int]:
+        """Event ids referenced by a signature. Match sigs are
+        'ids,ids;ids;…'; timeout sigs are tagged 't|<same>|<stage_i>'."""
+        body = sig[2:].rsplit("|", 1)[0] if sig.startswith("t|") else sig
+        return [int(x) for part in body.split(";") for x in part.split(",") if x]
 
     def load(state):
         if state.exists:
@@ -802,16 +832,18 @@ def _stream_kernel(
         return [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
 
     def emit_new(events, emitted, rows, key, fold_pt, closed_only):
-        """Scan `events`, append matches whose signature is new to `rows`.
-        ``fold_pt`` is +inf on flush: nothing is withheld."""
-        for match in _scan(events, pattern, closed_negations_only=closed_only):
+        """Scan `events`, append matches (and, when enabled, timed-out
+        partials) whose signature is new to `rows`. ``fold_pt`` is None on
+        flush: nothing is withheld and every dead partial times out."""
+        bound = within_us if within_us is not None else horizon
+        touts: list | None = [] if with_timeouts else None
+        for match in _scan(events, pattern, timeouts=touts, closed_negations_only=closed_only):
             if extendable and fold_pt is not None:
                 # a quantified/greedy run can still grow while events inside
                 # its within-window may arrive: hold the match back until the
                 # window has fully passed the fold point (a longer run would
                 # supersede this one — append mode cannot retract)
                 start = min(events[i]["__ts"] for idxs in match for i in idxs) if any(match) else None
-                bound = within_us if within_us is not None else horizon
                 if start is not None and start + bound >= fold_pt:
                     continue
             sig = ";".join(",".join(str(events[i][id_col]) for i in idxs) for idxs in match)
@@ -824,6 +856,36 @@ def _stream_kernel(
             ):
                 ids = [events[i][id_col] for i in idxs]
                 row[col] = ids if st.emits_array else (ids[0] if ids else None)
+            if with_timeouts:
+                row["timed_out"] = False
+                row["pending_stage"] = None
+            rows.append(row)
+        for acc, stage_i in touts or ():
+            # a partial is DEAD once the fold point passes its within-window:
+            # no admissible arrival can land inside it anymore (suffix and
+            # future events are all >= fold_pt). On flush (fold_pt None) the
+            # stream has ended — every dead partial is reported, the batch
+            # executor's end-of-data convention (cep_batch_with_timeouts).
+            start = min(events[i]["__ts"] for idxs in acc for i in idxs)
+            if fold_pt is not None and start + bound >= fold_pt:
+                continue
+            sig = (
+                "t|"
+                + ";".join(",".join(str(events[i][id_col]) for i in idxs) for idxs in acc)
+                + f"|{stage_i}"
+            )
+            if sig in emitted:
+                continue
+            emitted.add(sig)
+            row = dict(zip(key_cols, key))
+            padded = acc + ((),) * (len(pattern.stages) - len(acc))
+            for st, (col, _), idxs in zip(
+                _output_stages(pattern), out_col_types, _output_match(pattern, padded)
+            ):
+                ids = [events[i][id_col] for i in idxs]
+                row[col] = (ids if ids else None) if st.emits_array else (ids[0] if ids else None)
+            row["timed_out"] = True
+            row["pending_stage"] = pattern.stages[stage_i].name
             rows.append(row)
 
     def fn(key, pdfs, state):
@@ -897,9 +959,7 @@ def _stream_kernel(
         # unboundedly over the stream lifetime
         kept_ids = {e[id_col] for e in keep}
         emitted = {
-            sig
-            for sig in emitted
-            if all(int(x) in kept_ids for part in sig.split(";") for x in part.split(",") if x)
+            sig for sig in emitted if all(i in kept_ids for i in sig_event_ids(sig))
         }
         state.update(
             (

@@ -704,3 +704,75 @@ def test_cep_stream_kernel_drops_beyond_horizon_lateness():
     assert got == {(3, 4)}
     got_wm = _drive_kernel(p, batches, horizon_s=100.0, disorder_s=50.0, flush=True)
     assert got_wm == {(3, 4)}
+
+
+def _drive_kernel_with_timeouts(pattern, batches, horizon_s, disorder_s):
+    """Like _drive_kernel but with the timeout side output enabled; returns
+    (matches, timeouts) where timeouts are (a_id, pending_stage)."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.streaming.cep import _stream_kernel
+
+    fn = _stream_kernel(
+        pattern, ["k"], "ts", "eid", "etype",
+        horizon=int(horizon_s * 1_000_000), horizon_s=horizon_s,
+        use_cleanup_timer=False,
+        disorder=int(disorder_s * 1_000_000),
+        with_timeouts=True,
+    )
+    state = _FakeGroupState()
+    matches, touts = set(), set()
+    def drain(out_iter):
+        for out in out_iter or ():
+            for r in out.to_dict("records"):
+                if r["timed_out"]:
+                    touts.add((r["a_id"], r["pending_stage"]))
+                else:
+                    matches.add((r["a_id"], r["b_id"]))
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "eid": [e[0] for e in batch],
+                "ts": [pd.Timestamp(e[1] * 1_000_000, unit="us") for e in batch],
+                "etype": [e[2] for e in batch],
+            }
+        )
+        drain(fn((1,), [pdf], state))
+    state.hasTimedOut = True
+    drain(fn((1,), [], state))
+    return matches, touts
+
+
+def _batch_matches_and_timeouts(pattern, events):
+    evs = sorted(
+        ({"__ts": int(ts * 1_000_000), "eid": i, "etype": ty} for i, ts, ty in events),
+        key=lambda e: (e["__ts"], e["eid"]),
+    )
+    touts: list = []
+    matches = set()
+    for match in _scan(evs, pattern, timeouts=touts):
+        (ai,), (bi,) = match
+        matches.add((evs[ai]["eid"], evs[bi]["eid"]))
+    timeouts = {
+        (evs[acc[0][0]]["eid"], pattern.stages[si].name) for acc, si in touts
+    }
+    return matches, timeouts
+
+
+@given(_bounded_disorder_deliveries())
+@settings(max_examples=100, deadline=None)
+def test_cep_stream_kernel_timeout_side_output_matches_batch(data):
+    """TIMEOUT side output (PatternStream timeout handler analog) under
+    bounded disorder: the streamed (match, timeout) pair must equal the
+    batch executor's matches + its dead-partial report exactly — timeouts
+    fire when the fold point passes the partial's within-window, the flush
+    reports the rest, and no partial is double-reported or reported then
+    completed."""
+    events, batches = data
+    p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(40)
+    got_m, got_t = _drive_kernel_with_timeouts(p, batches, horizon_s=200.0, disorder_s=30.0)
+    want_m, want_t = _batch_matches_and_timeouts(p, events)
+    assert got_m == want_m
+    assert got_t == want_t
