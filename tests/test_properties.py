@@ -776,3 +776,83 @@ def test_cep_stream_kernel_timeout_side_output_matches_batch(data):
     want_m, want_t = _batch_matches_and_timeouts(p, events)
     assert got_m == want_m
     assert got_t == want_t
+
+
+@given(_bounded_disorder_deliveries())
+@settings(max_examples=80, deadline=None)
+def test_cep_stream_kernel_skip_past_last_event_across_batches(data):
+    """AfterMatchSkipStrategy across micro-batch boundaries: SKIP_PAST_LAST_EVENT
+    prunes matches relative to previously EMITTED matches, so cross-batch
+    re-scans must reconstruct the identical skip decisions from the grown
+    prefix — the emitted set equals the batch executor's skip-filtered set."""
+    events, batches = data
+    p = (
+        Pattern.begin("a", lambda e: e["etype"] == "a")
+        .followed_by("b", lambda e: e["etype"] == "b")
+        .within(100)
+        .skip_past_last_event()
+    )
+    got = _drive_kernel(p, batches, horizon_s=200.0, disorder_s=30.0, flush=True)
+    assert got == _batch_matches(p, events)
+
+
+def _drive_kernel_quant(pattern, batches, horizon_s, disorder_s):
+    """Drive the kernel for an a+ -> b pattern; returns {(a_ids tuple, b_id)}."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.streaming.cep import _stream_kernel
+
+    fn = _stream_kernel(
+        pattern, ["k"], "ts", "eid", "etype",
+        horizon=int(horizon_s * 1_000_000), horizon_s=horizon_s,
+        use_cleanup_timer=False,
+        disorder=int(disorder_s * 1_000_000),
+    )
+    state = _FakeGroupState()
+    got = set()
+    def drain(out_iter):
+        for out in out_iter or ():
+            for r in out.to_dict("records"):
+                got.add((tuple(r["a_ids"]), r["b_id"]))
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "eid": [e[0] for e in batch],
+                "ts": [pd.Timestamp(e[1] * 1_000_000, unit="us") for e in batch],
+                "etype": [e[2] for e in batch],
+            }
+        )
+        drain(fn((1,), [pdf], state))
+    state.hasTimedOut = True
+    drain(fn((1,), [], state))
+    return got
+
+
+@given(_bounded_disorder_deliveries())
+@settings(max_examples=80, deadline=None)
+def test_cep_stream_kernel_quantified_greedy_withhold_across_batches(data):
+    """QUANTIFIED/GREEDY stages under bounded disorder exercise the
+    withhold path: a greedy a+ run ending near the fold point could still be
+    EXTENDED by buffered or future events, so the kernel must hold such
+    matches back until their within-window passes the fold point — emitting
+    early would ship a shorter run the batch executor never produces
+    (append mode cannot retract). Final emitted set == batch executor."""
+    events, batches = data
+    def mk():
+        return (
+            Pattern.begin("a", lambda e: e["etype"] == "a")
+            .one_or_more(max_times=6)
+            .greedy()
+            .followed_by("b", lambda e: e["etype"] == "b")
+            .within(100)
+        )
+    got = _drive_kernel_quant(mk(), batches, horizon_s=200.0, disorder_s=30.0)
+    evs = sorted(
+        ({"__ts": int(ts * 1_000_000), "eid": i, "etype": ty} for i, ts, ty in events),
+        key=lambda e: (e["__ts"], e["eid"]),
+    )
+    want = set()
+    for match in _scan(evs, mk()):
+        a_run, (bi,) = match
+        want.add((tuple(evs[i]["eid"] for i in a_run), evs[bi]["eid"]))
+    assert got == want
