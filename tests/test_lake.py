@@ -128,3 +128,52 @@ def test_cep_replay_batches_are_out_of_order(spark, sf_dir):
     assert mins[2] < maxs[1]
     # the closer file is strictly after everything real
     assert mins[3] > maxs[2]
+
+
+def test_multibatch_cep_single_stateful_operator(spark, sf_dir):
+    """Scale-shape pin for the streaming CEP executor: the whole pattern
+    runs as ONE keyed stateful operator (applyInPandasWithState after the
+    single groupBy exchange) — no second shuffle, no extra stateful stage.
+    At 100 TB the NFA cost is one hash partition by key and per-key state,
+    exactly the reference's keyed-operator shape."""
+    import uuid
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from flink_1_6_0_spark.sources.partitioned import (
+        CEP_REPLAY_DISORDER_S,
+        cep_funnel_stream,
+    )
+    from flink_1_6_0_spark.sources.stream import to_memory_sink
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("click", lambda e: e["event_type"] == "click")
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        cep_funnel_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+    )
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "flatMapGroupsInPandasWithState" in logical or "FlatMapGroupsInPandasWithState" in logical
+    q = to_memory_sink(out, f"cep_plan_{uuid.uuid4().hex[:8]}", "append")
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert progress, "stream never processed data"
+    for p in progress:
+        ops = p["stateOperators"]
+        assert len(ops) == 1, ops  # exactly one stateful operator
+    # state actually persists across batches: later batches report nonzero
+    # total state rows even before their own updates
+    assert progress[-1]["stateOperators"][0]["numRowsTotal"] > 0
