@@ -561,6 +561,19 @@ def _match_frame(pdf: pd.DataFrame, pattern: Pattern, key_cols: list[str], ts_co
     return pd.DataFrame(rows, columns=cols)
 
 
+def _keyed_wide(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Hash-partition on the keys at the CONFIGURED shuffle width before a
+    Python kernel stage. AQE coalesces post-shuffle partitions by BYTE size,
+    which is the wrong cost model for a CPU-bound per-key NFA scan — at
+    small-to-medium byte sizes it collapsed the CEP stage to 3 tasks on 32
+    cores. An explicit repartition(n, keys) is exempt from AQE coalescing
+    and Catalyst elides the groupBy's own exchange (same partitioning), so
+    this costs no extra shuffle at any scale."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, *key_cols)
+
+
 def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str) -> DataFrame:
     """Batch CEP: per-key ordered pattern scan (CEP.pattern + select analog).
     Output: key columns + ``<stage>_id`` (or ``<stage>_ids`` array for
@@ -573,7 +586,7 @@ def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str,
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _match_frame(pdf, pattern, key_cols, ts_col, id_col)
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+    return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
 def cep_batch_with_timeouts(
@@ -633,7 +646,7 @@ def cep_batch_with_timeouts(
         cols = key_cols + [c for c, _ in out_cols] + ["timed_out", "pending_stage"]
         return pd.DataFrame(rows, columns=cols)
 
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+    return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
 def _pattern_extendable(pattern: Pattern) -> bool:
