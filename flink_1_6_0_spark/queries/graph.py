@@ -123,6 +123,7 @@ _TUPLE_AFTER = "({b}.ts > {a}.ts OR ({b}.ts = {a}.ts AND {b}.event_id > {a}.even
       AND c.ts - a.ts <= INTERVAL 24 HOUR
     """,
     tags=("cep",),
+    bench=True,
 )
 def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern view ⟶ click ⟶ purchase within 24 hours per user

@@ -484,6 +484,53 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cep_value_funnel",
+    oracle="""
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id, c.event_id AS purchase_id
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+      AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+    JOIN events c ON b.user_id = c.user_id
+      AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+    WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
+      AND c.value > 50 AND c.ts - a.ts <= INTERVAL 24 HOUR
+    """,
+    tags=("streaming", "cep"),
+)
+def stream_cep_value_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP with ATTRIBUTE-visible predicates (the reference's
+    IterativeCondition sees the whole event, FilterFunction over Event —
+    cep/pattern/conditions/*): the purchase stage requires ``value > 50``,
+    so the ``value`` column is opted into the state buffer via
+    ``attr_cols`` — predicates on the narrow id/ts/type skeleton alone
+    cannot express this. Oracle is the same ordered 3-way join with the
+    value filter; hash match certifies attributes survive the state-store
+    roundtrip across micro-batches."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by_any("click", lambda e: e["event_type"] == "click")
+        .followed_by_any(
+            "purchase",
+            lambda e: e["event_type"] == "purchase" and e["value"] > 50,
+        )
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        events_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        attr_cols=["value"],
+    )
+    return _materialize(out, "append")
+
+
+@query(
     "stream_asof_join",
     oracle="""
     WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

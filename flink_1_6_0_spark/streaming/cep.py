@@ -676,6 +676,7 @@ def cep_stream(
     disorder_seconds: float | None = None,
     cleanup_timer_ms: int | None = None,
     with_timeouts: bool = False,
+    attr_cols: list[str] | None = None,
 ):
     """Streaming CEP via applyInPandasWithState (PatternStream analog).
 
@@ -725,9 +726,14 @@ def cep_stream(
     mode late-but-in-horizon arrivals may still complete a window, so there
     is no sound early trigger. Matches carry ``timed_out=false``.
 
-    Constraint (documented): streaming predicates see only the event's
-    ``type``/``ts``/``id`` fields — the state store keeps the buffer narrow.
-    The batch executor has no such restriction.
+    Predicate visibility: by default streaming predicates see only the
+    event's ``type``/``ts``/``id`` fields — the state store keeps the buffer
+    narrow. ``attr_cols`` opts additional event columns into the state
+    buffer (JSON-encoded per event), giving predicates the reference's full
+    IterativeCondition view (e.g. ``purchase.value > 100``) at the declared
+    cost of a wider state row — at 100 TB, carry the columns the pattern
+    actually tests, never the payload. The batch executor always sees the
+    whole row.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -766,6 +772,7 @@ def cep_stream(
     state_schema = (
         "buf_ids array<long>, buf_ts array<double>, buf_types array<string>, "
         "emitted array<string>, hwm double"
+        + (", buf_attrs array<string>" if attr_cols else "")
     )
 
     # the cleanup/flush timer is WALL-clock; default follows the event-time
@@ -775,7 +782,7 @@ def cep_stream(
 
     fn = _stream_kernel(
         pattern, key_cols, ts_col, id_col, type_col, horizon, horizon_s,
-        use_cleanup_timer, disorder, timer_ms, with_timeouts,
+        use_cleanup_timer, disorder, timer_ms, with_timeouts, attr_cols,
     )
 
     timeout = (
@@ -798,6 +805,7 @@ def _stream_kernel(
     disorder: int | None = None,
     timer_ms: int | None = None,
     with_timeouts: bool = False,
+    attr_cols: list[str] | None = None,
 ):
     """The per-key micro-batch NFA state-transition function, factored out of
     :func:`cep_stream` so tests can drive it DIRECTLY across simulated
@@ -828,18 +836,28 @@ def _stream_kernel(
 
     def load(state):
         if state.exists:
+            if attr_cols:
+                bi, bt, bty, em, hwm, ba = state.get
+                return list(bi), list(bt), list(bty), set(em), float(hwm), list(ba)
             bi, bt, bty, em, hwm = state.get
-            return list(bi), list(bt), list(bty), set(em), float(hwm)
-        return [], [], [], set(), float("-inf")
+            return list(bi), list(bt), list(bty), set(em), float(hwm), []
+        return [], [], [], set(), float("-inf"), []
 
-    def to_events(buf_ids, buf_ts, buf_types):
-        events = sorted(
-            (
-                {"__ts": t, id_col: i, type_col: y, "ts_epoch": t}
-                for i, t, y in zip(buf_ids, buf_ts, buf_types)
-            ),
-            key=lambda e: (e["__ts"], e[id_col]),
-        )
+    def to_events(buf_ids, buf_ts, buf_types, buf_attrs):
+        import json
+
+        raw = []
+        for n, (i, t, y) in enumerate(zip(buf_ids, buf_ts, buf_types)):
+            e = {"__ts": t, id_col: i, type_col: y, "ts_epoch": t}
+            if attr_cols:
+                a = buf_attrs[n]
+                e["__attrs_json"] = a
+                # merge opted-in attributes for predicate visibility; the
+                # reserved keys above always win on a name collision
+                for k, v in json.loads(a).items():
+                    e.setdefault(k, v)
+            raw.append(e)
+        events = sorted(raw, key=lambda e: (e["__ts"], e[id_col]))
         # dedup (a row can reappear on retried batches)
         seen: set[int] = set()
         return [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
@@ -909,25 +927,38 @@ def _stream_kernel(
             # the final watermark): scan everything still buffered with
             # negations closable and nothing withheld, then drop the state
             # (re-arming here would busy-loop the query).
-            buf_ids, buf_ts, buf_types, emitted, _hwm = load(state)
+            buf_ids, buf_ts, buf_types, emitted, _hwm, buf_attrs = load(state)
             rows: list[dict] = []
             if buf_ids:
-                events = to_events(buf_ids, buf_ts, buf_types)
+                events = to_events(buf_ids, buf_ts, buf_types, buf_attrs)
                 emit_new(events, emitted, rows, key, None, closed_only=False)
             state.remove()
             if rows:
                 yield pd.DataFrame(rows, columns=key_cols + out_cols)
             return
-        buf_ids, buf_ts, buf_types, emitted, hwm = load(state)
+        buf_ids, buf_ts, buf_types, emitted, hwm, buf_attrs = load(state)
         arr_ids: list[int] = []
         arr_ts: list[float] = []
         arr_types: list[str] = []
+        arr_attrs: list[str] = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
             arr_ids += [int(x) for x in pdf[id_col]]
             arr_ts += [float(pd.Timestamp(t).value // 1000) for t in pdf[ts_col]]  # µs, exact in double
             arr_types += [str(x) for x in pdf[type_col]]
+            if attr_cols:
+                import json
+
+                recs = pdf[attr_cols].to_dict("records")
+                arr_attrs += [
+                    json.dumps(
+                        {k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()},
+                        default=str,
+                        sort_keys=True,
+                    )
+                    for r in recs
+                ]
         if not (arr_ids or buf_ids):
             return
         # late-arrival drop BEFORE the scan (round-8 bug B fix): lateness is
@@ -940,15 +971,17 @@ def _stream_kernel(
         admit_floor = (
             max(hwm - horizon, hwm - disorder) if disorder is not None else hwm - horizon
         )
-        for i, t, y in zip(arr_ids, arr_ts, arr_types):
+        for n, (i, t, y) in enumerate(zip(arr_ids, arr_ts, arr_types)):
             if t >= admit_floor:
                 buf_ids.append(i)
                 buf_ts.append(t)
                 buf_types.append(y)
+                if attr_cols:
+                    buf_attrs.append(arr_attrs[n])
         if arr_ts:
             hwm = max(hwm, max(arr_ts))
         fold_pt = hwm - disorder if disorder is not None else hwm
-        events = to_events(buf_ids, buf_ts, buf_types)
+        events = to_events(buf_ids, buf_ts, buf_types, buf_attrs)
         rows: list[dict] = []
         if disorder is None:
             # ascending-time mode: fold the whole buffer (scan FIRST, trim
@@ -974,15 +1007,16 @@ def _stream_kernel(
         emitted = {
             sig for sig in emitted if all(i in kept_ids for i in sig_event_ids(sig))
         }
-        state.update(
-            (
-                [e[id_col] for e in keep],
-                [float(e["__ts"]) for e in keep],
-                [e[type_col] for e in keep],
-                sorted(emitted),
-                float(hwm),
-            )
-        )
+        new_state = [
+            [e[id_col] for e in keep],
+            [float(e["__ts"]) for e in keep],
+            [e[type_col] for e in keep],
+            sorted(emitted),
+            float(hwm),
+        ]
+        if attr_cols:
+            new_state.append([e["__attrs_json"] for e in keep])
+        state.update(tuple(new_state))
         if use_cleanup_timer:
             state.setTimeoutDuration(int(horizon_s * 1000) if timer_ms is None else timer_ms)
         if rows:
