@@ -1460,3 +1460,54 @@ def test_cep_stream_state_recovers_across_restart(spark, tmp_path):
     final = spark.read.parquet(out)
     got = sorted((r["user_id"], r["a_id"], r["b_id"]) for r in final.collect())
     assert got == [(1, 10, 11), (2, 20, 21)]
+
+
+def test_cep_stream_attrs_survive_batch_boundary(spark, tmp_path):
+    """attr_cols values must survive the state-store roundtrip: the 'a'
+    arrives in batch 1 and is BUFFERED; its value-predicated 'b' candidates
+    arrive in batch 2 — the match can only be value-filtered correctly if
+    the buffered attributes were serialized and restored."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream, to_memory_sink
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    src = str(tmp_path / "cep_attr_src")
+
+    def add_file(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, sec long, value double"
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec").repartition(
+            1
+        ).write.mode("append").parquet(src)
+
+    add_file([(1, 10, "a", 100, 7.0)])
+    add_file([(1, 11, "b", 200, 3.0), (1, 12, "b", 300, 10.0)])
+
+    pattern = (
+        Pattern.begin("a", lambda e: e["event_type"] == "a" and e["value"] > 5)
+        .followed_by("b", lambda e: e["event_type"] == "b" and e["value"] > 5)
+        .within(1000)
+    )
+    out = cep_stream(
+        read_parquet_stream(spark, src, max_files_per_trigger=1),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        attr_cols=["value"],
+    )
+    q = to_memory_sink(out, "cep_attr_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["a_id"], r["b_id"])
+        for r in spark.sql("SELECT * FROM cep_attr_out").collect()
+    }
+    # first-match must SKIP the low-value b@200 and take b@300 — possible
+    # only if both a's and b's attributes crossed the batch boundary intact
+    assert got == {(1, 10, 12)}
