@@ -856,3 +856,32 @@ def test_cep_stream_kernel_quantified_greedy_withhold_across_batches(data):
         a_run, (bi,) = match
         want.add((tuple(evs[i]["eid"] for i in a_run), evs[bi]["eid"]))
     assert got == want
+
+
+@given(_bounded_disorder_deliveries())
+@settings(max_examples=80, deadline=None)
+def test_cep_stream_kernel_not_followed_by_across_batches(data):
+    """Mid-pattern NEGATION under bounded disorder: a ->(notFollowedBy x)-> b
+    must reject exactly the matches whose gap contains an 'x' — including
+    when the forbidden event arrives in a LATER batch than the pair it
+    poisons. Sound because a match only commits once its whole within-window
+    is below the fold point, so every possible gap event has already been
+    folded or dropped-as-late."""
+    events, batches = data
+    def mk():
+        return (
+            Pattern.begin("a", lambda e: e["etype"] == "a")
+            .not_followed_by("x", lambda e: e["etype"] == "x")
+            .followed_by("b", lambda e: e["etype"] == "b")
+            .within(100)
+        )
+    got = _drive_kernel(mk(), batches, horizon_s=200.0, disorder_s=30.0, flush=True)
+    evs = sorted(
+        ({"__ts": int(ts * 1_000_000), "eid": i, "etype": ty} for i, ts, ty in events),
+        key=lambda e: (e["__ts"], e["eid"]),
+    )
+    want = set()
+    for match in _scan(evs, mk()):
+        (ai,), _not, (bi,) = match  # the negated stage contributes an empty entry
+        want.add((evs[ai]["eid"], evs[bi]["eid"]))
+    assert got == want
