@@ -885,3 +885,100 @@ def test_cep_stream_kernel_not_followed_by_across_batches(data):
         (ai,), _not, (bi,) = match  # the negated stage contributes an empty entry
         want.add((evs[ai]["eid"], evs[bi]["eid"]))
     assert got == want
+
+
+def _assert_stream_equals_batch_generic(pattern_fn, events, batches, horizon_s=200.0, disorder_s=30.0):
+    """Generic bounded-disorder equivalence: drive the kernel across the
+    batches (+flush) and compare FULL output rows (every output stage
+    column) against the batch executor's matches, id-resolved."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.streaming.cep import (
+        _output_match,
+        _output_stages,
+        _scan,
+        _stage_out_cols,
+        _stream_kernel,
+    )
+
+    p = pattern_fn()
+    fn = _stream_kernel(
+        p, ["k"], "ts", "eid", "etype",
+        horizon=int(horizon_s * 1_000_000), horizon_s=horizon_s,
+        use_cleanup_timer=False,
+        disorder=int(disorder_s * 1_000_000),
+    )
+    out_cols = [c for c, _ in _stage_out_cols(p)]
+    state = _FakeGroupState()
+    got = set()
+
+    def freeze(v):
+        return tuple(v) if isinstance(v, (list, tuple)) else v
+
+    def drain(out_iter):
+        for out in out_iter or ():
+            for r in out.to_dict("records"):
+                got.add(tuple(freeze(r[c]) for c in out_cols))
+
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "eid": [e[0] for e in batch],
+                "ts": [pd.Timestamp(e[1] * 1_000_000, unit="us") for e in batch],
+                "etype": [e[2] for e in batch],
+            }
+        )
+        drain(fn((1,), [pdf], state))
+    state.hasTimedOut = True
+    drain(fn((1,), [], state))
+
+    p2 = pattern_fn()
+    evs = sorted(
+        ({"__ts": int(ts * 1_000_000), "eid": i, "etype": ty} for i, ts, ty in events),
+        key=lambda e: (e["__ts"], e["eid"]),
+    )
+    want = set()
+    for match in _scan(evs, p2):
+        row = []
+        for st, idxs in zip(_output_stages(p2), _output_match(p2, match)):
+            ids = [evs[i]["eid"] for i in idxs]
+            row.append(tuple(ids) if st.emits_array else (ids[0] if ids else None))
+        want.add(tuple(row))
+    assert got == want, (got - want, want - got)
+
+
+_ZOO = [
+    # strict contiguity: a late arrival cannot slot between a committed
+    # NEXT pair — it would be behind the fold point and dropped
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").next(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100),
+    # notNext: immediate successor must not be x (end-of-buffer undecided
+    # case closed by later folds / the flush)
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").not_next(
+        "x", lambda e: e["etype"] == "x"
+    ).followed_by("b", lambda e: e["etype"] == "b").within(100),
+    # optional middle stage: two derivation paths per match, deduped
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "x", lambda e: e["etype"] == "x"
+    ).optional().followed_by("b", lambda e: e["etype"] == "b").within(100),
+    # disjunctive predicate
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).or_(lambda e: e["etype"] == "x").within(100),
+    # times(2) consecutive repeats + skip strategy
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").times(2).followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100).skip_past_last_event(),
+]
+
+
+@given(data=_bounded_disorder_deliveries(), zoo_i=st.integers(0, len(_ZOO) - 1))
+@settings(max_examples=150, deadline=None)
+def test_cep_stream_kernel_pattern_zoo_bounded_disorder(data, zoo_i):
+    """The bounded-disorder batch-equivalence contract must hold across the
+    DSL, not just plain followed_by: strict NEXT, notNext, optional,
+    or-predicates, and quantified-consecutive + skip — each compared on
+    FULL output rows against the batch executor."""
+    events, batches = data
+    _assert_stream_equals_batch_generic(_ZOO[zoo_i], events, batches)
