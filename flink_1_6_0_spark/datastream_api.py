@@ -357,6 +357,16 @@ class KeyedStream:
         ``size`` rows in ``order_by`` order."""
         return CountWindowedDataStream(self.df, self.keys, order_by, size)
 
+    def cep(self, pat, ts_col: str, id_col: str, type_col: str | None = None, **stream_opts):
+        """CEP.pattern(keyedStream, pattern) (CEP.java:38) — returns the
+        PatternStream facade; ``.select()`` / ``.select_with_timeouts()``
+        route to the batch NFA or the stateful-stream executor by
+        ``df.isStreaming`` (streaming options: ``disorder_seconds``,
+        ``attr_cols``, ``with`` timeouts via the select variant)."""
+        from flink_1_6_0_spark.streaming.cep import pattern as _cep_pattern
+
+        return _cep_pattern(self.df, pat, self.keys, ts_col, id_col, type_col, **stream_opts)
+
     def fold(self, initial: dict, fold_fn, schema: str, order_by: list[str]) -> DataStream:
         """KeyedStream fold (deprecated-in-1.6 but present): rolling
         accumulate-with-seed per key. On a bounded frame the rolling fold's

@@ -1023,3 +1023,76 @@ def _stream_kernel(
             yield pd.DataFrame(rows, columns=key_cols + out_cols)
 
     return fn
+
+
+class PatternStream:
+    """PatternStream.java facade — the object ``CEP.pattern(stream, pattern)``
+    returns in the reference. ``select()`` emits matched rows;
+    ``select_with_timeouts()`` adds the timeout side output
+    (PatternStream.flatSelect with a timeout handler). Routing follows the
+    input: a streaming DataFrame runs the stateful-stream executor
+    (``cep_stream``), a batch DataFrame the batch NFA (``cep_batch``) — the
+    unified-API contract."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        pattern: Pattern,
+        key_cols: list[str],
+        ts_col: str,
+        id_col: str,
+        type_col: str | None = None,
+        **stream_opts,
+    ):
+        self.df = df
+        self.pattern = pattern
+        self.key_cols = key_cols
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.type_col = type_col
+        self.stream_opts = stream_opts
+
+    def _require_type_col(self):
+        if self.df.isStreaming and self.type_col is None:
+            raise ValueError(
+                "streaming CEP needs type_col (the state buffer keeps the "
+                "narrow event skeleton; add attr_cols for more fields)"
+            )
+
+    def select(self) -> DataFrame:
+        """Matched rows only (PatternStream.select)."""
+        self._require_type_col()
+        if self.df.isStreaming:
+            return cep_stream(
+                self.df, self.pattern, self.key_cols, self.ts_col,
+                self.id_col, self.type_col, **self.stream_opts,
+            )
+        return cep_batch(self.df, self.pattern, self.key_cols, self.ts_col, self.id_col)
+
+    def select_with_timeouts(self) -> DataFrame:
+        """Matches + timed-out partials (flatSelect + timeout handler)."""
+        self._require_type_col()
+        if self.df.isStreaming:
+            return cep_stream(
+                self.df, self.pattern, self.key_cols, self.ts_col,
+                self.id_col, self.type_col, with_timeouts=True, **self.stream_opts,
+            )
+        return cep_batch_with_timeouts(
+            self.df, self.pattern, self.key_cols, self.ts_col, self.id_col
+        )
+
+
+def pattern(
+    df: DataFrame,
+    pat: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str | None = None,
+    **stream_opts,
+) -> PatternStream:
+    """``CEP.pattern(input, pattern)`` (CEP.java:38) — the reference's single
+    entry point into pattern matching. ``stream_opts`` forward to
+    :func:`cep_stream` (``disorder_seconds``, ``attr_cols``,
+    ``buffer_horizon_seconds``, ``use_cleanup_timer``, ``cleanup_timer_ms``)."""
+    return PatternStream(df, pat, key_cols, ts_col, id_col, type_col, **stream_opts)

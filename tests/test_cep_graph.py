@@ -1085,3 +1085,64 @@ def test_sssp_non_convergence_raises(spark):
         g.single_source_shortest_paths(vertices, edges, 0, max_iterations=2)
     ok = g.single_source_shortest_paths(vertices, edges, 0, max_iterations=10)
     assert {r["id"]: r["distance"] for r in ok.collect()}[6] == 6.0
+
+
+def test_cep_pattern_facade_routes_batch_and_stream(spark, sf_dir):
+    """CEP.pattern(input, pattern) facade (CEP.java:38): identical results
+    through the facade as through the executors it routes to, for both the
+    batch NFA (batch input) and the stateful-stream executor (streaming
+    input, timeout variant included)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from flink_1_6_0_spark.datastream_api import DataStream
+    from flink_1_6_0_spark.queries import T
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_batch, pattern
+
+    def mk():
+        return (
+            Pattern.begin("view", lambda e: e["event_type"] == "view")
+            .followed_by_any("click", lambda e: e["event_type"] == "click")
+            .within(3600)
+        )
+
+    ev = T(spark, sf_dir, "events")
+    via_facade = pattern(ev, mk(), ["user_id"], "ts", "event_id").select().toPandas()
+    direct = cep_batch(ev, mk(), ["user_id"], "ts", "event_id").toPandas()
+    key = ["user_id", "view_id", "click_id"]
+    assert set(map(tuple, via_facade[key].itertuples(index=False))) == set(
+        map(tuple, direct[key].itertuples(index=False))
+    )
+    assert len(via_facade)
+
+    # KeyedStream hook reaches the same facade
+    ks = DataStream(ev).key_by("user_id")
+    via_keyed = ks.cep(mk(), "ts", "event_id").select().toPandas()
+    assert len(via_keyed) == len(direct)
+
+    # batch timeout variant routes to cep_batch_with_timeouts
+    to = pattern(ev, mk(), ["user_id"], "ts", "event_id").select_with_timeouts().toPandas()
+    assert set(to.columns) >= {"timed_out", "pending_stage"}
+    assert to["timed_out"].any() and (~to["timed_out"]).any()
+
+    # streaming routing: missing type_col must be rejected loudly
+    from flink_1_6_0_spark.sources.stream import events_stream, to_memory_sink
+
+    stream = events_stream(spark, sf_dir)
+    with pytest.raises(ValueError, match="type_col"):
+        pattern(stream, mk(), ["user_id"], "ts", "event_id").select()
+
+    out = pattern(
+        stream, mk(), ["user_id"], "ts", "event_id", "event_type",
+        use_cleanup_timer=False,
+    ).select()
+    assert out.isStreaming
+    q = to_memory_sink(out, "facade_cep_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM facade_cep_out").toPandas()
+    assert set(map(tuple, got[key].itertuples(index=False))) == set(
+        map(tuple, direct[key].itertuples(index=False))
+    )
