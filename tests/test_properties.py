@@ -970,6 +970,16 @@ _ZOO = [
     lambda: Pattern.begin("a", lambda e: e["etype"] == "a").times(2).followed_by(
         "b", lambda e: e["etype"] == "b"
     ).within(100).skip_past_last_event(),
+    # quantified run stopped by until() — extendable, exercises the withhold
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").one_or_more(
+        max_times=4
+    ).until(lambda e: e["etype"] == "x").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100),
+    # SKIP_TO_FIRST[b]: emitted matches prune to the first b's position
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100).skip_to_first("b"),
 ]
 
 
