@@ -405,3 +405,18 @@ def test_partition_pruning_reads_only_selected_dates(spark, sf_dir):
         .count()
     )
     assert files == 7
+
+
+def test_cep_batch_keeps_full_shuffle_width(spark, sf_dir):
+    """The batch CEP NFA stage is CPU-bound Python, so its exchange must be
+    a REPARTITION_BY_NUM at the configured shuffle width — exempt from
+    AQE's byte-based coalescing, which had collapsed the stage to 3 tasks
+    on 32 cores (round-9; 3.6 s -> 0.9 s at sf0.1). Exactly ONE exchange
+    feeds the FlatMapGroupsInPandas (the groupBy's own is elided)."""
+    plan = _plan(get("cep_funnel").fn(spark, sf_dir))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert f"hashpartitioning(user_id#" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert f", {n}), REPARTITION_BY_NUM" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
