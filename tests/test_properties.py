@@ -980,11 +980,22 @@ _ZOO = [
     lambda: Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
         "b", lambda e: e["etype"] == "b"
     ).within(100).skip_to_first("b"),
+    # quantified GROUP pattern: the (a then b) SEQUENCE repeated 1-2 times
+    lambda: Pattern.begin_group(
+        "ab",
+        Pattern.begin("a1", lambda e: e["etype"] == "a").followed_by(
+            "b1", lambda e: e["etype"] == "b"
+        ),
+    ).times(1, 2).within(100),
+    # timesOrMore lower bound
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").times_or_more(
+        2, max_times=4
+    ).followed_by("b", lambda e: e["etype"] == "b").within(100),
 ]
 
 
 @given(data=_bounded_disorder_deliveries(), zoo_i=st.integers(0, len(_ZOO) - 1))
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=300, deadline=None)
 def test_cep_stream_kernel_pattern_zoo_bounded_disorder(data, zoo_i):
     """The bounded-disorder batch-equivalence contract must hold across the
     DSL, not just plain followed_by: strict NEXT, notNext, optional,
