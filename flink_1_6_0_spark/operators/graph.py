@@ -39,6 +39,23 @@ def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return edges.select(src, dst).union(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
 
 
+# Sources persisted to feed a LAZY reliable checkpoint (see _checkpoint):
+# kept so the next lazy reliable checkpoint (or an explicit release) can
+# unpersist them once their checkpoint has materialized.
+_RELIABLE_PERSISTS: list[DataFrame] = []
+
+
+def release_reliable_persists() -> None:
+    """Unpersist the helper caches behind lazy reliable checkpoints. Safe to
+    call any time after the checkpointed frames have been materialized (their
+    checkpoint files, not the cache, serve subsequent reads)."""
+    while _RELIABLE_PERSISTS:
+        try:
+            _RELIABLE_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to free
+
+
 def _checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
     """Truncate loop lineage. ``local`` = localCheckpoint (fast default; pins
     blocks to executors — an executor loss mid-loop kills the job). At 100×
@@ -63,7 +80,16 @@ def _checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
         return df.localCheckpoint(eager=eager)
     if mode == "reliable":
         if not eager:
+            # drain persists registered by EARLIER lazy reliable checkpoints:
+            # by the time a later checkpoint is taken (driver-loop supersteps,
+            # or a fresh algorithm call) the prior one has materialized, so
+            # its helper persist is dead weight in executor storage — without
+            # this the cached RDDs accumulated for the session's lifetime
+            # (round-9 advice). release_reliable_persists() frees the last
+            # one explicitly.
+            release_reliable_persists()
             df = df.persist()
+            _RELIABLE_PERSISTS.append(df)
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
             if not sc.master.startswith("local"):

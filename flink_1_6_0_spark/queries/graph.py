@@ -178,6 +178,41 @@ def cep_double_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_iterative_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT v.user_id, v.event_id AS view_id, bp.event_id AS purchase_id
+    FROM v, LATERAL (
+      SELECT p.event_id FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        AND p.ts - v.ts <= INTERVAL 24 HOUR
+        AND p.value > v.value
+      ORDER BY p.ts, p.event_id LIMIT 1) bp
+    """,
+    tags=("cep",),
+)
+def cep_iterative_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE CONDITION (IterativeCondition.java:96 getEventsForPattern,
+    DSL usage :48): the purchase stage's predicate compares the candidate
+    against the PRIOR matched stage — ``purchase.value > view.value`` — via
+    the two-arg ``where(lambda e, ctx: ...)`` form; ``ctx.first('view')``
+    is the reference's ``ctx.getEventsForPattern("view")`` head. First-match
+    semantics (followed_by): per view anchor, the first later purchase that
+    clears the value bar — exactly the oracle's LATERAL first-row join."""
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by(
+            "purchase",
+            lambda e, ctx: e["event_type"] == "purchase"
+            and e["value"] > ctx.first("view")["value"],
+        )
+        .within(24 * 3600)
+    )
+    return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+
+
+@query(
     "graph_summarize",
     oracle="""
     WITH groups AS (

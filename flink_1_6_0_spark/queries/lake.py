@@ -258,6 +258,60 @@ def stream_multibatch_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
     return result
 
 
+@query(
+    "stream_multibatch_cep_iterative",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type, value FROM events
+               WHERE event_type IN ('view', 'purchase')),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT v.user_id, v.event_id AS view_id, bp.event_id AS purchase_id
+    FROM v, LATERAL (
+      SELECT p.event_id FROM e p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        AND p.ts <= v.ts + INTERVAL 24 HOUR
+        AND p.value > v.value
+      ORDER BY p.ts, p.event_id LIMIT 1) bp
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_multibatch_cep_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE CONDITION on a STREAM under disorder: the value-dependent
+    first-match funnel (purchase.value > view.value — IterativeCondition.
+    java:96 via the two-arg ``where``) over the same scrambled >= 4-micro-
+    batch replay as stream_multibatch_cep. Doubly order-sensitive: a late
+    earlier purchase changes which purchase wins AND the ctx comparison
+    decides per-candidate, so any premature emission diverges from batch.
+    ``attr_cols=['value']`` opts the compared column into the state buffer;
+    the oracle is the LATERAL first-row join with the value bar — a hash
+    match certifies cross-stage predicate state survives micro-batch
+    boundaries and the watermark fold."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by(
+            "purchase",
+            lambda e, ctx: e["event_type"] == "purchase"
+            and e["value"] > ctx.first("view")["value"],
+        )
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        cep_funnel_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+        attr_cols=["value"],
+    )
+    result, _ = _run_stream(out, "append", min_batches=4)
+    return result
+
+
 def streaming_throughput(spark: SparkSession, sf_dir: str) -> dict:
     """End-to-end micro-batch throughput figure for bench.py (BASELINE.md
     bench family 7): rows/s over the full multi-batch replay of the

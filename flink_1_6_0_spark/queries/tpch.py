@@ -324,7 +324,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q7_ORACLE = """
-SELECT supp_region, cust_region, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_region, cust_region, l_year,
+       CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
          year(l_shipdate) AS l_year,
@@ -385,10 +386,18 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bloc)
         .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
         .groupBy("supp_region", "cust_region", "l_year")
+        # exact per-term DECIMAL(18,4) before the sum: the product of 2dp
+        # price × 2dp discount has <=4 decimal digits, so the cast is exact
+        # and the sum becomes order-independent — real-distribution dbgen
+        # data landed the double-sum on a cent-rounding boundary (round-10
+        # oracle run), a flip no partitioning change should be able to cause
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy("supp_region", "cust_region", "l_year")
     )

@@ -129,9 +129,14 @@ def _evidence_rounds() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path) as fh:
-                names = json.load(fh).keys()
+                data = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict):
+            continue  # a non-dict top level is corrupt for our purposes —
+            # the docstring promises corrupt files are IGNORED, and
+            # registration must not depend on untracked working-dir files
+        names = data.keys()
         for n in names:
             latest[n] = max(latest.get(n, -1), rnd)
     return latest

@@ -128,20 +128,23 @@ def cep_funnel_stream_dir(spark: SparkSession, sf_dir: str) -> str:
       wall-clock timer needed).
 
     Only funnel-relevant columns/types ship through the state store
-    (user_id, event_id, ts, event_type) — at 100 TB the CEP buffer holds the
-    narrow event skeleton, never the payload (same economy as the reference's
-    SharedBuffer keeping serialized events once)."""
+    (user_id, event_id, ts, event_type, plus ``value`` for the iterative
+    value-dependent funnel — an ``attr_cols`` opt-in, not a default) — at
+    100 TB the CEP buffer holds the narrow event skeleton, never the payload
+    (same economy as the reference's SharedBuffer keeping serialized events
+    once)."""
     import glob as _glob
     import time
 
     src = os.path.join(sf_dir, "events.parquet")
-    dest = os.path.join(_lake_root(), _content_key(src), "cep_funnel_stream")
+    # v2: replay carries the value column (iterative-condition funnel)
+    dest = os.path.join(_lake_root(), _content_key(src), "cep_funnel_stream_v2")
     if os.path.isfile(os.path.join(dest, "_SUCCESS")):
         return dest
     ev = (
         read_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
-        .select("user_id", "event_id", "ts", "event_type")
+        .select("user_id", "event_id", "ts", "event_type", "value")
         .withColumn("event_date", F.to_date("ts"))
     )
     dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())
@@ -157,6 +160,7 @@ def cep_funnel_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         .withColumn("event_id", F.lit(-1).cast("long"))
         .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 9 DAYS"))
         .withColumn("event_type", F.lit("closer"))
+        .withColumn("value", F.lit(0.0))
     )
     frames = [
         ev.filter(F.col("event_date").isin(g)).drop("event_date") for g in groups

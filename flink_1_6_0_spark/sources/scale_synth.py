@@ -1,9 +1,11 @@
 """N× dataset synthesis — the offline stand-in for a bigger scale factor.
 
-The container has no network (DuckDB's tpch dbgen extension cannot be
-installed), so a true TPC-H sf1 is not generatable here. The honest
-alternative is a key-shifted 10× scale-up of sf0.1: facts replicated with
-shifted keys, dimensions reused — the realistic growth shape where dimension
+A REAL TPC-H sf1 is generatable offline via DuckDB's statically-bundled
+tpch extension — see sources/tpch_dbgen.py (round-9 verdict corrected the
+earlier no-network claim). This module remains the scale-up path for the
+NON-TPC-H tables (events/documents/embeddings, which dbgen does not cover)
+and as a plan-shape-preserving growth model: facts replicated with shifted
+keys, dimensions reused — the realistic growth shape where dimension
 cardinality lags fact growth, and exactly the synthesis SCALEPROBE.json's
 8×/64× exponents were measured on (scripts/scale_probe.py). ``sf1_dir``
 materializes it once (content-keyed, atomic publish — same cache protocol as
@@ -26,7 +28,7 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from flink_1_6_0_spark.sources.partitioned import _content_key, _lake_root, _publish
+from flink_1_6_0_spark.sources.partitioned import _lake_root, _publish
 
 
 def synthesize(spark: SparkSession, base: str, n: int, out: str) -> None:
@@ -73,10 +75,33 @@ def synthesize(spark: SparkSession, base: str, n: int, out: str) -> None:
     times(od, "o_orderkey", B).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
 
+def _all_tables_key(base: str) -> str:
+    """Content key over EVERY source table the synthesis reads — keying on
+    lineitem alone served a stale materialization when events/documents/
+    embeddings were regenerated without touching lineitem (round-9 advice).
+    Missing tables contribute their name so an added/removed file also
+    changes the key."""
+    import hashlib
+
+    parts = []
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        p = os.path.join(base, f"{t}.parquet")
+        if os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            parts.append(f"{t}:absent")
+    raw = os.path.abspath(base) + "|" + "|".join(parts)
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def sf1_dir(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
     """Materialize (once per source content) the 10× scale-up of sf0.1 —
     the sf1-equivalent bench point — and return its directory."""
-    key = _content_key(os.path.join(base, "lineitem.parquet"))
+    key = _all_tables_key(base)
     dest = os.path.join(_lake_root(), key, "sf1_x10")
     if os.path.isfile(os.path.join(dest, "_SUCCESS")):
         return dest

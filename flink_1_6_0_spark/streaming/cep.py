@@ -30,7 +30,13 @@ Also implemented:
 - group patterns (pattern/GroupPattern.java): ``begin_group`` /
   ``next_group`` / ``followed_by_group`` wrap a whole sub-pattern as one
   quantifiable stage; repetitions of the group follow each other with relaxed
-  contiguity and the group emits its matched ids flattened as ``<name>_ids``.
+  contiguity and the group emits its matched ids flattened as ``<name>_ids``;
+- iterative conditions (pattern/conditions/IterativeCondition.java:96):
+  two-arg predicates ``where(lambda e, ctx: ...)`` see the partial match's
+  prior-stage events via ``ctx.events_for(name)`` / ``ctx.first`` /
+  ``ctx.last`` — value-dependent funnels ("purchase.value > view.value")
+  work in both executors (streaming needs the compared columns in
+  ``attr_cols``).
 """
 
 from __future__ import annotations
@@ -46,6 +52,85 @@ from pyspark.sql import DataFrame
 NEXT = "next"
 FOLLOWED_BY = "followed_by"
 FOLLOWED_BY_ANY = "followed_by_any"
+
+
+class MatchContext:
+    """IterativeCondition.Context analog (flink-cep pattern/conditions/
+    IterativeCondition.java:96 ``getEventsForPattern``): inside a two-arg
+    ``where(lambda e, ctx: ...)`` predicate, ``ctx.events_for(name)`` (or
+    ``ctx[name]``) returns the events the named stage has accepted so far in
+    THIS partial match — earlier stages' runs plus, for the stage currently
+    looping, its own previously accepted repeats. ``ctx.first(name)`` /
+    ``ctx.last(name)`` are the accessors value-dependent funnels use
+    (IterativeCondition.java:48's subtype-sum example). Events are the same
+    dicts the one-arg predicate receives. Group sub-patterns see their own
+    sub-match only (documented divergence: the reference exposes the whole
+    enclosing partial match)."""
+
+    __slots__ = ("_events", "_pairs")
+
+    def __init__(self, events, pairs):
+        self._events = events
+        self._pairs = pairs
+
+    def events_for(self, name: str) -> list:
+        out = []
+        for st, run in self._pairs:
+            if getattr(st, "name", None) == name:
+                out.extend(self._events[i] for i in run)
+        return out
+
+    def __getitem__(self, name: str) -> list:
+        return self.events_for(name)
+
+    def first(self, name: str):
+        evs = self.events_for(name)
+        return evs[0] if evs else None
+
+    def last(self, name: str):
+        evs = self.events_for(name)
+        return evs[-1] if evs else None
+
+
+def _wants_ctx(fn) -> bool:
+    """True when a predicate was registered with a second positional
+    parameter — the opt-in for the iterative-condition context. Cached on
+    the function object (survives cloudpickle round-trips as a plain
+    attribute recomputed once per worker)."""
+    cached = getattr(fn, "__cep_wants_ctx__", None)
+    if cached is not None:
+        return cached
+    import inspect
+
+    try:
+        params = list(inspect.signature(fn).parameters.values())
+        wants = any(p.kind == p.VAR_POSITIONAL for p in params) or (
+            len(
+                [
+                    p
+                    for p in params
+                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                ]
+            )
+            >= 2
+        )
+    except (TypeError, ValueError):
+        wants = False
+    try:
+        fn.__cep_wants_ctx__ = wants
+    except (AttributeError, TypeError):
+        pass  # unsettable callables (builtins) just re-inspect each time
+    return wants
+
+
+def _pred(fn, ev, events, pairs) -> bool:
+    """Invoke a predicate in whichever form it was registered: one-arg
+    ``fn(event)`` or two-arg ``fn(event, ctx)`` (IterativeCondition). The
+    context object is built only when the predicate asked for it — the
+    one-arg hot path pays a cached attribute check and nothing else."""
+    if _wants_ctx(fn):
+        return fn(ev, MatchContext(events, pairs))
+    return fn(ev)
 
 # After-match skip strategies (cep/nfa/AfterMatchSkipStrategy.java, applied by
 # NFA.java:82's match pruning): once a match is emitted, partial matches that
@@ -115,6 +200,11 @@ class Pattern:
 
     @staticmethod
     def begin(name: str, where: Callable[[dict[str, Any]], bool]) -> "Pattern":
+        """Every ``where`` in the DSL accepts either form:
+        ``lambda e: ...`` (SimpleCondition) or ``lambda e, ctx: ...``
+        (IterativeCondition — ``ctx`` is a :class:`MatchContext` exposing
+        the partial match's prior-stage events, the reference's
+        ``getEventsForPattern``)."""
         return Pattern(stages=[Stage(name, where)])
 
     def next(self, name: str, where) -> "Pattern":
@@ -138,11 +228,21 @@ class Pattern:
 
     def or_(self, where) -> "Pattern":
         """where(...).or(...) (Pattern.java:172): disjunction on the last
-        stage's condition."""
+        stage's condition. Either branch may be the two-arg iterative form
+        ``lambda e, ctx: ...`` — the combined predicate takes the context
+        iff at least one branch does."""
         first = self.stages[-1].predicate
 
-        def either(e, _a=first, _b=where):
-            return _a(e) or _b(e)
+        if _wants_ctx(first) or _wants_ctx(where):
+
+            def either(e, ctx, _a=first, _b=where):
+                ra = _a(e, ctx) if _wants_ctx(_a) else _a(e)
+                return ra or (_b(e, ctx) if _wants_ctx(_b) else _b(e))
+
+        else:
+
+            def either(e, _a=first, _b=where):
+                return _a(e) or _b(e)
 
         self.stages[-1].predicate = either
         return self
@@ -282,7 +382,7 @@ def _scan(
             or events[idx]["__ts"] - start_ts <= within_us
         )
 
-    def repeat_runs(st: Stage, first_candidates, start_ts, all_starts: bool = False):
+    def repeat_runs(st: Stage, first_candidates, start_ts, all_starts: bool = False, pairs: tuple = ()):
         """All index-tuples for one quantified stage: each run picks repeats
         per the inner contiguity (strict adjacency when consecutive()).
         ``all_starts`` (the pattern's begin stage) anchors at every candidate
@@ -290,20 +390,23 @@ def _scan(
         stage IS the anchor (start_ts None), the run's own first event
         starts the ``within`` clock, so repeats of the begin stage are
         horizon-bounded too (review finding: an anchored times(2) ignored
-        within between its own repeats)."""
+        within between its own repeats). ``pairs`` is the (stage, run)
+        prefix matched so far — two-arg predicates see it (plus this run's
+        own accepted repeats) as their IterativeCondition context."""
         runs: list[tuple[int, ...]] = []
 
         def grow(run: tuple[int, ...], run_start):
             extended = False
             if len(run) < st.max_times:
+                self_pairs = pairs + ((st, run),)
                 prev = run[-1]
                 nxt = [prev + 1] if st.consecutive_repeats else range(prev + 1, n)
                 for idx in nxt:
                     if idx >= n or not in_horizon(idx, run_start):
                         break
-                    if st.until_pred is not None and st.until_pred(events[idx]):
+                    if st.until_pred is not None and _pred(st.until_pred, events[idx], events, self_pairs):
                         break  # until(): stop accepting, event not consumed
-                    if st.predicate(events[idx]):
+                    if _pred(st.predicate, events[idx], events, self_pairs):
                         grow(run + (idx,), run_start)
                         extended = True
                         if st.contiguity != FOLLOWED_BY_ANY and not st.combinations_flag:
@@ -319,9 +422,9 @@ def _scan(
                 break
             # until() stops the LOOP from accepting; fresh anchors (all_starts,
             # i.e. new NFA runs at the begin stage) may still start after it
-            if not all_starts and st.until_pred is not None and st.until_pred(events[first]):
+            if not all_starts and st.until_pred is not None and _pred(st.until_pred, events[first], events, pairs):
                 break
-            if st.predicate(events[first]):
+            if _pred(st.predicate, events[first], events, pairs):
                 grow((first,), start_ts if start_ts is not None else events[first]["__ts"])
                 if not all_starts and st.contiguity in (NEXT, FOLLOWED_BY):
                     break  # first matching start only
@@ -373,6 +476,7 @@ def _scan(
         return runs
 
     def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = (), anchor_inherit: bool = False):
+        pairs = tuple(zip(stages, acc))  # (stage, run) prefix for ctx predicates
         if stage_i == len(stages):
             if pending_not:
                 # the pattern ended with an un-discharged notFollowedBy
@@ -380,7 +484,7 @@ def _scan(
                 # the remaining in-horizon events — previously it silently
                 # evaporated at emit (review finding)
                 if any(
-                    p(events[i])
+                    _pred(p, events[i], events, pairs)
                     for p in pending_not
                     for i in range(last_idx + 1, n)
                     if in_horizon(i, start_ts)
@@ -404,7 +508,7 @@ def _scan(
             if st.contiguity == NEXT:
                 # notNext: the immediate successor must not match
                 nxt = last_idx + 1
-                if nxt < n and in_horizon(nxt, start_ts) and st.predicate(events[nxt]):
+                if nxt < n and in_horizon(nxt, start_ts) and _pred(st.predicate, events[nxt], events, pairs):
                     return
                 if closed_negations_only and nxt >= n:
                     # streaming: no successor observed yet — undecided; the
@@ -429,11 +533,13 @@ def _scan(
                 first_candidates = [last_idx + 1] if last_idx + 1 < n else []
             else:
                 first_candidates = range(last_idx + 1, n)
-            runs = repeat_runs(st, first_candidates, start_ts, all_starts=anchor_all)
+            runs = repeat_runs(st, first_candidates, start_ts, all_starts=anchor_all, pairs=pairs)
         advanced = False
         for run in runs:
             if pending_not and any(
-                p(events[i]) for p in pending_not for i in range(last_idx + 1, run[0])
+                _pred(p, events[i], events, pairs)
+                for p in pending_not
+                for i in range(last_idx + 1, run[0])
             ):
                 continue  # a forbidden event sits in the gap
             advanced = True
@@ -649,6 +755,30 @@ def cep_batch_with_timeouts(
     return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
+def _match_monotone(pattern: Pattern) -> bool:
+    """True when a late (cross-batch, in-horizon) event can only ADD matches,
+    never supersede one already emitted — the class for which the eager
+    (``disorder_seconds=None``) streaming mode is exact under any arrival
+    order: every post-anchor stage is ``followed_by_any`` (a late event
+    creates new combinations; existing ones stay valid), nothing is
+    quantified/greedy/negated/until-bounded (runs cannot be re-shaped), and
+    no after-match skip strategy (emitted matches never raise a threshold a
+    late match would have beaten). Conservatively False for group patterns
+    and iterative (two-arg) predicates."""
+    if pattern.skip_strategy != NO_SKIP:
+        return False
+    for i, st in enumerate(pattern.stages):
+        if isinstance(st, GroupStage):
+            return False
+        if st.negated or st.quantified or st.greedy_flag or st.until_pred is not None:
+            return False
+        if _wants_ctx(st.predicate):
+            return False
+        if i > 0 and st.contiguity != FOLLOWED_BY_ANY:
+            return False
+    return True
+
+
 def _pattern_extendable(pattern: Pattern) -> bool:
     """True when a later event can EXTEND a match the scan already produced
     (quantified/greedy stages: a longer run supersedes the shorter one). The
@@ -677,6 +807,7 @@ def cep_stream(
     cleanup_timer_ms: int | None = None,
     with_timeouts: bool = False,
     attr_cols: list[str] | None = None,
+    eager: bool = False,
 ):
     """Streaming CEP via applyInPandasWithState (PatternStream analog).
 
@@ -697,7 +828,8 @@ def cep_stream(
     priority queue and folds them into the NFA in timestamp order only when
     the watermark passes them; elements behind the watermark are dropped):
 
-    * ``disorder_seconds=None`` (default): ascending-event-time analog. Every
+    * ``disorder_seconds=None``: ascending-event-time analog (requires
+      ``eager=True`` unless the pattern is match-monotone — see below). Every
       in-horizon arrival is merged into the buffer and the whole buffer is
       re-scanned in timestamp order; arrivals more than the horizon behind
       the high-water mark are dropped BEFORE the scan, so an ancient pair
@@ -705,7 +837,10 @@ def cep_stream(
       and for match-monotone patterns (``followed_by_any`` — a late event
       only ADDS matches); a first-match pattern fed cross-batch-late events
       may emit matches a full-history scan would supersede (append mode
-      cannot retract — use a disorder bound for those).
+      cannot retract — use a disorder bound for those). Because that failure
+      is silent, eager mode RAISES for non-match-monotone patterns unless
+      the caller passes ``eager=True``, an explicit assertion that the
+      stream arrives in event-time order (round-9 verdict item 1).
     * ``disorder_seconds=D``: the Flink watermark model. A persisted fold
       point trails the high-water mark by D; only events at or behind the
       fold point are folded/scanned (newer arrivals stay buffered un-scanned
@@ -738,6 +873,20 @@ def cep_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     _validate_pattern(pattern)
+    if disorder_seconds is None and not eager and not _match_monotone(pattern):
+        # Round-8's two streaming bugs were exactly this configuration: a
+        # first-match/quantified pattern on a disordered stream in eager
+        # mode emits matches a full-history scan would supersede, and append
+        # mode cannot retract them. Refuse to guess — the caller must pick
+        # the watermark model (disorder_seconds=D, exact for lateness < D)
+        # or assert in-order/monotone input explicitly (eager=True).
+        raise ValueError(
+            "this pattern is not match-monotone (followed_by/next, "
+            "quantifiers, negation, skip strategies or iterative predicates "
+            "present): eager mode is only exact for in-order streams. Pass "
+            "disorder_seconds=D (watermark mode, exact for lateness < D) "
+            "or eager=True to assert the stream is in event-time order."
+        )
     # `is not None`, not truthiness: an explicit 0 must be rejected loudly,
     # not silently replaced by within_seconds (review finding)
     horizon_s = buffer_horizon_seconds if buffer_horizon_seconds is not None else pattern.within_seconds
@@ -749,12 +898,43 @@ def cep_stream(
     if disorder_seconds is not None and disorder_seconds < 0:
         raise ValueError(f"disorder bound must be >= 0, got {disorder_seconds}")
     disorder = None if disorder_seconds is None else int(round(disorder_seconds * 1_000_000))
-    if disorder is not None and buffer_horizon_seconds is None:
+    if disorder is not None:
         # a match cannot emit until the fold point passes its within-window,
         # i.e. until hwm >= start + within + disorder — the buffer must keep
-        # events that long or they would be trimmed before emission
-        horizon_s = horizon_s + disorder_seconds
-        horizon = int(round(horizon_s * 1_000_000))
+        # events that long or they would be trimmed before emission. An
+        # EXPLICIT buffer_horizon_seconds smaller than within+disorder is a
+        # silent-emptiness trap (withheld matches / pending timeouts evicted
+        # before the fold point reaches them), so it is rejected loudly.
+        if pattern.within_seconds is not None:
+            required_s = pattern.within_seconds + disorder_seconds
+            if horizon_s < required_s:
+                if buffer_horizon_seconds is not None:
+                    raise ValueError(
+                        f"buffer_horizon_seconds={buffer_horizon_seconds} < "
+                        f"within+disorder={required_s}: withheld matches and "
+                        "pending timeouts would be trimmed out of the buffer "
+                        "before the fold point reaches their emission time"
+                    )
+                horizon_s = required_s
+                horizon = int(round(horizon_s * 1_000_000))
+        else:
+            # no within(): the buffer horizon doubles as the match bound, so
+            # withheld-emission (start+horizon < hwm-disorder while start is
+            # still buffered) is unsatisfiable — reject the combinations that
+            # would silently emit nothing
+            if _pattern_extendable(pattern) or with_timeouts:
+                raise ValueError(
+                    "disorder_seconds with an extendable pattern or "
+                    "with_timeouts requires within(): without it the "
+                    "emission bound equals the buffer horizon and withheld "
+                    "matches would be evicted before they could ever emit"
+                )
+            if horizon_s <= disorder_seconds:
+                raise ValueError(
+                    f"buffer horizon ({horizon_s}s) must exceed "
+                    f"disorder_seconds ({disorder_seconds}s): events would be "
+                    "evicted before the fold point ever scans them"
+                )
 
     if with_timeouts and disorder is None:
         raise ValueError(
@@ -868,7 +1048,8 @@ def _stream_kernel(
         flush: nothing is withheld and every dead partial times out."""
         bound = within_us if within_us is not None else horizon
         touts: list | None = [] if with_timeouts else None
-        for match in _scan(events, pattern, timeouts=touts, closed_negations_only=closed_only):
+        matches = _scan(events, pattern, timeouts=touts, closed_negations_only=closed_only)
+        for match in matches:
             if extendable and fold_pt is not None:
                 # a quantified/greedy run can still grow while events inside
                 # its within-window may arrive: hold the match back until the
@@ -897,6 +1078,10 @@ def _stream_kernel(
             # future events are all >= fold_pt). On flush (fold_pt None) the
             # stream has ended — every dead partial is reported, the batch
             # executor's end-of-data convention (cep_batch_with_timeouts).
+            if any(m[: len(acc)] == acc for m in matches):
+                continue  # prefix of a full match this scan found: it
+                # completed via a sibling branch — same suppression as
+                # cep_batch_with_timeouts (batch/stream output parity)
             start = min(events[i]["__ts"] for idxs in acc for i in idxs)
             if fold_pt is not None and start + bound >= fold_pt:
                 continue
@@ -1093,6 +1278,6 @@ def pattern(
 ) -> PatternStream:
     """``CEP.pattern(input, pattern)`` (CEP.java:38) — the reference's single
     entry point into pattern matching. ``stream_opts`` forward to
-    :func:`cep_stream` (``disorder_seconds``, ``attr_cols``,
+    :func:`cep_stream` (``disorder_seconds``, ``attr_cols``, ``eager``,
     ``buffer_horizon_seconds``, ``use_cleanup_timer``, ``cleanup_timer_ms``)."""
     return PatternStream(df, pat, key_cols, ts_col, id_col, type_col, **stream_opts)

@@ -22,8 +22,16 @@ def main() -> int:
     filt = sys.argv[2] if len(sys.argv) > 2 else ""
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        if os.path.exists(f"{sf}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        else:
+            # TPC-H-only dirs (sources/tpch_dbgen.py) lack the synthetic
+            # events/documents/embeddings tables; queries that need them are
+            # simply not runnable there and will ERR if selected
+            print(f"note: {t}.parquet absent in {sf} — view skipped", file=sys.stderr)
     failures = 0
     specs = load_all()
     if filt == "--head":  # exactly the driver's 50-query gate window, in order

@@ -1438,6 +1438,7 @@ def test_cep_stream_state_recovers_across_restart(spark, tmp_path):
             "event_id",
             "event_type",
             use_cleanup_timer=False,
+            eager=True,  # files replayed in event-time order by construction
         )
         q = to_parquet_sink(stream, out, ckpt)
         try:
@@ -1498,6 +1499,7 @@ def test_cep_stream_attrs_survive_batch_boundary(spark, tmp_path):
         "event_type",
         use_cleanup_timer=False,
         attr_cols=["value"],
+        eager=True,  # batches arrive in event-time order by construction
     )
     q = to_memory_sink(out, "cep_attr_out", "append")
     try:
