@@ -197,6 +197,40 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: sf1 sweep skipped: {exc}", file=sys.stderr)
 
+    # REAL TPC-H sf1 via DuckDB dbgen (round-9 verdict task 1): the TPC-H
+    # headline subset against genuine sf1 value distributions (q19
+    # selectivity, q21 skew) — the ×10 replica above preserves only plan
+    # shapes. Generation is cached after the first run.
+    dbgen_set = ("tpch_q1", "tpch_q3", "tpch_q9", "tpch_q21")
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and abs(sf - 0.1) < 1e-9:
+        try:
+            from flink_1_6_0_spark.sources.tpch_dbgen import tpch_dir
+
+            t0 = time.perf_counter()
+            dd = tpch_dir(1.0)
+            gen_sec = round(time.perf_counter() - t0, 1)
+            by_name = {s.name: s for s in specs}
+            dq: dict[str, float] = {}
+            for name in dbgen_set:
+                spec = by_name.get(name)
+                if spec is None:
+                    continue
+                samples = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _consume(spec.fn(spark, dd))
+                    samples.append(time.perf_counter() - t0)
+                dq[name] = round(statistics.median(samples), 3)
+            out["sf1_dbgen"] = {
+                "sf": 1.0,
+                "note": "REAL TPC-H sf1 (DuckDB dbgen, sources/tpch_dbgen.py)",
+                "gen_or_cache_sec": gen_sec,
+                "runs_per_query": 2,
+                "queries": dq,
+            }
+        except Exception as exc:
+            print(f"bench: sf1 dbgen sweep skipped: {exc}", file=sys.stderr)
+
     # Matched-set ratio vs the recorded per-query baselines (BENCHBASE.json).
     try:
         base = json.load(open(BENCHBASE))
@@ -220,17 +254,18 @@ def main() -> None:
             out["unmatched_new"] = sorted(q for q, t in timings.items() if t >= 0 and q not in baseline)
         # sf1 sweep vs its own recorded baselines (first recording round
         # seeds them; thereafter the 2x gate has a real sf1 evidence point)
-        sf1b = base.get("sf1_baseline", {})
-        if "sf1" in out and sf1b:
-            q1 = out["sf1"]["queries"]
-            m1 = [q for q, t in q1.items() if t >= 0 and q in sf1b]
-            if m1:
-                out["sf1"]["vs_baseline_matched"] = round(
-                    sum(q1[q] for q in m1) / sum(sf1b[q] for q in m1), 3
-                )
-                out["sf1"]["per_query_ratio"] = {
-                    q: round(q1[q] / sf1b[q], 2) for q in m1
-                }
+        for blk, bkey in (("sf1", "sf1_baseline"), ("sf1_dbgen", "sf1_dbgen_baseline")):
+            bb = base.get(bkey, {})
+            if blk in out and bb:
+                q1 = out[blk]["queries"]
+                m1 = [q for q, t in q1.items() if t >= 0 and q in bb]
+                if m1:
+                    out[blk]["vs_baseline_matched"] = round(
+                        sum(q1[q] for q in m1) / sum(bb[q] for q in m1), 3
+                    )
+                    out[blk]["per_query_ratio"] = {
+                        q: round(q1[q] / bb[q], 2) for q in m1
+                    }
     except Exception as exc:
         print(f"bench: baseline comparison skipped: {exc}", file=sys.stderr)
 

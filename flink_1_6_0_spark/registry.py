@@ -101,13 +101,14 @@ _SENTINELS = (
 )
 
 # Queries whose kernels changed since their last driver evidence — re-seated
-# for fresh rows this round (r9: the CEP executor pair after the stream-kernel
-# watermark rework; the graph family after r8's lazy checkpoint pins; the
-# skew report after r8's NULL-ordering fix).
+# for fresh rows this round (r10: the whole CEP family after the iterative-
+# condition wiring through _scan + the unbounded-loop change; tpch_q7 after
+# the order-independent decimal revenue sum).
 _ROTATE_IN = (
+    "tpch_q7",
     "cep_funnel", "cep_double_click",
-    "graph_jaccard_index", "graph_transitive_closure",
-    "graph_triadic_census_directed", "skew_report_events",
+    "stream_multibatch_cep", "stream_multibatch_cep_timeout",
+    "stream_cep_value_funnel",
 )
 
 

@@ -63,9 +63,12 @@ class MatchContext:
     looping, its own previously accepted repeats. ``ctx.first(name)`` /
     ``ctx.last(name)`` are the accessors value-dependent funnels use
     (IterativeCondition.java:48's subtype-sum example). Events are the same
-    dicts the one-arg predicate receives. Group sub-patterns see their own
-    sub-match only (documented divergence: the reference exposes the whole
-    enclosing partial match)."""
+    dicts the one-arg predicate receives. Inside a group sub-pattern the
+    context also exposes the ENCLOSING partial match: outer stages by their
+    names, and the group's earlier repetitions aggregated under the GROUP's
+    name (inner stage names of earlier repetitions are not individually
+    addressable — a documented approximation of the reference's per-pattern
+    event registry)."""
 
     __slots__ = ("_events", "_pairs")
 
@@ -104,12 +107,16 @@ def _wants_ctx(fn) -> bool:
 
     try:
         params = list(inspect.signature(fn).parameters.values())
+        # count REQUIRED positional params only: closure-capturing defaults
+        # (``lambda e, _a=...: ...`` — the or_ combinator, partial-bound
+        # helpers) must not be mistaken for a ctx slot
         wants = any(p.kind == p.VAR_POSITIONAL for p in params) or (
             len(
                 [
                     p
                     for p in params
                     if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                    and p.default is p.empty
                 ]
             )
             >= 2
@@ -147,7 +154,7 @@ class Stage:
     predicate: Callable[[dict[str, Any]], bool]
     contiguity: str = FOLLOWED_BY
     min_times: int = 1
-    max_times: int = 1
+    max_times: int | None = 1  # None = unbounded (oneOrMore/timesOrMore)
     consecutive_repeats: bool = False
     negated: bool = False  # notNext/notFollowedBy (Pattern.java:267,298)
     until_pred: Callable[[dict[str, Any]], bool] | None = None  # until (Pattern.java:214)
@@ -178,7 +185,7 @@ class GroupStage:
     sub: "Pattern"
     contiguity: str = FOLLOWED_BY
     min_times: int = 1
-    max_times: int = 1
+    max_times: int | None = 1  # None = unbounded
 
     @property
     def quantified(self) -> bool:
@@ -281,18 +288,24 @@ class Pattern:
         self.stages[-1].min_times = 0
         return self
 
-    def one_or_more(self, max_times: int = 8) -> "Pattern":
-        """oneOrMore (Pattern.java:346). Flink's is unbounded; ours caps the
-        repeat count (documented divergence — bounds the NFA state)."""
+    def one_or_more(self, max_times: int | None = None) -> "Pattern":
+        """oneOrMore (Pattern.java:346). Unbounded like the reference
+        (``max_times=None``): a run grows until the ``within`` horizon or
+        the data ends — the horizon is the real state bound, exactly as the
+        reference's NFA loop states live until the window closes. Pass an
+        explicit ``max_times`` to cap repetition count (useful for
+        combinatorial *_ANY loops where enumeration is exponential in run
+        length; earlier rounds capped at 8 by default — a dense in-horizon
+        run longer than the cap was silently truncated)."""
         self.stages[-1].min_times = 1
         self.stages[-1].max_times = max_times
         return self
 
-    def times_or_more(self, n: int, max_times: int = 8) -> "Pattern":
-        """timesOrMore (Pattern.java:414). Unbounded in the reference; capped
-        like one_or_more (documented divergence)."""
+    def times_or_more(self, n: int, max_times: int | None = None) -> "Pattern":
+        """timesOrMore (Pattern.java:414). Unbounded like the reference; an
+        explicit ``max_times`` caps the repeat count (see one_or_more)."""
         self.stages[-1].min_times = n
-        self.stages[-1].max_times = max(n, max_times)
+        self.stages[-1].max_times = None if max_times is None else max(n, max_times)
         return self
 
     def greedy(self) -> "Pattern":
@@ -397,7 +410,7 @@ def _scan(
 
         def grow(run: tuple[int, ...], run_start):
             extended = False
-            if len(run) < st.max_times:
+            if st.max_times is None or len(run) < st.max_times:
                 self_pairs = pairs + ((st, run),)
                 prev = run[-1]
                 nxt = [prev + 1] if st.consecutive_repeats else range(prev + 1, n)
@@ -430,9 +443,12 @@ def _scan(
                     break  # first matching start only
         return runs
 
-    def sub_matches_at(gst: GroupStage, at_idx: int, start_ts):
+    def sub_matches_at(gst: GroupStage, at_idx: int, start_ts, base_pairs: tuple = ()):
         """Full sub-pattern matches whose FIRST event is exactly events[at_idx]
-        (flattened index tuples) — the position-anchored scan group_runs needs."""
+        (flattened index tuples) — the position-anchored scan group_runs needs.
+        ``base_pairs`` carries the ENCLOSING partial match (outer stages +
+        the group's own earlier repetitions) so inner ctx predicates see it,
+        as the reference's IterativeCondition context does."""
         res: list[tuple[int, ...]] = []
 
         def emit(acc, _last):
@@ -440,13 +456,18 @@ def _scan(
             if flat and flat[0] == at_idx:
                 res.append(flat)
 
-        walk(gst.sub.stages, 0, at_idx - 1, start_ts, (), emit, top_level=False)
+        walk(gst.sub.stages, 0, at_idx - 1, start_ts, (), emit, top_level=False, base_pairs=base_pairs)
         return res
 
-    def group_runs(gst: GroupStage, last_idx: int, start_ts, anchor_all: bool):
+    def group_runs(gst: GroupStage, last_idx: int, start_ts, anchor_all: bool, pairs: tuple = ()):
         """Runs for a group stage: each run concatenates 1..max_times full
         sub-sequence matches. First repetition anchored per the group's
-        contiguity; later repetitions relaxed (first feasible, deterministic)."""
+        contiguity; later repetitions relaxed (first feasible, deterministic).
+        Inner predicates' ctx sees the outer stages by name plus the group's
+        earlier repetitions aggregated under the GROUP's name (the flattened
+        run — inner stage names of earlier repetitions are not individually
+        addressable, a documented approximation of the reference's
+        per-pattern registry)."""
         runs: list[tuple[int, ...]] = []
 
         def grow(run: tuple[int, ...], reps: int, run_start):
@@ -457,7 +478,7 @@ def _scan(
             for s2 in range(run[-1] + 1, n):
                 if not in_horizon(s2, run_start):
                     break
-                subs = sub_matches_at(gst, s2, run_start)
+                subs = sub_matches_at(gst, s2, run_start, pairs + ((gst, run),))
                 if subs:
                     grow(run + subs[0], reps + 1, run_start)
                     return  # deterministic: one repetition chain
@@ -468,15 +489,17 @@ def _scan(
             if s >= n or not in_horizon(s, start_ts):
                 break
             eff_start = start_ts if start_ts is not None else events[s]["__ts"]
-            subs = sub_matches_at(gst, s, eff_start)
+            subs = sub_matches_at(gst, s, eff_start, pairs + ((gst, ()),))
             for flat in subs:
                 grow(flat, 1, eff_start)
             if strict or (subs and not anchor_all):
                 break
         return runs
 
-    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = (), anchor_inherit: bool = False):
-        pairs = tuple(zip(stages, acc))  # (stage, run) prefix for ctx predicates
+    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = (), anchor_inherit: bool = False, base_pairs: tuple = ()):
+        # (stage, run) prefix for ctx predicates; base_pairs prepends the
+        # enclosing partial match when this walk runs a group sub-pattern
+        pairs = base_pairs + tuple(zip(stages, acc))
         if stage_i == len(stages):
             if pending_not:
                 # the pattern ended with an un-discharged notFollowedBy
@@ -515,19 +538,19 @@ def _scan(
                     # match re-derives once one arrives (review finding:
                     # eager emission here was a permanent false positive)
                     return
-                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all)
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all, base_pairs=base_pairs)
             else:
                 # notFollowedBy: forbid matches in the gap before the NEXT
                 # positive stage's first event
-                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,), anchor_inherit=anchor_all)
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,), anchor_inherit=anchor_all, base_pairs=base_pairs)
             return
         if st.min_times == 0:
             # skipping the anchor stage makes the NEXT positive stage the
             # effective anchor — without inheritance, matches starting at
             # later events were never enumerated (review finding)
-            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all)
+            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all, base_pairs=base_pairs)
         if isinstance(st, GroupStage):
-            runs = group_runs(st, last_idx, start_ts, anchor_all)
+            runs = group_runs(st, last_idx, start_ts, anchor_all, pairs=pairs)
         else:
             if st.contiguity == NEXT and not anchor_all:
                 first_candidates = [last_idx + 1] if last_idx + 1 < n else []
@@ -544,7 +567,7 @@ def _scan(
                 continue  # a forbidden event sits in the gap
             advanced = True
             new_start = start_ts if start_ts is not None else events[run[0]]["__ts"]
-            walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level)
+            walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level, base_pairs=base_pairs)
         # timeout capture (PatternStream flatSelect timeout handler,
         # CEP.java/PatternStream.java): a partial match whose next positive
         # stage has NO in-horizon continuation is dead — once the watermark

@@ -1146,3 +1146,144 @@ def test_cep_pattern_facade_routes_batch_and_stream(spark, sf_dir):
     assert set(map(tuple, got[key].itertuples(index=False))) == set(
         map(tuple, direct[key].itertuples(index=False))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: iterative conditions, unbounded loops, loud eager mode
+# ---------------------------------------------------------------------------
+
+
+def test_cep_batch_iterative_condition(spark):
+    """IterativeCondition (IterativeCondition.java:96): purchase qualifies
+    only if its value beats the matched view's — the ctx-visible prior
+    stage decides per-candidate."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 10.0),
+        (2, "2024-01-01 00:05:00", 1, "purchase", 5.0),   # below the bar
+        (3, "2024-01-01 00:10:00", 1, "purchase", 20.0),  # first-match winner
+        (4, "2024-01-01 00:15:00", 1, "view", 30.0),
+        (5, "2024-01-01 00:20:00", 1, "purchase", 25.0),  # below view4's bar
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pat = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by(
+            "purchase",
+            lambda e, ctx: e["event_type"] == "purchase"
+            and e["value"] > ctx.first("view")["value"],
+        )
+        .within(3600)
+    )
+    out = cep_batch(df, pat, ["user_id"], "ts", "event_id")
+    got = {(r.user_id, r.view_id, r.purchase_id) for r in out.collect()}
+    assert got == {(1, 1, 3)}  # view4 finds no qualifying purchase
+
+
+def test_cep_unbounded_one_or_more_beats_old_cap(spark):
+    """A dense in-horizon run LONGER than the old default cap (8) must match
+    in full — oneOrMore is unbounded like Pattern.java:346 now."""
+    n = 12
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 1, "click") for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pat = Pattern.begin("c", lambda e: e["event_type"] == "click").one_or_more().greedy().within(7200)
+    out = cep_batch(df, pat, ["user_id"], "ts", "event_id")
+    lengths = {len(r.c_ids) for r in out.collect()}
+    assert max(lengths) == n
+
+
+def test_cep_stream_eager_requires_opt_in_for_non_monotone(spark, sf_dir):
+    """Round-9 verdict item 1: eager mode + a non-match-monotone pattern is
+    the configuration round 8 proved unsafe — it must raise unless the
+    caller asserts event-time order with eager=True."""
+    import pytest
+
+    from flink_1_6_0_spark.sources.stream import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    pat = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+    with pytest.raises(ValueError, match="match-monotone"):
+        cep_stream(stream, pat, ["user_id"], "ts", "event_id", "event_type")
+    # explicit opt-in builds the plan (not executed here)
+    out = cep_stream(
+        stream, pat, ["user_id"], "ts", "event_id", "event_type",
+        use_cleanup_timer=False, eager=True,
+    )
+    assert out.isStreaming
+    # match-monotone patterns need no flag
+    mono = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+    assert cep_stream(
+        stream, mono, ["user_id"], "ts", "event_id", "event_type",
+        use_cleanup_timer=False,
+    ).isStreaming
+
+
+def test_cep_stream_explicit_horizon_smaller_than_within_plus_disorder_raises(spark, sf_dir):
+    """Round-9 ADVICE (medium): horizon < within+disorder trims withheld
+    matches before the fold point reaches them — silent emptiness. Must
+    raise loudly instead."""
+    import pytest
+
+    from flink_1_6_0_spark.sources.stream import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    pat = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by_any("click", lambda e: e["event_type"] == "click")
+        .within(3600)
+    )
+    with pytest.raises(ValueError, match="within\\+disorder"):
+        cep_stream(
+            stream, pat, ["user_id"], "ts", "event_id", "event_type",
+            buffer_horizon_seconds=3600, disorder_seconds=600,
+            use_cleanup_timer=False,
+        )
+    # adequate explicit horizon is accepted
+    assert cep_stream(
+        stream, pat, ["user_id"], "ts", "event_id", "event_type",
+        buffer_horizon_seconds=4200, disorder_seconds=600,
+        use_cleanup_timer=False,
+    ).isStreaming
+
+
+def test_cep_group_subpattern_sees_enclosing_match():
+    """Iterative conditions inside a GROUP sub-pattern see the ENCLOSING
+    partial match (the reference's IterativeCondition context spans the
+    whole partial match): the inner b stage filters on the OUTER anchor's
+    value."""
+    from flink_1_6_0_spark.streaming.cep import _scan
+
+    def ev(i, ts, typ, val):
+        return {"event_id": i, "__ts": ts * 1_000_000, "event_type": typ, "value": val}
+
+    events = [
+        ev(1, 1, "s", 10.0),
+        ev(2, 2, "a", 0.0),
+        ev(3, 3, "b", 5.0),   # below the outer bar — must be skipped
+        ev(4, 4, "a", 0.0),
+        ev(5, 5, "b", 15.0),  # above — the qualifying inner b
+    ]
+    p = (
+        Pattern.begin("s", lambda e: e["event_type"] == "s")
+        .followed_by_group(
+            "g",
+            Pattern.begin("ga", lambda e: e["event_type"] == "a").followed_by(
+                "gb",
+                lambda e, ctx: e["event_type"] == "b"
+                and e["value"] > ctx.first("s")["value"],
+            ),
+        )
+        .within(3600)
+    )
+    assert _scan(events, p) == [((0,), (1, 4))]

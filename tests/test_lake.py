@@ -177,3 +177,69 @@ def test_multibatch_cep_single_stateful_operator(spark, sf_dir):
     # state actually persists across batches: later batches report nonzero
     # total state rows even before their own updates
     assert progress[-1]["stateOperators"][0]["numRowsTotal"] > 0
+
+
+def test_multibatch_cep_rocksdb_state_store(spark, sf_dir):
+    """SCALING.md prescribes the RocksDB state-store provider for
+    beyond-memory state at 100 TB — prove the state tier is actually
+    swappable (round-9 verdict task 4): the same scrambled multi-batch CEP
+    replay, run under RocksDBStateStoreProvider, must emit the identical
+    match set, and the query progress must show RocksDB serving the stateful
+    operator (rocksdb custom metrics present)."""
+    import uuid
+
+    from flink_1_6_0_spark.sources.partitioned import (
+        CEP_REPLAY_DISORDER_S,
+        cep_funnel_stream,
+    )
+    from flink_1_6_0_spark.sources.stream import to_memory_sink
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    def run():
+        pattern = (
+            Pattern.begin("view", lambda e: e["event_type"] == "view")
+            .followed_by("click", lambda e: e["event_type"] == "click")
+            .within(24 * 3600)
+        )
+        out = cep_stream(
+            cep_funnel_stream(spark, sf_dir),
+            pattern,
+            ["user_id"],
+            "ts",
+            "event_id",
+            "event_type",
+            use_cleanup_timer=False,
+            disorder_seconds=CEP_REPLAY_DISORDER_S,
+        )
+        name = f"cep_rocks_{uuid.uuid4().hex[:8]}"
+        q = to_memory_sink(out, name, "append")
+        try:
+            q.processAllAvailable()
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        finally:
+            q.stop()
+        rows = {
+            tuple(r)
+            for r in spark.sql(f"SELECT user_id, view_id, click_id FROM {name}").collect()
+        }
+        return rows, progress
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    baseline_rows, _ = run()
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks_rows, rocks_progress = run()
+    finally:
+        if default is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, default)
+    assert rocks_rows == baseline_rows and rocks_rows
+    # RocksDB really served the stateful operator: its custom metrics are
+    # provider-specific (absent under the default HDFS-backed provider)
+    metrics = rocks_progress[-1]["stateOperators"][0]["customMetrics"]
+    assert any(k.lower().startswith("rocksdb") for k in metrics), metrics

@@ -991,6 +991,34 @@ _ZOO = [
     lambda: Pattern.begin("a", lambda e: e["etype"] == "a").times_or_more(
         2, max_times=4
     ).followed_by("b", lambda e: e["etype"] == "b").within(100),
+    # ITERATIVE condition (IterativeCondition.java:96): the b stage compares
+    # the candidate against the matched a — doubly order-sensitive (which a
+    # matched decides which b qualifies)
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e, ctx: e["etype"] == "b" and e["eid"] > ctx.first("a")["eid"]
+    ).within(100),
+    # iterative SELF-reference inside a loop: strictly increasing eids over
+    # the stage's own previously accepted repeats (getEventsForPattern on
+    # the looping stage itself)
+    lambda: Pattern.begin(
+        "a",
+        lambda e, ctx: e["etype"] == "a"
+        and (not ctx.events_for("a") or e["eid"] > ctx.last("a")["eid"]),
+    ).times(2).followed_by("b", lambda e: e["etype"] == "b").within(100),
+    # UNBOUNDED oneOrMore (no cap, reference semantics): run length bounded
+    # only by the within horizon / data
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").one_or_more().followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100),
+    # group sub-pattern whose inner predicate reads the ENCLOSING match
+    # (outer anchor visible inside the group walk)
+    lambda: Pattern.begin("s", lambda e: e["etype"] == "x").followed_by_group(
+        "g",
+        Pattern.begin("ga", lambda e: e["etype"] == "a").followed_by(
+            "gb",
+            lambda e, ctx: e["etype"] == "b" and e["eid"] > ctx.first("s")["eid"],
+        ),
+    ).within(100),
 ]
 
 
