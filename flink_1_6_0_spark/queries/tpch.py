@@ -26,17 +26,35 @@ from flink_1_6_0_spark.registry import query
 # (flink-table/.../plan/nodes/dataset/DataSetAggregate.scala:40).
 # ---------------------------------------------------------------------------
 
+# Order-independent sums WITHOUT leaving whole-stage codegen's long-sum path:
+# raw double sums flipped a cent-rounding boundary on real dbgen data (q1's
+# sum_charge at sf10 — round-10 oracle run), and per-term DECIMAL sums fixed
+# that but ran ~5x slower (sum(decimal(18,x)) widens past the long-backed
+# precision). Instead each term — a product of <=2dp factors, so exactly
+# representable at 2/4/6 decimals — is scaled to an integer (cents /
+# basis-points / micro-units), rounded (the double sits within ~1e-7 of the
+# true integer, so both engines round to the SAME long), and summed as
+# BIGINT: exact, associative, and still a codegen long sum. The final
+# value = round(double(sum)/scale, k) is computed from identical longs on
+# both engines, so it cannot diverge. The integer conversion is
+# floor(x*scale + 0.5) — NOT round(): Spark's ROUND routes doubles through
+# BigDecimal per row, which benchmarked ~2.4x slower than the double-sum
+# era, while floor stays in codegen. floor+half is exact here because every
+# term is non-negative and within ~1e-7 of its true scaled integer. Overflow headroom: charge micro-units
+# sum to ~1.8e18 at sf10's largest group — safe through roughly sf40 per
+# group against the 9.2e18 long range (switch to decimal or hi/lo split
+# sums beyond that).
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2)                                          AS sum_qty,
-  round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-  round(avg(l_quantity), 4)                                          AS avg_qty,
-  round(avg(l_extendedprice), 4)                                     AS avg_price,
-  round(avg(l_discount), 4)                                          AS avg_disc,
+  round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+  round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_qty,
+  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
   count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -50,17 +68,27 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = T(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+
+    def as_units(col, scale):
+        return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+    qty_c = F.sum(as_units(F.col("l_quantity"), 100))
+    price_c = F.sum(as_units(F.col("l_extendedprice"), 100))
+    disc_c = F.sum(as_units(F.col("l_discount"), 100))
+    dp_bp = F.sum(as_units(disc_price, 10_000))
+    charge_u = F.sum(as_units(charge, 1_000_000))
+    cnt = F.count("*")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(qty_c.cast("double") / 100.0, 2).alias("sum_qty"),
+            F.round(price_c.cast("double") / 100.0, 2).alias("sum_base_price"),
+            F.round(dp_bp.cast("double") / 10_000.0, 2).alias("sum_disc_price"),
+            F.round(charge_u.cast("double") / 1_000_000.0, 2).alias("sum_charge"),
+            F.round(qty_c.cast("double") / 100.0 / cnt, 4).alias("avg_qty"),
+            F.round(price_c.cast("double") / 100.0 / cnt, 4).alias("avg_price"),
+            F.round(disc_c.cast("double") / 100.0 / cnt, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -76,7 +104,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_ORACLE = """
 SELECT
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer
@@ -101,7 +129,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -117,7 +145,7 @@ _Q10_ORACLE = """
 SELECT
   c_custkey,
   c_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
   round(c_acctbal, 2) AS c_acctbal,
   n_name
 FROM customer
@@ -147,7 +175,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -161,7 +189,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders    ON c_custkey = o_custkey
 JOIN lineitem  ON l_orderkey = o_orderkey
@@ -197,7 +225,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -208,7 +236,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -231,7 +259,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")), 2).cast("double").alias("revenue"),
             F.count("*").alias("n"),
         )
     )

@@ -76,8 +76,8 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 4) AS mkt_share
+       round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 4) AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -133,8 +133,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
-                / F.sum(volume),
+                F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0)).cast("decimal(18,4)")).cast("double")
+                / F.sum(volume.cast("decimal(18,4)")).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -235,10 +235,12 @@ WITH asia_lines AS (
   JOIN region   ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
 )
-SELECT l_partkey AS p_partkey, round(sum(l_extendedprice), 2) AS part_value
+SELECT l_partkey AS p_partkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS part_value
 FROM asia_lines
 GROUP BY l_partkey
-HAVING sum(l_extendedprice) > (SELECT 0.001 * sum(l_extendedprice) FROM asia_lines)
+HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+     > (SELECT 0.001 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) FROM asia_lines)
 ORDER BY part_value DESC, p_partkey
 """
 
@@ -261,14 +263,16 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("l_partkey", "l_extendedprice")
     )
-    per_part = lines.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("v_raw"))
-    total = per_part.agg((F.sum("v_raw") * 0.001).alias("threshold"))
+    per_part = lines.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("v_raw")
+    )
+    total = per_part.agg((F.sum("v_raw").cast("double") * 0.001).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("v_raw") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("v_raw", 2).alias("part_value"),
+            F.round("v_raw", 2).cast("double").alias("part_value"),
         )
         .orderBy(F.desc("part_value"), "p_partkey")
     )
@@ -361,10 +365,10 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q14_ORACLE = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+                              ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -384,8 +388,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast("decimal(18,4)")).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -399,7 +403,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -422,9 +426,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
         )
+        .cast("double")
+        .alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = T(spark, sf_dir, "supplier")
@@ -478,7 +484,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23' AND p_size < 10
   AND l_quantity < (
@@ -502,7 +508,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -511,7 +521,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -544,9 +554,11 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -680,11 +692,11 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 WITH avg_bal AS (
-  SELECT avg(c_acctbal) AS ab FROM customer
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab FROM customer
   WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
 )
 SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer, avg_bal
 WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
   AND c_acctbal > ab
@@ -703,7 +715,9 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalar average broadcasts as a 1-row frame (no collect)."""
     nations = (1, 3, 5, 7, 9, 11, 13)
     c = T(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(*nations))
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("ab")
+    )
     recent = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
@@ -716,7 +730,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

@@ -233,6 +233,27 @@ class Pattern:
         self.stages.append(Stage(name, where, FOLLOWED_BY, negated=True))
         return self
 
+    def where(self, cond) -> "Pattern":
+        """A SECOND (third, …) ``where`` on the same stage ANDs with the
+        existing condition (Pattern.java:150 — conditions combine via
+        RichAndCondition). Either conjunct may be the two-arg iterative
+        form; the combined predicate takes the context iff one does."""
+        first = self.stages[-1].predicate
+
+        if _wants_ctx(first) or _wants_ctx(cond):
+
+            def both(e, ctx, _a=first, _b=cond):
+                ra = _a(e, ctx) if _wants_ctx(_a) else _a(e)
+                return ra and (_b(e, ctx) if _wants_ctx(_b) else _b(e))
+
+        else:
+
+            def both(e, _a=first, _b=cond):
+                return _a(e) and _b(e)
+
+        self.stages[-1].predicate = both
+        return self
+
     def or_(self, where) -> "Pattern":
         """where(...).or(...) (Pattern.java:172): disjunction on the last
         stage's condition. Either branch may be the two-arg iterative form

@@ -57,6 +57,8 @@ PROBES = [
     "pack_sequences_ffd", # Arrow applyInPandas per-shard kernel
     "corpus_e2e_pretrain",# composed pipeline (score+dedup+mix+pack)
     "graph_triadic_census_directed",  # fact-join edge derivation + census
+    "cep_funnel",                     # keyed-wide Python NFA scan
+    "cep_iterative_funnel",           # NFA scan with ctx predicates (r10)
 ]
 
 

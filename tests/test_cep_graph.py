@@ -1287,3 +1287,27 @@ def test_cep_group_subpattern_sees_enclosing_match():
         .within(3600)
     )
     assert _scan(events, p) == [((0,), (1, 4))]
+
+
+def test_cep_where_and_chaining():
+    """Pattern.java:150 — a second where() ANDs with the stage's existing
+    condition (RichAndCondition), composing across predicate arities."""
+    from flink_1_6_0_spark.streaming.cep import _scan
+
+    def ev(i, ts, typ, val):
+        return {"event_id": i, "__ts": ts * 1_000_000, "event_type": typ, "value": val}
+
+    events = [
+        ev(1, 1, "view", 10.0),
+        ev(2, 2, "purchase", 20.0),   # beats view but value <= 15: AND fails
+        ev(3, 3, "purchase", 16.0),   # wait — 16 > 15 AND > view: qualifies
+    ]
+    p = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .where(lambda e: e["value"] <= 18)                    # one-arg conjunct
+        .where(lambda e, ctx: e["value"] > ctx.first("view")["value"])  # ctx conjunct
+        .within(3600)
+    )
+    # first-match: purchase@2 has value 20 (fails <=18); purchase@3 wins
+    assert _scan(events, p) == [((0,), (2,))]

@@ -744,17 +744,24 @@ def _drive_kernel_with_timeouts(pattern, batches, horizon_s, disorder_s):
 
 
 def _batch_matches_and_timeouts(pattern, events):
+    """The batch executor's convention EXACTLY (cep_batch_with_timeouts):
+    dead partials that are prefixes of a full match are suppressed — they
+    completed via a sibling branch (round-9 advice: the old oracle compared
+    raw _scan output, leaving the suppression divergence untested)."""
     evs = sorted(
         ({"__ts": int(ts * 1_000_000), "eid": i, "etype": ty} for i, ts, ty in events),
         key=lambda e: (e["__ts"], e["eid"]),
     )
     touts: list = []
+    raw = _scan(evs, pattern, timeouts=touts)
     matches = set()
-    for match in _scan(evs, pattern, timeouts=touts):
+    for match in raw:
         (ai,), (bi,) = match
         matches.add((evs[ai]["eid"], evs[bi]["eid"]))
     timeouts = {
-        (evs[acc[0][0]]["eid"], pattern.stages[si].name) for acc, si in touts
+        (evs[acc[0][0]]["eid"], pattern.stages[si].name)
+        for acc, si in touts
+        if not any(m[: len(acc)] == acc for m in raw)
     }
     return matches, timeouts
 
