@@ -102,10 +102,12 @@ _SENTINELS = (
 
 # Queries whose kernels changed since their last driver evidence — re-seated
 # for fresh rows this round (r10: the whole CEP family after the iterative-
-# condition wiring through _scan + the unbounded-loop change; tpch_q7 after
-# the order-independent decimal revenue sum).
+# condition wiring through _scan + the unbounded-loop change; every TPC-H
+# query whose money sums became order-independent — q1 via exact long-unit
+# sums, the rest via per-term decimal sums).
 _ROTATE_IN = (
-    "tpch_q7",
+    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
+    "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
     "cep_funnel", "cep_double_click",
     "stream_multibatch_cep", "stream_multibatch_cep_timeout",
     "stream_cep_value_funnel",

@@ -40,6 +40,13 @@ def test_q1_partial_aggregation_and_pruning(spark, sf_dir):
     # pruned scan: l_orderkey/l_partkey etc. are NOT read
     scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "l_partkey" not in scan_line and "l_suppkey" not in scan_line
+    # r10: the money sums are exact LONG unit-sums (floor(x*scale+0.5) ->
+    # BIGINT), not decimal sums — sum(decimal) leaves the long-backed
+    # codegen path and ran ~5x slower. Pin that no aggregate here sums a
+    # decimal (the FLOOR conversion feeding a plain long sum is the shape).
+    agg_lines = [l for l in plan.splitlines() if "HashAggregate" in l]
+    assert agg_lines and all("decimal" not in l.lower() for l in agg_lines), agg_lines
+    assert "FLOOR" in plan.upper()
 
 
 def test_q10_nation_broadcast(spark, sf_dir):

@@ -1038,3 +1038,27 @@ def test_cep_stream_kernel_pattern_zoo_bounded_disorder(data, zoo_i):
     FULL output rows against the batch executor."""
     events, batches = data
     _assert_stream_equals_batch_generic(_ZOO[zoo_i], events, batches)
+
+
+@given(
+    cents=st.integers(0, 20_000_000),      # price up to 200,000.00, 2dp
+    disc_c=st.integers(0, 100),            # discount 0.00-1.00, 2dp
+    tax_c=st.integers(0, 100),             # tax 0.00-1.00, 2dp
+)
+@settings(max_examples=500, deadline=None)
+def test_floor_unit_conversion_recovers_exact_scaled_integers(cents, disc_c, tax_c):
+    """queries/tpch.py q1's order-independence rests on this: for any product
+    of <=2dp factors, floor(x*scale + 0.5) over the DOUBLE product recovers
+    the EXACT scaled integer (the double sits within ~1e-7 of it), so both
+    engines sum identical longs. Checked against exact integer arithmetic."""
+    import math
+
+    price = cents / 100.0
+    disc = disc_c / 100.0
+    tax = tax_c / 100.0
+    # exact integers via integer arithmetic
+    want_dp = cents * (100 - disc_c)                       # price*(1-d) in 1e-4 units
+    want_ch = cents * (100 - disc_c) * (100 + tax_c)       # *(1+t) in 1e-6 units
+    assert math.floor(price * 100 + 0.5) == cents
+    assert math.floor(price * (1 - disc) * 10_000 + 0.5) == want_dp
+    assert math.floor(price * (1 - disc) * (1 + tax) * 1_000_000 + 0.5) == want_ch
