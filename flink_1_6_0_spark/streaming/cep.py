@@ -130,6 +130,13 @@ def _wants_ctx(fn) -> bool:
     return wants
 
 
+def _always(_e) -> bool:
+    """Condition of a stage declared without ``where`` — matches every event
+    (the reference's stage-before-.where() state). Replaced, not ANDed, by
+    the first ``where()`` call."""
+    return True
+
+
 def _pred(fn, ev, events, pairs) -> bool:
     """Invoke a predicate in whichever form it was registered: one-arg
     ``fn(event)`` or two-arg ``fn(event, ctx)`` (IterativeCondition). The
@@ -206,16 +213,19 @@ class Pattern:
     skip_target: str | None = None
 
     @staticmethod
-    def begin(name: str, where: Callable[[dict[str, Any]], bool]) -> "Pattern":
+    def begin(name: str, where: Callable[[dict[str, Any]], bool] | None = None) -> "Pattern":
         """Every ``where`` in the DSL accepts either form:
         ``lambda e: ...`` (SimpleCondition) or ``lambda e, ctx: ...``
         (IterativeCondition — ``ctx`` is a :class:`MatchContext` exposing
         the partial match's prior-stage events, the reference's
-        ``getEventsForPattern``)."""
-        return Pattern(stages=[Stage(name, where)])
+        ``getEventsForPattern``). ``where`` may also be omitted — the
+        reference's canonical shape is ``begin("a").where(cond)``
+        (Pattern.java:123 then :150), and an unconditioned stage matches
+        every event."""
+        return Pattern(stages=[Stage(name, where or _always)])
 
-    def next(self, name: str, where) -> "Pattern":
-        self.stages.append(Stage(name, where, NEXT))
+    def next(self, name: str, where=None) -> "Pattern":
+        self.stages.append(Stage(name, where or _always, NEXT))
         return self
 
     def not_next(self, name: str, where) -> "Pattern":
@@ -237,8 +247,13 @@ class Pattern:
         """A SECOND (third, …) ``where`` on the same stage ANDs with the
         existing condition (Pattern.java:150 — conditions combine via
         RichAndCondition). Either conjunct may be the two-arg iterative
-        form; the combined predicate takes the context iff one does."""
+        form; the combined predicate takes the context iff one does. The
+        FIRST where() on a stage declared without one simply becomes its
+        condition."""
         first = self.stages[-1].predicate
+        if first is _always:
+            self.stages[-1].predicate = cond
+            return self
 
         if _wants_ctx(first) or _wants_ctx(cond):
 
@@ -275,12 +290,12 @@ class Pattern:
         self.stages[-1].predicate = either
         return self
 
-    def followed_by(self, name: str, where) -> "Pattern":
-        self.stages.append(Stage(name, where, FOLLOWED_BY))
+    def followed_by(self, name: str, where=None) -> "Pattern":
+        self.stages.append(Stage(name, where or _always, FOLLOWED_BY))
         return self
 
-    def followed_by_any(self, name: str, where) -> "Pattern":
-        self.stages.append(Stage(name, where, FOLLOWED_BY_ANY))
+    def followed_by_any(self, name: str, where=None) -> "Pattern":
+        self.stages.append(Stage(name, where or _always, FOLLOWED_BY_ANY))
         return self
 
     # -- group patterns (GroupPattern.java; Pattern.begin/next/followedBy

@@ -1311,3 +1311,27 @@ def test_cep_where_and_chaining():
     )
     # first-match: purchase@2 has value 20 (fails <=18); purchase@3 wins
     assert _scan(events, p) == [((0,), (2,))]
+
+
+def test_cep_begin_where_flink_call_shape():
+    """The reference's canonical construction — begin(name).where(cond)
+    (Pattern.java:123 then :150) — must equal begin(name, cond); an
+    unconditioned stage matches every event."""
+    from flink_1_6_0_spark.streaming.cep import _scan
+
+    events = [
+        {"event_id": i, "__ts": i * 1_000_000, "event_type": t}
+        for i, t in enumerate("vxcvp")
+    ]
+    p1 = (
+        Pattern.begin("a").where(lambda e: e["event_type"] == "v")
+        .followed_by("b").where(lambda e: e["event_type"] == "p")
+        .within(3600)
+    )
+    p2 = (
+        Pattern.begin("a", lambda e: e["event_type"] == "v")
+        .followed_by("b", lambda e: e["event_type"] == "p")
+        .within(3600)
+    )
+    assert _scan(events, p1) == _scan(events, p2) != []
+    assert len(_scan(events, Pattern.begin("a").within(3600))) == len(events)
