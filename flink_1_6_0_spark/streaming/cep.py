@@ -269,6 +269,15 @@ class Pattern:
         self.stages[-1].predicate = both
         return self
 
+    def subtype(self, type_value, field: str = "event_type") -> "Pattern":
+        """subtype(SubEvent.class) (Pattern.java:150 overload backed by
+        SubtypeCondition): narrow the last stage to one event type. The
+        dict-event analog matches on the ``field`` column (default
+        ``event_type`` — the discriminator the Java class hierarchy plays
+        in the reference); composes with where() exactly like the
+        reference's subtype().where() chain (AND)."""
+        return self.where(lambda e, _tv=type_value, _f=field: e.get(_f) == _tv)
+
     def or_(self, where) -> "Pattern":
         """where(...).or(...) (Pattern.java:172): disjunction on the last
         stage's condition. Either branch may be the two-arg iterative form

@@ -1335,3 +1335,21 @@ def test_cep_begin_where_flink_call_shape():
     )
     assert _scan(events, p1) == _scan(events, p2) != []
     assert len(_scan(events, Pattern.begin("a").within(3600))) == len(events)
+
+
+def test_cep_subtype_narrows_stage():
+    """subtype(SubEvent.class) analog: narrows the stage to one event type
+    and composes with where() as an AND, like the reference's
+    subtype().where() chain."""
+    from flink_1_6_0_spark.streaming.cep import _scan
+
+    events = [
+        {"event_id": i, "__ts": i * 1_000_000, "event_type": t, "value": float(i)}
+        for i, t in enumerate(["view", "click", "purchase", "purchase"])
+    ]
+    p = (
+        Pattern.begin("a").subtype("view")
+        .followed_by("b").subtype("purchase").where(lambda e: e["value"] > 2)
+        .within(3600)
+    )
+    assert _scan(events, p) == [((0,), (3,))]  # purchase@2 fails value>2
