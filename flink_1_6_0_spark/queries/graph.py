@@ -177,6 +177,59 @@ def cep_double_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_select_fn(m: dict) -> dict:
+    """PatternSelectFunction for the value funnel: works on both executors
+    (batch match maps carry full rows; streaming ones the skeleton +
+    attr_cols — both expose event_id, __ts (epoch µs) and value)."""
+    v, p = m["view"][0], m["purchase"][0]
+    return {
+        "view_id": int(v["event_id"]),
+        "purchase_id": int(p["event_id"]),
+        "value_delta": round(float(p["value"]) - float(v["value"]), 2),
+        "dwell_sec": int((p["__ts"] - v["__ts"]) // 1_000_000),
+    }
+
+
+_CEP_SELECT_ORACLE = """
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT v.user_id, v.event_id AS view_id, bp.event_id AS purchase_id,
+           round(bp.value - v.value, 2) AS value_delta,
+           CAST(floor(epoch(bp.ts - v.ts)) AS BIGINT) AS dwell_sec
+    FROM v, LATERAL (
+      SELECT p.event_id, p.value, p.ts FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        AND p.ts - v.ts <= INTERVAL 24 HOUR
+      ORDER BY p.ts, p.event_id LIMIT 1) bp
+"""
+
+
+@query(
+    "cep_select_function",
+    oracle=_CEP_SELECT_ORACLE,
+    tags=("cep",),
+)
+def cep_select_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternSelectFunction (PatternStream.java:98): the user function maps
+    the reference's Map<String, List<event>> straight to the output row —
+    computed columns (value delta, dwell seconds) derived from the matched
+    events inside the same worker pass that scanned the key, no join-back.
+    First-match view→purchase funnel; the oracle computes the identical
+    derivation with a LATERAL first-row join."""
+    from flink_1_6_0_spark.streaming.cep import cep_batch_select
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    return cep_batch_select(
+        T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id",
+        _funnel_select_fn,
+        "view_id long, purchase_id long, value_delta double, dwell_sec long",
+    )
+
+
 @query(
     "cep_iterative_funnel",
     oracle="""

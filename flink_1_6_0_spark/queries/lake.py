@@ -312,6 +312,58 @@ def stream_multibatch_cep_iterative(spark: SparkSession, sf_dir: str) -> DataFra
     return result
 
 
+@query(
+    "stream_multibatch_cep_select",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type, value FROM events
+               WHERE event_type IN ('view', 'purchase')),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT v.user_id, v.event_id AS view_id, bp.event_id AS purchase_id,
+           round(bp.value - v.value, 2) AS value_delta,
+           CAST(floor(epoch(bp.ts - v.ts)) AS BIGINT) AS dwell_sec
+    FROM v, LATERAL (
+      SELECT p.event_id, p.value, p.ts FROM e p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        AND p.ts <= v.ts + INTERVAL 24 HOUR
+      ORDER BY p.ts, p.event_id LIMIT 1) bp
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_multibatch_cep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternSelectFunction on a STREAM under disorder (PatternStream.
+    select(fn), :98): the same user function as the batch
+    `cep_select_function` runs inside the stateful kernel over the
+    scrambled >= 4-micro-batch replay — computed columns derived from the
+    state-buffer events (``attr_cols`` carries ``value``), emitted exactly
+    once per committed match. Hash match against the LATERAL derivation
+    certifies the function sees the same matched events the batch executor
+    would hand it, in any arrival order."""
+    from flink_1_6_0_spark.queries.graph import _funnel_select_fn
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        cep_funnel_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+        attr_cols=["value"],
+        select_fn=_funnel_select_fn,
+        output_schema="view_id long, purchase_id long, value_delta double, dwell_sec long",
+    )
+    result, _ = _run_stream(out, "append", min_batches=4)
+    return result
+
+
 def streaming_throughput(spark: SparkSession, sf_dir: str) -> dict:
     """End-to-end micro-batch throughput figure for bench.py (BASELINE.md
     bench family 7): rows/s over the full multi-batch replay of the

@@ -36,7 +36,12 @@ Also implemented:
   prior-stage events via ``ctx.events_for(name)`` / ``ctx.first`` /
   ``ctx.last`` — value-dependent funnels ("purchase.value > view.value")
   work in both executors (streaming needs the compared columns in
-  ``attr_cols``).
+  ``attr_cols``);
+- PatternSelectFunction / PatternFlatSelectFunction (PatternStream.java:98,
+  :305): ``PatternStream.select(fn, output_schema)`` / ``flat_select`` run
+  the user function over the reference's ``Map<String, List<event>>``
+  inside the match scan — batch and stream (skeleton + ``attr_cols``
+  events), flatSelect's zero-row drop / fan-out contract included.
 """
 
 from __future__ import annotations
@@ -763,6 +768,60 @@ def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str,
     return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
+def _schema_field_names(ddl: str) -> list[str]:
+    """Field names of a flat Spark DDL string ('a long, b double, ...')."""
+    return [part.strip().split()[0] for part in ddl.split(",") if part.strip()]
+
+
+def cep_batch_select(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    select_fn,
+    output_schema: str,
+    flat: bool = False,
+) -> DataFrame:
+    """PatternSelectFunction / PatternFlatSelectFunction parity
+    (PatternStream.java:98 select, :305 flatSelect): ``select_fn`` receives
+    the reference's ``Map<String, List<IN>>`` — here a dict
+    ``{stage_name: [matched event dicts]}`` with the FULL input row per
+    event (quantified stages contribute every accepted repeat, optional
+    stages an empty list) — and returns one output dict (``flat=False``)
+    or an iterable of output dicts (``flat=True``; zero outputs drops the
+    match, the flatSelect contract). ``output_schema`` is the Spark DDL of
+    the function's output; the key columns are prepended automatically.
+
+    Scale shape: identical to :func:`cep_batch` — one full-width hash
+    exchange, per-key Arrow batches, the user function runs inside the
+    same worker pass that scanned the key."""
+    _validate_pattern(pattern)
+    out_names = _schema_field_names(output_schema)
+    schema = ", ".join([f"{k} long" for k in key_cols] + [output_schema])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        events = pdf.to_dict("records")
+        for ev in events:
+            ev["__ts"] = pd.Timestamp(ev[ts_col]).value // 1000
+        keyvals = {k: events[0][k] for k in key_cols}
+        rows = []
+        for match in _scan(events, pattern):
+            mm = {
+                st.name: [events[i] for i in idxs]
+                for st, idxs in zip(
+                    _output_stages(pattern), _output_match(pattern, match)
+                )
+            }
+            outs = select_fn(mm) if flat else [select_fn(mm)]
+            for o in outs:
+                rows.append({**keyvals, **o})
+        return pd.DataFrame(rows, columns=key_cols + out_names)
+
+    return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
 def cep_batch_with_timeouts(
     df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str
 ) -> DataFrame:
@@ -876,6 +935,9 @@ def cep_stream(
     with_timeouts: bool = False,
     attr_cols: list[str] | None = None,
     eager: bool = False,
+    select_fn=None,
+    output_schema: str | None = None,
+    flat_select: bool = False,
 ):
     """Streaming CEP via applyInPandasWithState (PatternStream analog).
 
@@ -1010,13 +1072,25 @@ def cep_stream(
             "eager mode a late-but-in-horizon arrival may still complete a "
             "window, so there is no sound timeout trigger"
         )
+    if select_fn is not None:
+        if output_schema is None:
+            raise ValueError("select_fn requires output_schema (Spark DDL of the function's output)")
+        if with_timeouts:
+            raise ValueError(
+                "select_fn with with_timeouts is not supported on streams — "
+                "use the id-column form and derive timeout payloads from the "
+                "pending_stage/ids columns, or run the batch executor"
+            )
 
     out_col_types = _stage_out_cols(pattern)
-    out_schema = ", ".join(
-        [f"{k} long" for k in key_cols]
-        + [f"{c} {t}" for c, t in out_col_types]
-        + (["timed_out boolean", "pending_stage string"] if with_timeouts else [])
-    )
+    if select_fn is not None:
+        out_schema = ", ".join([f"{k} long" for k in key_cols] + [output_schema])
+    else:
+        out_schema = ", ".join(
+            [f"{k} long" for k in key_cols]
+            + [f"{c} {t}" for c, t in out_col_types]
+            + (["timed_out boolean", "pending_stage string"] if with_timeouts else [])
+        )
     state_schema = (
         "buf_ids array<long>, buf_ts array<double>, buf_types array<string>, "
         "emitted array<string>, hwm double"
@@ -1031,6 +1105,7 @@ def cep_stream(
     fn = _stream_kernel(
         pattern, key_cols, ts_col, id_col, type_col, horizon, horizon_s,
         use_cleanup_timer, disorder, timer_ms, with_timeouts, attr_cols,
+        select_fn=select_fn, output_schema=output_schema, flat_select=flat_select,
     )
 
     timeout = (
@@ -1054,6 +1129,9 @@ def _stream_kernel(
     timer_ms: int | None = None,
     with_timeouts: bool = False,
     attr_cols: list[str] | None = None,
+    select_fn=None,
+    output_schema: str | None = None,
+    flat_select: bool = False,
 ):
     """The per-key micro-batch NFA state-transition function, factored out of
     :func:`cep_stream` so tests can drive it DIRECTLY across simulated
@@ -1070,9 +1148,12 @@ def _stream_kernel(
     derived, not stored: ``hwm - disorder`` (monotone because hwm is).
     """
     out_col_types = _stage_out_cols(pattern)
-    out_cols = [c for c, _ in out_col_types] + (
-        ["timed_out", "pending_stage"] if with_timeouts else []
-    )
+    if select_fn is not None:
+        out_cols = _schema_field_names(output_schema)
+    else:
+        out_cols = [c for c, _ in out_col_types] + (
+            ["timed_out", "pending_stage"] if with_timeouts else []
+        )
     within_us = pattern.within_micros
     extendable = _pattern_extendable(pattern)
 
@@ -1130,6 +1211,21 @@ def _stream_kernel(
             if sig in emitted:
                 continue
             emitted.add(sig)
+            if select_fn is not None:
+                # PatternSelectFunction over the state-buffer events (the
+                # id/ts/type skeleton + attr_cols opt-ins — carry what the
+                # function reads, the same economy as the predicates)
+                mm = {
+                    st.name: [events[i] for i in idxs]
+                    for st, idxs in zip(
+                        _output_stages(pattern), _output_match(pattern, match)
+                    )
+                }
+                outs = select_fn(mm) if flat_select else [select_fn(mm)]
+                base = dict(zip(key_cols, key))
+                for o in outs:
+                    rows.append({**base, **o})
+                continue
             row = dict(zip(key_cols, key))
             for st, (col, _), idxs in zip(
                 _output_stages(pattern), out_col_types, _output_match(pattern, match)
@@ -1312,15 +1408,49 @@ class PatternStream:
                 "narrow event skeleton; add attr_cols for more fields)"
             )
 
-    def select(self) -> DataFrame:
-        """Matched rows only (PatternStream.select)."""
+    def select(self, fn=None, output_schema: str | None = None) -> DataFrame:
+        """Matched rows (PatternStream.select, :98). With no arguments each
+        match emits its id columns. With ``fn`` + ``output_schema`` the
+        PatternSelectFunction form: ``fn({stage: [event dicts]}) -> dict``
+        runs inside the match scan (full rows in batch; the id/ts/type +
+        ``attr_cols`` skeleton on streams)."""
         self._require_type_col()
+        if fn is not None:
+            if output_schema is None:
+                raise ValueError("select(fn) requires output_schema (Spark DDL)")
+            if self.df.isStreaming:
+                return cep_stream(
+                    self.df, self.pattern, self.key_cols, self.ts_col,
+                    self.id_col, self.type_col,
+                    select_fn=fn, output_schema=output_schema, **self.stream_opts,
+                )
+            return cep_batch_select(
+                self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,
+                fn, output_schema,
+            )
         if self.df.isStreaming:
             return cep_stream(
                 self.df, self.pattern, self.key_cols, self.ts_col,
                 self.id_col, self.type_col, **self.stream_opts,
             )
         return cep_batch(self.df, self.pattern, self.key_cols, self.ts_col, self.id_col)
+
+    def flat_select(self, fn, output_schema: str) -> DataFrame:
+        """PatternFlatSelectFunction (PatternStream.flatSelect, :305):
+        ``fn({stage: [event dicts]}) -> iterable of dicts`` — zero outputs
+        drops the match, several fan it out."""
+        self._require_type_col()
+        if self.df.isStreaming:
+            return cep_stream(
+                self.df, self.pattern, self.key_cols, self.ts_col,
+                self.id_col, self.type_col,
+                select_fn=fn, output_schema=output_schema, flat_select=True,
+                **self.stream_opts,
+            )
+        return cep_batch_select(
+            self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,
+            fn, output_schema, flat=True,
+        )
 
     def select_with_timeouts(self) -> DataFrame:
         """Matches + timed-out partials (flatSelect + timeout handler)."""

@@ -1353,3 +1353,68 @@ def test_cep_subtype_narrows_stage():
         .within(3600)
     )
     assert _scan(events, p) == [((0,), (3,))]  # purchase@2 fails value>2
+
+
+def test_cep_flat_select_drops_and_fans_out(spark):
+    """PatternFlatSelectFunction (PatternStream.flatSelect, :305): zero
+    yielded rows drops the match, several fan it out — exercised through
+    the CEP.pattern facade's flat_select on a batch input."""
+    from flink_1_6_0_spark.streaming.cep import pattern as cep_pattern
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 5.0),
+        (2, "2024-01-01 00:10:00", 1, "purchase", 2.0),   # delta<0: dropped
+        (3, "2024-01-01 00:20:00", 1, "view", 1.0),
+        (4, "2024-01-01 00:30:00", 1, "purchase", 9.0),   # delta=8: fans out x2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pat = (
+        Pattern.begin("view").subtype("view")
+        .followed_by("purchase").subtype("purchase")
+        .within(3600)
+    )
+
+    def fan(m):
+        v, p = m["view"][0], m["purchase"][0]
+        delta = p["value"] - v["value"]
+        if delta <= 0:
+            return []
+        return [
+            {"view_id": int(v["event_id"]), "purchase_id": int(p["event_id"]), "half": i}
+            for i in range(2)
+        ]
+
+    out = cep_pattern(df, pat, ["user_id"], "ts", "event_id").flat_select(
+        fan, "view_id long, purchase_id long, half int"
+    )
+    got = {(r.user_id, r.view_id, r.purchase_id, r.half) for r in out.collect()}
+    # view1->purchase2 (first-match) dropped by the function; view3->purchase4 doubled
+    assert got == {(1, 3, 4, 0), (1, 3, 4, 1)}
+
+
+def test_cep_select_function_batch_matches_ids_form(spark):
+    """select(fn) must see exactly the matches the id-columns form emits:
+    projecting the ids out of the function output equals plain select()."""
+    from flink_1_6_0_spark.streaming.cep import cep_batch, cep_batch_select
+
+    df = _events_df(spark)
+    pat = _funnel(3600)
+
+    def ids(m):
+        return {
+            "view_id": int(m["view"][0]["event_id"]),
+            "click_id": int(m["click"][0]["event_id"]),
+            "purchase_id": int(m["purchase"][0]["event_id"]),
+        }
+
+    a = {
+        tuple(r)
+        for r in cep_batch_select(
+            df, pat, ["user_id"], "ts", "event_id", ids,
+            "view_id long, click_id long, purchase_id long",
+        ).collect()
+    }
+    b = {tuple(r) for r in cep_batch(df, _funnel(3600), ["user_id"], "ts", "event_id").collect()}
+    assert a == b and a
