@@ -769,8 +769,21 @@ def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str,
 
 
 def _schema_field_names(ddl: str) -> list[str]:
-    """Field names of a flat Spark DDL string ('a long, b double, ...')."""
-    return [part.strip().split()[0] for part in ddl.split(",") if part.strip()]
+    """Field names of a flat Spark DDL string ('a long, b double, ...').
+    Splits on top-level commas only, so parameterized types
+    (``map<string,int>``, ``struct<a:int,b:int>``) don't shear."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:i].strip()
+            if part:
+                names.append(part.split()[0])
+            start = i + 1
+    return names
 
 
 def cep_batch_select(
