@@ -40,20 +40,33 @@ def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 
 # Sources persisted to feed a LAZY reliable checkpoint (see _checkpoint):
-# kept so the next lazy reliable checkpoint (or an explicit release) can
-# unpersist them once their checkpoint has materialized.
-_RELIABLE_PERSISTS: list[DataFrame] = []
+# (persisted df, its internal checkpoint-target RDD) pairs, kept so a later
+# drain can unpersist each once its checkpoint has actually materialized.
+_RELIABLE_PERSISTS: list[tuple[DataFrame, object]] = []
 
 
-def release_reliable_persists() -> None:
-    """Unpersist the helper caches behind lazy reliable checkpoints. Safe to
-    call any time after the checkpointed frames have been materialized (their
-    checkpoint files, not the cache, serve subsequent reads)."""
+def release_reliable_persists(only_materialized: bool = False) -> None:
+    """Unpersist the helper caches behind lazy reliable checkpoints.
+
+    With ``only_materialized=True`` an entry is released only when its
+    underlying RDD reports ``isCheckpointed()`` — entries whose lazy
+    checkpoint has not run any action yet stay registered, so the cache
+    still deduplicates the upstream computation when the checkpoint finally
+    writes (r10 advice: draining unconditionally at the NEXT lazy-checkpoint
+    creation re-introduced the double-compute the persist existed to
+    prevent). The default releases everything: callers use it after their
+    actions have run, when every checkpoint has materialized."""
+    keep: list[tuple[DataFrame, object]] = []
     while _RELIABLE_PERSISTS:
+        df, internal_rdd = _RELIABLE_PERSISTS.pop()
         try:
-            _RELIABLE_PERSISTS.pop().unpersist()
+            if only_materialized and internal_rdd is not None and not internal_rdd.isCheckpointed():
+                keep.append((df, internal_rdd))
+                continue
+            df.unpersist()
         except Exception:
             pass  # session already stopped — nothing left to free
+    _RELIABLE_PERSISTS.extend(keep)
 
 
 def _checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
@@ -80,16 +93,15 @@ def _checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
         return df.localCheckpoint(eager=eager)
     if mode == "reliable":
         if not eager:
-            # drain persists registered by EARLIER lazy reliable checkpoints:
-            # by the time a later checkpoint is taken (driver-loop supersteps,
-            # or a fresh algorithm call) the prior one has materialized, so
-            # its helper persist is dead weight in executor storage — without
-            # this the cached RDDs accumulated for the session's lifetime
-            # (round-9 advice). release_reliable_persists() frees the last
-            # one explicitly.
-            release_reliable_persists()
+            # drain persists registered by EARLIER lazy reliable checkpoints
+            # whose checkpoints have MATERIALIZED (round-9 advice: without a
+            # drain the cached RDDs accumulated for the session's lifetime;
+            # round-10 advice: draining ones still pending would recompute
+            # the full lineage at checkpoint-write time — the double-compute
+            # the persist exists to prevent). release_reliable_persists()
+            # frees everything explicitly once actions have run.
+            release_reliable_persists(only_materialized=True)
             df = df.persist()
-            _RELIABLE_PERSISTS.append(df)
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
             if not sc.master.startswith("local"):
@@ -105,7 +117,19 @@ def _checkpoint(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
             import tempfile
 
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="graph_ckpt_"))
-        return df.checkpoint(eager=eager)
+        ck = df.checkpoint(eager=eager)
+        if not eager:
+            # Dataset.checkpoint() wraps the marked-for-checkpoint RDD in a
+            # LogicalRDD — that RDD's isCheckpointed() flips exactly when the
+            # checkpoint files exist, which is when the helper persist
+            # becomes releasable. Internal handle; on failure fall back to
+            # None = releasable at the next drain (pre-r11 behavior).
+            try:
+                internal = ck._jdf.queryExecution().analyzed().rdd()
+            except Exception:
+                internal = None
+            _RELIABLE_PERSISTS.append((df, internal))
+        return ck
     raise ValueError(f"unknown checkpoint_mode {mode!r}; choose 'local' or 'reliable'")
 
 

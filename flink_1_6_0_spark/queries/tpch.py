@@ -152,8 +152,8 @@ FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation   ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
@@ -163,10 +163,15 @@ LIMIT 20
 
 @query("tpch_q10", oracle=_Q10_ORACLE, tags=("batch", "join", "agg"), bench=True)
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 window sits in early 1995: dbgen assigns R/A return flags only to
+    receipts before mid-1995, and the synthetic testdata's order dates start
+    1995-01-01 — this quarter is the overlap where BOTH dialects yield
+    returned lines, keeping the query non-vacuous on real distributions
+    (spec's own 1993-10-01 quarter predates the synthetic data entirely)."""
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
     )
     l = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = T(spark, sf_dir, "nation")
@@ -285,7 +290,7 @@ JOIN supply   ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
-WHERE p_size <= 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+WHERE p_size <= 15 AND p_type LIKE 'SMALL%' AND r_name = 'EUROPE'
   AND supplycost = (
     SELECT min(ps2.supplycost) FROM supply ps2
     JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
@@ -306,7 +311,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on p_partkey. Dims broadcast."""
     from pyspark.sql import Window
 
-    p = T(spark, sf_dir, "part").filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+    # Prefix match, not equality: synthetic testdata uses single-word types
+    # ("SMALL") while real dbgen emits "SMALL PLATED COPPER"-style — the
+    # prefix hits both dialects, so the query is non-vacuous on real
+    # distributions too (r10 verdict finding).
+    p = T(spark, sf_dir, "part").filter((F.col("p_size") <= 15) & F.col("p_type").startswith("SMALL"))
     # The part predicate is per-part, so it commutes with the per-(part,supp)
     # aggregate AND the per-part window min: semi-join lineitem against the
     # filtered part keys FIRST — the groupBy shuffle then carries only the

@@ -101,16 +101,16 @@ _SENTINELS = (
 )
 
 # Queries whose kernels changed since their last driver evidence — re-seated
-# for fresh rows this round (r10: the whole CEP family after the iterative-
-# condition wiring through _scan + the unbounded-loop change; every TPC-H
-# query whose money sums became order-independent — q1 via exact long-unit
-# sums, the rest via per-term decimal sums).
+# for fresh rows this round (r11: the four de-vacuated TPC-H queries —
+# q2/q8 dialect-tolerant p_type prefix + q8's data-derived subject nation,
+# q10's returns-era date window, q11's mean-relative threshold; plus the
+# graph queries routing through _checkpoint's lazy reliable-persist path,
+# whose r10 drain-timing changed after r10's rotation list was frozen —
+# the r10 ADVICE re-seat).
 _ROTATE_IN = (
-    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
-    "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q19", "tpch_q22",
-    "cep_funnel", "cep_double_click",
-    "stream_multibatch_cep", "stream_multibatch_cep_timeout",
-    "stream_cep_value_funnel",
+    "tpch_q2", "tpch_q8", "tpch_q10", "tpch_q11",
+    "graph_triadic_census_directed", "graph_transitive_closure",
+    "graph_jaccard_index",
 )
 
 

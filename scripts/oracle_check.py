@@ -1,6 +1,11 @@
 """Run the driver's oracle gate locally: every registered query vs DuckDB.
 
-Usage: python scripts/oracle_check.py [sf_dir] [name_filter]
+Usage: python scripts/oracle_check.py [sf_dir] [name_filter] [--nonempty]
+
+``--nonempty`` additionally fails any query that returns 0 rows: a 0=0 hash
+match is vacuous evidence (the r10 verdict caught four TPC-H queries whose
+predicates matched nothing on real dbgen data yet "passed"). Used by the
+preflight --dbgen gate.
 """
 
 from __future__ import annotations
@@ -18,8 +23,10 @@ from tests.helpers import driver_canon, normalize
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+    argv = [a for a in sys.argv[1:] if a != "--nonempty"]
+    nonempty = "--nonempty" in sys.argv[1:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    filt = argv[1] if len(argv) > 1 else ""
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     import os
@@ -49,8 +56,14 @@ def main() -> int:
             cols_ok = sorted(sp.columns) == sorted(dk.columns)
             a, b = normalize(sp), normalize(dk)
             ok = cols_ok and a == b
+            vacuous = nonempty and len(sp) == 0
+            if vacuous:
+                ok = False
             status = "OK " if ok else "FAIL"
-            print(f"{status} {name}: spark={len(sp)} duck={len(dk)} cols_ok={cols_ok}")
+            print(
+                f"{status} {name}: spark={len(sp)} duck={len(dk)} cols_ok={cols_ok}"
+                + (" VACUOUS (0 rows with --nonempty)" if vacuous else "")
+            )
             if not ok:
                 failures += 1
                 if not cols_ok:

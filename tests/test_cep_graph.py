@@ -572,6 +572,32 @@ def test_vertex_centric_reliable_checkpoint(spark):
     assert {(r["id"], r["component"]) for r in out.collect()} == got
 
 
+def test_lazy_reliable_persist_drains_only_after_materialization(spark):
+    """r10 advice: creating a SECOND lazy reliable checkpoint must not drop
+    the helper persist of a first one whose checkpoint has not materialized
+    yet (that would recompute the full lineage at checkpoint-write time —
+    the double-compute the persist exists to prevent). Once the first
+    checkpoint HAS materialized (an action ran), the next creation drains
+    it."""
+    from flink_1_6_0_spark.operators import graph as G
+
+    G.release_reliable_persists()  # clean slate
+    a = spark.range(100).withColumnRenamed("id", "x")
+    ck_a = G._checkpoint(a, "reliable", eager=False)
+    assert len(G._RELIABLE_PERSISTS) == 1
+    # no action on ck_a yet -> a second lazy checkpoint must KEEP a's persist
+    b = spark.range(50).withColumnRenamed("id", "y")
+    ck_b = G._checkpoint(b, "reliable", eager=False)
+    assert len(G._RELIABLE_PERSISTS) == 2, "pending persist was drained early"
+    # materialize both checkpoints, then a third creation drains them
+    assert ck_a.count() == 100 and ck_b.count() == 50
+    c = spark.range(10).withColumnRenamed("id", "z")
+    G._checkpoint(c, "reliable", eager=False)
+    assert len(G._RELIABLE_PERSISTS) == 1  # only c's own entry remains
+    G.release_reliable_persists()
+    assert not G._RELIABLE_PERSISTS
+
+
 def test_checkpoint_mode_unknown_raises(spark):
     import pytest as _pytest
 
