@@ -190,6 +190,18 @@ def _funnel_select_fn(m: dict) -> dict:
     }
 
 
+def _funnel_timeout_fn(partial: dict, timeout_ts: int) -> dict:
+    """PatternTimeoutFunction for the value funnel (PatternTimeoutFunction.
+    java:59): receives the reached stages only and the epoch-µs instant the
+    window closed on the partial; works on both executors like
+    :func:`_funnel_select_fn`."""
+    v = partial["view"][0]
+    return {
+        "view_id": int(v["event_id"]),
+        "deadline_sec": int(timeout_ts // 1_000_000),
+    }
+
+
 _CEP_SELECT_ORACLE = """
     WITH v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view')
     SELECT v.user_id, v.event_id AS view_id, bp.event_id AS purchase_id,
@@ -227,6 +239,64 @@ def cep_select_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id",
         _funnel_select_fn,
         "view_id long, purchase_id long, value_delta double, dwell_sec long",
+    )
+
+
+_CEP_SELECT_TIMEOUT_ORACLE = """
+    WITH v AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS v_ts, v.value AS v_value,
+             bp.event_id AS purchase_id, bp.value AS p_value, bp.ts AS p_ts
+      FROM v LEFT JOIN LATERAL (
+        SELECT p.event_id, p.value, p.ts FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+          AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+          AND p.ts - v.ts <= INTERVAL 24 HOUR
+        ORDER BY p.ts, p.event_id LIMIT 1) bp ON TRUE
+    )
+    SELECT user_id,
+           (purchase_id IS NULL) AS timed_out,
+           view_id,
+           purchase_id,
+           CASE WHEN purchase_id IS NULL THEN NULL
+                ELSE round(p_value - v_value, 2) END AS value_delta,
+           CASE WHEN purchase_id IS NULL THEN NULL
+                ELSE CAST(floor(epoch(p_ts - v_ts)) AS BIGINT) END AS dwell_sec,
+           CASE WHEN purchase_id IS NULL
+                THEN CAST(floor(epoch(v_ts)) AS BIGINT) + 86400
+                ELSE NULL END AS deadline_sec
+    FROM m
+"""
+
+
+@query(
+    "cep_select_timeout_function",
+    oracle=_CEP_SELECT_TIMEOUT_ORACLE,
+    tags=("cep",),
+)
+def cep_select_timeout_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeout-handler select overload ``select(timeoutFn, selectFn)``
+    (PatternStream.java:182, returning ``Either<L, R>``): one DataFrame
+    tagged by ``timed_out`` — completed view→purchase funnels carry the
+    PatternSelectFunction payload (value delta, dwell), dead views the
+    PatternTimeoutFunction payload (the epoch-second deadline the window
+    closed at, ``start + within``), each side NULL-filled on the other's
+    columns. The oracle derives both sides from one LEFT LATERAL first-row
+    join, so the hash match certifies payload AND timeout-instant
+    semantics."""
+    from flink_1_6_0_spark.streaming.cep import cep_batch_select_with_timeouts
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    return cep_batch_select_with_timeouts(
+        T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id",
+        _funnel_select_fn,
+        "view_id long, purchase_id long, value_delta double, dwell_sec long",
+        _funnel_timeout_fn,
+        "view_id long, deadline_sec long",
     )
 
 

@@ -364,6 +364,76 @@ def stream_multibatch_cep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "stream_multibatch_cep_select_timeout",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type, value FROM events
+               WHERE event_type IN ('view', 'purchase')),
+    v AS (SELECT * FROM e WHERE event_type = 'view'),
+    m AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS v_ts, v.value AS v_value,
+             bp.event_id AS purchase_id, bp.value AS p_value, bp.ts AS p_ts
+      FROM v LEFT JOIN LATERAL (
+        SELECT p.event_id, p.value, p.ts FROM e p
+        WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+          AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+          AND p.ts <= v.ts + INTERVAL 24 HOUR
+        ORDER BY p.ts, p.event_id LIMIT 1) bp ON TRUE
+    )
+    SELECT user_id,
+           (purchase_id IS NULL) AS timed_out,
+           view_id,
+           purchase_id,
+           CASE WHEN purchase_id IS NULL THEN NULL
+                ELSE round(p_value - v_value, 2) END AS value_delta,
+           CASE WHEN purchase_id IS NULL THEN NULL
+                ELSE CAST(floor(epoch(p_ts - v_ts)) AS BIGINT) END AS dwell_sec,
+           CASE WHEN purchase_id IS NULL
+                THEN CAST(floor(epoch(v_ts)) AS BIGINT) + 86400
+                ELSE NULL END AS deadline_sec
+    FROM m
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_multibatch_cep_select_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``select(timeoutFn, selectFn)`` overload on a STREAM under
+    disorder (PatternStream.java:182's Either<L,R>, here a ``timed_out``-
+    tagged union schema): the same user functions as the batch
+    `cep_select_timeout_function` run inside the stateful kernel over the
+    scrambled >= 4-micro-batch replay — completed funnels emit the select
+    payload the moment they commit, dead views the timeout payload (with
+    the window-close instant) the moment the fold point passes
+    ``start + within``. Hash match against the batch-identical LATERAL
+    derivation certifies both sides survive out-of-order delivery and
+    micro-batch boundaries."""
+    from flink_1_6_0_spark.queries.graph import _funnel_select_fn, _funnel_timeout_fn
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        cep_funnel_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+        attr_cols=["value"],
+        with_timeouts=True,
+        select_fn=_funnel_select_fn,
+        output_schema="view_id long, purchase_id long, value_delta double, dwell_sec long",
+        timeout_fn=_funnel_timeout_fn,
+        timeout_schema="view_id long, deadline_sec long",
+    )
+    result, _ = _run_stream(out, "append", min_batches=4)
+    return result
+
+
 def streaming_throughput(spark: SparkSession, sf_dir: str) -> dict:
     """End-to-end micro-batch throughput figure for bench.py (BASELINE.md
     bench family 7): rows/s over the full multi-batch replay of the

@@ -768,11 +768,11 @@ def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str,
     return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
-def _schema_field_names(ddl: str) -> list[str]:
-    """Field names of a flat Spark DDL string ('a long, b double, ...').
+def _schema_fields(ddl: str) -> list[tuple[str, str]]:
+    """(name, type) pairs of a flat Spark DDL string ('a long, b double').
     Splits on top-level commas only, so parameterized types
     (``map<string,int>``, ``struct<a:int,b:int>``) don't shear."""
-    names, depth, start = [], 0, 0
+    fields, depth, start = [], 0, 0
     for i, ch in enumerate(ddl + ","):
         if ch in "<(":
             depth += 1
@@ -781,9 +781,44 @@ def _schema_field_names(ddl: str) -> list[str]:
         elif ch == "," and depth == 0:
             part = ddl[start:i].strip()
             if part:
-                names.append(part.split()[0])
+                name, _, typ = part.partition(" ")
+                fields.append((name, typ.strip()))
             start = i + 1
-    return names
+    return fields
+
+
+def _schema_field_names(ddl: str) -> list[str]:
+    """Field names of a flat Spark DDL string ('a long, b double, ...')."""
+    return [n for n, _ in _schema_fields(ddl)]
+
+
+def _merge_either_schema(select_schema: str, timeout_schema: str):
+    """Column layout of the Either<L,R>-style union output of the
+    timeout-handler select overload (PatternStream.java:182 returns
+    ``Either<L, R>``; a DataFrame has one schema, so the two payloads share
+    columns NULL-filled on the other side). A name in both schemas must
+    agree on type (then the two sides share that column). Returns
+    ``(union_ddl, select_names, timeout_names, all_names)``."""
+    sel = _schema_fields(select_schema)
+    tmo = _schema_fields(timeout_schema)
+    types: dict[str, str] = {}
+    order: list[tuple[str, str]] = []
+    for name, typ in sel + tmo:
+        canon = " ".join(typ.split()).lower()
+        if name == "timed_out":
+            raise ValueError("'timed_out' is the reserved Either-side tag column")
+        if name in types:
+            if types[name] != canon:
+                raise ValueError(
+                    f"column {name!r} appears in both the select and timeout "
+                    f"schemas with different types ({types[name]!r} vs "
+                    f"{canon!r}) — the union output shares columns by name"
+                )
+            continue
+        types[name] = canon
+        order.append((name, typ))
+    union_ddl = ", ".join(f"{n} {t}" for n, t in order)
+    return union_ddl, [n for n, _ in sel], [n for n, _ in tmo], [n for n, _ in order]
 
 
 def cep_batch_select(
@@ -895,6 +930,100 @@ def cep_batch_with_timeouts(
     return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
+def cep_batch_select_with_timeouts(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    select_fn,
+    output_schema: str,
+    timeout_fn,
+    timeout_schema: str,
+    flat: bool = False,
+) -> DataFrame:
+    """``PatternStream.select(timeoutFn, selectFn)`` / the flatSelect
+    twin (PatternStream.java:182, :365): the reference returns an
+    ``Either<L, R>`` stream — here one DataFrame tagged by ``timed_out``
+    with the union of both payload schemas (NULL-filled on the other side;
+    a column named in both schemas must agree on type and is shared).
+
+    ``select_fn({stage: [events]}) -> dict`` runs per full match exactly as
+    in :func:`cep_batch_select`. ``timeout_fn(partial, timeout_ts) -> dict``
+    runs per dead partial (PatternTimeoutFunction.java:59): ``partial`` maps
+    only the REACHED stages to their matched events (the reference's map of
+    matched-so-far events) and ``timeout_ts`` is ``start + within`` in epoch
+    microseconds — the instant the window closed on the partial. Partials
+    that completed via a sibling branch are suppressed (batch/stream output
+    parity). ``flat=True`` makes BOTH functions return iterables of dicts
+    (PatternFlatTimeoutFunction.java:56's Collector contract).
+
+    Scale shape: identical to :func:`cep_batch` — one full-width hash
+    exchange, per-key Arrow batches, both user functions run inside the
+    same worker pass that scanned the key."""
+    _validate_pattern(pattern)
+    if pattern.within_micros is None:
+        raise ValueError(
+            "the timeout-handler select overload requires within(): a "
+            "partial can only time out against a window"
+        )
+    within_us = pattern.within_micros
+    union_ddl, _sel_names, _tmo_names, all_names = _merge_either_schema(
+        output_schema, timeout_schema
+    )
+    schema = ", ".join(
+        [f"{k} long" for k in key_cols] + ["timed_out boolean", union_ddl]
+    )
+    cols = key_cols + ["timed_out"] + all_names
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        events = pdf.to_dict("records")
+        for ev in events:
+            ev["__ts"] = pd.Timestamp(ev[ts_col]).value // 1000
+        keyvals = {k: events[0][k] for k in key_cols}
+        nulls = {c: None for c in all_names}
+        dead: list = []
+        matches = _scan(events, pattern, timeouts=dead)
+        rows = []
+        for match in matches:
+            mm = {
+                st.name: [events[i] for i in idxs]
+                for st, idxs in zip(
+                    _output_stages(pattern), _output_match(pattern, match)
+                )
+            }
+            outs = select_fn(mm) if flat else [select_fn(mm)]
+            for o in outs:
+                rows.append({**keyvals, "timed_out": False, **nulls, **o})
+        seen: set = set()
+        for acc, stage_i in dead:
+            if any(m[: len(acc)] == acc for m in matches):
+                continue  # completed via a sibling branch
+            key = (acc, stage_i)
+            if key in seen:
+                continue
+            seen.add(key)
+            padded = acc + ((),) * (len(pattern.stages) - len(acc))
+            partial = {}
+            for st, idxs in zip(_output_stages(pattern), _output_match(pattern, padded)):
+                evs = [events[i] for i in idxs]
+                if evs:
+                    partial[st.name] = evs
+            start = min(events[i]["__ts"] for idxs in acc for i in idxs)
+            timeout_ts = int(start + within_us)
+            outs = (
+                timeout_fn(partial, timeout_ts)
+                if flat
+                else [timeout_fn(partial, timeout_ts)]
+            )
+            for o in outs:
+                rows.append({**keyvals, "timed_out": True, **nulls, **o})
+        return pd.DataFrame(rows, columns=cols)
+
+    return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
 def _match_monotone(pattern: Pattern) -> bool:
     """True when a late (cross-batch, in-horizon) event can only ADD matches,
     never supersede one already emitted — the class for which the eager
@@ -951,6 +1080,8 @@ def cep_stream(
     select_fn=None,
     output_schema: str | None = None,
     flat_select: bool = False,
+    timeout_fn=None,
+    timeout_schema: str | None = None,
 ):
     """Streaming CEP via applyInPandasWithState (PatternStream analog).
 
@@ -1088,15 +1219,23 @@ def cep_stream(
     if select_fn is not None:
         if output_schema is None:
             raise ValueError("select_fn requires output_schema (Spark DDL of the function's output)")
-        if with_timeouts:
+        if with_timeouts and (timeout_fn is None or timeout_schema is None):
             raise ValueError(
-                "select_fn with with_timeouts is not supported on streams — "
-                "use the id-column form and derive timeout payloads from the "
-                "pending_stage/ids columns, or run the batch executor"
+                "select_fn with with_timeouts is the "
+                "select(timeoutFn, selectFn) overload — pass timeout_fn and "
+                "timeout_schema (PatternStream.java:182), or use the "
+                "id-column form without select_fn"
             )
+    elif timeout_fn is not None:
+        raise ValueError("timeout_fn requires select_fn (the Either<L,R> overload)")
 
     out_col_types = _stage_out_cols(pattern)
-    if select_fn is not None:
+    if select_fn is not None and with_timeouts:
+        union_ddl, _sn, _tn, _an = _merge_either_schema(output_schema, timeout_schema)
+        out_schema = ", ".join(
+            [f"{k} long" for k in key_cols] + ["timed_out boolean", union_ddl]
+        )
+    elif select_fn is not None:
         out_schema = ", ".join([f"{k} long" for k in key_cols] + [output_schema])
     else:
         out_schema = ", ".join(
@@ -1119,6 +1258,7 @@ def cep_stream(
         pattern, key_cols, ts_col, id_col, type_col, horizon, horizon_s,
         use_cleanup_timer, disorder, timer_ms, with_timeouts, attr_cols,
         select_fn=select_fn, output_schema=output_schema, flat_select=flat_select,
+        timeout_fn=timeout_fn, timeout_schema=timeout_schema,
     )
 
     timeout = (
@@ -1145,6 +1285,8 @@ def _stream_kernel(
     select_fn=None,
     output_schema: str | None = None,
     flat_select: bool = False,
+    timeout_fn=None,
+    timeout_schema: str | None = None,
 ):
     """The per-key micro-batch NFA state-transition function, factored out of
     :func:`cep_stream` so tests can drive it DIRECTLY across simulated
@@ -1161,7 +1303,11 @@ def _stream_kernel(
     derived, not stored: ``hwm - disorder`` (monotone because hwm is).
     """
     out_col_types = _stage_out_cols(pattern)
-    if select_fn is not None:
+    either_names: list[str] = []
+    if select_fn is not None and with_timeouts:
+        _u, _sn, _tn, either_names = _merge_either_schema(output_schema, timeout_schema)
+        out_cols = ["timed_out"] + either_names
+    elif select_fn is not None:
         out_cols = _schema_field_names(output_schema)
     else:
         out_cols = [c for c, _ in out_col_types] + (
@@ -1236,6 +1382,9 @@ def _stream_kernel(
                 }
                 outs = select_fn(mm) if flat_select else [select_fn(mm)]
                 base = dict(zip(key_cols, key))
+                if with_timeouts:  # Either<L,R> overload: tag + NULL-fill
+                    base["timed_out"] = False
+                    base.update({c: None for c in either_names})
                 for o in outs:
                     rows.append({**base, **o})
                 continue
@@ -1270,8 +1419,31 @@ def _stream_kernel(
             if sig in emitted:
                 continue
             emitted.add(sig)
-            row = dict(zip(key_cols, key))
             padded = acc + ((),) * (len(pattern.stages) - len(acc))
+            if timeout_fn is not None:
+                # Either<L,R> overload (PatternTimeoutFunction.java:59): the
+                # partial map carries only REACHED stages; timeout_ts is
+                # start + within in epoch µs — when the window closed on it
+                partial = {}
+                for st, idxs in zip(
+                    _output_stages(pattern), _output_match(pattern, padded)
+                ):
+                    evs = [events[i] for i in idxs]
+                    if evs:
+                        partial[st.name] = evs
+                timeout_ts = int(start + bound)
+                outs = (
+                    timeout_fn(partial, timeout_ts)
+                    if flat_select
+                    else [timeout_fn(partial, timeout_ts)]
+                )
+                base = dict(zip(key_cols, key))
+                base["timed_out"] = True
+                base.update({c: None for c in either_names})
+                for o in outs:
+                    rows.append({**base, **o})
+                continue
+            row = dict(zip(key_cols, key))
             for st, (col, _), idxs in zip(
                 _output_stages(pattern), out_col_types, _output_match(pattern, padded)
             ):
@@ -1421,21 +1593,51 @@ class PatternStream:
                 "narrow event skeleton; add attr_cols for more fields)"
             )
 
-    def select(self, fn=None, output_schema: str | None = None) -> DataFrame:
+    def select(
+        self,
+        fn=None,
+        output_schema: str | None = None,
+        timeout_fn=None,
+        timeout_schema: str | None = None,
+    ) -> DataFrame:
         """Matched rows (PatternStream.select, :98). With no arguments each
         match emits its id columns. With ``fn`` + ``output_schema`` the
         PatternSelectFunction form: ``fn({stage: [event dicts]}) -> dict``
         runs inside the match scan (full rows in batch; the id/ts/type +
-        ``attr_cols`` skeleton on streams)."""
+        ``attr_cols`` skeleton on streams).
+
+        With ``timeout_fn`` + ``timeout_schema`` as well, the timeout-handler
+        overload ``select(timeoutFn, selectFn)`` (PatternStream.java:182,
+        returns ``Either<L, R>``): one DataFrame tagged by ``timed_out``,
+        matches carrying ``fn``'s payload and dead partials
+        ``timeout_fn({reached_stage: [events]}, timeout_ts_epoch_us)``'s,
+        each side NULL-filled on the other's columns. Streams require the
+        watermark mode (``disorder_seconds``), as for
+        :meth:`select_with_timeouts`."""
         self._require_type_col()
+        if timeout_fn is not None:
+            if fn is None:
+                raise ValueError("select(timeout_fn=...) requires the select fn too")
+            if timeout_schema is None:
+                raise ValueError("select(timeout_fn) requires timeout_schema (Spark DDL)")
         if fn is not None:
             if output_schema is None:
                 raise ValueError("select(fn) requires output_schema (Spark DDL)")
             if self.df.isStreaming:
+                opts = dict(self.stream_opts)
+                if timeout_fn is not None:
+                    opts["with_timeouts"] = True
                 return cep_stream(
                     self.df, self.pattern, self.key_cols, self.ts_col,
                     self.id_col, self.type_col,
-                    select_fn=fn, output_schema=output_schema, **self.stream_opts,
+                    select_fn=fn, output_schema=output_schema,
+                    timeout_fn=timeout_fn, timeout_schema=timeout_schema,
+                    **opts,
+                )
+            if timeout_fn is not None:
+                return cep_batch_select_with_timeouts(
+                    self.df, self.pattern, self.key_cols, self.ts_col,
+                    self.id_col, fn, output_schema, timeout_fn, timeout_schema,
                 )
             return cep_batch_select(
                 self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,
@@ -1448,17 +1650,37 @@ class PatternStream:
             )
         return cep_batch(self.df, self.pattern, self.key_cols, self.ts_col, self.id_col)
 
-    def flat_select(self, fn, output_schema: str) -> DataFrame:
+    def flat_select(
+        self,
+        fn,
+        output_schema: str,
+        timeout_fn=None,
+        timeout_schema: str | None = None,
+    ) -> DataFrame:
         """PatternFlatSelectFunction (PatternStream.flatSelect, :305):
         ``fn({stage: [event dicts]}) -> iterable of dicts`` — zero outputs
-        drops the match, several fan it out."""
+        drops the match, several fan it out. With ``timeout_fn`` +
+        ``timeout_schema``, the flatSelect timeout-handler overload
+        (PatternStream.java:365) — BOTH functions return iterables
+        (PatternFlatTimeoutFunction.java:56's Collector contract)."""
         self._require_type_col()
+        if timeout_fn is not None and timeout_schema is None:
+            raise ValueError("flat_select(timeout_fn) requires timeout_schema (Spark DDL)")
         if self.df.isStreaming:
+            opts = dict(self.stream_opts)
+            if timeout_fn is not None:
+                opts["with_timeouts"] = True
             return cep_stream(
                 self.df, self.pattern, self.key_cols, self.ts_col,
                 self.id_col, self.type_col,
                 select_fn=fn, output_schema=output_schema, flat_select=True,
-                **self.stream_opts,
+                timeout_fn=timeout_fn, timeout_schema=timeout_schema,
+                **opts,
+            )
+        if timeout_fn is not None:
+            return cep_batch_select_with_timeouts(
+                self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,
+                fn, output_schema, timeout_fn, timeout_schema, flat=True,
             )
         return cep_batch_select(
             self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,

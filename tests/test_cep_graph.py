@@ -4,6 +4,7 @@ the reference's operator-harness layer (SURVEY.md §5 layer 3)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from flink_1_6_0_spark.operators import graph as g
 from flink_1_6_0_spark.streaming.cep import Pattern, cep_batch, cep_stream
@@ -1418,6 +1419,113 @@ def test_cep_flat_select_drops_and_fans_out(spark):
     got = {(r.user_id, r.view_id, r.purchase_id, r.half) for r in out.collect()}
     # view1->purchase2 (first-match) dropped by the function; view3->purchase4 doubled
     assert got == {(1, 3, 4, 0), (1, 3, 4, 1)}
+
+
+def test_cep_select_timeout_overload_batch(spark):
+    """select(timeoutFn, selectFn) (PatternStream.java:182, Either<L,R>):
+    matches carry the select payload with timed_out=false, dead partials the
+    timeout payload with timed_out=true and the window-close instant
+    (start + within, epoch µs handed to the fn); shared columns merge."""
+    from flink_1_6_0_spark.streaming.cep import pattern as cep_pattern
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:10:00", 1, "purchase"),   # completes view1
+        (3, "2024-01-01 02:00:00", 1, "view"),       # no purchase follows: dead
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pat = (
+        Pattern.begin("view").subtype("view")
+        .followed_by("purchase").subtype("purchase")
+        .within(3600)
+    )
+
+    def sel(m):
+        return {
+            "view_id": int(m["view"][0]["event_id"]),
+            "purchase_id": int(m["purchase"][0]["event_id"]),
+        }
+
+    def tmo(partial, timeout_ts):
+        assert "purchase" not in partial  # only REACHED stages present
+        return {
+            "view_id": int(partial["view"][0]["event_id"]),
+            "deadline_us": int(timeout_ts),
+        }
+
+    out = cep_pattern(df, pat, ["user_id"], "ts", "event_id").select(
+        sel, "view_id long, purchase_id long",
+        timeout_fn=tmo, timeout_schema="view_id long, deadline_us long",
+    )
+    got = {(r.timed_out, r.view_id, r.purchase_id, r.deadline_us) for r in out.collect()}
+    import pandas as _pd
+
+    view3_close = _pd.Timestamp("2024-01-01 03:00:00").value // 1000  # +within
+    assert got == {(False, 1, 2, None), (True, 3, None, view3_close)}
+
+
+def test_cep_flat_select_timeout_overload_batch(spark):
+    """flatSelect(timeoutFn, selectFn) (PatternStream.java:365): BOTH
+    functions return iterables — zero rows drops that side's report."""
+    from flink_1_6_0_spark.streaming.cep import pattern as cep_pattern
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:10:00", 1, "purchase"),
+        (3, "2024-01-01 02:00:00", 1, "view"),       # dead -> fans out x2
+        (4, "2024-01-01 06:00:00", 1, "view"),       # dead -> dropped by fn
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pat = (
+        Pattern.begin("view").subtype("view")
+        .followed_by("purchase").subtype("purchase")
+        .within(3600)
+    )
+
+    def sel(m):
+        yield {"view_id": int(m["view"][0]["event_id"]),
+               "purchase_id": int(m["purchase"][0]["event_id"])}
+
+    def tmo(partial, timeout_ts):
+        vid = int(partial["view"][0]["event_id"])
+        if vid == 4:
+            return []
+        return [{"view_id": vid, "copy": i} for i in range(2)]
+
+    out = cep_pattern(df, pat, ["user_id"], "ts", "event_id").flat_select(
+        sel, "view_id long, purchase_id long",
+        timeout_fn=tmo, timeout_schema="view_id long, copy int",
+    )
+    got = {(r.timed_out, r.view_id, r.purchase_id, r.copy) for r in out.collect()}
+    assert got == {(False, 1, 2, None), (True, 3, None, 0), (True, 3, None, 1)}
+
+
+def test_merge_either_schema_validation():
+    from flink_1_6_0_spark.streaming.cep import _merge_either_schema
+
+    ddl, sel, tmo, allc = _merge_either_schema("a long, b double", "a long, c string")
+    assert ddl == "a long, b double, c string"
+    assert (sel, tmo, allc) == (["a", "b"], ["a", "c"], ["a", "b", "c"])
+    with pytest.raises(ValueError):  # shared name, different type
+        _merge_either_schema("a long", "a string")
+    with pytest.raises(ValueError):  # reserved tag column
+        _merge_either_schema("timed_out boolean", "a long")
+
+
+def test_cep_select_timeout_overload_argument_errors(spark):
+    from flink_1_6_0_spark.streaming.cep import pattern as cep_pattern
+
+    df = _events_df(spark)
+    pat = _funnel(3600)
+    ps = cep_pattern(df, pat, ["user_id"], "ts", "event_id")
+    with pytest.raises(ValueError):  # timeout_fn without timeout_schema
+        ps.select(lambda m: {}, "x long", timeout_fn=lambda p, t: {})
+    with pytest.raises(ValueError):  # timeout_fn without select fn
+        ps.select(timeout_fn=lambda p, t: {}, timeout_schema="x long")
 
 
 def test_cep_select_function_batch_matches_ids_form(spark):
