@@ -22,6 +22,7 @@ from flink_1_6_0_spark.registry import query
 from flink_1_6_0_spark.sources.partitioned import (
     CEP_REPLAY_DISORDER_S,
     cep_funnel_stream,
+    cep_late_replay_stream,
     partitioned_events_stream,
     read_partitioned_events,
 )
@@ -431,6 +432,56 @@ def stream_multibatch_cep_select_timeout(spark: SparkSession, sf_dir: str) -> Da
         timeout_schema="view_id long, deadline_sec long",
     )
     result, _ = _run_stream(out, "append", min_batches=4)
+    return result
+
+
+@query(
+    "stream_cep_late_side",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    d AS (SELECT DISTINCT CAST(ts AS DATE) AS dt FROM e ORDER BY dt LIMIT 2),
+    base AS (
+      SELECT user_id, max(ts) AS hwm FROM e
+      WHERE CAST(ts AS DATE) NOT IN (SELECT dt FROM d)
+      GROUP BY user_id
+    )
+    SELECT s.user_id, s.event_id, s.ts, s.event_type
+    FROM e s JOIN base b ON s.user_id = b.user_id
+    WHERE CAST(s.ts AS DATE) IN (SELECT dt FROM d)
+      AND s.ts < b.hwm - INTERVAL 7 DAY
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_cep_late_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP late-data side output (``PatternStream.sideOutputLateData``,
+    PatternStream.java:496): over a replay whose two earliest event dates
+    arrive LAST — weeks behind every key's high-water mark — the helper
+    query (:func:`cep_stream_late_side`) emits exactly the rows the CEP
+    kernel drops as late. The kernel's admit floor with within=24 h and
+    disorder=7 d is ``max(hwm−8d, hwm−7d) = hwm−7d`` judged against the
+    key's PRE-batch high-water mark; batch g0 establishes that mark (whole
+    stream minus the slice), so the oracle derives the drop set
+    analytically: slice rows strictly older than the key's non-slice max ts
+    minus 7 days. Keys with no earlier history admit everything (hwm=−inf)
+    — the inner join encodes that."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream_late_side
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_stream_late_side(
+        cep_late_replay_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+    )
+    result, _ = _run_stream(out, "append", min_batches=2)
     return result
 
 

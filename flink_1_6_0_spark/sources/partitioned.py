@@ -195,6 +195,65 @@ def cep_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cep_late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per source content) a replay with GENUINELY LATE
+    rows for the late-data side-output oracle (PatternStream.java:496
+    sideOutputLateData): g0 delivers every funnel event EXCEPT those of the
+    two earliest event dates; g1 delivers that earliest slice last — weeks
+    behind each key's high-water mark, far past any admissible disorder
+    bound, so the CEP kernel must DROP them. The late set is derivable from
+    the data alone (slice membership = the 2 earliest distinct dates;
+    per-key hwm = max ts among non-slice events), which is what makes the
+    side output oracle-checkable in SQL."""
+    import glob as _glob
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dest = os.path.join(_lake_root(), _content_key(src), "cep_late_replay_v1")
+    if os.path.isfile(os.path.join(dest, "_SUCCESS")):
+        return dest
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())
+    slice_dates = dates[:2]
+    frames = [
+        ev.filter(~F.col("event_date").isin(slice_dates)).drop("event_date"),
+        ev.filter(F.col("event_date").isin(slice_dates)).drop("event_date"),
+    ]
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    base = time.time() - 3600
+    for i, df in enumerate(frames):
+        stage = os.path.join(tmp, f"_w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        final = os.path.join(tmp, f"g{i}.parquet")
+        os.replace(part, final)
+        shutil.rmtree(stage)
+        os.utime(final, (base + i * 10, base + i * 10))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    _publish(tmp, dest)
+    return dest
+
+
+def cep_late_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late replay as a stream: 2 files, 1 per trigger, oldest mtime
+    first — the earliest-dates slice arrives a whole batch late (weeks of
+    event time)."""
+    path = cep_late_replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(path, "g0.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
 def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch scan of the partitioned lake; ``event_date`` is a hive partition
     column, so date predicates become ``PartitionFilters`` (directories never

@@ -1559,6 +1559,95 @@ def _stream_kernel(
     return fn
 
 
+def cep_stream_late_side(
+    stream: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    buffer_horizon_seconds: float | None = None,
+    disorder_seconds: float | None = None,
+) -> DataFrame:
+    """Late-data side output (``PatternStream.sideOutputLateData``,
+    PatternStream.java:496): the rows :func:`cep_stream` DROPS as late —
+    arrivals strictly behind the admit floor ``max(hwm - horizon,
+    hwm - disorder)`` judged against the key's PRE-batch high-water mark,
+    the exact rule the kernel applies before its scan.
+
+    ``applyInPandasWithState`` binds one output schema per query, so the
+    main query physically cannot carry a second late-row schema the way the
+    reference's OutputTag does. The idiomatic recovery — documented since
+    r10, shipped here — is this SECOND stateful query over the same source:
+    it keeps only the per-key high-water mark (one double of state) and
+    emits each arrival that the admit rule rejects, with its original
+    columns. Pass the same ``pattern`` / ``buffer_horizon_seconds`` /
+    ``disorder_seconds`` you gave ``cep_stream`` so both queries derive the
+    same horizon (including the within+disorder auto-raise).
+
+    Exactness caveat (declared): lateness is batching-dependent — an
+    element is late relative to what arrived in EARLIER micro-batches. Over
+    a deterministic replay (file source with ``maxFilesPerTrigger``) this
+    query sees the same batch boundaries as the main query and the side
+    output equals the kernel's drop set exactly (oracle-checked in
+    ``stream_cep_late_side``); under nondeterministic batching it is the
+    same rule evaluated at this query's own arrival order.
+
+    Scale shape: state is one double per key; the output is the late
+    trickle, not the stream — strictly cheaper than the main query."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    horizon_s = (
+        buffer_horizon_seconds
+        if buffer_horizon_seconds is not None
+        else pattern.within_seconds
+    )
+    if horizon_s is None:
+        raise ValueError("late side output needs within() or an explicit buffer horizon")
+    disorder = None if disorder_seconds is None else int(round(disorder_seconds * 1_000_000))
+    if disorder is not None and pattern.within_seconds is not None:
+        # mirror cep_stream's auto-raise so both queries share one floor
+        horizon_s = max(horizon_s, pattern.within_seconds + disorder_seconds)
+    horizon = int(round(horizon_s * 1_000_000))
+
+    out_schema = ", ".join(
+        [f"{k} long" for k in key_cols]
+        + [f"{id_col} long", f"{ts_col} timestamp", f"{type_col} string"]
+    )
+    out_cols = key_cols + [id_col, ts_col, type_col]
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+            state.remove()
+            return
+        hwm = float(state.get[0]) if state.exists else float("-inf")
+        # drain every Arrow chunk first: the iterator is ONE micro-batch and
+        # the kernel judges all its arrivals against the PRE-batch
+        # high-water mark, never against a same-batch neighbor
+        arrivals = []
+        for pdf in pdfs:
+            for i, t, y in zip(pdf[id_col], pdf[ts_col], pdf[type_col]):
+                arrivals.append((int(i), pd.Timestamp(t), str(y)))
+        if not arrivals:
+            return
+        admit_floor = (
+            max(hwm - horizon, hwm - disorder) if disorder is not None else hwm - horizon
+        )
+        rows = []
+        for i, t, y in arrivals:
+            ts_us = float(t.value // 1000)
+            if ts_us < admit_floor:
+                rows.append(dict(zip(key_cols, key)) | {id_col: i, ts_col: t, type_col: y})
+            hwm = max(hwm, ts_us)
+        state.update((hwm,))
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, "hwm double", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 class PatternStream:
     """PatternStream.java facade — the object ``CEP.pattern(stream, pattern)``
     returns in the reference. ``select()`` emits matched rows;
@@ -1685,6 +1774,26 @@ class PatternStream:
         return cep_batch_select(
             self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,
             fn, output_schema, flat=True,
+        )
+
+    def late_side(self) -> DataFrame:
+        """``sideOutputLateData`` analog (PatternStream.java:496): the rows
+        the streaming kernel drops as late, as a SECOND DataFrame over the
+        same source (see :func:`cep_stream_late_side` for the
+        one-output-schema constraint and the exactness caveat). Shares this
+        PatternStream's pattern and stream options, so both queries derive
+        the same admit floor."""
+        self._require_type_col()
+        if not self.df.isStreaming:
+            raise ValueError(
+                "late side output applies to streams only — the batch "
+                "executor sees the whole input and drops nothing"
+            )
+        return cep_stream_late_side(
+            self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,
+            self.type_col,
+            buffer_horizon_seconds=self.stream_opts.get("buffer_horizon_seconds"),
+            disorder_seconds=self.stream_opts.get("disorder_seconds"),
         )
 
     def select_with_timeouts(self) -> DataFrame:

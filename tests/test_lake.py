@@ -243,3 +243,46 @@ def test_multibatch_cep_rocksdb_state_store(spark, sf_dir):
     # provider-specific (absent under the default HDFS-backed provider)
     metrics = rocks_progress[-1]["stateOperators"][0]["customMetrics"]
     assert any(k.lower().startswith("rocksdb") for k in metrics), metrics
+
+
+def test_cep_late_side_is_exactly_the_kernels_drop_set(spark, sf_dir, duck):
+    """sideOutputLateData parity (PatternStream.java:496): over the
+    late replay (earliest 2 dates delivered LAST, weeks behind the admit
+    floor), (a) the helper's side output hash-matches the analytically
+    derived drop set, and (b) the MAIN kernel's matches never reference a
+    dropped event — the side output is the exact complement of what the
+    kernel admitted."""
+    from flink_1_6_0_spark.queries.lake import _run_stream
+    from flink_1_6_0_spark.registry import get
+    from flink_1_6_0_spark.sources.partitioned import (
+        CEP_REPLAY_DISORDER_S,
+        cep_late_replay_stream,
+    )
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    spec = get("stream_cep_late_side")
+    side = spec.fn(spark, sf_dir).toPandas()
+    want = duck.sql(spec.oracle).fetchdf()
+    assert set(side["event_id"]) == set(want["event_id"])
+    assert len(side), "late replay produced no late rows — vacuous"
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    main = cep_stream(
+        cep_late_replay_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+    )
+    matches, _ = _run_stream(main, "append", min_batches=2)
+    got = matches.toPandas()
+    dropped = set(side["event_id"])
+    used = set(got["view_id"]) | set(got["purchase_id"])
+    assert not (used & dropped), "kernel emitted a match over a dropped-late event"
