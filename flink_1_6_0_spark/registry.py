@@ -111,6 +111,10 @@ _ROTATE_IN = (
     "tpch_q2", "tpch_q8", "tpch_q10", "tpch_q11",
     "graph_triadic_census_directed", "graph_transitive_closure",
     "graph_jaccard_index",
+    # r11 CEP kernel changes (combinatorial valve in _scan, ctx-name guard
+    # in _pred, Either-overload branches in emit_new) — re-seat the family
+    "cep_funnel", "cep_iterative_funnel", "cep_select_function",
+    "stream_multibatch_cep", "stream_multibatch_cep_select",
 )
 
 

@@ -112,22 +112,40 @@ def _wants_ctx(fn) -> bool:
 
     try:
         params = list(inspect.signature(fn).parameters.values())
+    except (TypeError, ValueError):
+        params = None  # non-inspectable callable (some builtins): one-arg form
+    if params is None:
+        wants = False
+    else:
         # count REQUIRED positional params only: closure-capturing defaults
         # (``lambda e, _a=...: ...`` — the or_ combinator, partial-bound
         # helpers) must not be mistaken for a ctx slot
-        wants = any(p.kind == p.VAR_POSITIONAL for p in params) or (
-            len(
-                [
-                    p
-                    for p in params
-                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                    and p.default is p.empty
-                ]
+        required = [
+            p
+            for p in params
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty
+        ]
+        wants = any(p.kind == p.VAR_POSITIONAL for p in params) or len(required) >= 2
+        if len(required) >= 2 and required[1].name not in ("ctx", "context", "_ctx"):
+            # an arity ACCIDENT — e.g. ``def pred(event, threshold)`` — would
+            # silently receive a MatchContext as `threshold` and produce
+            # wrong-but-plausible matches. Fail loudly instead (r10 advice):
+            # the iterative opt-in must NAME its second parameter ctx.
+            raise ValueError(
+                f"CEP predicate {getattr(fn, '__name__', fn)!r} takes a second "
+                f"required positional parameter named {required[1].name!r}: the "
+                "iterative-condition slot (IterativeCondition.java:96) must be "
+                "named 'ctx'/'context'. If the parameter is data, bind it with "
+                "a default or functools.partial instead."
             )
-            >= 2
-        )
-    except (TypeError, ValueError):
-        wants = False
+        if len(required) > 2:
+            raise ValueError(
+                f"CEP predicate {getattr(fn, '__name__', fn)!r} takes "
+                f"{len(required)} required positional parameters; predicates "
+                "are fn(event) or fn(event, ctx) — bind extra data with "
+                "defaults or functools.partial."
+            )
     try:
         fn.__cep_wants_ctx__ = wants
     except (AttributeError, TypeError):
@@ -414,6 +432,18 @@ class Pattern:
         return None if self.within_seconds is None else int(round(self.within_seconds * 1_000_000))
 
 
+# Safety valve for combinatorial loops (r10 advice): a FOLLOWED_BY_ANY or
+# allowCombinations quantified stage enumerates every repeat subset — with
+# the now-unbounded oneOrMore/timesOrMore default, a dense hot key (thousands
+# of matching events inside one within-window) is exponential and would hang
+# or OOM the executor silently; the streaming kernel re-runs the scan every
+# micro-batch. When one stage enumeration exceeds this many runs, _scan
+# RAISES with remediation (cap max_times, tighten within/predicate, or raise/
+# disable the ceiling — None disables). 100k runs ≈ well past any sane match
+# fan-out and still cheap to reach before raising.
+COMBINATORIAL_RUNS_CEILING: int | None = 100_000
+
+
 def _scan(
     events: list[dict],
     pattern: Pattern,
@@ -479,6 +509,21 @@ def _scan(
             # greedy(): only the maximal run survives, not every prefix
             if len(run) >= st.min_times and not (st.greedy_flag and extended):
                 runs.append(run)
+                if (
+                    COMBINATORIAL_RUNS_CEILING is not None
+                    and len(runs) > COMBINATORIAL_RUNS_CEILING
+                    and (st.contiguity == FOLLOWED_BY_ANY or st.combinations_flag)
+                ):
+                    raise RuntimeError(
+                        f"CEP stage {st.name!r}: combinatorial repeat "
+                        f"enumeration exceeded {COMBINATORIAL_RUNS_CEILING} "
+                        "runs for one key (FOLLOWED_BY_ANY/allowCombinations "
+                        "enumerate every repeat subset — exponential in the "
+                        "in-horizon run length). Cap the loop with "
+                        "max_times=N, tighten within()/the predicate, or "
+                        "adjust cep.COMBINATORIAL_RUNS_CEILING (None "
+                        "disables this valve)."
+                    )
 
         for first in first_candidates:
             if not in_horizon(first, start_ts):
@@ -721,8 +766,16 @@ def _validate_pattern(pattern: Pattern) -> None:
             )
 
 
-def _match_frame(pdf: pd.DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str) -> pd.DataFrame:
-    pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+def _match_frame(
+    pdf: pd.DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    comparator_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    sort_cols = [ts_col] + list(comparator_cols or ()) + [id_col]
+    pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     events = pdf.to_dict("records")
     for ev in events:
         ev["__ts"] = pd.Timestamp(ev[ts_col]).value // 1000  # exact epoch-µs
@@ -753,17 +806,33 @@ def _keyed_wide(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.repartition(n, *key_cols)
 
 
-def cep_batch(df: DataFrame, pattern: Pattern, key_cols: list[str], ts_col: str, id_col: str) -> DataFrame:
+def cep_batch(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    comparator_cols: list[str] | None = None,
+) -> DataFrame:
     """Batch CEP: per-key ordered pattern scan (CEP.pattern + select analog).
     Output: key columns + ``<stage>_id`` (or ``<stage>_ids`` array for
-    quantified stages), one row per match."""
+    quantified stages), one row per match.
+
+    ``comparator_cols`` is the ``EventComparator`` analog (CEP.java:51,
+    ``CEP.pattern(input, pattern, comparator)``): extra columns that order
+    SAME-TIMESTAMP events before the scan, exactly where the reference's
+    comparator sorts the elements it pops for one timestamp. The sort key
+    becomes ``(ts, *comparator_cols, id)`` — id stays the final tiebreak so
+    the scan remains deterministic when the comparator itself ties. Streams
+    keep the fixed (ts, id) default: every cross-batch oracle in the repo
+    assumes that total order."""
     _validate_pattern(pattern)
     schema = ", ".join(
         [f"{k} long" for k in key_cols] + [f"{c} {t}" for c, t in _stage_out_cols(pattern)]
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _match_frame(pdf, pattern, key_cols, ts_col, id_col)
+        return _match_frame(pdf, pattern, key_cols, ts_col, id_col, comparator_cols)
 
     return _keyed_wide(df, key_cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
@@ -1665,6 +1734,7 @@ class PatternStream:
         ts_col: str,
         id_col: str,
         type_col: str | None = None,
+        comparator_cols: list[str] | None = None,
         **stream_opts,
     ):
         self.df = df
@@ -1673,7 +1743,14 @@ class PatternStream:
         self.ts_col = ts_col
         self.id_col = id_col
         self.type_col = type_col
+        self.comparator_cols = comparator_cols
         self.stream_opts = stream_opts
+        if comparator_cols and df.isStreaming:
+            raise ValueError(
+                "comparator_cols (EventComparator, CEP.java:51) is batch-only:"
+                " the streaming kernel's state buffer and every cross-batch "
+                "oracle assume the fixed (ts, id) total order"
+            )
 
     def _require_type_col(self):
         if self.df.isStreaming and self.type_col is None:
@@ -1737,7 +1814,10 @@ class PatternStream:
                 self.df, self.pattern, self.key_cols, self.ts_col,
                 self.id_col, self.type_col, **self.stream_opts,
             )
-        return cep_batch(self.df, self.pattern, self.key_cols, self.ts_col, self.id_col)
+        return cep_batch(
+            self.df, self.pattern, self.key_cols, self.ts_col, self.id_col,
+            comparator_cols=self.comparator_cols,
+        )
 
     def flat_select(
         self,

@@ -1421,6 +1421,100 @@ def test_cep_flat_select_drops_and_fans_out(spark):
     assert got == {(1, 3, 4, 0), (1, 3, 4, 1)}
 
 
+def test_cep_event_comparator_changes_match_selection(spark):
+    """EventComparator (CEP.java:51, CEP.pattern(input, pattern, comparator)):
+    a custom secondary order over SAME-TIMESTAMP events changes which
+    candidate a first-match stage selects, exactly as the reference's
+    comparator reorders the elements popped for one timestamp. Streams
+    reject it loudly (fixed (ts, id) order)."""
+    from flink_1_6_0_spark.streaming.cep import pattern as cep_pattern
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0),
+        # two purchases at the SAME timestamp: id order picks 10; a
+        # priority comparator (ascending on value) picks 11
+        (10, "2024-01-01 00:10:00", 1, "purchase", 5.0),
+        (11, "2024-01-01 00:10:00", 1, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pat = (
+        Pattern.begin("view").subtype("view")
+        .followed_by("purchase").subtype("purchase")
+        .within(3600)
+    )
+    default = cep_pattern(df, pat, ["user_id"], "ts", "event_id").select()
+    assert {r.purchase_id for r in default.collect()} == {10}
+    custom = cep_pattern(
+        df, pat, ["user_id"], "ts", "event_id", comparator_cols=["value"]
+    ).select()
+    assert {r.purchase_id for r in custom.collect()} == {11}
+    # streaming rejects the comparator loudly
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS event_id", "timestamp AS ts",
+                    "value % 2 AS user_id", "'view' AS event_type")
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        cep_pattern(stream, pat, ["user_id"], "ts", "event_id", "event_type",
+                    comparator_cols=["event_id"])
+
+
+def test_cep_two_arg_predicate_must_name_ctx():
+    """r10 advice: a predicate like ``def pred(event, threshold)`` must fail
+    loudly instead of silently receiving a MatchContext as `threshold` and
+    producing wrong-but-plausible matches. The iterative slot is opted into
+    by NAME (ctx/context)."""
+    from flink_1_6_0_spark.streaming.cep import _scan
+
+    events = [{"event_id": 0, "__ts": 0, "event_type": "view"}]
+    bad = Pattern.begin("a", lambda e, threshold: True).within(3600)
+    with pytest.raises(ValueError, match="ctx"):
+        _scan(events, bad)
+    ok = Pattern.begin("a", lambda e, ctx: True).within(3600)
+    assert _scan(events, ok) == [((0,),)]
+    ok2 = Pattern.begin("a", lambda e, context: True).within(3600)
+    assert _scan(events, ok2) == [((0,),)]
+    # closure-default helpers keep working (not a ctx slot)
+    ok3 = Pattern.begin("a", lambda e, _t=3: True).within(3600)
+    assert _scan(events, ok3) == [((0,),)]
+    with pytest.raises(ValueError, match="required positional"):
+        _scan(events, Pattern.begin("a", lambda e, ctx, extra: True).within(3600))
+
+
+def test_cep_combinatorial_runs_ceiling_raises():
+    """r10 advice (medium): an unbounded FOLLOWED_BY_ANY/allowCombinations
+    loop on a dense key enumerates every repeat subset — exponential. The
+    valve raises loudly instead of hanging/OOMing the executor."""
+    from flink_1_6_0_spark.streaming import cep as C
+
+    events = [
+        {"event_id": i, "__ts": i, "event_type": "b"} for i in range(40)
+    ]
+    pat = (
+        Pattern.begin("a", lambda e: True)
+        .followed_by_any("loop", lambda e: True)
+        .one_or_more()
+        .within(3600)
+    )
+    old = C.COMBINATORIAL_RUNS_CEILING
+    try:
+        C.COMBINATORIAL_RUNS_CEILING = 50
+        with pytest.raises(RuntimeError, match="combinatorial"):
+            C._scan(events, pat)
+        # a capped loop stays under the valve
+        capped = (
+            Pattern.begin("a", lambda e: True)
+            .followed_by_any("loop", lambda e: True)
+            .one_or_more(max_times=2)
+            .within(30)
+        )
+        assert C._scan(events[:6], capped)
+    finally:
+        C.COMBINATORIAL_RUNS_CEILING = old
+
+
 def test_cep_select_timeout_overload_batch(spark):
     """select(timeoutFn, selectFn) (PatternStream.java:182, Either<L,R>):
     matches carry the select payload with timed_out=false, dead partials the
