@@ -90,12 +90,6 @@ def main() -> None:
     spark = get_spark(app_name="flink-1.6.0-spark-bench")
     specs = [s for s in load_all().values() if s.bench]
 
-    env = _env_block(spark)
-    # sentinel BEFORE the query sweep: the warm-up below also warms the JVM,
-    # so run one throwaway sentinel first to exclude its own JIT cost
-    _sentinel_sec(spark, runs=1)
-    env["sentinel_sec"] = _sentinel_sec(spark)
-
     # Warm-up pass at the smallest SF: compiles every query's codegen/plan once
     # so the timed runs measure steady-state execution, not first-run JIT.
     # (Expression-heavy queries pay multi-second one-time compilation that a
@@ -107,18 +101,48 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for spec in specs:
-        samples: list[float] = []
-        try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                _consume(spec.fn(spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
-            timings[spec.name] = round(statistics.median(samples), 3)
-        except Exception as exc:  # a failing query must not sink the whole bench
-            print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
-            timings[spec.name] = -1.0
+    def sweep() -> tuple[dict, dict[str, float]]:
+        env = _env_block(spark)
+        # sentinel FIRST (one throwaway run excludes its own JIT cost): it
+        # stamps the machine-speed regime this sweep ran under
+        _sentinel_sec(spark, runs=1)
+        env["sentinel_sec"] = _sentinel_sec(spark)
+        timings: dict[str, float] = {}
+        for spec in specs:
+            samples: list[float] = []
+            try:
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    _consume(spec.fn(spark, sf_dir))
+                    samples.append(time.perf_counter() - t0)
+                timings[spec.name] = round(statistics.median(samples), 3)
+            except Exception as exc:  # a failing query must not sink the bench
+                print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
+                timings[spec.name] = -1.0
+        return env, timings
+
+    # Min-sentinel retry (round-10 verdict task 5): a co-tenant noise burst
+    # during THE sweep inflates every number uniformly; when the sweep's own
+    # sentinel reads >1.15x the baseline regime, re-run the whole sweep (up
+    # to SPARK_GRAFT_BENCH_ATTEMPTS, default 3) and keep the attempt with
+    # the smallest sentinel — the calmest environment actually observed.
+    try:
+        _sent_base = json.load(open(BENCHBASE)).get("sentinel_sec")
+    except Exception:
+        _sent_base = None
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    attempts: list[tuple[dict, dict[str, float]]] = []
+    for i in range(max_attempts):
+        attempts.append(sweep())
+        s = attempts[-1][0].get("sentinel_sec")
+        if _sent_base is None or s is None or s <= 1.15 * _sent_base:
+            break
+        print(
+            f"bench: attempt {i + 1} sentinel {s:.3f} > 1.15x baseline "
+            f"{_sent_base:.3f} — environment noisy, retrying",
+            file=sys.stderr,
+        )
+    env, timings = min(attempts, key=lambda a: a[0].get("sentinel_sec") or 1e9)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
@@ -146,6 +170,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
         "env": env,
+        "bench_attempts": len(attempts),
     }
     if throughput is not None:
         out["throughput_rows_s"] = throughput["rows_per_sec"]
