@@ -25,6 +25,8 @@ lifting is pyspark.ml's (distributed, battle-tested at the target scale).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -227,6 +229,161 @@ def quality_classifier(
     ).transform(feats)
     model = LogisticRegression(maxIter=max_iter).fit(assembled)
     return model.transform(assembled).select(doc_id, "label", "prediction")
+
+
+# Exact-deterministic logistic regression (quality_classifier's
+# oracle-checkable twin). Quantization constants are part of the CONTRACT
+# shared with the DuckDB oracle (queries/pipeline_ext._logreg_oracle_sql) —
+# change them together or the cross-engine bitwise-weight invariant breaks.
+LOGREG_FEATURE_QUANT = 1_000_000.0  # feature fixed-point: 6 decimal places
+LOGREG_GRAD_QUANT = 10_000.0  # per-row gradient fixed-point: 4 places
+LOGREG_ITERS = 25
+LOGREG_LR = 1.0
+
+
+def quality_classifier_gd(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """quality_classifier's exact-deterministic twin: the same weak-label /
+    cheap-feature quality filter, trained by full-batch class-weighted
+    gradient descent whose every weight is BIT-IDENTICAL on any engine,
+    any partitioning, any row order — so the whole training run is
+    value-hash-checkable against an independent SQL engine.
+
+    How the determinism works (the tpch_q1 integer-unit-sum trick applied
+    to an iterative algorithm):
+
+    - features are fixed-pointed once: ``q = floor(f * 1e6 + 0.5)`` —
+      per-row IEEE ops on identical inputs, so identical longs everywhere;
+    - standardization stats are EXACT long/decimal sums of those longs
+      (order-independent), so mean/std come out as identical doubles;
+    - each GD step aggregates ``floor(err * fs * 1e4 + 0.5)`` per-row
+      BIGINT contributions — the long sum is exact and order-independent,
+      and the only cross-engine wobble (libm ``exp`` last-ulp differences
+      inside the sigmoid) is ~1e-8 of a quantum, so both engines floor to
+      the same long with overwhelming probability;
+    - the weight update ``w - lr*((s/1e4)/n)`` is a fixed scalar IEEE
+      sequence on identical inputs → weights stay bitwise equal across
+      engines for every iteration;
+    - the final score ``z = w·x + b`` involves no transcendentals, so the
+      ``z > 0`` decision is exact (measured min |z| ≥ 1.7e-4 at sf0.1,
+      ~12 orders of magnitude above double noise).
+
+    Class weighting (negatives weighted n_pos/n_neg) makes the imbalanced
+    weak label learnable: at sf0.01/sf0.1 the trained model reaches TNR
+    1.0 / TPR ~0.92 vs the heuristic gate — a real decision boundary, not
+    the all-positive collapse unweighted GD gives here.
+
+    At 100 TB: featurization + fixed-pointing is one scan (cached);
+    each of the ``iters`` passes is a map-side-combined 5-column long-sum
+    aggregate (the classic distributed-GD treeAggregate shape) collecting
+    ONE row to the driver; driver state is 5 doubles. Long-sum headroom:
+    per-row |contribution| ≤ ~1e6, so sums stay exact past 1e12 rows;
+    beyond that, widen the gradient sums to DECIMAL(38,0) like the stats
+    sums already are.  Reference anchor: flink-ml's SGD optimizer
+    (optimization/GradientDescent.scala) iterates the same
+    broadcast-weights → per-element gradient → reduce cycle."""
+    from flink_1_6_0_spark.pipeline.text import (
+        mean_token_len,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    fq, gq = LOGREG_FEATURE_QUANT, LOGREG_GRAD_QUANT
+    feats = docs.select(
+        F.col(doc_id),
+        (token_count(text_col) / F.lit(64.0)).alias("f1"),
+        F.coalesce(stopword_ratio(text_col), F.lit(0.0)).alias("f2"),
+        F.coalesce(mean_token_len(text_col), F.lit(0.0)).alias("f3"),
+        F.coalesce(punct_ratio(text_col), F.lit(0.0)).alias("f4"),
+        # CASE-shaped so a NULL quality (empty text) labels 0.0 on both
+        # engines instead of Spark's NULL vs SQL's ELSE-branch 0.0
+        F.when(quality_score(text_col) >= 0.5, 1.0).otherwise(0.0).alias("y"),
+    )
+    qcols = [F.floor(F.col(f"f{j}") * F.lit(fq) + F.lit(0.5)).alias(f"q{j}") for j in range(1, 5)]
+    qfeats = feats.select(doc_id, *qcols, "y")
+
+    stats = qfeats.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"q{j}").alias(f"s{j}") for j in range(1, 5)],
+        *[
+            F.sum((F.col(f"q{j}") * F.col(f"q{j}")).cast("decimal(38,0)")).alias(f"ss{j}")
+            for j in range(1, 5)
+        ],
+        F.sum(F.col("y").cast("long")).alias("npos"),
+    ).first()
+    n = stats["n"]
+    npos = stats["npos"]
+    nneg = n - npos
+    if nneg == 0 or npos == 0:  # degenerate corpus: nothing to separate
+        return feats.select(
+            doc_id, F.col("y").alias("label"), F.col("y").alias("prediction")
+        )
+    ratio = npos / nneg
+    mean, std = [], []
+    for j in range(1, 5):
+        m = (float(stats[f"s{j}"]) / fq) / n
+        var = (float(stats[f"ss{j}"]) / (fq * fq)) / n - m * m
+        mean.append(m)
+        std.append(math.sqrt(var) if var > 0 else 1.0)
+
+    sfeats = qfeats.select(
+        doc_id,
+        *[
+            ((F.col(f"q{j}") / F.lit(fq) - F.lit(mean[j - 1])) / F.lit(std[j - 1])).alias(
+                f"fs{j}"
+            )
+            for j in range(1, 5)
+        ],
+        "y",
+    ).persist()
+    try:
+        w = [0.0, 0.0, 0.0, 0.0]
+        b = 0.0
+        for _ in range(iters):
+            z = (
+                F.lit(w[0]) * F.col("fs1")
+                + F.lit(w[1]) * F.col("fs2")
+                + F.lit(w[2]) * F.col("fs3")
+                + F.lit(w[3]) * F.col("fs4")
+                + F.lit(b)
+            )
+            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            wgt = F.when(F.col("y") == 1.0, F.lit(1.0)).otherwise(F.lit(ratio))
+            err = (sig - F.col("y")) * wgt
+            g = sfeats.agg(
+                *[
+                    F.sum(F.floor(err * F.col(f"fs{j}") * F.lit(gq) + F.lit(0.5))).alias(
+                        f"g{j}"
+                    )
+                    for j in range(1, 5)
+                ],
+                F.sum(F.floor(err * F.lit(gq) + F.lit(0.5))).alias("gb"),
+            ).first()
+            w = [w[j] - lr * ((g[f"g{j + 1}"] / gq) / n) for j in range(4)]
+            b = b - lr * ((g["gb"] / gq) / n)
+        z = (
+            F.lit(w[0]) * F.col("fs1")
+            + F.lit(w[1]) * F.col("fs2")
+            + F.lit(w[2]) * F.col("fs3")
+            + F.lit(w[3]) * F.col("fs4")
+            + F.lit(b)
+        )
+        return sfeats.select(
+            doc_id,
+            F.col("y").alias("label"),
+            F.when(z > 0.0, 1.0).otherwise(0.0).alias("prediction"),
+        )
+    finally:
+        # lazy-safe: a post-unpersist collect just recomputes the (cheap,
+        # deterministic) featurization scan once more
+        sfeats.unpersist()
 
 
 def _poly_exponents(dim: int, degree: int) -> list[list[int]]:

@@ -512,3 +512,127 @@ def ivf_kmeans_topk(
         .limit(k)
         .withColumnRenamed("id", "vec_id")
     )
+
+
+# Exact-deterministic Lloyd quantizer (ivf_kmeans_topk's oracle-checkable
+# twin). The constants are a contract shared with the DuckDB oracle
+# (queries/pipeline._ivf_lloyd_oracle_sql) — change them together.
+KMEANS_VEC_QUANT = 1_000_000.0  # unit-vector fixed point: 6 decimal places
+KMEANS_SCORE_QUANT = 100_000.0  # assignment-score fixed point: 5 places
+KMEANS_ITERS = 3
+
+
+def _exact_unit_quant(vec: "list[float]", quant: float = KMEANS_VEC_QUANT) -> list[int]:
+    """Driver-side mirror of the uq column: L2-normalize then fix-point."""
+    import math as _math
+
+    nrm = _math.sqrt(sum(x * x for x in vec))
+    u = [x / nrm for x in vec] if nrm > 0 else list(vec)
+    return [int(_math.floor(x * quant + 0.5)) for x in u]
+
+
+def _qscore(qu: "list[float]", c: "list[float]", quant: float = KMEANS_SCORE_QUANT) -> int:
+    """Driver-side mirror of the quantized assignment score
+    floor((u·c - 0.5*|c|²) * quant + 0.5): argmin L2 distance on the unit
+    sphere, expressed so both engines compare identical BIGINTs."""
+    import math as _math
+
+    dot = 0.0
+    for x, y in zip(qu, c):
+        dot = dot + x * y
+    nsq = 0.0
+    for y in c:
+        nsq = nsq + y * y
+    return int(_math.floor((dot - 0.5 * nsq) * quant + 0.5))
+
+
+def ivf_kmeans_exact_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """ivf_kmeans_topk with an EXACT-deterministic distributed Lloyd
+    quantizer instead of pyspark.ml KMeans — every centroid is bit-identical
+    on any engine / partitioning / row order, so the entire training loop
+    (init, every assignment, every centroid update, the probe, the final
+    candidate set) is value-hash-checkable against an independent SQL
+    engine. The tpch_q1 integer-unit-sum trick applied to clustering:
+
+    - unit vectors are fixed-pointed ONCE (``uq = floor(u*1e6+0.5)`` longs);
+      ``uq/1e6`` is the exact representation both engines cluster on;
+    - assignment compares quantized scores ``floor((u·c - 0.5*|c|²)*1e5+0.5)``
+      (argmin L2 ≡ argmax of that on the unit sphere) — float-fold
+      association differences (~1e-14) vanish under the 1e-5 quantum; ties
+      break on the lower centroid id on both engines;
+    - centroid updates are EXACT long sums of uq per dimension; the new
+      component ``(S_d/1e6)/n`` is one IEEE division sequence → identical
+      doubles everywhere; empty clusters keep their previous centroid;
+    - init = the ``n_centroids`` lowest-id vectors (deterministic, the
+      classic Forgy choice made reproducible).
+
+    Scale: the per-iteration shuffle is a ``groupBy(cid)`` over
+    ``n_centroids`` groups with map-side partial aggregation of 64 long
+    sums — bytes per task, not rows; driver state is n_centroids × dim
+    doubles; candidates scan ~nprobe/n_centroids of the data. pyspark.ml
+    KMeans (kmeans|| init, faster convergence) remains as ivf_kmeans_topk
+    for production use where cross-engine bit-equality is not required."""
+    fq, sq = KMEANS_VEC_QUANT, KMEANS_SCORE_QUANT
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    u = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    uq = F.transform(u, lambda x: F.floor(x * F.lit(fq) + F.lit(0.5)))
+    base = df.select(F.col(id_col).alias("id"), v.alias("arr"), uq.alias("uq")).persist()
+    try:
+        dim = len(query_vec)
+        init_rows = base.orderBy("id").limit(n_centroids).collect()
+        centroids = [[q / fq for q in r["uq"]] for r in init_rows]
+
+        def best_cid() -> Column:
+            ue = F.transform(F.col("uq"), lambda q: q / F.lit(fq))
+            entries = []
+            for cid, c in enumerate(centroids):
+                clit = F.array(*[F.lit(float(x)) for x in c])
+                dot = F.aggregate(
+                    F.zip_with(ue, clit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+                )
+                nsq = 0.0
+                for y in c:
+                    nsq = nsq + y * y
+                qs = F.floor((dot - F.lit(0.5) * F.lit(nsq)) * F.lit(sq) + F.lit(0.5))
+                entries.append(F.struct(qs.alias("s"), F.lit(-cid).alias("nc")))
+            # array_max orders by (s, nc): max score, ties -> max nc = MIN cid
+            return -F.array_max(F.array(*entries)).getField("nc")
+
+        for _ in range(iters):
+            sums = base.withColumn("cid", best_cid()).groupBy("cid").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("uq", d + 1)).alias(f"s{d}") for d in range(dim)],
+            )
+            got = {r["cid"]: r for r in sums.collect()}
+            centroids = [
+                [(got[cid][f"s{d}"] / fq) / got[cid]["n"] for d in range(dim)]
+                if cid in got
+                else centroids[cid]  # empty cluster keeps its centroid
+                for cid in range(n_centroids)
+            ]
+
+        qu = [q / fq for q in _exact_unit_quant(query_vec, fq)]
+        probed = sorted(
+            range(n_centroids), key=lambda cid: (-_qscore(qu, centroids[cid], sq), cid)
+        )[:nprobe]
+        qraw = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            base.withColumn("cid", best_cid())
+            .filter(F.col("cid").isin([int(c) for c in probed]))
+            .select("id", F.round(cosine(F.col("arr"), qraw), 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(k)
+            .withColumnRenamed("id", "vec_id")
+        )
+    finally:
+        base.unpersist()

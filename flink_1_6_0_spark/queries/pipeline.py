@@ -699,18 +699,91 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_lloyd_oracle_sql(
+    n_centroids: int = 8, nprobe: int = 2, k: int = 10, dim: int = 64
+) -> str:
+    """Unroll pipeline/similarity.ivf_kmeans_exact_topk's ENTIRE Lloyd run
+    (init → iters × (assign, update) → probe → candidate scan) as DuckDB
+    SQL. Works because the Spark trainer keeps every centroid bit-identical
+    cross-engine: fixed-point unit vectors, exact per-dimension long sums,
+    and quantized assignment scores — see the function's docstring. The
+    quantization constants are imported, not repeated."""
+    from flink_1_6_0_spark.pipeline.similarity import (
+        KMEANS_ITERS,
+        KMEANS_SCORE_QUANT,
+        KMEANS_VEC_QUANT,
+    )
+
+    fq = int(KMEANS_VEC_QUANT)
+    sq = int(KMEANS_SCORE_QUANT)
+    iters = KMEANS_ITERS
+    rng = f"range(1, {dim + 1})"
+
+    def qs(uexpr: str, cexpr: str) -> str:
+        dot = f"list_sum(list_transform({rng}, j -> ({uexpr}[j] / {fq}.0) * {cexpr}[j]))"
+        nsq = f"list_sum(list_transform({rng}, j -> {cexpr}[j] * {cexpr}[j]))"
+        return f"CAST(floor(({dot} - 0.5 * {nsq}) * {sq}.0 + 0.5) AS BIGINT)"
+
+    def assign(name: str, ct: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT vec_id, uq, cid FROM ("
+            f"SELECT q.vec_id, q.uq, c.cid, row_number() OVER ("
+            f"PARTITION BY q.vec_id ORDER BY {qs('q.uq', 'c.c')} DESC, c.cid ASC) AS rn "
+            f"FROM uq q, {ct} c) t WHERE rn = 1)"
+        )
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"n0 AS (SELECT vec_id, v, sqrt(list_sum(list_transform({rng}, j -> v[j] * v[j]))) AS nrm FROM e)",
+        "uu AS (SELECT vec_id, v, CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS u FROM n0)",
+        f"uq AS MATERIALIZED (SELECT vec_id, list_transform(u, x -> CAST(floor(x * {fq}.0 + 0.5) AS BIGINT)) AS uq FROM uu)",
+        f"ct0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, "
+        f"list_transform(uq, q -> q / {fq}.0) AS c "
+        f"FROM (SELECT vec_id, uq FROM uq ORDER BY vec_id LIMIT {n_centroids}) i)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"a{i}", f"ct{i - 1}"))
+        sums = ", ".join(f"sum(uq[{d + 1}]) AS s{d}" for d in range(dim))
+        ctes.append(f"s{i} AS (SELECT cid, count(*) AS n, {sums} FROM a{i} GROUP BY cid)")
+        comps = ", ".join(f"(s.s{d} / {fq}.0) / s.n" for d in range(dim))
+        ctes.append(
+            f"ct{i} AS MATERIALIZED (SELECT p.cid, "
+            f"CASE WHEN s.n IS NULL THEN p.c ELSE list_value({comps}) END AS c "
+            f"FROM ct{i - 1} p LEFT JOIN s{i} s USING (cid))"
+        )
+    ctes.append(assign("af", f"ct{iters}"))
+    ctes.append("qrow AS (SELECT uq AS quq FROM uq WHERE vec_id = 0)")
+    ctes.append("qraw AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    ctes.append(
+        f"probe AS (SELECT c.cid FROM ct{iters} c, qrow "
+        f"ORDER BY {qs('quq', 'c.c')} DESC, c.cid LIMIT {nprobe})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id AS vec_id, round({_dcos("e2.v", "qv")}, 4) AS score
+FROM af a JOIN probe USING (cid) JOIN e e2 ON e2.vec_id = a.vec_id, qraw
+ORDER BY score DESC, a.vec_id
+LIMIT {k}
+"""
+    )
+
+
 @query(
     "ann_ivf_kmeans_topk",
-    oracle=None,  # KMeans centroid floats are partition-order dependent —
-    # rows-only driver check; candidate-subset + exact-score agreement is
-    # pytest-asserted
+    oracle=_ivf_lloyd_oracle_sql(),
     tags=("pipeline", "similarity", "ml"),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 with TRAINED (seeded KMeans) centroids — the
-    production coarse quantizer beside ivf_topk's deterministic-stride
-    oracle form."""
-    return sim.ivf_kmeans_topk(
+    """IVF ANN top-10 with TRAINED centroids — now the exact-deterministic
+    distributed Lloyd quantizer (pipeline/similarity.ivf_kmeans_exact_topk),
+    so the whole clustering run (init, every assignment and centroid
+    update, the probe, the candidate set) hash-checks against the unrolled
+    DuckDB oracle. pyspark.ml KMeans (kmeans||) stays available as
+    sim.ivf_kmeans_topk for production; its candidate/score agreement with
+    the exact kernel is pytest-asserted."""
+    return sim.ivf_kmeans_exact_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         _query_vec(spark, sf_dir), 10, n_centroids=8, nprobe=2,
     )

