@@ -190,10 +190,19 @@ class Stage:
     until_pred: Callable[[dict[str, Any]], bool] | None = None  # until (Pattern.java:214)
     greedy_flag: bool = False  # greedy (Pattern.java:361)
     combinations_flag: bool = False  # allowCombinations (Pattern.java:435)
+    # optional() (Pattern.java:327): zero repeats allowed WITHOUT lowering
+    # min_times — times(2,3).optional() admits {0,2,3} repeats, never 1
+    # (TimesRangeITCase.java:378 golden; collapsing optional into
+    # min_times=0 was the r11 bug the ITCase ports caught)
+    zero_ok: bool = False
+
+    @property
+    def may_skip(self) -> bool:
+        return self.min_times == 0 or self.zero_ok
 
     @property
     def quantified(self) -> bool:
-        return self.min_times != 1 or self.max_times != 1
+        return self.min_times != 1 or self.max_times != 1 or self.zero_ok
 
     @property
     def emits_array(self) -> bool:
@@ -216,10 +225,15 @@ class GroupStage:
     contiguity: str = FOLLOWED_BY
     min_times: int = 1
     max_times: int | None = 1  # None = unbounded
+    zero_ok: bool = False  # optional() without lowering min_times
+
+    @property
+    def may_skip(self) -> bool:
+        return self.min_times == 0 or self.zero_ok
 
     @property
     def quantified(self) -> bool:
-        return self.min_times != 1 or self.max_times != 1
+        return self.min_times != 1 or self.max_times != 1 or self.zero_ok
 
     @property
     def emits_array(self) -> bool:
@@ -352,8 +366,10 @@ class Pattern:
         return self
 
     def optional(self) -> "Pattern":
-        """optional (Pattern.java:327) — the stage may match zero events."""
-        self.stages[-1].min_times = 0
+        """optional (Pattern.java:327) — the stage may match ZERO events, on
+        top of (not instead of) its repeat bounds: times(2,3).optional()
+        admits {0, 2, 3} repeats, never 1 (TimesRangeITCase.java:378)."""
+        self.stages[-1].zero_ok = True
         return self
 
     def one_or_more(self, max_times: int | None = None) -> "Pattern":
@@ -475,7 +491,7 @@ def _scan(
             or events[idx]["__ts"] - start_ts <= within_us
         )
 
-    def repeat_runs(st: Stage, first_candidates, start_ts, all_starts: bool = False, pairs: tuple = ()):
+    def repeat_runs(st: Stage, first_candidates, start_ts, all_starts: bool = False, pairs: tuple = (), stop_pred=None):
         """All index-tuples for one quantified stage: each run picks repeats
         per the inner contiguity (strict adjacency when consecutive()).
         ``all_starts`` (the pattern's begin stage) anchors at every candidate
@@ -502,9 +518,27 @@ def _scan(
                     if _pred(st.predicate, events[idx], events, self_pairs):
                         grow(run + (idx,), run_start)
                         extended = True
-                        if st.contiguity != FOLLOWED_BY_ANY and not st.combinations_flag:
-                            break  # deterministic: one repeat-chain only
+                        if not st.combinations_flag:
+                            # INNER contiguity is relaxed (take the NEXT
+                            # matching event) unless allowCombinations —
+                            # the stage's own *_ANY applies to run ENTRY
+                            # alternatives only (TimesRangeITCase.java:426
+                            # golden: followedByAny.times(2,3) without
+                            # combinations must not skip accepted
+                            # alternatives inside the loop)
+                            break
+                        if stop_pred is not None and _pred(stop_pred, events[idx], events, self_pairs):
+                            break  # combinations may not branch past it either
                     elif st.consecutive_repeats:
+                        break
+                    elif stop_pred is not None and _pred(stop_pred, events[idx], events, self_pairs):
+                        # a loop immediately followed by notNext/notFollowedBy
+                        # may not IGNORE an event matching the not-condition:
+                        # the reference compiles the not-condition as a STOP
+                        # on the loop state's ignore edge
+                        # (NotPatternITCase.java:318 testTimesWithNotFollowedBy
+                        # and :725 testNotFollowedByNextAfterOneOrMoreEager
+                        # goldens — both empty because the run cannot skip c)
                         break
             # greedy(): only the maximal run survives, not every prefix
             if len(run) >= st.min_times and not (st.greedy_flag and extended):
@@ -528,10 +562,14 @@ def _scan(
         for first in first_candidates:
             if not in_horizon(first, start_ts):
                 break
-            # until() stops the LOOP from accepting; fresh anchors (all_starts,
-            # i.e. new NFA runs at the begin stage) may still start after it
-            if not all_starts and st.until_pred is not None and _pred(st.until_pred, events[first], events, pairs):
-                break
+            # until() kills ACTIVE runs (grow() stops at the until event and
+            # never crosses it) and forbids a run STARTING ON the until event
+            # itself, but a fresh alternative entry AFTER it is legal —
+            # UntilConditionITCase.java:410 golden: followedByAny oneOrMore
+            # until(price==5) still matches (start, middle3) with middle3
+            # arriving after the breaking event (so: continue, not break)
+            if st.until_pred is not None and _pred(st.until_pred, events[first], events, pairs):
+                continue
             if _pred(st.predicate, events[first], events, pairs):
                 grow((first,), start_ts if start_ts is not None else events[first]["__ts"])
                 if not all_starts and st.contiguity in (NEXT, FOLLOWED_BY):
@@ -596,28 +634,15 @@ def _scan(
         # enclosing partial match when this walk runs a group sub-pattern
         pairs = base_pairs + tuple(zip(stages, acc))
         if stage_i == len(stages):
-            if pending_not:
-                # the pattern ended with an un-discharged notFollowedBy
-                # (every later stage was skipped): the negation applies to
-                # the remaining in-horizon events — previously it silently
-                # evaporated at emit (review finding)
-                if any(
-                    _pred(p, events[i], events, pairs)
-                    for p in pending_not
-                    for i in range(last_idx + 1, n)
-                    if in_horizon(i, start_ts)
-                ):
-                    return
-                if closed_negations_only and (
-                    within_us is None
-                    or start_ts is None
-                    or n == 0
-                    or events[-1]["__ts"] <= start_ts + within_us
-                ):
-                    # streaming: absence isn't confirmed until an observed
-                    # event lies beyond the within horizon — emitting now
-                    # could produce an unretractable false positive
-                    return
+            # A pending notFollowedBy whose following stages were ALL skipped
+            # is DISCHARGED at emit — the reference completes the match the
+            # moment the last positive stage accepts, so later forbidden
+            # events cannot poison it (NotPatternITCase.java:487
+            # testNotFollowedByBeforeOptionalAtTheEnd golden: a ·¬b ·c?
+            # over [a1 c1 b1 c2] emits BOTH (a1,c1) and the bare (a1),
+            # despite b1 arriving later). An earlier round blocked here on
+            # any later not-match — a plausible reading, but not the
+            # reference's; golden parity wins.
             emit(acc, last_idx)
             return
         st = stages[stage_i]
@@ -639,7 +664,7 @@ def _scan(
                 # positive stage's first event
                 walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,), anchor_inherit=anchor_all, base_pairs=base_pairs)
             return
-        if st.min_times == 0:
+        if st.may_skip:
             # skipping the anchor stage makes the NEXT positive stage the
             # effective anchor — without inheritance, matches starting at
             # later events were never enumerated (review finding)
@@ -651,7 +676,15 @@ def _scan(
                 first_candidates = [last_idx + 1] if last_idx + 1 < n else []
             else:
                 first_candidates = range(last_idx + 1, n)
-            runs = repeat_runs(st, first_candidates, start_ts, all_starts=anchor_all, pairs=pairs)
+            # a directly-following negated stage's condition stops this
+            # stage's repeat growth from ignoring matching events (the
+            # reference's stop-on-ignore compilation; see grow())
+            nxt_neg = (
+                stages[stage_i + 1].predicate
+                if stage_i + 1 < len(stages) and getattr(stages[stage_i + 1], "negated", False)
+                else None
+            )
+            runs = repeat_runs(st, first_candidates, start_ts, all_starts=anchor_all, pairs=pairs, stop_pred=nxt_neg)
         advanced = False
         for run in runs:
             if pending_not and any(
@@ -668,12 +701,12 @@ def _scan(
         # stage has NO in-horizon continuation is dead — once the watermark
         # passes start+within it is reported to the timeout handler. Only
         # recorded at top level for partials that consumed >=1 event and
-        # could not also skip the stage (min_times>0).
+        # could not also skip the stage (not skippable).
         if (
             timeouts is not None
             and top_level
             and not advanced
-            and st.min_times != 0
+            and not st.may_skip
             and any(acc)
         ):
             timeouts.append((acc, stage_i))

@@ -1,0 +1,694 @@
+"""Golden-output ports of the reference's CEP NFA ITCases.
+
+Each test reproduces one reference scenario VERBATIM — same events (id,
+name, price) at the same integer timestamps, same pattern, and the exact
+expected match set from its ``compareMaps`` call — and cites the Java test
+(file:line). This is the reference's own acceptance suite for quantifier /
+contiguity / until / not-pattern semantics, replayed against our batch
+executor (SURVEY.md §5 layer 4).
+
+Conventions: matches are compared as sets of event-id tuples in stage
+order (looping stages flattened in accept order — exactly the reference's
+List<Event> per match). Filler events the reference gives duplicate id 23
+get distinct ids here (they never appear in any match; ids are only labels).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_1_6_0_spark.streaming.cep import Pattern, cep_batch
+
+# ConsecutiveData (TimesRangeITCase.java:606, UntilConditionITCase /
+# GreedyITCase use the same shape): c a a a b with ascending prices.
+S = (40, "c", 1.0)
+M1 = (41, "a", 2.0)
+M2 = (42, "a", 3.0)
+M3 = (43, "a", 4.0)
+E = (44, "b", 5.0)
+
+
+def _f(eid: int):  # filler: never matches any condition
+    return (eid, "f", 1.0)
+
+
+def run_cep(spark, timed_events, pattern):
+    """timed_events: list of ((id, name, price), ts_seconds) — the Java
+    StreamRecord list. Returns the set of matches, each a tuple of event
+    ids in stage order (loop stages flattened)."""
+    rows = [(e[0], e[1], e[2], ts) for e, ts in timed_events]
+    df = (
+        spark.createDataFrame(rows, "event_id long, name string, price double, tsec long")
+        .withColumn("k", F.lit(1))
+        .withColumn("ts", F.col("tsec").cast("timestamp"))
+    )
+    out = cep_batch(df, pattern, ["k"], "ts", "event_id")
+    got = set()
+    for r in out.collect():
+        match = []
+        for st in pattern.stages:
+            if st.negated:
+                continue
+            if st.emits_array:
+                match.extend(r[f"{st.name}_ids"])
+            else:
+                v = r[f"{st.name}_id"]
+                if v is not None:  # optional stage that matched nothing
+                    match.append(v)
+        got.add(tuple(match))
+    return got
+
+
+def ids(*events):
+    return tuple(e[0] for e in events)
+
+
+def name_is(n):
+    return lambda e: e["name"] == n
+
+
+# ---------------------------------------------------------------------------
+# TimesRangeITCase.java — times(from, to) across contiguity modes
+# ---------------------------------------------------------------------------
+
+_TR_INPUT = [(S, 1), (_f(23), 2), (M1, 3), (_f(24), 4), (M2, 5), (M3, 6), (E, 7)]
+
+
+def test_times_range(spark):
+    """TimesRangeITCase.java:45 — next.times(1,3).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(1, 3).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 3), (M3, 4), (E, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, M1, E),
+    }
+
+
+def test_times_range_from_zero(spark):
+    """TimesRangeITCase.java:96 — next.times(0,2).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(0, 2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 3), (M3, 4), (E, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, M1, E), ids(S, E),
+    }
+
+
+def test_times_range_non_strict(spark):
+    """TimesRangeITCase.java:147 — followedByAny.times(1,3).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(1, 3).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E),
+        ids(S, M2, M3, E), ids(S, M1, E), ids(S, M2, E), ids(S, M3, E),
+    }
+
+
+def test_times_range_strict(spark):
+    """TimesRangeITCase.java:197 — followedByAny.times(0,3).consecutive."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(0, 3).consecutive()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M2, M3, E), ids(S, M1, E), ids(S, M2, E), ids(S, M3, E), ids(S, E),
+    }
+
+
+def test_times_range_strict_optional(spark):
+    """TimesRangeITCase.java:245 — followedByAny.times(1,3).consecutive.optional."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(1, 3).consecutive().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M2, M3, E), ids(S, M1, E), ids(S, M2, E), ids(S, M3, E), ids(S, E),
+    }
+
+
+def test_times_range_strict_optional1(spark):
+    """TimesRangeITCase.java:293 — next.times(1,3).consecutive.optional;
+    adjacency is POSITIONAL (a1@3 a2@5 a3@6 are consecutive received
+    events despite the timestamp gaps)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(1, 3).consecutive().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 3), (M2, 5), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, E), ids(S, E),
+    }
+
+
+def test_times_range_non_strict_optional1(spark):
+    """TimesRangeITCase.java:338 — followedBy.times(1,3).optional over
+    c f b: only the empty-loop match."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times(1, 3).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (_f(23), 2), (E, 7)]
+    assert run_cep(spark, inp, p) == {ids(S, E)}
+
+
+def test_times_range_non_strict_optional2(spark):
+    """TimesRangeITCase.java:378 — followedByAny.times(2,3)
+    .allowCombinations.optional."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2, 3).allow_combinations().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E),
+        ids(S, M2, M3, E), ids(S, E),
+    }
+
+
+def test_times_range_non_strict_optional3(spark):
+    """TimesRangeITCase.java:426 — followedByAny.times(2,3).optional
+    (no combinations: only runs over the accepted sequence)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2, 3).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M2, M3, E), ids(S, E),
+    }
+
+
+def test_times_range_non_strict_with_next(spark):
+    """TimesRangeITCase.java:473 — next.times(2,3).allowCombinations: the
+    run must START at the event immediately after the previous stage."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(2, 3).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (_f(23), 3), (M2, 4), (_f(24), 5), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E),
+    }
+
+
+def test_times_range_not_strict_with_followed_by(spark):
+    """TimesRangeITCase.java:519 — followedBy.times(2,3): relaxed loop
+    without ANY alternatives."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times(2, 3)
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 4), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E),
+    }
+
+
+def test_times_range_not_strict_with_followed_by_any(spark):
+    """TimesRangeITCase.java:562 — followedByAny.times(2,3).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2, 3).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 4), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M2, M3, E), ids(S, M1, M3, E),
+    }
+
+
+# ---------------------------------------------------------------------------
+# UntilConditionITCase.java — until() across quantifier/contiguity modes.
+# UNTIL_CONDITION (line 48): price == 5.0. The breaking event also satisfies
+# the loop condition (name "a") — until must win.
+# ---------------------------------------------------------------------------
+
+U_S = (40, "c", 1.0)
+U_M1 = (41, "a", 2.0)
+U_M2 = (42, "a", 3.0)
+U_M3 = (43, "a", 4.0)
+U_BRK = (44, "a", 5.0)
+U_IGN = (45, "a", 6.0)
+
+
+def price_is(p):
+    return lambda e: e["price"] == p
+
+
+def _until_pattern(entry, **mods):
+    """begin(c) entry(middle: a).oneOrMore()[mods].until(price==5)
+    .followedBy(end: price==5)."""
+    p = Pattern.begin("start", name_is("c"))
+    p = getattr(p, entry)("middle", name_is("a")).one_or_more()
+    if mods.get("combinations"):
+        p = p.allow_combinations()
+    if mods.get("consecutive"):
+        p = p.consecutive()
+    if mods.get("optional"):
+        p = p.optional()
+    p = p.until(price_is(5.0))
+    if mods.get("end", True):
+        p = p.followed_by("end", price_is(5.0))
+    return p
+
+
+def test_until_followed_by_one_or_more(spark):
+    """UntilConditionITCase.java:58."""
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (U_BRK, 6), (U_IGN, 7)]
+    assert run_cep(spark, inp, _until_pattern("followed_by")) == {
+        ids(U_S, U_M1, U_M2, U_BRK), ids(U_S, U_M1, U_BRK),
+    }
+
+
+def test_until_followed_by_one_or_more_combinations(spark):
+    """UntilConditionITCase.java:108."""
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (U_M3, 5), (U_BRK, 6), (U_IGN, 7)]
+    assert run_cep(spark, inp, _until_pattern("followed_by", combinations=True)) == {
+        ids(U_S, U_M1, U_M2, U_M3, U_BRK), ids(U_S, U_M1, U_M2, U_BRK),
+        ids(U_S, U_M1, U_M3, U_BRK), ids(U_S, U_M1, U_BRK),
+    }
+
+
+def test_until_followed_by_one_or_more_consecutive(spark):
+    """UntilConditionITCase.java:159."""
+    brk = (45, "a", 5.0)
+    ign = (46, "a", 6.0)
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (brk, 7), (ign, 8)]
+    assert run_cep(spark, inp, _until_pattern("followed_by", consecutive=True)) == {
+        ids(U_S, U_M1, U_M2, brk), ids(U_S, U_M1, brk),
+    }
+
+
+def test_until_followed_by_one_or_more_consecutive2(spark):
+    """UntilConditionITCase.java:208 — a non-'a' event breaks the strict run."""
+    mid_b = (42, "b", 3.0)
+    mid_a = (43, "a", 4.0)
+    brk = (45, "a", 5.0)
+    ign = (46, "a", 6.0)
+    inp = [(U_S, 1), (U_M1, 3), (mid_b, 4), (mid_a, 5), (brk, 7), (ign, 8)]
+    assert run_cep(spark, inp, _until_pattern("followed_by", consecutive=True)) == {
+        ids(U_S, U_M1, brk),
+    }
+
+
+def test_until_followed_by_zero_or_more(spark):
+    """UntilConditionITCase.java:258 — oneOrMore.optional: the empty loop
+    still reaches the end stage."""
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (U_BRK, 6), (U_IGN, 7)]
+    assert run_cep(spark, inp, _until_pattern("followed_by", optional=True)) == {
+        ids(U_S, U_M1, U_M2, U_BRK), ids(U_S, U_M1, U_BRK), ids(U_S, U_BRK),
+    }
+
+
+def test_until_followed_by_zero_or_more_combinations(spark):
+    """UntilConditionITCase.java:308."""
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (U_M3, 5), (U_BRK, 6), (U_IGN, 7)]
+    assert run_cep(
+        spark, inp, _until_pattern("followed_by", optional=True, combinations=True)
+    ) == {
+        ids(U_S, U_M1, U_M2, U_M3, U_BRK), ids(U_S, U_M1, U_M2, U_BRK),
+        ids(U_S, U_M1, U_M3, U_BRK), ids(U_S, U_M1, U_BRK), ids(U_S, U_BRK),
+    }
+
+
+def test_until_followed_by_zero_or_more_consecutive(spark):
+    """UntilConditionITCase.java:360."""
+    brk = (45, "a", 5.0)
+    ign = (46, "a", 6.0)
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (brk, 7), (ign, 8)]
+    assert run_cep(
+        spark, inp, _until_pattern("followed_by", optional=True, consecutive=True)
+    ) == {
+        ids(U_S, U_M1, U_M2, brk), ids(U_S, U_M1, brk), ids(U_S, brk),
+    }
+
+
+def test_until_followed_by_any_one_or_more(spark):
+    """UntilConditionITCase.java:410 — the load-bearing golden: a fresh
+    *ANY* loop entry AFTER the until event is legal ((start, middle3)), but
+    no run starts ON or crosses the breaking event."""
+    m3_after = (45, "a", 6.0)
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (U_BRK, 6), (m3_after, 7)]
+    assert run_cep(spark, inp, _until_pattern("followed_by_any", end=False)) == {
+        ids(U_S, U_M1, U_M2), ids(U_S, U_M1), ids(U_S, U_M2), ids(U_S, m3_after),
+    }
+
+
+def test_until_followed_by_any_zero_or_more(spark):
+    """UntilConditionITCase.java:454 — plus the bare empty-loop match."""
+    m3_after = (45, "a", 6.0)
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (U_BRK, 6), (m3_after, 7)]
+    assert run_cep(
+        spark, inp, _until_pattern("followed_by_any", optional=True, end=False)
+    ) == {
+        ids(U_S, U_M1, U_M2), ids(U_S, U_M1), ids(U_S, U_M2), ids(U_S, m3_after),
+        ids(U_S),
+    }
+
+
+def test_until_with_empty_where(spark):
+    """UntilConditionITCase.java:499 — an unconditioned loop consumes
+    EVERYTHING until the stop condition fires."""
+    mid_d = (43, "d", 1.0)
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (mid_d, 5), (U_BRK, 6), (U_IGN, 7)]
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle").one_or_more().until(price_is(5.0))
+    )
+    assert run_cep(spark, inp, p) == {
+        ids(U_S, U_M1, U_M2, mid_d), ids(U_S, U_M1, U_M2), ids(U_S, U_M1),
+    }
+
+
+def test_iterative_until_one_or_more(spark):
+    """UntilConditionITCase.java:542 — the stop condition is an
+    IterativeCondition over the loop's own accepted events (stop once the
+    accepted prices sum to 6.0)."""
+    mid_d = (43, "d", 1.0)
+    inp = [(U_S, 1), (U_M1, 3), (U_M2, 4), (mid_d, 5), (U_BRK, 6), (U_IGN, 7)]
+
+    def until_sum(e, ctx):
+        return sum(m["price"] for m in ctx.events_for("middle")) == 6.0
+
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle").one_or_more().until(until_sum)
+    )
+    assert run_cep(spark, inp, p) == {
+        ids(U_S, U_M1, U_M2, mid_d), ids(U_S, U_M1, U_M2), ids(U_S, U_M1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# NotPatternITCase.java — notNext / notFollowedBy across positions,
+# quantifiers and contiguity modes.
+# ---------------------------------------------------------------------------
+
+N_A1 = (40, "a", 1.0)
+N_C1 = (41, "c", 2.0)
+N_B1 = (42, "b", 3.0)
+N_C2 = (43, "c", 4.0)
+N_D = (44, "d", 4.0)
+
+
+def test_not_next(spark):
+    """NotPatternITCase.java:46."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_next("notPattern", name_is("b"))
+        .followed_by_any("middle", name_is("c"))
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(N_A1, 1), (N_C1, 2), (N_B1, 3), (N_C2, 4), (N_D, 5)]
+    assert run_cep(spark, inp, p) == {ids(N_A1, N_C1, N_D), ids(N_A1, N_C2, N_D)}
+
+
+def test_not_next_no_matches(spark):
+    """NotPatternITCase.java:102 — b immediately after a kills everything."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_next("notPattern", name_is("b"))
+        .followed_by("middle", name_is("c"))
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(N_A1, 1), (N_B1, 2), (N_C1, 3), (N_C2, 4), (N_D, 5)]
+    assert run_cep(spark, inp, p) == set()
+
+
+def test_not_next_no_matches_at_the_end(spark):
+    """NotPatternITCase.java:155 — trailing notNext, violated by the b
+    right after every d."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .followed_by_any("middle", name_is("c"))
+        .followed_by_any("end", name_is("d"))
+        .not_next("notPattern", name_is("b"))
+    )
+    inp = [(N_A1, 1), (N_C1, 2), (N_C2, 3), (N_D, 4), (N_B1, 5)]
+    assert run_cep(spark, inp, p) == set()
+
+
+def test_not_followed_by_itcase(spark):
+    """NotPatternITCase.java:208 — only the c BEFORE the b survives."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_followed_by("notPattern", name_is("b"))
+        .followed_by_any("middle", name_is("c"))
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(N_A1, 1), (N_C1, 2), (N_B1, 3), (N_C2, 4), (N_D, 5)]
+    assert run_cep(spark, inp, p) == {ids(N_A1, N_C1, N_D)}
+
+
+def test_not_followed_by_before_optional(spark):
+    """NotPatternITCase.java:263 — skipping the optional c extends the
+    ¬b region to d (which contains b1), so only (a1,c1,d) survives."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_followed_by("notPattern", name_is("b"))
+        .followed_by_any("middle", name_is("c")).optional()
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(N_A1, 1), (N_C1, 2), (N_B1, 3), (N_C2, 4), (N_D, 5)]
+    assert run_cep(spark, inp, p) == {ids(N_A1, N_C1, N_D)}
+
+
+def test_times_with_not_followed_by(spark):
+    """NotPatternITCase.java:318 — the times(2) loop may NOT ignore the c
+    that the following notFollowedBy forbids (stop-on-ignore), so the
+    (b1,b2) run never forms: zero matches."""
+    b_mid1 = (41, "b", 2.0)
+    c_mid = (42, "c", 3.0)
+    b_mid2 = (43, "b", 4.0)
+    d_end = (44, "d", 4.0)
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .followed_by_any("middle", name_is("b")).times(2)
+        .not_followed_by("notPattern", name_is("c"))
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(N_A1, 1), (b_mid1, 2), (c_mid, 3), (b_mid2, 4), (d_end, 5)]
+    assert run_cep(spark, inp, p) == set()
+
+
+def test_ignore_state_of_times_with_not_followed_by(spark):
+    """NotPatternITCase.java:371 — arrival order is the event order (the
+    Java records carry scrambled timestamps; feedNFA processes by arrival)."""
+    a1 = (40, "a", 1.0)
+    d1 = (41, "d", 6.0)
+    e1 = (42, "e", 2.0)
+    b1 = (43, "b", 4.0)
+    c1 = (44, "c", 3.0)
+    c2 = (45, "c", 5.0)
+    d2 = (46, "d", 7.0)
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_followed_by("notPattern", name_is("c"))
+        .followed_by_any("middle", name_is("b")).times(2).optional()
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(a1, 1), (d1, 2), (e1, 3), (b1, 4), (c1, 5), (c2, 6), (d2, 7)]
+    assert run_cep(spark, inp, p) == {ids(a1, d1)}
+
+
+def test_times_with_not_followed_by_after(spark):
+    """NotPatternITCase.java:430 — the adjacent (b1,b2) run forms, but the
+    gap to the only following d contains a c: zero matches."""
+    a1 = (40, "a", 1.0)
+    d1 = (41, "d", 6.0)
+    e1 = (42, "e", 2.0)
+    b1 = (43, "b", 4.0)
+    b2 = (44, "b", 5.0)
+    c1 = (45, "c", 3.0)
+    d2 = (46, "d", 7.0)
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .followed_by_any("middle", name_is("b")).times(2)
+        .not_followed_by("notPattern", name_is("c"))
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(a1, 1), (d1, 2), (e1, 3), (b1, 4), (b2, 5), (c1, 6), (d2, 7)]
+    assert run_cep(spark, inp, p) == set()
+
+
+def test_not_followed_by_before_optional_at_the_end(spark):
+    """NotPatternITCase.java:487 — the load-bearing golden for trailing-not
+    discharge: skipping the optional end emits the bare (a1) even though a
+    b arrives later; (a1,c2) stays poisoned by the gap check."""
+    a1 = (40, "a", 1.0)
+    c1 = (41, "c", 2.0)
+    b1 = (42, "b", 3.0)
+    c2 = (43, "c", 4.0)
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_followed_by("notPattern", name_is("b"))
+        .followed_by_any("end", name_is("c")).optional()
+    )
+    inp = [(a1, 1), (c1, 2), (b1, 3), (c2, 4)]
+    assert run_cep(spark, inp, p) == {ids(a1, c1), ids(a1)}
+
+
+def test_not_followed_by_before_optional_times(spark):
+    """NotPatternITCase.java:534 — a not-pattern BEFORE the loop does not
+    stop the loop from skipping its events; skipping the whole optional
+    loop extends ¬b to d and dies."""
+    a1 = (40, "a", 1.0)
+    c1 = (41, "c", 2.0)
+    b1 = (42, "b", 3.0)
+    c2 = (43, "c", 4.0)
+    d1 = (44, "d", 4.0)
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_followed_by("notPattern", name_is("b"))
+        .followed_by_any("middle", name_is("c")).times(2).optional()
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(a1, 1), (c1, 2), (b1, 3), (c2, 4), (d1, 5)]
+    assert run_cep(spark, inp, p) == {ids(a1, c1, c2, d1)}
+
+
+def test_not_followed_by_with_branching_at_start(spark):
+    """NotPatternITCase.java:589 — only the a AFTER the poisoning b can
+    anchor a match."""
+    a1 = (40, "a", 1.0)
+    b1 = (41, "b", 3.0)
+    c1 = (42, "c", 2.0)
+    a2 = (43, "a", 4.0)
+    c2 = (44, "c", 5.0)
+    d1 = (45, "d", 6.0)
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .not_followed_by("notPattern", name_is("b"))
+        .followed_by("middle", name_is("c"))
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(a1, 1), (b1, 2), (c1, 3), (a2, 4), (c2, 5), (d1, 6)]
+    assert run_cep(spark, inp, p) == {ids(a2, c2, d1)}
+
+
+# -- the oneOrMore x not-pattern helper families ----------------------------
+
+NF_A1 = (40, "a", 1.0)
+NF_B1 = (41, "b", 2.0)
+NF_B2 = (42, "b", 3.0)
+NF_B3 = (43, "b", 4.0)
+NF_C1 = (44, "c", 5.0)
+NF_B4 = (45, "b", 6.0)
+NF_B5 = (46, "b", 7.0)
+NF_B6 = (47, "b", 8.0)
+NF_D1 = (48, "d", 9.0)
+
+
+@pytest.mark.parametrize("all_matches,expect_any", [(False, False), (True, True)])
+def test_not_next_after_one_or_more(spark, all_matches, expect_any):
+    """NotPatternITCase.java:661/:667 — the loop cannot ignore the c the
+    following notNext forbids; only a fresh ANY entry after c matches."""
+    entry = "followed_by_any" if all_matches else "followed_by"
+    p = Pattern.begin("a", name_is("a"))
+    p = getattr(p, entry)("bs", name_is("b")).one_or_more()
+    p = p.not_next("not_c", name_is("c")).followed_by("d", name_is("d"))
+    inp = [(NF_A1, 0), (NF_B1, 1), (NF_C1, 2), (NF_B2, 3), (NF_D1, 4)]
+    got = run_cep(spark, inp, p)
+    assert got == ({ids(NF_A1, NF_B2, NF_D1)} if expect_any else set())
+
+
+_NF_AFTER_INPUT = [
+    (NF_A1, 0), (NF_B1, 1), (NF_B2, 2), (NF_B3, 3), (NF_C1, 4),
+    (NF_B4, 5), (NF_B5, 6), (NF_B6, 7), (NF_D1, 8),
+]
+
+_NF_AFTER_ANY_EAGER = {
+    ids(NF_A1, NF_B4, NF_B5, NF_B6, NF_D1), ids(NF_A1, NF_B4, NF_B5, NF_D1),
+    ids(NF_A1, NF_B4, NF_D1), ids(NF_A1, NF_B5, NF_B6, NF_D1),
+    ids(NF_A1, NF_B5, NF_D1), ids(NF_A1, NF_B6, NF_D1),
+}
+
+
+@pytest.mark.parametrize(
+    "all_matches,eager,expected",
+    [
+        (False, True, set()),
+        (True, True, _NF_AFTER_ANY_EAGER),
+        (False, False, set()),
+        (True, False, _NF_AFTER_ANY_EAGER | {ids(NF_A1, NF_B4, NF_B6, NF_D1)}),
+    ],
+    ids=["next-eager", "any-eager", "next-comb", "any-comb"],
+)
+def test_not_followed_by_after_one_or_more(spark, all_matches, eager, expected):
+    """NotPatternITCase.java:725-:750 — runs before the c die on the gap
+    check, runs crossing it die on stop-on-ignore; only post-c runs live."""
+    entry = "followed_by_any" if all_matches else "followed_by"
+    p = Pattern.begin("a", name_is("a"))
+    p = getattr(p, entry)("bs", name_is("b")).one_or_more()
+    if not eager:
+        p = p.allow_combinations()
+    p = p.not_followed_by("not_c", name_is("c")).followed_by("d", name_is("d"))
+    assert run_cep(spark, _NF_AFTER_INPUT, p) == expected
+
+
+_NF_BEFORE_INPUT = [
+    (NF_A1, 0), (NF_B1, 1), (NF_C1, 2), (NF_B4, 3), (NF_B5, 4), (NF_B6, 5), (NF_D1, 6),
+]
+
+_NF_BEFORE_EAGER = {
+    ids(NF_A1, NF_B1, NF_B4, NF_B5, NF_B6, NF_D1),
+    ids(NF_A1, NF_B1, NF_B4, NF_B5, NF_D1),
+    ids(NF_A1, NF_B1, NF_B4, NF_D1),
+    ids(NF_A1, NF_B1, NF_D1),
+}
+
+_NF_BEFORE_COMB = _NF_BEFORE_EAGER | {
+    ids(NF_A1, NF_B1, NF_B4, NF_B6, NF_D1),
+    ids(NF_A1, NF_B1, NF_B5, NF_B6, NF_D1),
+    ids(NF_A1, NF_B1, NF_B5, NF_D1),
+    ids(NF_A1, NF_B1, NF_B6, NF_D1),
+}
+
+
+@pytest.mark.parametrize(
+    "all_matches,eager,zero,expected",
+    [
+        (True, True, False, _NF_BEFORE_EAGER),
+        (True, False, False, _NF_BEFORE_COMB),
+        (False, True, False, _NF_BEFORE_EAGER),
+        (False, False, False, _NF_BEFORE_COMB),
+        (False, True, True, _NF_BEFORE_EAGER),
+        (False, False, True, _NF_BEFORE_COMB),
+        (True, True, True, _NF_BEFORE_EAGER),
+        (True, False, True, _NF_BEFORE_COMB),
+    ],
+    ids=[
+        "any-eager-1+", "any-comb-1+", "next-eager-1+", "next-comb-1+",
+        "next-eager-0+", "next-comb-0+", "any-eager-0+", "any-comb-0+",
+    ],
+)
+def test_not_followed_by_before_one_or_more(spark, all_matches, eager, zero, expected):
+    """NotPatternITCase.java:821-:861 (oneOrMore) and :932-:969 (zeroOrMore)
+    — a not-pattern BEFORE the loop constrains entries (every match starts
+    at the pre-c b1) but not the loop's internal skipping; the bare
+    loop-skipped match never appears because its ¬c region spans the c."""
+    p = Pattern.begin("a", name_is("a")).not_followed_by("not_c", name_is("c"))
+    entry = "followed_by_any" if all_matches else "followed_by"
+    p = getattr(p, entry)("bs", name_is("b")).one_or_more()
+    if zero:
+        p = p.optional()
+    if not eager:
+        p = p.allow_combinations()
+    p = p.followed_by("d", name_is("d"))
+    assert run_cep(spark, _NF_BEFORE_INPUT, p) == expected

@@ -366,9 +366,13 @@ def test_cep_within_bounds_anchored_repeats():
     assert _scan([_ev(0, "a", 0), _ev(0.5, "a", 1)], p) == [((0, 1),)]
 
 
-def test_cep_trailing_not_followed_by_enforced():
-    """A notFollowedBy whose following stages are all skipped must still be
-    enforced against the remaining events (review finding)."""
+def test_cep_trailing_not_followed_by_discharged_at_emit():
+    """A notFollowedBy whose following stages are ALL skipped is DISCHARGED
+    when the match emits — the reference completes the match at the last
+    positive stage, so a later forbidden event cannot poison it
+    (NotPatternITCase.java:487 golden; reverses an earlier round's blocking
+    reading). When the trailing stage MATCHES instead of being skipped, the
+    gap check still enforces the negation."""
     from flink_1_6_0_spark.streaming.cep import Pattern, _scan
 
     p = (
@@ -377,8 +381,12 @@ def test_cep_trailing_not_followed_by_enforced():
         .followed_by("c", lambda e: e["t"] == "c")
         .optional()
     )
-    assert _scan([_ev(0, "a", 0), _ev(1, "b", 1)], p) == []
+    # later b does NOT retroactively kill the bare (a) match
+    assert _scan([_ev(0, "a", 0), _ev(1, "b", 1)], p) == [((0,), (), ())]
     assert _scan([_ev(0, "a", 0), _ev(1, "x", 1)], p) == [((0,), (), ())]
+    # but a c AFTER the b is still poisoned by the gap check
+    got = _scan([_ev(0, "a", 0), _ev(1, "b", 1), _ev(2, "c", 2)], p)
+    assert ((0,), (), (2,)) not in got and ((0,), (), ()) in got
 
 
 def test_cep_optional_begin_inherits_anchor():
