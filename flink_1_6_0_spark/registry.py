@@ -112,7 +112,10 @@ _ROTATE_IN = (
     "graph_triadic_census_directed", "graph_transitive_closure",
     "graph_jaccard_index",
     # r11 CEP kernel changes (combinatorial valve in _scan, ctx-name guard
-    # in _pred, Either-overload branches in emit_new) — re-seat the family
+    # in _pred, Either-overload branches in emit_new; session-3 ITCase-port
+    # fixes: optional() zero_ok, until() run-kill-not-anchor-kill, trailing
+    # notFollowedBy discharge, loop ignore-edge stop condition — no
+    # registered query uses optional()/until(), but the family shares _scan)
     "cep_funnel", "cep_iterative_funnel", "cep_select_function",
     "stream_multibatch_cep", "stream_multibatch_cep_select",
     # r11: rows-only → oracle-checked upgrades (exact-GD trainer replaces

@@ -505,7 +505,6 @@ def _scan(
         runs: list[tuple[int, ...]] = []
 
         def grow(run: tuple[int, ...], run_start):
-            extended = False
             if st.max_times is None or len(run) < st.max_times:
                 self_pairs = pairs + ((st, run),)
                 prev = run[-1]
@@ -517,7 +516,6 @@ def _scan(
                         break  # until(): stop accepting, event not consumed
                     if _pred(st.predicate, events[idx], events, self_pairs):
                         grow(run + (idx,), run_start)
-                        extended = True
                         if not st.combinations_flag:
                             # INNER contiguity is relaxed (take the NEXT
                             # matching event) unless allowCombinations —
@@ -540,8 +538,15 @@ def _scan(
                         # and :725 testNotFollowedByNextAfterOneOrMoreEager
                         # goldens — both empty because the run cannot skip c)
                         break
-            # greedy(): only the maximal run survives, not every prefix
-            if len(run) >= st.min_times and not (st.greedy_flag and extended):
+            # greedy() does NOT prune runs here: the reference implements
+            # greediness as a guard on the NEXT state's transitions
+            # (NFACompiler.java:851 updateWithGreedyCondition ANDs every
+            # sink transition with NOT(take)), so sub-maximal runs die only
+            # when a loop-matching event sits between the run's end and the
+            # next stage's first event — walk() applies that guard. A greedy
+            # loop at the END of the pattern therefore still emits every
+            # prefix (GreedyITCase.java:726 golden).
+            if len(run) >= st.min_times:
                 runs.append(run)
                 if (
                     COMBINATORIAL_RUNS_CEILING is not None
@@ -564,12 +569,22 @@ def _scan(
                 break
             # until() kills ACTIVE runs (grow() stops at the until event and
             # never crosses it) and forbids a run STARTING ON the until event
-            # itself, but a fresh alternative entry AFTER it is legal —
-            # UntilConditionITCase.java:410 golden: followedByAny oneOrMore
-            # until(price==5) still matches (start, middle3) with middle3
-            # arriving after the breaking event (so: continue, not break)
+            # itself. Whether a fresh entry AFTER the breaker is legal depends
+            # on the loop's ignore edge: followedByAny ignores matching
+            # events, so its pending entry survives the breaker
+            # (UntilConditionITCase.java:410 golden — (start, middle3) with
+            # middle3 after the breaking event), and every event can anchor a
+            # fresh NFA run at the begin stage (all_starts). For NEXT /
+            # followedBy the entry branch can neither take the breaker
+            # (take = accept AND NOT until, NFACompiler extendWithUntil-
+            # Condition) nor ignore it (eager ignore = NOT accept... AND NOT
+            # until), so the partial dies — no entry past the breaker
+            # (GreedyITCase.java:294/:599 goldens: breaker-first admits only
+            # the zero-repeat match / nothing).
             if st.until_pred is not None and _pred(st.until_pred, events[first], events, pairs):
-                continue
+                if all_starts or st.contiguity == FOLLOWED_BY_ANY:
+                    continue
+                break
             if _pred(st.predicate, events[first], events, pairs):
                 grow((first,), start_ts if start_ts is not None else events[first]["__ts"])
                 if not all_starts and st.contiguity in (NEXT, FOLLOWED_BY):
@@ -629,7 +644,27 @@ def _scan(
                 break
         return runs
 
-    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = (), anchor_inherit: bool = False, base_pairs: tuple = ()):
+    def _greedy_guard(st, frm: int, pairs: tuple):
+        """NFACompiler.java:851 updateWithGreedyCondition: after a greedy
+        loop hands off, every transition of the NEXT state is ANDed with
+        NOT(take) — so the branch dies if any event in (frm, j] (j = the next
+        consuming stage's first event) still matches the loop's condition.
+        With until(), the proceed edge on the until event leads to an
+        UNGUARDED copy of the sink (NFACompiler.java:692-701), so the guard
+        lifts from the first until-matching event on (GreedyITCase.java:294
+        golden: breaker-first still admits the zero-repeat match)."""
+
+        def ok(j: int) -> bool:
+            for f in range(frm + 1, j + 1):
+                if st.until_pred is not None and _pred(st.until_pred, events[f], events, pairs):
+                    return True
+                if _pred(st.predicate, events[f], events, pairs):
+                    return False
+            return True
+
+        return ok
+
+    def walk(stages: list, stage_i: int, last_idx: int, start_ts, acc: tuple, emit, top_level: bool, pending_not: tuple = (), anchor_inherit: bool = False, base_pairs: tuple = (), guards: tuple = ()):
         # (stage, run) prefix for ctx predicates; base_pairs prepends the
         # enclosing partial match when this walk runs a group sub-pattern
         pairs = base_pairs + tuple(zip(stages, acc))
@@ -658,17 +693,23 @@ def _scan(
                     # match re-derives once one arrives (review finding:
                     # eager emission here was a permanent false positive)
                     return
-                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all, base_pairs=base_pairs)
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all, base_pairs=base_pairs, guards=guards)
             else:
                 # notFollowedBy: forbid matches in the gap before the NEXT
                 # positive stage's first event
-                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,), anchor_inherit=anchor_all, base_pairs=base_pairs)
+                walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not + (st.predicate,), anchor_inherit=anchor_all, base_pairs=base_pairs, guards=guards)
             return
         if st.may_skip:
             # skipping the anchor stage makes the NEXT positive stage the
             # effective anchor — without inheritance, matches starting at
-            # later events were never enumerated (review finding)
-            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all, base_pairs=base_pairs)
+            # later events were never enumerated (review finding).
+            # Skipping a GREEDY stage is the zero-repeat run: the greedy
+            # guard applies from the anchor position (GreedyITCase.java:44 —
+            # c a* d with a's present must NOT emit the bare (c, d)).
+            skip_guards = guards
+            if getattr(st, "greedy_flag", False) and st.quantified:
+                skip_guards = guards + (_greedy_guard(st, last_idx, pairs + ((st, ()),)),)
+            walk(stages, stage_i + 1, last_idx, start_ts, acc + ((),), emit, top_level, pending_not, anchor_inherit=anchor_all, base_pairs=base_pairs, guards=skip_guards)
         if isinstance(st, GroupStage):
             runs = group_runs(st, last_idx, start_ts, anchor_all, pairs=pairs)
         else:
@@ -693,9 +734,19 @@ def _scan(
                 for i in range(last_idx + 1, run[0])
             ):
                 continue  # a forbidden event sits in the gap
+            # a pending greedy guard from the PREVIOUS stage vets this
+            # stage's first consumed event (NOT(take) on every transition of
+            # the handed-off state — NFACompiler.java:851)
+            if guards and not all(g(run[0]) for g in guards):
+                continue
             advanced = True
             new_start = start_ts if start_ts is not None else events[run[0]]["__ts"]
-            walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level, base_pairs=base_pairs)
+            nxt_guards = (
+                (_greedy_guard(st, run[-1], pairs + ((st, run),)),)
+                if getattr(st, "greedy_flag", False) and st.quantified
+                else ()
+            )
+            walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level, base_pairs=base_pairs, guards=nxt_guards)
         # timeout capture (PatternStream flatSelect timeout handler,
         # CEP.java/PatternStream.java): a partial match whose next positive
         # stage has NO in-horizon continuation is dead — once the watermark

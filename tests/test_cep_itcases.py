@@ -48,7 +48,7 @@ def run_cep(spark, timed_events, pattern):
     for r in out.collect():
         match = []
         for st in pattern.stages:
-            if st.negated:
+            if getattr(st, "negated", False):  # GroupStage has no negated
                 continue
             if st.emits_array:
                 match.extend(r[f"{st.name}_ids"])
@@ -692,3 +692,191 @@ def test_not_followed_by_before_one_or_more(spark, all_matches, eager, zero, exp
         p = p.allow_combinations()
     p = p.followed_by("d", name_is("d"))
     assert run_cep(spark, _NF_BEFORE_INPUT, p) == expected
+
+
+# ---------------------------------------------------------------------------
+# GreedyITCase.java — greedy() quantifier semantics
+# ---------------------------------------------------------------------------
+
+GC = (40, "c", 1.0)
+GA1 = (41, "a", 2.0)
+GA2 = (42, "a", 2.0)
+GA3 = (43, "a", 2.0)
+GD = (44, "d", 3.0)
+# the until() variants raise a2/a3's price to 3.0 and add a breaker at 4.0
+GU1 = (41, "a", 2.0)
+GU2 = (42, "a", 3.0)
+GU3 = (43, "a", 3.0)
+GUX = (46, "a", 4.0)  # until-breaker (price > 3.0)
+GUD = (45, "d", 3.0)
+
+
+def _greedy_star(entry_optional: bool):
+    """c a*(greedy) d — GreedyITCase's shared pattern; optional() toggles
+    zeroOrMore vs oneOrMore."""
+    p = Pattern.begin("start", name_is("c")).followed_by("middle", name_is("a")).one_or_more()
+    if entry_optional:
+        p = p.optional()
+    return p.greedy().followed_by("end", name_is("d"))
+
+
+def test_greedy_zero_or_more(spark):
+    """GreedyITCase.java:44 — c a* d greedy keeps only the maximal run."""
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (GA3, 4), (GD, 5)]
+    assert run_cep(spark, inp, _greedy_star(True)) == {ids(GC, GA1, GA2, GA3, GD)}
+
+
+def test_greedy_zero_or_more_in_between(spark):
+    """GreedyITCase.java:93 — dummies between the a's don't break greedy."""
+    inp = [(GC, 1), (_f(90), 2), (GA1, 3), (_f(91), 4), (GA2, 5), (_f(92), 6), (GA3, 7), (GD, 8)]
+    assert run_cep(spark, inp, _greedy_star(True)) == {ids(GC, GA1, GA2, GA3, GD)}
+
+
+def test_greedy_zero_or_more_dummy_after_quantifier(spark):
+    """GreedyITCase.java:145 — a dummy after the last a ends the greedy run
+    there; the maximal run is still the only match."""
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (_f(93), 4), (GD, 5)]
+    assert run_cep(spark, inp, _greedy_star(True)) == {ids(GC, GA1, GA2, GD)}
+
+
+def test_greedy_zero_or_more_dummy_before_quantifier(spark):
+    """GreedyITCase.java:193 — no a at all: the zero-repeat match survives."""
+    inp = [(GC, 1), (_f(93), 2), (GD, 5)]
+    assert run_cep(spark, inp, _greedy_star(True)) == {ids(GC, GD)}
+
+
+def test_greedy_until_zero_or_more_dummy_after_quantifier(spark):
+    """GreedyITCase.java:237 — until(price>3) stops the greedy loop before
+    the 4.0 event; the run up to it still matches."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional().greedy()
+        .until(lambda e: e["price"] > 3.0)
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(GC, 1), (GU1, 2), (GU2, 3), (GU3, 4), (GUX, 5), (GUD, 6)]
+    assert run_cep(spark, inp, p) == {ids(GC, GU1, GU2, GU3, GUD)}
+
+
+def test_greedy_until_zero_or_more_breaker_first(spark):
+    """GreedyITCase.java:294 — the until-breaker arrives before any a: the
+    loop never accepts, only the zero-repeat match emits."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional().greedy()
+        .until(lambda e: e["price"] > 3.0)
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(GC, 1), (GUX, 2), (GU1, 3), (GU2, 4), (GU3, 5), (GUD, 6)]
+    assert run_cep(spark, inp, p) == {ids(GC, GUD)}
+
+
+def test_greedy_one_or_more(spark):
+    """GreedyITCase.java:351 — c a+ d greedy."""
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (GA3, 4), (GD, 5)]
+    assert run_cep(spark, inp, _greedy_star(False)) == {ids(GC, GA1, GA2, GA3, GD)}
+
+
+def test_greedy_one_or_more_in_between(spark):
+    """GreedyITCase.java:400."""
+    inp = [(GC, 1), (_f(90), 2), (GA1, 3), (_f(91), 4), (GA2, 5), (_f(92), 6), (GA3, 7), (GD, 8)]
+    assert run_cep(spark, inp, _greedy_star(False)) == {ids(GC, GA1, GA2, GA3, GD)}
+
+
+def test_greedy_one_or_more_dummy_after_quantifier(spark):
+    """GreedyITCase.java:452."""
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (_f(93), 4), (GD, 5)]
+    assert run_cep(spark, inp, _greedy_star(False)) == {ids(GC, GA1, GA2, GD)}
+
+
+def test_greedy_one_or_more_dummy_before_quantifier(spark):
+    """GreedyITCase.java:500 — no a: oneOrMore cannot match at all."""
+    inp = [(GC, 1), (_f(93), 2), (GD, 5)]
+    assert run_cep(spark, inp, _greedy_star(False)) == set()
+
+
+def test_greedy_until_one_or_more_dummy_after_quantifier(spark):
+    """GreedyITCase.java:542."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().greedy()
+        .until(lambda e: e["price"] > 3.0)
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(GC, 1), (GU1, 2), (GU2, 3), (GU3, 4), (GUX, 5), (GUD, 6)]
+    assert run_cep(spark, inp, p) == {ids(GC, GU1, GU2, GU3, GUD)}
+
+
+def test_greedy_until_one_or_more_breaker_first(spark):
+    """GreedyITCase.java:599 — breaker first + mandatory loop = no match."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().greedy()
+        .until(lambda e: e["price"] > 3.0)
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(GC, 1), (GUX, 2), (GU1, 3), (GU2, 4), (GU3, 5), (GUD, 6)]
+    assert run_cep(spark, inp, p) == set()
+
+
+def test_greedy_zero_or_more_before_group_pattern(spark):
+    """GreedyITCase.java:654 — c a*(greedy) (d e){2} f."""
+    c, a1, a2, a3 = (50, "c", 1.0), (51, "a", 1.0), (52, "a", 1.0), (53, "a", 1.0)
+    d1, e1, d2, e2, f = (54, "d", 1.0), (55, "e", 1.0), (56, "d", 1.0), (57, "e", 1.0), (58, "f", 3.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional().greedy()
+        .followed_by_group(
+            "grp",
+            Pattern.begin("middle1", name_is("d")).followed_by("middle2", name_is("e")),
+        ).times(2)
+        .followed_by("end", name_is("f"))
+    )
+    inp = [(c, 1), (a1, 2), (a2, 3), (_f(93), 4), (a3, 5), (d1, 6), (e1, 7), (d2, 8), (e2, 9), (f, 10)]
+    assert run_cep(spark, inp, p) == {ids(c, a1, a2, a3, d1, e1, d2, e2, f)}
+
+
+def test_end_with_zero_or_more_greedy(spark):
+    """GreedyITCase.java:726 — a greedy loop at the END of the pattern still
+    emits EVERY prefix (there is no following stage to be greedy against)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("end", name_is("a")).one_or_more().optional().greedy()
+    )
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (_f(94), 4), (GA3, 5)]
+    assert run_cep(spark, inp, p) == {
+        ids(GC), ids(GC, GA1), ids(GC, GA1, GA2), ids(GC, GA1, GA2, GA3),
+    }
+
+
+def test_end_with_zero_or_more_consecutive_greedy(spark):
+    """GreedyITCase.java:770 — consecutive() ends the run at the dummy but
+    prefixes still emit."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("end", name_is("a")).one_or_more().optional().consecutive().greedy()
+    )
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (_f(94), 4), (GA3, 5)]
+    assert run_cep(spark, inp, p) == {ids(GC), ids(GC, GA1), ids(GC, GA1, GA2)}
+
+
+def test_end_with_greedy_times_range(spark):
+    """GreedyITCase.java:813 — c a{2,5}(greedy) at the end: every >=2 prefix."""
+    a4 = (45, "a", 2.0)
+    p = Pattern.begin("start", name_is("c")).followed_by("end", name_is("a")).times(2, 5).greedy()
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (GA3, 4), (a4, 5), (_f(94), 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(GC, GA1, GA2), ids(GC, GA1, GA2, GA3), ids(GC, GA1, GA2, GA3, a4),
+    }
+
+
+def test_greedy_times_range(spark):
+    """GreedyITCase.java:858 — c a{2,5}(greedy) d keeps only the maximal."""
+    a4 = (45, "a", 2.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times(2, 5).greedy()
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(GC, 1), (GA1, 2), (GA2, 3), (GA3, 4), (a4, 5), (GD, 6)]
+    assert run_cep(spark, inp, p) == {ids(GC, GA1, GA2, GA3, a4, GD)}
