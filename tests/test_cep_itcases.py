@@ -880,3 +880,317 @@ def test_greedy_times_range(spark):
     )
     inp = [(GC, 1), (GA1, 2), (GA2, 3), (GA3, 4), (a4, 5), (GD, 6)]
     assert run_cep(spark, inp, p) == {ids(GC, GA1, GA2, GA3, a4, GD)}
+
+
+# ---------------------------------------------------------------------------
+# TimesOrMoreITCase.java — timesOrMore(n) across contiguity modes
+# ---------------------------------------------------------------------------
+
+
+def test_times_or_more(spark):
+    """TimesOrMoreITCase.java:43 — followedBy.timesOrMore(2).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times_or_more(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 3), (M3, 4), (E, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E),
+    }
+
+
+def test_times_or_more_non_strict(spark):
+    """TimesOrMoreITCase.java:94 — followedByAny.timesOrMore(2).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times_or_more(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, M2, M3, E),
+    }
+
+
+def test_times_or_more_strict(spark):
+    """TimesOrMoreITCase.java:142 — followedByAny.times(2).consecutive."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2).consecutive()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {ids(S, M2, M3, E)}
+
+
+def test_times_or_more_strict_optional(spark):
+    """TimesOrMoreITCase.java:187 — followedByAny.timesOrMore(2).consecutive.optional."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times_or_more(2).consecutive().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {ids(S, M2, M3, E), ids(S, E)}
+
+
+def test_times_or_more_strict_optional2(spark):
+    """TimesOrMoreITCase.java:233 — next.timesOrMore(2).consecutive.optional;
+    adjacency is positional, so M1 M2 M3 are consecutive received events."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times_or_more(2).consecutive().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 3), (M2, 5), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, E),
+    }
+
+
+def test_times_or_more_non_strict_optional(spark):
+    """TimesOrMoreITCase.java:278 — followedBy.timesOrMore(2).optional over
+    c f b: only the empty-loop match."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times_or_more(2).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (_f(23), 2), (E, 7)]
+    assert run_cep(spark, inp, p) == {ids(S, E)}
+
+
+def test_times_or_more_non_strict_optional2(spark):
+    """TimesOrMoreITCase.java:319 — followedByAny.timesOrMore(2)
+    .allowCombinations.optional."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times_or_more(2).allow_combinations().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E),
+        ids(S, M2, M3, E), ids(S, E),
+    }
+
+
+def test_times_or_more_non_strict_optional3(spark):
+    """TimesOrMoreITCase.java:368 — followedByAny.timesOrMore(2).optional
+    (no combinations: runs over the accepted sequence only)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times_or_more(2).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M2, M3, E), ids(S, E),
+    }
+
+
+def test_times_or_more_non_strict_with_next(spark):
+    """TimesOrMoreITCase.java:416 — next.timesOrMore(2).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times_or_more(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (_f(23), 3), (M2, 4), (_f(24), 5), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, M3, E),
+    }
+
+
+def test_times_or_more_not_strict_with_followed_by(spark):
+    """TimesOrMoreITCase.java:463 — followedBy.timesOrMore(2) (eager: only
+    prefix runs of the accepted sequence)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times_or_more(2)
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 4), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E),
+    }
+
+
+def test_times_or_more_not_strict_with_followed_by_any(spark):
+    """TimesOrMoreITCase.java:507 — followedByAny.timesOrMore(2).allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times_or_more(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 4), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M2, M3, E), ids(S, M1, M3, E),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SameElementITCase.java — identical events fed multiple times. The Java
+# suite feeds the SAME Event object repeatedly (equal value + timestamp);
+# compareMaps then compares by VALUE, so copies are indistinguishable in the
+# goldens. Rows in a DataFrame have no object identity, so our copies get
+# distinct ids (41/141/241...); each expected set below is the golden
+# re-derived under that labeling — value-collapsing our ids back to the
+# Java ids reproduces the golden multiset exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_eager_zero_or_more_same_element(spark):
+    """SameElementITCase.java:48 — eager zeroOrMore over duplicate events:
+    prefixes of the one eagerly-grown run [m1 m1' m1'' m2 m3 m3']."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    c, a1, a1b, a1c = (40, "c", 1.0), (41, "a", 2.0), (141, "a", 2.0), (241, "a", 2.0)
+    a2, d, a3, a3b, b = (42, "a", 3.0), (50, "d", 6.0), (43, "a", 4.0), (143, "a", 4.0), (44, "b", 5.0)
+    inp = [(c, 1), (a1, 3), (a1b, 3), (a1c, 3), (a2, 4), (d, 5), (a3, 6), (a3b, 6), (b, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(c, a1, a1b, a1c, a2, a3, a3b, b),
+        ids(c, a1, a1b, a1c, a2, a3, b),
+        ids(c, a1, a1b, a1c, a2, b),
+        ids(c, a1, a1b, a1c, b),
+        ids(c, a1, a1b, b),
+        ids(c, a1, b),
+        ids(c, b),
+    }
+
+
+def test_clearing_buffer(spark):
+    """SameElementITCase.java:106 — plain a.fb(b).fb(c).fb(d) chain (the Java
+    test asserts buffer cleanup; output-wise one match)."""
+    a1, b1, c1, d1 = (40, "a", 1.0), (41, "b", 2.0), (42, "c", 2.0), (43, "d", 2.0)
+    p = (
+        Pattern.begin("a", name_is("a"))
+        .followed_by("b", name_is("b"))
+        .followed_by("c", name_is("c"))
+        .followed_by("d", name_is("d"))
+    )
+    inp = [(a1, 1), (b1, 2), (c1, 2), (d1, 2)]
+    assert run_cep(spark, inp, p) == {ids(a1, b1, c1, d1)}
+
+
+def test_clearing_buffer_with_until_at_the_end(spark):
+    """SameElementITCase.java:154 — a.fb(d).oneOrMore().until(iterative: the
+    loop already holds 3 d's) — the until ctx sees the run's own accepted
+    events; prefixes of the 3-long run emit (loop at pattern end)."""
+    a1, d1, d2, d3, d4 = (40, "a", 1.0), (41, "d", 2.0), (141, "d", 2.0), (241, "d", 2.0), (341, "d", 2.0)
+    p = (
+        Pattern.begin("a", name_is("a"))
+        .followed_by("d", name_is("d")).one_or_more()
+        .until(lambda e, ctx: len(ctx.events_for("d")) == 3)
+    )
+    inp = [(a1, 1), (d1, 2), (d2, 2), (d3, 2), (d4, 4)]
+    assert run_cep(spark, inp, p) == {
+        ids(a1, d1, d2, d3), ids(a1, d1, d2), ids(a1, d1),
+    }
+
+
+def test_zero_or_more_same_element(spark):
+    """SameElementITCase.java:201 — followedByAny zeroOrMore allowCombinations
+    over duplicates: every subsequence of the 5 a-copies (32 matches; the
+    golden's 32 entries correspond 1:1)."""
+    from itertools import combinations
+
+    c, b = (40, "c", 1.0), (44, "b", 5.0)
+    a1, a1a, a2, a3, a3a = (41, "a", 2.0), (141, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0), (143, "a", 4.0)
+    d = (50, "d", 6.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more().optional().allow_combinations()
+        .followed_by_any("end1", name_is("b"))
+    )
+    inp = [(c, 1), (a1, 3), (a1a, 3), (a2, 4), (d, 5), (a3, 6), (a3a, 6), (b, 7)]
+    mids = [a1[0], a1a[0], a2[0], a3[0], a3a[0]]
+    expected = {
+        (c[0],) + sub + (b[0],)
+        for k in range(6)
+        for sub in combinations(mids, k)
+    }
+    assert run_cep(spark, inp, p) == expected
+
+
+def test_simple_pattern_w_same_element(spark):
+    """SameElementITCase.java:289 — followedByAny single stage matches each
+    copy once."""
+    c, a1, a1a, b = (40, "c", 1.0), (41, "a", 2.0), (141, "a", 2.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a"))
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(c, 1), (a1, 3), (a1a, 3), (b, 7)]
+    assert run_cep(spark, inp, p) == {ids(c, a1, b), ids(c, a1a, b)}
+
+
+def test_iterative_condition_w_same_element(spark):
+    """SameElementITCase.java:335 — end stage's iterative where() sums the
+    loop's prices (== 4.0 selects exactly two 2.0-a's). Golden value-multiset
+    {[c a a b] x2, [c a a a] x1}: two pair-runs complete on the b, one
+    completes on the third a-copy itself (the loop's proceed branch hands the
+    copy to the end stage). Which pair pairs with which end is unobservable
+    in the Java golden (all copies compare equal); our id labeling fixes the
+    executor's deterministic choice."""
+    c, a1, a1a, a1b, b = (40, "c", 1.0), (41, "a", 2.0), (141, "a", 2.0), (241, "a", 2.0), (44, "b", 5.0)
+
+    def end_cond(e, ctx):
+        return sum(x["price"] for x in ctx.events_for("middle")) == 4.0
+
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more().optional().allow_combinations()
+        .followed_by("end", end_cond)
+    )
+    inp = [(c, 1), (a1, 3), (a1a, 3), (a1b, 3), (b, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(c, a1, a1a, a1b),   # pair (a1,a1a) completed by the third copy
+        ids(c, a1, a1b, b),
+        ids(c, a1a, a1b, b),
+    }
+
+
+def test_end_w_looping_w_same_element(spark):
+    """SameElementITCase.java:411 — followedByAny oneOrMore optional at the
+    END: per-entry eager prefixes (entry m1: 3 prefixes; m1a: 2; m1b: 1)
+    plus the empty match — the golden's 7, no (m1, m1b) skip-run."""
+    c, a1, a1a, a1b = (40, "c", 1.0), (41, "a", 2.0), (141, "a", 2.0), (241, "a", 2.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more().optional()
+    )
+    inp = [(c, 1), (a1, 3), (a1a, 3), (a1b, 3), ((44, "b", 5.0), 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(c),
+        ids(c, a1), ids(c, a1a), ids(c, a1b),
+        ids(c, a1, a1a), ids(c, a1a, a1b),
+        ids(c, a1, a1a, a1b),
+    }
+
+
+def test_repeating_pattern_w_same_element(spark):
+    """SameElementITCase.java:448 — c · a*(eager) · b? · a with a duplicate
+    first a: all 8 golden combinations of loop-prefix x optional-b."""
+    # copy ids chosen to keep the Java insertion order under the executor's
+    # same-timestamp (ts, id) tiebreak: m11 < m11b < m12 all at ts 3
+    c = (40, "c", 1.0)
+    m11, m11b, m12 = (41, "a", 2.0), (42, "a", 2.0), (43, "a", 3.0)
+    d, m2, m13 = (50, "d", 6.0), (44, "b", 5.0), (45, "a", 4.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle1", name_is("a")).one_or_more().optional()
+        .followed_by("middle2", name_is("b")).optional()
+        .followed_by("end", name_is("a"))
+    )
+    inp = [(c, 1), (m11, 3), (m11b, 3), (m12, 3), (d, 5), (m2, 6), (m13, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(c, m11),
+        ids(c, m11, m11b),
+        ids(c, m2, m13),
+        ids(c, m11, m11b, m12),
+        ids(c, m11, m2, m13),
+        ids(c, m11, m11b, m12, m13),
+        ids(c, m11, m11b, m2, m13),
+        ids(c, m11, m11b, m12, m2, m13),
+    }
