@@ -1194,3 +1194,391 @@ def test_repeating_pattern_w_same_element(spark):
         ids(c, m11, m11b, m2, m13),
         ids(c, m11, m11b, m12, m2, m13),
     }
+
+
+# ---------------------------------------------------------------------------
+# IterativeConditionsITCase.java — ctx-dependent predicates. compareMaps
+# sorts events within each match, so these goldens compare as per-match
+# MULTISETS of events (sorted id tuples below). SubEvent subtyping is
+# encoded in the name column (every SubEvent here is foo*, every base event
+# isn't), matching the Java conditions' startsWith("foo") guards.
+# ---------------------------------------------------------------------------
+
+
+def sids(got):
+    return {tuple(sorted(m)) for m in got}
+
+
+def _branching_pattern(eager: bool):
+    def middle_cond(e, ctx):
+        if not e["name"].startswith("foo"):
+            return False
+        return sum(x["price"] for x in ctx.events_for("middle")) + e["price"] < 5.0
+
+    p = Pattern.begin("start", name_is("start")).followed_by("middle", middle_cond).one_or_more()
+    if not eager:
+        p = p.allow_combinations()
+    return p.followed_by("end", name_is("end"))
+
+
+_ITER_BRANCH_INPUT = [
+    ((40, "start", 1.0), 1), ((41, "foo1", 1.0), 2), ((42, "foo2", 2.0), 3),
+    ((140, "start", 2.0), 4), ((43, "foo3", 3.0), 5), ((143, "foo4", 1.0), 5),
+    ((44, "next-one", 1.0), 6), ((46, "end", 1.0), 8),
+]
+
+
+def test_iterative_with_branching_pattern_eager(spark):
+    """IterativeConditionsITCase.java:59 — running-sum loop condition, eager."""
+    got = run_cep(spark, _ITER_BRANCH_INPUT, _branching_pattern(True))
+    assert sids(got) == {
+        tuple(sorted(t)) for t in [
+            (40, 41, 42, 143, 46), (40, 41, 42, 46), (40, 41, 46),
+            (140, 43, 143, 46), (140, 43, 46),
+        ]
+    }
+
+
+def test_iterative_with_branching_pattern_combinations(spark):
+    """IterativeConditionsITCase.java:74 — same with allowCombinations."""
+    got = run_cep(spark, _ITER_BRANCH_INPUT, _branching_pattern(False))
+    assert sids(got) == {
+        tuple(sorted(t)) for t in [
+            (40, 41, 42, 143, 46), (40, 41, 42, 46), (40, 41, 43, 46),
+            (140, 43, 143, 46), (40, 41, 143, 46), (40, 41, 46), (140, 43, 46),
+        ]
+    }
+
+
+def _looping_start_pattern(eager: bool):
+    def start_cond(e, ctx):
+        if e["name"] != "start":
+            return False
+        return sum(x["price"] for x in ctx.events_for("start")) + e["price"] < 5.0
+
+    p = Pattern.begin("start", start_cond).one_or_more()
+    if not eager:
+        p = p.allow_combinations()
+    return p.optional().followed_by("end", name_is("end"))
+
+
+_ITER_LOOPSTART_INPUT = [
+    ((40, "start", 1.0), 1), ((140, "start", 2.0), 2), ((240, "start", 3.0), 3),
+    ((46, "end", 1.0), 4),
+]
+
+
+def test_iterative_with_looping_starting_eager(spark):
+    """IterativeConditionsITCase.java:164 — iterative loop AT the begin stage."""
+    got = run_cep(spark, _ITER_LOOPSTART_INPUT, _looping_start_pattern(True))
+    assert sids(got) == {
+        tuple(sorted(t)) for t in [
+            (40, 140, 46), (40, 46), (140, 46), (240, 46), (46,),
+        ]
+    }
+
+
+def test_iterative_with_looping_starting_combination(spark):
+    """IterativeConditionsITCase.java:179."""
+    got = run_cep(spark, _ITER_LOOPSTART_INPUT, _looping_start_pattern(False))
+    assert sids(got) == {
+        tuple(sorted(t)) for t in [
+            (40, 140, 46), (40, 240, 46), (40, 46), (140, 46), (240, 46), (46,),
+        ]
+    }
+
+
+def test_iterative_with_prev_pattern_dependency(spark):
+    """IterativeConditionsITCase.java:251 — the END stage's condition sums the
+    BEGIN loop's accepted events (run (s1) alone fails the >=2 gate)."""
+
+    def end_cond(e, ctx):
+        if e["name"] != "end":
+            return False
+        return sum(x["price"] for x in ctx.events_for("start")) >= 2.0
+
+    p = Pattern.begin("start", name_is("start")).one_or_more().followed_by("end", end_cond)
+    inp = [((40, "start", 1.0), 1), ((140, "start", 2.0), 2), ((46, "end", 1.0), 4)]
+    got = run_cep(spark, inp, p)
+    assert sids(got) == {tuple(sorted(t)) for t in [(40, 140, 46), (140, 46)]}
+
+
+def test_iterative_with_abac_pattern(spark):
+    """IterativeConditionsITCase.java:295 — A·B(any)·A+(iterative, <=5)·C;
+    ids at the shared timestamp chosen to preserve the Java insertion order
+    under the executor's (ts, id) tiebreak."""
+
+    def middle2_cond(e, ctx):
+        if e["name"] != "start":
+            return False
+        return sum(x["price"] for x in ctx.events_for("middle2")) + e["price"] <= 5.0
+
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by_any("middle1", lambda e: e["name"].startswith("foo"))
+        .followed_by("middle2", middle2_cond).one_or_more()
+        .followed_by("end", name_is("end"))
+    )
+    s1, m1, s2, s3 = (40, "start", 1.0), (41, "foo1", 1.0), (42, "start", 2.0), (43, "start", 3.0)
+    m2, s4, m3, m4 = (44, "foo2", 2.0), (45, "start", 4.0), (46, "foo3", 3.0), (47, "foo4", 1.0)
+    end = (99, "end", 1.0)
+    inp = [(s1, 1), (m1, 2), (s2, 2), (s3, 2), (m2, 2), (s4, 2), (m3, 2), (m4, 2), (end, 4)]
+    got = run_cep(spark, inp, p)
+    assert sids(got) == {
+        tuple(sorted(t)) for t in [
+            (40, 42, 43, 41, 99), (40, 41, 42, 99), (40, 44, 45, 99),
+            (42, 44, 45, 99), (43, 44, 45, 99),
+        ]
+    }
+
+
+def test_iterative_with_prev_pattern_dependency_after_branching(spark):
+    """IterativeConditionsITCase.java:365 — begin loop + followedByAny
+    branching; the final ANY stage's condition re-reads the begin loop."""
+
+    def end_cond(e, ctx):
+        if e["name"] != "end":
+            return False
+        return sum(x["price"] for x in ctx.events_for("start")) >= 2.0
+
+    p = (
+        Pattern.begin("start", name_is("start")).one_or_more()
+        .followed_by_any("middle1", lambda e: e["name"].startswith("foo"))
+        .followed_by_any("end", end_cond)
+    )
+    s1, s2, m1 = (40, "start", 1.0), (41, "start", 2.0), (51, "foo1", 1.0)
+    s3, m2, end = (42, "start", 3.0), (52, "foo2", 2.0), (99, "end", 1.0)
+    inp = [(s1, 1), (s2, 2), (m1, 4), (s3, 5), (m2, 6), (end, 7)]
+    got = run_cep(spark, inp, p)
+    assert sids(got) == {
+        tuple(sorted(t)) for t in [
+            (40, 41, 51, 99), (41, 51, 99), (40, 41, 52, 99),
+            (40, 41, 42, 52, 99), (41, 42, 52, 99), (41, 52, 99), (42, 52, 99),
+        ]
+    }
+
+
+# ---------------------------------------------------------------------------
+# AfterMatchSkipITCase.java — AfterMatchSkipStrategy pruning. The reference
+# emits completed matches in START order (a completed match is held until
+# every earlier-started partial resolves — NFA.java processMatchesAccording-
+# ToSkipStrategy), then prunes later matches whose start precedes the
+# strategy's pruning point; _apply_skip replays exactly that.
+# ---------------------------------------------------------------------------
+
+
+def _seq(*evts):
+    """Events at ts 1,2,3,... (the Java tests feed StreamRecords without
+    timestamps; only relative order matters — no within())."""
+    return [(e, i + 1) for i, e in enumerate(evts)]
+
+
+def test_skip_to_next(spark):
+    """AfterMatchSkipITCase.java:47 — noSkip times(3) over six a's: every
+    anchored contiguous triple."""
+    a = [(i, "a", 0.0) for i in range(1, 7)]
+    p = Pattern.begin("start", name_is("a")).times(3)
+    assert run_cep(spark, _seq(*a), p) == {
+        ids(a[0], a[1], a[2]), ids(a[1], a[2], a[3]),
+        ids(a[2], a[3], a[4]), ids(a[3], a[4], a[5]),
+    }
+
+
+def test_skip_past_last(spark):
+    """AfterMatchSkipITCase.java:86 — skipPastLastEvent times(3)."""
+    a = [(i, "a", 0.0) for i in range(1, 7)]
+    p = Pattern.begin("start", name_is("a")).times(3).skip_past_last_event()
+    assert run_cep(spark, _seq(*a), p) == {
+        ids(a[0], a[1], a[2]), ids(a[3], a[4], a[5]),
+    }
+
+
+def name_has(sub):
+    return lambda e: sub in e["name"]
+
+
+def test_skip_to_first(spark):
+    """AfterMatchSkipITCase.java:123 — skipToFirst('end') over ab{2} next
+    b{2}: the second window may reuse the first match's end events."""
+    ab = [(i, "ab", 0.0) for i in range(1, 7)]
+    p = (
+        Pattern.begin("start", name_has("a")).times(2)
+        .next("end", name_has("b")).times(2)
+        .skip_to_first("end")
+    )
+    assert run_cep(spark, _seq(*ab), p) == {
+        ids(ab[0], ab[1], ab[2], ab[3]), ids(ab[2], ab[3], ab[4], ab[5]),
+    }
+
+
+def test_skip_to_last(spark):
+    """AfterMatchSkipITCase.java:167 — skipToLast('end')."""
+    ab = [(i, "ab", 0.0) for i in range(1, 8)]
+    p = (
+        Pattern.begin("start", name_has("a")).times(2)
+        .next("end", name_has("b")).times(2)
+        .skip_to_last("end")
+    )
+    assert run_cep(spark, _seq(*ab), p) == {
+        ids(ab[0], ab[1], ab[2], ab[3]), ids(ab[3], ab[4], ab[5], ab[6]),
+    }
+
+
+def test_skip_past_last2(spark):
+    """AfterMatchSkipITCase.java:210 — branching a·b(any)·c(any)·d collapses
+    to the single earliest-start match under skipPastLastEvent."""
+    a1, a2 = (1, "a1", 0.0), (2, "a2", 0.0)
+    b1, b2 = (3, "b1", 0.0), (4, "b2", 0.0)
+    c1, c2 = (5, "c1", 0.0), (6, "c2", 0.0)
+    d1, d2 = (7, "d1", 0.0), (8, "d2", 0.0)
+    p = (
+        Pattern.begin("a", name_has("a"))
+        .followed_by_any("b", name_has("b"))
+        .followed_by_any("c", name_has("c"))
+        .followed_by("d", name_has("d"))
+        .skip_past_last_event()
+    )
+    assert run_cep(spark, _seq(a1, a2, b1, b2, c1, c2, d1, d2), p) == {ids(a1, b1, c1, d1)}
+
+
+def test_skip_past_last3(spark):
+    """AfterMatchSkipITCase.java:267 — a next b; only (a2, b2) matches."""
+    a1, c, a2, b2 = (1, "a1", 0.0), (2, "c", 0.0), (3, "a2", 0.0), (4, "b2", 0.0)
+    p = Pattern.begin("a", name_has("a")).next("b", name_has("b")).skip_past_last_event()
+    assert run_cep(spark, _seq(a1, c, a2, b2), p) == {ids(a2, b2)}
+
+
+def test_skip_to_first_with_optional_match(spark):
+    """AfterMatchSkipITCase.java:306 — skip target on an optional loop that
+    never matches: pruning id is absent, nothing is skipped."""
+    ab1, c1, ab2, c2 = (1, "ab1", 0.0), (2, "c1", 0.0), (3, "ab2", 0.0), (4, "c2", 0.0)
+    p = (
+        Pattern.begin("x", name_has("x")).one_or_more().optional()
+        .next("b", name_has("b"))
+        .next("c", name_has("c"))
+        .skip_to_first("b")
+    )
+    assert run_cep(spark, _seq(ab1, c1, ab2, c2), p) == {ids(ab1, c1), ids(ab2, c2)}
+
+
+def test_skip_to_first_at_start_position(spark):
+    """AfterMatchSkipITCase.java:351 — skipToFirst of the BEGIN stage is the
+    match's own start: prunes nothing."""
+    ab1, c1, ab2, c2 = (1, "ab1", 0.0), (2, "c1", 0.0), (3, "ab2", 0.0), (4, "c2", 0.0)
+    p = (
+        Pattern.begin("b", name_has("b")).next("c", name_has("c")).skip_to_first("b")
+    )
+    assert run_cep(spark, _seq(ab1, c1, ab2, c2), p) == {ids(ab1, c1), ids(ab2, c2)}
+
+
+_SKIP_OOM_EVENTS = [
+    (1, "a1", 0.0), (2, "b1", 0.0), (3, "a2", 0.0), (4, "b2", 0.0),
+    (5, "b3", 0.0), (6, "a3", 0.0), (7, "b4", 0.0),
+]
+
+
+def test_skip_to_first_with_one_or_more(spark):
+    """AfterMatchSkipITCase.java:390 — the growing (a2 b2 b3) continuation is
+    pruned the moment (a2 b2) emits (its start precedes the pruning point)."""
+    p = (
+        Pattern.begin("a", name_has("a"))
+        .next("b", name_has("b")).one_or_more().consecutive()
+        .skip_to_first("b")
+    )
+    e = _SKIP_OOM_EVENTS
+    assert run_cep(spark, _seq(*e), p) == {ids(e[0], e[1]), ids(e[2], e[3]), ids(e[5], e[6])}
+
+
+def test_skip_to_last_with_one_or_more(spark):
+    """AfterMatchSkipITCase.java:436 — same with skipToLast('b')."""
+    p = (
+        Pattern.begin("a", name_has("a"))
+        .next("b", name_has("b")).one_or_more().consecutive()
+        .skip_to_last("b")
+    )
+    e = _SKIP_OOM_EVENTS
+    assert run_cep(spark, _seq(*e), p) == {ids(e[0], e[1]), ids(e[2], e[3]), ids(e[5], e[6])}
+
+
+_SKIP_DOC_EVENTS = [(1, "a1", 0.0), (2, "a2", 0.0), (3, "a3", 0.0), (4, "b1", 0.0)]
+
+
+def _doc_pattern():
+    return (
+        Pattern.begin("a", name_has("a")).one_or_more().consecutive().greedy()
+        .next("b", name_has("b"))
+    )
+
+
+def test_skip_past_last_with_one_or_more_at_beginning(spark):
+    """AfterMatchSkipITCase.java:483 (docs example) — a+ greedy next b."""
+    e = _SKIP_DOC_EVENTS
+    p = _doc_pattern().skip_past_last_event()
+    assert run_cep(spark, _seq(*e), p) == {ids(e[0], e[1], e[2], e[3])}
+
+
+def test_skip_to_last_with_one_or_more_at_beginning(spark):
+    """AfterMatchSkipITCase.java:523 (docs example)."""
+    e = _SKIP_DOC_EVENTS
+    p = _doc_pattern().skip_to_last("a")
+    assert run_cep(spark, _seq(*e), p) == {
+        ids(e[0], e[1], e[2], e[3]), ids(e[2], e[3]),
+    }
+
+
+def test_skip_to_first_with_one_or_more_at_beginning(spark):
+    """AfterMatchSkipITCase.java:564 (docs example) — skip to own start."""
+    e = _SKIP_DOC_EVENTS
+    p = _doc_pattern().skip_to_first("a")
+    assert run_cep(spark, _seq(*e), p) == {
+        ids(e[0], e[1], e[2], e[3]), ids(e[1], e[2], e[3]), ids(e[2], e[3]),
+    }
+
+
+def test_no_skip_with_one_or_more_at_beginning(spark):
+    """AfterMatchSkipITCase.java:606 (docs example) — greedy begin-loop emits
+    one maximal run per anchor."""
+    e = _SKIP_DOC_EVENTS
+    assert run_cep(spark, _seq(*e), _doc_pattern()) == {
+        ids(e[0], e[1], e[2], e[3]), ids(e[1], e[2], e[3]), ids(e[2], e[3]),
+    }
+
+
+def test_skip_to_first_discarding(spark):
+    """AfterMatchSkipITCase.java:648 (docs example) — (a|c)·(b|c)·c+·d."""
+    a, b = (1, "a", 0.0), (2, "b", 0.0)
+    c1, c2, c3, d = (3, "c1", 0.0), (4, "c2", 0.0), (5, "c3", 0.0), (6, "d", 0.0)
+
+    p = (
+        Pattern.begin("a_or_c", lambda e: "a" in e["name"] or "c" in e["name"])
+        .followed_by("b_or_c", lambda e: "b" in e["name"] or "c" in e["name"])
+        .followed_by("cstar", name_has("c")).one_or_more().greedy()
+        .followed_by("d", name_has("d"))
+        .skip_to_first("cstar")
+    )
+    assert run_cep(spark, _seq(a, b, c1, c2, c3, d), p) == {
+        ids(a, b, c1, c2, c3, d), ids(c1, c2, c3, d),
+    }
+
+
+def test_skip_before_other_already_completed(spark):
+    """AfterMatchSkipITCase.java:708 — a completed later-start match must not
+    prune an earlier-start partial that completes afterwards: emission is
+    START-ordered (held until earlier partials resolve), so (a1 c1 b2) emits
+    first and its pruning point spares (a2 c2 b1)."""
+    a1, c1 = (1, "a1", 0.0), (2, "c1", 0.0)
+    a2, c2 = (3, "a2", 1.0), (4, "c2", 0.0)
+    b1, b2 = (5, "b1", 1.0), (6, "b2", 0.0)
+
+    def b_cond(e, ctx):
+        return "b" in e["name"] and ctx.events_for("a")[0]["price"] == e["price"]
+
+    p = (
+        Pattern.begin("a", name_has("a"))
+        .followed_by("c", name_has("c"))
+        .followed_by("b", b_cond)
+        .skip_to_first("c")
+    )
+    assert run_cep(spark, _seq(a1, c1, a2, c2, b1, b2), p) == {
+        ids(a1, c1, b2), ids(a2, c2, b1),
+    }
