@@ -226,6 +226,13 @@ class GroupStage:
     min_times: int = 1
     max_times: int | None = 1  # None = unbounded
     zero_ok: bool = False  # optional() without lowering min_times
+    # loop modifiers, same meaning as on Stage (GroupITCase exercises all
+    # three on group loops: consecutive GroupITCase.java:885, combinations
+    # :333, until :1023)
+    consecutive_repeats: bool = False
+    combinations_flag: bool = False
+    until_pred: Callable[[dict[str, Any]], bool] | None = None
+    greedy_flag: bool = False
 
     @property
     def may_skip(self) -> bool:
@@ -356,6 +363,13 @@ class Pattern:
 
     def followed_by_group(self, name: str, sub: "Pattern") -> "Pattern":
         self.stages.append(GroupStage(name, sub, FOLLOWED_BY))
+        return self
+
+    def followed_by_any_group(self, name: str, sub: "Pattern") -> "Pattern":
+        """followedByAny(Pattern) (Pattern.java followedByAny group overload):
+        the group may anchor at EVERY later position, not just the first
+        completable one (GroupITCase.java:333/:461)."""
+        self.stages.append(GroupStage(name, sub, FOLLOWED_BY_ANY))
         return self
 
     # -- quantifiers (Pattern.java:327-474), applied to the LAST stage ------
@@ -623,24 +637,50 @@ def _scan(
                 runs.append(run)
             if reps == gst.max_times:
                 return
-            for s2 in range(run[-1] + 1, n):
-                if not in_horizon(s2, run_start):
+            self_pairs = pairs + ((gst, run),)
+            # consecutive(): the next repetition must start at the event
+            # immediately after the previous one (GroupITCase.java:885 —
+            # a breaking event between (b c) repetitions kills the chain)
+            nxt = [run[-1] + 1] if gst.consecutive_repeats else range(run[-1] + 1, n)
+            for s2 in nxt:
+                if s2 >= n or not in_horizon(s2, run_start):
                     break
-                subs = sub_matches_at(gst, s2, run_start, pairs + ((gst, run),))
+                # until(): the loop stops accepting repetitions once the
+                # condition holds; the until event is not consumed
+                # (GroupITCase.java:1023 — (a b)+ until(d))
+                if gst.until_pred is not None and _pred(gst.until_pred, events[s2], events, self_pairs):
+                    break
+                subs = sub_matches_at(gst, s2, run_start, self_pairs)
                 if subs:
+                    if gst.combinations_flag:
+                        # allowCombinations: branch on taking this repetition
+                        # AND on skipping it for a later one — every in-order
+                        # combination of repetitions (GroupITCase.java:333)
+                        for flat in subs:
+                            grow(run + flat, reps + 1, run_start)
+                        continue
                     grow(run + subs[0], reps + 1, run_start)
                     return  # deterministic: one repetition chain
+                if gst.consecutive_repeats:
+                    break
 
         strict = gst.contiguity == NEXT and not anchor_all
         candidates = [last_idx + 1] if strict else range(last_idx + 1, n)
         for s in candidates:
             if s >= n or not in_horizon(s, start_ts):
                 break
+            if gst.until_pred is not None and _pred(gst.until_pred, events[s], events, pairs + ((gst, ()),)):
+                # same entry rule as repeat_runs: the pending-entry branch can
+                # neither take nor ignore the until event except under ANY
+                # contiguity / fresh begin-stage anchors
+                if anchor_all or gst.contiguity == FOLLOWED_BY_ANY:
+                    continue
+                break
             eff_start = start_ts if start_ts is not None else events[s]["__ts"]
             subs = sub_matches_at(gst, s, eff_start, pairs + ((gst, ()),))
             for flat in subs:
                 grow(flat, 1, eff_start)
-            if strict or (subs and not anchor_all):
+            if strict or (subs and not anchor_all and gst.contiguity != FOLLOWED_BY_ANY):
                 break
         return runs
 

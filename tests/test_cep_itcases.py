@@ -1582,3 +1582,291 @@ def test_skip_before_other_already_completed(spark):
     assert run_cep(spark, _seq(a1, c1, a2, c2, b1, b2), p) == {
         ids(a1, c1, b2), ids(a2, c2, b1),
     }
+
+
+# ---------------------------------------------------------------------------
+# GroupITCase.java — GroupPattern (sub-pattern) quantifiers
+# ---------------------------------------------------------------------------
+
+GR_C = (40, "c", 1.0)
+GR_A1, GR_B1 = (41, "a", 2.0), (42, "b", 3.0)
+GR_A2, GR_B2 = (43, "a", 4.0), (44, "b", 5.0)
+GR_A3, GR_B3 = (45, "a", 4.0), (46, "b", 5.0)
+GR_D = (47, "d", 6.0)
+
+
+def _ab_group():
+    return Pattern.begin("middle1", name_is("a")).followed_by("middle2", name_is("b"))
+
+
+_GR_2PAIR = [(GR_C, 1), (GR_A1, 2), (GR_B1, 3), (GR_A2, 4), (GR_B2, 5), (GR_D, 6)]
+_GR_3PAIR = [
+    (GR_C, 1), (GR_A1, 2), (GR_B1, 3), (GR_A2, 4), (GR_B2, 5),
+    (GR_A3, 6), (GR_B3, 7), (GR_D, 8),
+]
+
+
+def test_group_followed_by_times(spark):
+    """GroupITCase.java:47 — c (a b){2} d."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_group("grp", _ab_group()).times(2)
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, _GR_2PAIR, p) == {ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D)}
+
+
+def test_group_followed_by_optional(spark):
+    """GroupITCase.java:105 — c (a b)? d."""
+    c, a1, a2, b, d = (40, "c", 1.0), (41, "a", 2.0), (42, "a", 2.0), (43, "b", 3.0), (44, "d", 4.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_group("grp", _ab_group()).optional()
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(c, 1), (a1, 2), (a2, 3), (b, 4), (d, 5)]
+    assert run_cep(spark, inp, p) == {ids(c, d), ids(c, a1, b, d)}
+
+
+def test_followed_by_group_times_optional(spark):
+    """GroupITCase.java:162 — c (a b){2}? d with no completable group."""
+    c, a, d = (40, "c", 1.0), (41, "a", 2.0), (45, "d", 3.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_group("grp", _ab_group()).times(2).optional()
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, [(c, 1), (a, 2), (d, 3)], p) == {ids(c, d)}
+
+
+def test_group_followed_by_one_or_more(spark):
+    """GroupITCase.java:214 — c (a b)+ d."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_group("grp", _ab_group()).one_or_more()
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, _GR_2PAIR, p) == {
+        ids(GR_C, GR_A1, GR_B1, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D),
+    }
+
+
+def test_group_followed_by_zero_or_more(spark):
+    """GroupITCase.java:273 — c (a b)* d."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_group("grp", _ab_group()).one_or_more().optional()
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, _GR_2PAIR, p) == {
+        ids(GR_C, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D),
+    }
+
+
+def test_group_followed_by_any_times_combinations(spark):
+    """GroupITCase.java:333 — c any(a b){2}.allowCombinations d: every
+    in-order pair of repetitions."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any_group("grp", _ab_group()).times(2).allow_combinations()
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, _GR_3PAIR, p) == {
+        ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_A3, GR_B3, GR_D),
+        ids(GR_C, GR_A2, GR_B2, GR_A3, GR_B3, GR_D),
+    }
+
+
+def test_group_followed_by_any_times_optional(spark):
+    """GroupITCase.java:397 — c any(a b){2}? d (no combinations: chained
+    repetitions only, from every entry)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any_group("grp", _ab_group()).times(2).optional()
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, _GR_3PAIR, p) == {
+        ids(GR_C, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D),
+        ids(GR_C, GR_A2, GR_B2, GR_A3, GR_B3, GR_D),
+    }
+
+
+def test_group_followed_by_any_one_or_more(spark):
+    """GroupITCase.java:461 — c any(a b){1,} d."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any_group("grp", _ab_group()).one_or_more()
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, _GR_3PAIR, p) == {
+        ids(GR_C, GR_A1, GR_B1, GR_D),
+        ids(GR_C, GR_A2, GR_B2, GR_D),
+        ids(GR_C, GR_A3, GR_B3, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D),
+        ids(GR_C, GR_A2, GR_B2, GR_A3, GR_B3, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_A3, GR_B3, GR_D),
+    }
+
+
+def test_group_next_zero_or_more(spark):
+    """GroupITCase.java:528 — c next (a b)*.consecutive d."""
+    c = (40, "c", 1.0)
+    a1, b1 = (41, "a", 2.0), (42, "b", 3.0)
+    a2, b2 = (43, "a", 3.0), (44, "b", 3.0)
+    a3, b3 = (45, "a", 4.0), (46, "b", 3.0)
+    d = (47, "d", 1.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next_group("grp", _ab_group()).one_or_more().optional().consecutive()
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(c, 1), (a1, 3), (b1, 4), (a2, 5), (b2, 6), (a3, 7), (b3, 8), (d, 9)]
+    assert run_cep(spark, inp, p) == {
+        ids(c, d),
+        ids(c, a1, b1, d),
+        ids(c, a1, b1, a2, b2, d),
+        ids(c, a1, b1, a2, b2, a3, b3, d),
+    }
+
+
+_GR_NOT_INPUT = [
+    ((40, "c", 1.0), 1), ((41, "a", 2.0), 2), ((42, "b", 3.0), 3),
+    ((43, "d", 3.0), 4), ((44, "a", 4.0), 5), ((45, "b", 5.0), 6),
+    ((46, "e", 6.0), 7),
+]
+
+
+def test_group_not_followed_by(spark):
+    """GroupITCase.java:593 — c any(a b) ¬d e: the pair before the d is
+    poisoned."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any_group("grp", _ab_group())
+        .not_followed_by("notPattern", name_is("d"))
+        .followed_by("end", name_is("e"))
+    )
+    e = _GR_NOT_INPUT
+    assert run_cep(spark, e, p) == {(40, 44, 45, 46)}
+
+
+def test_group_not_next(spark):
+    """GroupITCase.java:660 — c any(a b) notNext(d) e."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any_group("grp", _ab_group())
+        .not_next("notPattern", name_is("d"))
+        .followed_by("end", name_is("e"))
+    )
+    assert run_cep(spark, _GR_NOT_INPUT, p) == {(40, 44, 45, 46)}
+
+
+def test_group_nest(spark):
+    """GroupITCase.java:727 — d (a (b c)*)? e: nested group loop."""
+    d = (40, "d", 1.0)
+    a1, b1, c1 = (41, "a", 2.0), (42, "b", 3.0), (43, "c", 4.0)
+    b2, c2, e = (44, "b", 5.0), (45, "c", 4.0), (46, "e", 6.0)
+    inner = Pattern.begin("middle2", name_is("b")).followed_by("middle3", name_is("c"))
+    sub = Pattern.begin("middle1", name_is("a")).followed_by_group("bc", inner).one_or_more().optional()
+    p = (
+        Pattern.begin("start", name_is("d"))
+        .followed_by_group("grp", sub).optional()
+        .followed_by("end", name_is("e"))
+    )
+    inp = [(d, 1), (a1, 2), (b1, 3), (c1, 4), (b2, 5), (c2, 6), (e, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(d, e),
+        ids(d, a1, e),
+        ids(d, a1, b1, c1, e),
+        ids(d, a1, b1, c1, b2, c2, e),
+    }
+
+
+_GR_NEST_EVENTS = dict(
+    d=(40, "d", 1.0),
+    a1=(41, "a", 2.0), b1=(42, "b", 3.0), c1=(43, "c", 4.0),
+    b2=(44, "b", 5.0), c2=(45, "c", 4.0), b3=(46, "b", 5.0), c3=(47, "c", 4.0),
+    a2=(48, "a", 2.0), b4=(49, "b", 3.0), c4=(50, "c", 4.0),
+    b5=(51, "b", 5.0), c5=(52, "c", 4.0), b6=(53, "b", 5.0), c6=(54, "c", 4.0),
+    e=(55, "e", 6.0),
+)
+
+
+def test_group_nest_times(spark):
+    """GroupITCase.java:797 — d any(a (b c){3}){0,2} e."""
+    E = _GR_NEST_EVENTS
+    inner = Pattern.begin("middle2", name_is("b")).followed_by("middle3", name_is("c"))
+    sub = Pattern.begin("middle1", name_is("a")).followed_by_group("bc", inner).times(3)
+    p = (
+        Pattern.begin("start", name_is("d"))
+        .followed_by_any_group("grp", sub).times(0, 2)
+        .followed_by("end", name_is("e"))
+    )
+    order = ["d", "a1", "b1", "c1", "b2", "c2", "b3", "c3", "a2", "b4", "c4", "b5", "c5", "b6", "c6", "e"]
+    inp = [(E[k], i + 1) for i, k in enumerate(order)]
+    rep1 = [E[k] for k in ("a1", "b1", "c1", "b2", "c2", "b3", "c3")]
+    rep2 = [E[k] for k in ("a2", "b4", "c4", "b5", "c5", "b6", "c6")]
+    assert run_cep(spark, inp, p) == {
+        ids(E["d"], E["e"]),
+        ids(E["d"], *rep1, E["e"]),
+        ids(E["d"], *rep2, E["e"]),
+        ids(E["d"], *rep1, *rep2, E["e"]),
+    }
+
+
+def test_group_nest_times_consecutive(spark):
+    """GroupITCase.java:885 — same but consecutive at both nesting levels; a
+    breaking event inside the second repetition kills it."""
+    E = _GR_NEST_EVENTS
+    inner = Pattern.begin("middle2", name_is("b")).followed_by("middle3", name_is("c"))
+    sub = Pattern.begin("middle1", name_is("a")).followed_by_group("bc", inner).times(3).consecutive()
+    p = (
+        Pattern.begin("start", name_is("d"))
+        .followed_by_any_group("grp", sub).times(0, 2).consecutive()
+        .followed_by("end", name_is("e"))
+    )
+    order = ["d", "a1", "b1", "c1", "b2", "c2", "b3", "c3", "a2", "b4", "c4"]
+    inp = [(E[k], i + 1) for i, k in enumerate(order)]
+    inp.append(((99, "breaking", 99.0), 12))
+    inp += [(E[k], 13 + i) for i, k in enumerate(["b5", "c5", "b6", "c6", "e"])]
+    rep1 = [E[k] for k in ("a1", "b1", "c1", "b2", "c2", "b3", "c3")]
+    assert run_cep(spark, inp, p) == {
+        ids(E["d"], E["e"]),
+        ids(E["d"], *rep1, E["e"]),
+    }
+
+
+def test_group_begin(spark):
+    """GroupITCase.java:972 — (a b){1,2} d: a group AT the begin stage
+    anchors fresh runs at every repetition start."""
+    a1, b1 = (41, "a", 2.0), (42, "b", 3.0)
+    a2, b2 = (43, "a", 4.0), (44, "b", 5.0)
+    d = (45, "d", 6.0)
+    p = (
+        Pattern.begin_group("grp", _ab_group()).times(1, 2)
+        .followed_by("end", name_is("d"))
+    )
+    inp = [(a1, 1), (b1, 2), (a2, 3), (b2, 4), (d, 5)]
+    assert run_cep(spark, inp, p) == {
+        ids(a1, b1, d),
+        ids(a2, b2, d),
+        ids(a1, b1, a2, b2, d),
+    }
+
+
+def test_group_followed_by_one_or_more_with_until_condition(spark):
+    """GroupITCase.java:1023 — c (a b)+ until(d) d: until stops repetition
+    growth; the pending match still completes on the d."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_group("grp", _ab_group()).one_or_more().until(name_is("d"))
+        .followed_by("end", name_is("d"))
+    )
+    assert run_cep(spark, _GR_2PAIR, p) == {
+        ids(GR_C, GR_A1, GR_B1, GR_D),
+        ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D),
+    }
