@@ -120,7 +120,7 @@ _TUPLE_AFTER = "({b}.ts > {a}.ts OR ({b}.ts = {a}.ts AND {b}.event_id > {a}.even
     JOIN events b ON a.user_id = b.user_id AND {_TUPLE_AFTER.format(a='a', b='b')}
     JOIN events c ON b.user_id = c.user_id AND {_TUPLE_AFTER.format(a='b', b='c')}
     WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
-      AND c.ts - a.ts <= INTERVAL 24 HOUR
+      AND c.ts - a.ts < INTERVAL 24 HOUR
     """,
     tags=("cep",),
     bench=True,
@@ -154,7 +154,7 @@ def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nxt n
     JOIN events p ON p.user_id = n.user_id AND p.event_type = 'purchase'
      AND (p.ts > n.t2 OR (p.ts = n.t2 AND p.event_id > n.c2))
-     AND p.ts - n.t1 <= INTERVAL 24 HOUR
+     AND p.ts - n.t1 < INTERVAL 24 HOUR
     WHERE n.c2 IS NOT NULL
     """,
     tags=("cep",),
@@ -211,7 +211,7 @@ _CEP_SELECT_ORACLE = """
       SELECT p.event_id, p.value, p.ts FROM events p
       WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        AND p.ts - v.ts <= INTERVAL 24 HOUR
+        AND p.ts - v.ts < INTERVAL 24 HOUR
       ORDER BY p.ts, p.event_id LIMIT 1) bp
 """
 
@@ -251,7 +251,7 @@ _CEP_SELECT_TIMEOUT_ORACLE = """
         SELECT p.event_id, p.value, p.ts FROM events p
         WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
           AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-          AND p.ts - v.ts <= INTERVAL 24 HOUR
+          AND p.ts - v.ts < INTERVAL 24 HOUR
         ORDER BY p.ts, p.event_id LIMIT 1) bp ON TRUE
     )
     SELECT user_id,
@@ -309,7 +309,7 @@ def cep_select_timeout_function(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.event_id FROM events p
       WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        AND p.ts - v.ts <= INTERVAL 24 HOUR
+        AND p.ts - v.ts < INTERVAL 24 HOUR
         AND p.value > v.value
       ORDER BY p.ts, p.event_id LIMIT 1) bp
     """,

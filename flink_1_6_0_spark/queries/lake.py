@@ -141,12 +141,12 @@ def stream_multibatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL (SELECT c.event_id, c.ts FROM e c
              WHERE c.event_type = 'click' AND c.user_id = v.user_id
                AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
-               AND c.ts <= v.ts + INTERVAL 24 HOUR
+               AND c.ts < v.ts + INTERVAL 24 HOUR
              ORDER BY c.ts, c.event_id LIMIT 1) bc,
     LATERAL (SELECT p.event_id FROM e p
              WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
                AND (p.ts > bc.ts OR (p.ts = bc.ts AND p.event_id > bc.event_id))
-               AND p.ts <= v.ts + INTERVAL 24 HOUR
+               AND p.ts < v.ts + INTERVAL 24 HOUR
              ORDER BY p.ts, p.event_id LIMIT 1) bp
     """,
     tags=("streaming", "lake", "cep"),
@@ -203,7 +203,7 @@ def stream_multibatch_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.event_id, c.ts FROM e c
         WHERE c.event_type = 'click' AND c.user_id = v.user_id
           AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
-          AND c.ts <= v.ts + INTERVAL 24 HOUR
+          AND c.ts < v.ts + INTERVAL 24 HOUR
         ORDER BY c.ts, c.event_id LIMIT 1) c ON TRUE
     ),
     fp AS (
@@ -214,7 +214,7 @@ def stream_multibatch_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.event_type = 'purchase' AND p.user_id = fc.user_id
           AND fc.click_id IS NOT NULL
           AND (p.ts > fc.c_ts OR (p.ts = fc.c_ts AND p.event_id > fc.click_id))
-          AND p.ts <= fc.v_ts + INTERVAL 24 HOUR
+          AND p.ts < fc.v_ts + INTERVAL 24 HOUR
         ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
     )
     SELECT user_id, view_id, click_id, purchase_id,
@@ -270,7 +270,7 @@ def stream_multibatch_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT p.event_id FROM e p
       WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        AND p.ts <= v.ts + INTERVAL 24 HOUR
+        AND p.ts < v.ts + INTERVAL 24 HOUR
         AND p.value > v.value
       ORDER BY p.ts, p.event_id LIMIT 1) bp
     """,
@@ -326,7 +326,7 @@ def stream_multibatch_cep_iterative(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT p.event_id, p.value, p.ts FROM e p
       WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-        AND p.ts <= v.ts + INTERVAL 24 HOUR
+        AND p.ts < v.ts + INTERVAL 24 HOUR
       ORDER BY p.ts, p.event_id LIMIT 1) bp
     """,
     tags=("streaming", "lake", "cep"),
@@ -378,7 +378,7 @@ def stream_multibatch_cep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.event_id, p.value, p.ts FROM e p
         WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
           AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
-          AND p.ts <= v.ts + INTERVAL 24 HOUR
+          AND p.ts < v.ts + INTERVAL 24 HOUR
         ORDER BY p.ts, p.event_id LIMIT 1) bp ON TRUE
     )
     SELECT user_id,

@@ -454,7 +454,7 @@ def stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN events c ON b.user_id = c.user_id
       AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
     WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
-      AND c.ts - a.ts <= INTERVAL 24 HOUR
+      AND c.ts - a.ts < INTERVAL 24 HOUR
     """,
     tags=("streaming", "cep"),
 )
@@ -493,7 +493,7 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN events c ON b.user_id = c.user_id
       AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
     WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
-      AND c.value > 50 AND c.ts - a.ts <= INTERVAL 24 HOUR
+      AND c.value > 50 AND c.ts - a.ts < INTERVAL 24 HOUR
     """,
     tags=("streaming", "cep"),
 )

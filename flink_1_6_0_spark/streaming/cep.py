@@ -499,10 +499,15 @@ def _scan(
     within_us = pattern.within_micros
 
     def in_horizon(idx: int, start_ts: int | None) -> bool:
+        # STRICT bound: the reference times a partial out once
+        # ``timestamp - startTimestamp >= windowTime`` (NFA.java:270
+        # isStateTimedOut), so an event at elapsed == within can never join
+        # the match (NFAITCase.java:293 golden — the id-1 start whose end
+        # arrives exactly windowTime later matches nothing)
         return (
             within_us is None
             or start_ts is None
-            or events[idx]["__ts"] - start_ts <= within_us
+            or events[idx]["__ts"] - start_ts < within_us
         )
 
     def repeat_runs(st: Stage, first_candidates, start_ts, all_starts: bool = False, pairs: tuple = (), stop_pred=None):

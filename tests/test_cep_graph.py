@@ -43,11 +43,16 @@ def test_cep_batch_followed_by_any(spark):
     assert rows == {(1, 1, 2, 4)}
 
 
-def test_cep_within_boundary_inclusive(spark):
-    # purchase at exactly the horizon is included (<=, not <)
+def test_cep_within_boundary_strict(spark):
+    """An event at elapsed == within is EXCLUDED: the reference times the
+    partial out at ``timestamp - start >= windowTime`` (NFA.java:270;
+    NFAITCase.java:293 golden). One second more headroom admits it."""
     out = cep_batch(_events_df(spark), _funnel(1200), ["user_id"], "ts", "event_id")
     rows = {(r.view_id, r.click_id, r.purchase_id) for r in out.collect()}
-    assert (1, 2, 4) in rows  # 00:20 - 00:00 == 1200s exactly
+    assert (1, 2, 4) not in rows  # 00:20 - 00:00 == 1200s exactly — expired
+    out2 = cep_batch(_events_df(spark), _funnel(1201), ["user_id"], "ts", "event_id")
+    rows2 = {(r.view_id, r.click_id, r.purchase_id) for r in out2.collect()}
+    assert (1, 2, 4) in rows2
 
 
 def test_cep_followed_by_takes_first_match_only(spark):
