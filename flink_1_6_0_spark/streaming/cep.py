@@ -793,19 +793,24 @@ def _scan(
             )
             walk(stages, stage_i + 1, run[-1], new_start, acc + (run,), emit, top_level, base_pairs=base_pairs, guards=nxt_guards)
         # timeout capture (PatternStream flatSelect timeout handler,
-        # CEP.java/PatternStream.java): a partial match whose next positive
-        # stage has NO in-horizon continuation is dead — once the watermark
-        # passes start+within it is reported to the timeout handler. Only
-        # recorded at top level for partials that consumed >=1 event and
-        # could not also skip the stage (not skippable).
-        if (
-            timeouts is not None
-            and top_level
-            and not advanced
-            and not st.may_skip
-            and any(acc)
-        ):
-            timeouts.append((acc, stage_i))
+        # CEP.java/PatternStream.java): reported once the watermark passes
+        # start+within. Two ways a waiting branch reaches expiry alive:
+        # - a followedByAny stage's ignore edge survives EVERY event (even
+        #   take-matching ones), so its waiting fork always reaches the
+        #   window close — reported regardless of sibling advancement, and
+        #   even when a sibling completed a full match
+        #   (NFAITCase.java:344 goldens: {start1}, {start1, middle},
+        #   {start2}, AND {start2, middle} despite (start2, middle, end)
+        #   completing — the reference never suppresses prefixes of
+        #   completed matches);
+        # - a NEXT/followedBy stage's waiting state survives only while no
+        #   take-match consumed it: reported iff nothing advanced and the
+        #   stage could not be skipped.
+        if timeouts is not None and top_level and any(acc):
+            if st.contiguity == FOLLOWED_BY_ANY:
+                timeouts.append((acc, stage_i))
+            elif not advanced and not st.may_skip:
+                timeouts.append((acc, stage_i))
 
     walk(pattern.stages, 0, -1, None, (), lambda acc, _last: out.append(acc), top_level=True)
     # dedup (optional stages can produce identical matches via two paths)
@@ -1106,8 +1111,6 @@ def cep_batch_with_timeouts(
             rows.append(row)
         seen: set = set()
         for acc, stage_i in dead:
-            if any(m[: len(acc)] == acc for m in matches):
-                continue  # completed via a sibling branch
             key = (acc, stage_i)
             if key in seen:
                 continue
@@ -1151,9 +1154,12 @@ def cep_batch_select_with_timeouts(
     runs per dead partial (PatternTimeoutFunction.java:59): ``partial`` maps
     only the REACHED stages to their matched events (the reference's map of
     matched-so-far events) and ``timeout_ts`` is ``start + within`` in epoch
-    microseconds — the instant the window closed on the partial. Partials
-    that completed via a sibling branch are suppressed (batch/stream output
-    parity). ``flat=True`` makes BOTH functions return iterables of dicts
+    microseconds — the instant the window closed on the partial. A
+    followedByAny stage's waiting fork survives every event, so such
+    partials time out even when a sibling branch completed a full match
+    (NFAITCase.java:344 — the reference never suppresses prefixes of
+    completed matches). ``flat=True`` makes BOTH functions return iterables
+    of dicts
     (PatternFlatTimeoutFunction.java:56's Collector contract).
 
     Scale shape: identical to :func:`cep_batch` — one full-width hash
@@ -1196,8 +1202,6 @@ def cep_batch_select_with_timeouts(
                 rows.append({**keyvals, "timed_out": False, **nulls, **o})
         seen: set = set()
         for acc, stage_i in dead:
-            if any(m[: len(acc)] == acc for m in matches):
-                continue  # completed via a sibling branch
             key = (acc, stage_i)
             if key in seen:
                 continue
@@ -1602,10 +1606,6 @@ def _stream_kernel(
             # future events are all >= fold_pt). On flush (fold_pt None) the
             # stream has ended — every dead partial is reported, the batch
             # executor's end-of-data convention (cep_batch_with_timeouts).
-            if any(m[: len(acc)] == acc for m in matches):
-                continue  # prefix of a full match this scan found: it
-                # completed via a sibling branch — same suppression as
-                # cep_batch_with_timeouts (batch/stream output parity)
             start = min(events[i]["__ts"] for idxs in acc for i in idxs)
             if fold_pt is not None and start + bound >= fold_pt:
                 continue

@@ -1870,3 +1870,127 @@ def test_group_followed_by_one_or_more_with_until_condition(spark):
         ids(GR_C, GR_A1, GR_B1, GR_D),
         ids(GR_C, GR_A1, GR_B1, GR_A2, GR_B2, GR_D),
     }
+
+
+# ---------------------------------------------------------------------------
+# NFAITCase.java — the reference NFA's primary acceptance suite
+# ---------------------------------------------------------------------------
+
+NFA_A, NFA_B, NFA_C = (60, "a", 1.0), (61, "b", 2.0), (62, "c", 3.0)
+NFA_D, NFA_E = (63, "d", 4.0), (64, "e", 5.0)
+_NFA_ABCDE = [(NFA_A, 1), (NFA_B, 2), (NFA_C, 3), (NFA_D, 4), (NFA_E, 5)]
+
+
+def test_no_condition_nfa(spark):
+    """NFAITCase.java:70 — two unconstrained stages: each adjacent pair."""
+    p = Pattern.begin("start").followed_by("end")
+    assert run_cep(spark, _NFA_ABCDE, p) == {
+        ids(NFA_A, NFA_B), ids(NFA_B, NFA_C), ids(NFA_C, NFA_D), ids(NFA_D, NFA_E),
+    }
+
+
+def test_no_condition_looping_nfa(spark):
+    """NFAITCase.java:100 — unconstrained begin + oneOrMore end: every
+    contiguous window of length >= 2."""
+    p = Pattern.begin("start").followed_by("end").one_or_more()
+    evs = [NFA_A, NFA_B, NFA_C, NFA_D, NFA_E]
+    expected = {
+        ids(*evs[i:j]) for i in range(5) for j in range(i + 2, 6)
+    }
+    assert run_cep(spark, _NFA_ABCDE, p) == expected
+
+
+def test_any_with_no_condition_nfa(spark):
+    """NFAITCase.java:136 — followedByAny: every ordered pair."""
+    p = Pattern.begin("start").followed_by_any("end")
+    evs = [NFA_A, NFA_B, NFA_C, NFA_D, NFA_E]
+    expected = {ids(evs[i], evs[j]) for i in range(5) for j in range(i + 1, 5)}
+    assert run_cep(spark, _NFA_ABCDE, p) == expected
+
+
+def test_simple_pattern_nfa(spark):
+    """NFAITCase.java:172 — start · SubEvent(volume>5) · end. The SubEvent
+    volume rides in the price column; the barfoo SubEvent (volume 5) and the
+    base foobar event both fail the >5 bar, so subtype discrimination is
+    price-encoded faithfully."""
+    start, foobar = (50, "start", 1.0), (51, "foobar", 1.0)
+    barfoo, middle = (52, "barfoo", 5.0), (53, "foo", 10.0)
+    start2, end = (54, "start", 1.0), (55, "end", 1.0)
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by("middle", lambda e: e["price"] > 5.0)
+        .followed_by("end", name_is("end"))
+    )
+    inp = [(start, 1), (foobar, 2), (barfoo, 3), (middle, 3), (start2, 4), (end, 5)]
+    assert run_cep(spark, inp, p) == {ids(start, middle, end)}
+
+
+def test_strict_continuity_with_results(spark):
+    """NFAITCase.java:219 — a next b over [a b]."""
+    m, e = (41, "a", 2.0), (42, "b", 4.0)
+    p = Pattern.begin("middle", name_is("a")).next("end", name_is("b"))
+    assert run_cep(spark, [(m, 3), (e, 5)], p) == {ids(m, e)}
+
+
+def test_strict_continuity_no_results(spark):
+    """NFAITCase.java:254 — a next b over [a c b]: the c breaks next()."""
+    m1, m2, e = (41, "a", 2.0), (42, "c", 3.0), (43, "b", 4.0)
+    p = Pattern.begin("middle", name_is("a")).next("end", name_is("b"))
+    assert run_cep(spark, [(m1, 3), (m2, 4), (e, 5)], p) == set()
+
+
+def test_simple_pattern_with_time_window_nfa(spark):
+    """NFAITCase.java:293 — within() expiry is STRICT: the id-1 start whose
+    end arrives exactly windowTime later matches nothing (NFA.java:270
+    ``timestamp - start >= windowTime`` times the partial out)."""
+    s1, s2 = (1, "start", 1.0), (2, "start", 1.0)
+    mid, foo = (3, "middle", 1.0), (4, "foobar", 1.0)
+    e1, e2 = (5, "end", 1.0), (6, "end", 1.0)
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by("middle", name_is("middle"))
+        .followed_by("end", name_is("end"))
+        .within(10)
+    )
+    inp = [(s1, 1), (s2, 2), (mid, 3), (foo, 4), (e1, 11), (e2, 13)]
+    assert run_cep(spark, inp, p) == {ids(s2, mid, e1)}
+
+
+def test_simple_pattern_with_timeout_handling(spark):
+    """NFAITCase.java:344 — timeout side output with followedByAny stages:
+    every waiting fork alive at expiry reports, INCLUDING the (start2,
+    middle) prefix of the one completed match. The reference stamps each
+    timeout with the advanceTime watermark that detected it (13 for the
+    start2 partials — the next event after the true close 12); our executor
+    reports the exact close instant start+within, a deterministic
+    refinement asserted here."""
+    from flink_1_6_0_spark.streaming.cep import Pattern as P, _scan
+
+    def ev(tsec, eid, name):
+        return {"__ts": tsec * 1_000_000, "event_id": eid, "name": name}
+
+    events = [
+        ev(1, 1, "start"), ev(2, 2, "start"), ev(3, 3, "middle"),
+        ev(4, 4, "foobar"), ev(11, 5, "end"), ev(13, 6, "end"),
+    ]
+    p = (
+        P.begin("start", name_is("start"))
+        .followed_by_any("middle", name_is("middle"))
+        .followed_by_any("end", name_is("end"))
+        .within(10)
+    )
+    dead = []
+    matches = _scan(events, p, timeouts=dead)
+    got_matches = {
+        tuple(tuple(events[i]["event_id"] for i in r) for r in m) for m in matches
+    }
+    assert got_matches == {((2,), (3,), (5,))}
+    got_timeouts = set()
+    for acc, _si in dead:
+        eids = tuple(tuple(events[i]["event_id"] for i in r) for r in acc)
+        start = min(events[i]["__ts"] for r in acc for i in r)
+        got_timeouts.add((eids, (start + 10_000_000) // 1_000_000))
+    assert got_timeouts == {
+        (((1,), (3,)), 11), (((1,),), 11),
+        (((2,), (3,)), 12), (((2,),), 12),
+    }
