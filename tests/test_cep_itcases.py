@@ -1994,3 +1994,512 @@ def test_simple_pattern_with_timeout_handling(spark):
         (((1,), (3,)), 11), (((1,),), 11),
         (((2,), (3,)), 12), (((2,),), 12),
     }
+
+
+def test_branching_pattern(spark):
+    """NFAITCase.java:421 — three chained followedByAny stages branch over
+    every combination (SubEvent volume in the price column)."""
+    start = (40, "start", 1.0)
+    m1, m2, m3 = (41, "foo1", 10.0), (42, "foo2", 10.0), (43, "foo3", 10.0)
+    n1, n2 = (44, "next-one", 2.0), (45, "next-one", 2.0)
+    end = (46, "end", 1.0)
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by_any("middle_first", lambda e: e["price"] > 5.0)
+        .followed_by_any("middle_second", name_is("next-one"))
+        .followed_by_any("end", name_is("end"))
+    )
+    inp = [(start, 1), (m1, 3), (m2, 4), (m3, 5), (n1, 6), (n2, 7), (end, 8)]
+    assert run_cep(spark, inp, p) == {
+        ids(start, m, n, end) for m in (m1, m2, m3) for n in (n1, n2)
+    }
+
+
+def test_complex_branching_after_zero_or_more(spark):
+    """NFAITCase.java:485 — c · aANY*comb? · bANY · dANY · eANY: every a-subset
+    crossed with both d's."""
+    from itertools import combinations
+
+    s = (40, "c", 1.0)
+    a1, a2, a3 = (41, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0)
+    b, d1, d2, e = (44, "b", 5.0), (45, "d", 6.0), (46, "d", 7.0), (47, "e", 8.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more().allow_combinations().optional()
+        .followed_by_any("end1", name_is("b"))
+        .followed_by_any("end2", name_is("d"))
+        .followed_by_any("end3", name_is("e"))
+    )
+    inp = [(s, 1), (a1, 3), (a2, 4), (a3, 5), (b, 6), (d1, 7), (d2, 8), (e, 9)]
+    subsets = [sub for k in range(4) for sub in combinations((a1[0], a2[0], a3[0]), k)]
+    assert run_cep(spark, inp, p) == {
+        (s[0],) + sub + (b[0], d[0], e[0]) for sub in subsets for d in (d1, d2)
+    }
+
+
+def test_zero_or_more(spark):
+    """NFAITCase.java:568 — c · aANY*comb · b."""
+    s, a1, a2, b = (40, "c", 1.0), (41, "a", 2.0), (42, "a", 3.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more().allow_combinations().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(s, 1), (a1, 3), (a2, 4), (b, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, a1, a2, b), ids(s, a1, b), ids(s, a2, b), ids(s, b),
+    }
+
+
+def test_eager_zero_or_more(spark):
+    """NFAITCase.java:617 — eager zeroOrMore skips the non-matching d and
+    emits every prefix of the one grown run."""
+    s = (40, "c", 1.0)
+    a1, a2, a3, b = (41, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(s, 1), (a1, 3), (a2, 4), ((50, "d", 6.0), 5), (a3, 6), (b, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, a1, a2, a3, b), ids(s, a1, a2, b), ids(s, a1, b), ids(s, b),
+    }
+
+
+def test_begin_with_zero_or_more(spark):
+    """NFAITCase.java:669 — a*? at the begin stage anchors at every a."""
+    a1, a2, a3, b = (40, "a", 2.0), (41, "a", 3.0), (42, "a", 3.0), (43, "b", 4.0)
+    p = (
+        Pattern.begin("middle", name_is("a")).one_or_more().optional()
+        .followed_by("end", name_is("b"))
+    )
+    inp = [(a1, 3), (a2, 4), (a3, 5), (b, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(a1, a2, a3, b), ids(a1, a2, b), ids(a2, a3, b),
+        ids(a1, b), ids(a2, b), ids(a3, b), ids(b),
+    }
+
+
+def test_zero_or_more_after_zero_or_more(spark):
+    """NFAITCase.java:714 — aANY*comb? then d*comb? back to back."""
+    s, a = (40, "c", 1.0), (41, "a", 2.0)
+    d1, d2, e = (42, "d", 3.0), (43, "d", 4.0), (44, "e", 4.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle_first", name_is("a")).one_or_more().allow_combinations().optional()
+        .followed_by("middle_second", name_is("d")).one_or_more().allow_combinations().optional()
+        .followed_by("end", name_is("e"))
+    )
+    inp = [(s, 1), (a, 3), (d1, 4), (d2, 5), (e, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, a, d1, d2, e), ids(s, a, d1, e), ids(s, d1, d2, e),
+        ids(s, d1, e), ids(s, a, e), ids(s, e),
+    }
+
+
+def test_zero_or_more_after_branching(spark):
+    """NFAITCase.java:776 — branching then a kleene dANY*comb? tail."""
+    s = (40, "c", 1.0)
+    a1, a2, f = (41, "a", 2.0), (42, "a", 3.0), (43, "f", 3.0)
+    k1, k2, e = (44, "d", 4.0), (45, "d", 4.0), (46, "e", 4.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("branching", name_is("a"))
+        .followed_by_any("merging", name_is("f"))
+        .followed_by_any("kleene", name_is("d")).one_or_more().allow_combinations().optional()
+        .followed_by("end", name_is("e"))
+    )
+    inp = [(s, 1), (a1, 3), (a2, 4), (f, 5), (k1, 6), (k2, 7), (e, 8)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, a, f, *ks, e)
+        for a in (a1, a2)
+        for ks in ((), (k1,), (k2,), (k1, k2))
+    }
+
+
+def test_strict_continuity_no_results_after_zero_or_more(spark):
+    """NFAITCase.java:849 — d a* next b with a c in between: nothing."""
+    d, a1, a2, c, b = (40, "d", 2.0), (41, "a", 2.0), (42, "a", 2.0), (43, "c", 3.0), (44, "b", 4.0)
+    p = (
+        Pattern.begin("start", name_is("d"))
+        .followed_by("middle", name_is("a")).one_or_more().optional()
+        .next("end", name_is("b"))
+    )
+    inp = [(d, 1), (a1, 2), (a2, 3), (c, 4), (b, 5)]
+    assert run_cep(spark, inp, p) == set()
+
+
+def test_strict_continuity_results_after_zero_or_more(spark):
+    """NFAITCase.java:896 — d aANY*comb? next b: only runs ending right
+    before the b survive."""
+    d, a1, a2, b = (40, "d", 2.0), (41, "a", 2.0), (42, "a", 2.0), (43, "b", 4.0)
+    p = (
+        Pattern.begin("start", name_is("d"))
+        .followed_by_any("middle", name_is("a")).one_or_more().optional().allow_combinations()
+        .next("end", name_is("b"))
+    )
+    inp = [(d, 1), (a1, 2), (a2, 3), (b, 5)]
+    assert run_cep(spark, inp, p) == {ids(d, a1, a2, b), ids(d, a2, b)}
+
+
+def test_at_least_one(spark):
+    """NFAITCase.java:943 — c · aANY+comb · bANY."""
+    s, a1, a2, b = (40, "c", 1.0), (41, "a", 2.0), (42, "a", 3.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more().allow_combinations()
+        .followed_by_any("end1", name_is("b"))
+    )
+    inp = [(s, 1), (a1, 3), (a2, 4), (b, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, a1, a2, b), ids(s, a1, b), ids(s, a2, b),
+    }
+
+
+def test_begin_with_at_least_one(spark):
+    """NFAITCase.java:991 — a+comb at the begin stage: every non-empty
+    in-order combination from every anchor."""
+    a1, a2, a3, b = (41, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("a")).one_or_more().allow_combinations()
+        .followed_by("end", name_is("b"))
+    )
+    inp = [(a1, 3), (a2, 4), (a3, 5), (b, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(a1, a2, a3, b), ids(a1, a2, b), ids(a1, a3, b), ids(a2, a3, b),
+        ids(a1, b), ids(a2, b), ids(a3, b),
+    }
+
+
+def test_next_zero_or_more(spark):
+    """NFAITCase.java:1036 — start next middle*consecutive: a non-middle
+    event immediately after start leaves only the zero-repeat match."""
+    start, e, end = (40, "start", 1.0), (1, "event", 1.0), (46, "end", 1.0)
+    m1, m2, m3 = (50, "middle", 2.0), (51, "middle", 3.0), (52, "middle", 4.0)
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .next("middle", name_is("middle")).one_or_more().optional().consecutive()
+        .followed_by("end", name_is("end"))
+    )
+    inp = [(start, 1), (e, 2), (m1, 3), (m2, 4), (m3, 5), (end, 6)]
+    assert run_cep(spark, inp, p) == {ids(start, end)}
+
+
+def test_at_least_one_eager(spark):
+    """NFAITCase.java:1085 — aANY+ eager: per-entry prefixes, no skipping."""
+    s = (40, "c", 1.0)
+    a1, a2, a3, b = (41, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more()
+        .followed_by_any("end1", name_is("b"))
+    )
+    inp = [(s, 1), (a1, 3), (a2, 4), (a3, 5), (b, 6)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, a1, a2, a3, b), ids(s, a1, a2, b), ids(s, a2, a3, b),
+        ids(s, a1, b), ids(s, a2, b), ids(s, a3, b),
+    }
+
+
+# NFAITCase optional/consecutive tier (ConsecutiveData: S M1 M2 M3 E above;
+# middleEvent4 gets distinct id 45 — the Java fixture reuses id 43)
+M4 = (45, "a", 5.0)
+
+
+def test_nfa_optional(spark):
+    """NFAITCase.java:1138 — c a? b."""
+    s, m, b = (40, "c", 1.0), (43, "a", 4.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, [(s, 1), (m, 5), (b, 6)], p) == {ids(s, m, b), ids(s, b)}
+
+
+def test_nfa_times(spark):
+    """NFAITCase.java:1183 — c next a{2}comb b: run must start right after c."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 3), (M3, 4), (E, 6)]
+    assert run_cep(spark, inp, p) == {ids(S, M1, M2, E), ids(S, M1, M3, E)}
+
+
+def test_start_with_times(spark):
+    """NFAITCase.java:1232 — a{2}consecutive at the begin stage."""
+    p = (
+        Pattern.begin("middle", name_is("a")).times(2).consecutive()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(M1, 2), (M2, 3), (M3, 4), (E, 6)]
+    assert run_cep(spark, inp, p) == {ids(M1, M2, E), ids(M2, M3, E)}
+
+
+def test_nfa_times_non_strict_with_next(spark):
+    """NFAITCase.java:1273 — next a{2}comb with fillers between the a's."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (_f(23), 3), (M2, 4), (_f(24), 5), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {ids(S, M1, M2, E), ids(S, M1, M3, E)}
+
+
+def test_times_not_strict_with_followed_by_eager(spark):
+    """NFAITCase.java:1318 — followedBy a{2} eager: the first chain only."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times(2)
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 4), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {ids(S, M1, M2, E)}
+
+
+def test_times_not_strict_with_followed_by_not_eager(spark):
+    """NFAITCase.java:1360 — followedByAny a{2}comb: every pair."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (M2, 4), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, M2, M3, E),
+    }
+
+
+def test_times_strict_with_next_and_consecutive(spark):
+    """NFAITCase.java:1404 — next a{2}consecutive broken by a filler: empty."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(2).consecutive()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (_f(23), 3), (M2, 4), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == set()
+
+
+def test_start_with_optional(spark):
+    """NFAITCase.java:1445 — c? b at the begin stage."""
+    s, b = (40, "c", 1.0), (44, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c")).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, [(s, 1), (b, 6)], p) == {ids(s, b), ids(b)}
+
+
+def test_end_with_zero_or_more(spark):
+    """NFAITCase.java:1481 — c a*? at the end: every prefix."""
+    s = (40, "c", 1.0)
+    m1, m2, m3 = (41, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0)
+    p = Pattern.begin("start", name_is("c")).followed_by("middle", name_is("a")).one_or_more().optional()
+    inp = [(s, 1), (m1, 3), (m2, 4), (m3, 5)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, m1, m2, m3), ids(s, m1, m2), ids(s, m1), ids(s),
+    }
+
+
+def test_start_and_end_with_zero_or_more(spark):
+    """NFAITCase.java:1523 — the whole pattern is a*?: per-anchor prefixes
+    (the bare empty match emits nothing — no event consumed)."""
+    s = (40, "c", 1.0)
+    m1, m2, m3 = (41, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0)
+    d1, d2, d3 = (44, "d", 5.0), (45, "d", 5.0), (46, "d", 5.0)
+    p = Pattern.begin("start", name_is("a")).one_or_more().optional()
+    inp = [(s, 1), (m1, 3), (m2, 4), (m3, 5), (d1, 6), (d2, 7), (d3, 8)]
+    got = run_cep(spark, inp, p)
+    got.discard(())  # the zero-event match has no key rows in a DataFrame
+    assert got == {
+        ids(m1, m2, m3), ids(m1, m2), ids(m1),
+        ids(m2, m3), ids(m2), ids(m3),
+    }
+
+
+def test_end_with_optional(spark):
+    """NFAITCase.java:1566 — c a? at the end."""
+    s, m1 = (40, "c", 1.0), (41, "a", 2.0)
+    p = Pattern.begin("start", name_is("c")).followed_by("middle", name_is("a")).optional()
+    assert run_cep(spark, [(s, 1), (m1, 3)], p) == {ids(s, m1), ids(s)}
+
+
+def test_end_with_one_or_more(spark):
+    """NFAITCase.java:1602 — c a+ at the end: every non-empty prefix."""
+    s = (40, "c", 1.0)
+    m1, m2, m3 = (41, "a", 2.0), (42, "a", 3.0), (43, "a", 4.0)
+    p = Pattern.begin("start", name_is("c")).followed_by("middle", name_is("a")).one_or_more()
+    inp = [(s, 1), (m1, 3), (m2, 4), (m3, 5)]
+    assert run_cep(spark, inp, p) == {
+        ids(s, m1, m2, m3), ids(s, m1, m2), ids(s, m1),
+    }
+
+
+def test_nfa_times_non_strict_optional1(spark):
+    """NFAITCase.java:1645 — a{3}? with no a's: the empty-loop match."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).times(3).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (_f(23), 2), (E, 7)]
+    assert run_cep(spark, inp, p) == {ids(S, E)}
+
+
+def test_nfa_times_non_strict_optional2(spark):
+    """NFAITCase.java:1685 — followedByAny a{2}comb? over the filler input."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2).allow_combinations().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, M2, M3, E), ids(S, E),
+    }
+
+
+def test_nfa_times_non_strict_optional3(spark):
+    """NFAITCase.java:1732 — followedByAny a{2}? (no combinations)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2).optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, E), ids(S, M2, M3, E), ids(S, E),
+    }
+
+
+def test_nfa_times_strict_optional(spark):
+    """NFAITCase.java:1778 — followedByAny a{2}consecutive?."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2).consecutive().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {ids(S, M2, M3, E), ids(S, E)}
+
+
+def test_one_or_more_strict_optional(spark):
+    """NFAITCase.java:1823 — followedByAny a+consecutive?."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).one_or_more().consecutive().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M2, M3, E), ids(S, M1, E), ids(S, M2, E), ids(S, M3, E), ids(S, E),
+    }
+
+
+def test_nfa_times_strict_optional1(spark):
+    """NFAITCase.java:1871 — next a{2}consecutive? (positional adjacency)."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(2).consecutive().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 3), (M2, 5), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {ids(S, M1, M2, E), ids(S, E)}
+
+
+def test_optional_times_non_strict_with_next(spark):
+    """NFAITCase.java:1914 — next a{2}comb? with fillers."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .next("middle", name_is("a")).times(2).allow_combinations().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    inp = [(S, 1), (M1, 2), (_f(23), 3), (M2, 4), (_f(24), 5), (M3, 6), (E, 7)]
+    assert run_cep(spark, inp, p) == {
+        ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, E),
+    }
+
+
+_NFA_OOM_INPUT = [
+    (S, 1), (_f(50), 2), (M1, 3), (M2, 4), (M3, 4), (_f(51), 5), (M4, 6), (E, 7),
+]
+
+
+def test_strict_one_or_more(spark):
+    """NFAITCase.java:1973 — a+ consecutive: the filler at ts 5 ends growth."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().consecutive()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _NFA_OOM_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, E),
+    }
+
+
+def test_skip_till_next_one_or_more(spark):
+    """NFAITCase.java:1984 — a+ eager skips the filler and takes M4 too."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _NFA_OOM_INPUT, p) == {
+        ids(S, M1, M2, M3, M4, E), ids(S, M1, M2, M3, E),
+        ids(S, M1, M2, E), ids(S, M1, E),
+    }
+
+
+def test_skip_till_any_one_or_more(spark):
+    """NFAITCase.java:1996 — a+comb: every combination anchored at M1."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _NFA_OOM_INPUT, p) == {
+        ids(S, M1, M2, M3, M4, E), ids(S, M1, M3, M4, E),
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, M4, E),
+        ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, M1, M4, E),
+        ids(S, M1, E),
+    }
+
+
+def test_strict_eager_zero_or_more(spark):
+    """NFAITCase.java:2065 — a*consecutive?."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional().consecutive()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _NFA_OOM_INPUT, p) == {
+        ids(S, M1, M2, M3, E), ids(S, M1, M2, E), ids(S, M1, E), ids(S, E),
+    }
+
+
+def test_skip_till_any_zero_or_more(spark):
+    """NFAITCase.java:2077 — a*comb?."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional().allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _NFA_OOM_INPUT, p) == {
+        ids(S, M1, M2, M3, M4, E), ids(S, M1, M2, M4, E), ids(S, M1, M3, M4, E),
+        ids(S, M1, M4, E), ids(S, M1, M2, M3, E), ids(S, M1, M2, E),
+        ids(S, M1, M3, E), ids(S, M1, E), ids(S, E),
+    }
+
+
+def test_skip_till_next_zero_or_more(spark):
+    """NFAITCase.java:2094 — a*? eager."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle", name_is("a")).one_or_more().optional()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _NFA_OOM_INPUT, p) == {
+        ids(S, M1, M2, M3, M4, E), ids(S, M1, M2, M3, E),
+        ids(S, M1, M2, E), ids(S, M1, E), ids(S, E),
+    }
