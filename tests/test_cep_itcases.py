@@ -2503,3 +2503,172 @@ def test_skip_till_next_zero_or_more(spark):
         ids(S, M1, M2, M3, M4, E), ids(S, M1, M2, M3, E),
         ids(S, M1, M2, E), ids(S, M1, E), ids(S, E),
     }
+
+
+def test_nfa_times_strict(spark):
+    """NFAITCase.java:2160 — followedByAny a{2}.consecutive."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2).consecutive()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {ids(S, M2, M3, E)}
+
+
+def test_nfa_times_non_strict(spark):
+    """NFAITCase.java:2204 — followedByAny a{2}.allowCombinations."""
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by_any("middle", name_is("a")).times(2).allow_combinations()
+        .followed_by("end1", name_is("b"))
+    )
+    assert run_cep(spark, _TR_INPUT, p) == {
+        ids(S, M1, M2, E), ids(S, M1, M3, E), ids(S, M2, M3, E),
+    }
+
+
+@pytest.mark.parametrize("optional", [True, False], ids=["zeroOrMore", "oneOrMore"])
+def test_start_with_one_or_zero_or_more_strict(spark, optional):
+    """NFAITCase.java:2250/:2264 — a+consecutive (a*consecutive) at the begin
+    stage: runs break at every non-a."""
+    s = (40, "c", 1.0)
+    p = Pattern.begin("start", name_is("a")).one_or_more()
+    if optional:
+        p = p.optional()
+    p = p.consecutive()
+    inp = [(s, 1), (M1, 3), ((140, "c", 1.0), 4), (M2, 5), (M3, 6)]
+    got = run_cep(spark, inp, p)
+    got.discard(())
+    assert got == {ids(M1), ids(M2, M3), ids(M2), ids(M3)}
+
+
+def test_branching_pattern_skip_till_next(spark):
+    """NFAITCase.java:2488 — both middles followedBy (first match only)."""
+    start = (40, "start", 1.0)
+    m1, m2, m3 = (41, "foo1", 10.0), (42, "foo2", 10.0), (43, "foo3", 10.0)
+    n1, n2, end = (44, "next-one", 2.0), (45, "next-one", 2.0), (46, "end", 1.0)
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by("middle_first", lambda e: e["price"] > 5.0)
+        .followed_by("middle_second", name_is("next-one"))
+        .followed_by_any("end", name_is("end"))
+    )
+    inp = [(start, 1), (m1, 3), (m2, 4), (m3, 5), (n1, 6), (n2, 7), (end, 8)]
+    assert run_cep(spark, inp, p) == {ids(start, m1, n1, end)}
+
+
+def test_branching_pattern_mixed_followed_by(spark):
+    """NFAITCase.java:2547 — ANY first middle, eager second."""
+    start = (40, "start", 1.0)
+    m1, m2, m3 = (41, "foo1", 10.0), (42, "foo2", 10.0), (43, "foo3", 10.0)
+    n1, n2, end = (44, "next-one", 2.0), (45, "next-one", 2.0), (46, "end", 1.0)
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by_any("middle_first", lambda e: e["price"] > 5.0)
+        .followed_by("middle_second", name_is("next-one"))
+        .followed_by_any("end", name_is("end"))
+    )
+    inp = [(start, 1), (m1, 3), (m2, 4), (m3, 5), (n1, 6), (n2, 7), (end, 8)]
+    assert run_cep(spark, inp, p) == {
+        ids(start, m, n1, end) for m in (m1, m2, m3)
+    }
+
+
+def test_multiple_takes_version_collision(spark):
+    """NFAITCase.java:2608 — two back-to-back a+comb loops over five a's:
+    exactly the 20 (loop1, loop2) splits the reference's Dewey versioning
+    keeps apart. Expected derived by the NFA's own rule: loop1 anchors at
+    the first a with every in-order combination; loop2 anchors at the first
+    a after loop1's last element."""
+    from itertools import combinations
+
+    s = (40, "c", 1.0)
+    m = [(41 + i, "a", 2.0 + i) for i in range(5)]
+    b = (50, "b", 5.0)
+    p = (
+        Pattern.begin("start", name_is("c"))
+        .followed_by("middle1", name_is("a")).one_or_more().allow_combinations()
+        .followed_by("middle2", name_is("a")).one_or_more().allow_combinations()
+        .followed_by("end", name_is("b"))
+    )
+    inp = [(s, 1), (m[0], 3), (m[1], 4), (m[2], 5), (m[3], 6), (m[4], 7), (b, 10)]
+    mid_ids = [e[0] for e in m]
+    expected = set()
+    for k1 in range(5):
+        for tail1 in combinations(mid_ids[1:], k1):
+            run1 = (mid_ids[0],) + tail1
+            last_pos = mid_ids.index(run1[-1])
+            if last_pos + 1 >= len(mid_ids):
+                continue  # no entry left for the mandatory second loop
+            entry = mid_ids[last_pos + 1]
+            rest = mid_ids[last_pos + 2:]
+            for k2 in range(len(rest) + 1):
+                for tail2 in combinations(rest, k2):
+                    expected.add((run1, (entry,) + tail2))
+    assert len(expected) == 20
+    df = cep_batch(
+        spark.createDataFrame(
+            [(e[0], e[1], e[2], ts) for e, ts in inp],
+            "event_id long, name string, price double, tsec long",
+        ).withColumn("k", F.lit(1)).withColumn("ts", F.col("tsec").cast("timestamp")),
+        p, ["k"], "ts", "event_id",
+    )
+    got = {
+        (tuple(r["middle1_ids"]), tuple(r["middle2_ids"])) for r in df.collect()
+    }
+    assert got == expected
+
+
+def test_nfa_result_ordering(spark):
+    """NFAITCase.java:2690 — events within a looping stage's output array
+    are in accept order."""
+    a = [(70 + i, f"a-{i + 1}", 2.0 + i) for i in range(4)]
+    b = [(80 + i, f"b-{i + 1}", 6.0 + i) for i in range(3)]
+    p = (
+        Pattern.begin("start", lambda e: e["name"].startswith("a-")).times(4).allow_combinations()
+        .followed_by_any("middle", lambda e: e["name"].startswith("b-")).times(3).consecutive()
+    )
+    inp = [(a[0], 1), (a[1], 3), (a[2], 4), (a[3], 5), (b[0], 6), (b[1], 7), (b[2], 10)]
+    df = cep_batch(
+        spark.createDataFrame(
+            [(e[0], e[1], e[2], ts) for e, ts in inp],
+            "event_id long, name string, price double, tsec long",
+        ).withColumn("k", F.lit(1)).withColumn("ts", F.col("tsec").cast("timestamp")),
+        p, ["k"], "ts", "event_id",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert list(rows[0]["start_ids"]) == [e[0] for e in a]
+    assert list(rows[0]["middle_ids"]) == [e[0] for e in b]
+
+
+def test_nfa_result_key_ordering(spark):
+    """NFAITCase.java:2757 — output columns follow pattern declaration
+    order (the reference's LinkedHashMap key order)."""
+    evs = [(41, "a", 2.0), (42, "b", 3.0), (43, "aa", 4.0), (44, "bb", 5.0), (45, "ab", 6.0)]
+    p = (
+        Pattern.begin("a", name_is("a"))
+        .next("b", name_is("b"))
+        .next("aa", name_is("aa"))
+        .next("bb", name_is("bb"))
+        .next("ab", name_is("ab"))
+    )
+    df = cep_batch(
+        spark.createDataFrame(
+            [(e[0], e[1], e[2], i + 1) for i, e in enumerate(evs)],
+            "event_id long, name string, price double, tsec long",
+        ).withColumn("k", F.lit(1)).withColumn("ts", F.col("tsec").cast("timestamp")),
+        p, ["k"], "ts", "event_id",
+    )
+    stage_cols = [c for c in df.columns if c.endswith("_id") and c != "event_id"]
+    assert stage_cols == ["a_id", "b_id", "aa_id", "bb_id", "ab_id"]
+    assert df.count() == 1
+
+
+# NOT ported from NFAITCase.java (assert NFA-internal state, not outputs):
+# testTimesClearingBuffer:2302, testOptionalClearingBuffer:2350,
+# testAtLeastOneClearingBuffer:2394, testZeroOrMoreClearingBuffer:2440 and
+# testSharedBufferClearing:2833 verify partial-match/SharedBuffer cleanup —
+# our executor has no shared buffer; the equivalent guarantee (state
+# bounded by the within horizon) is pinned by the stream-kernel state-trim
+# tests in test_streaming.py / test_lake.py.
