@@ -878,11 +878,18 @@ def _output_match(pattern: Pattern, match: tuple) -> tuple:
 
 def _validate_pattern(pattern: Pattern) -> None:
     """MalformedPatternException rules adopted from the reference NFACompiler:
-    notFollowedBy cannot be the last stage; skip targets must name a
-    non-negated stage."""
+    stage names must be unique (NFACompilerTest.java:77); notFollowedBy
+    cannot be the last stage; skip targets must name a non-negated stage."""
     stages = pattern.stages
     if not stages:
         raise ValueError("empty pattern")
+    seen_names: set[str] = set()
+    for st in stages:
+        if st.name in seen_names:
+            raise ValueError(
+                f"Duplicate pattern name: {st.name}. Names must be unique."
+            )
+        seen_names.add(st.name)
     last = stages[-1]
     if getattr(last, "negated", False) and last.contiguity != NEXT:
         raise ValueError(

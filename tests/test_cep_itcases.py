@@ -2672,3 +2672,41 @@ def test_nfa_result_key_ordering(spark):
 # our executor has no shared buffer; the equivalent guarantee (state
 # bounded by the within horizon) is pinned by the stream-kernel state-trim
 # tests in test_streaming.py / test_lake.py.
+
+
+# ---------------------------------------------------------------------------
+# NFACompilerTest.java — MalformedPatternException validation goldens
+# ---------------------------------------------------------------------------
+
+
+def test_compiler_unique_pattern_name(spark):
+    """NFACompilerTest.java:77 — duplicate stage names are rejected."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .followed_by("middle", name_is("b"))
+        .followed_by("start", name_is("c"))
+    )
+    with pytest.raises(ValueError, match="Duplicate pattern name: start"):
+        run_cep(spark, [((1, "a", 1.0), 1)], p)
+
+
+def test_compiler_pattern_ends_with_not_followed_by(spark):
+    """NFACompilerTest.java:92 — notFollowedBy cannot end a pattern."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .followed_by("middle", name_is("b"))
+        .not_followed_by("end", name_is("c"))
+    )
+    with pytest.raises(ValueError, match="notFollowedBy is not supported as the last part"):
+        run_cep(spark, [((1, "a", 1.0), 1)], p)
+
+
+def test_compiler_skip_to_nonexistent_pattern(spark):
+    """NFACompilerTest.java:189 — a skip target absent from the pattern."""
+    p = (
+        Pattern.begin("start", name_is("a"))
+        .followed_by("end", name_is("b"))
+        .skip_to_first("midd")
+    )
+    with pytest.raises(ValueError, match="midd"):
+        run_cep(spark, [((1, "a", 1.0), 1)], p)
