@@ -1034,6 +1034,40 @@ _ZOO = [
             lambda e, ctx: e["etype"] == "b" and e["eid"] > ctx.first("s")["eid"],
         ),
     ).within(100),
+    # GREEDY loop (r11 session-3 semantics: NOT(take) guard on the next
+    # stage with an unguarded until-copy) — a late loop-matching arrival in
+    # the handoff gap must kill sub-maximal matches identically to batch
+    lambda: Pattern.begin("s", lambda e: e["etype"] == "x").followed_by(
+        "a", lambda e: e["etype"] == "a"
+    ).one_or_more().optional().greedy().followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100),
+    # times(1,2).optional(): zero_ok admits {0,1,2} repeats without
+    # collapsing the lower bound (TimesRangeITCase.java:378 semantics)
+    lambda: Pattern.begin("a", lambda e: e["etype"] == "a").times(1, 2).optional()
+    .followed_by("b", lambda e: e["etype"] == "b").within(100),
+    # CONSECUTIVE group repetitions: the (a b) sequence twice with no gap
+    lambda: Pattern.begin_group(
+        "ab",
+        Pattern.begin("a1", lambda e: e["etype"] == "a").followed_by(
+            "b1", lambda e: e["etype"] == "b"
+        ),
+    ).times(1, 2).consecutive().within(100),
+    # followedByAny group with allowCombinations: every in-order pair of
+    # (a b) repetitions from every anchor
+    lambda: Pattern.begin("s", lambda e: e["etype"] == "x").followed_by_any_group(
+        "ab",
+        Pattern.begin("a1", lambda e: e["etype"] == "a").followed_by(
+            "b1", lambda e: e["etype"] == "b"
+        ),
+    ).times(1, 2).allow_combinations().within(100),
+    # group loop stopped by until(): repetition growth ends at the x
+    lambda: Pattern.begin("s", lambda e: e["etype"] == "b").followed_by_group(
+        "ab",
+        Pattern.begin("a1", lambda e: e["etype"] == "a").followed_by(
+            "b1", lambda e: e["etype"] == "b"
+        ),
+    ).one_or_more().until(lambda e: e["etype"] == "x").within(100),
 ]
 
 
