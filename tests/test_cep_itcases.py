@@ -2710,3 +2710,109 @@ def test_compiler_skip_to_nonexistent_pattern(spark):
     )
     with pytest.raises(ValueError, match="midd"):
         run_cep(spark, [((1, "a", 1.0), 1)], p)
+
+
+# ---------------------------------------------------------------------------
+# CEPITCase.java — DataStream-level end-to-end scenarios
+# ---------------------------------------------------------------------------
+
+
+def test_simple_keyed_pattern_cep(spark):
+    """CEPITCase.java:118 — keyBy(id): the funnel completes independently
+    per key; the base-Event 'middle' of key 5 fails the subtype() check
+    (kind column plays the SubEvent class)."""
+    rows = [
+        # (key, seq, name, price, kind)
+        (1, 1, "barfoo", 1.0, "base"),
+        (2, 2, "start", 2.0, "base"),
+        (3, 3, "start", 2.1, "base"),
+        (3, 4, "foobar", 3.0, "base"),
+        (4, 5, "foo", 4.0, "sub"),
+        (3, 6, "middle", 3.2, "sub"),
+        (42, 7, "start", 3.1, "base"),
+        (42, 8, "middle", 3.3, "sub"),
+        (5, 9, "middle", 5.0, "base"),
+        (2, 10, "middle", 6.0, "sub"),
+        (7, 11, "bar", 3.0, "sub"),
+        (42, 12, "42", 42.0, "base"),
+        (3, 13, "end", 2.0, "base"),
+        (2, 14, "end", 1.0, "base"),
+        (42, 15, "end", 42.0, "base"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "k long, event_id long, name string, price double, kind string")
+        .withColumn("ts", F.col("event_id").cast("timestamp"))
+    )
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by_any("middle").subtype("sub", field="kind").where(name_is("middle"))
+        .followed_by_any("end", name_is("end"))
+    )
+    out = cep_batch(df, p, ["k"], "ts", "event_id")
+    got = sorted((r["k"],) for r in out.collect())
+    assert got == [(2,), (3,), (42,)]
+
+
+def test_simple_pattern_event_time(spark):
+    """CEPITCase.java:190 — event-time ordering, not arrival order, drives
+    the match: only (start@5, middle@7, end@10)."""
+    rows = [  # (event_id, name, event-time) in ARRIVAL order
+        (1, "start", 5), (2, "middle", 1), (3, "end", 3),
+        (4, "end", 10), (5, "middle", 7), (6, "middle", 100),
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, name string, tsec long")
+        .withColumn("k", F.lit(1))
+        .withColumn("ts", F.col("tsec").cast("timestamp"))
+    )
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by_any("middle", name_is("middle"))
+        .followed_by_any("end", name_is("end"))
+    )
+    out = cep_batch(df, p, ["k"], "ts", "event_id")
+    got = {(r["start_id"], r["middle_id"], r["end_id"]) for r in out.collect()}
+    assert got == {(1, 5, 4)}
+
+
+def test_simple_or_filter_pattern_cep(spark):
+    """CEPITCase.java:509 — where().or_() on the middle stage."""
+    rows = [(i + 1, n, float(i + 1)) for i, n in enumerate(
+        ["start", "middle", "end", "start", "middle", "end"]
+    )]
+    df = (
+        spark.createDataFrame(rows, "event_id long, name string, price double")
+        .withColumn("k", F.lit(1))
+        .withColumn("ts", F.col("event_id").cast("timestamp"))
+    )
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by_any("middle", lambda e: e["price"] == 2.0).or_(lambda e: e["price"] == 5.0)
+        .followed_by_any("end", name_is("end"))
+    )
+    out = cep_batch(df, p, ["k"], "ts", "event_id")
+    got = {(r["start_id"], r["middle_id"], r["end_id"]) for r in out.collect()}
+    assert got == {(1, 2, 3), (1, 2, 6), (1, 5, 6), (4, 5, 6)}
+
+
+def test_simple_pattern_event_time_with_comparator(spark):
+    """CEPITCase.java:587 — a custom same-timestamp comparator (by price)
+    orders the two ts-7 middles; both complete through the ANY stage."""
+    rows = [  # (event_id, name, price, event-time)
+        (1, "start", 1.0, 5), (2, "middle", 2.0, 1), (3, "end", 3.0, 3),
+        (4, "end", 4.0, 10), (5, "middle", 6.0, 7), (6, "middle", 5.0, 7),
+        (7, "middle", 5.0, 100),
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, name string, price double, tsec long")
+        .withColumn("k", F.lit(1))
+        .withColumn("ts", F.col("tsec").cast("timestamp"))
+    )
+    p = (
+        Pattern.begin("start", name_is("start"))
+        .followed_by_any("middle", name_is("middle"))
+        .followed_by_any("end", name_is("end"))
+    )
+    out = cep_batch(df, p, ["k"], "ts", "event_id", comparator_cols=["price"])
+    got = {(r["start_id"], r["middle_id"], r["end_id"]) for r in out.collect()}
+    assert got == {(1, 6, 4), (1, 5, 4)}
