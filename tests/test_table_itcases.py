@@ -289,3 +289,262 @@ def test_join_with_unnest_of_tuple(tenv):
     assert rows_of(got) == exp([
         (1, 12, "45.6"), (1, 2, "45.612"), (2, 13, "41.6"),
     ])
+
+
+# ---------------------------------------------------------------------------
+# AggregateITCase.scala (batch/sql). Calcite's integer AVG truncates toward
+# zero, so integer avg columns carry an explicit CAST here (Spark's avg is
+# always DOUBLE); the window queries run the VERBATIM Flink SQL through the
+# rewrite_flink_sql frontend. The two UDAGG columns (countFun,
+# wAvgWithMergeAndReset) are dropped from the window aggregates — the UDAF
+# contract is covered by test_udf_ml.py — keeping the golden values of the
+# remaining columns.
+# ---------------------------------------------------------------------------
+
+from datetime import datetime
+
+from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+
+def _ts(s):
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+
+
+@pytest.fixture(scope="module")
+def t3ts(tenv):
+    """T3 with ts = a seconds (AggregateITCase's toTimestamp(x._1 * 1000))."""
+    tenv.sql(
+        "SELECT a, b, c, CAST(a AS TIMESTAMP) AS ts FROM T3"
+    ).createOrReplaceTempView("T3TS")
+    return tenv
+
+
+def test_aggregation_types(tenv):
+    """AggregateITCase.scala:45."""
+    got = tenv.sql(
+        "SELECT sum(a), min(a), max(a), count(a), CAST(avg(a) AS INT) FROM T3"
+    )
+    assert rows_of(got) == [(231, 1, 21, 21, 11)]
+
+
+def test_aggregation_data_types(tenv):
+    """AggregateITCase.scala:99 — mixed numeric widths + string min/max +
+    literal aggregates + decimal sum."""
+    tenv.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, "Hello"), (2, 2, 2, 2, 2.0, 2.0, "Ciao")],
+        "a tinyint, b smallint, c int, d long, e float, f double, g string",
+    ).createOrReplaceTempView("AggTypes")
+    got = tenv.sql(
+        "SELECT CAST(avg(a) AS TINYINT), CAST(avg(b) AS SMALLINT), "
+        "CAST(avg(c) AS INT), CAST(avg(d) AS LONG), avg(e), avg(f), count(g), "
+        "min(g), min('Ciao'), max(g), max('Ciao'), sum(CAST(f AS DECIMAL(10,1))) "
+        "FROM AggTypes"
+    )
+    row = rows_of(got)[0]
+    assert row[:7] == (1, 1, 1, 1, 1.5, 1.5, 2)
+    assert row[7:11] == ("Ciao", "Ciao", "Hello", "Ciao")
+    assert float(row[11]) == 3.0
+
+
+def test_table_projection_agg(tenv):
+    """AggregateITCase.scala:120."""
+    tenv.createDataFrame(
+        [(1, 1), (2, 2)], "a tinyint, b smallint"
+    ).createOrReplaceTempView("Proj2")
+    got = tenv.sql(
+        "SELECT CAST(avg(a) AS TINYINT), sum(a), count(a), "
+        "CAST(avg(b) AS SMALLINT), sum(b) FROM Proj2"
+    )
+    assert rows_of(got) == [(1, 3, 2, 1, 3)]
+
+
+def test_table_aggregation_with_arithmetic(tenv):
+    """AggregateITCase.scala:139."""
+    tenv.createDataFrame(
+        [(1.0, "Hello"), (2.0, "Ciao")], "a float, b string"
+    ).createOrReplaceTempView("Arith2")
+    got = tenv.sql("SELECT avg(a + 2) + 2, count(b) + 5 FROM Arith2")
+    assert rows_of(got) == [(5.5, 7)]
+
+
+def test_aggregation_with_two_count(tenv):
+    """AggregateITCase.scala:158."""
+    tenv.createDataFrame(
+        [(1.0, "Hello"), (2.0, "Ciao")], "a float, b string"
+    ).createOrReplaceTempView("TwoCount")
+    got = tenv.sql("SELECT count(a), count(b) FROM TwoCount")
+    assert rows_of(got) == [(2, 2)]
+
+
+def test_aggregation_after_projection(tenv):
+    """AggregateITCase.scala:177."""
+    tenv.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, "Hello"), (2, 2, 2, 2, 2.0, 2.0, "Ciao")],
+        "x1 tinyint, x2 smallint, x3 int, x4 long, x5 float, x6 double, x7 string",
+    ).createOrReplaceTempView("Proj7")
+    got = tenv.sql(
+        "SELECT CAST(avg(a) AS TINYINT), sum(b), count(c) FROM "
+        "(SELECT x1 as a, x2 as b, x3 as c FROM Proj7)"
+    )
+    assert rows_of(got) == [(1, 3, 2)]
+
+
+def test_distinct_aggregate(tenv):
+    """AggregateITCase.scala:198."""
+    got = tenv.sql("SELECT sum(a) as sa, count(distinct c) as b FROM T3")
+    assert rows_of(got) == [(231, 21)]
+
+
+def test_grouped_distinct_aggregate(tenv):
+    """AggregateITCase.scala:216."""
+    got = tenv.sql(
+        "SELECT b, CAST(avg(distinct a) AS INT) as av, count(c) as cnt FROM T3 GROUP BY b"
+    )
+    assert rows_of(got) == exp([
+        (6, 18, 6), (5, 13, 5), (4, 8, 4), (3, 5, 3), (2, 2, 2), (1, 1, 1),
+    ])
+
+
+def test_grouping_set_aggregate(tenv):
+    """AggregateITCase.scala:235 — Calcite's GROUP_ID() numbering over
+    GROUPING SETS (b, c) equals Spark's grouping_id() bitmask here."""
+    got = tenv.sql(
+        "SELECT b, c, CAST(avg(a) AS INT) as av, grouping_id() as g FROM T3 "
+        "GROUP BY GROUPING SETS (b, c)"
+    )
+    by_b = [(b, None, av, 1) for b, av in [(6, 18), (5, 13), (4, 8), (3, 5), (2, 2), (1, 1)]]
+    by_c = [
+        (None, c, av, 2) for c, av in
+        [("Luke Skywalker", 6), ("I am fine.", 5), ("Hi", 1),
+         ("Hello world, how are you?", 4), ("Hello world", 3), ("Hello", 2)]
+        + [(f"Comment#{i}", i + 6) for i in range(1, 16)]
+    ]
+    assert rows_of(got) == exp(by_b + by_c)
+
+
+def test_tumble_window_aggregate(t3ts):
+    """AggregateITCase.scala:310 (b, SUM(a) columns) — verbatim TUMBLE SQL
+    through the frontend."""
+    q = rewrite_flink_sql(
+        "SELECT b, SUM(a) FROM T3TS GROUP BY b, TUMBLE(ts, INTERVAL '3' SECOND)"
+    )
+    got = t3ts.sql(q)
+    assert rows_of(got.select("b", "sum(a)")) == exp([
+        (1, 1), (2, 2), (2, 3), (3, 9), (3, 6), (4, 15), (4, 19),
+        (5, 11), (5, 39), (5, 15), (6, 33), (6, 57), (6, 21),
+    ])
+
+
+def test_tumble_window_with_properties(t3ts):
+    """AggregateITCase.scala:398 — TUMBLE_START/END/ROWTIME accessors."""
+    q = rewrite_flink_sql(
+        "SELECT b, COUNT(a) AS cnt, "
+        "TUMBLE_START(ts, INTERVAL '5' SECOND) AS ws, "
+        "TUMBLE_END(ts, INTERVAL '5' SECOND) AS we, "
+        "TUMBLE_ROWTIME(ts, INTERVAL '5' SECOND) AS rt "
+        "FROM T3TS GROUP BY b, TUMBLE(ts, INTERVAL '5' SECOND)"
+    )
+    got = t3ts.sql(q)
+    expected = [
+        (1, 1, "1970-01-01 00:00:00.0", "1970-01-01 00:00:05.0", "1970-01-01 00:00:04.999"),
+        (2, 2, "1970-01-01 00:00:00.0", "1970-01-01 00:00:05.0", "1970-01-01 00:00:04.999"),
+        (3, 1, "1970-01-01 00:00:00.0", "1970-01-01 00:00:05.0", "1970-01-01 00:00:04.999"),
+        (3, 2, "1970-01-01 00:00:05.0", "1970-01-01 00:00:10.0", "1970-01-01 00:00:09.999"),
+        (4, 3, "1970-01-01 00:00:05.0", "1970-01-01 00:00:10.0", "1970-01-01 00:00:09.999"),
+        (4, 1, "1970-01-01 00:00:10.0", "1970-01-01 00:00:15.0", "1970-01-01 00:00:14.999"),
+        (5, 4, "1970-01-01 00:00:10.0", "1970-01-01 00:00:15.0", "1970-01-01 00:00:14.999"),
+        (5, 1, "1970-01-01 00:00:15.0", "1970-01-01 00:00:20.0", "1970-01-01 00:00:19.999"),
+        (6, 4, "1970-01-01 00:00:15.0", "1970-01-01 00:00:20.0", "1970-01-01 00:00:19.999"),
+        (6, 2, "1970-01-01 00:00:20.0", "1970-01-01 00:00:25.0", "1970-01-01 00:00:24.999"),
+    ]
+    assert rows_of(got) == exp([
+        (b, n, _ts(ws), _ts(we), _ts(rt)) for b, n, ws, we, rt in expected
+    ])
+
+
+def test_hop_window_aggregate(t3ts):
+    """AggregateITCase.scala:444 (b, SUM(a) columns) — HOP(2s slide, 4s size)."""
+    q = rewrite_flink_sql(
+        "SELECT b, SUM(a) FROM T3TS "
+        "GROUP BY b, HOP(ts, INTERVAL '2' SECOND, INTERVAL '4' SECOND)"
+    )
+    got = t3ts.sql(q)
+    assert rows_of(got.select("b", "sum(a)")) == exp([
+        (1, 1), (1, 1), (2, 5), (2, 5), (3, 9), (3, 15), (3, 6),
+        (4, 7), (4, 24), (4, 27), (4, 10),
+        (5, 11), (5, 36), (5, 54), (5, 29),
+        (6, 33), (6, 70), (6, 78), (6, 41),
+    ])
+
+
+def test_hop_window_with_properties(t3ts):
+    """AggregateITCase.scala:466 — HOP_START/END/ROWTIME."""
+    q = rewrite_flink_sql(
+        "SELECT b, COUNT(a) AS cnt, "
+        "HOP_START(ts, INTERVAL '5' SECOND, INTERVAL '10' SECOND) AS ws, "
+        "HOP_END(ts, INTERVAL '5' SECOND, INTERVAL '10' SECOND) AS we, "
+        "HOP_ROWTIME(ts, INTERVAL '5' SECOND, INTERVAL '10' SECOND) AS rt "
+        "FROM T3TS GROUP BY b, HOP(ts, INTERVAL '5' SECOND, INTERVAL '10' SECOND)"
+    )
+    got = t3ts.sql(q)
+    expected = [
+        (1, 1, "1969-12-31 23:59:55.0", "1970-01-01 00:00:05.0", "1970-01-01 00:00:04.999"),
+        (2, 2, "1969-12-31 23:59:55.0", "1970-01-01 00:00:05.0", "1970-01-01 00:00:04.999"),
+        (3, 1, "1969-12-31 23:59:55.0", "1970-01-01 00:00:05.0", "1970-01-01 00:00:04.999"),
+        (1, 1, "1970-01-01 00:00:00.0", "1970-01-01 00:00:10.0", "1970-01-01 00:00:09.999"),
+        (2, 2, "1970-01-01 00:00:00.0", "1970-01-01 00:00:10.0", "1970-01-01 00:00:09.999"),
+        (3, 3, "1970-01-01 00:00:00.0", "1970-01-01 00:00:10.0", "1970-01-01 00:00:09.999"),
+        (4, 3, "1970-01-01 00:00:00.0", "1970-01-01 00:00:10.0", "1970-01-01 00:00:09.999"),
+        (3, 2, "1970-01-01 00:00:05.0", "1970-01-01 00:00:15.0", "1970-01-01 00:00:14.999"),
+        (4, 4, "1970-01-01 00:00:05.0", "1970-01-01 00:00:15.0", "1970-01-01 00:00:14.999"),
+        (5, 4, "1970-01-01 00:00:05.0", "1970-01-01 00:00:15.0", "1970-01-01 00:00:14.999"),
+        (4, 1, "1970-01-01 00:00:10.0", "1970-01-01 00:00:20.0", "1970-01-01 00:00:19.999"),
+        (5, 5, "1970-01-01 00:00:10.0", "1970-01-01 00:00:20.0", "1970-01-01 00:00:19.999"),
+        (6, 4, "1970-01-01 00:00:10.0", "1970-01-01 00:00:20.0", "1970-01-01 00:00:19.999"),
+        (5, 1, "1970-01-01 00:00:15.0", "1970-01-01 00:00:25.0", "1970-01-01 00:00:24.999"),
+        (6, 6, "1970-01-01 00:00:15.0", "1970-01-01 00:00:25.0", "1970-01-01 00:00:24.999"),
+        (6, 2, "1970-01-01 00:00:20.0", "1970-01-01 00:00:30.0", "1970-01-01 00:00:29.999"),
+    ]
+    assert rows_of(got) == exp([
+        (b, n, _ts(ws), _ts(we), _ts(rt)) for b, n, ws, we, rt in expected
+    ])
+
+
+@pytest.fixture(scope="module")
+def t3ts_even(tenv):
+    """AggregateITCase's session fixture: even-b rows only, ts = a seconds."""
+    tenv.sql(
+        "SELECT a, b, c, CAST(a AS TIMESTAMP) AS ts FROM T3 WHERE b % 2 = 0"
+    ).createOrReplaceTempView("T3TSE")
+    return tenv
+
+
+def test_session_window_aggregate(t3ts_even):
+    """AggregateITCase.scala:505 (MIN/MAX/SUM columns) — two 4s-gap sessions."""
+    q = rewrite_flink_sql(
+        "SELECT MIN(a) AS mn, MAX(a) AS mx, SUM(a) AS sm FROM T3TSE "
+        "GROUP BY SESSION(ts, INTERVAL '4' SECOND)"
+    )
+    got = t3ts_even.sql(q)
+    assert rows_of(got.select("mn", "mx", "sm")) == exp([
+        (2, 10, 39), (16, 21, 111),
+    ])
+
+
+def test_session_window_with_properties(t3ts_even):
+    """AggregateITCase.scala:536 — SESSION_START/END/ROWTIME."""
+    q = rewrite_flink_sql(
+        "SELECT COUNT(a) AS cnt, "
+        "SESSION_START(ts, INTERVAL '4' SECOND) AS ws, "
+        "SESSION_END(ts, INTERVAL '4' SECOND) AS we, "
+        "SESSION_ROWTIME(ts, INTERVAL '4' SECOND) AS rt "
+        "FROM T3TSE GROUP BY SESSION(ts, INTERVAL '4' SECOND)"
+    )
+    got = t3ts_even.sql(q)
+    expected = [
+        (6, "1970-01-01 00:00:02.0", "1970-01-01 00:00:14.0", "1970-01-01 00:00:13.999"),
+        (6, "1970-01-01 00:00:16.0", "1970-01-01 00:00:25.0", "1970-01-01 00:00:24.999"),
+    ]
+    assert rows_of(got) == exp([
+        (n, _ts(ws), _ts(we), _ts(rt)) for n, ws, we, rt in expected
+    ])
