@@ -548,3 +548,145 @@ def test_session_window_with_properties(t3ts_even):
     assert rows_of(got) == exp([
         (n, _ts(ws), _ts(we), _ts(rt)) for n, ws, we, rt in expected
     ])
+
+
+# ---------------------------------------------------------------------------
+# CalcITCase.scala (batch/sql) - projection / filter / literals / UDFs
+# ---------------------------------------------------------------------------
+
+_ROWS3 = [
+    (1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world"),
+    (4, 3, "Hello world, how are you?"), (5, 3, "I am fine."),
+    (6, 3, "Luke Skywalker"),
+] + [
+    (i, {7: 4, 8: 4, 9: 4, 10: 4, 11: 5, 12: 5, 13: 5, 14: 5, 15: 5}.get(i, 6), f"Comment#{i - 6}")
+    for i in range(7, 22)
+]
+
+
+def test_select_star_from_table(tenv):
+    """CalcITCase.scala:48 - all 21 fixture rows verbatim."""
+    assert rows_of(tenv.sql("SELECT * FROM T3")) == exp(_ROWS3)
+
+
+def test_select_with_naming(tenv):
+    """CalcITCase.scala:139 - exotic quoted alias through a subquery."""
+    got = tenv.sql("SELECT `1-_./U2`, b FROM (SELECT a as `1-_./U2`, b FROM T3)")
+    assert rows_of(got) == exp([(a, b) for a, b, _ in _ROWS3])
+
+
+def test_invalid_fields(tenv):
+    """CalcITCase.scala:159 - unknown column is a loud analysis error."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        tenv.sql("SELECT a, foo FROM T3").collect()
+
+
+def test_all_rejecting_filter(tenv):
+    """CalcITCase.scala:174."""
+    assert tenv.sql("SELECT * FROM T3 WHERE false").count() == 0
+
+
+def test_all_passing_filter(tenv):
+    """CalcITCase.scala:192."""
+    assert rows_of(tenv.sql("SELECT * FROM T3 WHERE true")) == exp(_ROWS3)
+
+
+def test_filter_on_string(tenv):
+    """CalcITCase.scala:215."""
+    got = tenv.sql("SELECT * FROM T3 WHERE c LIKE '%world%'")
+    assert rows_of(got) == exp([
+        (3, 2, "Hello world"), (4, 3, "Hello world, how are you?"),
+    ])
+
+
+def test_filter_on_integer(tenv):
+    """CalcITCase.scala:233 - MOD(a,2)=0."""
+    got = tenv.sql("SELECT * FROM T3 WHERE MOD(a,2)=0")
+    assert rows_of(got) == exp([r for r in _ROWS3 if r[0] % 2 == 0])
+
+
+def test_disjunctive_predicate(tenv):
+    """CalcITCase.scala:254."""
+    got = tenv.sql("SELECT * FROM T3 WHERE a < 2 OR a > 20")
+    assert rows_of(got) == exp([(1, 1, "Hi"), (21, 6, "Comment#15")])
+
+
+def test_filter_with_and(tenv):
+    """CalcITCase.scala:272 - MOD(a,2)<>0 AND MOD(b,2)=0."""
+    got = tenv.sql("SELECT * FROM T3 WHERE MOD(a,2)<>0 AND MOD(b,2)=0")
+    assert rows_of(got) == exp([r for r in _ROWS3 if r[0] % 2 != 0 and r[1] % 2 == 0])
+
+
+def test_advanced_data_types(tenv):
+    """CalcITCase.scala:292 - DATE/TIMESTAMP literals echo the column
+    values (Spark has no TIME type; the reference's TIME column is carried
+    as a string here, its literal compared textually)."""
+    from datetime import date
+
+    tenv.createDataFrame(
+        [(date(1984, 7, 12), "14:34:24", datetime(1984, 7, 12, 14, 34, 24))],
+        "a date, b string, c timestamp",
+    ).createOrReplaceTempView("ADT")
+    got = tenv.sql(
+        "SELECT a, b, c, DATE '1984-07-12', '14:34:24', "
+        "TIMESTAMP '1984-07-12 14:34:24' FROM ADT"
+    )
+    d, t, ts = date(1984, 7, 12), "14:34:24", datetime(1984, 7, 12, 14, 34, 24)
+    assert rows_of(got) == [(d, t, ts, d, t, ts)]
+
+
+def test_value_constructor(tenv):
+    """CalcITCase.scala:314 - row/array/map constructors and a row-value
+    equality predicate (Calcite (a,b,c) = (...) maps to Spark struct
+    comparison)."""
+    ts = datetime(1984, 7, 12, 14, 34, 24)
+    tenv.createDataFrame(
+        [("foo", 12, ts)], "a string, b int, c timestamp"
+    ).createOrReplaceTempView("VC")
+    got = tenv.sql(
+        "SELECT struct(a, b, c) AS r, ARRAY(12, b) AS arr, MAP(a, c) AS m FROM VC "
+        "WHERE struct(a, b, c) = struct('foo', 12, TIMESTAMP '1984-07-12 14:34:24')"
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["r"]["a"] == "foo" and row["r"]["b"] == 12 and row["r"]["c"] == ts
+    assert list(row["arr"]) == [12, 12]
+    assert row["m"]["foo"] == ts
+
+
+def test_user_defined_scalar_function(tenv):
+    """CalcITCase.scala:340 - a registered scalar UDF in SQL (the Java
+    hashCode of 'a','b','c' is their code point)."""
+    tenv.udf.register("myHashCode", lambda s: ord(s), "int")
+    tenv.createDataFrame([("a",), ("b",), ("c",)], "text string").createOrReplaceTempView("UDF1")
+    got = tenv.sql("SELECT myHashCode(text) FROM UDF1")
+    assert rows_of(got) == exp([(97,), (98,), (99,)])
+
+
+def test_udf_with_unicode_parameter(tenv):
+    """CalcITCase.scala:358 - UDF arguments carrying control characters
+    (U+0001, U+0004), quotes and backslashes survive SQL literal parsing
+    exactly as in the reference's SplitUDF scenario."""
+
+    def split_udf(s, sep, idx):
+        parts = s.split(sep)
+        return parts[idx] if idx < len(parts) else None
+
+    tenv.udf.register("splitUDF", split_udf, "string")
+    ctl1, ctl4 = "\x01", "\x04"
+    tenv.createDataFrame(
+        [
+            (f"a{ctl1}b", 'c"d', f'e\\"{ctl4}f'),
+            (f"x{ctl1}y", 'y"z', f'z\\"{ctl4}z'),
+        ],
+        "a string, b string, c string",
+    ).createOrReplaceTempView("UDFU")
+    got = tenv.sql(
+        f"SELECT "
+        f"splitUDF(a, '{ctl1}', 0) as a0, "
+        f"""splitUDF(b, '"', 1) as b0, """
+        f"""splitUDF(c, '\\\\"{ctl4}', 0) as c0 FROM UDFU"""
+    )
+    assert rows_of(got) == exp([("a", "d", "e"), ("x", "z", "z")])
