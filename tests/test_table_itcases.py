@@ -690,3 +690,156 @@ def test_udf_with_unicode_parameter(tenv):
         f"""splitUDF(c, '\\\\"{ctl4}', 0) as c0 FROM UDFU"""
     )
     assert rows_of(got) == exp([("a", "d", "e"), ("x", "z", "z")])
+
+
+# ---------------------------------------------------------------------------
+# SetOperatorsITCase.scala (batch/sql). The reference @Ignores EXCEPT ALL /
+# INTERSECT ALL (Calcite could not parse them); Spark parses them, so those
+# two run here against the reference's in-test expected values.
+# ---------------------------------------------------------------------------
+
+
+def test_union_all(tenv):
+    """SetOperatorsITCase.scala:43."""
+    got = tenv.sql("SELECT c FROM SMALL3 UNION ALL (SELECT c FROM SMALL3)")
+    assert rows_of(got) == exp([("Hi",), ("Hello",), ("Hello world",)] * 2)
+
+
+def test_union(tenv):
+    """SetOperatorsITCase.scala:63."""
+    got = tenv.sql("SELECT c FROM SMALL3 UNION (SELECT c FROM SMALL3)")
+    assert rows_of(got) == exp([("Hi",), ("Hello",), ("Hello world",)])
+
+
+@pytest.fixture(scope="module")
+def t5_as_abdce(tenv):
+    """t2 registered as ('a,'b,'d,'c,'e): the STRING g column lands on c."""
+    tenv.sql(
+        "SELECT d AS a, e AS b, f AS d2, g AS c, h AS e FROM T5"
+    ).createOrReplaceTempView("T5X")
+    return tenv
+
+
+def test_union_with_filter(t5_as_abdce):
+    """SetOperatorsITCase.scala:83."""
+    got = t5_as_abdce.sql(
+        "SELECT c FROM (SELECT * FROM SMALL3 UNION ALL (SELECT a, b, c FROM T5X)) WHERE b < 2"
+    )
+    assert rows_of(got) == exp([("Hi",), ("Hallo",)])
+
+
+def test_union_with_aggregation(t5_as_abdce):
+    """SetOperatorsITCase.scala:105."""
+    got = t5_as_abdce.sql(
+        "SELECT count(c) FROM (SELECT * FROM SMALL3 UNION ALL (SELECT a, b, c FROM T5X))"
+    )
+    assert rows_of(got) == [(18,)]
+
+
+def test_values_with_cast(tenv):
+    """SetOperatorsITCase.scala:126."""
+    got = tenv.sql(
+        "VALUES (1, cast(1 as BIGINT)), (2, cast(2 as BIGINT)), (3, cast(3 as BIGINT))"
+    )
+    assert rows_of(got) == exp([(1, 1), (2, 2), (3, 3)])
+
+
+def test_except(tenv):
+    """SetOperatorsITCase.scala:142."""
+    tenv.createDataFrame([(1, 1, "Hi")], "a int, b long, c string").createOrReplaceTempView("EX2")
+    got = tenv.sql("SELECT c FROM SMALL3 EXCEPT (SELECT c FROM EX2)")
+    assert rows_of(got) == exp([("Hello",), ("Hello world",)])
+
+
+def test_except_all(tenv):
+    """SetOperatorsITCase.scala:164 (@Ignore'd upstream only because the
+    Calcite parser lacked EXCEPT ALL; expected values preserved)."""
+    tenv.createDataFrame([(1,), (1,), (1,), (2,), (2,)], "c int").createOrReplaceTempView("EA1")
+    tenv.createDataFrame([(1,), (2,), (2,), (3,)], "c int").createOrReplaceTempView("EA2")
+    got = tenv.sql("SELECT c FROM EA1 EXCEPT ALL SELECT c FROM EA2")
+    assert rows_of(got) == exp([(1,), (1,)])
+
+
+def test_except_with_filter(t5_as_abdce):
+    """SetOperatorsITCase.scala:188."""
+    got = t5_as_abdce.sql(
+        "SELECT c FROM (SELECT * FROM SMALL3 EXCEPT (SELECT a, b, c FROM T5X)) WHERE b < 2"
+    )
+    assert rows_of(got) == exp([("Hi",)])
+
+
+def test_intersect(tenv):
+    """SetOperatorsITCase.scala:210 — t2 carries a duplicate and a
+    non-matching variant row."""
+    tenv.createDataFrame(
+        [(1, 1, "Hi"), (2, 2, "Hello"), (2, 2, "Hello"), (3, 2, "Hello world!")],
+        "a int, b long, c string",
+    ).createOrReplaceTempView("IN2")
+    got = tenv.sql("SELECT c FROM SMALL3 INTERSECT SELECT c FROM IN2")
+    assert rows_of(got) == exp([("Hi",), ("Hello",)])
+
+
+def test_intersect_all(tenv):
+    """SetOperatorsITCase.scala:237 (@Ignore'd upstream, parser-only)."""
+    tenv.createDataFrame([(1,), (1,), (1,), (2,), (2,)], "c int").createOrReplaceTempView("IA1")
+    tenv.createDataFrame([(1,), (2,), (2,), (3,)], "c int").createOrReplaceTempView("IA2")
+    got = tenv.sql("SELECT c FROM IA1 INTERSECT ALL SELECT c FROM IA2")
+    assert rows_of(got) == exp([(1,), (2,), (2,)])
+
+
+def test_intersect_with_filter(tenv):
+    """SetOperatorsITCase.scala:261 — small3 INTERSECT full t3."""
+    got = tenv.sql(
+        "SELECT c FROM ((SELECT * FROM SMALL3) INTERSECT (SELECT * FROM T3)) WHERE a > 1"
+    )
+    assert rows_of(got) == exp([("Hello",), ("Hello world",)])
+
+
+def test_in_with_filter(tenv):
+    """SetOperatorsITCase.scala:283 — IN subquery keeps duplicates of the
+    probe side."""
+    got = tenv.sql("SELECT d FROM T5 WHERE d IN (SELECT a FROM SMALL3)")
+    assert rows_of(got) == exp([(1,), (2,), (2,), (3,), (3,), (3,)])
+
+
+def test_in_with_projection(tenv):
+    """SetOperatorsITCase.scala:298 — IN as a projected boolean."""
+    got = tenv.sql("SELECT d IN (SELECT a FROM SMALL3) AS x FROM T5")
+    assert rows_of(got) == exp([(False,)] * 9 + [(True,)] * 6)
+
+
+# ---------------------------------------------------------------------------
+# SortITCase.scala (batch/sql) — total order with OFFSET / FETCH. Calcite's
+# ANSI "OFFSET n ROWS FETCH NEXT m ROWS ONLY" maps to Spark's LIMIT/OFFSET
+# clauses (same semantics, Spark's spelling).
+# ---------------------------------------------------------------------------
+
+
+def test_order_by_multiple_fields(tenv):
+    """SortITCase.scala:22 — ORDER BY a DESC, b DESC is a total order."""
+    got = [tuple(r) for r in tenv.sql("SELECT * FROM T3 ORDER BY a DESC, b DESC").collect()]
+    assert got == sorted(_ROWS3, key=lambda r: (-r[0], -r[1]))
+
+
+def test_order_by_with_offset(tenv):
+    """SortITCase.scala:59 — ORDER BY a DESC OFFSET 2."""
+    got = [tuple(r) for r in tenv.sql(
+        "SELECT * FROM T3 ORDER BY a DESC OFFSET 2"
+    ).collect()]
+    assert got == sorted(_ROWS3, key=lambda r: -r[0])[2:]
+
+
+def test_order_by_with_offset_and_fetch(tenv):
+    """SortITCase.scala:90 — OFFSET 2 FETCH NEXT 5."""
+    got = [tuple(r) for r in tenv.sql(
+        "SELECT * FROM T3 ORDER BY a LIMIT 5 OFFSET 2"
+    ).collect()]
+    assert got == sorted(_ROWS3, key=lambda r: r[0])[2:7]
+
+
+def test_order_by_limit(tenv):
+    """SortITCase.scala (fetch-only variant) — ORDER BY b, a FETCH 5."""
+    got = [tuple(r) for r in tenv.sql(
+        "SELECT * FROM T3 ORDER BY b, a LIMIT 5"
+    ).collect()]
+    assert got == sorted(_ROWS3, key=lambda r: (r[1], r[0]))[:5]
