@@ -336,6 +336,66 @@ def cep_iterative_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_greedy_click_run",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    v AS (SELECT * FROM e WHERE event_type = 'view'),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT v.user_id, v.event_id AS view_id, cl.n_clicks, cl.first_click,
+           cl.last_click, p.event_id AS purchase_id
+    FROM v
+    JOIN p ON p.user_id = v.user_id
+          AND [epoch_us(p.ts), p.event_id] > [epoch_us(v.ts), v.event_id]
+          AND p.ts - v.ts < INTERVAL 24 HOUR,
+    LATERAL (
+      SELECT count(*) AS n_clicks,
+             first(c.event_id ORDER BY c.ts, c.event_id) AS first_click,
+             last(c.event_id ORDER BY c.ts, c.event_id) AS last_click,
+             max([epoch_us(c.ts), c.event_id]) AS lc_key
+      FROM e c
+      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        AND [epoch_us(c.ts), c.event_id] > [epoch_us(v.ts), v.event_id]
+        AND [epoch_us(c.ts), c.event_id] < [epoch_us(p.ts), p.event_id]
+    ) cl
+    WHERE cl.n_clicks >= 1
+      AND NOT EXISTS (
+        SELECT 1 FROM e q
+        WHERE q.user_id = v.user_id AND q.event_type = 'purchase'
+          AND [epoch_us(q.ts), q.event_id] > cl.lc_key
+          AND [epoch_us(q.ts), q.event_id] < [epoch_us(p.ts), p.event_id]
+      )
+    """,
+    tags=("cep",),
+)
+def cep_greedy_click_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY loop (Pattern.java:361 via the r11 NFACompiler:851-exact
+    guard): view · click+(greedy) · purchase. The greedy guard forbids the
+    handoff while another click sits between the run's end and the
+    purchase, so a match exists exactly per (view, purchase) pair whose
+    click run is ALL clicks in between — never a sub-prefix — and the
+    purchase is the first one after the last click. Oracle derives that
+    closed form per purchase: the (ts, event_id)-ordered click interval
+    aggregate plus a no-earlier-purchase guard. Scalar projections of the
+    run (count/first/last) keep the driver compare hashable."""
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("clicks", lambda e: e["event_type"] == "click").one_or_more().greedy()
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+    return out.select(
+        "user_id",
+        "view_id",
+        F.size("clicks_ids").cast("long").alias("n_clicks"),
+        F.element_at("clicks_ids", 1).alias("first_click"),
+        F.element_at("clicks_ids", -1).alias("last_click"),
+        "purchase_id",
+    )
+
+
+@query(
     "graph_summarize",
     oracle="""
     WITH groups AS (

@@ -117,6 +117,7 @@ _ROTATE_IN = (
     # notFollowedBy discharge, loop ignore-edge stop condition — no
     # registered query uses optional()/until(), but the family shares _scan)
     "cep_funnel", "cep_iterative_funnel", "cep_select_function",
+    "cep_greedy_click_run",  # NEW r11 session 3: first driver-gated greedy()
     "stream_multibatch_cep", "stream_multibatch_cep_select",
     # r11: rows-only → oracle-checked upgrades (exact-GD trainer replaces
     # LBFGS; exact-Lloyd quantizer replaces pyspark.ml KMeans — both now
