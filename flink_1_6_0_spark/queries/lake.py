@@ -436,6 +436,78 @@ def stream_multibatch_cep_select_timeout(spark: SparkSession, sf_dir: str) -> Da
 
 
 @query(
+    "stream_multibatch_cep_greedy",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    v AS (SELECT * FROM e WHERE event_type = 'view'),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT v.user_id, v.event_id AS view_id, cl.n_clicks, cl.first_click,
+           cl.last_click, p.event_id AS purchase_id
+    FROM v
+    JOIN p ON p.user_id = v.user_id
+          AND [epoch_us(p.ts), p.event_id] > [epoch_us(v.ts), v.event_id]
+          AND p.ts - v.ts < INTERVAL 24 HOUR,
+    LATERAL (
+      SELECT count(*) AS n_clicks,
+             first(c.event_id ORDER BY c.ts, c.event_id) AS first_click,
+             last(c.event_id ORDER BY c.ts, c.event_id) AS last_click,
+             max([epoch_us(c.ts), c.event_id]) AS lc_key
+      FROM e c
+      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        AND [epoch_us(c.ts), c.event_id] > [epoch_us(v.ts), v.event_id]
+        AND [epoch_us(c.ts), c.event_id] < [epoch_us(p.ts), p.event_id]
+    ) cl
+    WHERE cl.n_clicks >= 1
+      AND NOT EXISTS (
+        SELECT 1 FROM e q
+        WHERE q.user_id = v.user_id AND q.event_type = 'purchase'
+          AND [epoch_us(q.ts), q.event_id] > cl.lc_key
+          AND [epoch_us(q.ts), q.event_id] < [epoch_us(p.ts), p.event_id]
+      )
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_multibatch_cep_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY loop on a STREAM under disorder: view · click+(greedy) ·
+    purchase over the scrambled >= 4-micro-batch replay. Doubly
+    order-sensitive: a late click landing in the handoff gap must
+    retroactively FORBID the sub-maximal match (the NFACompiler:851 guard),
+    and a late click extending the run changes the emitted run scalars —
+    the fold discipline may only emit once no admissible arrival can land
+    inside the guard region. Hash match against cep_greedy_click_run's
+    closed-form oracle certifies the guard survives micro-batch boundaries
+    and the watermark fold."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("clicks", lambda e: e["event_type"] == "click").one_or_more().greedy()
+        .followed_by("purchase", lambda e: e["event_type"] == "purchase")
+        .within(24 * 3600)
+    )
+    out = cep_stream(
+        cep_funnel_stream(spark, sf_dir),
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+    )
+    result, _ = _run_stream(out, "append", min_batches=4)
+    return result.select(
+        "user_id",
+        "view_id",
+        F.size("clicks_ids").cast("long").alias("n_clicks"),
+        F.element_at("clicks_ids", 1).alias("first_click"),
+        F.element_at("clicks_ids", -1).alias("last_click"),
+        "purchase_id",
+    )
+
+
+@query(
     "stream_cep_late_side",
     oracle="""
     WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
