@@ -69,8 +69,53 @@ def max_by(value: str | Column, ordering: str | Column) -> Column:
 
 
 def distinct(df: DataFrame, *cols: str) -> DataFrame:
-    """DataSet.distinct by fields or all (DataSet.java:596-638)."""
-    return df.dropDuplicates(list(cols)) if cols else df.distinct()
+    """DataSet.distinct by fields or all (DataSet.java:596-638).
+
+    Accepts Flink field EXPRESSIONS, including dotted nested paths like
+    ``"nestedPojo.longNumber"`` (ExpressionKeys; DistinctITCase.java:208) —
+    dropDuplicates only resolves top-level names, so nested keys are
+    projected to hidden columns for the dedup and dropped afterwards."""
+    if not cols:
+        return df.distinct()
+    top = set(df.columns)
+    plain = [c for c in cols if c in top]
+    nested = [c for c in cols if c not in top]
+    if not nested:
+        return df.dropDuplicates(plain)
+    hidden = {c: f"__dk{i}" for i, c in enumerate(nested)}
+    out = df
+    for c, h in hidden.items():
+        out = out.withColumn(h, F.col(c))
+    return out.dropDuplicates(plain + list(hidden.values())).drop(*hidden.values())
+
+
+def combine_group(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
+    """GroupCombineFunction — DataSet.combineGroup (GroupCombineOperator.java,
+    DataSet.java:678): a PARTIAL group reduce with NO shuffle and no
+    completeness guarantee. ``fn(pdf) -> pdf`` runs over each key's rows
+    *within an input partition/batch*; rows of one key may be combined in
+    several independent calls (exactly Flink's contract — a combiner may run
+    on any subset of a group, and the caller must still apply the final
+    reduce after a groupBy). Spark mapping: ``mapInPandas`` so the partial
+    stays map-side, mirroring the reference's chained combine driver.
+
+    At scale this is the explicit form of what Catalyst's partial aggregate
+    does for built-in aggs: shrink data BEFORE the exchange. Use it when the
+    final reduce is a custom grouped-apply whose input would otherwise
+    shuffle raw rows.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if keys:
+                for _, g in pdf.groupby(keys, sort=False):
+                    yield fn(g)
+            else:
+                yield fn(pdf)
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def apply_udaf(df: DataFrame, group_cols: list[str], fn, schema) -> DataFrame:

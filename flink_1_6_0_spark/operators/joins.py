@@ -56,6 +56,8 @@ def co_group(
     right_keys: list[str],
     fn=None,
     schema=None,
+    sort_first: list[tuple[str, bool]] | None = None,
+    sort_second: list[tuple[str, bool]] | None = None,
 ) -> DataFrame:
     """coGroup: for each key, hand both groups to a function (DataSet.java:1009).
 
@@ -63,9 +65,32 @@ def co_group(
     logic is relational (the common case in the reference's own usage), prefer
     expressing it as aggregate + full outer join — see queries.relational for
     that fast path.
+
+    ``sort_first`` / ``sort_second`` are ``[(column, ascending), ...]`` —
+    CoGroupOperator.sortFirstGroup/sortSecondGroup
+    (CoGroupOperator.java:158,183; CoGroupGroupSortITCase.java): each group
+    arrives at ``fn`` ordered by the given columns. The sort happens inside
+    the per-group Arrow batch (pandas sort of one group), not as a global
+    exchange — the same secondary-sort-on-the-grouped-data the reference's
+    runtime performs. When either is given, ``fn`` must take
+    ``(left_pdf, right_pdf)``.
     """
     if fn is None:
         raise ValueError("co_group requires fn; for relational co-grouping use agg + full outer join")
+    if sort_first or sort_second:
+        inner = fn
+
+        def fn(lg, rg):  # noqa: F811 — sorted-group wrapper
+            if sort_first and len(lg):
+                lg = lg.sort_values(
+                    [c for c, _ in sort_first], ascending=[a for _, a in sort_first]
+                )
+            if sort_second and len(rg):
+                rg = rg.sort_values(
+                    [c for c, _ in sort_second], ascending=[a for _, a in sort_second]
+                )
+            return inner(lg, rg)
+
     return (
         left.groupBy(*left_keys)
         .cogroup(right.groupBy(*right_keys))

@@ -1,0 +1,1514 @@
+"""Golden-output ports of the reference's DataSet operator ITCases
+(flink-tests/src/test/java/org/apache/flink/test/operators/*.java).
+
+Each test runs the reference's DataSet program re-expressed through this
+repo's operator layer (operators/*, datastream_api) or the equivalent
+DataFrame plan, over the verbatim CollectionDataSets fixtures
+(CollectionDataSets.java:57,88,101,131,154,170,263,293), and asserts the
+exact expected multiset from its ``compareResultAsTuples`` /
+``compareResultAsText`` call. This is the batch DataSet tier's counterpart
+of tests/test_table_itcases.py (SQL) and tests/test_cep_itcases.py (CEP).
+
+Port notes (dialect mappings, documented once here):
+- Flink tuple field positions f0/f1/f2... become column names a/b/c (T3)
+  and d/e/f/g/h (T5), matching the naming test_table_itcases.py already
+  uses for the same fixtures.
+- ``CustomType(myInt, myLong, myString)`` POJOs become plain 3-column rows;
+  nested POJOs/tuples become Spark struct columns (field-expression keys
+  like ``nestedPojo.longNumber`` stay dotted paths).
+- A Flink GroupReduceFunction whose output depends on iteration order runs
+  after sortGroup(); group order is reproduced with an explicit sort inside
+  applyInPandas / collect_list+array_sort, with the fixture's insertion
+  order as the stable tiebreak (a ``seq`` column) where the reference
+  relies on sort stability.
+- JoinHint variants (REPARTITION_SORT_MERGE / *_HASH_* / BROADCAST_*) are
+  parametrized as Spark join strategy hints (merge / shuffle_hash /
+  broadcast). Flink REJECTS broadcasting the outer side
+  (OuterJoinITCase.java:81,136,186: InvalidProgramException); Spark treats
+  the hint as advisory and falls back, so those cases assert unchanged
+  RESULTS instead of an error — the semantics contract (outer rows
+  survive) is what the goldens pin.
+- Tests that assert JVM type-system plumbing (IntValue/LongValue mutable
+  types, Kryo/Joda serialization, closure cleaner, generic-type groupBy,
+  byte[] keys) have no Python analog and are not ported; each suite's
+  portable semantics tests are.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_6_0_spark.datastream_api import DataStream
+from flink_1_6_0_spark.operators import aggregations as agg_ops
+from flink_1_6_0_spark.operators import joins as join_ops
+from flink_1_6_0_spark.operators import setops
+from flink_1_6_0_spark.operators import sort as sort_ops
+
+
+def _key(t):
+    return tuple((v is None, str(type(v)), v) for v in t)
+
+
+def rows_of(df):
+    return sorted((tuple(r) for r in df.collect()), key=_key)
+
+
+def same(df, expected):
+    assert rows_of(df) == sorted(expected, key=_key)
+
+
+# ---------------------------------------------------------------------------
+# CollectionDataSets fixtures (CollectionDataSets.java — the Java twins of
+# the Scala fixtures in test_table_itcases.py). ``seq`` preserves insertion
+# order for tests whose golden output depends on sort stability.
+# ---------------------------------------------------------------------------
+
+ROWS3 = [
+    (1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world"),
+    (4, 3, "Hello world, how are you?"), (5, 3, "I am fine."),
+    (6, 3, "Luke Skywalker"),
+] + [
+    (i, {7: 4, 8: 4, 9: 4, 10: 4, 11: 5, 12: 5, 13: 5, 14: 5, 15: 5}.get(i, 6), f"Comment#{i - 6}")
+    for i in range(7, 22)
+]
+
+ROWS5 = [
+    (1, 1, 0, "Hallo", 1),
+    (2, 2, 1, "Hallo Welt", 2),
+    (2, 3, 2, "Hallo Welt wie", 1),
+    (3, 4, 3, "Hallo Welt wie gehts?", 2),
+    (3, 5, 4, "ABC", 2),
+    (3, 6, 5, "BCD", 3),
+    (4, 7, 6, "CDE", 2),
+    (4, 8, 7, "DEF", 1),
+    (4, 9, 8, "EFG", 1),
+    (4, 10, 9, "FGH", 2),
+    (5, 11, 10, "GHI", 1),
+    (5, 12, 11, "HIJ", 3),
+    (5, 13, 12, "IJK", 3),
+    (5, 14, 13, "JKL", 2),
+    (5, 15, 14, "KLM", 2),
+]
+
+# getCustomTypeDataSet: CustomType(myInt, myLong, myString)
+CUSTOM = [
+    (1, 0, "Hi"), (2, 1, "Hello"), (2, 2, "Hello world"),
+    (3, 3, "Hello world, how are you?"), (3, 4, "I am fine."),
+    (3, 5, "Luke Skywalker"),
+] + [
+    (mi, ml, f"Comment#{ml - 5}")
+    for ml, mi in zip(range(6, 21), [4] * 4 + [5] * 5 + [6] * 6)
+]
+
+INTS = [1, 2, 2, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 5]
+
+# getGroupSortedNestedTupleDataSet: ((f0f0, f0f1), f1) + insertion seq
+NESTED = [
+    ((1, 3), "a", 0), ((1, 2), "a", 1), ((2, 1), "a", 2),
+    ((2, 2), "b", 3), ((3, 3), "c", 4), ((3, 6), "c", 5), ((4, 9), "c", 6),
+]
+
+
+@pytest.fixture(scope="module")
+def t3(spark):
+    return spark.createDataFrame(ROWS3, "a int, b long, c string")
+
+
+@pytest.fixture(scope="module")
+def small3(spark):
+    return spark.createDataFrame(ROWS3[:3], "a int, b long, c string")
+
+
+@pytest.fixture(scope="module")
+def t5(spark):
+    return spark.createDataFrame(ROWS5, "d int, e long, f int, g string, h long")
+
+
+@pytest.fixture(scope="module")
+def small5(spark):
+    return spark.createDataFrame(ROWS5[:3], "d int, e long, f int, g string, h long")
+
+
+@pytest.fixture(scope="module")
+def custom(spark):
+    return spark.createDataFrame(CUSTOM, "myInt int, myLong long, myString string")
+
+
+@pytest.fixture(scope="module")
+def small_custom(spark):
+    return spark.createDataFrame(CUSTOM[:3], "myInt int, myLong long, myString string")
+
+
+@pytest.fixture(scope="module")
+def ints(spark):
+    return spark.createDataFrame([(i,) for i in INTS], "v int")
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return spark.createDataFrame(
+        NESTED, "f0 struct<f0:int, f1:int>, f1 string, seq int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DistinctITCase.java — distinct on all fields / key subsets / expressions /
+# nested POJO fields.
+# ---------------------------------------------------------------------------
+
+
+class TestDistinct:
+    def test_distinct_on_tuples_with_key_field_selector(self, small3):
+        # DistinctITCase.java:43 — union(ds, ds).distinct(0, 1, 2)
+        res = agg_ops.distinct(setops.union_all(small3, small3))
+        same(res, [(1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")])
+
+    def test_distinct_not_all_fields_selected(self, small5):
+        # DistinctITCase.java:62 — union.distinct(0).project(0): distinct on a
+        # key subset keeps ONE arbitrary row per key; projecting to the key
+        # makes the result deterministic.
+        res = agg_ops.distinct(setops.union_all(small5, small5), "d").select("d")
+        same(res, [(1,), (2,)])
+
+    def test_distinct_with_key_extractor(self, small5):
+        # DistinctITCase.java:79 — KeySelector f0 == column d
+        res = agg_ops.distinct(setops.union_all(small5, small5), "d").select("d")
+        same(res, [(1,), (2,)])
+
+    def test_distinct_on_custom_type_with_type_extractor(self, custom):
+        # DistinctITCase.java:102 — distinct(myInt), mapped to Tuple1(myInt)
+        res = agg_ops.distinct(custom, "myInt").select("myInt")
+        same(res, [(1,), (2,), (3,), (4,), (5,), (6,)])
+
+    def test_distinct_on_tuples(self, small3):
+        # DistinctITCase.java:139 — full-row distinct over the doubled set
+        res = setops.union(small3, small3)
+        same(res, [(1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")])
+
+    def test_distinct_with_tuple_returning_type_extractor(self, t5):
+        # DistinctITCase.java:157 — distinct((f0, f4)).project(0, 4)
+        res = agg_ops.distinct(t5, "d", "h").select("d", "h")
+        same(
+            res,
+            [(1, 1), (2, 1), (2, 2), (3, 2), (3, 3),
+             (4, 1), (4, 2), (5, 1), (5, 2), (5, 3)],
+        )
+
+    def test_distinct_on_tuples_with_field_expressions(self, small5):
+        # DistinctITCase.java:191 — distinct("f0").project(0)
+        res = agg_ops.distinct(setops.union_all(small5, small5), "d").select("d")
+        same(res, [(1,), (2,)])
+
+    def test_distinct_on_nested_pojo_field(self, spark):
+        # DistinctITCase.java:208 — getDuplicatePojoDataSet.distinct(
+        # "nestedPojo.longNumber"): dotted nested-field key expression.
+        dup = spark.createDataFrame(
+            [(1, "First", (10000,))] * 5
+            + [(2, "Second", (20000,))]
+            + [(3, "Third", (30000,))] * 2,
+            "number int, str string, nestedPojo struct<longNumber: long>",
+        )
+        res = agg_ops.distinct(dup, "nestedPojo.longNumber").select(
+            F.col("nestedPojo.longNumber").alias("n")
+        )
+        same(res, [(10000,), (20000,), (30000,)])
+
+    def test_distinct_on_full_pojo(self, spark):
+        # DistinctITCase.java:231 — distinct() over the whole POJO incl. the
+        # nested struct, mapped to the long field.
+        dup = spark.createDataFrame(
+            [(1, "First", (10000,))] * 5
+            + [(2, "Second", (20000,))]
+            + [(3, "Third", (30000,))] * 2,
+            "number int, str string, nestedPojo struct<longNumber: long>",
+        )
+        res = agg_ops.distinct(dup).select(F.col("nestedPojo.longNumber").alias("n"))
+        same(res, [(10000,), (20000,), (30000,)])
+
+
+# ---------------------------------------------------------------------------
+# FirstNITCase.java
+# ---------------------------------------------------------------------------
+
+
+class TestFirstN:
+    def test_first_n_on_ungrouped_ds(self, t3):
+        # FirstNITCase.java:52 — first(7) then count (any 7 rows qualify)
+        res = sort_ops.first_n(t3, 7).agg(F.count("*").alias("n"))
+        same(res, [(7,)])
+
+    def test_first_n_on_grouped_ds(self, t3):
+        # FirstNITCase.java:70 — groupBy(1).first(4) → per-group counts
+        res = (
+            sort_ops.first_n(t3, 4, partition_by=["b"])
+            .groupBy("b")
+            .agg(F.count("*").cast("int").alias("n"))
+        )
+        same(res, [(1, 1), (2, 2), (3, 3), (4, 4), (5, 4), (6, 4)])
+
+    def test_first_n_on_grouped_and_sorted_ds(self, t3):
+        # FirstNITCase.java:89 — groupBy(1).sortGroup(0, DESC).first(3)
+        res = sort_ops.first_n(
+            t3, 3, partition_by=["b"], order_by=[F.desc("a")]
+        ).select("b", "a")
+        same(
+            res,
+            [(1, 1), (2, 3), (2, 2), (3, 6), (3, 5), (3, 4),
+             (4, 10), (4, 9), (4, 8), (5, 15), (5, 14), (5, 13),
+             (6, 21), (6, 20), (6, 19)],
+        )
+
+
+# ---------------------------------------------------------------------------
+# UnionITCase.java
+# ---------------------------------------------------------------------------
+
+
+class TestUnion:
+    def test_union_2_identical_data_sets(self, t3):
+        # UnionITCase.java:63
+        res = setops.union_all(t3, t3)
+        same(res, ROWS3 + ROWS3)
+
+    def test_union_5_identical_data_sets(self, t3):
+        # UnionITCase.java:76
+        res = setops.union_all(t3, t3, t3, t3, t3)
+        same(res, ROWS3 * 5)
+
+    def test_union_with_empty_data_set(self, t3):
+        # UnionITCase.java:92 — union with a filtered-to-empty set
+        res = setops.union_all(t3, t3.filter(F.lit(False)))
+        same(res, ROWS3)
+
+
+# ---------------------------------------------------------------------------
+# ProjectITCase.java
+# ---------------------------------------------------------------------------
+
+
+def test_project_with_tuple_field_indexes(t5):
+    # ProjectITCase.java:34 — project(3, 4, 2)
+    res = t5.select("g", "h", "f")
+    same(res, [(g, h, f) for (_, _, f, g, h) in ROWS5])
+
+
+# ---------------------------------------------------------------------------
+# AggregateITCase.java + SumMinMaxITCase.java — Flink's field-position
+# aggregate API maps to groupBy().agg() (non-aggregated fields are
+# undefined in the reference and always projected away in the goldens).
+# ---------------------------------------------------------------------------
+
+
+class TestAggregate:
+    def test_full_aggregate(self, t3):
+        # AggregateITCase.java:51 — SUM(0) and MAX(1), project(0, 1)
+        res = t3.agg(F.sum("a").cast("int").alias("a"), F.max("b").alias("b"))
+        same(res, [(231, 6)])
+
+    def test_grouped_aggregate(self, t3):
+        # AggregateITCase.java:93 — groupBy(1).SUM(0).project(1, 0)
+        res = t3.groupBy("b").agg(F.sum("a").cast("int").alias("a")).select("b", "a")
+        same(res, [(1, 1), (2, 5), (3, 15), (4, 34), (5, 65), (6, 111)])
+
+    def test_nested_aggregate(self, t3):
+        # AggregateITCase.java:143 — groupBy(1).MIN(0) then global MIN(0)
+        res = (
+            t3.groupBy("b").agg(F.min("a").alias("a"))
+            .agg(F.min("a").alias("a"))
+        )
+        same(res, [(1,)])
+
+    def test_sum_max_and_project(self, t3):
+        # SumMinMaxITCase.java:46 — sum(0).andMax(1).project(0, 1)
+        res = t3.agg(F.sum("a").cast("int").alias("a"), F.max("b").alias("b"))
+        same(res, [(231, 6)])
+
+    def test_grouped_aggregate_sum_min_max(self, t3):
+        # SumMinMaxITCase.java:63 — groupBy(1).sum(0).project(1, 0)
+        ds = DataStream(t3).key_by("b").sum("a")
+        res = ds.df.select("b", F.col("sum_a").cast("int").alias("a"))
+        same(res, [(1, 1), (2, 5), (3, 15), (4, 34), (5, 65), (6, 111)])
+
+    def test_nested_aggregate_min_min(self, t3):
+        # SumMinMaxITCase.java:84 — groupBy(1).min(0).min(0).project(0)
+        ds = DataStream(t3).key_by("b").min("a")
+        res = ds.df.agg(F.min("min_a").alias("a"))
+        same(res, [(1,)])
+
+
+# ---------------------------------------------------------------------------
+# ReduceITCase.java — Flink's binary reduce keeps the key and folds the
+# rest; the goldens pin "singleton groups keep their original values,
+# multi-row groups get the folded constants", which maps to
+# when(count > 1, <folded>).otherwise(<original>) aggregates.
+# ---------------------------------------------------------------------------
+
+
+class TestReduce:
+    def _tuple3_reduce(self, t3, key="b"):
+        # Tuple3Reduce("B-)"): (sum f0, key, "B-)"), singleton keeps f2
+        return (
+            t3.groupBy(key)
+            .agg(
+                F.sum("a").cast("int").alias("a"),
+                F.when(F.count("*") > 1, F.lit("B-)")).otherwise(F.min("c")).alias("c"),
+            )
+            .select("a", key, "c")
+        )
+
+    def test_reduce_on_tuples_with_key_field_selector(self, t3):
+        # ReduceITCase.java:60
+        same(
+            self._tuple3_reduce(t3),
+            [(1, 1, "Hi"), (5, 2, "B-)"), (15, 3, "B-)"),
+             (34, 4, "B-)"), (65, 5, "B-)"), (111, 6, "B-)")],
+        )
+
+    def test_reduce_on_tuples_with_multiple_key_field_selectors(self, t5):
+        # ReduceITCase.java:84 — groupBy(4, 0), fold: (f0, sum f1, 0, "P-)", f4)
+        res = (
+            t5.groupBy("h", "d")
+            .agg(
+                F.sum("e").alias("e"),
+                F.when(F.count("*") > 1, F.lit(0)).otherwise(F.min("f")).alias("f"),
+                F.when(F.count("*") > 1, F.lit("P-)")).otherwise(F.min("g")).alias("g"),
+            )
+            .select("d", "e", "f", "g", "h")
+        )
+        same(
+            res,
+            [(1, 1, 0, "Hallo", 1), (2, 3, 2, "Hallo Welt wie", 1),
+             (2, 2, 1, "Hallo Welt", 2), (3, 9, 0, "P-)", 2),
+             (3, 6, 5, "BCD", 3), (4, 17, 0, "P-)", 1),
+             (4, 17, 0, "P-)", 2), (5, 11, 10, "GHI", 1),
+             (5, 29, 0, "P-)", 2), (5, 25, 0, "P-)", 3)],
+        )
+
+    def test_reduce_on_tuples_with_key_extractor(self, t3):
+        # ReduceITCase.java:117 — KeySelector(f1) == groupBy(b)
+        same(
+            self._tuple3_reduce(t3),
+            [(1, 1, "Hi"), (5, 2, "B-)"), (15, 3, "B-)"),
+             (34, 4, "B-)"), (65, 5, "B-)"), (111, 6, "B-)")],
+        )
+
+    def test_reduce_on_custom_type_with_key_extractor(self, custom):
+        # ReduceITCase.java:149 — CustomTypeReduce: (key, sum myLong, "Hello!")
+        res = (
+            custom.groupBy("myInt")
+            .agg(
+                F.sum("myLong").alias("myLong"),
+                F.when(F.count("*") > 1, F.lit("Hello!")).otherwise(F.min("myString")).alias("myString"),
+            )
+        )
+        same(
+            res,
+            [(1, 0, "Hi"), (2, 3, "Hello!"), (3, 12, "Hello!"),
+             (4, 30, "Hello!"), (5, 60, "Hello!"), (6, 105, "Hello!")],
+        )
+
+    def test_all_reduce_for_tuple(self, t3):
+        # ReduceITCase.java:181 — ungrouped reduce: (sum f0, sum f1, "Hello World")
+        res = t3.agg(
+            F.sum("a").cast("int").alias("a"),
+            F.sum("b").alias("b"),
+            F.lit("Hello World").alias("c"),
+        )
+        same(res, [(231, 91, "Hello World")])
+
+    def test_reduce_with_broadcast_set(self, t3, ints):
+        # ReduceITCase.java:219 — fold string to str(sum of broadcast ints)
+        bc = ints.agg(F.sum("v").cast("string").alias("bc"))
+        res = (
+            t3.groupBy("b")
+            .agg(
+                F.sum("a").cast("int").alias("a"),
+                F.when(F.count("*") > 1, F.lit(None).cast("string")).otherwise(F.min("c")).alias("c0"),
+            )
+            .join(F.broadcast(bc))
+            .select("a", "b", F.coalesce("c0", "bc").alias("c"))
+        )
+        same(
+            res,
+            [(1, 1, "Hi"), (5, 2, "55"), (15, 3, "55"),
+             (34, 4, "55"), (65, 5, "55"), (111, 6, "55")],
+        )
+
+    def test_reduce_tuple_returning_key_selector(self, t5):
+        # ReduceITCase.java:245 — groupBy((f0, f4)) == groupBy(4, 0) golden
+        res = (
+            t5.groupBy("h", "d")
+            .agg(
+                F.sum("e").alias("e"),
+                F.when(F.count("*") > 1, F.lit(0)).otherwise(F.min("f")).alias("f"),
+                F.when(F.count("*") > 1, F.lit("P-)")).otherwise(F.min("g")).alias("g"),
+            )
+            .select("d", "e", "f", "g", "h")
+        )
+        same(
+            res,
+            [(1, 1, 0, "Hallo", 1), (2, 3, 2, "Hallo Welt wie", 1),
+             (2, 2, 1, "Hallo Welt", 2), (3, 9, 0, "P-)", 2),
+             (3, 6, 5, "BCD", 3), (4, 17, 0, "P-)", 1),
+             (4, 17, 0, "P-)", 2), (5, 11, 10, "GHI", 1),
+             (5, 29, 0, "P-)", 2), (5, 25, 0, "P-)", 3)],
+        )
+
+    def test_reduce_on_tuple_with_multiple_key_expressions(self, t5):
+        # ReduceITCase.java:283 — groupBy("f4", "f0"), same golden
+        res = (
+            t5.groupBy("h", "d")
+            .agg(
+                F.sum("e").alias("e"),
+                F.when(F.count("*") > 1, F.lit(0)).otherwise(F.min("f")).alias("f"),
+                F.when(F.count("*") > 1, F.lit("P-)")).otherwise(F.min("g")).alias("g"),
+            )
+            .select("d", "e", "f", "g", "h")
+        )
+        assert res.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# GroupReduceITCase.java — reduceGroup over sorted/unsorted groups. The
+# iteration-order-dependent goldens use collect_list + array_sort (or the
+# seq tiebreak) to reproduce sortGroup semantics.
+# ---------------------------------------------------------------------------
+
+
+class TestGroupReduce:
+    def test_group_reduce_on_tuples_with_key_field_selector(self, t3):
+        # GroupReduceITCase.java:102 — Tuple3GroupReduce: (sum f0, key)
+        res = t3.groupBy("b").agg(F.sum("a").cast("int").alias("a")).select("a", "b")
+        same(res, [(1, 1), (5, 2), (15, 3), (34, 4), (65, 5), (111, 6)])
+
+    def test_group_reduce_on_tuples_with_multiple_key_field_selectors(self, t5):
+        # GroupReduceITCase.java:126 — Tuple5GroupReduce: (f0, sum f1, 0, "P-)", f4)
+        res = (
+            t5.groupBy("h", "d")
+            .agg(F.sum("e").alias("e"))
+            .select("d", "e", F.lit(0).alias("f"), F.lit("P-)").alias("g"), "h")
+        )
+        same(
+            res,
+            [(1, 1, 0, "P-)", 1), (2, 3, 0, "P-)", 1), (2, 2, 0, "P-)", 2),
+             (3, 9, 0, "P-)", 2), (3, 6, 0, "P-)", 3), (4, 17, 0, "P-)", 1),
+             (4, 17, 0, "P-)", 2), (5, 11, 0, "P-)", 1), (5, 29, 0, "P-)", 2),
+             (5, 25, 0, "P-)", 3)],
+        )
+
+    def test_group_reduce_with_key_selector_and_group_sorting(self, t3):
+        # GroupReduceITCase.java:154 — sortGroup(2, ASC), concat with "-"
+        res = t3.groupBy("b").agg(
+            F.sum("a").cast("int").alias("a"),
+            F.array_join(F.array_sort(F.collect_list("c")), "-").alias("c"),
+        ).select("a", "b", "c")
+        same(
+            res,
+            [(1, 1, "Hi"),
+             (5, 2, "Hello-Hello world"),
+             (15, 3, "Hello world, how are you?-I am fine.-Luke Skywalker"),
+             (34, 4, "Comment#1-Comment#2-Comment#3-Comment#4"),
+             (65, 5, "Comment#5-Comment#6-Comment#7-Comment#8-Comment#9"),
+             (111, 6, "Comment#10-Comment#11-Comment#12-Comment#13-Comment#14-Comment#15")],
+        )
+
+    def test_group_reduce_with_descending_group_sort(self, t3):
+        # GroupReduceITCase.java:417 — sortGroup(2, DESC)
+        res = t3.groupBy("b").agg(
+            F.sum("a").cast("int").alias("a"),
+            F.array_join(F.reverse(F.array_sort(F.collect_list("c"))), "-").alias("c"),
+        ).select("a", "b", "c")
+        same(
+            res,
+            [(1, 1, "Hi"),
+             (5, 2, "Hello world-Hello"),
+             (15, 3, "Luke Skywalker-I am fine.-Hello world, how are you?"),
+             (34, 4, "Comment#4-Comment#3-Comment#2-Comment#1"),
+             (65, 5, "Comment#9-Comment#8-Comment#7-Comment#6-Comment#5"),
+             (111, 6, "Comment#15-Comment#14-Comment#13-Comment#12-Comment#11-Comment#10")],
+        )
+
+    def test_group_reduce_on_custom_type_with_type_extractor(self, custom):
+        # GroupReduceITCase.java:213 — CustomTypeGroupReduce: (key, sum, "Hello!")
+        res = custom.groupBy("myInt").agg(
+            F.sum("myLong").alias("myLong"), F.lit("Hello!").alias("myString")
+        )
+        same(
+            res,
+            [(1, 0, "Hello!"), (2, 3, "Hello!"), (3, 12, "Hello!"),
+             (4, 30, "Hello!"), (5, 60, "Hello!"), (6, 105, "Hello!")],
+        )
+
+    def test_all_group_reduce_for_tuples(self, t3):
+        # GroupReduceITCase.java:246 — one global group
+        res = t3.agg(
+            F.sum("a").cast("int").alias("a"),
+            F.sum("b").alias("b"),
+            F.lit("Hello World").alias("c"),
+        )
+        same(res, [(231, 91, "Hello World")])
+
+    def test_all_group_reduce_for_custom_types(self, custom):
+        # GroupReduceITCase.java:264 — (sum myInt, sum myLong, "Hello!")
+        res = custom.agg(
+            F.sum("myInt").cast("int").alias("myInt"),
+            F.sum("myLong").alias("myLong"),
+            F.lit("Hello!").alias("myString"),
+        )
+        same(res, [(91, 210, "Hello!")])
+
+    def test_group_reduce_with_broadcast_set(self, t3, ints):
+        # GroupReduceITCase.java:282 — string = str(sum of broadcast ints)
+        bc = ints.agg(F.sum("v").cast("string").alias("bc"))
+        res = (
+            t3.groupBy("b")
+            .agg(F.sum("a").cast("int").alias("a"))
+            .join(F.broadcast(bc))
+            .select("a", "b", F.col("bc").alias("c"))
+        )
+        same(
+            res,
+            [(1, 1, "55"), (5, 2, "55"), (15, 3, "55"),
+             (34, 4, "55"), (65, 5, "55"), (111, 6, "55")],
+        )
+
+    def test_group_reduce_returning_input_objects_multiple_times(self, small3):
+        # GroupReduceITCase.java:308 — per element emit (f0+10, f1, "Hi!")
+        # and (f0+20, f1, "Hi again!")
+        res = small3.select(
+            F.explode(
+                F.array(
+                    F.struct((F.col("a") + 10).alias("a"), F.col("b"), F.lit("Hi!").alias("c")),
+                    F.struct((F.col("a") + 20).alias("a"), F.col("b"), F.lit("Hi again!").alias("c")),
+                )
+            ).alias("r")
+        ).select("r.*")
+        same(
+            res,
+            [(11, 1, "Hi!"), (21, 1, "Hi again!"), (12, 2, "Hi!"),
+             (22, 2, "Hi again!"), (13, 2, "Hi!"), (23, 2, "Hi again!")],
+        )
+
+    def test_group_reduce_with_tuple_returning_key_selector(self, t5):
+        # GroupReduceITCase.java:442 — groupBy((f0, f4)) — same as (4, 0)
+        res = (
+            t5.groupBy("h", "d")
+            .agg(F.sum("e").alias("e"))
+            .select("d", "e", F.lit(0).alias("f"), F.lit("P-)").alias("g"), "h")
+        )
+        same(
+            res,
+            [(1, 1, 0, "P-)", 1), (2, 3, 0, "P-)", 1), (2, 2, 0, "P-)", 2),
+             (3, 9, 0, "P-)", 2), (3, 6, 0, "P-)", 3), (4, 17, 0, "P-)", 1),
+             (4, 17, 0, "P-)", 2), (5, 11, 0, "P-)", 1), (5, 29, 0, "P-)", 2),
+             (5, 25, 0, "P-)", 3)],
+        )
+
+    def _nested_concat(self, nested, sort_cols):
+        # NestedTupleReducer: key + "--" + "(x,y)-" per element in group order
+        def fmt(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(sort_cols[0], ascending=sort_cols[1])
+            key = pdf["f1"].iloc[0]
+            s = key + "--" + "".join(
+                f"({r.f0['f0']},{r.f0['f1']})-" for r in pdf.itertuples()
+            )
+            return pd.DataFrame({"s": [s]})
+
+        flat = nested.withColumn("x", F.col("f0.f0")).withColumn("y", F.col("f0.f1"))
+        return flat.groupBy("f1").applyInPandas(fmt, schema="s string")
+
+    def test_int_based_group_sort_full_nested_tuple(self, nested):
+        # GroupReduceITCase.java:644 — sortGroup(0, DESC): full nested tuple desc
+        res = self._nested_concat(nested, (["x", "y"], [False, False]))
+        same(res, [("a--(2,1)-(1,3)-(1,2)-",), ("b--(2,2)-",), ("c--(4,9)-(3,6)-(3,3)-",)])
+
+    def test_int_based_group_sort_partial_nested_tuple_asc(self, nested):
+        # GroupReduceITCase.java:663 — sortGroup(f0.f0 ASC).sortGroup(f0.f1 ASC)
+        res = self._nested_concat(nested, (["x", "y"], [True, True]))
+        same(res, [("a--(1,2)-(1,3)-(2,1)-",), ("b--(2,2)-",), ("c--(3,3)-(3,6)-(4,9)-",)])
+
+    def test_string_based_group_sort_partial_nested_tuple_desc(self, nested):
+        # GroupReduceITCase.java:686 — sortGroup(f0.f0 DESC) only; ties keep
+        # insertion order (seq is the stable tiebreak).
+        res = self._nested_concat(nested, (["x", "seq"], [False, True]))
+        same(res, [("a--(2,1)-(1,3)-(1,2)-",), ("b--(2,2)-",), ("c--(4,9)-(3,3)-(3,6)-",)])
+
+    def test_string_based_group_sort_two_grouping_keys(self, nested):
+        # GroupReduceITCase.java:706 — sortGroup(f0.f0 DESC).sortGroup(f0.f1 DESC)
+        res = self._nested_concat(nested, (["x", "y"], [False, False]))
+        same(res, [("a--(2,1)-(1,3)-(1,2)-",), ("b--(2,2)-",), ("c--(4,9)-(3,6)-(3,3)-",)])
+
+    def test_group_reduce_with_atomic_value(self, spark):
+        # GroupReduceITCase.java:1111 — groupBy("*") over atomic ints
+        ds = spark.createDataFrame([(1,), (1,), (2,), (3,), (4,)], "v int")
+        res = agg_ops.distinct(ds)
+        same(res, [(1,), (2,), (3,), (4,)])
+
+
+# ---------------------------------------------------------------------------
+# JoinITCase.java — T3T5FlatJoin emits (t3.c, t5.g).
+# ---------------------------------------------------------------------------
+
+JOIN_HINTS = ["merge", "shuffle_hash", "broadcast"]
+
+
+class TestJoin:
+    def test_udf_join_on_tuples_with_key_field_positions(self, small3, t5):
+        # JoinITCase.java:67 — where(1).equalTo(1)
+        res = small3.join(t5, small3.b == t5.e).select("c", "g")
+        same(res, [("Hi", "Hallo"), ("Hello", "Hallo Welt"), ("Hello world", "Hallo Welt")])
+
+    def test_udf_join_on_tuples_with_multiple_key_field_positions(self, t3, t5):
+        # JoinITCase.java:92 — where(0, 1).equalTo(0, 4)
+        res = t3.join(t5, (t3.a == t5.d) & (t3.b == t5.h)).select("c", "g")
+        same(
+            res,
+            [("Hi", "Hallo"), ("Hello", "Hallo Welt"),
+             ("Hello world", "Hallo Welt wie gehts?"), ("Hello world", "ABC"),
+             ("I am fine.", "HIJ"), ("I am fine.", "IJK")],
+        )
+
+    def test_default_join_on_tuples(self, small3, t5):
+        # JoinITCase.java:120 — default join yields Tuple2<T3, T5> (struct pair)
+        res = small3.join(t5, small3.a == t5.f).select(
+            F.struct("a", "b", "c").alias("l"), F.struct("d", "e", "f", "g", "h").alias("r")
+        )
+        same(
+            res,
+            [((1, 1, "Hi"), (2, 2, 1, "Hallo Welt", 2)),
+             ((2, 2, "Hello"), (2, 3, 2, "Hallo Welt wie", 1)),
+             ((3, 2, "Hello world"), (3, 4, 3, "Hallo Welt wie gehts?", 2))],
+        )
+
+    @pytest.mark.parametrize("hint", JOIN_HINTS)
+    def test_join_with_strategy_hints(self, small3, t5, hint):
+        # JoinITCase.java:145,169 — joinWithHuge/joinWithTiny: hints change the
+        # physical strategy, never the result (Spark: merge/shuffle_hash/
+        # broadcast hints play the same role).
+        res = small3.join(t5.hint(hint), small3.b == t5.e).select("c", "g")
+        same(res, [("Hi", "Hallo"), ("Hello", "Hallo Welt"), ("Hello world", "Hallo Welt")])
+
+    def test_join_that_returns_the_left_input_object(self, small3, t5):
+        # JoinITCase.java:194 — LeftReturningJoin on where(1).equalTo(1)
+        res = small3.join(t5, small3.b == t5.e).select("a", "b", "c")
+        same(res, [(1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")])
+
+    def test_join_that_returns_the_right_input_object(self, small3, t5):
+        # JoinITCase.java:219 — RightReturningJoin
+        res = small3.join(t5, small3.b == t5.e).select("d", "e", "f", "g", "h")
+        same(
+            res,
+            [(1, 1, 0, "Hallo", 1), (2, 2, 1, "Hallo Welt", 2), (2, 2, 1, "Hallo Welt", 2)],
+        )
+
+    def test_join_with_broadcast_set(self, t3, small5, ints):
+        # JoinITCase.java:244 — T3T5BCJoin: (c, g, sum of broadcast ints)
+        bc = ints.agg(F.sum("v").cast("int").alias("bcsum"))
+        res = (
+            t3.join(small5, t3.b == small5.h)
+            .join(F.broadcast(bc))
+            .select("c", "g", "bcsum")
+        )
+        same(
+            res,
+            [("Hi", "Hallo", 55), ("Hi", "Hallo Welt wie", 55),
+             ("Hello", "Hallo Welt", 55), ("Hello world", "Hallo Welt", 55)],
+        )
+
+    def test_project_join_on_a_tuple_input1(self, small3, t5):
+        # JoinITCase.java:307 — projectFirst(2,1).projectSecond(3)
+        #                       .projectFirst(0).projectSecond(4,1)
+        res = small3.join(t5, small3.b == t5.e).select("c", "b", "g", "a", "h", "e")
+        same(
+            res,
+            [("Hi", 1, "Hallo", 1, 1, 1),
+             ("Hello", 2, "Hallo Welt", 2, 2, 2),
+             ("Hello world", 2, "Hallo Welt", 3, 2, 2)],
+        )
+
+    def test_project_join_on_a_tuple_input2(self, small3, t5):
+        # JoinITCase.java:335 — projectSecond(3).projectFirst(2,1)
+        #                       .projectSecond(4,1).projectFirst(0)
+        res = small3.join(t5, small3.b == t5.e).select("g", "c", "b", "h", "e", "a")
+        same(
+            res,
+            [("Hallo", "Hi", 1, 1, 1, 1),
+             ("Hallo Welt", "Hello", 2, 2, 2, 2),
+             ("Hallo Welt", "Hello world", 2, 2, 2, 3)],
+        )
+
+    def test_selecting_multiple_fields_using_expression_language(self, spark):
+        # JoinITCase.java:597 — POJO-vs-tuple join on three dotted/flat keys
+        pojo = spark.createDataFrame(
+            [(1, "First", (10, (100, 1000, "One")), (10000,)),
+             (2, "Second", (20, (200, 2000, "Two")), (20000,)),
+             (3, "Third", (30, (300, 3000, "Three")), (30000,))],
+            "number int, str string, "
+            "nestedTupleWithCustom struct<f0:int, f1:struct<myInt:int, myLong:long, myString:string>>, "
+            "nestedPojo struct<longNumber:long>",
+        )
+        tup = spark.createDataFrame(
+            [(1, "First", 10, 100, 1000, "One", 10000),
+             (2, "Second", 20, 200, 2000, "Two", 20000),
+             (3, "Third", 30, 300, 3000, "Three", 30000)],
+            "f0 int, f1 string, f2 int, f3 int, f4 long, f5 string, f6 long",
+        )
+        res = pojo.join(
+            tup,
+            (pojo["nestedPojo.longNumber"] == tup.f6)
+            & (pojo.number == tup.f0)
+            & (pojo.str == tup.f1),
+        ).select("number", "f6")
+        same(res, [(1, 10000), (2, 20000), (3, 30000)])
+
+    def test_nested_into_tuple(self, spark):
+        # JoinITCase.java:619 — keys: nestedPojo.longNumber, number,
+        # nestedTupleWithCustom.f0 vs f6, f0, f2
+        pojo = spark.createDataFrame(
+            [(1, "First", (10, (100, 1000, "One")), (10000,)),
+             (2, "Second", (20, (200, 2000, "Two")), (20000,)),
+             (3, "Third", (30, (300, 3000, "Three")), (30000,))],
+            "number int, str string, "
+            "nestedTupleWithCustom struct<f0:int, f1:struct<myInt:int, myLong:long, myString:string>>, "
+            "nestedPojo struct<longNumber:long>",
+        )
+        tup = spark.createDataFrame(
+            [(1, "First", 10, 100, 1000, "One", 10000),
+             (2, "Second", 20, 200, 2000, "Two", 20000),
+             (3, "Third", 30, 300, 3000, "Three", 30000)],
+            "f0 int, f1 string, f2 int, f3 int, f4 long, f5 string, f6 long",
+        )
+        res = pojo.join(
+            tup,
+            (pojo["nestedPojo.longNumber"] == tup.f6)
+            & (pojo.number == tup.f0)
+            & (pojo["nestedTupleWithCustom.f0"] == tup.f2),
+        ).select("str", "f1")
+        same(res, [("First", "First"), ("Second", "Second"), ("Third", "Third")])
+
+    def test_join_with_atomic_type1(self, small3, spark):
+        # JoinITCase.java:753 — tuple JOIN atomic int, equalTo("*")
+        atomic = spark.createDataFrame([(1,), (2,)], "v int")
+        res = small3.join(atomic, small3.a == atomic.v).select(
+            F.struct("a", "b", "c").alias("l"), "v"
+        )
+        same(res, [((1, 1, "Hi"), 1), ((2, 2, "Hello"), 2)])
+
+    def test_join_with_atomic_type2(self, small3, spark):
+        # JoinITCase.java:770 — atomic int JOIN tuple, where("*")
+        atomic = spark.createDataFrame([(1,), (2,)], "v int")
+        res = atomic.join(small3, atomic.v == small3.a).select(
+            "v", F.struct("a", "b", "c").alias("r")
+        )
+        same(res, [(1, (1, 1, "Hi")), (2, (2, 2, "Hello"))])
+
+    def test_join_with_range_partitioning(self, t3, t5):
+        # JoinITCase.java:787 — both sides pre-range-partitioned on the join
+        # keys, then joined: co-located exchange, identical results.
+        l = t3.repartitionByRange(4, "a", "b")
+        r = t5.repartitionByRange(4, "d", "h")
+        res = l.join(r, (l.a == r.d) & (l.b == r.h)).select("c", "g")
+        same(
+            res,
+            [("Hi", "Hallo"), ("Hello", "Hallo Welt"),
+             ("Hello world", "Hallo Welt wie gehts?"), ("Hello world", "ABC"),
+             ("I am fine.", "HIJ"), ("I am fine.", "IJK")],
+        )
+
+
+# ---------------------------------------------------------------------------
+# OuterJoinITCase.java — T3T5FlatJoin emits (c, g) with None on the
+# unmatched side. Flink rejects broadcasting the null-producing side
+# (InvalidProgramException); Spark treats such hints as advisory and falls
+# back, so every hint case asserts the same golden rows.
+# ---------------------------------------------------------------------------
+
+LEFT_OUTER_EXPECTED = [
+    ("Hi", "Hallo"), ("Hello", "Hallo Welt"),
+    ("Hello", "Hallo Welt wie"), ("Hello world", None),
+]
+RIGHT_OUTER_EXPECTED = [
+    ("Hi", "Hallo"), ("Hello", "Hallo Welt"),
+    (None, "Hallo Welt wie"), ("Hello world", "Hallo Welt"),
+]
+FULL_OUTER_EXPECTED = [
+    (None, "Hallo"), ("Hi", "Hallo Welt"),
+    ("Hello", "Hallo Welt wie"), ("Hello world", None),
+]
+
+
+class TestOuterJoin:
+    @pytest.mark.parametrize("hint", JOIN_HINTS)
+    def test_left_outer_join(self, small3, small5, hint):
+        # OuterJoinITCase.java:61-92 — leftOuterJoin.where(0).equalTo(0)
+        res = small3.join(small5.hint(hint), small3.a == small5.d, "left").select("c", "g")
+        same(res, LEFT_OUTER_EXPECTED)
+
+    @pytest.mark.parametrize("hint", JOIN_HINTS)
+    def test_right_outer_join(self, small3, small5, hint):
+        # OuterJoinITCase.java:111-142 — rightOuterJoin.where(1).equalTo(1)
+        res = small3.join(small5.hint(hint), small3.b == small5.e, "right").select("c", "g")
+        same(res, RIGHT_OUTER_EXPECTED)
+
+    @pytest.mark.parametrize("hint", JOIN_HINTS)
+    def test_full_outer_join(self, small3, small5, hint):
+        # OuterJoinITCase.java:161-192 — fullOuterJoin.where(0).equalTo(2)
+        res = small3.join(small5.hint(hint), small3.a == small5.f, "full").select("c", "g")
+        same(res, FULL_OUTER_EXPECTED)
+
+    def test_join_on_tuples_with_composite_key_positions(self, small3, small5):
+        # OuterJoinITCase.java:211 — fullOuterJoin.where(0, 1).equalTo(0, 4)
+        res = small3.join(
+            small5, (small3.a == small5.d) & (small3.b == small5.h), "full"
+        ).select("c", "g")
+        same(
+            res,
+            [("Hi", "Hallo"), ("Hello", "Hallo Welt"),
+             ("Hello world", None), (None, "Hallo Welt wie")],
+        )
+
+    def test_join_with_broadcast_set(self, small3, small5, ints):
+        # OuterJoinITCase.java:237 — full outer + broadcast sum(ints) = 55
+        bc = ints.agg(F.sum("v").cast("int").alias("bcsum"))
+        res = (
+            small3.join(small5, small3.b == small5.h, "full")
+            .join(F.broadcast(bc))
+            .select("c", "g", "bcsum")
+        )
+        same(
+            res,
+            [("Hi", "Hallo", 55), ("Hi", "Hallo Welt wie", 55),
+             ("Hello", "Hallo Welt", 55), ("Hello world", "Hallo Welt", 55)],
+        )
+
+    def test_join_with_mixed_key_types1(self, small_custom, small3):
+        # OuterJoinITCase.java:266 — custom fullOuter tuple on myInt == a
+        res = small_custom.join(small3, small_custom.myInt == small3.a, "full").select(
+            "myString", "c"
+        )
+        same(
+            res,
+            [("Hi", "Hi"), ("Hello", "Hello"),
+             ("Hello world", "Hello"), (None, "Hello world")],
+        )
+
+    def test_join_with_mixed_key_types2(self, small3, small_custom):
+        # OuterJoinITCase.java:300 — tuple fullOuter custom on b == myLong
+        res = small3.join(small_custom, small3.b == small_custom.myLong, "full").select(
+            "c", "myString"
+        )
+        same(
+            res,
+            [(None, "Hi"), ("Hi", "Hello"),
+             ("Hello", "Hello world"), ("Hello world", "Hello world")],
+        )
+
+
+# ---------------------------------------------------------------------------
+# CrossITCase.java — Tuple5Cross emits (f2 + f2', f3 ++ f3').
+# ---------------------------------------------------------------------------
+
+TUPLE5_CROSS_EXPECTED = [
+    (0, "HalloHallo"), (1, "HalloHallo Welt"), (2, "HalloHallo Welt wie"),
+    (1, "Hallo WeltHallo"), (2, "Hallo WeltHallo Welt"), (3, "Hallo WeltHallo Welt wie"),
+    (2, "Hallo Welt wieHallo"), (3, "Hallo Welt wieHallo Welt"), (4, "Hallo Welt wieHallo Welt wie"),
+]
+
+
+class TestCross:
+    def _tuple5_cross(self, a, b):
+        bb = b.select(
+            F.col("f").alias("f2"), F.col("g").alias("g2")
+        )
+        return a.crossJoin(bb).select(
+            (F.col("f") + F.col("f2")).alias("s"), F.concat("g", "g2").alias("t")
+        )
+
+    def test_cross_on_two_tuple_inputs(self, small5):
+        # CrossITCase.java:52
+        same(self._tuple5_cross(small5, small5), TUPLE5_CROSS_EXPECTED)
+
+    def test_cross_if_udf_returns_left_input_object(self, small3, small5):
+        # CrossITCase.java:79 — each left row repeated |right| times
+        res = small3.crossJoin(small5.select(F.col("d").alias("d2"))).select("a", "b", "c")
+        same(res, [r for r in ROWS3[:3] for _ in range(3)])
+
+    def test_cross_if_udf_returns_right_input_object(self, small3, small5):
+        # CrossITCase.java:106
+        res = small3.select("a").crossJoin(small5).select("d", "e", "f", "g", "h")
+        same(res, [r for r in ROWS5[:3] for _ in range(3)])
+
+    def test_cross_with_broadcast_set(self, small5, ints):
+        # CrossITCase.java:134 — Tuple5CrossBC: (f0+f0', f2*f2', sum bc)
+        bc = ints.agg(F.sum("v").cast("int").alias("bcsum"))
+        right = small5.select(F.col("d").alias("d2"), F.col("f").alias("f2"))
+        res = (
+            small5.crossJoin(right)
+            .join(F.broadcast(bc))
+            .select(
+                (F.col("d") + F.col("d2")).alias("s"),
+                (F.col("f") * F.col("f2")).alias("p"),
+                "bcsum",
+            )
+        )
+        same(
+            res,
+            [(2, 0, 55), (3, 0, 55), (3, 0, 55),
+             (3, 0, 55), (4, 1, 55), (4, 2, 55),
+             (3, 0, 55), (4, 2, 55), (4, 4, 55)],
+        )
+
+    @pytest.mark.parametrize("huge_side", ["left", "right"])
+    def test_cross_with_hints(self, small5, huge_side):
+        # CrossITCase.java:163,190 — crossWithHuge/crossWithTiny: size hints
+        # only change the broadcast side, never the result. Spark analog:
+        # broadcast() on the declared-tiny side.
+        left, right = small5, small5
+        if huge_side == "left":
+            right = F.broadcast(right)
+        else:
+            left = F.broadcast(left)
+        same(self._tuple5_cross(left, right), TUPLE5_CROSS_EXPECTED)
+
+    def test_project_cross_on_a_tuple_input1(self, small3, small5):
+        # CrossITCase.java:217 — projectFirst(2,1).projectSecond(3)
+        #                        .projectFirst(0).projectSecond(4,1)
+        res = small3.crossJoin(small5).select("c", "b", "g", "a", "h", "e")
+        same(
+            res,
+            [(c, b, g, a, h, e)
+             for (a, b, c) in ROWS3[:3]
+             for (_, e, _f, g, h) in ROWS5[:3]],
+        )
+
+    def test_project_cross_on_a_tuple_input2(self, small3, small5):
+        # CrossITCase.java:248 — projectSecond(3).projectFirst(2,1)
+        #                        .projectSecond(4,1).projectFirst(0)
+        res = small3.crossJoin(small5).select("g", "c", "b", "h", "e", "a")
+        same(
+            res,
+            [(g, c, b, h, e, a)
+             for (a, b, c) in ROWS3[:3]
+             for (_, e, _f, g, h) in ROWS5[:3]],
+        )
+
+    def test_default_cross(self, small3, small5):
+        # CrossITCase.java:279 — Tuple2<T3, T5> pairs
+        res = small3.crossJoin(small5).select(
+            F.struct("a", "b", "c").alias("l"),
+            F.struct("d", "e", "f", "g", "h").alias("r"),
+        )
+        same(
+            res,
+            [(l, r) for l in ROWS3[:3] for r in ROWS5[:3]],
+        )
+
+
+# ---------------------------------------------------------------------------
+# CoGroupITCase.java + CoGroupGroupSortITCase.java — through
+# operators.joins.co_group (pandas cogroup).
+# ---------------------------------------------------------------------------
+
+
+class TestCoGroup:
+    def test_co_group_tuples_with_key_field_selector(self, t5):
+        # CoGroupITCase.java:69 — Tuple5CoGroup: (key, sum of f2 over BOTH groups)
+        import pandas as pd
+
+        def fn(l, r):
+            key = l["d"].iloc[0] if len(l) else r["d"].iloc[0]
+            return pd.DataFrame({"k": [int(key)], "s": [int(l["f"].sum() + r["f"].sum())]})
+
+        res = join_ops.co_group(t5, t5, ["d"], ["d"], fn, "k int, s int")
+        same(res, [(1, 0), (2, 6), (3, 24), (4, 60), (5, 120)])
+
+    def test_co_group_on_two_custom_type_inputs_with_key_extractors(self, custom):
+        # CoGroupITCase.java:89 — CustomTypeCoGroup: (key, sum myLong both sides, "test")
+        import pandas as pd
+
+        def fn(l, r):
+            key = l["myInt"].iloc[0] if len(l) else r["myInt"].iloc[0]
+            return pd.DataFrame(
+                {"myInt": [int(key)],
+                 "myLong": [int(l["myLong"].sum() + r["myLong"].sum())],
+                 "myString": ["test"]}
+            )
+
+        res = join_ops.co_group(
+            custom, custom, ["myInt"], ["myInt"], fn, "myInt int, myLong long, myString string"
+        )
+        same(
+            res,
+            [(1, 0, "test"), (2, 6, "test"), (3, 24, "test"),
+             (4, 60, "test"), (5, 120, "test"), (6, 210, "test")],
+        )
+
+    def test_co_group_with_multiple_key_fields(self, t5, t3):
+        # CoGroupITCase.java:288 — where(0, 4).equalTo(0, 1): emit each first-
+        # group row's string when the second group is non-empty.
+        import pandas as pd
+
+        def fn(l, r):
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"a": [], "b": [], "c": []})
+            return pd.DataFrame(
+                {"a": l["d"].astype(int), "b": l["h"].astype(int), "c": l["g"]}
+            )
+
+        res = join_ops.co_group(t5, t3, ["d", "h"], ["a", "b"], fn, "a int, b long, c string")
+        same(
+            res,
+            [(1, 1, "Hallo"), (2, 2, "Hallo Welt"),
+             (3, 2, "Hallo Welt wie gehts?"), (3, 2, "ABC"),
+             (5, 3, "HIJ"), (5, 3, "IJK")],
+        )
+
+    def test_co_group_with_atomic_type1(self, small3, spark):
+        # CoGroupITCase.java:609 — tuple coGroup atomic int: emit t3 rows whose
+        # key has a match on the atomic side.
+        import pandas as pd
+
+        atomic = spark.createDataFrame([(0,), (1,), (2,)], "v int")
+
+        def fn(l, r):
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"a": [], "b": [], "c": []})
+            return pd.DataFrame({"a": l["a"].astype(int), "b": l["b"].astype(int), "c": l["c"]})
+
+        res = join_ops.co_group(small3, atomic, ["a"], ["v"], fn, "a int, b long, c string")
+        same(res, [(1, 1, "Hi"), (2, 2, "Hello")])
+
+    def test_co_group_with_atomic_type2(self, small3, spark):
+        # CoGroupITCase.java:625 — atomic int coGroup tuple (sides swapped)
+        import pandas as pd
+
+        atomic = spark.createDataFrame([(0,), (1,), (2,)], "v int")
+
+        def fn(l, r):
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"a": [], "b": [], "c": []})
+            return pd.DataFrame({"a": r["a"].astype(int), "b": r["b"].astype(int), "c": r["c"]})
+
+        res = join_ops.co_group(atomic, small3, ["v"], ["a"], fn, "a int, b long, c string")
+        same(res, [(1, 1, "Hi"), (2, 2, "Hello")])
+
+    def test_co_group_with_range_partitioning(self, t5, t3):
+        # CoGroupITCase.java:641 — pre-range-partitioned inputs, same golden
+        import pandas as pd
+
+        def fn(l, r):
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"a": [], "b": [], "c": []})
+            return pd.DataFrame(
+                {"a": l["d"].astype(int), "b": l["h"].astype(int), "c": l["g"]}
+            )
+
+        res = join_ops.co_group(
+            t5.repartitionByRange(4, "d", "h"),
+            t3.repartitionByRange(4, "a", "b"),
+            ["d", "h"], ["a", "b"], fn, "a int, b long, c string",
+        )
+        same(
+            res,
+            [(1, 1, "Hallo"), (2, 2, "Hallo Welt"),
+             (3, 2, "Hallo Welt wie gehts?"), (3, 2, "ABC"),
+             (5, 3, "HIJ"), (5, 3, "IJK")],
+        )
+
+    def test_co_group_lambda(self, spark):
+        # CoGroupITCase.java:673 — sum of f0 across both groups per key
+        import pandas as pd
+
+        left = spark.createDataFrame(
+            [(1, "hello"), (2, "what's"), (2, "up")], "k int, s string"
+        )
+        right = spark.createDataFrame(
+            [(1, "not"), (1, "much"), (2, "really")], "k int, s string"
+        )
+
+        def fn(l, r):
+            return pd.DataFrame({"s": [int(l["k"].sum() + r["k"].sum())]})
+
+        res = join_ops.co_group(left, right, ["k"], ["k"], fn, "s int")
+        same(res, [(6,), (3,)])
+
+    def test_co_group_group_sort(self, spark):
+        # CoGroupGroupSortITCase.java:44 — sortFirstGroup(0, DESC) /
+        # sortSecondGroup(c ASC, a DESC): the co-group fn VALIDATES the
+        # order it receives (ValidatingCoGroup) and emits a flag.
+        import pandas as pd
+
+        left = spark.createDataFrame(
+            [(0, 5), (0, 3), (0, 5), (1, 8), (1, 9), (1, 7)], "a long, b long"
+        )
+        right = spark.createDataFrame(
+            [(0, 10, 3), (0, 8, 3), (0, 10, 1), (0, 9, 0), (0, 8, 2), (0, 8, 4),
+             (1, 10, 3), (1, 8, 3), (1, 10, 1), (1, 9, 0), (1, 8, 2), (1, 8, 4)],
+            "pa long, b long, c long",
+        )
+
+        def fn(l, r):
+            ok = True
+            ok &= list(l["b"]) == sorted(l["b"], reverse=True)
+            pairs = list(zip(r["c"], -r["pa"]))
+            ok &= pairs == sorted(pairs)
+            return pd.DataFrame({"ok": [bool(ok)]})
+
+        res = join_ops.co_group(
+            left, right, ["a"], ["b"],
+            fn, "ok boolean",
+            sort_first=[("b", False)],
+            sort_second=[("c", True), ("pa", False)],
+        )
+        assert rows_of(agg_ops.distinct(res)) == [(True,)]
+
+
+# ---------------------------------------------------------------------------
+# GroupCombineITCase.java — combineGroup (partial, map-side) through
+# operators.aggregations.combine_group, chained into the final reduce.
+# ---------------------------------------------------------------------------
+
+IDENTITY_RESULT = ROWS3
+
+
+class TestGroupCombine:
+    def test_all_group_combine_identity(self, t3):
+        # GroupCombineITCase.java:82/:100 — identity combine + identity reduce
+        res = agg_ops.combine_group(t3, [], lambda pdf: pdf, "a int, b long, c string")
+        same(res, IDENTITY_RESULT)
+
+    def test_identity_with_group_by(self, t3):
+        # GroupCombineITCase.java:118
+        res = agg_ops.combine_group(t3, ["b"], lambda pdf: pdf, "a int, b long, c string")
+        same(res, IDENTITY_RESULT)
+
+    def test_identity_with_group_by_and_sort(self, t3):
+        # GroupCombineITCase.java:137 — sortGroup then identity combine+reduce
+        res = agg_ops.combine_group(
+            t3, ["b"], lambda pdf: pdf.sort_values("b", ascending=False),
+            "a int, b long, c string",
+        )
+        same(res, IDENTITY_RESULT)
+
+    def test_partial_reduce_with_identical_input_output_type(self, t3):
+        # GroupCombineITCase.java:159 — combine: (sum a, sum b, "combined")
+        # partially per key; final reduce completes the sums.
+        import pandas as pd
+
+        def comb(pdf):
+            return pd.DataFrame(
+                {"key": [int(pdf["b"].iloc[0])],
+                 "a": [int(pdf["a"].sum())],
+                 "b": [int(pdf["b"].sum())],
+                 "c": ["combined"]}
+            )
+
+        partial = agg_ops.combine_group(t3, ["b"], comb, "key long, a int, b long, c string")
+        res = (
+            partial.groupBy("key")
+            .agg(F.sum("a").cast("int").alias("a"), F.sum("b").alias("b"),
+                 F.lit("combined").alias("c"))
+            .select("a", "b", "c")
+        )
+        same(
+            res,
+            [(1, 1, "combined"), (5, 4, "combined"), (15, 9, "combined"),
+             (34, 16, "combined"), (65, 25, "combined"), (111, 36, "combined")],
+        )
+
+    def test_partial_reduce_with_different_input_output_type(self, t3):
+        # GroupCombineITCase.java:196 — combine Tuple3 -> Tuple2:
+        # (sum a, sum (b + len(c))); final reduce sums the partials.
+        import pandas as pd
+
+        def comb(pdf):
+            return pd.DataFrame(
+                {"key": [int(pdf["b"].iloc[0])],
+                 "i": [int(pdf["a"].sum())],
+                 "l": [int((pdf["b"] + pdf["c"].str.len()).sum())]}
+            )
+
+        partial = agg_ops.combine_group(t3, ["b"], comb, "key long, i int, l long")
+        res = (
+            partial.groupBy("key")
+            .agg(F.sum("i").cast("int").alias("i"), F.sum("l").alias("l"))
+            .select("i", "l")
+        )
+        same(res, [(1, 3), (5, 20), (15, 58), (34, 52), (65, 70), (111, 96)])
+
+
+# ---------------------------------------------------------------------------
+# ReduceWithCombinerITCase.java — the goldens PROVE the combine phase ran:
+# the combiner inverts the boolean flag (combine ANDs !f1, reduce ANDs f1),
+# so an implementation that skipped the partial phase would emit false.
+# ---------------------------------------------------------------------------
+
+
+class TestReduceWithCombiner:
+    def _combine_then_reduce(self, df, keys):
+        import pandas as pd
+
+        def comb(pdf):
+            out = {"i": [int(pdf["i"].sum())], "flag": [bool((~pdf["flag"]).all())]}
+            if keys:
+                out = {"k": [pdf["k"].iloc[0]], **out}
+            return pd.DataFrame(out)
+
+        schema = ("k string, " if keys else "") + "i int, flag boolean"
+        partial = agg_ops.combine_group(df, keys, comb, schema)
+        gb = partial.groupBy(*keys) if keys else partial.groupBy()
+        aggs = [F.sum("i").cast("int").alias("i"), F.min("flag").alias("flag")]
+        return gb.agg(*aggs)
+
+    def test_reduce_on_non_keyed_dataset(self, spark):
+        # ReduceWithCombinerITCase.java:52 — 10×(1, false) → (10, true)
+        df = spark.createDataFrame([(1, False)] * 10, "i int, flag boolean").repartition(4)
+        same(self._combine_then_reduce(df, []), [(10, True)])
+
+    def test_forking_reduce_on_non_keyed_dataset(self, spark):
+        # ReduceWithCombinerITCase.java:66 — two independent reducers, unioned
+        df = spark.createDataFrame([(1, False)] * 10, "i int, flag boolean").repartition(4)
+        r1 = self._combine_then_reduce(df, [])
+        r2 = self._combine_then_reduce(df, [])
+        same(setops.union_all(r1, r2), [(10, True), (10, True)])
+
+    def test_reduce_on_keyed_dataset(self, spark):
+        # ReduceWithCombinerITCase.java:84 — k1×6, k2×4
+        rows = [("k1", 1, False)] * 6 + [("k2", 1, False)] * 4
+        df = spark.createDataFrame(rows, "k string, i int, flag boolean").repartition(4)
+        same(self._combine_then_reduce(df, ["k"]), [("k1", 6, True), ("k2", 4, True)])
+
+    def test_forking_reduce_on_keyed_dataset(self, spark):
+        # ReduceWithCombinerITCase.java:118
+        rows = [("k1", 1, False)] * 6 + [("k2", 1, False)] * 4
+        df = spark.createDataFrame(rows, "k string, i int, flag boolean").repartition(4)
+        r1 = self._combine_then_reduce(df, ["k"])
+        r2 = self._combine_then_reduce(df, ["k"])
+        same(
+            setops.union_all(r1, r2),
+            [("k1", 6, True), ("k2", 4, True), ("k1", 6, True), ("k2", 4, True)],
+        )
+
+
+# ---------------------------------------------------------------------------
+# FilterITCase.java (portable subset) + MapPartitionITCase.java
+# ---------------------------------------------------------------------------
+
+
+class TestFilterMapPartition:
+    def test_all_rejecting_filter(self, t3):
+        # FilterITCase.java:54
+        same(t3.filter(F.lit(False)), [])
+
+    def test_all_passing_filter(self, t3):
+        # FilterITCase.java:69
+        same(t3.filter(F.lit(True)), ROWS3)
+
+    def test_filter_on_string_tuple_field(self, t3):
+        # FilterITCase.java:110 — f2.contains("world")
+        res = t3.filter(F.col("c").contains("world"))
+        same(res, [(3, 2, "Hello world"), (4, 3, "Hello world, how are you?")])
+
+    def test_map_partition(self, spark):
+        # MapPartitionITCase.java — per-partition kv transform: emit
+        # (value, key+10) where key+value < 10.
+        import pandas as pd
+
+        IN = (
+            "1 1\n2 2\n2 8\n4 4\n4 4\n6 6\n7 7\n8 8\n"
+            "1 1\n2 2\n2 2\n4 4\n4 4\n6 3\n5 9\n8 8\n1 1\n2 2\n2 2\n3 0\n4 4\n"
+            "5 9\n7 7\n8 8\n1 1\n9 1\n5 9\n4 4\n4 4\n6 6\n7 7\n8 8"
+        )
+        RESULT = "1 11\n2 12\n4 14\n4 14\n1 11\n2 12\n2 12\n4 14\n4 14\n3 16\n1 11\n2 12\n2 12\n0 13\n4 14\n1 11\n4 14\n4 14"
+        rows = [tuple(s.split(" ")) for s in IN.split("\n")]
+        df = spark.createDataFrame(rows, "k string, v string")
+
+        def fn(pdf):
+            ki = pdf["k"].astype(int)
+            vi = pdf["v"].astype(int)
+            keep = (ki + vi) < 10
+            return pd.DataFrame({"s": pdf["v"][keep], "n": (ki + 10)[keep]})
+
+        res = DataStream(df).map(fn, "s string, n int").df
+        expected = [(s.split(" ")[0], int(s.split(" ")[1])) for s in RESULT.split("\n")]
+        same(res, expected)
+
+
+# ---------------------------------------------------------------------------
+# PartitionITCase.java — physical partitioning contracts. Per-partition
+# introspection uses rdd.glom() (test-only; the operators under test are
+# the datastream_api ship strategies).
+# ---------------------------------------------------------------------------
+
+
+def _partitions_of(df):
+    return [p for p in df.rdd.glom().collect() if p]
+
+
+class TestPartition:
+    def test_hash_partition_by_key_field(self, t3):
+        # PartitionITCase.java:67 — partitionByHash(1): every key lives in
+        # exactly ONE partition, so per-partition-distinct keys sum to the
+        # global distinct set {1..6}.
+        parts = _partitions_of(DataStream(t3).partition_by_hash("b").df)
+        per_part = [sorted({r["b"] for r in p}) for p in parts]
+        flat = sorted(k for ks in per_part for k in ks)
+        assert flat == [1, 2, 3, 4, 5, 6]
+
+    def test_range_partition_by_key_field(self, t3):
+        # PartitionITCase.java:91 — same contract for partitionByRange(1)
+        parts = _partitions_of(DataStream(t3).partition_by_range("b").df)
+        per_part = [sorted({r["b"] for r in p}) for p in parts]
+        flat = sorted(k for ks in per_part for k in ks)
+        assert flat == [1, 2, 3, 4, 5, 6]
+
+    def _prefix_sum(self, t3, partitioner):
+        pre = t3.select("a", "b", F.substring("c", 1, 5).alias("c"))
+        ds = partitioner(DataStream(pre))
+        return (
+            ds.df.groupBy("b", "c")
+            .agg(F.sum("a").cast("int").alias("a"))
+            .select("a", "b", "c")
+        )
+
+    PREFIX_EXPECTED = [
+        (1, 1, "Hi"), (5, 2, "Hello"), (4, 3, "Hello"), (5, 3, "I am "),
+        (6, 3, "Luke "), (34, 4, "Comme"), (65, 5, "Comme"), (111, 6, "Comme"),
+    ]
+
+    def test_hash_partition_by_key_field2(self, t3):
+        # PartitionITCase.java:115 — partitionByHash(1,2) then groupBy(1,2).sum(0)
+        same(self._prefix_sum(t3, lambda ds: ds.partition_by_hash("b", "c")), self.PREFIX_EXPECTED)
+
+    def test_range_partition_by_key_field2(self, t3):
+        # PartitionITCase.java:144
+        same(self._prefix_sum(t3, lambda ds: ds.partition_by_range("b", "c")), self.PREFIX_EXPECTED)
+
+    def test_hash_partition_with_key_expression(self, t3):
+        # PartitionITCase.java:405 — partitionByHash("f1") (field expression)
+        same(self._prefix_sum(t3, lambda ds: ds.partition_by_hash("b")), self.PREFIX_EXPECTED)
+
+    def test_forced_rebalancing(self, spark):
+        # PartitionITCase.java:291 — skewed input → rebalance → per-partition
+        # counts equal after rounding to tens (the reference's own tolerance).
+        n_parts = 4
+        df = spark.range(1, 3001).filter(F.col("id") > 780)
+        parts = _partitions_of(DataStream(df).rebalance(n_parts).df)
+        assert len(parts) == n_parts
+        per = 2220 // n_parts // 10
+        assert [len(p) // 10 for p in parts] == [per] * n_parts
+
+    def test_range_partitioner_on_sequence_data(self, spark):
+        # PartitionITCase.java:503 — per-partition [min,max] ranges are
+        # non-overlapping and contiguous over a dense sequence.
+        df = spark.range(0, 10001).repartitionByRange(8, "id")
+        ranges = sorted((min(r["id"] for r in p), max(r["id"] for r in p))
+                        for p in _partitions_of(df))
+        prev_max = None
+        for lo, hi in ranges:
+            assert lo <= hi
+            if prev_max is not None:
+                assert lo == prev_max + 1
+            prev_max = hi
+        assert ranges[0][0] == 0 and ranges[-1][1] == 10000
+
+    def test_range_partitioner_with_orders(self, spark):
+        # PartitionITCase.java:557 — partitionByRange(0,1).withOrders(ASC, DESC)
+        df = spark.range(0, 10001).select(
+            (F.col("id") / 5000).cast("long").alias("k"),
+            F.pmod(F.col("id"), 5000).alias("v"),
+        )
+        parted = df.repartitionByRange(8, F.asc("k"), F.desc("v"))
+        ranges = []
+        for p in _partitions_of(parted):
+            keyed = [(r["k"], -r["v"]) for r in p]
+            ranges.append((min(keyed), max(keyed)))
+        ranges.sort()
+        prev_max = None
+        for lo, hi in ranges:
+            assert lo <= hi
+            if prev_max is not None:
+                assert prev_max < lo
+            prev_max = hi
+
+
+# ---------------------------------------------------------------------------
+# SortPartitionITCase.java — sortPartition through operators.sort.
+# ---------------------------------------------------------------------------
+
+
+class TestSortPartition:
+    def _check_order(self, df, keyfn):
+        for p in _partitions_of(df):
+            keys = [keyfn(r) for r in p]
+            assert keys == sorted(keys)
+
+    def test_sort_partition_by_key_field(self, t3):
+        # SortPartitionITCase.java:55 — sortPartition(1, DESC) on 4 partitions
+        res = sort_ops.sort_partition(t3.repartition(4), [F.desc("b")])
+        self._check_order(res, lambda r: -r["b"])
+
+    def test_sort_partition_by_two_key_fields(self, t5):
+        # SortPartitionITCase.java:76 — sortPartition(4 ASC).sortPartition(2 DESC)
+        res = sort_ops.sort_partition(t5.repartition(2), [F.asc("h"), F.desc("f")])
+        self._check_order(res, lambda r: (r["h"], -r["f"]))
+
+    def test_sort_partition_by_field_expression(self, t3):
+        # SortPartitionITCase.java:99 — "f1" DESC
+        res = sort_ops.sort_partition(t3.repartition(4), [F.desc("b")])
+        self._check_order(res, lambda r: -r["b"])
+
+    def test_sort_partition_by_nested_field_expression(self, nested):
+        # SortPartitionITCase.java:142 — sortPartition("f0.f1" ASC)."f1" DESC
+        res = sort_ops.sort_partition(
+            nested.repartition(3), [F.asc("f0.f1"), F.desc("f1")]
+        )
+        self._check_order(res, lambda r: (r["f0"]["f1"], tuple(-ord(ch) for ch in r["f1"])))
+
+    def test_sort_partition_parallelism_change(self, t3):
+        # SortPartitionITCase.java:186 — explicit parallelism change before sort
+        res = sort_ops.sort_partition(t3.repartition(3), [F.desc("b")])
+        self._check_order(res, lambda r: -r["b"])
+
+    def test_sort_partition_with_key_selector(self, t3):
+        # SortPartitionITCase.java:206 — extracted key ASC
+        res = sort_ops.sort_partition(t3.repartition(4), [F.asc("b")])
+        self._check_order(res, lambda r: r["b"])
+
+
+# ---------------------------------------------------------------------------
+# SampleITCase.java — through operators.utils (deterministic_sample /
+# sample_n_per_key): count bounds + subset + reproducibility (our samplers
+# are hash-gated, so exact re-runs are part of the contract).
+# ---------------------------------------------------------------------------
+
+
+class TestSample:
+    def test_sampler_with_fraction_without_replacement(self, spark):
+        # SampleITCase.java:61 — fractions 0.0 / 0.2 / 1.0
+        from flink_1_6_0_spark.operators.utils import deterministic_sample
+
+        src = spark.range(0, 1000).select(F.col("id"))
+        assert deterministic_sample(src, F.col("id"), 0).count() == 0
+        assert deterministic_sample(src, F.col("id"), 1000).count() == 1000
+        got = deterministic_sample(src, F.col("id"), 200)
+        n = got.count()
+        assert 140 <= n <= 260  # ±~5σ around 200
+        ids = {r["id"] for r in got.collect()}
+        assert ids <= set(range(1000))
+        again = {r["id"] for r in deterministic_sample(src, F.col("id"), 200).collect()}
+        assert ids == again  # hash-gated: reproducible by construction
+
+    def test_sampler_with_size_without_replacement(self, t3):
+        # SampleITCase.java:76 — fixed sizes 0 / 2 / 21 are EXACT
+        from flink_1_6_0_spark.operators.utils import sample_n_per_key
+
+        base = t3.withColumn("k", F.lit(1))
+        for n, expect in [(0, 0), (2, 2), (21, 21)]:
+            got = sample_n_per_key(base, "k", "a", n)
+            assert got.count() == expect
+            rows = {(r["a"], r["b"], r["c"]) for r in got.collect()}
+            assert rows <= set(ROWS3)
