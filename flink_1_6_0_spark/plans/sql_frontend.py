@@ -19,8 +19,10 @@ from __future__ import annotations
 
 import re
 
-# INTERVAL '30' MINUTE  /  INTERVAL '1' HOUR  →  '30 minutes' / '1 hour'
-_INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+# INTERVAL '30' MINUTE / INTERVAL '1' HOUR / INTERVAL '0.005' SECOND →
+# '30 minutes' / '1 hour' / '0.005 seconds' (Flink SQL allows fractional
+# second intervals in group windows — SqlITCase.scala:83's 5ms session gap)
+_INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+(?:\.\d+)?)'\s+(\w+)", re.IGNORECASE)
 
 
 def _interval_to_duration(expr: str) -> str:
@@ -29,7 +31,7 @@ def _interval_to_duration(expr: str) -> str:
     if not m:
         raise ValueError(f"unsupported interval expression in group window: {expr!r}")
     n, unit = m.group(1), m.group(2).lower()
-    return f"{n} {unit}" + ("" if unit.endswith("s") else "s" if int(n) != 1 else "")
+    return f"{n} {unit}" + ("" if unit.endswith("s") else "s" if float(n) != 1 else "")
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -88,7 +90,13 @@ def _find_call(sql: str, start: int):
         return m.group(1).upper(), sql[m.end() : i - 1], (m.start(), i)
 
 
-def _render(name: str, args: list[str]) -> str:
+def _render(name: str, args: list[str], bare: bool = False) -> str:
+    """Render one group-window call. ``bare=True`` (post-aggregate contexts:
+    HAVING / ORDER BY) references the GROUPING ATTRIBUTE (`window` /
+    `session_window`) instead of re-computing the window over the time
+    column — after the aggregate the time column no longer exists, only the
+    grouped window struct does (SqlITCase.scala:666 testHopStartEndWithHaving
+    puts HOP_START inside HAVING)."""
     base, _, accessor = name.partition("_")
     if base == "TUMBLE":
         ts, size = args
@@ -101,6 +109,8 @@ def _render(name: str, args: list[str]) -> str:
         core = f"session_window({ts}, '{_interval_to_duration(gap)}')"
     else:
         raise ValueError(f"unknown group window function {name}")
+    if bare:
+        core = "session_window" if base == "SESSION" else "window"
     if not accessor:
         return core
     if accessor in ("START", "ROWTIME"):  # *_ROWTIME is the window end-1ms; we expose start/end
@@ -160,6 +170,10 @@ def rewrite_flink_sql(sql: str) -> str:
     Non-window SQL passes through untouched.
     """
     sql = _rewrite_lateral_table(sql)
+    # Accessors at or after a top-level HAVING run post-aggregate: reference
+    # the grouped window attribute instead of re-computing window(ts, ...)
+    having = re.search(r"\bHAVING\b", sql, re.IGNORECASE)
+    having_at = having.start() if having and sql.count("'", 0, having.start()) % 2 == 0 else None
     out, pos = [], 0
     while True:
         hit = _find_call(sql, pos)
@@ -168,6 +182,6 @@ def rewrite_flink_sql(sql: str) -> str:
             break
         name, argstr, (s, e) = hit
         out.append(sql[pos:s])
-        out.append(_render(name, _split_args(argstr)))
+        out.append(_render(name, _split_args(argstr), bare=having_at is not None and s > having_at))
         pos = e
     return "".join(out)

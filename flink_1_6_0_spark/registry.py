@@ -123,6 +123,11 @@ _ROTATE_IN = (
     # LBFGS; exact-Lloyd quantizer replaces pyspark.ml KMeans — both now
     # hash-check their full iterative training runs against unrolled oracles)
     "ml_quality_classifier", "ann_ivf_kmeans_topk",
+    # r11 session 4 kernel diffs: sql_frontend grew fractional-second
+    # intervals + bare window-attribute accessors after HAVING (stream
+    # SqlITCase ports); co_group grew sort_first/sort_second;
+    # operators.distinct grew nested-field keys. Re-seat their queries.
+    "window_tumble_flink_sql", "cogroup_customer_orders", "agg_distinct",
 )
 
 

@@ -1,0 +1,701 @@
+"""Golden-output ports of the reference's STREAMING SQL ITCases
+(flink-table/src/test/.../runtime/stream/sql/{OverWindowITCase,SqlITCase}.scala).
+
+Each reference test drives a finite event-time stream (explicit
+``Left(ts, row)`` elements interleaved with ``Right(wm)`` watermarks) through
+streaming SQL and asserts the final emitted multiset. The port reproduces
+that contract in two steps:
+
+1. **Watermark replay** (``replay``): walk the element/watermark sequence
+   applying the reference's lateness rule for rowtime operators — an element
+   whose timestamp is strictly below the current watermark is DISCARDED
+   (RowTimeBoundedRowsOver / RowTimeUnboundedOver process functions; the
+   OverWindowITCase fixtures mark these "// late row"). Arrival order is
+   preserved as a ``seq`` column because Flink's rowtime ROWS frames process
+   equal-timestamp elements in arrival order (the rows buffered per
+   timestamp are iterated in insertion order).
+
+2. **Batch equivalence**: the survivors' append-stream output equals the
+   batch OVER / GROUP BY result on the same rows — exactly the
+   stream-batch-unification contract the repo's streaming kernels are built
+   on. The port pins both the SQL dialect (through rewrite_flink_sql where
+   group windows appear) and the value semantics (Calcite integer AVG
+   truncates → integer division, documented in test_table_itcases.py too).
+
+Retract-stream tests (toRetractStream + RetractingSink) assert the final
+accumulated table, which equals the batch aggregate; the engine-level
+retraction mechanics have their own tests in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_6_0_spark.operators.aggregations import collect_multiset
+from flink_1_6_0_spark.operators.correlate import unnest
+from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+
+def _key(t):
+    return tuple((v is None, str(type(v)), v) for v in t)
+
+
+def rows_of(df):
+    return sorted((tuple(r) for r in df.collect()), key=_key)
+
+
+def same(df, expected):
+    assert rows_of(df) == sorted(expected, key=_key)
+
+
+def replay(events):
+    """Apply the rowtime-operator lateness rule to a Left/Right sequence.
+
+    ``events``: list of ("L", ts_ms, row_tuple) | ("W", wm_ms). Returns the
+    surviving rows as (seq, ts_ms, *row) — ``seq`` is arrival order, the
+    deterministic tiebreak for equal timestamps.
+    """
+    wm = float("-inf")
+    out = []
+    seq = 0
+    for ev in events:
+        if ev[0] == "W":
+            wm = max(wm, ev[1])
+        else:
+            _, ts, row = ev
+            if ts >= wm:  # strictly-late elements are dropped; ts == wm survives
+                out.append((seq, ts) + row)
+                seq += 1
+    return out
+
+
+def over_df(spark, events, schema_tail):
+    rows = replay(events)
+    return spark.createDataFrame(rows, "seq int, rowtime long, " + schema_tail)
+
+
+# ---------------------------------------------------------------------------
+# OverWindowITCase.scala — rowtime OVER windows. LTCNT(x, t) is the
+# reference's LargerThanCount UDAF: count of x > t over the frame.
+# ---------------------------------------------------------------------------
+
+# Fixture shared by the two bounded RANGE tests (partitioned golden differs
+# from non-partitioned only in PARTITION BY c).
+RANGE_OVER_DATA = [
+    ("L", 1500, (1, 15, "Hello")),
+    ("L", 1600, (1, 16, "Hello")),
+    ("L", 1000, (1, 1, "Hello")),
+    ("L", 2000, (2, 2, "Hello")),
+    ("W", 1000),
+    ("L", 2000, (2, 2, "Hello")),
+    ("L", 2000, (2, 3, "Hello")),
+    ("L", 3000, (3, 3, "Hello")),
+    ("W", 2000),
+    ("L", 4000, (4, 4, "Hello")),
+    ("W", 3000),
+    ("L", 5000, (5, 5, "Hello")),
+    ("W", 5000),
+    ("L", 6000, (6, 6, "Hello")),
+    ("L", 6500, (6, 65, "Hello")),
+    ("W", 7000),
+    ("L", 9000, (6, 9, "Hello")),
+    ("L", 9500, (6, 18, "Hello")),
+    ("L", 9000, (6, 9, "Hello")),
+    ("W", 10000),
+    ("L", 10000, (7, 7, "Hello World")),
+    ("L", 11000, (7, 17, "Hello World")),
+    ("L", 11000, (7, 77, "Hello World")),
+    ("W", 12000),
+    ("L", 14000, (7, 18, "Hello World")),
+    ("W", 14000),
+    ("L", 15000, (8, 8, "Hello World")),
+    ("W", 17000),
+    ("L", 20000, (20, 20, "Hello World")),
+    ("W", 19000),
+]
+
+
+class TestRowTimeOverWindow:
+    def test_bounded_partitioned_range_over(self, spark):
+        # OverWindowITCase.scala:256
+        df = over_df(spark, RANGE_OVER_DATA, "a long, b int, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT c, b, "
+            " SUM(CASE WHEN a > 4 THEN 1 ELSE 0 END) OVER w AS ltcnt, "
+            " COUNT(a) OVER w AS cnt, SUM(a) OVER w AS s "
+            "FROM T1 WINDOW w AS (PARTITION BY c ORDER BY rowtime "
+            " RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [("Hello", 1, 0, 1, 1), ("Hello", 15, 0, 2, 2), ("Hello", 16, 0, 3, 3),
+             ("Hello", 2, 0, 6, 9), ("Hello", 3, 0, 6, 9), ("Hello", 2, 0, 6, 9),
+             ("Hello", 3, 0, 4, 9), ("Hello", 4, 0, 2, 7), ("Hello", 5, 1, 2, 9),
+             ("Hello", 6, 2, 2, 11), ("Hello", 65, 2, 2, 12),
+             ("Hello", 9, 2, 2, 12), ("Hello", 9, 2, 2, 12), ("Hello", 18, 3, 3, 18),
+             ("Hello World", 7, 1, 1, 7), ("Hello World", 17, 3, 3, 21),
+             ("Hello World", 77, 3, 3, 21), ("Hello World", 18, 1, 1, 7),
+             ("Hello World", 8, 2, 2, 15), ("Hello World", 20, 1, 1, 20)],
+        )
+
+    def test_bounded_nonpartitioned_range_over(self, spark):
+        # OverWindowITCase.scala:392 — same data, no PARTITION BY
+        df = over_df(spark, RANGE_OVER_DATA, "a long, b int, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT c, b, COUNT(a) OVER w AS cnt, SUM(a) OVER w AS s "
+            "FROM T1 WINDOW w AS (ORDER BY rowtime "
+            " RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [("Hello", 1, 1, 1), ("Hello", 15, 2, 2), ("Hello", 16, 3, 3),
+             ("Hello", 2, 6, 9), ("Hello", 3, 6, 9), ("Hello", 2, 6, 9),
+             ("Hello", 3, 4, 9), ("Hello", 4, 2, 7), ("Hello", 5, 2, 9),
+             ("Hello", 6, 2, 11), ("Hello", 65, 2, 12),
+             ("Hello", 9, 2, 12), ("Hello", 9, 2, 12), ("Hello", 18, 3, 18),
+             ("Hello World", 7, 4, 25), ("Hello World", 17, 3, 21),
+             ("Hello World", 77, 3, 21), ("Hello World", 18, 1, 7),
+             ("Hello World", 8, 2, 15), ("Hello World", 20, 1, 20)],
+        )
+
+    def test_bounded_partitioned_rows_over(self, spark):
+        # OverWindowITCase.scala:332
+        data = [
+            ("L", 1, (1, 1, "Hello")), ("L", 2, (2, 2, "Hello")),
+            ("L", 1, (1, 1, "Hello")), ("L", 2, (2, 2, "Hello")),
+            ("L", 2, (2, 2, "Hello")), ("L", 1, (1, 1, "Hello")),
+            ("L", 3, (7, 7, "Hello World")), ("L", 1, (7, 7, "Hello World")),
+            ("L", 1, (7, 7, "Hello World")),
+            ("W", 2),
+            ("L", 3, (3, 3, "Hello")), ("L", 4, (4, 4, "Hello")),
+            ("L", 5, (5, 5, "Hello")), ("L", 6, (6, 6, "Hello")),
+            ("L", 20, (20, 20, "Hello World")),
+            ("W", 6),
+            ("L", 8, (8, 8, "Hello World")), ("L", 7, (7, 7, "Hello World")),
+            ("W", 20),
+        ]
+        df = over_df(spark, data, "a long, b int, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT c, a, "
+            " SUM(CASE WHEN a > 4 THEN 1 ELSE 0 END) OVER w AS ltcnt, "
+            " COUNT(1) OVER w AS cnt, SUM(a) OVER w AS s "
+            "FROM T1 WINDOW w AS (PARTITION BY c ORDER BY rowtime, seq "
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [("Hello", 1, 0, 1, 1), ("Hello", 1, 0, 2, 2), ("Hello", 1, 0, 3, 3),
+             ("Hello", 2, 0, 3, 4), ("Hello", 2, 0, 3, 5), ("Hello", 2, 0, 3, 6),
+             ("Hello", 3, 0, 3, 7), ("Hello", 4, 0, 3, 9), ("Hello", 5, 1, 3, 12),
+             ("Hello", 6, 2, 3, 15),
+             ("Hello World", 7, 1, 1, 7), ("Hello World", 7, 2, 2, 14),
+             ("Hello World", 7, 3, 3, 21), ("Hello World", 7, 3, 3, 21),
+             ("Hello World", 8, 3, 3, 22), ("Hello World", 20, 3, 3, 35)],
+        )
+
+    def test_bounded_nonpartitioned_rows_over(self, spark):
+        # OverWindowITCase.scala:464 — includes an explicitly-late row that
+        # the replay must drop (marked "// late row" in the reference).
+        data = [
+            ("L", 2, (2, 2, "Hello")), ("L", 2, (2, 2, "Hello")),
+            ("L", 1, (1, 1, "Hello")), ("L", 1, (1, 1, "Hello")),
+            ("L", 2, (2, 2, "Hello")), ("L", 1, (1, 1, "Hello")),
+            ("L", 20, (20, 20, "Hello World")),
+            ("W", 3),
+            ("L", 2, (2, 2, "Hello")),  # late row — dropped
+            ("L", 3, (3, 3, "Hello")), ("L", 4, (4, 4, "Hello")),
+            ("L", 5, (5, 5, "Hello")), ("L", 6, (6, 6, "Hello")),
+            ("L", 7, (7, 7, "Hello World")),
+            ("W", 7),
+            ("L", 9, (9, 9, "Hello World")), ("L", 8, (8, 8, "Hello World")),
+            ("L", 8, (8, 8, "Hello World")),
+            ("W", 20),
+        ]
+        rows = replay(data)
+        assert len(rows) == 15  # 16 arrivals + the dropped late row
+        df = spark.createDataFrame(rows, "seq int, rowtime long, a long, b int, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT c, a, COUNT(a) OVER w AS cnt, SUM(a) OVER w AS s "
+            "FROM T1 WINDOW w AS (ORDER BY rowtime, seq "
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [("Hello", 1, 1, 1), ("Hello", 1, 2, 2), ("Hello", 1, 3, 3),
+             ("Hello", 2, 3, 4), ("Hello", 2, 3, 5), ("Hello", 2, 3, 6),
+             ("Hello", 3, 3, 7), ("Hello", 4, 3, 9), ("Hello", 5, 3, 12),
+             ("Hello", 6, 3, 15), ("Hello World", 7, 3, 18),
+             ("Hello World", 8, 3, 21), ("Hello World", 8, 3, 23),
+             ("Hello World", 9, 3, 25), ("Hello World", 20, 3, 37)],
+        )
+
+    UNBOUNDED_RANGE_DATA = [
+        ("L", 14000005, (1, 1, "Hi")),
+        ("L", 14000000, (2, 1, "Hello")),
+        ("L", 14000002, (1, 1, "Hello")),
+        ("L", 14000002, (1, 2, "Hello")),
+        ("L", 14000002, (1, 3, "Hello world")),
+        ("L", 14000003, (2, 2, "Hello world")),
+        ("L", 14000003, (2, 3, "Hello world")),
+        ("W", 14000020),
+        ("L", 14000021, (1, 4, "Hello world")),
+        ("L", 14000022, (1, 5, "Hello world")),
+        ("L", 14000022, (1, 6, "Hello world")),
+        ("L", 14000022, (1, 7, "Hello world")),
+        ("L", 14000023, (2, 4, "Hello world")),
+        ("L", 14000023, (2, 5, "Hello world")),
+        ("W", 14000030),
+    ]
+
+    def test_unbounded_partitioned_range_over(self, spark):
+        # OverWindowITCase.scala:523 — Calcite BIGINT AVG truncates → DIV
+        df = over_df(spark, self.UNBOUNDED_RANGE_DATA, "a int, b long, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT a, b, c, "
+            " SUM(CASE WHEN b > 4 THEN 1 ELSE 0 END) OVER w AS ltcnt, "
+            " SUM(b) OVER w AS s, COUNT(b) OVER w AS cnt, "
+            " SUM(b) OVER w DIV COUNT(b) OVER w AS avg, "
+            " MAX(b) OVER w AS mx, MIN(b) OVER w AS mn "
+            "FROM T1 WINDOW w AS (PARTITION BY a ORDER BY rowtime "
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [(1, 1, "Hello", 0, 6, 3, 2, 3, 1),
+             (1, 2, "Hello", 0, 6, 3, 2, 3, 1),
+             (1, 3, "Hello world", 0, 6, 3, 2, 3, 1),
+             (1, 1, "Hi", 0, 7, 4, 1, 3, 1),
+             (2, 1, "Hello", 0, 1, 1, 1, 1, 1),
+             (2, 2, "Hello world", 0, 6, 3, 2, 3, 1),
+             (2, 3, "Hello world", 0, 6, 3, 2, 3, 1),
+             (1, 4, "Hello world", 0, 11, 5, 2, 4, 1),
+             (1, 5, "Hello world", 3, 29, 8, 3, 7, 1),
+             (1, 6, "Hello world", 3, 29, 8, 3, 7, 1),
+             (1, 7, "Hello world", 3, 29, 8, 3, 7, 1),
+             (2, 4, "Hello world", 1, 15, 5, 3, 5, 1),
+             (2, 5, "Hello world", 1, 15, 5, 3, 5, 1)],
+        )
+
+    def test_unbounded_nonpartitioned_range_over(self, spark):
+        # OverWindowITCase.scala:662
+        df = over_df(spark, self.UNBOUNDED_RANGE_DATA, "a int, b long, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT a, b, c, SUM(b) OVER w AS s, COUNT(b) OVER w AS cnt, "
+            " SUM(b) OVER w DIV COUNT(b) OVER w AS avg, "
+            " MAX(b) OVER w AS mx, MIN(b) OVER w AS mn "
+            "FROM T1 WINDOW w AS (ORDER BY rowtime "
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [(2, 1, "Hello", 1, 1, 1, 1, 1),
+             (1, 1, "Hello", 7, 4, 1, 3, 1),
+             (1, 2, "Hello", 7, 4, 1, 3, 1),
+             (1, 3, "Hello world", 7, 4, 1, 3, 1),
+             (2, 2, "Hello world", 12, 6, 2, 3, 1),
+             (2, 3, "Hello world", 12, 6, 2, 3, 1),
+             (1, 1, "Hi", 13, 7, 1, 3, 1),
+             (1, 4, "Hello world", 17, 8, 2, 4, 1),
+             (1, 5, "Hello world", 35, 11, 3, 7, 1),
+             (1, 6, "Hello world", 35, 11, 3, 7, 1),
+             (1, 7, "Hello world", 35, 11, 3, 7, 1),
+             (2, 4, "Hello world", 44, 13, 3, 7, 1),
+             (2, 5, "Hello world", 44, 13, 3, 7, 1)],
+        )
+
+    def test_unbounded_partitioned_rows_over(self, spark):
+        # OverWindowITCase.scala:592
+        data = [
+            ("L", 14000005, (1, 1, "Hi")),
+            ("L", 14000000, (2, 1, "Hello")),
+            ("L", 14000002, (3, 1, "Hello")),
+            ("L", 14000003, (1, 2, "Hello")),
+            ("L", 14000004, (1, 3, "Hello world")),
+            ("L", 14000007, (3, 2, "Hello world")),
+            ("L", 14000008, (2, 2, "Hello world")),
+            ("W", 14000010),
+            ("L", 14000012, (1, 5, "Hello world")),
+            ("L", 14000021, (1, 6, "Hello world")),
+            ("L", 14000023, (2, 5, "Hello world")),
+            ("W", 14000020),
+            ("L", 14000024, (3, 5, "Hello world")),
+            ("L", 14000026, (1, 7, "Hello world")),
+            ("L", 14000025, (1, 8, "Hello world")),
+            ("L", 14000022, (1, 9, "Hello world")),
+            ("W", 14000030),
+        ]
+        df = over_df(spark, data, "a int, b long, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT a, b, c, "
+            " SUM(CASE WHEN b > 4 THEN 1 ELSE 0 END) OVER w AS ltcnt, "
+            " SUM(b) OVER w AS s, COUNT(b) OVER w AS cnt, "
+            " SUM(b) OVER w DIV COUNT(b) OVER w AS avg, "
+            " MAX(b) OVER w AS mx, MIN(b) OVER w AS mn "
+            "FROM T1 WINDOW w AS (PARTITION BY a ORDER BY rowtime, seq "
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [(1, 2, "Hello", 0, 2, 1, 2, 2, 2),
+             (1, 3, "Hello world", 0, 5, 2, 2, 3, 2),
+             (1, 1, "Hi", 0, 6, 3, 2, 3, 1),
+             (2, 1, "Hello", 0, 1, 1, 1, 1, 1),
+             (2, 2, "Hello world", 0, 3, 2, 1, 2, 1),
+             (3, 1, "Hello", 0, 1, 1, 1, 1, 1),
+             (3, 2, "Hello world", 0, 3, 2, 1, 2, 1),
+             (1, 5, "Hello world", 1, 11, 4, 2, 5, 1),
+             (1, 6, "Hello world", 2, 17, 5, 3, 6, 1),
+             (1, 9, "Hello world", 3, 26, 6, 4, 9, 1),
+             (1, 8, "Hello world", 4, 34, 7, 4, 9, 1),
+             (1, 7, "Hello world", 5, 41, 8, 5, 9, 1),
+             (2, 5, "Hello world", 1, 8, 3, 2, 5, 1),
+             (3, 5, "Hello world", 1, 8, 3, 2, 5, 1)],
+        )
+
+    def test_unbounded_nonpartitioned_rows_over(self, spark):
+        # OverWindowITCase.scala:724 — one late element, discarded
+        data = [
+            ("L", 14000005, (1, 1, "Hi")),
+            ("L", 14000000, (2, 2, "Hello")),
+            ("L", 14000002, (3, 5, "Hello")),
+            ("L", 14000003, (1, 3, "Hello")),
+            ("L", 14000004, (3, 7, "Hello world")),
+            ("L", 14000007, (4, 9, "Hello world")),
+            ("L", 14000008, (5, 8, "Hello world")),
+            ("W", 14000010),
+            ("L", 14000008, (6, 8, "Hello world")),  # late — discarded
+            ("W", 14000020),
+            ("L", 14000021, (6, 8, "Hello world")),
+            ("W", 14000030),
+        ]
+        rows = replay(data)
+        assert len(rows) == 8
+        df = spark.createDataFrame(rows, "seq int, rowtime long, a int, b long, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT a, b, c, SUM(b) OVER w AS s, COUNT(b) OVER w AS cnt, "
+            " SUM(b) OVER w DIV COUNT(b) OVER w AS avg, "
+            " MAX(b) OVER w AS mx, MIN(b) OVER w AS mn "
+            "FROM T1 WINDOW w AS (ORDER BY rowtime, seq "
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [(2, 2, "Hello", 2, 1, 2, 2, 2),
+             (3, 5, "Hello", 7, 2, 3, 5, 2),
+             (1, 3, "Hello", 10, 3, 3, 5, 2),
+             (3, 7, "Hello world", 17, 4, 4, 7, 2),
+             (1, 1, "Hi", 18, 5, 3, 7, 1),
+             (4, 9, "Hello world", 27, 6, 4, 9, 1),
+             (5, 8, "Hello world", 35, 7, 5, 9, 1),
+             (6, 8, "Hello world", 43, 8, 5, 9, 1)],
+        )
+
+    def test_unbounded_partitioned_rows_over2(self, spark):
+        # OverWindowITCase.scala:780 — SIX late elements across two
+        # watermarks, all discarded; equal-ts rows (a=1 at 14000021) keep
+        # arrival order in the ROWS frame.
+        data = [
+            ("L", 14000005, (1, 1, "Hi")),
+            ("L", 14000000, (2, 1, "Hello")),
+            ("L", 14000002, (3, 1, "Hello")),
+            ("L", 14000003, (1, 2, "Hello")),
+            ("L", 14000004, (1, 3, "Hello world")),
+            ("L", 14000007, (3, 2, "Hello world")),
+            ("L", 14000008, (2, 2, "Hello world")),
+            ("W", 14000010),
+            ("L", 14000008, (1, 4, "Hello world")),  # late
+            ("L", 14000008, (2, 3, "Hello world")),  # late
+            ("L", 14000008, (3, 3, "Hello world")),  # late
+            ("L", 14000012, (1, 5, "Hello world")),
+            ("W", 14000020),
+            ("L", 14000021, (1, 6, "Hello world")),
+            ("L", 14000019, (1, 6, "Hello world")),  # late
+            ("L", 14000018, (2, 4, "Hello world")),  # late
+            ("L", 14000018, (3, 4, "Hello world")),  # late
+            ("L", 14000022, (2, 5, "Hello world")),
+            ("L", 14000022, (3, 5, "Hello world")),
+            ("L", 14000024, (1, 7, "Hello world")),
+            ("L", 14000023, (1, 8, "Hello world")),
+            ("L", 14000021, (1, 9, "Hello world")),
+            ("W", 14000030),
+        ]
+        rows = replay(data)
+        assert len(rows) == 14
+        df = spark.createDataFrame(rows, "seq int, rowtime long, a int, b long, c string")
+        df.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT a, b, c, SUM(b) OVER w AS s, COUNT(b) OVER w AS cnt, "
+            " SUM(b) OVER w DIV COUNT(b) OVER w AS avg, "
+            " MAX(b) OVER w AS mx, MIN(b) OVER w AS mn "
+            "FROM T1 WINDOW w AS (PARTITION BY a ORDER BY rowtime, seq "
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        same(
+            res,
+            [(1, 2, "Hello", 2, 1, 2, 2, 2),
+             (1, 3, "Hello world", 5, 2, 2, 3, 2),
+             (1, 1, "Hi", 6, 3, 2, 3, 1),
+             (2, 1, "Hello", 1, 1, 1, 1, 1),
+             (2, 2, "Hello world", 3, 2, 1, 2, 1),
+             (3, 1, "Hello", 1, 1, 1, 1, 1),
+             (3, 2, "Hello world", 3, 2, 1, 2, 1),
+             (1, 5, "Hello world", 11, 4, 2, 5, 1),
+             (1, 6, "Hello world", 17, 5, 3, 6, 1),
+             (1, 9, "Hello world", 26, 6, 4, 9, 1),
+             (1, 8, "Hello world", 34, 7, 4, 9, 1),
+             (1, 7, "Hello world", 41, 8, 5, 9, 1),
+             (2, 5, "Hello world", 8, 3, 2, 5, 1),
+             (3, 5, "Hello world", 8, 3, 2, 5, 1)],
+        )
+
+
+# ---------------------------------------------------------------------------
+# SqlITCase.scala — event-time group windows, unbounded (retract) group
+# aggregates, COLLECT, UNNEST. Group-window SQL goes through
+# rewrite_flink_sql VERBATIM (modulo rowtime column name).
+# ---------------------------------------------------------------------------
+
+SQL_DATA = [
+    (1000, "1", "Hello"), (2000, "2", "Hello"), (3000, None, "Hello"),
+    (4000, "4", "Hello"), (5000, None, "Hello"), (6000, "6", "Hello"),
+    (7000, "7", "Hello World"), (8000, "8", "Hello World"),
+    (20000, "20", "Hello World"),
+]
+
+
+@pytest.fixture(scope="module")
+def sql_t1(spark):
+    return spark.createDataFrame(SQL_DATA, "a long, b string, c string").withColumn(
+        "rowtime", F.timestamp_millis(F.col("a"))
+    )
+
+
+@pytest.fixture(scope="module")
+def t3s(spark):
+    from tests.test_dataset_itcases import ROWS3
+
+    return spark.createDataFrame(ROWS3, "a int, b long, c string")
+
+
+@pytest.fixture(scope="module")
+def t5s(spark):
+    from tests.test_dataset_itcases import ROWS5
+
+    return spark.createDataFrame(ROWS5, "a int, b long, c int, d string, e long")
+
+
+class TestStreamSql:
+    def test_distinct_agg_with_merge_on_session_window(self, spark):
+        # SqlITCase.scala:57 — 5ms session windows MERGE under disorder;
+        # COUNT(DISTINCT b) dedups across the merged window.
+        rows = [(1, 2, "Hello"), (2, 2, "Hello"), (8, 2, "Hello"), (10, 3, "Hello"),
+                (9, 9, "Hello World"), (4, 1, "Hello"), (16, 16, "Hello")]
+        df = spark.createDataFrame(rows, "a long, b int, c string").withColumn(
+            "rowtime", F.timestamp_millis(F.col("a"))
+        )
+        df.createOrReplaceTempView("MyTable")
+        sql = rewrite_flink_sql(
+            "SELECT c, COUNT(DISTINCT b) AS cnt, "
+            " SESSION_END(rowtime, INTERVAL '0.005' SECOND) AS w_end "
+            "FROM MyTable "
+            "GROUP BY SESSION(rowtime, INTERVAL '0.005' SECOND), c"
+        )
+        res = spark.sql(sql).select("c", "cnt", F.unix_millis("w_end").alias("ms"))
+        same(res, [("Hello World", 1, 14), ("Hello", 1, 21), ("Hello", 3, 15)])
+
+    def test_distinct_agg_on_rowtime_tumble_window(self, spark, t5s):
+        # SqlITCase.scala:100 — rowtime = b as RAW epoch millis (1..15 ms,
+        # so a 5-SECOND tumble puts each key's rows in one window)
+        df = t5s.withColumn("rowtime", F.timestamp_millis(F.col("b")))
+        df.createOrReplaceTempView("MyTable")
+        sql = rewrite_flink_sql(
+            "SELECT a, SUM(DISTINCT e) AS s, MIN(DISTINCT e) AS mn, "
+            " COUNT(DISTINCT e) AS cnt "
+            "FROM MyTable GROUP BY a, TUMBLE(rowtime, INTERVAL '5' SECOND)"
+        )
+        res = spark.sql(sql).select("a", "s", "mn", "cnt")
+        same(res, [(1, 1, 1, 1), (2, 3, 1, 2), (3, 5, 2, 2), (4, 3, 1, 2), (5, 6, 1, 3)])
+
+    def test_rowtime_tumble_window(self, spark, sql_t1):
+        # SqlITCase.scala:134 — COUNT(*) vs COUNT(b) with NULL b
+        sql_t1.createOrReplaceTempView("T1")
+        sql = rewrite_flink_sql(
+            "SELECT c, COUNT(*) AS c1, COUNT(1) AS c2, COUNT(b) AS c3 FROM T1 "
+            "GROUP BY TUMBLE(rowtime, interval '5' SECOND), c"
+        )
+        res = spark.sql(sql).select("c", "c1", "c2", "c3")
+        same(
+            res,
+            [("Hello World", 2, 2, 2), ("Hello World", 1, 1, 1),
+             ("Hello", 4, 4, 3), ("Hello", 2, 2, 1)],
+        )
+
+    def test_non_windowed_count(self, spark, sql_t1):
+        # SqlITCase.scala:163 — retract stream's final table == batch agg
+        sql_t1.createOrReplaceTempView("T1")
+        res = spark.sql(
+            "SELECT c, COUNT(*) AS c1, COUNT(1) AS c2, COUNT(b) AS c3 FROM T1 GROUP BY c"
+        )
+        same(res, [("Hello World", 3, 3, 3), ("Hello", 6, 6, 4)])
+
+    def test_row_register(self, spark):
+        # SqlITCase.scala:189
+        df = spark.createDataFrame(
+            [("Hello", "Worlds", 1), ("Hello", "Hiden", 5), ("Hello again", "Worlds", 2)],
+            "a string, b string, c int",
+        )
+        df.createOrReplaceTempView("MyTableRow")
+        res = spark.sql("SELECT * FROM MyTableRow WHERE c < 3")
+        same(res, [("Hello", "Worlds", 1), ("Hello again", "Worlds", 2)])
+
+    def test_unbounded_group_by(self, spark, t3s):
+        # SqlITCase.scala:222
+        t3s.createOrReplaceTempView("MyTable")
+        res = spark.sql("SELECT b, COUNT(a) AS cnt FROM MyTable GROUP BY b")
+        same(res, [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 6)])
+
+    def test_distinct_group_by(self, spark, t3s):
+        # SqlITCase.scala:242 — Calcite a/3 is integer division → DIV
+        t3s.createOrReplaceTempView("MyTable")
+        res = spark.sql(
+            "SELECT b, SUM(DISTINCT (a DIV 3)) AS s, "
+            " COUNT(DISTINCT SUBSTRING(c FROM 1 FOR 2)) AS c1, "
+            " COUNT(DISTINCT c) AS c2 "
+            "FROM MyTable GROUP BY b"
+        )
+        same(
+            res,
+            [(1, 0, 1, 1), (2, 1, 1, 2), (3, 3, 3, 3),
+             (4, 5, 1, 4), (5, 12, 1, 5), (6, 18, 1, 6)],
+        )
+
+    def test_unbounded_group_by_collect(self, spark, t3s):
+        # SqlITCase.scala:268 — COLLECT → multiset Map<elem, count>
+        res = t3s.groupBy("b").agg(collect_multiset("a").alias("set"))
+        got = {r["b"]: dict(r["set"]) for r in res.collect()}
+        assert got == {
+            1: {1: 1}, 2: {2: 1, 3: 1}, 3: {4: 1, 5: 1, 6: 1},
+            4: {7: 1, 8: 1, 9: 1, 10: 1}, 5: {11: 1, 12: 1, 13: 1, 14: 1, 15: 1},
+            6: {16: 1, 17: 1, 18: 1, 19: 1, 20: 1, 21: 1},
+        }
+
+    def test_unbounded_group_by_collect_with_object(self, spark):
+        # SqlITCase.scala:295 — COLLECT over a struct column
+        df = spark.createDataFrame(
+            [(1, 1, (12, "45.6")), (2, 2, (12, "45.612")), (3, 2, (13, "41.6")),
+             (4, 3, (14, "45.2136")), (5, 3, (18, "42.6"))],
+            "a int, b int, c struct<f0:int, f1:string>",
+        )
+        res = df.groupBy("b").agg(collect_multiset("c").alias("set"))
+        got = {r["b"]: {tuple(k): v for k, v in r["set"].items()} for r in res.collect()}
+        assert got == {
+            1: {(12, "45.6"): 1},
+            2: {(12, "45.612"): 1, (13, "41.6"): 1},
+            3: {(14, "45.2136"): 1, (18, "42.6"): 1},
+        }
+
+    def test_unnest_primitive_array_from_table(self, spark):
+        # SqlITCase.scala:509
+        df = spark.createDataFrame(
+            [(1, [12, 45], [[12, 45]]), (2, [41, 5], [[18], [87]]), (3, [18, 42], [[1], [45]])],
+            "a int, b array<int>, c array<array<int>>",
+        )
+        res = unnest(df, "b", alias="s", keep=["a", "b"])
+        same(
+            res,
+            [(1, [12, 45], 12), (1, [12, 45], 45), (2, [41, 5], 41),
+             (2, [41, 5], 5), (3, [18, 42], 18), (3, [18, 42], 42)],
+        )
+
+    def test_unnest_array_of_array_from_table(self, spark):
+        # SqlITCase.scala:540
+        df = spark.createDataFrame(
+            [(1, [12, 45], [[12, 45]]), (2, [41, 5], [[18], [87]]), (3, [18, 42], [[1], [45]])],
+            "a int, b array<int>, c array<array<int>>",
+        )
+        res = unnest(df, "c", alias="s", keep=["a"])
+        same(res, [(1, [12, 45]), (2, [18]), (2, [87]), (3, [1]), (3, [45])])
+
+    def test_unnest_object_array_from_table_with_filter(self, spark):
+        # SqlITCase.scala:569
+        df = spark.createDataFrame(
+            [(1, [(12, "45.6"), (12, "45.612")]), (2, [(13, "41.6"), (14, "45.2136")]),
+             (3, [(18, "42.6")])],
+            "a int, b array<struct<s:int, t:string>>",
+        )
+        res = (
+            unnest(df, "b", alias="e", keep=["a"])
+            .select("a", F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+            .filter(F.col("s") > 13)
+        )
+        same(res, [(2, 14, "45.2136"), (3, 18, "42.6")])
+
+    def test_unnest_multiset_from_collect_result(self, spark):
+        # SqlITCase.scala:595 — COLLECT to a multiset, then UNNEST its keys
+        df = spark.createDataFrame(
+            [(1, 1, (12, "45.6")), (2, 2, (12, "45.612")), (3, 2, (13, "41.6")),
+             (4, 3, (14, "45.2136")), (5, 3, (18, "42.6"))],
+            "a int, b int, c struct<id:int, point:string>",
+        )
+        t2 = df.groupBy("b").agg(collect_multiset("c").alias("set"))
+        res = (
+            t2.filter(F.col("b") < 3)
+            .select("b", F.explode(F.map_keys(F.col("set"))).alias("e"))
+            .select("b", F.col("e.id").alias("id"), F.col("e.point").alias("point"))
+        )
+        same(res, [(1, 12, "45.6"), (2, 12, "45.612"), (2, 13, "41.6")])
+
+    def test_left_unnest_multiset_from_collect_result(self, spark):
+        # SqlITCase.scala:626 — COLLECT skips NULLs; LEFT UNNEST keeps the
+        # empty-set group with a NULL element.
+        df = spark.createDataFrame(
+            [(1, "1", "Hello"), (1, "2", "Hello2"), (2, "2", "Hello"),
+             (3, None, "Hello"), (4, "4", "Hello"), (5, "5", "Hello"),
+             (5, None, "Hello"), (6, "6", "Hello"), (7, "7", "Hello World"),
+             (7, "8", "Hello World")],
+            "a int, b string, c string",
+        )
+        t2 = df.groupBy("a").agg(F.collect_list("b").alias("set"))
+        res = unnest(t2.filter(F.col("a") < 5), "set", alias="s", keep=["a"], outer=True)
+        same(res, [(1, "1"), (1, "2"), (2, "2"), (3, None), (4, "4")])
+
+    def test_hop_start_end_with_having(self, spark):
+        # SqlITCase.scala:666 — HAVING over window aggregate + QUARTER() of
+        # the window start prunes everything but one 1-minute hop.
+        data = [
+            ("L", 14000005, (1, 1, "Hi")),
+            ("L", 14000000, (2, 1, "Hello")),
+            ("L", 14000002, (3, 1, "Hello")),
+            ("W", 14000010),
+            ("L", 8640000000, (4, 1, "Hello")),
+            ("L", 8640000001, (4, 1, "Hello")),
+            ("W", 8640000010),
+        ]
+        rows = replay(data)
+        df = spark.createDataFrame(rows, "seq int, ts long, a int, b long, c string").withColumn(
+            "rowtime", F.timestamp_millis(F.col("ts"))
+        )
+        df.createOrReplaceTempView("T1")
+        sql = rewrite_flink_sql(
+            "SELECT c AS k, COUNT(a) AS v, "
+            " HOP_START(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE) AS windowStart, "
+            " HOP_END(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE) AS windowEnd "
+            "FROM T1 "
+            "GROUP BY HOP(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE), c "
+            "HAVING SUM(b) > 1 AND "
+            " QUARTER(HOP_START(rowtime, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE)) = 1"
+        )
+        res = spark.sql(sql).select(
+            "k", "v", F.unix_millis("windowStart").alias("ws"), F.unix_millis("windowEnd").alias("we")
+        )
+        # 1970-01-01 03:53:00.0 / 03:54:00.0 UTC
+        same(res, [("Hello", 2, 13980000, 14040000)])
