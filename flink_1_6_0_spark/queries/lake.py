@@ -581,3 +581,57 @@ def streaming_throughput(spark: SparkSession, sf_dir: str) -> dict:
         "rows_per_sec": round(rows / sec, 1) if sec > 0 else -1.0,
         "batches": len(progress),
     }
+
+
+@query(
+    "stream_multibatch_retract_chain",
+    oracle="""
+    SELECT n_events, count(*) AS n_users
+    FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    GROUP BY n_events
+    """,
+    tags=("streaming", "lake", "agg", "retraction"),
+)
+def stream_multibatch_retract_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction chain across >= 3 real micro-batches: groupBy(user).count
+    feeding groupBy(count).count — Flink's "count the counts"
+    (RetractionITCase.scala:51; GroupAggProcessFunction.scala:39 retract+new
+    pairs). As users accrue events batch by batch, their first-level count
+    keeps moving buckets, so the final histogram is correct ONLY if each
+    superseded count is retracted downstream — an append-only accumulation
+    would smear every user over all the buckets it passed through.
+    streaming.group_agg.chained_group_agg runs the chain as foreachBatch
+    with idempotent per-epoch first-level partials (Spark forbids two
+    stateful aggregates in one streaming query)."""
+    import tempfile
+
+    from flink_1_6_0_spark.streaming.group_agg import chained_group_agg
+
+    stream = partitioned_events_stream(spark, sf_dir).select("user_id")
+    work = tempfile.mkdtemp(prefix="retract_chain_")
+    final = {}
+
+    def emit(df: DataFrame, epoch: int) -> None:
+        final["rows"] = [(r["n_events"], r["n_users"]) for r in df.collect()]
+
+    q = (
+        chained_group_agg(
+            stream,
+            ["user_id"],
+            [F.count("*").alias("n_events")],
+            [F.sum("n_events").alias("n_events")],
+            lambda fl: fl.groupBy("n_events").agg(F.count("*").alias("n_users")),
+            f"{work}/state",
+            emit,
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    if len(progress) < 3:
+        raise AssertionError(f"expected >= 3 non-empty micro-batches, got {len(progress)}")
+    return spark.createDataFrame(final["rows"], "n_events long, n_users long")

@@ -128,6 +128,8 @@ _ROTATE_IN = (
     # SqlITCase ports); co_group grew sort_first/sort_second;
     # operators.distinct grew nested-field keys. Re-seat their queries.
     "window_tumble_flink_sql", "cogroup_customer_orders", "agg_distinct",
+    # NEW r11 session 4: retraction chain (count-of-counts) over multibatch
+    "stream_multibatch_retract_chain",
 )
 
 

@@ -71,3 +71,61 @@ def distinct_agg(
     else:
         distinct = ev.dropDuplicates([*group_cols, distinct_col])
     return distinct.groupBy(*group_cols).agg(F.count("*").alias(agg_alias))
+
+
+def chained_group_agg(
+    stream: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    merge_aggs: list[Column],
+    downstream,
+    state_dir: str,
+    emit,
+):
+    """Retraction chain: an unbounded groupBy().agg() feeding ANOTHER
+    aggregation — Flink's "count the counts" pipeline
+    (RetractionITCase.scala:51 testWordCount: groupBy(word).sum →
+    groupBy(count).count). The first aggregate's updates RETRACT their old
+    value downstream (GroupAggProcessFunction.scala:39 emits retract+new;
+    AccMode/retraction deco, retractionTraits.scala) — without retraction
+    the second aggregate would keep counting every superseded first-level
+    row.
+
+    Spark forbids chaining two stateful aggregations in one streaming query,
+    so the chain runs as foreachBatch with explicit first-level state:
+
+    - each micro-batch appends its per-key PARTIAL aggregate into an
+      idempotent per-epoch state partition (at-least-once safe — a retried
+      epoch overwrites its own partition, nonwindow_join._write_epoch);
+    - the current first-level table is the MERGE of all partials by key
+      (``merge_aggs`` over ``partial_aggs``' aliases — sums/counts merge by
+      sum, min/max by min/max);
+    - ``downstream(first_level)`` — an arbitrary BATCH transform, e.g. the
+      second groupBy — is recomputed on the merged table and handed to
+      ``emit(result_df, epoch_id)``. Recomputation over the first-level
+      table IS the retraction: a key's superseded value simply no longer
+      exists in the merged state, so the second aggregate never sees it.
+
+    Scale: per-batch partials are map-side-combined before the exchange
+    (bytes per key, not rows); the merge shuffles only distinct first-level
+    keys; downstream cost is bounded by first-level cardinality, which is
+    what Flink's second GroupAggProcessFunction holds in state too. The
+    per-epoch partition layout should be compacted for long-running queries
+    (merge partials into a snapshot partition periodically) — state reads
+    grow with epoch count otherwise.
+
+    ``keys=[]`` gives the non-keyed first stage
+    (RetractionITCase.scala:99 testNonKeyedGroupByAndGroupBy).
+    Returns the DataStreamWriter (caller names/starts the query).
+    """
+    from flink_1_6_0_spark.streaming.nonwindow_join import _write_epoch
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        part = (batch.groupBy(*keys) if keys else batch.groupBy()).agg(*partial_aggs)
+        _write_epoch(part, state_dir, epoch_id)
+        state = spark.read.parquet(state_dir).drop("__epoch")
+        merged = (state.groupBy(*keys) if keys else state.groupBy()).agg(*merge_aggs)
+        emit(downstream(merged), epoch_id)
+
+    return stream.writeStream.foreachBatch(handle)

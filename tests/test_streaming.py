@@ -1513,3 +1513,113 @@ def test_cep_stream_attrs_survive_batch_boundary(spark, tmp_path):
     # first-match must SKIP the low-value b@200 and take b@300 — possible
     # only if both a's and b's attributes crossed the batch boundary intact
     assert got == {(1, 10, 12)}
+
+
+# ---------------------------------------------------------------------------
+# RetractionITCase.scala ports — the "count the counts" retraction chain.
+# The input splits into one file per element-pair so the chain crosses many
+# micro-batches; every epoch's emitted table must equal the batch
+# agg-of-agg over the data seen so far, which is exactly the retraction
+# contract (a superseded first-level value must vanish downstream).
+# ---------------------------------------------------------------------------
+
+RETRACTION_WORDS = [
+    ("Hello", 1), ("word", 1), ("Hello", 1), ("bark", 1), ("bark", 1),
+    ("bark", 1), ("bark", 1), ("bark", 1), ("bark", 1), ("flink", 1),
+]
+
+
+def _run_retraction_chain(spark, tmp_path, keys, partial, merge, downstream, out_cols):
+    import pyspark.sql.functions as F  # noqa: F401
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.group_agg import chained_group_agg
+
+    src = str(tmp_path / "src")
+    for i in range(0, len(RETRACTION_WORDS), 2):  # 5 files → 5 micro-batches
+        spark.createDataFrame(
+            RETRACTION_WORDS[i : i + 2], "word string, num int"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    snapshots = {}
+
+    def emit(df, epoch):
+        snapshots[epoch] = sorted(tuple(r) for r in df.select(*out_cols).collect())
+
+    q = (
+        chained_group_agg(
+            read_parquet_stream(spark, src),
+            keys, partial, merge, downstream,
+            str(tmp_path / "state"), emit,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return snapshots
+
+
+def test_retraction_word_count_chain(spark, tmp_path):
+    """RetractionITCase.scala:51 testWordCount — groupBy(word).sum(num) →
+    groupBy(count).count(frequency). Golden final: {(1,2),(2,1),(6,1)}.
+    Additionally pins the retraction invariant at EVERY epoch: the emitted
+    frequency table equals the batch agg-of-agg over the prefix (so bark's
+    superseded counts 1..5 never linger downstream)."""
+    import pyspark.sql.functions as F
+
+    snaps = _run_retraction_chain(
+        spark, tmp_path,
+        keys=["word"],
+        partial=[F.sum("num").alias("cnt")],
+        merge=[F.sum("cnt").alias("cnt")],
+        downstream=lambda fl: fl.groupBy("cnt").agg(F.count("word").alias("frequency")),
+        out_cols=["cnt", "frequency"],
+    )
+    assert len(snaps) >= 5
+    assert snaps[max(snaps)] == [(1, 2), (2, 1), (6, 1)]
+    for epoch in snaps:
+        prefix = RETRACTION_WORDS[: 2 * (epoch + 1)]
+        oracle = {}
+        counts = {}
+        for w, n in prefix:
+            counts[w] = counts.get(w, 0) + n
+        for c in counts.values():
+            oracle[c] = oracle.get(c, 0) + 1
+        assert snaps[epoch] == sorted(oracle.items()), f"epoch {epoch}"
+
+
+def test_retraction_keyed_then_nonkeyed(spark, tmp_path):
+    """RetractionITCase.scala:75 — groupBy(word).sum(num) → global sum = 10
+    (the second stage sums RETRACT-corrected per-word counts)."""
+    import pyspark.sql.functions as F
+
+    snaps = _run_retraction_chain(
+        spark, tmp_path,
+        keys=["word"],
+        partial=[F.sum("num").alias("cnt")],
+        merge=[F.sum("cnt").alias("cnt")],
+        downstream=lambda fl: fl.agg(F.sum("cnt").alias("total")),
+        out_cols=["total"],
+    )
+    assert snaps[max(snaps)] == [(10,)]
+
+
+def test_retraction_nonkeyed_then_keyed(spark, tmp_path):
+    """RetractionITCase.scala:99 — global sum(num) → groupBy(sum).count:
+    final (10, 1); intermediates must show exactly ONE row (the superseded
+    global sum retracted every batch)."""
+    import pyspark.sql.functions as F
+
+    snaps = _run_retraction_chain(
+        spark, tmp_path,
+        keys=[],
+        partial=[F.sum("num").alias("cnt")],
+        merge=[F.sum("cnt").alias("cnt")],
+        downstream=lambda fl: fl.groupBy("cnt").agg(F.count("*").alias("frequency")),
+        out_cols=["cnt", "frequency"],
+    )
+    assert snaps[max(snaps)] == [(10, 1)]
+    for epoch, rows in snaps.items():
+        assert len(rows) == 1, f"epoch {epoch}: superseded global sum not retracted"
