@@ -1623,3 +1623,174 @@ def test_retraction_nonkeyed_then_keyed(spark, tmp_path):
     assert snaps[max(snaps)] == [(10, 1)]
     for epoch, rows in snaps.items():
         assert len(rows) == 1, f"epoch {epoch}: superseded global sum not retracted"
+
+
+# ---------------------------------------------------------------------------
+# CoGroupJoinITCase.scala ports (flink-streaming-scala) — event-time windowed
+# coGroup / join / self-join goldens over 3ms tumbling windows.
+# ---------------------------------------------------------------------------
+
+_CGJ_S1 = [("a", 0), ("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5),
+           ("a", 6), ("a", 7), ("a", 8)]
+_CGJ_S2 = [("a", 0), ("a", 1), ("b", 3), ("c", 6), ("c", 7), ("c", 8)]
+_CGJ_T1 = [("a", "x", 0), ("a", "y", 1), ("a", "z", 2), ("b", "u", 3),
+           ("b", "w", 5), ("a", "i", 6), ("a", "j", 7), ("a", "k", 8)]
+_CGJ_T2 = [("a", "u", 0), ("a", "w", 1), ("b", "i", 3), ("b", "k", 5),
+           ("a", "x", 6), ("a", "z", 8)]
+
+
+def test_cogroup_join_itcase_cogroup(spark):
+    """CoGroupJoinITCase.scala:39 testCoGroup — per-(key, 3ms window) both
+    groups rendered in element order; windows with one side empty still
+    fire (coGroup is full-outer per window, unlike join)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.operators.joins import windowed_co_group
+
+    s1 = spark.createDataFrame(_CGJ_S1, "k string, t int").withColumn(
+        "ts", F.timestamp_millis(F.col("t"))
+    )
+    s2 = spark.createDataFrame(_CGJ_S2, "k string, t int").withColumn(
+        "ts", F.timestamp_millis(F.col("t"))
+    )
+
+    def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        fmt = lambda pdf: "".join(
+            f"({row.k},{row.t})" for row in pdf.sort_values("t").itertuples()
+        )
+        return pd.DataFrame({"s": [f"F:{fmt(l)} S:{fmt(r)}"]})
+
+    res = windowed_co_group(
+        s1, s2, [("k", "k")], "ts", "ts", "3 milliseconds", fn, "s string"
+    )
+    got = sorted(r["s"] for r in res.collect())
+    assert got == sorted([
+        "F:(a,0)(a,1)(a,2) S:(a,0)(a,1)",
+        "F:(b,3)(b,4)(b,5) S:(b,3)",
+        "F:(a,6)(a,7)(a,8) S:",
+        "F: S:(c,6)(c,7)(c,8)",
+    ])
+
+
+def test_cogroup_join_itcase_join(spark):
+    """CoGroupJoinITCase.scala:106 testJoin — per-window inner join pairs."""
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.operators.joins import windowed_join
+
+    l = spark.createDataFrame(_CGJ_T1, "k string, v string, t int").withColumn(
+        "ts", F.timestamp_millis(F.col("t"))
+    )
+    r = (
+        spark.createDataFrame(_CGJ_T2, "k string, v string, t int")
+        .withColumn("ts", F.timestamp_millis(F.col("t")))
+        .select(F.col("k").alias("rk"), F.col("v").alias("rv"), F.col("t").alias("rt"), "ts")
+    )
+    res = windowed_join(l, r, [("k", "rk")], "ts", "ts", "3 milliseconds").select(
+        F.concat(
+            F.lit("("), "k", F.lit(","), "v", F.lit(","), F.col("t").cast("string"),
+            F.lit("):("), "rk", F.lit(","), "rv", F.lit(","), F.col("rt").cast("string"),
+            F.lit(")"),
+        ).alias("s")
+    )
+    got = sorted(row["s"] for row in res.collect())
+    assert got == sorted([
+        "(a,x,0):(a,u,0)", "(a,x,0):(a,w,1)", "(a,y,1):(a,u,0)", "(a,y,1):(a,w,1)",
+        "(a,z,2):(a,u,0)", "(a,z,2):(a,w,1)", "(b,u,3):(b,i,3)", "(b,u,3):(b,k,5)",
+        "(b,w,5):(b,i,3)", "(b,w,5):(b,k,5)", "(a,i,6):(a,x,6)", "(a,i,6):(a,z,8)",
+        "(a,j,7):(a,x,6)", "(a,j,7):(a,z,8)", "(a,k,8):(a,x,6)", "(a,k,8):(a,z,8)",
+    ])
+
+
+def test_cogroup_join_itcase_self_join(spark):
+    """CoGroupJoinITCase.scala:186 testSelfJoin — the same stream joined
+    with itself yields the full per-window cross product per key."""
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.operators.joins import windowed_join
+
+    base = spark.createDataFrame(_CGJ_T1, "k string, v string, t int").withColumn(
+        "ts", F.timestamp_millis(F.col("t"))
+    )
+    r = base.select(
+        F.col("k").alias("rk"), F.col("v").alias("rv"), F.col("t").alias("rt"), "ts"
+    )
+    res = windowed_join(base, r, [("k", "rk")], "ts", "ts", "3 milliseconds").select(
+        F.concat(
+            F.lit("("), "k", F.lit(","), "v", F.lit(","), F.col("t").cast("string"),
+            F.lit("):("), "rk", F.lit(","), "rv", F.lit(","), F.col("rt").cast("string"),
+            F.lit(")"),
+        ).alias("s")
+    )
+    got = sorted(row["s"] for row in res.collect())
+    expected = sorted(
+        f"({k1},{v1},{t1}):({k2},{v2},{t2})"
+        for (k1, v1, t1) in _CGJ_T1
+        for (k2, v2, t2) in _CGJ_T1
+        if k1 == k2 and t1 // 3 == t2 // 3
+    )
+    assert len(expected) == 22  # the reference's literal list has 22 pairs
+    assert got == expected
+
+
+def test_window_fold_itcase(spark):
+    """WindowFoldITCase.scala:47 testFoldWindow — fold(("R:", 0)) over keyed
+    3ms event-time tumbling windows: letters concatenate in event order,
+    ints sum. Fold ≡ window aggregate of (string concat, sum)."""
+    import pyspark.sql.functions as F
+
+    rows = [("a", 0), ("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5),
+            ("a", 6), ("a", 7), ("a", 8)]
+    df = spark.createDataFrame(rows, "k string, t int").withColumn(
+        "ts", F.timestamp_millis(F.col("t"))
+    )
+    res = (
+        df.groupBy(F.window("ts", "3 milliseconds"), "k")
+        .agg(
+            F.concat_ws("", F.collect_list("k")).alias("letters"),
+            F.sum("t").alias("s"),
+        )
+        .select(
+            F.concat(F.lit("(R:"), "letters", F.lit(","), F.col("s").cast("string"), F.lit(")")).alias("out")
+        )
+    )
+    got = sorted(r["out"] for r in res.collect())
+    assert got == sorted(["(R:aaa,3)", "(R:aaa,21)", "(R:bbb,12)"])
+
+
+def test_side_output_all_window_late_arriving_events(spark, tmp_path):
+    """SideOutputITCase.java:654 testAllWindowLateArrivingEvents — elements
+    [1,2,5,3,4] with punctuated watermark == element value and 1ms windows:
+    3 and 4 arrive behind the watermark raised by 5 and go to the late side
+    output; the main path sees exactly [1,2,5]."""
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.late_data import foreach_batch_late_capture
+
+    src = str(tmp_path / "src")
+    for v in [1, 2, 5, 3, 4]:  # one file per element = one micro-batch each
+        spark.createDataFrame([(v,)], "v int").withColumn(
+            "ts", F.timestamp_millis(F.col("v"))
+        ).repartition(1).write.mode("append").parquet(src)
+
+    on_time, late = [], []
+
+    def on_time_fn(df, epoch):
+        on_time.extend(r["v"] for r in df.collect())
+
+    def late_fn(df, epoch):
+        late.extend(r["v"] for r in df.collect())
+
+    q = foreach_batch_late_capture(
+        read_parquet_stream(spark, src),
+        "ts",
+        "0 seconds",
+        on_time_fn,
+        late_fn,
+        checkpoint=str(tmp_path / "ckpt"),
+        query_name="late_side_golden",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(late) == [3, 4]
+    assert sorted(on_time) == [1, 2, 5]
