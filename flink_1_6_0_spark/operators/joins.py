@@ -137,6 +137,7 @@ def interval_join(
     lower: str,
     upper: str,
     how: str = "inner",
+    residual: Column | None = None,
 ) -> DataFrame:
     """Time-bounded join: right.ts ∈ [left.ts - lower, left.ts + upper].
 
@@ -161,6 +162,13 @@ def interval_join(
     hi = right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}")
     rng = lo & hi
     cond = rng if cond is None else (cond & rng)
+    if residual is not None:
+        # Flink's time-bounded join carries arbitrary remaining conditions
+        # INSIDE the join (TimeBoundedStreamJoin.scala:55 otherCondition;
+        # stream/sql JoinITCase.scala:508 `AND t1.id <> 'L-5'`): for outer
+        # joins this decides null-padding vs dropping, so it cannot be a
+        # post-filter.
+        cond = cond & residual
     return left.join(right, cond, how)
 
 

@@ -130,6 +130,9 @@ _ROTATE_IN = (
     "window_tumble_flink_sql", "cogroup_customer_orders", "agg_distinct",
     # NEW r11 session 4: retraction chain (count-of-counts) over multibatch
     "stream_multibatch_retract_chain",
+    # r11 session 4: interval_join grew the residual (otherCondition) param
+    # for the stream/sql JoinITCase outer-join goldens
+    "interval_join_events", "stream_interval_join",
 )
 
 

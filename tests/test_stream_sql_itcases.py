@@ -699,3 +699,195 @@ class TestStreamSql:
         )
         # 1970-01-01 03:53:00.0 / 03:54:00.0 UTC
         same(res, [("Hello", 2, 13980000, 14040000)])
+
+
+# ---------------------------------------------------------------------------
+# stream/sql/JoinITCase.scala — rowtime interval joins (t1.rt BETWEEN
+# t2.rt - 5s AND t2.rt + 6s) through operators.joins.interval_join; the
+# final append-stream multiset equals the batch interval join. NULL keys
+# never match (SQL equi-join semantics). ``residual`` carries Flink's
+# otherCondition inside the join, where it decides null-padding.
+# ---------------------------------------------------------------------------
+
+
+class TestRowTimeIntervalJoinSql:
+    def _t(self, spark, rows):
+        return spark.createDataFrame(rows, "key string, id string, t long").withColumn(
+            "rt", F.timestamp_millis(F.col("t"))
+        )
+
+    def test_rowtime_inner_join(self, spark):
+        # JoinITCase.scala:135 — incl. the 999ms boundary row and NULL keys
+        from flink_1_6_0_spark.operators.joins import interval_join
+
+        t1 = self._t(spark, [
+            ("A", "LEFT0.999", 999), ("A", "LEFT1", 1000), ("A", "LEFT2", 2000),
+            ("A", "LEFT3", 3000), ("B", "LEFT4", 4000), ("A", "LEFT5", 5000),
+            ("A", "LEFT6", 6000), (None, "LEFT8", 8000),
+        ])
+        t2 = self._t(spark, [
+            ("A", "RIGHT6", 6000), ("B", "RIGHT7", 7000), (None, "RIGHT10", 10000),
+        ]).select(F.col("key").alias("k2"), F.col("id").alias("id2"), F.col("rt").alias("rt2"))
+        # t1.rt BETWEEN t2.rt-5s AND t2.rt+6s  ==  left=t2: right_ts in
+        # [left_ts - 5s, left_ts + 6s]
+        res = interval_join(
+            t2, t1, [("k2", "key")], "rt2", "rt", "5 seconds", "6 seconds"
+        ).select("k2", "id2", "id")
+        got = sorted(tuple(r) for r in res.collect())
+        assert got == sorted([
+            ("A", "RIGHT6", "LEFT1"), ("A", "RIGHT6", "LEFT2"),
+            ("A", "RIGHT6", "LEFT3"), ("A", "RIGHT6", "LEFT5"),
+            ("A", "RIGHT6", "LEFT6"), ("B", "RIGHT7", "LEFT4"),
+        ])
+
+    def test_rowtime_inner_join_with_equi_time_attrs(self, spark):
+        # JoinITCase.scala:194 — rt equality join (zero-width interval)
+        from flink_1_6_0_spark.operators.joins import interval_join
+
+        t1 = spark.createDataFrame(
+            [(4, 4000, "A", 4000), (5, 5000, "A", 5000), (6, 6000, "A", 6000),
+             (6, 6000, "B", 6000)],
+            "id int, tm long, key string, t long",
+        ).withColumn("rt", F.timestamp_millis(F.col("t")))
+        t2 = self._t(spark, [("A", "R-5", 5000), ("B", "R-6", 6000)]).select(
+            F.col("key").alias("k2"), F.col("id").alias("id2"), F.col("rt").alias("rt2")
+        )
+        res = interval_join(
+            t2, t1, [("k2", "key")], "rt2", "rt", "0 seconds", "0 seconds"
+        ).select("k2", "id2", "id")
+        got = sorted(tuple(r) for r in res.collect())
+        assert got == sorted([("A", "R-5", 5), ("B", "R-6", 6)])
+
+    LEFT_DATA = [
+        ("A", "L-1", 1000), ("A", "L-2", 2000), ("B", "L-4", 4000),
+        ("B", "L-5", 5000), ("A", "L-6", 6000), ("C", "L-7", 7000),
+        ("A", "L-10", 10000), ("A", "L-12", 12000), ("A", "L-20", 20000),
+    ]
+
+    def test_rowtime_left_outer_join(self, spark):
+        # JoinITCase.scala:508 — LEFT OUTER with the residual t1.id <> 'L-5'
+        # inside the join condition (L-5 must null-pad, not vanish)
+        from flink_1_6_0_spark.operators.joins import interval_join
+
+        t1 = self._t(spark, self.LEFT_DATA)
+        t2 = self._t(spark, [
+            ("A", "R-6", 6000), ("B", "R-7", 7000), ("D", "R-8", 8000),
+            ("A", "R-11", 11000),
+        ]).select(F.col("key").alias("k2"), F.col("id").alias("id2"), F.col("rt").alias("rt2"))
+        # preserve T1 → left=t1; t1.rt ∈ [t2.rt-5s, t2.rt+6s] ⇔
+        # t2.rt ∈ [t1.rt-6s, t1.rt+5s]
+        res = interval_join(
+            t1, t2, [("key", "k2")], "rt", "rt2", "6 seconds", "5 seconds",
+            how="left", residual=F.col("id") != "L-5",
+        ).select("key", "id2", "id")
+        got = sorted((tuple(r) for r in res.collect()), key=str)
+        assert got == sorted([
+            ("A", "R-6", "L-1"), ("A", "R-6", "L-2"), ("A", "R-6", "L-6"),
+            ("A", "R-6", "L-10"), ("A", "R-6", "L-12"), ("B", "R-7", "L-4"),
+            ("A", "R-11", "L-6"), ("A", "R-11", "L-10"), ("A", "R-11", "L-12"),
+            ("B", None, "L-5"), ("C", None, "L-7"), ("A", None, "L-20"),
+        ], key=str)
+
+    def test_rowtime_left_outer_join_negative_window_size(self, spark):
+        # JoinITCase.scala:573 — empty interval: every left row null-pads
+        from flink_1_6_0_spark.operators.joins import interval_join
+
+        t1 = self._t(spark, [("A", "L-1", 1000), ("B", "L-4", 4000), ("C", "L-7", 7000)])
+        t2 = self._t(spark, [("A", "R-6", 6000), ("B", "R-7", 7000), ("D", "R-8", 8000)]).select(
+            F.col("key").alias("k2"), F.col("id").alias("id2"), F.col("rt").alias("rt2")
+        )
+        # t1.rt BETWEEN t2.rt+3s AND t2.rt+1s ⇔ t2.rt ∈ [t1.rt-3s, t1.rt-1s]
+        # with lower > upper → empty window
+        res = interval_join(
+            t1, t2, [("key", "k2")], "rt", "rt2", "-1 seconds", "-3 seconds", how="left"
+        ).select("k2", "id2", "id")
+        got = sorted((tuple(r) for r in res.collect()), key=str)
+        assert got == sorted(
+            [(None, None, "L-1"), (None, None, "L-4"), (None, None, "L-7")], key=str
+        )
+
+    def test_rowtime_right_outer_join(self, spark):
+        # JoinITCase.scala:662 — residual t2.id <> 'R-5' (R-5 null-pads)
+        from flink_1_6_0_spark.operators.joins import interval_join
+
+        t1 = self._t(spark, [
+            ("A", "L-1", 1000), ("A", "L-2", 2000), ("B", "L-4", 4000),
+            ("A", "L-6", 6000), ("C", "L-7", 7000), ("A", "L-10", 10000),
+            ("A", "L-12", 12000),
+        ])
+        t2 = self._t(spark, [
+            ("A", "R-5", 5000), ("A", "R-6", 6000), ("B", "R-7", 7000),
+            ("D", "R-8", 8000), ("A", "R-20", 20000),
+        ]).select(F.col("key").alias("k2"), F.col("id").alias("id2"), F.col("rt").alias("rt2"))
+        res = interval_join(
+            t1, t2, [("key", "k2")], "rt", "rt2", "6 seconds", "5 seconds",
+            how="right", residual=F.col("id2") != "R-5",
+        ).select("k2", "id2", "id")
+        got = sorted((tuple(r) for r in res.collect()), key=str)
+        assert got == sorted([
+            ("A", "R-5", None), ("A", "R-6", "L-1"), ("A", "R-6", "L-2"),
+            ("A", "R-6", "L-6"), ("A", "R-6", "L-10"), ("A", "R-6", "L-12"),
+            ("A", "R-20", None), ("B", "R-7", "L-4"), ("D", "R-8", None),
+        ], key=str)
+
+    def test_rowtime_full_outer_join(self, spark):
+        # JoinITCase.scala:812 — NOT (t1.id='L-5' OR t2.id='R-5') residual
+        from flink_1_6_0_spark.operators.joins import interval_join
+
+        t1 = self._t(spark, self.LEFT_DATA)
+        t2 = self._t(spark, [
+            ("A", "R-5", 5000), ("A", "R-6", 6000), ("B", "R-7", 7000), ("D", "R-8", 8000),
+        ]).select(F.col("key").alias("k2"), F.col("id").alias("id2"), F.col("rt").alias("rt2"))
+        res = interval_join(
+            t1, t2, [("key", "k2")], "rt", "rt2", "6 seconds", "5 seconds",
+            how="full", residual=~((F.col("id") == "L-5") | (F.col("id2") == "R-5")),
+        ).select("k2", "id2", "id")
+        got = sorted((tuple(r) for r in res.collect()), key=str)
+        assert got == sorted([
+            ("A", "R-6", "L-1"), ("A", "R-6", "L-2"), ("A", "R-6", "L-6"),
+            ("A", "R-6", "L-10"), ("A", "R-6", "L-12"), ("B", "R-7", "L-4"),
+            ("A", "R-5", None), ("D", "R-8", None),
+            (None, None, "L-5"), (None, None, "L-7"), (None, None, "L-20"),
+        ], key=str)
+
+
+def test_stream_sort_event_time_order_by(spark):
+    """stream/sql SortITCase.scala:39 testEventTimeOrderBy — ORDER BY
+    rowtime, b on an event-time stream emits in exactly that order once
+    each watermark finalizes a prefix; equal final SEQUENCE as the golden
+    (order-sensitive compare, not a multiset)."""
+    data = [
+        ("L", 1500, (1, 15, "Hello")), ("L", 1600, (1, 16, "Hello")),
+        ("L", 1000, (1, 1, "Hello")), ("L", 2000, (2, 2, "Hello")),
+        ("W", 1000),
+        ("L", 2000, (2, 2, "Hello")), ("L", 2000, (2, 3, "Hello")),
+        ("L", 3000, (3, 3, "Hello")), ("L", 2000, (3, 1, "Hello")),
+        ("W", 2000),
+        ("L", 4000, (4, 4, "Hello")),
+        ("W", 3000),
+        ("L", 5000, (5, 5, "Hello")),
+        ("W", 5000),
+        ("L", 6000, (6, 65, "Hello")), ("L", 6000, (6, 6, "Hello")),
+        ("L", 6000, (6, 67, "Hello")), ("L", 6000, (6, -1, "Hello")),
+        ("L", 6000, (6, 6, "Hello")),
+        ("W", 7000),
+        ("L", 9000, (6, 9, "Hello")), ("L", 8500, (6, 18, "Hello")),
+        ("L", 9000, (6, 7, "Hello")),
+        ("W", 10000),
+        ("L", 10000, (7, 7, "Hello World")), ("L", 11000, (7, 77, "Hello World")),
+        ("L", 11000, (7, 17, "Hello World")),
+        ("W", 12000),
+        ("L", 14000, (7, 18, "Hello World")),
+        ("W", 14000),
+        ("L", 15000, (8, 8, "Hello World")),
+        ("W", 17000),
+        ("L", 20000, (20, 20, "Hello World")),
+        ("W", 19000),
+    ]
+    rows = replay(data)
+    df = spark.createDataFrame(rows, "seq int, rowtime long, a long, b int, c string")
+    got = [r["b"] for r in df.orderBy("rowtime", "b").collect()]
+    assert got == [
+        1, 15, 16, 1, 2, 2, 3, 3, 4, 5, -1, 6, 6, 65, 67,
+        18, 7, 9, 7, 17, 77, 18, 8, 20,
+    ]
