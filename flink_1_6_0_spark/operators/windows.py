@@ -27,9 +27,50 @@ def tumble(ts: str | Column, size: str) -> Column:
     return F.window(ts, size)
 
 
+_UNIT_MS = {
+    "millisecond": 1, "milli": 1, "ms": 1,
+    "second": 1000, "sec": 1000,
+    "minute": 60_000, "min": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _duration_ms(s: str) -> int:
+    """'5 milliseconds' / '1 hour' / '0.005 seconds' → milliseconds."""
+    n, _, unit = s.strip().partition(" ")
+    unit = unit.strip().lower().rstrip("s")
+    if unit not in _UNIT_MS:
+        raise ValueError(f"unsupported duration unit in {s!r}")
+    return int(round(float(n) * _UNIT_MS[unit]))
+
+
 def hop(ts: str | Column, slide: str, size: str) -> Column:
-    """SlidingEventTimeWindows — Flink arg order (time, slide, size)."""
-    return F.window(ts, size, slide)
+    """SlidingEventTimeWindows — Flink arg order (time, slide, size).
+
+    Flink additionally allows ``slide > size``: non-overlapping panes with
+    GAPS between them (SlidingEventTimeWindows.assignWindows returns zero
+    windows for in-gap elements; GroupWindowITCase.scala:357
+    ``Slide over 5.milli every 10.milli``). Spark's ``window()`` rejects
+    that shape, so the gap case builds the pane directly: epoch-aligned
+    ``start = floor(ts / slide) * slide``, membership ``ts < start + size``,
+    NULL for in-gap rows — callers (windowed_agg, the Table API) drop the
+    NULL group, mirroring the assigner's zero-window behavior. Same
+    plan shape as window(): a deterministic per-row expression, no shuffle
+    of its own."""
+    slide_ms, size_ms = _duration_ms(slide), _duration_ms(size)
+    if slide_ms <= size_ms:
+        return F.window(ts, size, slide)
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    t = F.unix_millis(tcol)
+    start = F.floor(t / F.lit(slide_ms)).cast("long") * F.lit(slide_ms)
+    return F.when(
+        t < start + F.lit(size_ms),
+        F.struct(
+            F.timestamp_millis(start).alias("start"),
+            F.timestamp_millis(start + F.lit(size_ms)).alias("end"),
+        ),
+    )
 
 
 def session(ts: str | Column, gap: str | Column) -> Column:
@@ -49,8 +90,15 @@ def windowed_agg(
     include_bounds: bool = True,
 ) -> DataFrame:
     """WindowedStream.aggregate (WindowedStream.java:689) / SQL group window
-    agg: groupBy(window, keys).agg(...), exposing window_start/window_end."""
-    out = df.groupBy(window_col.alias("window"), *keys).agg(*aggs)
+    agg: groupBy(window, keys).agg(...), exposing window_start/window_end.
+    Rows assigned to NO window (NULL rowtime, or the gap of a slide>size
+    hop) are dropped — the assigner's zero-window contract (the NULL group
+    is removed after the aggregate; window() may not appear in a filter)."""
+    out = (
+        df.groupBy(window_col.alias("window"), *keys)
+        .agg(*aggs)
+        .filter(F.col("window").isNotNull())
+    )
     if include_bounds:
         out = out.select(
             F.col("window.start").alias("window_start"),

@@ -133,6 +133,10 @@ _ROTATE_IN = (
     # r11 session 4: interval_join grew the residual (otherCondition) param
     # for the stream/sql JoinITCase outer-join goldens
     "interval_join_events", "stream_interval_join",
+    # r11 session 4: operators.windows.hop grew the slide>size gap-pane
+    # assigner (Flink-legal, Spark window() rejects it); windowed_agg and
+    # the Table API drop the NULL (zero-window) group
+    "window_hop", "window_session",
 )
 
 

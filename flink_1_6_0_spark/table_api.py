@@ -252,7 +252,14 @@ class GroupedTable:
             else:
                 cols.append(e)
         if self._window_col is not None:
-            out = self._df.groupBy(self._window_col, *self._keys).agg(*cols)
+            # rows the assigner gives NO window (NULL rowtime; the gap of a
+            # slide>size hop) form a NULL group dropped after the aggregate,
+            # matching Flink's zero-window case
+            out = (
+                self._df.groupBy(self._window_col, *self._keys)
+                .agg(*cols)
+                .filter(F.col(self._window_alias).isNotNull())
+            )
             w = self._window_alias
             out = out.select(
                 F.col(f"{w}.start").alias(f"{w}_start"),

@@ -891,3 +891,173 @@ def test_stream_sort_event_time_order_by(spark):
         1, 15, 16, 1, 2, 2, 3, 3, 4, 5, -1, 6, 6, 65, 67,
         18, 7, 9, 7, 17, 77, 18, 8, 20,
     ]
+
+
+# ---------------------------------------------------------------------------
+# stream/table/GroupWindowITCase.scala — event-time group windows through
+# the Table API (table_api.Table.window_*). WeightedAvg(v, w) is the
+# reference UDAF sum(v*w)/sum(w) with Calcite integer truncation; int.avg
+# likewise truncates (→ DIV). Session windows MERGE under disorder; the
+# slide>size panes exercise the gap-hop assigner (Flink allows it, Spark's
+# window() does not — operators.windows.hop builds the pane directly).
+# ---------------------------------------------------------------------------
+
+GW_DATA2 = [
+    (1, 1, "Hi"), (2, 2, "Hallo"), (3, 2, "Hello"), (4, 5, "Hello"),
+    (7, 3, "Hello"), (8, 3, "Hello world"), (16, 4, "Hello world"),
+    (32, 4, None),
+]
+
+
+def _gw_table(spark):
+    from flink_1_6_0_spark.table_api import Table
+
+    df = spark.createDataFrame(GW_DATA2, "long long, int int, string string").withColumn(
+        "rowtime", F.timestamp_millis(F.col("long"))
+    )
+    return Table(df)
+
+
+def _win_rows(t, spark):
+    """(string, count, start_ms, end_ms) rows of a windowed count table."""
+    out = t.to_data_frame()
+    return sorted(
+        (
+            (r["string"], r["cnt"], int(r["w_start"].timestamp() * 1000),
+             int(r["w_end"].timestamp() * 1000))
+            for r in out.collect()
+        ),
+        key=str,
+    )
+
+
+class TestTableGroupWindow:
+    def test_event_time_tumbling_window(self, spark):
+        # GroupWindowITCase.scala:170 — 5ms tumble, full agg battery
+        from flink_1_6_0_spark.table_api import Table
+
+        data = [(1, 1, "Hi"), (2, 2, "Hello"), (4, 2, "Hello"),
+                (8, 3, "Hello world"), (16, 3, "Hello world")]
+        t = Table(
+            spark.createDataFrame(data, "long long, int int, string string").withColumn(
+                "rowtime", F.timestamp_millis(F.col("long"))
+            )
+        )
+        out = (
+            t.window_tumble("rowtime", "5 milliseconds")
+            .group_by("string")
+            .agg(
+                "count(string) as cnt, sum(int) DIV count(int) as avg_int, "
+                "sum(long * int) DIV sum(int) as wavg_long, "
+                "sum(int * int) DIV sum(int) as wavg_int, "
+                "min(int) as mn, max(int) as mx, sum(int) as s, "
+                "count(distinct long) as cd"
+            )
+            .to_data_frame()
+        )
+        got = sorted(
+            (r["string"], r["cnt"], r["avg_int"], r["wavg_long"], r["wavg_int"],
+             r["mn"], r["mx"], r["s"],
+             int(r["w_start"].timestamp() * 1000), int(r["w_end"].timestamp() * 1000),
+             r["cd"])
+            for r in out.collect()
+        )
+        assert got == sorted([
+            ("Hello world", 1, 3, 8, 3, 3, 3, 3, 5, 10, 1),
+            ("Hello world", 1, 3, 16, 3, 3, 3, 3, 15, 20, 1),
+            ("Hello", 2, 2, 3, 2, 2, 2, 4, 0, 5, 2),
+            ("Hi", 1, 1, 1, 1, 1, 1, 1, 0, 5, 1),
+        ])
+
+    def test_event_time_session_window_merge(self, spark):
+        # GroupWindowITCase.scala:98 — 5ms session gap, out-of-order arrival
+        # merges {1,2,8} with {4} into one [1,13) session
+        from flink_1_6_0_spark.table_api import Table
+
+        data = [(1, 1, "Hello"), (2, 2, "Hello"), (8, 8, "Hello"),
+                (9, 9, "Hello World"), (4, 4, "Hello"), (16, 16, "Hello")]
+        t = Table(
+            spark.createDataFrame(data, "long long, int int, string string").withColumn(
+                "rowtime", F.timestamp_millis(F.col("long"))
+            )
+        )
+        out = (
+            t.window_session("rowtime", "0.005 seconds")
+            .group_by("string")
+            .agg(
+                "count(int) as cnt, sum(int) DIV count(int) as avg_int, "
+                "sum(long * int) DIV sum(int) as wavg_long, "
+                "sum(int * int) DIV sum(int) as wavg_int, "
+                "count(distinct long) as cd"
+            )
+            .to_data_frame()
+        )
+        got = sorted(
+            (r["string"], r["cnt"], r["avg_int"], r["wavg_long"], r["wavg_int"], r["cd"])
+            for r in out.collect()
+        )
+        assert got == sorted([
+            ("Hello World", 1, 9, 9, 9, 1),
+            ("Hello", 1, 16, 16, 16, 1),
+            ("Hello", 4, 3, 5, 5, 4),
+        ])
+
+    def test_sliding_overlapping_full_pane(self, spark):
+        # GroupWindowITCase.scala:280 — Slide 10ms every 5ms
+        t = _gw_table(spark)
+        out = (
+            t.window_hop("rowtime", "5 milliseconds", "10 milliseconds")
+            .group_by("string")
+            .agg("count(int) as cnt")
+        )
+        assert _win_rows(out, spark) == sorted([
+            ("Hallo", 1, -5, 5), ("Hallo", 1, 0, 10),
+            ("Hello world", 1, 0, 10), ("Hello world", 1, 5, 15),
+            ("Hello world", 1, 10, 20), ("Hello world", 1, 15, 25),
+            ("Hello", 1, 5, 15), ("Hello", 2, -5, 5), ("Hello", 3, 0, 10),
+            ("Hi", 1, -5, 5), ("Hi", 1, 0, 10),
+            (None, 1, 25, 35), (None, 1, 30, 40),
+        ], key=str)
+
+    def test_sliding_overlapping_split_pane(self, spark):
+        # GroupWindowITCase.scala:320 — Slide 5ms every 4ms
+        t = _gw_table(spark)
+        out = (
+            t.window_hop("rowtime", "4 milliseconds", "5 milliseconds")
+            .group_by("string")
+            .agg("count(int) as cnt")
+        )
+        assert _win_rows(out, spark) == sorted([
+            ("Hallo", 1, 0, 5),
+            ("Hello world", 1, 4, 9), ("Hello world", 1, 8, 13),
+            ("Hello world", 1, 12, 17), ("Hello world", 1, 16, 21),
+            ("Hello", 2, 0, 5), ("Hello", 2, 4, 9),
+            ("Hi", 1, 0, 5),
+            (None, 1, 28, 33), (None, 1, 32, 37),
+        ], key=str)
+
+    def test_sliding_nonoverlapping_full_pane_gap(self, spark):
+        # GroupWindowITCase.scala:357 — Slide 5ms every 10ms: slide > size,
+        # panes with GAPS; in-gap rows (ts 7, 8, 16) belong to NO window
+        t = _gw_table(spark)
+        out = (
+            t.window_hop("rowtime", "10 milliseconds", "5 milliseconds")
+            .group_by("string")
+            .agg("count(int) as cnt")
+        )
+        assert _win_rows(out, spark) == sorted([
+            ("Hallo", 1, 0, 5), ("Hello", 2, 0, 5),
+            ("Hi", 1, 0, 5), (None, 1, 30, 35),
+        ], key=str)
+
+    def test_sliding_nonoverlapping_split_pane_gap(self, spark):
+        # GroupWindowITCase.scala:388 — Slide 3ms every 10ms
+        t = _gw_table(spark)
+        out = (
+            t.window_hop("rowtime", "10 milliseconds", "3 milliseconds")
+            .group_by("string")
+            .agg("count(int) as cnt")
+        )
+        assert _win_rows(out, spark) == sorted([
+            ("Hallo", 1, 0, 3), ("Hi", 1, 0, 3), (None, 1, 30, 33),
+        ], key=str)
