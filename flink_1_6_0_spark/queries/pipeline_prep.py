@@ -254,6 +254,56 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_box",
+    oracle="""
+    WITH s AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '_', 'g') AS pt FROM documents),
+    t AS (SELECT doc_id, substr(pt, 1, (least(32, length(pt)) // 2) * 2) AS row0 FROM s),
+    u AS (SELECT doc_id, row0, reverse(row0) AS row1, length(row0)::INT AS w
+          FROM t WHERE length(row0) >= 2)
+    SELECT doc_id, (w // 2)::INT AS width, 1 AS height,
+           list_sum(list_transform(generate_series(0, w // 2 - 1), c ->
+              (ascii(substr(row0, 2 * c + 1, 1)) + ascii(substr(row0, 2 * c + 2, 1))
+             + ascii(substr(row1, 2 * c + 1, 1)) + ascii(substr(row1, 2 * c + 2, 1))) // 4
+           )) / (w // 2) AS mean_c0
+    FROM u
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the production plumbing: a 2-row binary PGM
+    is assembled per document (row 0 = the text's first even-length printable
+    bytes, row 1 = the same bytes REVERSED so vertical averaging is
+    non-trivial), box-average-downscaled 2x2 inside mapInPandas
+    (pipeline/multimodal.resize_box: decode -> integer box mean -> re-encode),
+    then the RESIZED binary is decoded again by the netpbm decoder — the
+    whole decode/resize/re-encode/decode chain is on the oracle path. DuckDB
+    computes the closed form: each output pixel is
+    floor((a_2c + a_2c+1 + rev_2c + rev_2c+1) / 4), exact integers on both
+    engines."""
+    from flink_1_6_0_spark.pipeline import multimodal as mm
+
+    d = T(spark, sf_dir, "documents")
+    ptext = F.regexp_replace(F.col("text"), "[^ -~]", "_")
+    even_w = (F.least(F.lit(32), F.length(ptext)) / 2).cast("int") * 2
+    row0 = F.substring(ptext, 1, 32).substr(F.lit(1), even_w)
+    media = F.concat(
+        F.encode(
+            F.concat_ws("", F.lit("P5\n"), even_w.cast("string"), F.lit(" 2\n255\n")),
+            "utf-8",
+        ),
+        F.encode(row0, "utf-8"),
+        F.encode(F.reverse(row0), "utf-8"),
+    )
+    src = d.filter(even_w >= 2).select(
+        "doc_id",
+        media.alias("media"),
+        F.struct(F.lit("pgm").alias("format"), F.length(media).alias("n_bytes")).alias("meta"),
+    )
+    resized = mm.resize_media(src, fx=2, fy=2)
+    return mm.decode_media(resized).select("doc_id", "width", "height", "mean_c0")
+
+
+@query(
     "embedding_normalize",
     oracle="""
     WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -137,6 +137,8 @@ _ROTATE_IN = (
     # assigner (Flink-legal, Spark window() rejects it); windowed_agg and
     # the Table API drop the NULL (zero-window) group
     "window_hop", "window_session",
+    # NEW r11 session 4: real box-average image resize on the oracle path
+    "multimodal_resize_box",
 )
 
 

@@ -153,3 +153,46 @@ def test_media_ahash_isolates_corrupt_blobs(spark):
     )
     rows = {r["doc_id"]: r["ahash"] for r in mm.media_ahash(df).collect()}
     assert rows == {1: None, 2: None}
+
+
+def test_resize_box_pgm_and_ppm():
+    """resize_box: exact integer box means, P5 and P6, floor dims for
+    non-divisible edges (the 5th column / 3rd row are dropped at 2x2)."""
+    from flink_1_6_0_spark.pipeline.multimodal import _netpbm_header, resize_box
+
+    # P5 5x3 grayscale, rows 10..14 / 20..24 / 30..34
+    px = bytes(list(range(10, 15)) + list(range(20, 25)) + list(range(30, 35)))
+    pgm = b"P5\n5 3\n255\n" + px
+    out = resize_box(pgm, 2, 2)
+    magic, w, h, maxval, ch, body = _netpbm_header(out)
+    assert (magic, w, h, ch) == (b"P5", 2, 1, 1)
+    # boxes: {10,11,20,21}->15, {12,13,22,23}->17
+    assert list(out[body:]) == [15, 17]
+
+    # P6 2x2 RGB: channel-wise box means
+    rgb = bytes([0, 100, 200, 4, 104, 204, 8, 108, 208, 12, 112, 212])
+    ppm = b"P6\n2 2\n255\n" + rgb
+    out2 = resize_box(ppm, 2, 2)
+    magic2, w2, h2, _, ch2, body2 = _netpbm_header(out2)
+    assert (magic2, w2, h2, ch2) == (b"P6", 1, 1, 3)
+    assert list(out2[body2:]) == [6, 106, 206]
+
+
+def test_resize_media_plumbing(spark):
+    """resize_media keeps the opaque-binary + typed-metadata contract and
+    the resized image round-trips through the real decoder."""
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.pipeline.multimodal import decode_media, resize_media
+
+    px = bytes(range(16))  # 4x4 ramp
+    src = spark.createDataFrame([(1, b"P5\n4 4\n255\n" + px)], "doc_id long, media binary").select(
+        "doc_id", "media",
+        F.struct(F.lit("pgm").alias("format"), F.length("media").alias("n_bytes")).alias("meta"),
+    )
+    resized = resize_media(src, 2, 2)
+    row = resized.collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    dec = decode_media(resized).collect()[0]
+    # boxes: {0,1,4,5}->2, {2,3,6,7}->4, {8,9,12,13}->10, {10,11,14,15}->12
+    assert (dec["width"], dec["height"]) == (2, 2)
+    assert dec["mean_c0"] == (2 + 4 + 10 + 12) / 4
