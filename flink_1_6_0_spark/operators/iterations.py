@@ -86,3 +86,79 @@ def iterate_delta(
             solution = _checkpoint(solution, checkpoint_mode)
             workset = _checkpoint(workset, checkpoint_mode)
     return solution
+
+
+def iterate_with_aggregator(
+    df: DataFrame,
+    step_fn,
+    max_iterations: int,
+    aggregator,
+    convergence_fn,
+    checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Bulk iteration with a registered AGGREGATOR and an aggregate-based
+    convergence criterion — IterativeDataSet.registerAggregator /
+    registerAggregationConvergenceCriterion (IterativeDataSet.java:95,120;
+    AggregatorsITCase.java). Semantics mirrored exactly:
+
+    - ``step_fn(df, prev_agg) -> df``: ``prev_agg`` is the PREVIOUS
+      superstep's aggregate Row (None in superstep 1) — the
+      ``IterationRuntimeContext.getPreviousIterationAggregate`` contract.
+    - ``aggregator(df) -> 1-row DataFrame`` over the superstep's output:
+      the distributed form of the reference's per-element
+      ``aggr.aggregate(...)`` calls folded by the sync barrier (one
+      map-side-combined global aggregate per superstep — bytes to the
+      driver, not rows).
+    - ``convergence_fn(superstep, agg_row) -> bool``: checked AFTER each
+      superstep; when true the iteration stops WITH that superstep's
+      result included (ConvergenceCriterion.isConverged — the converged
+      superstep's output is the final state, AggregatorsITCase golden).
+    """
+    state = df
+    prev_agg = None
+    for i in range(1, max_iterations + 1):
+        state = step_fn(state, prev_agg)
+        if i % checkpoint_interval == 0:
+            state = _checkpoint(state, checkpoint_mode)
+        agg_row = aggregator(state).first()
+        if convergence_fn(i, agg_row):
+            return state
+        prev_agg = agg_row
+    return state
+
+
+def iterate_delta_with_aggregator(
+    solution: DataFrame,
+    workset: DataFrame,
+    step_fn,
+    max_iterations: int,
+    key_cols: list[str],
+    convergence_fn=None,
+    checkpoint_interval: int = 3,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Delta iteration with aggregators (DeltaIteration.registerAggregator /
+    registerAggregationConvergenceCriterion, DeltaIteration.java:172,187).
+
+    ``step_fn(solution, workset, prev_agg) -> (delta, new_workset, agg_df)``
+    — the step computes the superstep's aggregate itself (a 1-row
+    DataFrame), exactly where the reference's rich function would call
+    ``aggr.aggregate``; the loop folds it, hands it to ``convergence_fn``
+    and passes it into the next superstep as ``prev_agg``. Terminates on
+    empty workset, convergence, or ``max_iterations``; the converged
+    superstep's solution update is applied before returning."""
+    prev_agg = None
+    for i in range(1, max_iterations + 1):
+        if workset.isEmpty():
+            break
+        delta, workset, agg_df = step_fn(solution, workset, prev_agg)
+        solution = solution.join(delta, key_cols, "left_anti").unionByName(delta)
+        if i % checkpoint_interval == 0:
+            solution = _checkpoint(solution, checkpoint_mode)
+            workset = _checkpoint(workset, checkpoint_mode)
+        agg_row = agg_df.first() if agg_df is not None else None
+        if convergence_fn is not None and convergence_fn(i, agg_row):
+            break
+        prev_agg = agg_row
+    return solution

@@ -1512,3 +1512,91 @@ class TestSample:
             assert got.count() == expect
             rows = {(r["a"], r["b"], r["c"]) for r in got.collect()}
             assert rows <= set(ROWS3)
+
+
+# ---------------------------------------------------------------------------
+# AggregatorsITCase.java — bulk/delta iterations with registered aggregators
+# and aggregate-based convergence criteria.
+# ---------------------------------------------------------------------------
+
+
+class TestIterationAggregators:
+    def test_aggregator_convergence_for_iterate(self, spark, ints):
+        # AggregatorsITCase.java:113 testAggregatorWithoutParameterForIterate
+        # (and :140/:167 — the with-parameter twins use the same threshold 3):
+        # subtract 1 per superstep, LongSumAggregator counts negatives,
+        # converged when count > 3 — the CONVERGED superstep's output is the
+        # result. Also pins getPreviousIterationAggregate: step i sees
+        # superstep i-1's aggregate.
+        from flink_1_6_0_spark.operators.iterations import iterate_with_aggregator
+
+        seen_prev = []
+
+        def step(df, prev_agg):
+            seen_prev.append(None if prev_agg is None else prev_agg["neg"])
+            return df.select((F.col("v") - 1).alias("v"))
+
+        res = iterate_with_aggregator(
+            ints,
+            step,
+            max_iterations=20,
+            aggregator=lambda df: df.agg(
+                F.sum(F.when(F.col("v") < 0, 1).otherwise(0)).alias("neg")
+            ),
+            convergence_fn=lambda i, row: row["neg"] > 3,
+        )
+        got = sorted(r["v"] for r in res.collect())
+        assert got == [-3, -2, -2, -1, -1, -1, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+        # negatives per superstep: 0, 1, 3, (6 -> converged); step i sees i-1's
+        assert seen_prev == [None, 0, 1, 3]
+
+    def test_convergence_criterion_for_iterate_delta(self, spark, ints):
+        # AggregatorsITCase.java:265 testConvergenceCriterionWithParameterForIterateDelta:
+        # workset values -1 per superstep, delta re-keyed into the solution,
+        # converge when the superstep produced > 3 negatives. (The reference
+        # keys tuples by Random node ids; deterministic unique row ids keep
+        # the identical value trajectory.)
+        from pyspark.sql import Window
+
+        from flink_1_6_0_spark.operators.iterations import iterate_delta_with_aggregator
+
+        keyed = ints.withColumn(
+            "id", F.row_number().over(Window.orderBy("v")).cast("long")
+        ).select("id", "v")
+
+        def step(solution, workset, prev_agg):
+            new_w = workset.select("id", (F.col("v") - 1).alias("v"))
+            delta = new_w.join(solution.select("id"), "id", "left_semi")
+            agg = new_w.agg(
+                F.sum(F.when(F.col("v") < 0, 1).otherwise(0)).alias("neg")
+            )
+            return delta, new_w, agg
+
+        res = iterate_delta_with_aggregator(
+            keyed, keyed, step, max_iterations=20, key_cols=["id"],
+            convergence_fn=lambda i, row: row["neg"] > 3,
+        )
+        got = sorted(r["v"] for r in res.collect())
+        assert got == [-3, -2, -2, -1, -1, -1, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+
+    def test_aggregator_for_iterate_delta_empty_update(self, spark, ints):
+        # AggregatorsITCase.java:199 testAggregatorWithoutParameterForIterateDelta:
+        # the update filter emits NOTHING, so the solution set survives
+        # unchanged and the iteration ends on the empty workset.
+        from pyspark.sql import Window
+
+        from flink_1_6_0_spark.operators.iterations import iterate_delta_with_aggregator
+
+        keyed = ints.withColumn(
+            "id", F.row_number().over(Window.orderBy("v")).cast("long")
+        ).select("id", "v")
+
+        def step(solution, workset, prev_agg):
+            empty = workset.filter(F.lit(False))
+            return empty, empty, workset.agg(F.count("*").alias("n"))
+
+        res = iterate_delta_with_aggregator(
+            keyed, keyed, step, max_iterations=20, key_cols=["id"]
+        )
+        got = sorted(r["v"] for r in res.collect())
+        assert got == [1, 2, 2, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 5]
