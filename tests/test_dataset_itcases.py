@@ -1600,3 +1600,42 @@ class TestIterationAggregators:
         )
         got = sorted(r["v"] for r in res.collect())
         assert got == [1, 2, 2, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 5]
+
+
+def test_accumulator_itcase_word_count(spark):
+    """AccumulatorITCase.java — the word-count job with THREE accumulator
+    kinds registered on the same pass: num-lines int counter, words-per-line
+    histogram, distinct-words set (list accumulator deduped at read);
+    the job result itself is the word count golden."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.accumulators import histogram, int_counter, list_accumulator
+
+    lines = spark.createDataFrame(
+        [("one",), ("two two",), ("three three three",)], "line string"
+    )
+    num_lines = int_counter(spark)
+    words_per_line = histogram(spark)
+    distinct_words = list_accumulator(spark)
+
+    def count_words(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf["line"]:
+                num_lines.add(1)
+                words = line.split()
+                words_per_line.add({len(words): 1})
+                for w in words:
+                    distinct_words.add([w])
+                    rows.append({"word": w, "n": 1})
+            yield pd.DataFrame(rows)
+
+    counted = (
+        lines.mapInPandas(count_words, "word string, n int")
+        .groupBy("word")
+        .agg(F.sum("n").cast("int").alias("n"))
+    )
+    same(counted, [("one", 1), ("two", 2), ("three", 3)])
+    assert num_lines.value == 3
+    assert words_per_line.value == {1: 1, 2: 1, 3: 1}
+    assert sorted(set(distinct_words.value)) == ["one", "three", "two"]
