@@ -59,6 +59,8 @@ PROBES = [
     "graph_triadic_census_directed",  # fact-join edge derivation + census
     "cep_funnel",                     # keyed-wide Python NFA scan
     "cep_iterative_funnel",           # NFA scan with ctx predicates (r10)
+    "stream_multibatch_retract_chain",  # foreachBatch agg-of-agg chain (r11 s4)
+    "multimodal_resize_box",            # decode/resize/re-encode Arrow chain (r11 s4)
 ]
 
 
