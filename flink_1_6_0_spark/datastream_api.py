@@ -414,8 +414,16 @@ class WindowedDataStream:
         self.window_col = window_col
 
     def aggregate(self, *aggs: Column) -> DataStream:
-        """WindowedStream.aggregate (WindowedStream.java:689)."""
-        out = self.df.groupBy(self.window_col.alias("window"), *self.keys).agg(*aggs)
+        """WindowedStream.aggregate (WindowedStream.java:689). Rows the
+        assigner gives NO window (NULL rowtime; the gap of a slide>size hop)
+        form a NULL group dropped after the aggregate — the zero-window
+        contract (review finding: they previously leaked out as a bogus
+        NULL-window row)."""
+        out = (
+            self.df.groupBy(self.window_col.alias("window"), *self.keys)
+            .agg(*aggs)
+            .filter(F.col("window").isNotNull())
+        )
         return DataStream(
             out.select(
                 F.col("window.start").alias("window_start"),
@@ -437,9 +445,15 @@ class WindowedDataStream:
 
     def apply(self, fn, schema: str) -> DataStream:
         """full-window apply (WindowedStream.java:1056) — the window's rows as
-        one pandas frame per (key, window)."""
+        one pandas frame per (key, window). Zero-window rows are dropped
+        BEFORE the apply (fn must never see the NULL group)."""
+        win = self.df.withColumn("__window", self.window_col).filter(
+            F.col("__window").isNotNull()
+        )
         return DataStream(
-            self.df.groupBy(self.window_col.alias("window"), *self.keys).applyInPandas(fn, schema=schema)
+            win.drop("__window")
+            .groupBy(self.window_col.alias("window"), *self.keys)
+            .applyInPandas(fn, schema=schema)
         )
 
     # ProcessWindowFunction (WindowedStream.java:process) — same contract as
@@ -451,10 +465,14 @@ class WindowedDataStream:
         accumulate-with-seed per (key, window), emitted at window end. One
         output row per window: window_start, window_end, keys, then the final
         accumulator fields (``schema`` must list all of them)."""
-        win = self.df.withColumn("__window", self.window_col).select(
-            F.col("__window.start").alias("window_start"),
-            F.col("__window.end").alias("window_end"),
-            *[c for c in self.df.columns],
+        win = (
+            self.df.withColumn("__window", self.window_col)
+            .filter(F.col("__window").isNotNull())  # zero-window rows drop
+            .select(
+                F.col("__window.start").alias("window_start"),
+                F.col("__window.end").alias("window_end"),
+                *[c for c in self.df.columns],
+            )
         )
         group_cols = ["window_start", "window_end", *self.keys]
         return DataStream(_fold_groups(win, group_cols, initial, fold_fn, schema, order_by))

@@ -110,7 +110,10 @@ def combine_group(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
             if len(pdf) == 0:
                 continue
             if keys:
-                for _, g in pdf.groupby(keys, sort=False):
+                # dropna=False: Spark's groupBy keeps the NULL-key group, so
+                # the partial combine must too (review finding: pandas'
+                # dropna default silently discarded NULL-key rows)
+                for _, g in pdf.groupby(keys, sort=False, dropna=False):
                     yield fn(g)
             else:
                 yield fn(pdf)

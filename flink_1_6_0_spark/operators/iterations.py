@@ -117,10 +117,19 @@ def iterate_with_aggregator(
     """
     state = df
     prev_agg = None
+    cached = None
     for i in range(1, max_iterations + 1):
         state = step_fn(state, prev_agg)
         if i % checkpoint_interval == 0:
             state = _checkpoint(state, checkpoint_mode)
+        # the aggregate is an ACTION every superstep: cache the state first
+        # so superstep i's work runs once, not once for the aggregate and
+        # again inside superstep i+1's lineage (review finding); the
+        # previous superstep's cache drains as soon as the new one is built
+        state = state.persist()
+        if cached is not None:
+            cached.unpersist()
+        cached = state
         agg_row = aggregator(state).first()
         if convergence_fn(i, agg_row):
             return state

@@ -36,13 +36,25 @@ _UNIT_MS = {
 }
 
 
-def _duration_ms(s: str) -> int:
-    """'5 milliseconds' / '1 hour' / '0.005 seconds' → milliseconds."""
-    n, _, unit = s.strip().partition(" ")
-    unit = unit.strip().lower().rstrip("s")
+def _duration_ms(s: str) -> int | None:
+    """'5 milliseconds' / '1 hour' / '0.005 seconds' → milliseconds, or None
+    when the string is not a simple "<number> <unit>" duration (compound
+    forms like '1 hour 30 minutes', or units this table doesn't know —
+    Spark's window() parses those itself; review finding: raising here broke
+    previously-working slide<=size callers)."""
+    parts = s.strip().split()
+    if len(parts) != 2:
+        return None
+    n, unit = parts
+    unit = unit.lower()
+    if unit != "ms" and unit.endswith("s"):  # plural; 'ms' must not strip to 'm'
+        unit = unit[:-1]
     if unit not in _UNIT_MS:
-        raise ValueError(f"unsupported duration unit in {s!r}")
-    return int(round(float(n) * _UNIT_MS[unit]))
+        return None
+    try:
+        return int(round(float(n) * _UNIT_MS[unit]))
+    except ValueError:
+        return None
 
 
 def hop(ts: str | Column, slide: str, size: str) -> Column:
@@ -59,7 +71,8 @@ def hop(ts: str | Column, slide: str, size: str) -> Column:
     plan shape as window(): a deterministic per-row expression, no shuffle
     of its own."""
     slide_ms, size_ms = _duration_ms(slide), _duration_ms(size)
-    if slide_ms <= size_ms:
+    if slide_ms is None or size_ms is None or slide_ms <= size_ms:
+        # unparseable-here durations pass through to Spark's own parser
         return F.window(ts, size, slide)
     tcol = F.col(ts) if isinstance(ts, str) else ts
     t = F.unix_millis(tcol)

@@ -170,10 +170,21 @@ def rewrite_flink_sql(sql: str) -> str:
     Non-window SQL passes through untouched.
     """
     sql = _rewrite_lateral_table(sql)
-    # Accessors at or after a top-level HAVING run post-aggregate: reference
-    # the grouped window attribute instead of re-computing window(ts, ...)
-    having = re.search(r"\bHAVING\b", sql, re.IGNORECASE)
-    having_at = having.start() if having and sql.count("'", 0, having.start()) % 2 == 0 else None
+    # Accessors after the OUTER query's HAVING run post-aggregate: reference
+    # the grouped window attribute instead of re-computing window(ts, ...).
+    # Only a HAVING at paren depth 0 and outside string literals counts —
+    # a subquery's HAVING must not flip later top-level window calls to the
+    # bare form, and a literal containing the word must be ignored entirely
+    # (review finding: the first-match quote-parity check got both wrong).
+    having_at = None
+    for m in re.finditer(r"\bHAVING\b", sql, re.IGNORECASE):
+        prefix = sql[: m.start()]
+        if prefix.count("'") % 2 == 1:
+            continue  # inside a string literal
+        clean = re.sub(r"'[^']*'", "''", prefix)  # parens in literals are data
+        if clean.count("(") - clean.count(")") != 0:
+            continue  # inside a subquery
+        having_at = m.start()  # last top-level HAVING wins
     out, pos = [], 0
     while True:
         hit = _find_call(sql, pos)

@@ -139,6 +139,8 @@ _ROTATE_IN = (
     "window_hop", "window_session",
     # NEW r11 session 4: real box-average image resize on the oracle path
     "multimodal_resize_box",
+    # r11 session 4 review fixes touched the DataStream window paths
+    "window_all_tumble",
 )
 
 

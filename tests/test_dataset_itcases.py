@@ -1639,3 +1639,81 @@ def test_accumulator_itcase_word_count(spark):
     assert num_lines.value == 3
     assert words_per_line.value == {1: 1, 2: 1, 3: 1}
     assert sorted(set(distinct_words.value)) == ["one", "three", "two"]
+
+
+class TestReviewRegressions:
+    """Pins for the r11 session-4 review findings."""
+
+    def test_combine_group_keeps_null_keys(self, spark):
+        # pandas groupby drops NULL keys by default; Spark's groupBy keeps
+        # them — the partial combine must match Spark
+        import pandas as pd
+
+        df = spark.createDataFrame([(None, 1), ("a", 2), ("a", 3)], "k string, v int")
+
+        def comb(pdf):
+            return pd.DataFrame({"k": [pdf["k"].iloc[0]], "v": [int(pdf["v"].sum())]})
+
+        partial = agg_ops.combine_group(df.repartition(1), ["k"], comb, "k string, v int")
+        res = partial.groupBy("k").agg(F.sum("v").cast("int").alias("v"))
+        same(res, [(None, 1), ("a", 5)])
+
+    def test_datastream_window_drops_gap_rows(self, spark):
+        # slide>size hop through the DataStream API: in-gap rows get ZERO
+        # windows — no bogus NULL-window aggregate row
+        df = spark.createDataFrame([(1, 1), (7, 10), (8, 100)], "t long, v int").withColumn(
+            "ts", F.timestamp_millis(F.col("t"))
+        )
+        out = (
+            DataStream(df)
+            .time_window_all("ts", "5 milliseconds", slide="10 milliseconds")
+            .sum("v")
+            .df
+        )
+        rows = [(r["window_start"], r["sum_v"]) for r in out.collect()]
+        assert len(rows) == 1 and rows[0][1] == 1  # only ts=1 is in a pane
+
+    def test_hop_passthrough_for_exotic_durations(self, spark):
+        # durations _duration_ms can't parse fall through to Spark's own
+        # window() parser instead of raising ('ms', compound forms)
+        from flink_1_6_0_spark.operators.windows import hop
+
+        df = spark.createDataFrame([(1000,)], "t long").withColumn(
+            "ts", F.timestamp_millis(F.col("t"))
+        )
+        # 'ms' is OUR parser's spelling (Spark's interval parser rejects it):
+        # in the gap-pane branch it must work, not raise
+        n = df.groupBy(hop("ts", "10 ms", "5 ms").alias("w")).count().count()
+        assert n == 1  # ts=1000ms is inside pane [1000, 1005)
+        # compound durations pass through to Spark's own parser untouched
+        n2 = df.groupBy(hop("ts", "30 minutes", "1 hour 30 minutes").alias("w")).count().count()
+        assert n2 >= 1
+
+    def test_sql_frontend_having_scoping(self, spark):
+        # (a) a SUBQUERY's HAVING must not flip the outer GROUP BY's window
+        # call to the bare attribute form; (b) 'HAVING' inside a string
+        # literal must not hide the real top-level HAVING
+        from flink_1_6_0_spark.plans.sql_frontend import rewrite_flink_sql
+
+        spark.createDataFrame(
+            [(1, 1000, "x HAVING fun"), (1, 2000, "y"), (2, 2500, "z")],
+            "a int, t long, c string",
+        ).withColumn("rowtime", F.timestamp_millis(F.col("t"))).createOrReplaceTempView("TT")
+
+        inner_having = rewrite_flink_sql(
+            "SELECT cnt, COUNT(*) AS n FROM "
+            " (SELECT a, COUNT(*) AS cnt FROM TT GROUP BY a HAVING COUNT(*) >= 1) x "
+            " JOIN TT USING (a) "
+            "GROUP BY TUMBLE(rowtime, INTERVAL '5' SECOND), cnt"
+        )
+        assert "window(rowtime" in inner_having  # NOT the bare form
+        assert spark.sql(inner_having).count() >= 1
+
+        literal_having = rewrite_flink_sql(
+            "SELECT c, COUNT(*) AS n, "
+            " TUMBLE_END(rowtime, INTERVAL '5' SECOND) AS we "
+            "FROM TT WHERE c <> 'x HAVING fun' "
+            "GROUP BY TUMBLE(rowtime, INTERVAL '5' SECOND), c "
+            "HAVING TUMBLE_START(rowtime, INTERVAL '5' SECOND) >= TIMESTAMP '1970-01-01'"
+        )
+        assert spark.sql(literal_having).count() == 2
