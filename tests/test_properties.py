@@ -1104,3 +1104,77 @@ def test_floor_unit_conversion_recovers_exact_scaled_integers(cents, disc_c, tax
     assert math.floor(price * 100 + 0.5) == cents
     assert math.floor(price * (1 - disc) * 10_000 + 0.5) == want_dp
     assert math.floor(price * (1 - disc) * (1 + tax) * 1_000_000 + 0.5) == want_ch
+
+
+@given(
+    ts=st.lists(st.integers(min_value=-2000, max_value=2000), min_size=1, max_size=40),
+    slide=st.integers(min_value=2, max_value=50),
+    size=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=60, deadline=None)
+def test_gap_pane_hop_matches_assigner_reference(spark, ts, slide, size):
+    """operators.windows.hop for slide > size (the gap-pane branch) assigns
+    exactly the windows Flink's SlidingEventTimeWindows would: epoch-aligned
+    start = floor(t/slide)*slide, member iff t < start + size; in-gap
+    elements get NO window. Reference implementation in plain Python,
+    compared per element (incl. negative timestamps)."""
+    import math
+
+    from hypothesis import assume
+    from pyspark.sql import functions as F
+
+    from flink_1_6_0_spark.operators.windows import hop
+
+    assume(slide > size)
+    df = spark.createDataFrame([(t,) for t in ts], "t long").withColumn(
+        "ts", F.timestamp_millis(F.col("t"))
+    )
+    out = df.select(
+        "t",
+        F.unix_millis(hop("ts", f"{slide} ms", f"{size} ms")["start"]).alias("ws"),
+        F.unix_millis(hop("ts", f"{slide} ms", f"{size} ms")["end"]).alias("we"),
+    )
+    got = {
+        (r["t"], None if r["ws"] is None else (r["ws"], r["we"]))
+        for r in out.collect()
+    }
+    expected = set()
+    for t in ts:
+        start = math.floor(t / slide) * slide
+        expected.add((t, (start, start + size) if t < start + size else None))
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_combine_group_then_reduce_equals_direct_group_by(spark, rows):
+    """combine_group (partial, per-batch) chained into the final groupBy is
+    EXACTLY groupBy().sum() over the raw rows — for any partitioning, any
+    key skew, and NULL keys (the review-finding regression, generalized)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_1_6_0_spark.operators.aggregations import combine_group
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k int, v long"
+    ).repartition(4)
+
+    def comb(pdf):
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "v": [int(pdf["v"].sum())]})
+
+    partial = combine_group(df, ["k"], comb, "k int, v long")
+    chained = {
+        (r["k"], r["v"])
+        for r in partial.groupBy("k").agg(F.sum("v").alias("v")).collect()
+    }
+    direct = {
+        (r["k"], r["v"]) for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()
+    }
+    assert chained == direct
