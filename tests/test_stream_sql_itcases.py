@@ -1061,3 +1061,70 @@ class TestTableGroupWindow:
         assert _win_rows(out, spark) == sorted([
             ("Hallo", 1, 0, 3), ("Hi", 1, 0, 3), (None, 1, 30, 33),
         ], key=str)
+
+
+# ---------------------------------------------------------------------------
+# stream/table/CorrelateITCase.scala — table functions (UDTF) joined through
+# operators.correlate.join_lateral. TableFunc0 splits 'name#age' into
+# (name, age) and emits NOTHING for strings without '#'.
+# ---------------------------------------------------------------------------
+
+CORRELATE_DATA = [(1, 1, "Jack#22"), (2, 2, "John#19"), (3, 2, "Anna#44"), (4, 3, "nosharp")]
+
+
+def _func0(col):
+    """TableFunc0: 0-or-1 rows of struct(name, age)."""
+    parts = F.split(col, "#")
+    return F.when(
+        col.contains("#"),
+        F.array(F.struct(parts[0].alias("d"), parts[1].cast("int").alias("e"))),
+    ).otherwise(F.array().cast("array<struct<d:string, e:int>>"))
+
+
+class TestStreamCorrelate:
+    def test_cross_join(self, spark):
+        # CorrelateITCase.scala:47 — two chained UDTFs + a filter
+        from flink_1_6_0_spark.operators.correlate import join_lateral
+
+        t = spark.createDataFrame(CORRELATE_DATA, "a int, b long, c string")
+        one = join_lateral(t, _func0(F.col("c")), ["d", "e"], keep=["c"])
+        res = one.filter(F.col("e") > 20).select("c", F.col("d").alias("name"), F.col("e").alias("age"))
+        same(res, [("Jack#22", "Jack", 22), ("Anna#44", "Anna", 44)])
+
+    def test_left_outer_join_without_predicates(self, spark):
+        # CorrelateITCase.scala:68 — non-matching rows survive null-padded
+        from flink_1_6_0_spark.operators.correlate import join_lateral
+
+        t = spark.createDataFrame(CORRELATE_DATA, "a int, b long, c string")
+        res = join_lateral(t, _func0(F.col("c")), ["d", "e"], keep=["c"], outer=True)
+        same(
+            res,
+            [("nosharp", None, None), ("Jack#22", "Jack", 22),
+             ("John#19", "John", 19), ("Anna#44", "Anna", 44)],
+        )
+
+    def test_udtf_with_scalar_function(self, spark):
+        # CorrelateITCase.scala:108 — Func18(d, "J"): keep names starting 'J'
+        from flink_1_6_0_spark.operators.correlate import join_lateral
+
+        t = spark.createDataFrame(CORRELATE_DATA, "a int, b long, c string")
+        res = (
+            join_lateral(t, _func0(F.col("c")), ["d", "e"], keep=["c"])
+            .filter(F.col("d").startswith("J"))
+        )
+        same(res, [("Jack#22", "Jack", 22), ("John#19", "John", 19)])
+
+    def test_udtf_with_parameter(self, spark):
+        # CorrelateITCase.scala:126 — RichTableFunc1 splits on the job
+        # parameter ' ' and (per its impl) emits nothing for single-word
+        # strings; only 'Hello world' fans out
+        from flink_1_6_0_spark.operators.correlate import join_lateral
+        from tests.test_dataset_itcases import ROWS3
+
+        t = spark.createDataFrame(ROWS3[:3], "a int, b long, c string")
+        words = F.when(
+            F.col("c").contains(" "),
+            F.transform(F.split(F.col("c"), " "), lambda w: F.struct(w.alias("s"))),
+        ).otherwise(F.array().cast("array<struct<s:string>>"))
+        res = join_lateral(t, words, ["s"], keep=["a"])
+        same(res, [(3, "Hello"), (3, "world")])
