@@ -1128,3 +1128,53 @@ class TestStreamCorrelate:
         ).otherwise(F.array().cast("array<struct<s:string>>"))
         res = join_lateral(t, words, ["s"], keep=["a"])
         same(res, [(3, "Hello"), (3, "world")])
+
+
+# ---------------------------------------------------------------------------
+# stream/sql/SetOperatorsITCase.scala — uncorrelated IN / NOT IN subqueries
+# on streams: the retract-stream finals equal the batch semi/anti joins.
+# ---------------------------------------------------------------------------
+
+SET_A = [(1, 1, "Hello"), (2, 2, "Hello"), (3, 3, "Hello World"), (4, 4, "Hello")]
+
+
+class TestStreamSetOperators:
+    def test_in_uncorrelated_with_condition_and_agg(self, spark):
+        # SetOperatorsITCase.scala:33 — IN over an aggregated, HAVING-filtered
+        # subquery (values must unify across groups: SUM over y='Hanoi' is 2,
+        # over 'Hanoi-1' is 3)
+        spark.createDataFrame(SET_A, "a int, b long, c string").createOrReplaceTempView("tableA")
+        spark.createDataFrame(
+            [(1, "hello"), (1, "Hanoi"), (1, "Hanoi"), (2, "Hanoi-1"),
+             (2, "Hanoi-1"), (-1, "Hanoi-1")],
+            "x int, y string",
+        ).createOrReplaceTempView("tableB")
+        res = spark.sql(
+            "SELECT * FROM tableA WHERE a IN "
+            " (SELECT SUM(x) FROM tableB GROUP BY y HAVING y LIKE '%Hanoi%')"
+        )
+        same(res, [(2, 2, "Hello"), (3, 3, "Hello World")])
+
+    def test_in_with_multi_uncorrelated_condition(self, spark):
+        # SetOperatorsITCase.scala:78 — two independent IN subqueries AND-ed
+        spark.createDataFrame(SET_A, "a int, b long, c string").createOrReplaceTempView("tableA")
+        spark.createDataFrame(
+            [(1, "hello"), (2, "co-hello"), (4, "hello")], "x int, y string"
+        ).createOrReplaceTempView("tableB")
+        spark.createDataFrame(
+            [(1, "Joker"), (1, "Sanity"), (2, "Cool")], "w long, z string"
+        ).createOrReplaceTempView("tableC")
+        res = spark.sql(
+            "SELECT * FROM tableA WHERE a IN (SELECT x FROM tableB) "
+            "AND b IN (SELECT w FROM tableC)"
+        )
+        same(res, [(1, 1, "Hello"), (2, 2, "Hello")])
+
+    def test_not_in_uncorrelated(self, spark):
+        # SetOperatorsITCase.scala:130 — NOT IN → null-aware anti join
+        spark.createDataFrame(SET_A, "a int, b long, c string").createOrReplaceTempView("tableA")
+        spark.createDataFrame(
+            [(1, "hello"), (2, "co-hello"), (4, "hello")], "x int, y string"
+        ).createOrReplaceTempView("tableB")
+        res = spark.sql("SELECT * FROM tableA WHERE a NOT IN (SELECT x FROM tableB)")
+        same(res, [(3, 3, "Hello World")])
