@@ -1717,3 +1717,101 @@ class TestReviewRegressions:
             "HAVING TUMBLE_START(rowtime, INTERVAL '5' SECOND) >= TIMESTAMP '1970-01-01'"
         )
         assert spark.sql(literal_having).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Example-program ITCases: KMeansITCase (testdata/KMeansData.java — 100
+# 3-d points, 7 given centers, 20 Lloyd iterations, centers rounded to one
+# decimal) and ConnectedComponentsITCase (odd/even components).
+# ---------------------------------------------------------------------------
+
+KMEANS_POINTS = """0|50.90|16.20|72.08|
+1|73.65|61.76|62.89|2|61.73|49.95|92.74|3|1.60|70.11|16.32|4|2.43|19.81|89.56|5|67.99|9.00|14.48|6|87.80|84.49|55.83|7|90.26|42.99|53.29|8|51.36|6.16|9.35|9|12.43|9.52|12.54|10|80.01|8.78|29.74|11|92.76|2.93|80.07|12|46.32|100.00|22.98|13|34.11|45.61|58.60|14|68.82|16.36|96.60|15|81.47|76.45|28.40|16|65.55|40.21|43.43|17|84.22|88.56|13.31|18|36.99|68.36|57.12|19|28.87|37.69|91.04|20|31.56|13.22|86.00|21|18.49|34.45|54.52|22|13.33|94.02|92.07|23|91.19|81.62|55.06|24|85.78|39.02|25.58|25|94.41|47.07|78.23|26|90.62|10.43|80.20|27|31.52|85.81|39.79|28|24.65|77.98|26.35|29|69.34|75.79|63.96|30|22.56|78.61|66.66|31|91.74|83.82|73.92|32|76.64|89.53|44.66|33|36.02|73.01|92.32|34|87.86|18.94|10.74|35|91.94|34.61|5.20|36|12.52|47.01|95.29|37|44.01|26.19|78.50|38|26.20|73.36|10.08|39|15.21|17.37|54.33|40|27.96|94.81|44.41|41|26.44|44.81|70.88|42|53.29|26.69|2.40|43|23.94|11.50|1.71|44|19.00|25.48|50.80|45|82.26|1.88|58.08|46|47.56|82.54|82.73|47|51.54|35.10|32.95|48|86.71|55.51|19.08|49|54.16|23.68|32.41|50|71.81|32.83|46.66|51|20.70|14.19|64.96|52|57.17|88.56|55.23|53|91.39|49.38|70.55|54|47.90|62.07|76.03|55|55.70|37.77|30.15|56|87.87|74.62|25.95|57|95.70|45.04|15.27|58|41.61|89.37|24.45|59|82.19|20.84|11.13|60|49.88|2.62|18.62|61|16.42|53.30|74.13|62|38.37|72.62|35.16|63|43.26|49.59|92.56|64|28.96|2.36|78.49|65|88.41|91.43|92.55|66|98.61|79.58|33.03|67|4.94|18.65|30.78|68|75.89|79.30|63.90|69|93.18|76.26|9.50|70|73.43|70.50|76.49|71|78.64|90.87|34.49|72|58.47|63.07|8.82|73|69.74|54.36|64.43|74|38.47|36.60|33.39|75|51.07|14.75|2.54|76|24.18|16.85|15.00|77|7.56|50.72|93.45|78|64.28|97.01|57.31|79|85.30|24.13|76.57|80|72.78|30.78|13.11|81|18.42|17.45|32.20|82|87.44|74.98|87.90|83|38.30|17.77|37.33|84|63.62|7.90|34.23|85|8.84|67.87|30.65|86|76.12|51.83|80.12|87|32.30|74.79|4.39|88|41.73|45.34|18.66|89|58.13|18.43|83.38|90|98.10|33.46|83.07|91|17.76|4.10|88.51|92|60.58|18.15|59.96|93|50.11|33.25|85.64|94|97.74|60.93|38.97|95|76.31|52.50|95.43|96|7.71|85.85|36.26|97|9.32|72.21|42.17|98|71.29|51.88|57.62|99|31.39|7.27|88.74|"""
+
+KMEANS_CENTERS = [
+    (0, 1.96, 65.04, 20.82), (1, 53.99, 84.23, 81.59), (2, 97.28, 74.50, 40.32),
+    (3, 63.57, 24.53, 87.07), (4, 28.10, 43.27, 86.53), (5, 99.51, 62.70, 64.48),
+    (6, 30.31, 30.36, 80.46),
+]
+
+KMEANS_EXPECTED_20 = [
+    (0, 38.3, 54.5, 19.3), (1, 32.1, 83.0, 50.4), (2, 87.5, 56.6, 20.3),
+    (3, 75.4, 18.6, 67.5), (4, 24.9, 29.2, 77.6), (5, 78.7, 66.1, 70.8),
+    (6, 39.5, 14.0, 18.7),
+]
+
+
+def test_kmeans_itcase_20_iterations(spark):
+    """KMeansITCase — 20 Lloyd iterations from the given centers over the
+    100-point fixture reproduce CENTERS_AFTER_20_ITERATIONS_SINGLE_DIGIT.
+    The loop runs through operators.iterations.iterate; each step is a
+    broadcast cross join (points x 7 centers), argmin by squared L2, and a
+    mean update — the reference KMeans example's exact dataflow."""
+    from flink_1_6_0_spark.operators.iterations import iterate
+
+    pts_rows = []
+    for part in KMEANS_POINTS.replace("\n", "").split("|"):
+        pts_rows.append(part)
+    fields = [p for p in pts_rows if p != ""]
+    pts = [
+        (int(fields[i]), float(fields[i + 1]), float(fields[i + 2]), float(fields[i + 3]))
+        for i in range(0, len(fields), 4)
+    ]
+    assert len(pts) == 100
+    points = spark.createDataFrame(pts, "pid int, x double, y double, z double")
+    centers0 = spark.createDataFrame(KMEANS_CENTERS, "cid int, cx double, cy double, cz double")
+
+    def step(centers):
+        d2 = (
+            (F.col("x") - F.col("cx")) ** 2
+            + (F.col("y") - F.col("cy")) ** 2
+            + (F.col("z") - F.col("cz")) ** 2
+        )
+        assigned = (
+            points.join(F.broadcast(centers))
+            .withColumn("d2", d2)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                    .partitionBy("pid").orderBy("d2", "cid")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+        )
+        return assigned.groupBy("cid").agg(
+            F.avg("x").alias("cx"), F.avg("y").alias("cy"), F.avg("z").alias("cz")
+        )
+
+    final = iterate(centers0, step, max_iterations=20)
+    got = sorted(
+        (r["cid"], round(r["cx"], 1), round(r["cy"], 1), round(r["cz"], 1))
+        for r in final.collect()
+    )
+    assert got == KMEANS_EXPECTED_20
+
+
+def test_connected_components_itcase_odd_even(spark):
+    """ConnectedComponentsITCase — the odd/even graph: linear chains i-2 -> i
+    keep parities connected; extra random same-parity edges shrink the
+    diameter (reference: getRandomOddEvenEdges). Every odd vertex must land
+    in component 1, every even vertex in component 2."""
+    import random
+
+    from flink_1_6_0_spark.operators.graph import connected_components
+
+    n, extra = 1000, 9000
+    edges = [(i - 2, i) for i in range(3, n + 1)]
+    rnd = random.Random(0xBADC0FFE)
+    while len(edges) < extra:
+        a = rnd.randrange(1, n + 1)
+        b = rnd.randrange(1, n + 1)
+        if (a - b) % 2 == 0 and a != b:
+            edges.append((a, b))
+    vertices = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = connected_components(vertices, edf, max_iterations=30)
+    bad = res.filter(
+        (F.col("component") != F.when(F.col("id") % 2 == 1, 1).otherwise(2))
+    ).count()
+    assert bad == 0
