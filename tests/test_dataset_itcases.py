@@ -1847,3 +1847,24 @@ def test_enum_triangles_itcase(spark):
     )
     got = sorted(tuple(r) for r in _enumerate_triangles(edges).select("a", "b", "c").collect())
     assert got == [(1, 2, 3), (1, 2, 5), (1, 3, 4), (3, 7, 8)]
+
+
+def test_transitive_closure_itcase_odd_even(spark):
+    """TransitiveClosureITCase (testdata/TransitiveClosureData.java) — over
+    the odd/even chain graph, every reachable (from, to) pair must share
+    parity, and within each parity chain every forward pair is reachable."""
+    from flink_1_6_0_spark.operators.graph import transitive_closure
+
+    n = 24  # 12-node parity chains: longest path 11 hops
+    edges = spark.createDataFrame(
+        [(i - 2, i) for i in range(3, n + 1)], "src long, dst long"
+    )
+    res = transitive_closure(edges, max_iterations=14)
+    pairs = {(r["src"], r["dst"]) for r in res.collect()}
+    assert all((a - b) % 2 == 0 for a, b in pairs)
+    expected = {
+        (a, b)
+        for a in range(1, n + 1)
+        for b in range(a + 2, n + 1, 2)
+    }
+    assert pairs == expected
