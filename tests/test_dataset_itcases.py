@@ -1868,3 +1868,115 @@ def test_transitive_closure_itcase_odd_even(spark):
         for b in range(a + 2, n + 1, 2)
     }
     assert pairs == expected
+
+
+class TestCoGroupJoinCompletion:
+    """Remaining portable tests of CoGroupITCase / OuterJoinITCase not in the
+    first batch: input-returning coGroups, broadcast-set coGroup, nested-key
+    full outer joins on POJOs, atomic-type full outer joins."""
+
+    def test_co_group_returns_left_input_objects(self, t3):
+        # CoGroupITCase.java:130 — emit the left group's rows for keys a <= 5
+        # (Tuple3ReturnLeft filters f0 < 6)
+        import pandas as pd
+
+        def fn(l, r):
+            keep = l[l["a"] < 6] if len(l) else l
+            return keep[["a", "b", "c"]] if len(keep) else pd.DataFrame({"a": [], "b": [], "c": []})
+
+        res = join_ops.co_group(t3, t3, ["a"], ["a"], fn, "a int, b long, c string")
+        same(
+            res,
+            [(1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world"),
+             (4, 3, "Hello world, how are you?"), (5, 3, "I am fine.")],
+        )
+
+    def test_co_group_returns_right_input_objects(self, t5):
+        # CoGroupITCase.java:153 — right group's rows for keys d < 4
+        import pandas as pd
+
+        def fn(l, r):
+            keep = r[r["d"] < 4] if len(r) else r
+            return keep[["d", "e", "f", "g", "h"]] if len(keep) else pd.DataFrame(
+                {"d": [], "e": [], "f": [], "g": [], "h": []}
+            )
+
+        res = join_ops.co_group(
+            t5, t5, ["d"], ["d"], fn, "d int, e long, f int, g string, h long"
+        )
+        same(
+            res,
+            [(1, 1, 0, "Hallo", 1), (2, 2, 1, "Hallo Welt", 2),
+             (2, 3, 2, "Hallo Welt wie", 1), (3, 4, 3, "Hallo Welt wie gehts?", 2),
+             (3, 5, 4, "ABC", 2), (3, 6, 5, "BCD", 3)],
+        )
+
+    def test_co_group_with_broadcast_set(self, t5, ints):
+        # CoGroupITCase.java:177 — (key, sum f2 both groups, broadcast sum 55)
+        import pandas as pd
+
+        bc = ints.agg(F.sum("v").cast("int").alias("bcsum"))
+
+        def fn(l, r):
+            key = l["d"].iloc[0] if len(l) else r["d"].iloc[0]
+            return pd.DataFrame({"k": [int(key)], "s": [int(l["f"].sum() + r["f"].sum())]})
+
+        res = join_ops.co_group(t5, t5, ["d"], ["d"], fn, "k int, s int").join(
+            F.broadcast(bc)
+        )
+        same(res, [(1, 0, 55), (2, 6, 55), (3, 24, 55), (4, 60, 55), (5, 120, 55)])
+
+    def _pojo_and_tuple7(self, spark):
+        pojo = spark.createDataFrame(
+            [(1, "First", (10, (100, 1000, "One")), (10000,)),
+             (2, "Second", (20, (200, 2000, "Two")), (20000,)),
+             (3, "Third", (30, (300, 3000, "Three")), (30000,))],
+            "number int, str string, "
+            "nestedTupleWithCustom struct<f0:int, f1:struct<myInt:int, myLong:long, myString:string>>, "
+            "nestedPojo struct<longNumber:long>",
+        )
+        tup = spark.createDataFrame(
+            [(1, "First", 10, 100, 1000, "One", 10000),
+             (2, "Second", 20, 200, 2000, "Two", 20000),
+             (3, "Third", 30, 300, 3000, "Three", 30000)],
+            "f0 int, f1 string, f2 int, f3 int, f4 long, f5 string, f6 long",
+        )
+        return pojo, tup
+
+    def test_full_outer_join_with_nested_key_expression(self, spark):
+        # OuterJoinITCase.java:378/:402 — full outer on nestedPojo.longNumber
+        # vs f6 (string- and position-selected keys are the same dataflow)
+        pojo, tup = self._pojo_and_tuple7(spark)
+        res = pojo.join(tup, pojo["nestedPojo.longNumber"] == tup.f6, "full").select(
+            "number", "f0"
+        )
+        same(res, [(1, 1), (2, 2), (3, 3)])
+
+    def test_full_outer_join_with_composite_key_expressions(self, spark):
+        # OuterJoinITCase.java:426 — three-part composite key
+        pojo, tup = self._pojo_and_tuple7(spark)
+        res = pojo.join(
+            tup,
+            (pojo["nestedPojo.longNumber"] == tup.f6)
+            & (pojo.number == tup.f0)
+            & (pojo.str == tup.f1),
+            "full",
+        ).select("str", "f1")
+        same(res, [("First", "First"), ("Second", "Second"), ("Third", "Third")])
+
+    def test_full_outer_join_with_atomic_type1(self, small3, spark):
+        # OuterJoinITCase.java:577 — tuple FULL OUTER atomic: unmatched left
+        # row null-pads on the atomic side
+        atomic = spark.createDataFrame([(1,), (2,)], "v int")
+        res = small3.join(atomic, small3.a == atomic.v, "full").select(
+            F.struct("a", "b", "c").alias("l"), "v"
+        )
+        same(res, [((1, 1, "Hi"), 1), ((2, 2, "Hello"), 2), ((3, 2, "Hello world"), None)])
+
+    def test_full_outer_join_with_atomic_type2(self, small3, spark):
+        # OuterJoinITCase.java:600 — atomic FULL OUTER tuple, mirrored
+        atomic = spark.createDataFrame([(1,), (2,)], "v int")
+        res = atomic.join(small3, atomic.v == small3.a, "full").select(
+            "v", F.struct("a", "b", "c").alias("r")
+        )
+        same(res, [(1, (1, 1, "Hi")), (2, (2, 2, "Hello")), (None, (3, 2, "Hello world"))])
