@@ -1980,3 +1980,54 @@ class TestCoGroupJoinCompletion:
             "v", F.struct("a", "b", "c").alias("r")
         )
         same(res, [(1, (1, 1, "Hi")), (2, (2, 2, "Hello")), (None, (3, 2, "Hello world"))])
+
+
+STRINGS = ["Hi", "Hello", "Hello world", "Hello world, how are you?",
+           "I am fine.", "Luke Skywalker", "Random comment", "LOL"]
+
+
+class TestMapFlatMap:
+    """Portable semantics tests of MapITCase / FlatMapITCase (the rest of
+    those suites assert JVM type-extraction plumbing)."""
+
+    def test_mapper_increment_and_reorder_fields(self, t3):
+        # MapITCase.java:259 — (f0+1, f2, f1)
+        res = t3.select((F.col("a") + 1).alias("a"), "c", "b")
+        same(res, [(a + 1, c, b) for (a, b, c) in ROWS3])
+
+    def test_map_with_broadcast_set(self, small3, ints):
+        # MapITCase.java:415 — add the broadcast sum (55) to f0
+        bc = ints.agg(F.sum("v").cast("int").alias("bcsum"))
+        res = small3.join(F.broadcast(bc)).select(
+            (F.col("a") + F.col("bcsum")).alias("a"), "b", "c"
+        )
+        same(res, [(56, 1, "Hi"), (57, 2, "Hello"), (58, 2, "Hello world")])
+
+    def test_non_passing_flat_map(self, spark):
+        # FlatMapITCase.java:49 — emit nothing for strings without "bananas"
+        ds = spark.createDataFrame([(s,) for s in STRINGS], "s string")
+        res = ds.select(
+            F.explode(
+                F.when(F.col("s").contains("bananas"), F.array(F.col("s")))
+                .otherwise(F.array().cast("array<string>"))
+            )
+        )
+        same(res, [])
+
+    def test_data_duplicating_flat_map(self, spark):
+        # FlatMapITCase.java:79 — each string emitted as-is and uppercased
+        ds = spark.createDataFrame([(s,) for s in STRINGS], "s string")
+        res = ds.select(F.explode(F.array(F.col("s"), F.upper("s"))).alias("s"))
+        same(res, [(s,) for s in STRINGS] + [(s.upper(),) for s in STRINGS])
+
+    def test_flat_map_with_varying_number_of_emitted_tuples(self, t3):
+        # FlatMapITCase.java:115 — each row emitted (f0 % 3) times
+        res = t3.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("a") % 3),
+                    lambda _: F.struct("a", "b", "c"),
+                )
+            ).alias("r")
+        ).select("r.*").filter(F.col("a") % 3 != 0)
+        same(res, [r for r in ROWS3 for _ in range(r[0] % 3)])
