@@ -16,7 +16,7 @@ same as Flink with retention disabled.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def continuous_group_agg(stream: DataFrame, keys: list[str | Column], aggs: list[Column]) -> DataFrame:
@@ -81,6 +81,7 @@ def chained_group_agg(
     downstream,
     state_dir: str,
     emit,
+    compact_every: int = 16,
 ):
     """Retraction chain: an unbounded groupBy().agg() feeding ANOTHER
     aggregation — Flink's "count the counts" pipeline
@@ -110,22 +111,63 @@ def chained_group_agg(
     (bytes per key, not rows); the merge shuffles only distinct first-level
     keys; downstream cost is bounded by first-level cardinality, which is
     what Flink's second GroupAggProcessFunction holds in state too. The
-    per-epoch partition layout should be compacted for long-running queries
-    (merge partials into a snapshot partition periodically) — state reads
-    grow with epoch count otherwise.
+    per-epoch partial layout is COMPACTED every ``compact_every`` epochs:
+    the merged table is folded into a snapshot partition (the negative
+    __epoch namespace) and subsumed partials reclaimed, so state reads stay
+    O(compact_every) partitions for arbitrarily long-running queries; every
+    crash/retry interleaving is safe because reads prefer the newest
+    snapshot and ignore anything it subsumes (deletion is space
+    reclamation, not correctness). ``compact_every=0`` disables.
 
     ``keys=[]`` gives the non-keyed first stage
     (RetractionITCase.scala:99 testNonKeyedGroupByAndGroupBy).
     Returns the DataStreamWriter (caller names/starts the query).
     """
+    import os
+    import shutil
+
     from flink_1_6_0_spark.streaming.nonwindow_join import _write_epoch
+
+    def _snapshot_epoch() -> int:
+        """Newest snapshot's epoch (snapshots live in the NEGATIVE partition
+        namespace: __epoch=-E holds the merged state as of epoch E), or -1."""
+        best = -1
+        for name in os.listdir(state_dir):
+            if name.startswith("__epoch=-"):
+                best = max(best, -int(name.split("=")[1]))
+        return best
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         part = (batch.groupBy(*keys) if keys else batch.groupBy()).agg(*partial_aggs)
         _write_epoch(part, state_dir, epoch_id)
-        state = spark.read.parquet(state_dir).drop("__epoch")
+        # Read rule: the newest snapshot (if any) plus only the partials
+        # NEWER than it — everything older is already folded into the
+        # snapshot. This keeps state reads O(compact_every) partitions and
+        # makes every crash/retry interleaving safe: stale partials or an
+        # older snapshot left behind by a partial compaction are simply
+        # ignored, never double-counted.
+        snap = _snapshot_epoch()
+        raw = spark.read.parquet(state_dir)
+        if snap >= 0:
+            raw = raw.filter((F.col("__epoch") == -snap) | (F.col("__epoch") > snap))
+        state = raw.drop("__epoch")
         merged = (state.groupBy(*keys) if keys else state.groupBy()).agg(*merge_aggs)
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0 and snap < epoch_id:
+            # COMPACTION: fold everything <= this epoch into snapshot -E
+            # (localCheckpoint severs the lineage from the files about to be
+            # reclaimed), THEN reclaim subsumed partials and older snapshots.
+            # A retry that crashed mid-reclaim re-runs against the already-
+            # written snapshot, which the read rule prefers — deletion is
+            # pure space reclamation, not correctness.
+            merged = merged.localCheckpoint()
+            _write_epoch(merged, state_dir, -epoch_id)
+            for name in os.listdir(state_dir):
+                if not name.startswith("__epoch="):
+                    continue
+                p = int(name.split("=")[1])
+                if (0 <= p <= epoch_id) or (p < 0 and p != -epoch_id):
+                    shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
         emit(downstream(merged), epoch_id)
 
     return stream.writeStream.foreachBatch(handle)

@@ -1794,3 +1794,62 @@ def test_side_output_all_window_late_arriving_events(spark, tmp_path):
         q.stop()
     assert sorted(late) == [3, 4]
     assert sorted(on_time) == [1, 2, 5]
+
+
+def test_retraction_chain_compaction_bounds_state(spark, tmp_path):
+    """chained_group_agg compaction: with compact_every=2 over 5 micro-
+    batches the state directory holds the newest snapshot plus at most
+    compact_every partial partitions — and every epoch's emitted table
+    still equals the batch agg-of-agg over the prefix (the read rule
+    prefers the snapshot and never double-counts)."""
+    import os
+
+    import pyspark.sql.functions as F
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.group_agg import chained_group_agg
+
+    src = str(tmp_path / "src")
+    for i in range(0, len(RETRACTION_WORDS), 2):
+        spark.createDataFrame(
+            RETRACTION_WORDS[i : i + 2], "word string, num int"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    snapshots = {}
+
+    def emit(df, epoch):
+        snapshots[epoch] = sorted(tuple(r) for r in df.collect())
+
+    state = str(tmp_path / "state")
+    q = (
+        chained_group_agg(
+            read_parquet_stream(spark, src),
+            ["word"],
+            [F.sum("num").alias("cnt")],
+            [F.sum("cnt").alias("cnt")],
+            lambda fl: fl.groupBy("cnt").agg(F.count("word").alias("frequency")),
+            state,
+            emit,
+            compact_every=2,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snapshots[max(snapshots)] == [(1, 2), (2, 1), (6, 1)]
+    for epoch in snapshots:
+        prefix = RETRACTION_WORDS[: 2 * (epoch + 1)]
+        counts = {}
+        for w, n in prefix:
+            counts[w] = counts.get(w, 0) + n
+        oracle = {}
+        for c in counts.values():
+            oracle[c] = oracle.get(c, 0) + 1
+        assert snapshots[epoch] == sorted(oracle.items()), f"epoch {epoch}"
+    parts = [p for p in os.listdir(state) if p.startswith("__epoch=")]
+    partials = [p for p in parts if not p.startswith("__epoch=-")]
+    snaps = [p for p in parts if p.startswith("__epoch=-")]
+    assert len(snaps) == 1 and snaps[0] == "__epoch=-4"
+    assert all(int(p.split("=")[1]) > 4 for p in partials)  # only post-snapshot partials remain
