@@ -124,16 +124,22 @@ def iterate_with_aggregator(
             state = _checkpoint(state, checkpoint_mode)
         # the aggregate is an ACTION every superstep: cache the state first
         # so superstep i's work runs once, not once for the aggregate and
-        # again inside superstep i+1's lineage (review finding); the
-        # previous superstep's cache drains as soon as the new one is built
+        # again inside superstep i+1's lineage (review finding). persist()
+        # is lazy — the previous superstep's cache must stay alive until
+        # the aggregator action has MATERIALIZED the new one, else step i
+        # re-derives state i-1 from lineage; drain it only afterwards.
         state = state.persist()
+        agg_row = aggregator(state).first()
         if cached is not None:
             cached.unpersist()
         cached = state
-        agg_row = aggregator(state).first()
         if convergence_fn(i, agg_row):
-            return state
+            break
         prev_agg = agg_row
+    # The returned DataFrame stays persisted on purpose: the aggregator
+    # action already materialized it, so the caller's first action is a
+    # cache read instead of a full re-run of the last lineage segment.
+    # Callers that are done with it should .unpersist() it themselves.
     return state
 
 

@@ -52,9 +52,13 @@ def _duration_ms(s: str) -> int | None:
     if unit not in _UNIT_MS:
         return None
     try:
-        return int(round(float(n) * _UNIT_MS[unit]))
+        ms = int(round(float(n) * _UNIT_MS[unit]))
     except ValueError:
         return None
+    # a sub-millisecond duration rounds to 0 here — treat it as unparseable
+    # so Spark's own duration parser rejects it loudly instead of the
+    # gap-pane branch building a zero-length window that NULLs every row
+    return ms if ms > 0 else None
 
 
 def hop(ts: str | Column, slide: str, size: str) -> Column:

@@ -216,6 +216,12 @@ def resize_box(data: bytes, fx: int = 2, fy: int = 2) -> bytes:
     the convolutional downsample convention."""
     magic, w, h, maxval, channels, body = _netpbm_header(data)
     nw, nh = w // fx, h // fy
+    if nw == 0 or nh == 0:
+        # an image smaller than one box would silently encode a 0-dim netpbm
+        # that a later decode divides by zero on — fail at the cause instead
+        raise ValueError(
+            f"image {w}x{h} smaller than one {fx}x{fy} box — resize would be empty"
+        )
     px = data[body : body + w * h * channels]
     if len(px) != w * h * channels:
         raise ValueError("truncated pixel data")

@@ -34,6 +34,19 @@ def _interval_to_duration(expr: str) -> str:
     return f"{n} {unit}" + ("" if unit.endswith("s") else "s" if float(n) != 1 else "")
 
 
+# A SQL string literal, including the '' escape for an embedded quote —
+# simple quote PARITY miscounts 'it''s' as two literals (review finding).
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(sql: str) -> str:
+    """Replace every single-quoted literal with spaces of the same length.
+
+    Offsets are preserved, so positions found in the masked text index the
+    original; quotes, parens and keywords inside literals become data."""
+    return _LITERAL_RE.sub(lambda m: " " * len(m.group()), sql)
+
+
 def _split_args(argstr: str) -> list[str]:
     """Split a call's argument list on top-level commas."""
     out, depth, cur = [], 0, []
@@ -61,33 +74,32 @@ _CALL_RE = re.compile(
 )
 
 
-def _find_call(sql: str, start: int):
+def _find_call(sql: str, start: int, masked: str | None = None):
     """Find the next Flink group-window call; return (name, args, span).
 
     Same guards as the LATERAL rewriter: matches inside single-quoted
-    string literals are data, not syntax, and an unbalanced paren scan
-    raises instead of silently rewriting a truncated span."""
-    pos = start
-    while True:
-        m = _CALL_RE.search(sql, pos)
-        if not m:
-            return None
-        if sql.count("'", 0, m.start()) % 2 == 1:  # inside a string literal
-            pos = m.end()
-            continue
-        depth, i = 1, m.end()
-        while i < len(sql) and depth:
-            if sql[i] == "(":
-                depth += 1
-            elif sql[i] == ")":
-                depth -= 1
-            i += 1
-        if depth:
-            raise ValueError(
-                f"unbalanced parentheses in group-window call at offset {m.start()}: "
-                f"{sql[m.start():m.start() + 60]!r}"
-            )
-        return m.group(1).upper(), sql[m.end() : i - 1], (m.start(), i)
+    string literals are data, not syntax (the search and the paren scan run
+    over the literal-masked text; argument text is sliced from the
+    original), and an unbalanced paren scan raises instead of silently
+    rewriting a truncated span."""
+    if masked is None:
+        masked = _mask_literals(sql)
+    m = _CALL_RE.search(masked, start)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(masked) and depth:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(
+            f"unbalanced parentheses in group-window call at offset {m.start()}: "
+            f"{sql[m.start():m.start() + 60]!r}"
+        )
+    return m.group(1).upper(), sql[m.end() : i - 1], (m.start(), i)
 
 
 def _render(name: str, args: list[str], bare: bool = False) -> str:
@@ -137,19 +149,18 @@ def _rewrite_lateral_table(sql: str) -> str:
     ADVICE)."""
     pos = 0
     while True:
-        m = _LATERAL_TABLE_RE.search(sql, pos)
+        # a match inside a single-quoted literal is data, not syntax — search
+        # and paren-scan the literal-masked text (recomputed per rewrite
+        # since sql mutates); slice the rewritten text from the original
+        masked = _mask_literals(sql)
+        m = _LATERAL_TABLE_RE.search(masked, pos)
         if not m:
             return sql
-        # a match inside a single-quoted literal is data, not syntax: an odd
-        # number of preceding unescaped quotes means we're inside one
-        if sql.count("'", 0, m.start()) % 2 == 1:
-            pos = m.end()
-            continue
         depth, i = 1, m.end()
-        while i < len(sql) and depth:
-            if sql[i] == "(":
+        while i < len(masked) and depth:
+            if masked[i] == "(":
                 depth += 1
-            elif sql[i] == ")":
+            elif masked[i] == ")":
                 depth -= 1
             i += 1
         if depth:
@@ -172,27 +183,40 @@ def rewrite_flink_sql(sql: str) -> str:
     sql = _rewrite_lateral_table(sql)
     # Accessors after the OUTER query's HAVING run post-aggregate: reference
     # the grouped window attribute instead of re-computing window(ts, ...).
-    # Only a HAVING at paren depth 0 and outside string literals counts —
-    # a subquery's HAVING must not flip later top-level window calls to the
-    # bare form, and a literal containing the word must be ignored entirely
-    # (review finding: the first-match quote-parity check got both wrong).
-    having_at = None
-    for m in re.finditer(r"\bHAVING\b", sql, re.IGNORECASE):
-        prefix = sql[: m.start()]
-        if prefix.count("'") % 2 == 1:
-            continue  # inside a string literal
-        clean = re.sub(r"'[^']*'", "''", prefix)  # parens in literals are data
-        if clean.count("(") - clean.count(")") != 0:
-            continue  # inside a subquery
-        having_at = m.start()  # last top-level HAVING wins
+    # Scoping rules (review findings across r3/r11/r12): only a HAVING at
+    # paren depth 0 in the literal-masked text counts; a call is rendered
+    # bare only when it is itself at depth 0 (a subquery nested inside the
+    # HAVING opens a fresh scope with its own time column) and no top-level
+    # set operator (UNION/INTERSECT/EXCEPT — a new SELECT scope) sits
+    # between the governing HAVING and the call.
+    masked = _mask_literals(sql)
+
+    def _depth0(pattern: str) -> list[int]:
+        hits = []
+        for m in re.finditer(pattern, masked, re.IGNORECASE):
+            pre = masked[: m.start()]
+            if pre.count("(") == pre.count(")"):
+                hits.append(m.start())
+        return hits
+
+    havings = _depth0(r"\bHAVING\b")
+    setops = _depth0(r"\b(?:UNION|INTERSECT|EXCEPT)\b")
+
+    def _is_bare(s: int) -> bool:
+        pre = masked[:s]
+        if pre.count("(") != pre.count(")"):
+            return False  # the call sits inside a subquery scope
+        h = max((p for p in havings if p < s), default=None)
+        return h is not None and not any(h < p < s for p in setops)
+
     out, pos = [], 0
     while True:
-        hit = _find_call(sql, pos)
+        hit = _find_call(sql, pos, masked)
         if hit is None:
             out.append(sql[pos:])
             break
         name, argstr, (s, e) = hit
         out.append(sql[pos:s])
-        out.append(_render(name, _split_args(argstr), bare=having_at is not None and s > having_at))
+        out.append(_render(name, _split_args(argstr), bare=_is_bare(s)))
         pos = e
     return "".join(out)

@@ -117,3 +117,55 @@ def test_group_window_rewriter_guards():
     assert rewrite_flink_sql(sql) == sql
     with pytest.raises(ValueError, match="unbalanced"):
         rewrite_flink_sql("SELECT TUMBLE(ts, INTERVAL '1' HOUR FROM t")
+
+
+def test_having_scope_rules():
+    """Bare-window rendering is scoped (round-12 ADVICE): a HAVING only
+    affects calls in ITS select scope — not a subquery nested inside the
+    HAVING, not a later UNION branch — and SQL-escaped quotes ('') inside
+    literals don't flip the literal mask."""
+    # accessor after a top-level HAVING: bare grouping attribute
+    sql = (
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS s FROM t "
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) HAVING count(*) > 1 "
+        "ORDER BY TUMBLE_START(ts, INTERVAL '1' HOUR)"
+    )
+    out = rewrite_flink_sql(sql)
+    assert out.endswith("ORDER BY window.start")
+    assert "GROUP BY window(ts, '1 hour')" in out
+
+    # a group window inside a subquery nested in the HAVING opens a fresh
+    # scope: it must render the full window(ts, ...) call, not bare
+    sql = (
+        "SELECT count(*) AS c FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) "
+        "HAVING count(*) > (SELECT max(n) FROM u GROUP BY TUMBLE(ts2, INTERVAL '5' MINUTE))"
+    )
+    out = rewrite_flink_sql(sql)
+    assert "GROUP BY window(ts2, '5 minutes')" in out
+
+    # a later UNION branch is a new SELECT scope: its GROUP BY window is full
+    sql = (
+        "SELECT count(*) FROM a GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) HAVING count(*) > 1 "
+        "UNION ALL SELECT count(*) FROM b GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    out = rewrite_flink_sql(sql)
+    assert out.count("window(ts, '1 hour')") == 2
+
+    # doubled-quote escape inside a literal must not flip the mask: the
+    # HAVING here is real and the trailing accessor renders bare
+    sql = (
+        "SELECT count(*) FROM t WHERE note <> 'it''s HAVING time' "
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) HAVING count(*) > 0 "
+        "ORDER BY TUMBLE_END(ts, INTERVAL '1' HOUR)"
+    )
+    out = rewrite_flink_sql(sql)
+    assert out.endswith("ORDER BY window.end")
+    assert "'it''s HAVING time'" in out
+
+    # ...and a fake HAVING that lives only inside a literal must NOT make
+    # later calls bare
+    sql = (
+        "SELECT count(*) FROM t WHERE note = 'HAVING' "
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert "window(ts, '1 hour')" in rewrite_flink_sql(sql)
