@@ -291,7 +291,13 @@ def _dup_shingle_positions(
     - ``small_data=True`` keeps the old single-pass form (min/max over a
       hash-partitioned window, no persist) — fine when every distinct
       shingle's occurrence list fits one task, wrong at corpus scale
-      (round-4 verdict #2)."""
+      (round-4 verdict #2).
+    - no df_cap here (unlike ``ngram_jaccard_pairs``): there is no
+      pair-producing self-join, so a hot shingle is linear, not quadratic —
+      the groupBy combines map-side and the join-back is a semi-join whose
+      skewed probe partitions AQE splits; and a shingle in ~every doc IS
+      the duplication signal this kernel exists to find, so dropping it
+      would be wrong, not just lossy."""
     from pyspark.sql import Window
 
     pre = df.select(
@@ -455,12 +461,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets for all pairs sharing ≥1
     shingle. Inverted-index self-join: |A∩B| from common-shingle counts,
-    |A∪B| = |A|+|B|-|A∩B|. Shuffles on shingle then on pair — never O(n²)."""
+    |A∪B| = |A|+|B|-|A∩B|. Shuffles on shingle then on pair — never O(n²)
+    across documents.
+
+    ``df_cap`` is the document-frequency ceiling on the inverted index
+    (round-11 verdict): a boilerplate shingle present in ~every document
+    ("all rights reserved") makes ITS join key quadratic — a posting list
+    of d docs yields d² candidate rows regardless of how rare the other
+    shingles are. Shingles in more than ``df_cap`` documents are dropped
+    BEFORE the self-join, and document sizes are recomputed over the capped
+    shingle universe, so the returned value is the exact Jaccard of the
+    capped sets (both |A∩B| and |A∪B| lose the same ubiquitous elements —
+    near-boilerplate pairs keep their score instead of being inflated by
+    shared stop-shingles). At 100 TB a df_cap in the low thousands bounds
+    every posting list, hence every join partition. None = uncapped."""
     sh = shingle_rows(df, id_col, text_col, k).withColumnRenamed("s", "shingle")
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))  # shingle_rows dedupes per doc
+            .filter(F.col("__df") > df_cap)
+            .select("shingle")
+        )
+        # anti-join against the hot-shingle list — usually tiny (boilerplate),
+        # so AQE broadcasts it; worst case it's ≤ N_postings/df_cap rows and
+        # AQE falls back to a shuffled anti-join, still never quadratic
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("x")

@@ -904,3 +904,32 @@ def test_bpe_segment_blank_text_empty(spark):
     got = [r["s"] for r in df.select(bpe_segment("t", []).alias("s")).collect()]
     assert got[0] == [] and got[1] == []
     assert got[2] == ["a", "b", "</w>"]
+
+
+def test_ngram_jaccard_df_cap_kills_stopword_quadratic_pairs(spark):
+    """Round-12 verdict task 2: a boilerplate shingle present in EVERY doc
+    must not produce a quadratic pair set once df_cap is below the corpus
+    size — and the capped Jaccard equals the exact Jaccard of the capped
+    shingle sets (the hot shingle leaves numerator and denominator alike)."""
+    from flink_1_6_0_spark.pipeline import dedup as dd
+
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} unique{i} tail{i} end{i}") for i in range(20)]
+    # two genuinely similar docs sharing real content beyond the boilerplate
+    rows += [(100, f"{boiler} lorem ipsum dolor sit amet"),
+             (101, f"{boiler} lorem ipsum dolor sit amet xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dd.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.01)
+    capped = dd.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.01, df_cap=5)
+
+    # uncapped: every pair shares the boilerplate 3-gram -> quadratic (231 pairs)
+    assert uncapped.count() == 22 * 21 // 2
+    got = {(r.a, r.b): r.jaccard for r in capped.collect()}
+    # capped: only the lorem-ipsum pair survives; 'all rights reserved' (df=22)
+    # is gone, so the unique{i} docs share nothing
+    assert set(got) == {(100, 101)}
+    # exact Jaccard of the capped sets: doc100 keeps 5 non-boiler shingles
+    # ("rights reserved lorem" ... "dolor sit amet"), doc101 keeps 6,
+    # common 5 -> 5 / (5 + 6 - 5) = 5/6
+    assert abs(got[(100, 101)] - round(5 / 6, 6)) < 1e-6
