@@ -635,3 +635,56 @@ def stream_multibatch_retract_chain(spark: SparkSession, sf_dir: str) -> DataFra
     if len(progress) < 3:
         raise AssertionError(f"expected >= 3 non-empty micro-batches, got {len(progress)}")
     return spark.createDataFrame(final["rows"], "n_events long, n_users long")
+
+
+@query(
+    "stream_cep_comparator",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, date_trunc('hour', ts) AS tsh, value, event_type
+               FROM events WHERE event_type IN ('view', 'click')),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT v.user_id, v.event_id AS view_id, bc.event_id AS click_id
+    FROM v, LATERAL (
+      SELECT c.event_id FROM e c
+      WHERE c.event_type = 'click' AND c.user_id = v.user_id
+        AND [epoch_us(c.tsh), c.value, c.event_id::DOUBLE]
+            > [epoch_us(v.tsh), v.value, v.event_id::DOUBLE]
+        AND c.tsh < v.tsh + INTERVAL 24 HOUR
+      ORDER BY c.tsh, c.value, c.event_id LIMIT 1) bc
+    """,
+    tags=("streaming", "lake", "cep"),
+)
+def stream_cep_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EventComparator (CEP.java:51 — r12 lifts the former
+    batch-only restriction): event times are TRUNCATED to the hour so
+    same-timestamp collisions are massive, and the comparator orders each
+    hour's events by ``value`` before the NFA folds them — so which click a
+    first-match stage selects depends on the comparator, not arrival or id
+    order. Runs over the scrambled >= 4-micro-batch replay in watermark
+    mode; the oracle is the batch first-match rule under the (tsh, value,
+    id) total order as a LATERAL first-row join. A hash match certifies the
+    fold buffer re-sort gives the reference's comparator semantics across
+    micro-batch boundaries and disorder."""
+    from flink_1_6_0_spark.streaming.cep import Pattern, cep_stream
+
+    pattern = (
+        Pattern.begin("view", lambda e: e["event_type"] == "view")
+        .followed_by("click", lambda e: e["event_type"] == "click")
+        .within(24 * 3600)
+    )
+    stream = cep_funnel_stream(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("hour", F.col("ts"))
+    )
+    out = cep_stream(
+        stream,
+        pattern,
+        ["user_id"],
+        "ts",
+        "event_id",
+        "event_type",
+        use_cleanup_timer=False,
+        disorder_seconds=CEP_REPLAY_DISORDER_S,
+        comparator_cols=["value"],
+    )
+    result, _ = _run_stream(out, "append", min_batches=4)
+    return result.select("user_id", "view_id", "click_id")

@@ -107,40 +107,31 @@ _SENTINELS = (
 # graph queries routing through _checkpoint's lazy reliable-persist path,
 # whose r10 drain-timing changed after r10's rotation list was frozen —
 # the r10 ADVICE re-seat).
+# r12 window. Preflight against r11: every r11 rotation name appears in
+# CORRECTNESS_r11.json (verified by diffing — nothing was missed), so the
+# r11-session-4 re-seats have fresh evidence and rotate OUT. r12 re-seats
+# cover this round's kernel diffs:
 _ROTATE_IN = (
-    "tpch_q2", "tpch_q8", "tpch_q10", "tpch_q11",
-    "graph_triadic_census_directed", "graph_transitive_closure",
-    "graph_jaccard_index",
-    # r11 CEP kernel changes (combinatorial valve in _scan, ctx-name guard
-    # in _pred, Either-overload branches in emit_new; session-3 ITCase-port
-    # fixes: optional() zero_ok, until() run-kill-not-anchor-kill, trailing
-    # notFollowedBy discharge, loop ignore-edge stop condition — no
-    # registered query uses optional()/until(), but the family shares _scan)
-    "cep_funnel", "cep_iterative_funnel", "cep_select_function",
-    "cep_greedy_click_run",  # NEW r11 session 3: first driver-gated greedy()
-    "stream_multibatch_cep", "stream_multibatch_cep_select",
-    # r11: rows-only → oracle-checked upgrades (exact-GD trainer replaces
-    # LBFGS; exact-Lloyd quantizer replaces pyspark.ml KMeans — both now
-    # hash-check their full iterative training runs against unrolled oracles)
-    "ml_quality_classifier", "ann_ivf_kmeans_topk",
-    # r11 session 4 kernel diffs: sql_frontend grew fractional-second
-    # intervals + bare window-attribute accessors after HAVING (stream
-    # SqlITCase ports); co_group grew sort_first/sort_second;
-    # operators.distinct grew nested-field keys. Re-seat their queries.
-    "window_tumble_flink_sql", "cogroup_customer_orders", "agg_distinct",
-    # NEW r11 session 4: retraction chain (count-of-counts) over multibatch
-    "stream_multibatch_retract_chain",
-    # r11 session 4: interval_join grew the residual (otherCondition) param
-    # for the stream/sql JoinITCase outer-join goldens
-    "interval_join_events", "stream_interval_join",
-    # r11 session 4: operators.windows.hop grew the slide>size gap-pane
-    # assigner (Flink-legal, Spark window() rejects it); windowed_agg and
-    # the Table API drop the NULL (zero-window) group
-    "window_hop", "window_session",
-    # NEW r11 session 4: real box-average image resize on the oracle path
+    # r12: sql_frontend rewrite reworked (literal mask with '' escapes,
+    # HAVING bare-window scoping by depth + set-operator boundaries,
+    # _find_call/_rewrite_lateral_table search over masked text)
+    "window_tumble_flink_sql",
+    # r12: windows._duration_ms rejects sub-millisecond durations (0ms is
+    # unparseable, falls through to Spark's parser) — hop gap-pane path
+    "window_hop",
+    # r12: resize_box raises on images smaller than one box (pipeline
+    # plumbing unchanged, but the kernel gained a guard branch)
     "multimodal_resize_box",
-    # r11 session 4 review fixes touched the DataStream window paths
-    "window_all_tumble",
+    # r12: ngram_jaccard_pairs grew the df_cap posting-list ceiling; the
+    # registered query + oracle now run capped (df_cap=50)
+    "dedup_ngram_jaccard",
+    # r12: stream CEP kernel's to_events grew the comparator sort branch
+    # and the facade threads comparator_cols into stream opts — re-seat the
+    # stream CEP family sharing the kernel (stream_cep_comparator itself is
+    # new, so it heads the window as never-checked)
+    "stream_multibatch_cep", "stream_cep_funnel", "stream_multibatch_cep_select",
+    # r12: batch CEP comparator facade path (comparator_cols init moved)
+    "cep_greedy_click_run", "cep_funnel",
 )
 
 

@@ -1291,8 +1291,18 @@ def cep_stream(
     flat_select: bool = False,
     timeout_fn=None,
     timeout_schema: str | None = None,
+    comparator_cols: list[str] | None = None,
 ):
     """Streaming CEP via applyInPandasWithState (PatternStream analog).
+
+    ``comparator_cols`` is the streaming EventComparator (CEP.java:51) —
+    same-timestamp events are folded into the NFA in ``(ts,
+    *comparator_cols, id)`` order, matching the batch executor's
+    ``_match_frame`` sort exactly (id stays the final tiebreak). The
+    comparator columns ride the state buffer like ``attr_cols`` opt-ins
+    (they are auto-added to it), so the scan order is stable across
+    micro-batch boundaries: the fold buffer is fully re-sorted on every
+    load, which is what lifts the former batch-only restriction.
 
     The keyed state IS the NFA buffer: (id, ts, type) triples trimmed to the
     ``within`` horizon behind the persisted per-key high-water mark, plus the
@@ -1356,6 +1366,12 @@ def cep_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     _validate_pattern(pattern)
+    if comparator_cols:
+        # the comparator columns must live in the state buffer to order
+        # cross-batch re-scans — carry them as attr_cols opt-ins
+        attr_cols = list(attr_cols or []) + [
+            c for c in comparator_cols if c not in (attr_cols or [])
+        ]
     if disorder_seconds is None and not eager and not _match_monotone(pattern):
         # Round-8's two streaming bugs were exactly this configuration: a
         # first-match/quantified pattern on a disordered stream in eager
@@ -1468,6 +1484,7 @@ def cep_stream(
         use_cleanup_timer, disorder, timer_ms, with_timeouts, attr_cols,
         select_fn=select_fn, output_schema=output_schema, flat_select=flat_select,
         timeout_fn=timeout_fn, timeout_schema=timeout_schema,
+        comparator_cols=comparator_cols,
     )
 
     timeout = (
@@ -1496,6 +1513,7 @@ def _stream_kernel(
     flat_select: bool = False,
     timeout_fn=None,
     timeout_schema: str | None = None,
+    comparator_cols: list[str] | None = None,
 ):
     """The per-key micro-batch NFA state-transition function, factored out of
     :func:`cep_stream` so tests can drive it DIRECTLY across simulated
@@ -1554,7 +1572,20 @@ def _stream_kernel(
                 for k, v in json.loads(a).items():
                     e.setdefault(k, v)
             raw.append(e)
-        events = sorted(raw, key=lambda e: (e["__ts"], e[id_col]))
+        if comparator_cols:
+            # EventComparator order: (ts, *comparator_cols, id) — the exact
+            # batch _match_frame sort; None sorts last per column, matching
+            # pandas sort_values' na_position='last'
+            events = sorted(
+                raw,
+                key=lambda e: (
+                    e["__ts"],
+                    tuple((e.get(c) is None, e.get(c)) for c in comparator_cols),
+                    e[id_col],
+                ),
+            )
+        else:
+            events = sorted(raw, key=lambda e: (e["__ts"], e[id_col]))
         # dedup (a row can reappear on retried batches)
         seen: set[int] = set()
         return [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
@@ -1880,13 +1911,12 @@ class PatternStream:
         self.id_col = id_col
         self.type_col = type_col
         self.comparator_cols = comparator_cols
-        self.stream_opts = stream_opts
+        # streams route the comparator through the kernel opts (r12: the
+        # former batch-only restriction is lifted — the fold buffer re-sorts
+        # by (ts, *comparator_cols, id) on every load, see cep_stream)
         if comparator_cols and df.isStreaming:
-            raise ValueError(
-                "comparator_cols (EventComparator, CEP.java:51) is batch-only:"
-                " the streaming kernel's state buffer and every cross-batch "
-                "oracle assume the fixed (ts, id) total order"
-            )
+            stream_opts = {**stream_opts, "comparator_cols": comparator_cols}
+        self.stream_opts = stream_opts
 
     def _require_type_col(self):
         if self.df.isStreaming and self.type_col is None:

@@ -1430,8 +1430,10 @@ def test_cep_event_comparator_changes_match_selection(spark):
     """EventComparator (CEP.java:51, CEP.pattern(input, pattern, comparator)):
     a custom secondary order over SAME-TIMESTAMP events changes which
     candidate a first-match stage selects, exactly as the reference's
-    comparator reorders the elements popped for one timestamp. Streams
-    reject it loudly (fixed (ts, id) order)."""
+    comparator reorders the elements popped for one timestamp. Since r12
+    streams honor it too — the fold buffer re-sorts by (ts, *comparator, id)
+    on every load (see test_properties' kernel equivalence test and the
+    stream_cep_comparator driver query)."""
     from flink_1_6_0_spark.streaming.cep import pattern as cep_pattern
 
     rows = [
@@ -1455,15 +1457,17 @@ def test_cep_event_comparator_changes_match_selection(spark):
         df, pat, ["user_id"], "ts", "event_id", comparator_cols=["value"]
     ).select()
     assert {r.purchase_id for r in custom.collect()} == {11}
-    # streaming rejects the comparator loudly
+    # streaming accepts the comparator since r12: the facade threads it into
+    # the kernel opts and auto-carries the column in the state buffer
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         .selectExpr("value AS event_id", "timestamp AS ts",
-                    "value % 2 AS user_id", "'view' AS event_type")
+                    "value % 2 AS user_id", "'view' AS event_type",
+                    "CAST(value AS double) AS value")
     )
-    with pytest.raises(ValueError, match="batch-only"):
-        cep_pattern(stream, pat, ["user_id"], "ts", "event_id", "event_type",
-                    comparator_cols=["event_id"])
+    ps = cep_pattern(stream, pat, ["user_id"], "ts", "event_id", "event_type",
+                     comparator_cols=["value"])
+    assert ps.stream_opts["comparator_cols"] == ["value"]
 
 
 def test_cep_two_arg_predicate_must_name_ctx():

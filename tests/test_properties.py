@@ -1178,3 +1178,101 @@ def test_combine_group_then_reduce_equals_direct_group_by(spark, rows):
         (r["k"], r["v"]) for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()
     }
     assert chained == direct
+
+
+# ---------------------------------------------------------------------------
+# Streaming EventComparator (CEP.java:51) — round-12 verdict task 3: the
+# stream kernel's fold buffer re-sorts by (ts, *comparator_cols, id), so a
+# same-timestamp priority order must match the batch comparator executor
+# under any scrambled multi-batch replay.
+# ---------------------------------------------------------------------------
+
+
+def _batch_matches_with_comparator(pattern, events):
+    """Batch executor spec with comparator: _scan over events sorted by
+    (ts, prio, id) — cep_batch's _match_frame sort with comparator_cols."""
+    evs = sorted(
+        (
+            {"__ts": int(ts * 1_000_000), "eid": i, "etype": ty, "prio": pr}
+            for i, ts, ty, pr in events
+        ),
+        key=lambda e: (e["__ts"], e["prio"], e["eid"]),
+    )
+    out = set()
+    for match in _scan(evs, pattern):
+        (ai,), (bi,) = match
+        out.add((evs[ai]["eid"], evs[bi]["eid"]))
+    return out
+
+
+def _drive_kernel_with_comparator(pattern, batches, horizon_s, disorder_s, flush=True):
+    """_drive_kernel variant carrying a 'prio' attr column and the
+    comparator over it through the streaming kernel."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.streaming.cep import _stream_kernel
+
+    fn = _stream_kernel(
+        pattern, ["k"], "ts", "eid", "etype",
+        horizon=int(horizon_s * 1_000_000), horizon_s=horizon_s,
+        use_cleanup_timer=False,
+        disorder=None if disorder_s is None else int(disorder_s * 1_000_000),
+        attr_cols=["prio"], comparator_cols=["prio"],
+    )
+    state = _FakeGroupState()
+    got = set()
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "eid": [e[0] for e in batch],
+                "ts": [pd.Timestamp(e[1] * 1_000_000, unit="us") for e in batch],
+                "etype": [e[2] for e in batch],
+                "prio": [e[3] for e in batch],
+            }
+        )
+        for out in fn((1,), [pdf], state) or ():
+            got.update(zip(out["a_id"], out["b_id"]))
+    if flush:
+        state.hasTimedOut = True
+        for out in fn((1,), [], state) or ():
+            got.update(zip(out["a_id"], out["b_id"]))
+    return got
+
+
+@st.composite
+def _comparator_deliveries(draw):
+    """Events with HEAVY timestamp collisions (few distinct ts) + a priority
+    column that breaks the ties differently than id order would, scrambled
+    across >= 3 micro-batches."""
+    n = draw(st.integers(4, 12))
+    events = [
+        (
+            i,
+            draw(st.integers(0, 4)),  # 5 distinct ts -> many collisions
+            draw(st.sampled_from(["a", "b", "x"])),
+            draw(st.integers(0, 3)),  # prio ties fall back to id
+        )
+        for i in range(n)
+    ]
+    order = draw(st.permutations(list(range(n))))
+    delivery = [events[i] for i in order]
+    k = draw(st.integers(3, 5))
+    cuts = sorted(draw(st.lists(st.integers(0, len(delivery)), min_size=k - 1, max_size=k - 1)))
+    batches, prev = [], 0
+    for c in cuts + [len(delivery)]:
+        batches.append(delivery[prev:c])
+        prev = c
+    return events, batches
+
+
+@given(_comparator_deliveries())
+@settings(max_examples=120, deadline=None)
+def test_cep_stream_kernel_comparator_matches_batch(data):
+    """Watermark-mode kernel with comparator_cols=['prio'] over scrambled
+    same-timestamp deliveries == batch executor sorted by (ts, prio, id)."""
+    events, batches = data
+    p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100)
+    got = _drive_kernel_with_comparator(p, batches, horizon_s=200.0, disorder_s=60.0)
+    assert got == _batch_matches_with_comparator(p, events)
