@@ -422,6 +422,145 @@ def pca_project(
     return df.select(*cols)
 
 
+#: Fixed-point PCA quantization grid: embeddings quantize to 1/PCA_QX,
+#: iterate vectors to 1/PCA_QW. Shared by the Spark path and the DuckDB
+#: oracle generator (queries/pipeline.py) — change together or hashes split.
+PCA_QX = 10**4
+PCA_QW = 10**6
+PCA_ITERS = 16
+
+
+def _int_moments(df: DataFrame, vec_col: str, dim: int, qx: int):
+    """Exact integer first/second moments of the quantized embeddings in ONE
+    distributed pass: x = floor(v·qx + 0.5) per element, then n, S_i = Σx_i,
+    G_ij = Σx_i·x_j as BIGINT sums (order-independent — the float-sum
+    nondeterminism that kept PCA rows-only lives exactly here). Same
+    MLlib-RowMatrix shape as :func:`gram_matrix`: dim²+dim+1 (index, value)
+    rows per partition, summed engine-side; driver traffic is dim², never n.
+    int64 is safe: |x| ≤ qx, per-batch partial ≤ qx²·batch_rows ≪ 2⁶³."""
+    import pandas as pd
+    import pyspark.sql.functions as _F
+
+    idx = np.arange(dim * dim + dim + 1)
+
+    def partial(batches):
+        g = np.zeros((dim, dim), dtype=np.int64)
+        s = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            if len(V):
+                X = np.floor(V * qx + 0.5).astype(np.int64)
+                g += X.T @ X
+                s += X.sum(axis=0)
+                n += len(X)
+        yield pd.DataFrame({"ij": idx, "v": np.concatenate([g.ravel(), s, [n]])})
+
+    flat = (
+        df.select(vec_col)
+        .mapInPandas(partial, schema="ij long, v long")
+        .groupBy("ij")
+        .agg(_F.sum("v").alias("v"))
+        .collect()
+    )
+    acc = np.zeros(dim * dim + dim + 1, dtype=np.int64)
+    for r in flat:
+        acc[r["ij"]] = r["v"]
+    G = [[int(acc[i * dim + j]) for j in range(dim)] for i in range(dim)]
+    S = [int(acc[dim * dim + i]) for i in range(dim)]
+    return int(acc[-1]), S, G
+
+
+def _power_iterate(M, qw: int, iters: int, deflate=None):
+    """Deterministic fixed-point power iteration on an INTEGER matrix M
+    (python ints — arbitrary precision, no overflow): L∞-renormalize to the
+    qw grid each step via correctly-rounded IEEE double ops only
+    (float(int) casts, one divide, one multiply, floor(x+0.5)) — the exact
+    op sequence the DuckDB oracle replays, so both engines produce the SAME
+    integer vector bit-for-bit. ``deflate`` projects a prior component out
+    of every iterate (deflation for pc2+); sign-fixed like
+    :func:`pca_components` (largest-|entry| positive, first index wins)."""
+    import math
+
+    d = len(M)
+    w = [qw] * d
+    for _ in range(iters):
+        y = [sum(M[i][j] * w[j] for j in range(d)) for i in range(d)]
+        if deflate is not None:
+            v = deflate
+            dot = sum(y[j] * v[j] for j in range(d))
+            den = sum(v[j] * v[j] for j in range(d))
+            y = [y[i] - math.floor(float(dot * v[i]) / float(den) + 0.5) for i in range(d)]
+        ym = max(abs(t) for t in y)
+        w = [math.floor(qw * (float(y[i]) / float(ym)) + 0.5) for i in range(d)]
+    j = max(range(d), key=lambda i: (abs(w[i]), -i))
+    if w[j] < 0:
+        w = [-x for x in w]
+    return w
+
+
+def pca_project_power(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 2,
+    qx: int = PCA_QX,
+    qw: int = PCA_QW,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """Hash-checkable distributed PCA (round-11 verdict task 6 — the
+    exact-GD/exact-Lloyd recipe applied a third time): every
+    order-dependent float reduction is replaced by an exact BIGINT sum, and
+    the eigensolver by :func:`_power_iterate`'s fixed-point deflated power
+    iteration, so the whole computation is a pure deterministic function of
+    the data that a DuckDB CTE chain replays bit-for-bit.
+
+    Declared semantics: the components are the ``iters``-step quantized
+    power-iteration directions of the (scaled) covariance n·G − SSᵀ — equal
+    to the eigh components whenever the spectrum has a real gap; on
+    near-degenerate spectra (isotropic-ish embeddings) they are a
+    deterministic orthogonal basis of the top eigenspace region (Rayleigh
+    quotient within ~2% of λ₁/λ₂ on TESTDATA). :func:`pca_project` (eigh)
+    stays the production path; this is the oracle-checkable twin.
+
+    Scale shape: one mapInPandas pass for the integer moments (driver
+    bounded by dim²), driver-side iteration on the dim×dim integer matrix,
+    then projection as pure Column math over broadcast literals — identical
+    dataflow to :func:`pca_project`."""
+    n, S, G = _int_moments(df, vec_col, dim, qx)
+    M = [[n * G[i][j] - S[i] * S[j] for j in range(dim)] for i in range(dim)]
+    comps = []
+    for _ in range(k):
+        comps.append(_power_iterate(M, qw, iters, deflate=comps[-1] if comps else None))
+    v = F.col(vec_col).cast("array<double>")
+    x = F.transform(v, lambda e: F.floor(e * F.lit(float(qx)) + F.lit(0.5)).cast("long"))
+    cols = [F.col(id_col)]
+    for ci, w in enumerate(comps):
+        lit_w = F.array(*[F.lit(int(c)).cast("long") for c in w])
+        # per-row dot product is EXACT integer math (|x|·|w|·dim ≪ 2⁶³);
+        # float enters only in the final centered, descaled rounding
+        p = F.aggregate(
+            F.zip_with(x, lit_w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        offset = float(sum(s * c for s, c in zip(S, w))) / float(n)
+        # descale to the L2-UNIT component: w is L∞-normalized to the qw
+        # grid, so the divisor is qx·‖w‖₂ (‖w‖₂² is an exact int; the sqrt
+        # and multiply are single correctly-rounded IEEE ops the oracle
+        # replays identically)
+        import math as _math
+
+        scale = float(qx) * _math.sqrt(float(sum(c * c for c in w)))
+        cols.append(
+            F.round(
+                (p.cast("double") - F.lit(offset)) / F.lit(scale), 6
+            ).alias(f"pc{ci + 1}")
+        )
+    return df.select(*cols)
+
+
 def lsh_multitable_topk(
     df: DataFrame,
     id_col: str,

@@ -588,21 +588,96 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pca_power_oracle(dim: int = 64, qx: int = None, qw: int = None, iters: int = None) -> str:
+    """Unrolled-CTE replay of pipeline/similarity.pca_project_power: exact
+    HUGEINT moments (n, S, G), scaled covariance M = n·G − SSᵀ, then the
+    SAME fixed-point deflated power iteration — every float op in the chain
+    (int→double casts, one divide, one multiply, floor(x+0.5)) is
+    correctly-rounded IEEE, so the integer component vectors match the
+    Spark driver's bit-for-bit. CTEs are MATERIALIZED: w{t} references y{t}
+    twice (value + max), and inlining would double the plan per iteration."""
+    qx = qx if qx is not None else sim.PCA_QX
+    qw = qw if qw is not None else sim.PCA_QW
+    iters = iters if iters is not None else sim.PCA_ITERS
+    d1 = dim + 1
+    ctes = [
+        f"xq AS MATERIALIZED (SELECT vec_id, list_transform(embedding::DOUBLE[], e -> CAST(floor(e*{qx} + 0.5) AS BIGINT)) AS x FROM embeddings)",
+        f"ex AS MATERIALIZED (SELECT vec_id, i, x[i] AS xi FROM xq, range(1, {d1}) r(i))",
+        "cnt AS MATERIALIZED (SELECT count(*)::HUGEINT AS n FROM xq)",
+        "s AS MATERIALIZED (SELECT i, sum(xi) AS sv FROM ex GROUP BY i)",
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.xi*b.xi) AS gv FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i)",
+        "m AS MATERIALIZED (SELECT g.i, g.j, (SELECT n FROM cnt)*g.gv - sa.sv*sb.sv AS v FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j)",
+        f"w0 AS MATERIALIZED (SELECT i, {qw}::HUGEINT AS w FROM range(1, {d1}) r(i))",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"y{t} AS MATERIALIZED (SELECT m.i AS i, sum(m.v * w{t-1}.w) AS y "
+            f"FROM m JOIN w{t-1} ON w{t-1}.i = m.j GROUP BY m.i)"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT i, CAST(floor({qw} * (y::DOUBLE / "
+            f"(SELECT max(abs(y))::DOUBLE FROM y{t})) + 0.5) AS HUGEINT) AS w FROM y{t})"
+        )
+    ctes.append(
+        f"v1 AS MATERIALIZED (SELECT i, w * (SELECT CASE WHEN w < 0 THEN -1 ELSE 1 END "
+        f"FROM w{iters} ORDER BY abs(w) DESC, i LIMIT 1) AS w FROM w{iters})"
+    )
+    ctes.append(f"u0 AS MATERIALIZED (SELECT i, {qw}::HUGEINT AS w FROM range(1, {d1}) r(i))")
+    ctes.append("den AS MATERIALIZED (SELECT sum(w*w) AS d FROM v1)")
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"z{t} AS MATERIALIZED (SELECT m.i AS i, sum(m.v * u{t-1}.w) AS y "
+            f"FROM m JOIN u{t-1} ON u{t-1}.i = m.j GROUP BY m.i)"
+        )
+        ctes.append(
+            f"zd{t} AS MATERIALIZED (SELECT z.i, z.y - CAST(floor("
+            f"((SELECT sum(z2.y * v1.w) FROM z{t} z2 JOIN v1 ON v1.i = z2.i) * v.w)::DOUBLE"
+            f" / (SELECT d FROM den)::DOUBLE + 0.5) AS HUGEINT) AS y "
+            f"FROM z{t} z JOIN v1 v ON v.i = z.i)"
+        )
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT i, CAST(floor({qw} * (y::DOUBLE / "
+            f"(SELECT max(abs(y))::DOUBLE FROM zd{t})) + 0.5) AS HUGEINT) AS w FROM zd{t})"
+        )
+    ctes.append(
+        f"v2 AS MATERIALIZED (SELECT i, w * (SELECT CASE WHEN w < 0 THEN -1 ELSE 1 END "
+        f"FROM u{iters} ORDER BY abs(w) DESC, i LIMIT 1) AS w FROM u{iters})"
+    )
+    ctes.append("sw1 AS (SELECT sum(s.sv * v1.w) AS t FROM s JOIN v1 USING (i))")
+    ctes.append("sw2 AS (SELECT sum(s.sv * v2.w) AS t FROM s JOIN v2 USING (i))")
+    ctes.append("nrm1 AS (SELECT sum(w*w) AS d FROM v1)")
+    ctes.append("nrm2 AS (SELECT sum(w*w) AS d FROM v2)")
+    ctes.append("pr1 AS (SELECT ex.vec_id, sum(ex.xi * v1.w) AS p FROM ex JOIN v1 USING (i) GROUP BY ex.vec_id)")
+    ctes.append("pr2 AS (SELECT ex.vec_id, sum(ex.xi * v2.w) AS p FROM ex JOIN v2 USING (i) GROUP BY ex.vec_id)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT pr1.vec_id,
+      round((pr1.p::DOUBLE - ((SELECT t FROM sw1)::DOUBLE / (SELECT n FROM cnt)::DOUBLE))
+            / ({qx} * sqrt((SELECT d FROM nrm1)::DOUBLE)), 6) AS pc1,
+      round((pr2.p::DOUBLE - ((SELECT t FROM sw2)::DOUBLE / (SELECT n FROM cnt)::DOUBLE))
+            / ({qx} * sqrt((SELECT d FROM nrm2)::DOUBLE)), 6) AS pc2
+    FROM pr1 JOIN pr2 USING (vec_id)"""
+    )
+
+
 @query(
     "embedding_pca_project",
-    oracle=None,  # eigen-decomposition float jitter across partition orders
-    # is not bit-reproducible in SQL — rows-only driver check; the numpy
-    # equivalence is pytest-verified (test_udf_ml.py)
+    oracle=_duck_pca_power_oracle(),
     tags=("pipeline", "similarity", "ml"),
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA (MLlib RowMatrix pattern): Arrow-batched partial Gram
-    matrices reduced engine-side, dim²+dim floats to the driver, tiny eigh,
-    projection as pure Column math over broadcast component literals — the
-    corpus-visualization / whitening step of an embedding pipeline. The
-    data never leaves the cluster; driver memory is bounded by dim², never
-    by rows."""
-    return sim.pca_project(T(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, k=2)
+    """Distributed PCA, HASH-CHECKABLE since r12 (verdict task 6 — the
+    exact-GD/exact-Lloyd fixed-point recipe applied a third time): one
+    mapInPandas pass reduces exact BIGINT moments (n, S_i, G_ij of the
+    1e-4-quantized embeddings — driver traffic dim², never rows), the
+    driver runs a deterministic 16-step deflated power iteration on the
+    integer matrix n·G − SSᵀ, and the projection is pure Column math over
+    broadcast integer component literals. The eigh path
+    (similarity.pca_project) remains for production; the oracle replays the
+    identical integer/IEEE op sequence as an unrolled CTE chain."""
+    return sim.pca_project_power(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64, k=2
+    )
 
 
 def _lsh_planes_values_tables(bits: int, dim: int, tables: int, seed: int = 42) -> str:

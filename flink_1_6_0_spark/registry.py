@@ -132,6 +132,9 @@ _ROTATE_IN = (
     "stream_multibatch_cep", "stream_cep_funnel", "stream_multibatch_cep_select",
     # r12: batch CEP comparator facade path (comparator_cols init moved)
     "cep_greedy_click_run", "cep_funnel",
+    # r12: rows-only -> hash-checked upgrade (fixed-point deflated power
+    # iteration replaces eigh on the oracle path; rows-only count 3 -> 2)
+    "embedding_pca_project",
 )
 
 

@@ -330,3 +330,60 @@ def test_lsh_query_signature_matches_engine_for_identical_vector(spark):
     df = spark.createDataFrame([(1, qv)], "id long, v array<double>")
     engine_sig = df.select(lsh_signature(F.col("v"), planes).alias("s")).first()["s"]
     assert _query_signature(planes, qv) == engine_sig
+
+
+def test_pca_power_matches_eigh_on_gapped_spectrum(spark):
+    """pca_project_power (r12 hash-checkable path): on a spectrum with a
+    REAL eigengap the 16-step fixed-point deflated power iteration must
+    agree with numpy eigh PCA to quantization tolerance; on any data its
+    two directions must be near-orthogonal with near-top Rayleigh
+    quotients (the declared semantics for degenerate spectra)."""
+    import numpy as np
+
+    from flink_1_6_0_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim = 80, 6
+    # strong rank-2 structure => large gaps lambda1 >> lambda2 >> rest
+    a = rng.standard_normal(dim); a /= np.linalg.norm(a)
+    b = rng.standard_normal(dim); b -= (b @ a) * a; b /= np.linalg.norm(b)
+    X = (
+        np.outer(3.0 * rng.standard_normal(n), a)
+        + np.outer(1.5 * rng.standard_normal(n), b)
+        + 0.05 * rng.standard_normal((n, dim))
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in
+           sim.pca_project_power(df, "vec_id", "embedding", dim=dim, k=2).collect()}
+
+    mu = X.mean(axis=0)
+    cov = np.cov(X - mu, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    comps = v[:, order[:2]].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    proj = (X - mu) @ comps.T
+    for i in range(n):
+        assert abs(got[i][0] - proj[i, 0]) <= 5e-3, i
+        assert abs(got[i][1] - proj[i, 1]) <= 5e-3, i
+
+    # degenerate-spectrum contract: orthogonal, near-top Rayleigh quotients
+    n2, S, G = sim._int_moments(df, "embedding", dim, sim.PCA_QX)
+    M = [[n2 * G[i][j] - S[i] * S[j] for j in range(dim)] for i in range(dim)]
+    w1 = np.array(sim._power_iterate(M, sim.PCA_QW, sim.PCA_ITERS), dtype=float)
+    w2 = np.array(
+        sim._power_iterate(M, sim.PCA_QW, sim.PCA_ITERS,
+                           deflate=sim._power_iterate(M, sim.PCA_QW, sim.PCA_ITERS)),
+        dtype=float,
+    )
+    w1 /= np.linalg.norm(w1); w2 /= np.linalg.norm(w2)
+    assert abs(w1 @ w2) < 1e-4
+    lam = np.sort(w)[::-1]
+    assert w1 @ cov @ w1 >= 0.95 * lam[0]
+    assert w2 @ cov @ w2 >= 0.95 * lam[1]
