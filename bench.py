@@ -22,10 +22,11 @@ Environment fingerprint (round-6 verdict: r6's run came out a uniform ~1.4x
 of r4's on UNCHANGED code — machine-level drift that the raw ratio could not
 distinguish from a plan regression): every run now records an `env` block
 (Spark/JVM/Python versions, CPU count, loadavg before/after) plus a
-fixed-cost SENTINEL — the median wall time of `spark.range(2*10^8).sum()`,
-a data-independent pure-codegen job whose speed tracks the machine, not the
-engine. BENCHBASE.json carries the sentinel measured when the baselines were
-recorded; `vs_baseline_normalized` divides the raw matched ratio by
+fixed-cost SENTINEL — since r12 a 32-task shuffle+agg microjob (see
+`_sentinel_sec` for why the old single-stage range-sum misread contention),
+a data-independent job whose speed tracks the machine, not the engine.
+BENCHBASE.json carries the re-seeded sentinel regime;
+`vs_baseline_normalized` divides the raw matched ratio by
 (sentinel_now / sentinel_base), so environment drift cancels and what
 remains is plan-level change.
 """
@@ -50,15 +51,32 @@ def _consume(df) -> None:
 
 
 def _sentinel_sec(spark, runs: int = 3) -> float:
-    """Median wall time of a fixed, data-independent JVM job (range->sum in
-    whole-stage codegen, no shuffle, no I/O). Machine throughput proxy: a
-    ratio of two sentinel times is the environment's speed ratio."""
+    """Median wall time of a fixed, data-independent 32-task SHUFFLE+AGG job
+    — the machine-speed proxy the normalized ratio divides by.
+
+    r12 redesign (r11 verdict task 4): the old sentinel was a single-stage
+    ``range(2e8).sum()`` — CPU-only whole-stage codegen, one task chain, no
+    exchange. On a loaded machine (r11: loadavg 7.7) it read 0.084 s — i.e.
+    it got a free core and saw NO contention — while every real query (32
+    parallel tasks + shuffles) slowed ~40%; env_drift came out 0.452 and the
+    normalized headline 1.623 against a raw matched ratio of 0.733. The
+    sentinel must exercise the SAME resources the queries contend for:
+    this one runs 32 parallel map tasks, a hash partial aggregate, one
+    shuffle exchange and a final aggregate — the dominant plan shape of the
+    bench head. BENCHBASE.json's ``sentinel_sec`` was re-seeded for this
+    job (``_sentinel_note`` there records the artifact)."""
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id)").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        (
+            spark.range(0, 12_000_000, 1, 32)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         samples.append(time.perf_counter() - t0)
     return round(statistics.median(samples), 3)
 
