@@ -242,10 +242,23 @@ class DataStream:
         """PARTITION_RANGE (DataSetSort.scala:98) — `repartitionByRange`."""
         return DataStream(self.df.repartitionByRange(*[F.col(c) for c in cols]))
 
-    def partition_custom(self, expr: Column) -> "DataStream":
+    def partition_custom(self, expr: Column, num_partitions: int | None = None) -> "DataStream":
         """partitionCustom (DataStream.java:316) — partition by an arbitrary
-        expression (the Partitioner's logic expressed as a Column)."""
-        return DataStream(self.df.repartition(expr))
+        expression (the Partitioner's ``partition(key, n) -> int`` logic
+        expressed as a Column computing the target index).
+
+        Routing is RANGE-based, not hash-based (r12, PartitionerITCase port):
+        the reference's Partitioner returns a DIRECT partition index, and
+        hashing that index (repartition(expr)) can collide two distinct
+        targets into one task — rows meant for subtasks 0 and 2 landed
+        together. repartitionByRange assigns distinct index values to
+        distinct, ORDER-preserving partitions, so 'route c to its own
+        subtask' semantics hold; the absolute Spark partition id is the
+        RANK of the index value, a declared mapping (Spark does not expose
+        direct-index placement in the DataFrame API)."""
+        if num_partitions is not None:
+            return DataStream(self.df.repartitionByRange(num_partitions, expr))
+        return DataStream(self.df.repartitionByRange(expr))
 
     def broadcast(self) -> "DataStream":
         """BROADCAST (DataStream.java:425) — mark for broadcast to every task

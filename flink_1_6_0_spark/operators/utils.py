@@ -27,6 +27,39 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def count_elements_per_partition(df: DataFrame) -> DataFrame:
+    """DataSetUtils.countElementsPerPartition (DataSetUtils.java:47): one
+    (partition_id, count) row per physical partition — the first phase of
+    zipWithIndex, exposed as its own utility. Map-side combined: the groupBy
+    on spark_partition_id() reduces each partition to one row before the
+    tiny #partitions-row shuffle."""
+    return (
+        df.select(F.spark_partition_id().alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def checksum_hash_code(df: DataFrame, hash_col: Column | str | None = None) -> DataFrame:
+    """Utils.ChecksumHashCode via DataSetUtils.checksumHashCode
+    (DataSetUtils.java:150; flink-java Utils.java ChecksumHashCodeHelper):
+    one row (count, checksum) where checksum = Σ element hashCodes.
+
+    ``hash_col`` is the hash expression; None = Java semantics for a
+    single-column integral frame (Integer/Long.hashCode == the value, so the
+    checksum is the plain column sum — DataSetUtilsITCase.java:110's golden:
+    15 ints summing 55). Pass an explicit expression for other types."""
+    if hash_col is None:
+        if len(df.columns) != 1:
+            raise ValueError("checksum_hash_code: pass hash_col for multi-column frames")
+        hash_col = F.col(df.columns[0]).cast("long")
+    elif isinstance(hash_col, str):
+        hash_col = F.col(hash_col).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(hash_col).alias("checksum")
+    )
+
+
 def zip_with_index(df: DataFrame, order_col: str, index_name: str = "idx") -> DataFrame:
     """Dense 0-based index in ``order_col`` order (DataSetUtils.zipWithIndex:54).
 
@@ -191,28 +224,41 @@ def summarize(df: DataFrame) -> DataFrame:
     variance, standard deviation. Variance is the SAMPLE variance
     (m2/(n-1), NumericSummaryAggregator.java:134), matching var_samp.
 
+    Missing semantics follow the reference exactly (r12,
+    NumericSummaryAggregator.java:60 aggregate(): null, NaN AND ±Infinity
+    all count as missing and are EXCLUDED from min/max/sum/mean/variance —
+    DataSetUtilsITCase.java:121's golden has nonMissing 6 / missing 2 for a
+    double column carrying one Infinity and one NaN, with a FINITE max).
+
     One scan: every column's aggregates run in a single agg pass; the
     per-column rows come from exploding a schema-sized struct array — no
     driver loop over data, and column count (not row count) bounds the
     expression size. All stats are cast to double for a uniform row type.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
 
     num_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
     if not num_cols:
         raise ValueError("summarize: no numeric columns")
+    floaty = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, (FloatType, DoubleType))
+    }
     aggs = []
     for c in num_cols:
+        cc = F.col(c)
+        if c in floaty:
+            # NaN / ±Infinity -> missing (NULL), like the reference
+            cc = F.when(~(F.isnan(cc) | (F.abs(cc) == float("inf"))), cc)
         aggs.extend(
             [
-                F.count(c).alias(f"__nm_{c}"),
-                (F.count(F.lit(1)) - F.count(c)).alias(f"__ms_{c}"),
-                F.min(c).cast("double").alias(f"__mn_{c}"),
-                F.max(c).cast("double").alias(f"__mx_{c}"),
-                F.sum(c).cast("double").alias(f"__sm_{c}"),
-                F.avg(c).cast("double").alias(f"__av_{c}"),
-                F.var_samp(c).cast("double").alias(f"__vr_{c}"),
-                F.stddev_samp(c).cast("double").alias(f"__sd_{c}"),
+                F.count(cc).alias(f"__nm_{c}"),
+                (F.count(F.lit(1)) - F.count(cc)).alias(f"__ms_{c}"),
+                F.min(cc).cast("double").alias(f"__mn_{c}"),
+                F.max(cc).cast("double").alias(f"__mx_{c}"),
+                F.sum(cc).cast("double").alias(f"__sm_{c}"),
+                F.avg(cc).cast("double").alias(f"__av_{c}"),
+                F.var_samp(cc).cast("double").alias(f"__vr_{c}"),
+                F.stddev_samp(cc).cast("double").alias(f"__sd_{c}"),
             ]
         )
     one = df.agg(*aggs)

@@ -2031,3 +2031,106 @@ class TestMapFlatMap:
             ).alias("r")
         ).select("r.*").filter(F.col("a") % 3 != 0)
         same(res, [r for r in ROWS3 for _ in range(r[0] % 3)])
+
+
+# ---------------------------------------------------------------------------
+# DataSetUtilsITCase.java (flink-tests/.../test/util/DataSetUtilsITCase.java)
+# — countElementsPerPartition, zipWithIndex, zipWithUniqueId,
+# checksumHashCode, summarize (r11 verdict task 8).
+# ---------------------------------------------------------------------------
+
+
+def test_dsutils_count_elements_per_partition(spark):
+    """DataSetUtilsITCase.java:58: one row per partition; counts sum to the
+    dataset size."""
+    from flink_1_6_0_spark.operators import utils as U
+    from flink_1_6_0_spark.sources.batch import generate_sequence
+
+    numbers = generate_sequence(spark, 0, 99).repartition(8)
+    rows = U.count_elements_per_partition(numbers).collect()
+    assert len(rows) == numbers.rdd.getNumPartitions()
+    assert sum(r["cnt"] for r in rows) == 100
+
+
+def test_dsutils_zip_with_index_consecutive(spark):
+    """DataSetUtilsITCase.java:70: indexes are exactly 0..n-1."""
+    from flink_1_6_0_spark.operators import utils as U
+    from flink_1_6_0_spark.sources.batch import generate_sequence
+
+    numbers = generate_sequence(spark, 0, 99).repartition(8)
+    got = sorted(r["idx"] for r in U.zip_with_index(numbers, "value").collect())
+    assert got == list(range(100))
+
+
+def test_dsutils_zip_with_unique_id(spark):
+    """DataSetUtilsITCase.java:92: n distinct ids for n elements."""
+    from flink_1_6_0_spark.operators import utils as U
+    from flink_1_6_0_spark.sources.batch import generate_sequence
+
+    numbers = generate_sequence(spark, 1, 100).repartition(8)
+    ids = {r["uid"] for r in U.zip_with_unique_id(numbers).collect()}
+    assert len(ids) == 100
+
+
+def test_dsutils_checksum_hashcode_golden(spark):
+    """DataSetUtilsITCase.java:110: CollectionDataSets.getIntegerDataSet
+    (1,2,2,3,3,3,4,4,4,4,5,5,5,5,5) -> count 15, checksum 55 (Integer
+    .hashCode == the value)."""
+    from flink_1_6_0_spark.operators import utils as U
+
+    ints = [1, 2, 2, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 5]
+    df = spark.createDataFrame([(i,) for i in ints], "v int")
+    row = U.checksum_hash_code(df).first()
+    assert row["cnt"] == 15 and row["checksum"] == 55
+
+
+def test_dsutils_summarize_golden(spark):
+    """DataSetUtilsITCase.java:121 testSummarize: the 8-row Tuple8 fixture.
+    Numeric goldens incl. the float column's exact variance/stddev and the
+    double column where Infinity and NaN count as MISSING and stay out of
+    min/max (NumericSummaryAggregator.java:60); string and boolean summaries
+    from the same rows."""
+    import math
+
+    from flink_1_6_0_spark.operators import utils as U
+
+    data = [
+        (1, 1, 100, 0.1, 1.012376, "hello", False, 50.0),
+        (2, 2, 1000, 0.2, 2.003453, "hello", True, 50.0),
+        (4, 10, 10000, 0.2, 75.00005, "null", True, 50.0),
+        (10, 4, 100, 0.9, 79.5, "", True, 50.0),
+        (5, 5, 1000, 0.2, 10.0000001, "a", False, 50.0),
+        (6, 6, 10, 0.1, 0.0000000000023, "", True, 100.0),
+        (7, 7, 1, 0.2, float("inf"), "abcdefghijklmnop", True, 100.0),
+        (8, 8, -100, 0.001, float("nan"), "abcdefghi", True, 100.0),
+    ]
+    df = spark.createDataFrame(
+        data,
+        "c0 smallint, c1 int, c2 long, c3 float, c4 double, c5 string, c6 boolean, c7 double",
+    )
+    num = {r["column"]: r for r in U.summarize(df).collect()}
+
+    assert num["c0"]["non_missing"] == 8
+    assert num["c0"]["min"] == 1 and num["c0"]["max"] == 10 and num["c0"]["mean"] == 5.375
+    assert num["c1"]["min"] == 1 and num["c1"]["max"] == 10 and num["c1"]["mean"] == 5.375
+    assert num["c2"]["min"] == -100 and num["c2"]["max"] == 10000
+    c3 = num["c3"]
+    assert c3["non_missing"] + c3["missing"] == 8
+    assert abs(c3["min"] - 0.001) < 1e-7 and abs(c3["max"] - 0.89999999) < 1e-7
+    assert abs(c3["mean"] - 0.2376249988883501) < 1e-12
+    assert abs(c3["variance"] - 0.0768965488108089) < 1e-8
+    assert abs(c3["std_dev"] - 0.27730226975415995) < 1e-12
+    c4 = num["c4"]
+    assert c4["non_missing"] == 6 and c4["missing"] == 2  # Inf + NaN are missing
+    assert c4["min"] == 0.0000000000023
+    assert abs(c4["max"] - 79.5) < 1e-12 and math.isfinite(c4["max"])
+    c7 = num["c7"]
+    assert c7["min"] == 50.0 and c7["max"] == 100.0
+
+    s5 = {r["column"]: r for r in U.summarize_strings(df).collect()}["c5"]
+    assert s5["non_null"] == 8 and s5["nulls"] == 0 and s5["empty"] == 2
+    assert s5["min_length"] == 0 and s5["max_length"] == 16
+    assert abs(s5["mean_length"] - 5.0) < 1e-4
+
+    b6 = {r["column"]: r for r in U.summarize_booleans(df).collect()}["c6"]
+    assert b6["true_count"] == 6 and b6["false_count"] == 2 and b6["null_count"] == 0
