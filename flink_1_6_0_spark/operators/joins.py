@@ -138,11 +138,19 @@ def interval_join(
     upper: str,
     how: str = "inner",
     residual: Column | None = None,
+    lower_exclusive: bool = False,
+    upper_exclusive: bool = False,
 ) -> DataFrame:
     """Time-bounded join: right.ts ∈ [left.ts - lower, left.ts + upper].
 
     Reference: TimeBoundedStreamJoin.scala:55 / IntervalJoinOperator.java:89.
-    ``lower``/``upper`` are SQL interval strings like ``'1 hour'``.
+    ``lower``/``upper`` are SQL interval strings like ``'1 hour'``; bounds
+    are INCLUSIVE by default (IntervalJoinITCase.java:356
+    testBoundsAreInclusiveByDefault) and flip strict with
+    ``lower_exclusive``/``upper_exclusive``
+    (IntervalJoined.lowerBoundExclusive/upperBoundExclusive,
+    KeyedStream.java:478,488; IntervalJoinITCase.java:284). None bounds are
+    rejected loudly (IntervalJoinITCase.java:254,269).
 
     Batch form: equi-join on keys + range residual. Catalyst pushes the range
     condition into the join; with AQE the smaller side broadcasts. The
@@ -154,12 +162,16 @@ def interval_join(
     """
     if not keys:
         raise ValueError("interval_join requires at least one equi-key pair")
+    if lower is None or upper is None:
+        raise ValueError("interval_join requires BOTH bounds (between(lower, upper))")
     cond = None
     for lk, rk in keys:
         c = left[lk] == right[rk]
         cond = c if cond is None else (cond & c)
-    lo = right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lower}")
-    hi = right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}")
+    lo_bound = left[left_ts] - F.expr(f"INTERVAL {lower}")
+    hi_bound = left[left_ts] + F.expr(f"INTERVAL {upper}")
+    lo = right[right_ts] > lo_bound if lower_exclusive else right[right_ts] >= lo_bound
+    hi = right[right_ts] < hi_bound if upper_exclusive else right[right_ts] <= hi_bound
     rng = lo & hi
     cond = rng if cond is None else (cond & rng)
     if residual is not None:

@@ -490,3 +490,46 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
         )
     )
+
+
+@query(
+    "interval_join_exclusive",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, date_trunc('minute', ts) AS ts
+               FROM events)
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+    FROM (SELECT * FROM e WHERE event_type = 'click') a
+    JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts < a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("batch", "join", "interval"),
+)
+def interval_join_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUSIVE interval-join bounds (IntervalJoined.lowerBoundExclusive /
+    upperBoundExclusive, KeyedStream.java:478,488; IntervalJoinITCase.java:284
+    testBoundsCanBeExclusive — surfaced by the r12 streaming-runtime port):
+    purchases STRICTLY inside (click.ts, click.ts + 30min) on MINUTE-
+    truncated event times, so boundary-equal pairs exist and the strict
+    bounds demonstrably exclude them (raw microsecond timestamps never tie —
+    the inclusive and exclusive forms would be vacuously identical). The
+    oracle uses > / < where interval_join_events uses >= / <=."""
+    from flink_1_6_0_spark.operators.joins import interval_join
+
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.date_trunc("minute", F.col("ts")).alias("ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        [F.col(c).alias(f"b_{c}") for c in e.columns]
+    )
+    out = interval_join(
+        clicks, buys, [("user_id", "b_user_id")], "ts", "b_ts", "0 seconds", "30 minutes",
+        lower_exclusive=True, upper_exclusive=True,
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("b_event_id").alias("purchase_id"),
+        "user_id",
+    )

@@ -31,20 +31,31 @@ def stream_interval_join(
     left_delay: str = "0 seconds",
     right_delay: str = "0 seconds",
     how: str = "inner",
+    lower_exclusive: bool = False,
+    upper_exclusive: bool = False,
 ) -> DataFrame:
     """right.ts ∈ [left.ts - lower, left.ts + upper], watermarked both sides.
+
+    Bounds are inclusive by default and flip strict with
+    ``lower_exclusive``/``upper_exclusive`` (IntervalJoined
+    .lowerBoundExclusive/.upperBoundExclusive, KeyedStream.java:478,488);
+    None bounds are rejected loudly (IntervalJoinITCase.java:254,269).
 
     State growth is bounded by (watermark delay + interval width) per key —
     the same bound TimeBoundedStreamJoin enforces with its cleanup timers.
     """
+    if lower is None or upper is None:
+        raise ValueError("stream_interval_join requires BOTH bounds (between(lower, upper))")
     lw = left.withWatermark(left_ts, left_delay)
     rw = right.withWatermark(right_ts, right_delay)
     cond = None
     for lk, rk in keys:
         c = lw[lk] == rw[rk]
         cond = c if cond is None else (cond & c)
-    rng = (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lower}")) & (
-        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}")
-    )
+    lo_bound = lw[left_ts] - F.expr(f"INTERVAL {lower}")
+    hi_bound = lw[left_ts] + F.expr(f"INTERVAL {upper}")
+    lo = rw[right_ts] > lo_bound if lower_exclusive else rw[right_ts] >= lo_bound
+    hi = rw[right_ts] < hi_bound if upper_exclusive else rw[right_ts] <= hi_bound
+    rng = lo & hi
     cond = rng if cond is None else (cond & rng)
     return lw.join(rw, cond, how)

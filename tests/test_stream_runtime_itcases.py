@@ -403,3 +403,238 @@ def test_timestamps_ride_through_operators(spark, sf_dir):
     orig = {r["event_id"]: r["ts"] for r in ev.df.select("event_id", "ts").collect()}
     for r in co.df.collect():
         assert r["ts"] == orig[r["event_id"]]
+
+
+# ---------------------------------------------------------------------------
+# IntervalJoinITCase.java — keyed time-bounded join bounds semantics.
+# between(lo, hi) means right.ts in [left.ts + lo, left.ts + hi]; this
+# package's (lower, upper) are magnitudes on each side of left.ts, so
+# between(0, 1) maps to lower='0 ms' via a negated lower magnitude — spelled
+# per test. Bounds are inclusive by default; *_exclusive flips them.
+# ---------------------------------------------------------------------------
+
+
+def _kv_ms(spark, pairs):
+    """(key, v) rows with ts = v milliseconds (AscendingTuple2TimestampExtractor)."""
+    return (
+        from_elements(spark, list(pairs), "k string, v int")
+        .withColumn("ts", F.timestamp_millis(F.col("v").cast("long")))
+    )
+
+
+def test_interval_join_same_key_zero_bounds(spark):
+    """IntervalJoinITCase.java:58 testCanJoinOverSameKey: between(0,0) pairs
+    each element with its exact-timestamp twin only."""
+    from flink_1_6_0_spark.operators.joins import interval_join
+
+    one = _kv_ms(spark, [("key", i) for i in range(6)])
+    two = _kv_ms(spark, [("key", i) for i in range(6)]).select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("ts").alias("ts2")
+    )
+    out = interval_join(one, two, [("k", "k2")], "ts", "ts2", "0 milliseconds", "0 milliseconds")
+    got = sorted((r["v"], r["v2"]) for r in out.collect())
+    assert got == [(i, i) for i in range(6)]
+
+
+def test_interval_join_multiple_keys_golden(spark):
+    """IntervalJoinITCase.java:111: between(0,1) on alternating keys — were
+    the join not keyed, (1,2),(2,3)... would pair; key separation plus the
+    bound admits only the exact twins."""
+    from flink_1_6_0_spark.operators.joins import interval_join
+
+    rows = [("key1", 0), ("key2", 1), ("key1", 2), ("key2", 3), ("key1", 4), ("key2", 5)]
+    one = _kv_ms(spark, rows)
+    two = _kv_ms(spark, rows).select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("ts").alias("ts2")
+    )
+    out = interval_join(one, two, [("k", "k2")], "ts", "ts2", "0 milliseconds", "1 milliseconds")
+    got = sorted((r["k"], r["v"], r["v2"]) for r in out.collect())
+    assert got == sorted((k, v, v) for k, v in rows)
+
+
+def test_interval_join_bounds_inclusive_default_and_explicit(spark):
+    """IntervalJoinITCase.java:318/:356: between(0,2) inclusive (default and
+    explicit) over values 0,1,2 -> the 6 golden pairs."""
+    from flink_1_6_0_spark.operators.joins import interval_join
+
+    one = _kv_ms(spark, [("key", i) for i in range(3)])
+    two = _kv_ms(spark, [("key", i) for i in range(3)]).select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("ts").alias("ts2")
+    )
+    expected = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    for kw in ({}, {"lower_exclusive": False, "upper_exclusive": False}):
+        out = interval_join(
+            one, two, [("k", "k2")], "ts", "ts2", "0 milliseconds", "2 milliseconds", **kw
+        )
+        assert sorted((r["v"], r["v2"]) for r in out.collect()) == expected
+
+
+def test_interval_join_bounds_exclusive_golden(spark):
+    """IntervalJoinITCase.java:284 testBoundsCanBeExclusive: between(0,2)
+    with BOTH bounds exclusive keeps only (0,1) and (1,2)."""
+    from flink_1_6_0_spark.operators.joins import interval_join
+
+    one = _kv_ms(spark, [("key", i) for i in range(3)])
+    two = _kv_ms(spark, [("key", i) for i in range(3)]).select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("ts").alias("ts2")
+    )
+    out = interval_join(
+        one, two, [("k", "k2")], "ts", "ts2", "0 milliseconds", "2 milliseconds",
+        lower_exclusive=True, upper_exclusive=True,
+    )
+    assert sorted((r["v"], r["v2"]) for r in out.collect()) == [(0, 1), (1, 2)]
+
+
+def test_interval_join_requires_both_bounds(spark):
+    """IntervalJoinITCase.java:254,269: a missing bound fails loudly."""
+    from flink_1_6_0_spark.operators.joins import interval_join
+    from flink_1_6_0_spark.streaming.interval_join import stream_interval_join
+
+    one = _kv_ms(spark, [("1", 1)])
+    two = one.select(F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("ts").alias("ts2"))
+    with pytest.raises(ValueError, match="BOTH bounds"):
+        interval_join(one, two, [("k", "k2")], "ts", "ts2", "0 milliseconds", None)
+    with pytest.raises(ValueError, match="BOTH bounds"):
+        interval_join(one, two, [("k", "k2")], "ts", "ts2", None, "1 milliseconds")
+    with pytest.raises(ValueError, match="BOTH bounds"):
+        stream_interval_join(one, two, [("k", "k2")], "ts", "ts2", None, "1 milliseconds")
+
+
+def test_interval_join_unordered_streams_golden(spark, tmp_path):
+    """IntervalJoinITCase.java:159 testBoundedUnorderedStreamsStillJoinCorrectly:
+    both sides delivered OUT OF ORDER across a mid-stream watermark, bounds
+    (-1, +1) — the buffered keyed state must still produce every golden pair.
+    Replayed as two 2-file streams (file = micro-batch; in-batch and
+    cross-batch disorder within the 5ms watermark delay) through the real
+    stream-stream interval join."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    def replay_dir(name, batches):
+        src = str(tmp_path / name)
+        os.makedirs(src, exist_ok=True)
+        base = time.time() - 600
+        for i, vals in enumerate(batches):
+            stage = str(tmp_path / f"{name}_st{i}")
+            _kv_ms(spark, [("key", v) for v in vals]).coalesce(1).write.parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            final = os.path.join(src, f"g{i}.parquet")
+            os.replace(part, final)
+            shutil.rmtree(stage)
+            os.utime(final, (base + i * 10, base + i * 10))
+        schema = spark.read.parquet(os.path.join(src, "g0.parquet")).schema
+        return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    from flink_1_6_0_spark.streaming.interval_join import stream_interval_join
+
+    one = replay_dir("one", [[5, 1, 4, 3, 2], [9, 8, 7, 6]])
+    two = replay_dir("two", [[2, 1, 3, 4, 5], [8, 7, 9, 6]]).select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("ts").alias("ts2")
+    )
+    out = stream_interval_join(
+        one, two, [("k", "k2")], "ts", "ts2", "1 milliseconds", "1 milliseconds",
+        left_delay="5 milliseconds", right_delay="5 milliseconds",
+    ).select("v", "v2")
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r["v"], r["v2"]) for r in spark.sql(f"SELECT * FROM {name}").collect())
+    expected = sorted(
+        (a, b) for a in range(1, 10) for b in range(1, 10) if abs(a - b) <= 1
+    )
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SideOutputITCase.java — ProcessFunction-driven side outputs (the window
+# late-data goldens live in test_streaming.py). ctx.output(tag, ...) maps to
+# a second derivation of the same source (split/select or a filtered
+# projection): each sink is one filtered write over the common frame, the
+# same dataflow the reference's OutputTag routing produces.
+# ---------------------------------------------------------------------------
+
+_SIDE_ELEMENTS = [1, 2, 5, 3, 4]  # SideOutputITCase.java:69
+
+
+def test_process_function_side_output_golden(spark):
+    """SideOutputITCase.java:334 testProcessFunctionSideOutput: the main
+    output passes every element through; the side output carries
+    'sideout-<v>' per element."""
+    ds = DataStream(from_elements(spark, [(v,) for v in _SIDE_ELEMENTS], "v int"))
+    main = ds.map_expr("v")
+    side = ds.map_expr(F.format_string("sideout-%d", "v").alias("s"))
+    assert sorted(r["v"] for r in main.df.collect()) == [1, 2, 3, 4, 5]
+    assert sorted(r["s"] for r in side.df.collect()) == [
+        "sideout-1", "sideout-2", "sideout-3", "sideout-4", "sideout-5"
+    ]
+
+
+def test_side_output_multiple_consumers_golden(spark):
+    """SideOutputITCase.java:190 testSideOutputWithMultipleConsumers: two
+    sinks on the SAME side output each see the full side stream."""
+    ds = DataStream(from_elements(spark, [(v,) for v in _SIDE_ELEMENTS], "v int"))
+    side = ds.map_expr(F.format_string("sideout-%d", "v").alias("s"))
+    golden = ["sideout-1", "sideout-2", "sideout-3", "sideout-4", "sideout-5"]
+    assert sorted(r["s"] for r in side.df.collect()) == golden
+    assert sorted(r["s"] for r in side.df.collect()) == golden  # second consumer
+
+
+def test_side_output_different_types_golden(spark):
+    """SideOutputITCase.java:261 testDifferentSideOutputTypes: one operator
+    feeds an Integer main output and a String side output — differently
+    typed frames derived from one source."""
+    ds = DataStream(from_elements(spark, [(v,) for v in _SIDE_ELEMENTS], "v int"))
+    main = ds.map_expr("v")
+    side = ds.map_expr(F.format_string("side-%d", "v").alias("s"))
+    assert dict(main.df.dtypes)["v"] == "int"
+    assert dict(side.df.dtypes)["s"] == "string"
+    assert sorted(r["v"] for r in main.df.collect()) == [1, 2, 3, 4, 5]
+    assert sorted(r["s"] for r in side.df.collect()) == [
+        "side-1", "side-2", "side-3", "side-4", "side-5"
+    ]
+
+
+# ---------------------------------------------------------------------------
+# BroadcastStateITCase.java:51 testKeyedWithBroadcastTranslation — a keyed
+# stream connected to a broadcast control stream: when each keyed element's
+# timer fires, it must see the COMPLETE broadcast map {k: "test:k"} and emit
+# one row. Spark mapping (streaming/broadcast_state.py): the control table
+# re-broadcasts per micro-batch; with the control rows in place, every keyed
+# element joins the full map — one output per element, each matched to its
+# own entry, and the per-batch rules snapshot equals the expected state.
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_state_keyed_translation_golden(spark, tmp_path):
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.broadcast_state import broadcast_rules_join
+
+    expected = {k: f"test:{k}" for k in range(6)}
+    rules_path = str(tmp_path / "rules")
+    from_elements(
+        spark, [(k, v) for k, v in expected.items()], "k long, txt string"
+    ).write.parquet(rules_path)
+    src = str(tmp_path / "src")
+    from_elements(spark, [(k,) for k in range(6)], "k long").coalesce(1).write.parquet(src)
+
+    got: list[tuple[int, str]] = []
+    snapshots: list[dict] = []
+
+    def sink(df, epoch):
+        rows = df.collect()
+        got.extend((r["k"], r["txt"]) for r in rows)
+        snapshots.append({r["k"]: r["txt"] for r in spark.read.parquet(rules_path).collect()})
+
+    q = broadcast_rules_join(
+        read_parquet_stream(spark, src), spark, rules_path, "k", sink
+    )
+    q.processAllAvailable()
+    q.stop()
+    # TestSink: exactly expected.size() outputs; onTimer: each key sees its
+    # own entry and the broadcast state equals the full expected map
+    assert sorted(got) == sorted(expected.items())
+    assert all(s == expected for s in snapshots)
