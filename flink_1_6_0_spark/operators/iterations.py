@@ -76,11 +76,18 @@ def iterate_delta(
     (anti-join + union — the distributed form of the reference's indexed
     solution-set update) and feeds ``new_workset`` to the next pass.
     Terminates when the workset is empty (DeltaIteration's contract) or
-    after ``max_iterations``. Returns the final solution set."""
+    after ``max_iterations``. Returns the final solution set.
+
+    The solution set is a HASH TABLE keyed on ``key_cols``
+    (SolutionSetDuplicatesITCase.java:53 — r12 port-found fix): duplicate
+    keys in the initial solution or in a delta collapse to ONE row per key,
+    exactly as the reference's CompactingHashTable insert overwrites."""
+    solution = solution.dropDuplicates(key_cols)
     for i in range(max_iterations):
         if workset.isEmpty():
             break
         delta, workset = step_fn(solution, workset)
+        delta = delta.dropDuplicates(key_cols)
         solution = solution.join(delta, key_cols, "left_anti").unionByName(delta)
         if i % checkpoint_interval == checkpoint_interval - 1:
             solution = _checkpoint(solution, checkpoint_mode)

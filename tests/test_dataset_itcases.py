@@ -2134,3 +2134,107 @@ def test_dsutils_summarize_golden(spark):
 
     b6 = {r["column"]: r for r in U.summarize_booleans(df).collect()}["c6"]
     assert b6["true_count"] == 6 and b6["false_count"] == 2 and b6["null_count"] == 0
+
+
+# ---------------------------------------------------------------------------
+# flink-tests/.../iterative/*.java — the portable bulk/delta iteration
+# semantics goldens not already covered by the example-program ports
+# (CC/KMeans/PageRank/TransitiveClosure and AggregatorsITCase landed in r11).
+# ---------------------------------------------------------------------------
+
+
+def test_empty_workset_iteration_identity(spark):
+    """EmptyWorksetIterationITCase.java:41: iterateDelta(input, 20, key=0)
+    closed with (workset, workset) — an identity delta loop over
+    generateSequence(1,20).map(v -> (v,v)) returns the input unchanged."""
+    from flink_1_6_0_spark.operators.iterations import iterate_delta
+    from flink_1_6_0_spark.sources.batch import generate_sequence
+
+    inp = generate_sequence(spark, 1, 20).select(
+        F.col("value").alias("k"), F.col("value").alias("v")
+    )
+    out = iterate_delta(inp, inp, lambda sol, ws: (ws, ws.limit(0)), 20, ["k"])
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [(i, i) for i in range(1, 21)]
+
+
+def test_solution_set_duplicates_collapse(spark):
+    """SolutionSetDuplicatesITCase.java:53: each key enters the INITIAL
+    solution set three times; the solution set is a hash table keyed on f0,
+    so the result is exactly one row per key (11 rows, keys 0..10) — the
+    r12 port-found iterate_delta fix."""
+    from flink_1_6_0_spark.operators.iterations import iterate_delta
+    from flink_1_6_0_spark.sources.batch import generate_sequence
+
+    base = generate_sequence(spark, 0, 10).select(
+        F.col("value").alias("k"), F.col("value").alias("v")
+    )
+    data = base.unionByName(base).unionByName(base).repartition(4)
+    out = iterate_delta(data, data, lambda sol, ws: (ws, ws.limit(0)), 10, ["k"])
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(11))
+
+
+def test_iteration_termination_tail_goldens(spark):
+    """IterationTerminationWithTerminationTail.java:35 / ...WithTwoTails
+    .java:35: elements 1..5, each pass group-reduces to one value
+    sum(v + 1); the termination criterion filter(< 22) empties on the pass
+    that produces 22 and the iteration stops WITH that result (EXPECTED
+    "22"). Both plumbing variants (criterion from the tail vs from the loop
+    head) pin the same golden; here the criterion runs over the pass
+    output, which is the shape that stops before a 4th pass."""
+    from flink_1_6_0_spark.operators.iterations import iterate
+    from flink_1_6_0_spark.sources.batch import from_elements
+
+    inp = from_elements(spark, [("1",), ("2",), ("3",), ("4",), ("5",)], "s string")
+
+    def step(df):
+        return df.agg(
+            F.sum(F.col("s").cast("int") + 1).cast("int").cast("string").alias("s")
+        )
+
+    out = iterate(
+        inp, step, 5, termination_fn=lambda prev, cur: cur.filter(F.col("s").cast("int") < 22)
+    )
+    assert [r["s"] for r in out.collect()] == ["22"]
+
+
+def test_bulk_iteration_with_all_reducer_golden(spark):
+    """BulkIterationWithAllReducerITCase.java:44: state is one element; each
+    pass picks the first data element GREATER than the broadcast state (or
+    keeps the state); from 1 over data {1..8} in 10 passes the fixpoint is
+    8 (Assert at :57)."""
+    from flink_1_6_0_spark.operators.iterations import iterate
+    from flink_1_6_0_spark.sources.batch import from_elements
+
+    data = from_elements(spark, [(i,) for i in range(1, 9)], "y int")
+
+    def step(state):
+        # broadcast the 1-row state into the all-reduce, as withBroadcastSet
+        x = state.select(F.min("v").alias("x"))
+        nxt = (
+            data.join(F.broadcast(x))
+            .filter(F.col("y") > F.col("x"))
+            .agg(F.min("y").alias("v"))
+        )
+        # PickOneAllReduce falls back to the broadcast value when no y > x
+        return nxt.join(F.broadcast(x)).select(
+            F.coalesce(F.col("v"), F.col("x")).alias("v")
+        )
+
+    out = iterate(from_elements(spark, [(1,)], "v int"), step, 10)
+    assert [r["v"] for r in out.collect()] == [8]
+
+
+def test_iteration_with_union_golden(spark):
+    """IterationWithUnionITCase.java:58: the loop body unions the iteration
+    state with ITSELF and maps identity; after iterate(2) every input row
+    appears 4x (DATAPOINTS repeated 4 times at :53)."""
+    from flink_1_6_0_spark.operators.iterations import iterate
+    from flink_1_6_0_spark.sources.batch import from_elements
+
+    rows = [(0, "50.90|16.20|72.08"), (1, "73.65|61.76|62.89"), (2, "61.73|49.95|92.74")]
+    inp = from_elements(spark, rows, "id int, coords string")
+    out = iterate(inp, lambda df: df.unionByName(df), 2)
+    got = sorted((r["id"], r["coords"]) for r in out.collect())
+    assert got == sorted(rows * 4)
