@@ -2238,3 +2238,89 @@ def test_iteration_with_union_golden(spark):
     out = iterate(inp, lambda df: df.unionByName(df), 2)
     got = sorted((r["id"], r["coords"]) for r in out.collect())
     assert got == sorted(rows * 4)
+
+
+def test_accumulator_iterative_golden(spark):
+    """AccumulatorIterativeITCase.java:46: an IntCounter registered inside
+    the iteration body accumulates across ALL supersteps — fromElements
+    (1,2,3).iterate(3) with a summing group-reduce adds 6 per pass, so the
+    job-level accumulator result is 3 * 6 = 18. Ported with the observe-
+    metrics accumulator surface (accumulators.observe_metrics): per-pass
+    observed sums folded across supersteps, the reference's
+    getAccumulatorResult contract."""
+    from flink_1_6_0_spark.accumulators import observe_metrics
+    from flink_1_6_0_spark.operators.iterations import iterate
+    from flink_1_6_0_spark.sources.batch import from_elements
+
+    totals = {"acc": 0}
+
+    def step(df):
+        observed, obs = observe_metrics(df, f"acc_{totals['acc']}", s=F.sum("v"))
+        out = observed.agg(F.sum("v").cast("int").alias("v"))
+        out.collect()  # superstep sync barrier materializes the observation
+        totals["acc"] += obs.get["s"]
+        return out
+
+    final = iterate(from_elements(spark, [(1,), (2,), (3,)], "v int"), step, 3)
+    assert [r["v"] for r in final.collect()] == [6]
+    assert totals["acc"] == 3 * 6
+
+
+# ---------------------------------------------------------------------------
+# io/CsvReaderITCase.java — readCsvFile field mapping, field selection, and
+# full-width value types through sources/batch.read_csv.
+# ---------------------------------------------------------------------------
+
+
+def test_csv_reader_pojo_field_mapping(spark, tmp_path):
+    """CsvReaderITCase.java:66/:80: pojoType(fields) maps csv columns to
+    named fields by POSITION — both column orders produce the same rows
+    (golden 'ABC,3,2.20' ...)."""
+    from flink_1_6_0_spark.sources.batch import read_csv
+
+    golden = {("ABC", 3, 2.20), ("DEF", 5, 5.10), ("DEF", 1, 3.30), ("GHI", 10, 3.30)}
+
+    p1 = str(tmp_path / "in1.csv")
+    open(p1, "w").write("ABC,2.20,3\nDEF,5.1,5\nDEF,3.30,1\nGHI,3.30,10")
+    d1 = read_csv(spark, p1, schema="f1 string, f3 double, f2 int")
+    assert {(r["f1"], r["f2"], round(r["f3"], 2)) for r in d1.collect()} == golden
+
+    p2 = str(tmp_path / "in2.csv")
+    open(p2, "w").write("2.20,ABC,3\n5.1,DEF,5\n3.30,DEF,1\n3.30,GHI,10")
+    d2 = read_csv(spark, p2, schema="f3 double, f1 string, f2 int")
+    assert {(r["f1"], r["f2"], round(r["f3"], 2)) for r in d2.collect()} == golden
+
+
+def test_csv_reader_include_fields(spark, tmp_path):
+    """CsvReaderITCase.java:102: includeFields(true, false, true) projects
+    csv columns 0 and 2; the unselected POJO field keeps its default
+    (golden 'ABC,3,0.00')."""
+    from flink_1_6_0_spark.sources.batch import read_csv
+
+    p = str(tmp_path / "in3.csv")
+    open(p, "w").write("3,2.20,ABC\n5,5.1,DEF\n1,3.30,DEF\n10,3.30,GHI")
+    raw = read_csv(spark, p, schema="c0 int, c1 string, c2 string")
+    # includeFields + pojoType(["f2","f1"]): col0 -> f2, col2 -> f1; f3 default 0.0
+    data = raw.select(
+        F.col("c2").alias("f1"), F.col("c0").alias("f2"), F.lit(0.0).alias("f3")
+    )
+    got = {(r["f1"], r["f2"], r["f3"]) for r in data.collect()}
+    assert got == {("ABC", 3, 0.0), ("DEF", 5, 0.0), ("DEF", 1, 0.0), ("GHI", 10, 0.0)}
+
+
+def test_csv_reader_value_types_roundtrip(spark, tmp_path):
+    """CsvReaderITCase.java:115 testValueTypes: the full 8-type tuple width
+    (string, boolean, byte, short, int, long, float, double) parses and
+    round-trips."""
+    from flink_1_6_0_spark.sources.batch import read_csv
+
+    p = str(tmp_path / "in4.csv")
+    open(p, "w").write("ABC,true,1,2,3,4,5.0,6.0\nBCD,false,1,2,3,4,5.0,6.0")
+    schema = (
+        "s string, b boolean, y tinyint, h smallint, i int, l bigint, f float, d double"
+    )
+    rows = sorted(read_csv(spark, p, schema=schema).collect(), key=lambda r: r["s"])
+    assert [tuple(r) for r in rows] == [
+        ("ABC", True, 1, 2, 3, 4, 5.0, 6.0),
+        ("BCD", False, 1, 2, 3, 4, 5.0, 6.0),
+    ]
