@@ -734,3 +734,111 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(f"{work}/flags")
+
+
+@query(
+    "stream_group_agg_retention",
+    oracle="""
+    WITH RECURSIVE src AS (
+        SELECT user_id,
+               event_id,
+               epoch_ms(ts)                        AS pt,
+               CAST(round(value * 100) AS BIGINT)  AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events
+    ), chain AS (
+        -- GroupAggProcessFunction + ProcessFunctionWithCleanupState replay:
+        -- the first element of a key always registers cleanup at pt+max; a
+        -- later element first fires a due timer (pt >= cleanup_time -> state
+        -- reset), then re-registers only when pt+min outruns the standing
+        -- timer (the coalescing rule).
+        SELECT user_id, event_id, pt, rn,
+               pt + 43200000 AS cleanup_time,
+               cents         AS agg_sum
+        FROM src WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.pt, o.rn,
+               CASE WHEN o.pt >= c.cleanup_time THEN o.pt + 43200000
+                    WHEN o.pt + 21600000 > c.cleanup_time THEN o.pt + 43200000
+                    ELSE c.cleanup_time END,
+               CASE WHEN o.pt >= c.cleanup_time THEN o.cents
+                    ELSE c.agg_sum + o.cents END
+        FROM chain c JOIN src o ON o.user_id = c.user_id AND o.rn = c.rn + 1
+    )
+    SELECT event_id, user_id, agg_sum FROM chain
+    """,
+    tags=("streaming", "agg", "retention"),
+)
+def stream_group_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-windowed group aggregate under PROCESSING-time idle-state
+    retention (GroupAggProcessFunction.scala:39 over
+    ProcessFunctionWithCleanupState.scala:29, StreamQueryConfig min 6h /
+    max 12h): per user, a running sum of cents that RESETS whenever the
+    cleanup timer fires — the queryConfig.scala:58 "handled as if it was the
+    first data" overwrite. Arrival time is the event's own ts (the
+    deterministic replay convention); executed as a per-key distributed
+    replay of the real kernel (streaming/cleanup_state.py), one shuffle on
+    user_id, no driver loop. The oracle replays the same timer chain as a
+    DuckDB recursive CTE."""
+    from flink_1_6_0_spark.streaming.cleanup_state import group_agg_retention_df
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("pt"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return group_agg_retention_df(
+        ev,
+        key_col="user_id",
+        proc_time_col="pt",
+        value_col="cents",
+        id_col="event_id",
+        min_retention_ms=6 * 3600 * 1000,
+        max_retention_ms=12 * 3600 * 1000,
+    )
+
+
+@query(
+    "stream_proctime_sort",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, event_id,
+               epoch_ms(date_trunc('hour', ts))   AS tick,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id, tick, cents,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY tick, cents, event_id DESC
+           ) - 1 AS emit_seq
+    FROM src
+    """,
+    tags=("streaming", "sort"),
+)
+def stream_proctime_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-time stream sort (ProcTimeSortProcessFunction.scala:36 —
+    Flink's `ORDER BY proctime, cents ASC, event_id DESC` stream sort): per
+    user, rows arriving within one proc-time tick (hour-truncated arrival
+    stamp) buffer and flush in comparator order when the tick passes. The
+    emission position is checkable because ticks flush in arrival order and
+    the comparator orders within a tick — which is exactly the oracle's
+    row_number."""
+    from flink_1_6_0_spark.streaming.cleanup_state import proctime_sort_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("tick"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return proctime_sort_df(
+        ev,
+        key_col="user_id",
+        proc_time_col="tick",
+        sort_cols=[("cents", True), ("event_id", False)],
+        out_cols=["event_id", "user_id", "tick", "cents"],
+    )
