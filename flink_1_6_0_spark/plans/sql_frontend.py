@@ -183,31 +183,46 @@ def rewrite_flink_sql(sql: str) -> str:
     sql = _rewrite_lateral_table(sql)
     # Accessors after the OUTER query's HAVING run post-aggregate: reference
     # the grouped window attribute instead of re-computing window(ts, ...).
-    # Scoping rules (review findings across r3/r11/r12): only a HAVING at
-    # paren depth 0 in the literal-masked text counts; a call is rendered
-    # bare only when it is itself at depth 0 (a subquery nested inside the
-    # HAVING opens a fresh scope with its own time column) and no top-level
-    # set operator (UNION/INTERSECT/EXCEPT — a new SELECT scope) sits
-    # between the governing HAVING and the call.
+    # Scoping rules (review findings across r3/r11/r12): a call is rendered
+    # bare only when a HAVING in the SAME SUBQUERY SCOPE precedes it with no
+    # same-scope set operator (UNION/INTERSECT/EXCEPT — a new SELECT) in
+    # between. Scope = the stack of enclosing `( SELECT …` parens in the
+    # literal-masked text: a subquery nested in the HAVING opens a fresh
+    # scope with its own time column, while a plain function call like
+    # QUARTER(HOP_START(…)) does NOT (SqlITCase.scala:666 wraps the HAVING
+    # accessor in QUARTER; the r12 depth-0 rule broke it — depth counts
+    # function parens, scope must not).
     masked = _mask_literals(sql)
 
-    def _depth0(pattern: str) -> list[int]:
-        hits = []
-        for m in re.finditer(pattern, masked, re.IGNORECASE):
-            pre = masked[: m.start()]
-            if pre.count("(") == pre.count(")"):
-                hits.append(m.start())
-        return hits
+    scope_at: dict[int, tuple[int, ...]] = {}
+    paren_stack: list[bool] = []  # is-subquery flag per open paren
+    cur_scope: tuple[int, ...] = ()
+    for i, ch in enumerate(masked):
+        scope_at[i] = cur_scope
+        if ch == "(":
+            is_sub = masked[i + 1 :].lstrip()[:6].upper() == "SELECT"
+            paren_stack.append(is_sub)
+            if is_sub:
+                cur_scope = cur_scope + (i,)
+        elif ch == ")" and paren_stack:
+            if paren_stack.pop():
+                cur_scope = cur_scope[:-1]
 
-    havings = _depth0(r"\bHAVING\b")
-    setops = _depth0(r"\b(?:UNION|INTERSECT|EXCEPT)\b")
+    def _scoped(pattern: str) -> list[tuple[int, tuple[int, ...]]]:
+        return [
+            (m.start(), scope_at[m.start()])
+            for m in re.finditer(pattern, masked, re.IGNORECASE)
+        ]
+
+    havings = _scoped(r"\bHAVING\b")
+    setops = _scoped(r"\b(?:UNION|INTERSECT|EXCEPT)\b")
 
     def _is_bare(s: int) -> bool:
-        pre = masked[:s]
-        if pre.count("(") != pre.count(")"):
-            return False  # the call sits inside a subquery scope
-        h = max((p for p in havings if p < s), default=None)
-        return h is not None and not any(h < p < s for p in setops)
+        sc = scope_at[s]
+        h = max((p for p, psc in havings if p < s and psc == sc), default=None)
+        return h is not None and not any(
+            h < p < s and psc == sc for p, psc in setops
+        )
 
     out, pos = [], 0
     while True:
