@@ -57,6 +57,7 @@ __all__ = [
     "KeyedProcessHarness",
     "replay_keyed_proctime",
     "group_agg_retention_df",
+    "group_agg_retention_stream",
     "proctime_sort_df",
 ]
 
@@ -835,6 +836,71 @@ def group_agg_retention_df(
 
     schema = out_schema or f"{id_col} long, {key_col} long, agg_sum long"
     return df.select(key_col, proc_time_col, value_col, id_col).groupBy(key_col).applyInPandas(replay, schema)
+
+
+def group_agg_retention_stream(
+    stream,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    query_config: StreamQueryConfig,
+    output_schema: str | None = None,
+):
+    """LIVE Structured-Streaming execution of the retention group-agg:
+    ``applyInPandasWithState`` with ``GroupStateTimeout.ProcessingTimeTimeout``
+    — the wall clock plays the processing time the batch replay injects.
+
+    The state carries (sum, cnt, cleanup_time); each micro-batch applies the
+    reference's coalescing rule against real time (a new timeout is set only
+    when now + min outruns the standing cleanup time,
+    ProcessFunctionWithCleanupState.scala:46) and a timed-out invocation
+    drops the state, so a key idle past the retention window restarts from
+    zero — GroupAggProcessFunction.scala semantics on a live stream. Returns
+    the transformed streaming DataFrame (pair with an update-mode sink).
+
+    State at scale: one (sum, cnt, ct) triple per live key — identical to
+    Flink's ValueState footprint; the timeout is what bounds "live".
+    """
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    qc = query_config
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now = int(time.time() * 1000)
+        acc_sum, cnt, cleanup = state.get if state.exists else (0, 0, None)
+        out_ids, out_sums = [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            for rid, v in zip(pdf[id_col], pdf[value_col]):
+                acc_sum += int(v)
+                cnt += 1
+                out_ids.append(rid)
+                out_sums.append(acc_sum)
+        if qc.state_cleaning_enabled and (cleanup is None or now + qc.min_idle_state_retention_ms > cleanup):
+            cleanup = now + qc.max_idle_state_retention_ms
+        state.update((acc_sum, cnt, cleanup if cleanup is not None else 0))
+        if qc.state_cleaning_enabled:
+            state.setTimeoutDuration(max(1, cleanup - now))
+        yield pd.DataFrame({id_col: out_ids, key_col: key[0], "agg_sum": out_sums})
+
+    schema = output_schema or f"{id_col} long, {key_col} long, agg_sum long"
+    return (
+        stream.select(key_col, value_col, id_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            schema,
+            "acc_sum long, cnt long, cleanup_time long",
+            "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
 
 
 def proctime_sort_df(

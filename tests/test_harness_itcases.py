@@ -693,3 +693,59 @@ def test_sort_row_time_partitioned_golden():
     assert h.output == expected
     # the too-early 2019 row is still buffered
     assert 2019 in h.states[1]["data"]
+
+
+# ---------------------------------------------------------------------------
+# Live Structured-Streaming path for the retention group-agg
+# ---------------------------------------------------------------------------
+
+
+def test_group_agg_retention_stream_live(spark, tmp_path):
+    """group_agg_retention_stream runs the same kernel semantics on a REAL
+    stream (applyInPandasWithState + ProcessingTimeTimeout). With hours of
+    retention nothing times out inside the test, so the final running sum
+    per key must equal the batch sum — the plumbing proof; the timer
+    *semantics* are pinned by the deterministic goldens above."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import read_parquet_stream
+    from flink_1_6_0_spark.streaming.cleanup_state import (
+        StreamQueryConfig,
+        group_agg_retention_stream,
+    )
+
+    src = f"{tmp_path}/src"
+    rows = [(i, i % 3, (i * 7) % 11) for i in range(60)]
+    spark.createDataFrame(rows, "event_id long, k long, v long").coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src)
+    out = group_agg_retention_stream(
+        stream, key_col="k", value_col="v", id_col="event_id",
+        query_config=StreamQueryConfig.with_idle_state_retention_time(3_600_000, 7_200_000),
+    )
+    # A ProcessingTimeTimeout query keeps scheduling timeout-check batches
+    # (the engine re-runs the stateful operator so wall-clock timeouts can
+    # fire), so neither processAllAvailable nor availableNow ever settles.
+    # Poll the sink for the expected result, then stop the live query.
+    import time
+
+    q = (
+        out.writeStream.format("memory").queryName("retention_live")
+        .outputMode("update").start()
+    )
+    want = {k: sum(v for i, kk, v in rows if kk == k) for k in (0, 1, 2)}
+    try:
+        got = {}
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {
+                r["k"]: r["s"]
+                for r in spark.table("retention_live")
+                .groupBy("k").agg(F.max("agg_sum").alias("s")).collect()
+            }
+            if got == want:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == want
