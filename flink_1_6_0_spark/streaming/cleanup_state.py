@@ -54,6 +54,7 @@ __all__ = [
     "RowTimeUnboundedRangeOverKernel",
     "ProcTimeSortKernel",
     "RowTimeSortKernel",
+    "StateCleaningCountTrigger",
     "KeyedProcessHarness",
     "replay_keyed_proctime",
     "group_agg_retention_df",
@@ -681,6 +682,48 @@ class RowTimeSortKernel(CleanupKernelBase):
             for row in inputs:
                 out.collect(tuple(row), True)
             state["last_triggering_ts"] = timestamp
+
+
+class StateCleaningCountTrigger:
+    """StateCleaningCountTrigger.scala:36 — the Table API's GlobalWindow
+    count trigger: FIRE once ``max_count`` elements accumulate (clearing the
+    counter), FIRE_AND_PURGE when the idle-state cleanup timer lands (the
+    same coalescing rule as ProcessFunctionWithCleanupState), CONTINUE
+    otherwise. State dict keys: 'count', 'cleanup_time'."""
+
+    CONTINUE, FIRE, FIRE_AND_PURGE = "CONTINUE", "FIRE", "FIRE_AND_PURGE"
+
+    def __init__(self, query_config: StreamQueryConfig, max_count: int):
+        self.qc = query_config
+        self.max_count = max_count
+
+    def on_element(self, state: dict, ctx) -> str:
+        current_time = ctx.current_processing_time()
+        if self.qc.state_cleaning_enabled:
+            cur = state.get("cleanup_time")
+            if cur is None or current_time + self.qc.min_idle_state_retention_ms > cur:
+                cleanup_time = current_time + self.qc.max_idle_state_retention_ms
+                ctx.register_processing_timer(cleanup_time)
+                state["cleanup_time"] = cleanup_time
+        count = state.get("count", 0) + 1
+        if count >= self.max_count:
+            state.pop("count", None)
+            return self.FIRE
+        state["count"] = count
+        return self.CONTINUE
+
+    def on_processing_time(self, state: dict, time: int) -> str:
+        if self.qc.state_cleaning_enabled:
+            cleanup_time = state.get("cleanup_time")
+            if cleanup_time is not None and time == cleanup_time:
+                self.clear(state)
+                return self.FIRE_AND_PURGE
+        return self.CONTINUE
+
+    @staticmethod
+    def clear(state: dict) -> None:
+        state.pop("count", None)
+        state.pop("cleanup_time", None)
 
 
 # ---------------------------------------------------------------------------

@@ -749,3 +749,92 @@ def test_group_agg_retention_stream_live(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# StateCleaningCountTriggerHarnessTest.scala
+# ---------------------------------------------------------------------------
+
+
+class _TriggerHarness:
+    """TriggerTestHarness analog for one GlobalWindow pane: tracks trigger
+    state, registered proc timers (deduplicated), and fires due timers on
+    advance_processing_time, returning their TriggerResults."""
+
+    def __init__(self, trigger):
+        self.trigger = trigger
+        self.state: dict = {}
+        self.proc_time = 0
+        self.timers: set[int] = set()
+
+    def current_processing_time(self):
+        return self.proc_time
+
+    def register_processing_timer(self, t):
+        self.timers.add(t)
+
+    def process_element(self):
+        return self.trigger.on_element(self.state, self)
+
+    def advance_processing_time(self, t):
+        self.proc_time = t
+        results = []
+        for ts in sorted([x for x in self.timers if x <= t]):
+            self.timers.discard(ts)
+            results.append(self.trigger.on_processing_time(self.state, ts))
+        return results
+
+    def num_state_entries(self):
+        return len(self.state)
+
+    def num_proc_timers(self):
+        return len(self.timers)
+
+
+def test_state_cleaning_count_trigger_fire_and_purge_golden():
+    """StateCleaningCountTriggerHarnessTest.scala:36
+    testFiringAndFiringWithPurging — count-10 trigger under (2s, 3s)
+    retention: FIRE at the count, FIRE_AND_PURGE at the cleanup timer,
+    superseded timers CONTINUE."""
+    from flink_1_6_0_spark.streaming.cleanup_state import StateCleaningCountTrigger
+
+    qc = StreamQueryConfig(2000, 3000)
+    h = _TriggerHarness(StateCleaningCountTrigger(qc, 10))
+    T = StateCleaningCountTrigger
+
+    assert h.advance_processing_time(1) == []
+    assert h.process_element() == T.CONTINUE  # registers cleanup timer 3001
+    assert h.advance_processing_time(1000) == []
+    assert h.process_element() == T.CONTINUE  # 1000+2000 <= 3001: reuse
+    # two state entries: timer(3001) and counter(2)
+    assert h.num_state_entries() == 2
+    assert h.advance_processing_time(3001) == [T.FIRE_AND_PURGE]
+    assert h.num_state_entries() == 0
+    assert h.process_element() == T.CONTINUE  # registers 6001
+    assert h.advance_processing_time(4002) == []
+    assert h.process_element() == T.CONTINUE  # 4002+2000 > 6001: register 7002
+    assert h.process_element() == T.CONTINUE  # reuse 7002
+    assert h.num_proc_timers() == 2  # timers 6001 and 7002
+    assert h.num_state_entries() == 2
+    for _ in range(6):
+        assert h.process_element() == T.CONTINUE
+    assert h.process_element() == T.FIRE  # the 10th element
+    assert h.num_state_entries() == 1  # counter cleared, cleanup time kept
+    # 6001 is stale (CONTINUE), 7002 cleans everything
+    assert h.advance_processing_time(7002) == [T.CONTINUE, T.FIRE_AND_PURGE]
+    assert h.num_state_entries() == 0
+
+
+def test_state_cleaning_count_trigger_clear_golden():
+    """StateCleaningCountTriggerHarnessTest.scala:118 testClear — clear()
+    drops both the counter and the cleanup-time state."""
+    from flink_1_6_0_spark.streaming.cleanup_state import StateCleaningCountTrigger
+
+    qc = StreamQueryConfig(2000, 3000)
+    h = _TriggerHarness(StateCleaningCountTrigger(qc, 3))
+    T = StateCleaningCountTrigger
+    assert h.process_element() == T.CONTINUE
+    assert h.num_proc_timers() == 1
+    assert h.num_state_entries() == 2
+    T.clear(h.state)
+    assert h.num_state_entries() == 0
