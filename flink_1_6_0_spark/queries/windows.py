@@ -533,3 +533,47 @@ def interval_join_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_event_id").alias("purchase_id"),
         "user_id",
     )
+
+
+@query(
+    "window_cascade_rowtime",
+    oracle="""
+    WITH w1 AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+                 - INTERVAL 1 MILLISECOND AS rowtime,
+               count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT epoch_ms(time_bucket(INTERVAL 4 HOUR, rowtime) + INTERVAL 4 HOUR
+             - INTERVAL 1 MILLISECOND) AS wr,
+           count(*)     AS n_windows,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM w1 GROUP BY 1
+    """,
+    tags=("batch", "window", "sql-frontend"),
+)
+def window_cascade_rowtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADED group windows on TUMBLE_ROWTIME (TimeAttributesITCase.scala:
+    341/:374 — `w.rowtime` = window end − 1 ms is itself a rowtime): a 1-hour
+    tumble's rowtime feeds a 4-hour tumble, both spelled in Flink SQL through
+    the front-end rewrite. Catalyst folds each level into one hash aggregate;
+    the second level shuffles only first-level window rows (≤ hours, not
+    events) — the cascade is cheaper than the base aggregate at any scale."""
+    from flink_1_6_0_spark.session import TableEnvironment
+
+    te = TableEnvironment(spark)
+    te.register_table("events", T(spark, sf_dir, "events"))
+    return te.sql(
+        """
+        SELECT unix_millis(TUMBLE_ROWTIME(rowtime, INTERVAL '4' HOUR)) AS wr,
+               count(*) AS n_windows,
+               sum(n)   AS n_events
+        FROM (
+          SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rowtime,
+                 count(*) AS n
+          FROM events
+          GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        )
+        GROUP BY TUMBLE(rowtime, INTERVAL '4' HOUR)
+        """
+    )
