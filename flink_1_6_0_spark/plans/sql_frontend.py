@@ -194,28 +194,42 @@ def rewrite_flink_sql(sql: str) -> str:
     # function parens, scope must not).
     masked = _mask_literals(sql)
 
+    # scope_at[i] = the stack of enclosing `( SELECT …` parens; depth_at[i] =
+    # ALL enclosing parens. `\s*SELECT\b` (anchored match, no tail copy) so
+    # identifiers like `selectivity` don't open phantom scopes.
+    _select_after = re.compile(r"\s*SELECT\b", re.IGNORECASE)
     scope_at: dict[int, tuple[int, ...]] = {}
+    depth_at: dict[int, int] = {}
+    scope_base_depth: dict[tuple[int, ...], int] = {(): 0}
     paren_stack: list[bool] = []  # is-subquery flag per open paren
     cur_scope: tuple[int, ...] = ()
     for i, ch in enumerate(masked):
         scope_at[i] = cur_scope
+        depth_at[i] = len(paren_stack)
         if ch == "(":
-            is_sub = masked[i + 1 :].lstrip()[:6].upper() == "SELECT"
+            is_sub = _select_after.match(masked, i + 1) is not None
             paren_stack.append(is_sub)
             if is_sub:
                 cur_scope = cur_scope + (i,)
+                scope_base_depth.setdefault(cur_scope, len(paren_stack))
         elif ch == ")" and paren_stack:
             if paren_stack.pop():
                 cur_scope = cur_scope[:-1]
 
-    def _scoped(pattern: str) -> list[tuple[int, tuple[int, ...]]]:
-        return [
-            (m.start(), scope_at[m.start()])
-            for m in re.finditer(pattern, masked, re.IGNORECASE)
-        ]
+    def _scoped(pattern: str, top_level_only: bool) -> list[tuple[int, tuple[int, ...]]]:
+        # top_level_only: the token must sit directly in its scope's SELECT
+        # body, not nested in expression parens — a UNION inside
+        # `HAVING x IN ((SELECT …) UNION (SELECT …))` is a compound-subquery
+        # operator, not a branch boundary of THIS scope.
+        hits = []
+        for m in re.finditer(pattern, masked, re.IGNORECASE):
+            sc = scope_at[m.start()]
+            if not top_level_only or depth_at[m.start()] == scope_base_depth.get(sc, 0):
+                hits.append((m.start(), sc))
+        return hits
 
-    havings = _scoped(r"\bHAVING\b")
-    setops = _scoped(r"\b(?:UNION|INTERSECT|EXCEPT)\b")
+    havings = _scoped(r"\bHAVING\b", top_level_only=True)
+    setops = _scoped(r"\b(?:UNION|INTERSECT|EXCEPT)\b", top_level_only=True)
 
     def _is_bare(s: int) -> bool:
         sc = scope_at[s]

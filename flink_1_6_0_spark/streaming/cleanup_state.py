@@ -328,8 +328,11 @@ class ProcTimeBoundedRowsOverKernel(CleanupKernelBase):
         if accumulators is None:
             accumulators = self.f.create_accumulators()
         row_map = state.setdefault("rows", {})  # proc ts -> list[row]
-        smallest_ts = state.get("smallest_ts", 0)
-        if smallest_ts == 0:
+        # the reference uses 0L as the unset sentinel (ValueState[Long]
+        # default; unreachable for wall clocks) — replays can legitimately
+        # start at proc time 0, so unset is None here
+        smallest_ts = state.get("smallest_ts")
+        if smallest_ts is None:
             smallest_ts = current_time
             state["smallest_ts"] = smallest_ts
         counter = state.get("counter", 0)
@@ -786,13 +789,15 @@ class KeyedProcessHarness:
             self._seq += 1
 
     # driving surface ---------------------------------------------------
-    def process_element(self, row, change: bool = True):
-        key = self.key_fn(row)
+    def _run(self, key, fn, row, change: bool):
         self._current_key = key
         state = self.states.setdefault(key, {})
-        self.kernel.process_element(state, self, row, change, self.out)
+        fn(state, self, row, change, self.out)
         if not state:
             self.states.pop(key, None)
+
+    def process_element(self, row, change: bool = True):
+        self._run(self.key_fn(row), self.kernel.process_element, row, change)
 
     def set_processing_time(self, t: int):
         self.proc_time = t
@@ -812,6 +817,18 @@ class KeyedProcessHarness:
             self.kernel.on_timer(state, self, ts, domain == "proc", self.out)
             if not state:
                 self.states.pop(key, None)
+
+    # assertion surface (numKeyedStateEntries / numProcessingTimeTimers /
+    # numEventTimeTimers analogs; kernels pop cleared/emptied primitives, so
+    # counting dict entries matches the heap backend's entry counting)
+    def num_state_entries(self) -> int:
+        return sum(len(s) for s in self.states.values())
+
+    def num_proc_timers(self) -> int:
+        return sum(1 for (_k, d, _t) in self._timer_set if d == "proc")
+
+    def num_event_timers(self) -> int:
+        return sum(1 for (_k, d, _t) in self._timer_set if d == "event")
 
     @property
     def output(self) -> list[tuple[tuple, bool]]:
@@ -918,13 +935,20 @@ def group_agg_retention_stream(
         now = int(time.time() * 1000)
         acc_sum, cnt, cleanup = state.get if state.exists else (0, 0, None)
         out_ids, out_sums = [], []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(id_col, kind="mergesort")
-            for rid, v in zip(pdf[id_col], pdf[value_col]):
-                acc_sum += int(v)
-                cnt += 1
-                out_ids.append(rid)
-                out_sums.append(acc_sum)
+        # concat before sorting: a batch larger than one Arrow chunk must
+        # still apply in GLOBAL id order or the live path's intermediate
+        # sums diverge from the deterministic replay's
+        chunks = [c for c in pdf_iter if len(c)]
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values(id_col, kind="mergesort")
+            if chunks
+            else pd.DataFrame({id_col: [], value_col: []})
+        )
+        for rid, v in zip(pdf[id_col], pdf[value_col]):
+            acc_sum += int(v)
+            cnt += 1
+            out_ids.append(rid)
+            out_sums.append(acc_sum)
         if qc.state_cleaning_enabled and (cleanup is None or now + qc.min_idle_state_retention_ms > cleanup):
             cleanup = now + qc.max_idle_state_retention_ms
         state.update((acc_sum, cnt, cleanup if cleanup is not None else 0))

@@ -29,9 +29,7 @@ kernels.
 
 from __future__ import annotations
 
-import heapq
-
-from flink_1_6_0_spark.streaming.cleanup_state import StreamQueryConfig
+from flink_1_6_0_spark.streaming.cleanup_state import KeyedProcessHarness, StreamQueryConfig
 
 __all__ = [
     "NonWindowInnerJoinKernel",
@@ -601,76 +599,30 @@ class TimeBoundedJoinKernel:
 # ---------------------------------------------------------------------------
 
 
-class _Out:
-    def __init__(self):
-        self.records: list[tuple[tuple, bool]] = []
-
-    def collect(self, row, change=True):
-        self.records.append((tuple(row), change))
-
-
-class TwoInputKeyedProcessHarness:
+class TwoInputKeyedProcessHarness(KeyedProcessHarness):
     """Drives a two-input kernel with injected processing time and per-input
-    watermarks. The operator watermark is min(wm1, wm2); on advance, due
-    event timers fire and — when ``watermark_delay`` is set (the
+    watermarks — the timer service, firing order, dedup, state accounting
+    and collector are inherited from the one-input harness so the
+    InternalTimerService emulation lives in exactly one place. The operator
+    watermark is min(wm1, wm2); on advance, due event timers fire and —
+    when ``watermark_delay`` is set (the
     KeyedCoProcessOperatorWithWatermarkDelay wrapper the rowtime join tests
     use) — the held-back watermark (min − delay) is recorded in
     ``self.watermarks``."""
 
     def __init__(self, kernel, key1_fn, key2_fn, watermark_delay: int | None = None):
-        self.kernel = kernel
-        self.key1_fn = key1_fn
+        super().__init__(kernel, key_fn=key1_fn)
         self.key2_fn = key2_fn
         self.watermark_delay = watermark_delay
-        self.states: dict = {}
-        self.out = _Out()
         self.watermarks: list[int] = []
-        self.proc_time = 0
         self.wm1 = -(2**63)
         self.wm2 = -(2**63)
-        self.watermark = -(2**63)
-        self._heaps = {"proc": [], "event": []}
-        self._timer_set: set = set()
-        self._seq = 0
-        self._current_key = None
 
-    # ctx surface --------------------------------------------------------
-    def current_processing_time(self):
-        return self.proc_time
-
-    def current_watermark(self):
-        return self.watermark
-
-    def register_processing_timer(self, t):
-        self._register(t, "proc")
-
-    def register_event_timer(self, t):
-        self._register(t, "event")
-
-    def _register(self, t, domain):
-        key = self._current_key
-        if (key, domain, t) not in self._timer_set:
-            self._timer_set.add((key, domain, t))
-            heapq.heappush(self._heaps[domain], (t, self._seq, key))
-            self._seq += 1
-
-    # driving --------------------------------------------------------------
     def process_element1(self, row, change=True):
-        self._run(self.key1_fn(row), self.kernel.process_element1, row, change)
+        self._run(self.key_fn(row), self.kernel.process_element1, row, change)
 
     def process_element2(self, row, change=True):
         self._run(self.key2_fn(row), self.kernel.process_element2, row, change)
-
-    def _run(self, key, fn, row, change):
-        self._current_key = key
-        state = self.states.setdefault(key, {})
-        fn(state, self, row, change, self.out)
-        if not state:
-            self.states.pop(key, None)
-
-    def set_processing_time(self, t):
-        self.proc_time = t
-        self._fire_due("proc", t)
 
     def process_watermark1(self, t):
         self.wm1 = t
@@ -683,35 +635,6 @@ class TwoInputKeyedProcessHarness:
     def _advance_watermark(self):
         combined = min(self.wm1, self.wm2)
         if combined > self.watermark:
-            self.watermark = combined
-            self._fire_due("event", combined)
+            super().process_watermark(combined)
             if self.watermark_delay is not None:
                 self.watermarks.append(combined - self.watermark_delay)
-
-    def _fire_due(self, domain, t):
-        heap = self._heaps[domain]
-        while heap and heap[0][0] <= t:
-            ts, _, key = heapq.heappop(heap)
-            self._timer_set.discard((key, domain, ts))
-            self._current_key = key
-            state = self.states.setdefault(key, {})
-            self.kernel.on_timer(state, self, ts, domain == "proc", self.out)
-            if not state:
-                self.states.pop(key, None)
-
-    # assertions -----------------------------------------------------------
-    def num_state_entries(self) -> int:
-        """numKeyedStateEntries analog: non-empty state primitives per key
-        (kernels pop cleared/emptied primitives, matching the reference's
-        heap-backend entry counting)."""
-        return sum(len(s) for s in self.states.values())
-
-    def num_proc_timers(self) -> int:
-        return sum(1 for (_, d, _t) in self._timer_set if d == "proc")
-
-    def num_event_timers(self) -> int:
-        return sum(1 for (_, d, _t) in self._timer_set if d == "event")
-
-    @property
-    def output(self):
-        return self.out.records

@@ -838,3 +838,20 @@ def test_state_cleaning_count_trigger_clear_golden():
     assert h.num_state_entries() == 2
     T.clear(h.state)
     assert h.num_state_entries() == 0
+
+
+def test_proc_time_bounded_rows_over_at_time_zero():
+    """r12 session-2 review finding: a replay starting at proc time 0 must
+    not re-initialize smallest_ts (the reference's 0L sentinel is
+    unreachable for wall clocks; the kernel uses None)."""
+    h = KeyedProcessHarness(
+        ProcTimeBoundedRowsOverKernel(min_max_aggregator(), 2, StreamQueryConfig()),
+        key_fn=lambda r: r[1],
+    )
+    h.set_processing_time(0)
+    h.process_element((0, "k", 10))
+    h.set_processing_time(5)
+    h.process_element((0, "k", 20))
+    h.set_processing_time(6)
+    h.process_element((0, "k", 30))  # window = {20, 30}: the t=0 row retracts
+    assert h.output[-1] == ((0, "k", 30, 20, 30), True)

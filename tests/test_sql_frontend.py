@@ -169,3 +169,39 @@ def test_having_scope_rules():
         "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
     )
     assert "window(ts, '1 hour')" in rewrite_flink_sql(sql)
+
+
+def test_having_scope_function_nesting_and_phantoms():
+    """r12 session-2 review findings: (1) a window accessor nested in a
+    FUNCTION call inside HAVING is still the HAVING's scope and renders bare
+    (SqlITCase.scala:666 wraps HOP_START in QUARTER); (2) identifiers
+    starting with 'select' don't open phantom subquery scopes; (3) a
+    compound subquery ((SELECT..) UNION (SELECT..)) inside HAVING does not
+    suppress bare rendering of later same-scope accessors."""
+    # (1) function-nested accessor in HAVING renders bare
+    sql = (
+        "SELECT c FROM t GROUP BY HOP(ts, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE), c "
+        "HAVING SUM(b) > 1 AND "
+        "QUARTER(HOP_START(ts, INTERVAL '1' MINUTE, INTERVAL '1' MINUTE)) = 1"
+    )
+    out = rewrite_flink_sql(sql)
+    assert "QUARTER(window.start) = 1" in out
+
+    # (2) a parenthesized expression starting with an identifier prefixed
+    # 'select' is NOT a subquery — the accessor stays in the HAVING's scope
+    sql = (
+        "SELECT c FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), c "
+        "HAVING (selectivity * 2 > 1 AND TUMBLE_END(ts, INTERVAL '1' HOUR) IS NOT NULL)"
+    )
+    out = rewrite_flink_sql(sql)
+    assert "window.end IS NOT NULL" in out
+
+    # (3) a compound set-op SUBQUERY inside the HAVING is not a branch
+    # boundary of this scope: the trailing accessor still renders bare
+    sql = (
+        "SELECT c FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), c "
+        "HAVING c IN ((SELECT a FROM s1) UNION (SELECT a FROM s2)) "
+        "AND TUMBLE_END(ts, INTERVAL '1' HOUR) IS NOT NULL"
+    )
+    out = rewrite_flink_sql(sql)
+    assert "window.end IS NOT NULL" in out
