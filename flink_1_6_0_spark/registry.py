@@ -112,10 +112,12 @@ _SENTINELS = (
 # r11-session-4 re-seats have fresh evidence and rotate OUT. r12 re-seats
 # cover this round's kernel diffs:
 _ROTATE_IN = (
-    # r12: sql_frontend rewrite reworked (literal mask with '' escapes,
-    # HAVING bare-window scoping by depth + set-operator boundaries,
-    # _find_call/_rewrite_lateral_table search over masked text)
-    "window_tumble_flink_sql",
+    # r12: sql_frontend rewrite reworked TWICE (session 1: literal mask with
+    # '' escapes, _find_call/_rewrite_lateral_table over masked text;
+    # session 2: HAVING bare-window scoping rebuilt on SUBQUERY scopes after
+    # the depth-0 rule broke SqlITCase:666, + top-level-in-scope set-op
+    # boundaries) — re-seat every query routed through rewrite_flink_sql
+    "window_tumble_flink_sql", "sql_having_groupagg",
     # r12: windows._duration_ms rejects sub-millisecond durations (0ms is
     # unparseable, falls through to Spark's parser) — hop gap-pane path
     "window_hop",
