@@ -331,6 +331,52 @@ class KeyedStream:
     def max_by(self, value: str, ordering: str) -> DataStream:
         return self.reduce(F.max_by(value, ordering).alias(value))
 
+    # -- rolling aggregates (StreamGroupedReduce + SumAggregator /
+    #    ComparableAggregator: KeyedStream.sum emits one element PER INPUT,
+    #    the aggregated field running, the other fields carried from the
+    #    key's FIRST element — DataStreamPojoITCase.java:47 pins this incl.
+    #    NESTED field expressions like "stats.count") -----------------------
+    def _rolling(self, field: str, agg, order_by: list[str]) -> DataStream:
+        from pyspark.sql.window import Window
+
+        path = field.split(".")
+        # CompositeType field-expression validation
+        # (InvalidFieldReferenceException analog)
+        dt = self.df.schema
+        for seg in path:
+            names = [f.name for f in dt.fields] if hasattr(dt, "fields") else []
+            if seg not in names:
+                raise ValueError(
+                    f"Invalid field reference {field!r}: {seg!r} not in {names}"
+                )
+            dt = dt[seg].dataType
+        w = (
+            Window.partitionBy(*self.keys)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        running = agg(F.col(field)).over(w)
+        out = []
+        for c in self.df.columns:
+            if c == path[0]:
+                if len(path) == 1:
+                    out.append(running.alias(c))
+                else:  # nested: carry the struct, update the leaf in place
+                    col = F.first(c).over(w).withField(".".join(path[1:]), running)
+                    out.append(col.alias(c))
+            else:
+                out.append(F.first(c).over(w).alias(c))
+        return DataStream(self.df.select(*out))
+
+    def rolling_sum(self, field: str, order_by: list[str]) -> DataStream:
+        return self._rolling(field, F.sum, order_by)
+
+    def rolling_min(self, field: str, order_by: list[str]) -> DataStream:
+        return self._rolling(field, F.min, order_by)
+
+    def rolling_max(self, field: str, order_by: list[str]) -> DataStream:
+        return self._rolling(field, F.max, order_by)
+
     def process(self, fn, out_schema: str, state_schema: str, mode: str = "append", timeout: str = "NoTimeout") -> DataStream:
         """KeyedProcessFunction (ProcessFunction.java:51,70,85 — processElement
         + onTimer + keyed state) → applyInPandasWithState; timers are state

@@ -638,3 +638,94 @@ def test_broadcast_state_keyed_translation_golden(spark, tmp_path):
     # own entry and the broadcast state equals the full expected map
     assert sorted(got) == sorted(expected.items())
     assert all(s == expected for s in snapshots)
+
+
+# ---------------------------------------------------------------------------
+# DataStreamPojoITCase.java — composite/nested field expressions on keyed
+# rolling aggregates (FLINK-3697). KeyedStream.sum in Flink is a ROLLING
+# aggregate (StreamGroupedReduce + SumAggregator): one emission per input,
+# the aggregated field running, the other fields carried from the key's
+# first element — including NESTED field paths like "stats.count".
+# ---------------------------------------------------------------------------
+
+_POJO_ROWS = [
+    # Data(aaa, abc, wxyz): sum=1, stats.count=123 (DataStreamPojoITCase.java:36)
+    (1, a, b, w, {"count": 123}) for (a, b, w) in
+    [(0, 0, 0), (0, 0, 0), (1, 1, 1), (1, 1, 1), (2, 2, 3), (2, 2, 3)]
+]
+_POJO_ROWS = [(i,) + r for i, r in enumerate(_POJO_ROWS)]
+_POJO_SCHEMA = "seq int, sum int, aaa int, abc int, wxyz long, stats struct<count:long>"
+
+
+def test_pojo_composite_key_rolling_sum(spark):
+    """DataStreamPojoITCase.java:47 testCompositeKeyOnNestedPojo — first
+    emission per (aaa, abc, wxyz) has sum 1, the second sum 2, keys intact."""
+    df = spark.createDataFrame(_POJO_ROWS, _POJO_SCHEMA)
+    out = (
+        DataStream(df)
+        .key_by("aaa", "abc", "wxyz")
+        .rolling_sum("sum", order_by=["seq"])
+        .df.orderBy("seq")
+        .collect()
+    )
+    seen: dict = {}
+    for r in out:
+        k = (r["aaa"], r["abc"], r["wxyz"])
+        if k not in seen:
+            seen[k] = r
+            assert r["sum"] == 1, "Expected the sum to be one"
+        else:
+            assert r["sum"] == 2, "Expected the sum to be two"
+            assert (seen[k]["aaa"], seen[k]["abc"], seen[k]["wxyz"]) == k
+    assert len(seen) == 3
+
+
+def test_pojo_nested_key_rolling_sum(spark):
+    """DataStreamPojoITCase.java:88 testNestedKeyOnNestedPojo — a NESTED
+    field ("stats.count") as part of the key; stats.count rides unchanged."""
+    df = spark.createDataFrame(_POJO_ROWS, _POJO_SCHEMA)
+    out = (
+        DataStream(df)
+        .key_by("aaa", "stats.count")
+        .rolling_sum("sum", order_by=["seq"])
+        .df.orderBy("seq")
+        .collect()
+    )
+    firsts: dict = {}
+    for r in out:
+        assert r["stats"]["count"] == 123, "Wrong value for value.stats.count"
+        if r["aaa"] not in firsts:
+            firsts[r["aaa"]] = r
+            assert r["sum"] == 1
+        else:
+            assert r["sum"] == 2
+
+
+def test_pojo_nested_field_accessor_rolling_sum(spark):
+    """DataStreamPojoITCase.java:131 testNestedPojoFieldAccessor — summing
+    the nested field itself: 123 then 246, updated IN PLACE in the struct."""
+    df = spark.createDataFrame(_POJO_ROWS, _POJO_SCHEMA)
+    out = (
+        DataStream(df)
+        .key_by("aaa")
+        .rolling_sum("stats.count", order_by=["seq"])
+        .df.orderBy("seq")
+        .collect()
+    )
+    firsts: set = set()
+    for r in out:
+        if r["aaa"] not in firsts:
+            firsts.add(r["aaa"])
+            assert r["stats"]["count"] == 123, "Expected stats.count to be 123"
+        else:
+            assert r["stats"]["count"] == 2 * 123, "Expected stats.count to be 2 * 123"
+
+
+def test_pojo_invalid_nested_field_raises(spark):
+    """DataStreamPojoITCase.java:159 testFailOnNestedPojoFieldAccessor —
+    InvalidFieldReferenceException analog."""
+    df = spark.createDataFrame(_POJO_ROWS, _POJO_SCHEMA)
+    with pytest.raises(ValueError, match="Invalid field reference"):
+        DataStream(df).key_by("aaa", "stats.count").rolling_sum(
+            "stats.nonExistingField", order_by=["seq"]
+        )
