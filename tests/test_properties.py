@@ -24,7 +24,10 @@ _TYPES = ["a", "b", "c"]
 
 def _brute_force_any(events, types, within_us):
     """All strictly-increasing index tuples matching the type sequence with
-    the within bound — the spec for followed_by_any chains."""
+    the within bound — the spec for followed_by_any chains. The bound is
+    STRICT, matching NFA.java:270 ``timestamp - startTimestamp >=
+    windowTime`` (the r11 golden-port fix): an event arriving exactly
+    `within` after the start matches nothing."""
     out = []
 
     def rec(stage, last, start_ts, acc):
@@ -32,7 +35,7 @@ def _brute_force_any(events, types, within_us):
             out.append(acc)
             return
         for i in range(last + 1, len(events)):
-            if within_us is not None and start_ts is not None and events[i]["__ts"] - start_ts > within_us:
+            if within_us is not None and start_ts is not None and events[i]["__ts"] - start_ts >= within_us:
                 continue
             if events[i]["t"] == types[stage]:
                 rec(stage + 1, i, start_ts if start_ts is not None else events[i]["__ts"], acc + ((i,),))
