@@ -1,27 +1,30 @@
-"""Event-time session windows with allowedLateness — the WindowOperator
+"""Event-time windows with allowedLateness — the WindowOperator
 merging/lateness/re-fire protocol.
 
 Reference: flink-streaming-java/.../runtime/operators/windowing/
 WindowOperator.java:358 (processElement for MergingWindowAssigner: merge →
-isWindowLate retire → trigger.onElement → FIRE → registerCleanupTimer),
-:590 isWindowLate (cleanupTime(w) ≤ watermark), :602 isElementLate,
-:610 registerCleanupTimer (maxTimestamp + allowedLateness),
-EventTimeTrigger.java:39 (onElement FIREs immediately when maxTimestamp ≤
-watermark — the LATE-DATA RE-FIRE — else registers the maxTimestamp timer;
-onEventTime FIREs only at exactly maxTimestamp), TimeWindow.java
-(maxTimestamp = end − 1), EventTimeSessionWindows.java:83 (assign
-[ts, ts + gap)), and the acceptance suite SessionWindowITCase.java:63
-(flink-tests/.../windowing/sessionwindows/).
+isWindowLate retire → trigger.onElement → FIRE → registerCleanupTimer; :397
+the non-merging path; :434 the skipped+late side output), :590 isWindowLate
+(cleanupTime(w) ≤ watermark), :602 isElementLate, :610 registerCleanupTimer
+(maxTimestamp + allowedLateness), EventTimeTrigger.java:39 (onElement FIREs
+immediately when maxTimestamp ≤ watermark — the LATE-DATA RE-FIRE — else
+registers the maxTimestamp timer; onEventTime FIREs only at exactly
+maxTimestamp), PurgingTrigger.java (FIRE → FIRE_AND_PURGE: window contents
+clear at every firing), TimeWindow.java (maxTimestamp = end − 1),
+TumblingEventTimeWindows.java:55, SlidingEventTimeWindows.java:58,
+EventTimeSessionWindows.java:83 (assign [ts, ts + gap)). Acceptance:
+SessionWindowITCase.java:63 and WindowOperatorTest.java (session, point
+session, tumbling lateness/side-output goldens).
 
-Why a kernel: Spark's session_window() + watermark drops late rows at
-admission and never re-fires an emitted window; Flink's allowedLateness
-keeps the ACCUMULATED window state alive for `lateness` past the on-time
-firing and re-emits the grown window per late element. That re-fire
-protocol is this kernel, runnable per key on the deterministic harness
-(tests) or distributed by key via applyInPandas (same argument as
-streaming/cleanup_state.py — all state is per key).
+Why a kernel: Spark's window()/session_window() + watermark drops late rows
+at admission and never re-fires an emitted window; Flink's allowedLateness
+keeps the window state alive for `lateness` past the on-time firing and
+re-emits the grown (accumulating) or fresh (purging) window per late
+element. That re-fire protocol is this kernel, runnable per key on the
+deterministic harness (tests) or distributed by key via applyInPandas (same
+argument as streaming/cleanup_state.py — all state is per key).
 
-At scale the state bound is Flink's: open sessions × contents, plus fired
+At scale the state bound is Flink's: open windows × contents, plus fired
 windows retained for `lateness` — the cleanup timer is what reclaims them.
 """
 
@@ -29,32 +32,84 @@ from __future__ import annotations
 
 from flink_1_6_0_spark.streaming.cleanup_state import CleanupKernelBase
 
-__all__ = ["SessionWindowKernel"]
+__all__ = [
+    "EventTimeWindowKernel",
+    "SessionWindowKernel",
+    "tumbling_windows",
+    "sliding_windows",
+    "session_windows",
+]
 
 LONG_MAX = 2**63 - 1
 
 
-class SessionWindowKernel(CleanupKernelBase):
-    """Keyed session-window operator: gap merging, allowedLateness re-fires,
-    late-beyond-lateness drops (counted in ``self.dropped``; the reference
-    routes them to a side output).
+def tumbling_windows(size_ms: int, offset_ms: int = 0):
+    """TumblingEventTimeWindows.java:55 — one aligned window per element."""
 
-    Emits ``((key_field..., window_start, window_end, contents_tuple), True)``
-    per firing — accumulating trigger (PURGE_WINDOW_ON_FIRE=false in the
-    ITCase), so each firing carries the FULL window contents so far.
+    def assign(row, ts):
+        start = ts - (ts - offset_ms) % size_ms
+        return [(start, start + size_ms)]
 
+    return assign
+
+
+def sliding_windows(size_ms: int, slide_ms: int, offset_ms: int = 0):
+    """SlidingEventTimeWindows.java:58 — size/slide windows per element."""
+
+    def assign(row, ts):
+        last_start = ts - (ts - offset_ms) % slide_ms
+        return [
+            (s, s + size_ms)
+            for s in range(last_start, ts - size_ms, -slide_ms)
+        ]
+
+    return assign
+
+
+def session_windows(gap_ms: int):
+    """EventTimeSessionWindows.java:83 — [ts, ts + gap), merged by overlap.
+    A gap CALLABLE (row, ts) → gap gives DynamicEventTimeSessionWindows."""
+
+    def assign(row, ts):
+        gap = gap_ms(row, ts) if callable(gap_ms) else gap_ms
+        return [(ts, ts + gap)]
+
+    return assign
+
+
+class EventTimeWindowKernel(CleanupKernelBase):
+    """Keyed event-time window operator: assignment (merging or not),
+    allowedLateness re-fires, purging vs accumulating trigger, and
+    late-beyond-lateness side output (``self.side_output`` rows; the
+    reference's lateDataOutputTag).
+
+    Emits ``((window_start, window_end, contents_tuple), True)`` per firing.
     State per key: ``windows`` = {(start, end): [payload, ...]}.
     """
 
-    def __init__(self, gap_ms: int, allowed_lateness_ms: int, ts_idx: int, payload_idx: int):
+    def __init__(
+        self,
+        assigner,
+        allowed_lateness_ms: int,
+        ts_idx: int,
+        payload_idx: int,
+        merging: bool,
+        purging: bool = False,
+    ):
         super().__init__(None)
         if allowed_lateness_ms < 0:
             raise ValueError("The allowed lateness must be non-negative.")
-        self.gap = gap_ms
+        self.assigner = assigner
         self.lateness = allowed_lateness_ms
         self.ts_idx = ts_idx
         self.payload_idx = payload_idx
-        self.dropped = 0  # side-output analog (WindowOperator.java:434)
+        self.merging = merging
+        self.purging = purging
+        self.side_output: list = []  # WindowOperator.java:434 sideOutput
+
+    @property
+    def dropped(self) -> int:
+        return len(self.side_output)
 
     # -- window math ------------------------------------------------------
     @staticmethod
@@ -74,37 +129,47 @@ class SessionWindowKernel(CleanupKernelBase):
         ts = row[self.ts_idx]
         payload = row[self.payload_idx]
         windows = state.setdefault("windows", {})
+        is_skipped = True
 
-        # EventTimeSessionWindows.assignWindows: [ts, ts + gap)
-        new_window = (ts, ts + self.gap)
-        # MergingWindowSet.addWindow: coalesce every overlapping window
-        overlapping = [w for w in windows if w[0] <= new_window[1] and new_window[0] <= w[1]]
-        contents: list = []
-        for w in overlapping:
-            contents.extend(windows.pop(w))
-        actual = (
-            min([new_window[0]] + [w[0] for w in overlapping]),
-            max([new_window[1]] + [w[1] for w in overlapping]),
-        )
+        for new_window in self.assigner(row, ts):
+            if self.merging:
+                # MergingWindowSet.addWindow: coalesce every window the new
+                # one intersects (TimeWindow.intersects includes touching)
+                overlapping = [
+                    w for w in windows if w[0] <= new_window[1] and new_window[0] <= w[1]
+                ]
+                actual = (
+                    min([new_window[0]] + [w[0] for w in overlapping]),
+                    max([new_window[1]] + [w[1] for w in overlapping]),
+                )
+                if self._is_window_late(actual, ctx):
+                    continue  # retireWindow; live windows are never late
+                contents = []
+                for w in overlapping:
+                    contents.extend(windows.pop(w))
+            else:
+                actual = new_window
+                if self._is_window_late(actual, ctx):
+                    continue
+                contents = windows.pop(actual, [])
 
-        if self._is_window_late(actual, ctx):
-            # retireWindow + side output (element is necessarily late too)
-            self.dropped += 1
-            if not windows:
-                state.pop("windows", None)
-            return
+            is_skipped = False
+            contents.append(payload)
+            windows[actual] = contents
 
-        contents.append(payload)
-        windows[actual] = contents
+            # EventTimeTrigger.onElement: immediate FIRE for a window whose
+            # maxTimestamp the watermark already passed (the late re-fire),
+            # else arm the on-time timer
+            if self._max_ts(actual) <= ctx.current_watermark():
+                self._fire(out, windows, actual)
+            else:
+                ctx.register_event_timer(self._max_ts(actual))
+            ctx.register_event_timer(self._cleanup_time(actual))
 
-        # EventTimeTrigger.onElement: immediate FIRE for a window whose
-        # maxTimestamp the watermark already passed (the late-data re-fire),
-        # else arm the on-time timer
-        if self._max_ts(actual) <= ctx.current_watermark():
-            self._emit(out, actual, contents)
-        else:
-            ctx.register_event_timer(self._max_ts(actual))
-        ctx.register_event_timer(self._cleanup_time(actual))
+        if is_skipped and ts + self.lateness <= ctx.current_watermark():
+            self.side_output.append(row)  # isElementLate → lateDataOutputTag
+        if not windows:
+            state.pop("windows", None)
 
     def on_timer(self, state, ctx, timestamp, is_proc_time, out):
         if is_proc_time:
@@ -114,14 +179,32 @@ class SessionWindowKernel(CleanupKernelBase):
         # of merged-away windows match nothing — the namespaced-timer no-op)
         for w in list(windows):
             if self._max_ts(w) == timestamp:
-                self._emit(out, w, windows[w])
-        # clear windows whose cleanup time arrived (accumulating trigger:
-        # state lives until maxTimestamp + allowedLateness)
+                self._fire(out, windows, w)
+        # clear windows whose cleanup time arrived
         for w in list(windows):
             if self._cleanup_time(w) == timestamp:
                 del windows[w]
         if not windows:
             state.pop("windows", None)
 
-    def _emit(self, out, window, contents):
+    def _fire(self, out, windows, window):
+        contents = windows.get(window)
+        if not contents:
+            return  # WindowOperator: null contents emit nothing
         out.collect((window[0], window[1], tuple(contents)), True)
+        if self.purging:
+            windows[window] = []  # FIRE_AND_PURGE: clear, keep the window
+
+
+class SessionWindowKernel(EventTimeWindowKernel):
+    """EventTimeSessionWindows + accumulating EventTimeTrigger — the
+    SessionWindowITCase configuration."""
+
+    def __init__(self, gap_ms: int, allowed_lateness_ms: int, ts_idx: int, payload_idx: int):
+        super().__init__(
+            session_windows(gap_ms),
+            allowed_lateness_ms,
+            ts_idx,
+            payload_idx,
+            merging=True,
+        )

@@ -1,0 +1,175 @@
+"""Ports of WindowOperatorTest.java goldens (flink-streaming-java/.../
+runtime/operators/windowing/WindowOperatorTest.java) — the WindowOperator
+lateness/merging protocol, replayed through
+flink_1_6_0_spark.streaming.session_window.EventTimeWindowKernel on the
+deterministic harness.
+
+Each port keeps the reference's exact element/watermark driving and
+expected (window, aggregate) sequence; emissions here carry the window
+bounds and raw contents, so the expected `Tuple3<key-sum, start, end>` /
+`Tuple2<key, sum>`@maxTimestamp records map to (start, end, sum). The
+reference's mid-test snapshot/restore steps exercise serializer plumbing
+Spark replaces wholesale; processing simply continues here.
+"""
+
+from __future__ import annotations
+
+from flink_1_6_0_spark.streaming.cleanup_state import KeyedProcessHarness
+from flink_1_6_0_spark.streaming.session_window import (
+    EventTimeWindowKernel,
+    session_windows,
+    tumbling_windows,
+)
+
+
+def harness(kernel):
+    # rows: (key, value, ts)
+    return KeyedProcessHarness(kernel, key_fn=lambda r: r[0])
+
+
+def sums(h):
+    return [(start, end, sum(contents)) for (start, end, contents), _ in h.output]
+
+
+def test_session_windows_golden():
+    """WindowOperatorTest.java:362 testSessionWindows — 3s gap, lateness 0,
+    accumulating EventTimeTrigger."""
+    k = EventTimeWindowKernel(session_windows(3000), 0, ts_idx=2, payload_idx=1, merging=True)
+    h = harness(k)
+    h.process_element(("key2", 1, 0))
+    h.process_element(("key2", 2, 1000))
+    h.process_element(("key2", 3, 2500))
+    h.process_element(("key1", 1, 10))
+    h.process_element(("key1", 2, 1000))
+    # (snapshot/restore point in the reference)
+    h.process_element(("key1", 3, 2500))
+    h.process_element(("key2", 4, 5501))
+    h.process_element(("key2", 5, 6000))
+    h.process_element(("key2", 5, 6000))
+    h.process_element(("key2", 6, 6050))
+    h.process_watermark(12000)
+    h.process_element(("key2", 10, 15000))
+    h.process_element(("key2", 20, 15000))
+    h.process_watermark(17999)
+
+    assert sorted(sums(h)) == sorted(
+        [
+            (10, 5500, 6),     # key1-6
+            (0, 5500, 6),      # key2-6
+            (5501, 9050, 20),  # key2-20
+            (15000, 18000, 30),  # key2-30
+        ]
+    )
+    assert k.side_output == []
+
+
+def test_point_sessions_golden():
+    """WindowOperatorTest.java:804 testPointSessions — a value-dependent
+    assigner (PointSessionWindows: value 33 → the POINT window [ts, ts])
+    merging into 3s sessions."""
+
+    def point_session(row, ts):
+        if row[1] == 33:
+            return [(ts, ts)]
+        return [(ts, ts + 3000)]
+
+    k = EventTimeWindowKernel(point_session, 0, ts_idx=2, payload_idx=1, merging=True)
+    h = harness(k)
+    h.process_element(("key2", 1, 0))
+    h.process_element(("key2", 33, 1000))
+    # (snapshot/restore point)
+    h.process_element(("key2", 33, 2500))
+    h.process_element(("key1", 1, 10))
+    h.process_element(("key1", 2, 1000))
+    h.process_element(("key1", 33, 2500))
+    h.process_watermark(12000)
+
+    assert sorted(sums(h)) == sorted(
+        [
+            (10, 4000, 36),  # key1-36
+            (0, 3000, 67),   # key2-67
+        ]
+    )
+
+
+def test_lateness_with_purging_trigger_golden():
+    """WindowOperatorTest.java:1393 testLateness — 2s tumble, lateness 500,
+    PURGING trigger: the within-lateness re-fire emits only the late
+    element (1, not 3); the beyond-lateness element side-outputs."""
+    k = EventTimeWindowKernel(
+        tumbling_windows(2000), 500, ts_idx=2, payload_idx=1, merging=False, purging=True
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 500))
+    h.process_watermark(1500)
+    h.process_element(("key2", 1, 1300))
+    h.process_watermark(2300)
+    h.process_element(("key2", 1, 1997))  # within lateness: re-fires purged window
+    h.process_watermark(6000)
+    h.process_element(("key2", 1, 1998))  # beyond lateness: side output
+    h.process_watermark(7000)
+
+    assert sums(h) == [
+        (0, 2000, 2),  # on-time firing
+        (0, 2000, 1),  # late re-fire after purge: only the late element
+    ]
+    assert k.side_output == [("key2", 1, 1998)]
+
+
+def test_side_output_due_to_lateness_tumbling_golden():
+    """WindowOperatorTest.java:1526 testSideOutputDueToLatenessTumbling —
+    2s tumble, lateness 0: the element behind the fired window side-outputs,
+    later windows proceed."""
+    k = EventTimeWindowKernel(
+        tumbling_windows(2000), 0, ts_idx=2, payload_idx=1, merging=False
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1985)
+    h.process_element(("key2", 1, 1980))  # not dropped: maxTs+lateness > wm
+    h.process_watermark(1999)
+    h.process_element(("key2", 1, 1998))  # side output
+    h.process_element(("key2", 1, 2001))
+    h.process_watermark(2999)
+    h.process_watermark(3999)
+
+    assert sums(h) == [(0, 2000, 2), (2000, 4000, 1)]
+    assert k.side_output == [("key2", 1, 1998)]
+
+
+def test_session_with_lateness_accumulating_golden():
+    """WindowOperatorTest.java:1925
+    testNotSideOutputDueToLatenessSessionWithLateness — 3s gap, lateness 10,
+    accumulating trigger: a late element can MERGE a fired session and
+    immediately re-fire the merged result; nothing side-outputs."""
+    k = EventTimeWindowKernel(
+        session_windows(3000), 10, ts_idx=2, payload_idx=1, merging=True
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1999)
+    h.process_element(("key2", 1, 2000))
+    h.process_watermark(4998)
+    # session's maxTimestamp is after the watermark: not side output
+    h.process_element(("key2", 1, 4500))
+    h.process_element(("key2", 1, 8500))  # new session
+    h.process_watermark(7400)
+    h.process_element(("key2", 1, 7000))  # merges the two sessions
+    h.process_watermark(11501)
+    h.process_element(("key2", 1, 11600))  # new session
+    h.process_watermark(14600)
+    # within the small lateness + accumulating: merges into (11600, 14600),
+    # extends to (10000, 14600) whose maxTimestamp <= watermark → immediate
+    # firing with the merged contents
+    h.process_element(("key2", 1, 10000))
+    h.process_element(("key2", 1, 14500))
+    h.process_watermark(20000)
+    h.process_watermark(100000)
+
+    assert sums(h) == [
+        (1000, 11500, 5),   # key2-5 @11499
+        (11600, 14600, 1),  # key2-1 @14599
+        (10000, 14600, 2),  # key2-2 @14599: the late-merge immediate firing
+        (10000, 17500, 3),  # key2-3 @17499
+    ]
+    assert k.side_output == []
