@@ -173,3 +173,109 @@ def test_session_with_lateness_accumulating_golden():
         (10000, 17500, 3),  # key2-3 @17499
     ]
     assert k.side_output == []
+
+
+def test_sliding_event_time_windows_golden():
+    """WindowOperatorTest.java:110/:188 testSlidingEventTimeWindows — 3s/1s
+    sliding windows over out-of-order elements."""
+    from flink_1_6_0_spark.streaming.session_window import sliding_windows
+
+    k = EventTimeWindowKernel(
+        sliding_windows(3000, 1000), 0, ts_idx=2, payload_idx=1, merging=False
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 3999))
+    h.process_element(("key2", 1, 3000))
+    h.process_element(("key1", 1, 20))
+    h.process_element(("key1", 1, 0))
+    h.process_element(("key1", 1, 999))
+    h.process_element(("key2", 1, 1998))
+    h.process_element(("key2", 1, 1999))
+    h.process_element(("key2", 1, 1000))
+    for wm in (999, 1999, 2999, 3999, 4999, 5999, 6999, 7999):
+        h.process_watermark(wm)
+
+    assert sorted(sums(h)) == sorted(
+        [
+            (-2000, 1000, 3),  # key1@999
+            (-1000, 2000, 3),  # key1@1999
+            (-1000, 2000, 3),  # key2@1999
+            (0, 3000, 3),      # key1@2999
+            (0, 3000, 3),      # key2@2999
+            (1000, 4000, 5),   # key2@3999
+            (2000, 5000, 2),   # key2@4999
+            (3000, 6000, 2),   # key2@5999
+        ]
+    )
+
+
+def test_dynamic_event_time_session_windows_golden():
+    """WindowOperatorTest.java:1227 testDynamicEventTimeSessionWindows —
+    per-element gaps (key1: 3s; key2: 1s for value 10, else 2s); the
+    furthest timeout wins when a shorter gap lands inside a session."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    def gap(row, ts):
+        if row[0] == "key1":
+            return 3000
+        return 1000 if row[1] == 10 else 2000
+
+    k = EventTimeWindowKernel(session_windows(gap), 0, ts_idx=2, payload_idx=1, merging=True)
+    h = harness(k)
+    h.process_element(("key1", 3, 10))
+    h.process_element(("key2", 4, 5000))
+    h.process_element(("key2", 5, 6000))
+    h.process_watermark(8999)
+    h.process_element(("key2", 1, 9000))
+    h.process_element(("key2", 2, 10000))
+    h.process_element(("key2", 10, 10500))  # short gap inside: end stays 12000
+    h.process_watermark(12999)
+    h.process_element(("key2", 10, 13000))
+    h.process_element(("key2", 10, 13500))
+    h.process_element(("key2", 1, 14000))  # longer gap extends to 16000
+    h.process_watermark(16999)
+
+    assert sorted(sums(h)) == sorted(
+        [
+            (10, 3010, 3),       # key1-3
+            (5000, 8000, 9),     # key2-9
+            (9000, 12000, 13),   # key2-13
+            (13000, 16000, 21),  # key2-21
+        ]
+    )
+
+
+def test_drop_session_with_lateness_purging_golden():
+    """WindowOperatorTest.java:1840
+    testDropDueToLatenessSessionWithLatenessPurgingTrigger — the purging
+    twin of the accumulating session-lateness golden: every re-fire carries
+    only the post-purge contents (sums 5, 1, 1, 1)."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    k = EventTimeWindowKernel(
+        session_windows(3000), 10, ts_idx=2, payload_idx=1, merging=True, purging=True
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1999)
+    h.process_element(("key2", 1, 2000))
+    h.process_watermark(4998)
+    h.process_element(("key2", 1, 4500))
+    h.process_element(("key2", 1, 8500))
+    h.process_watermark(7400)
+    h.process_element(("key2", 1, 7000))  # merges the two sessions
+    h.process_watermark(11501)
+    h.process_element(("key2", 1, 11600))
+    h.process_watermark(14600)
+    h.process_element(("key2", 1, 10000))  # merges the PURGED session: sum 1
+    h.process_element(("key2", 1, 14500))
+    h.process_watermark(20000)
+    h.process_watermark(100000)
+
+    assert sums(h) == [
+        (1000, 11500, 5),
+        (11600, 14600, 1),
+        (10000, 14600, 1),  # post-purge merge re-fire
+        (10000, 17500, 1),
+    ]
+    assert k.side_output == []
