@@ -38,6 +38,7 @@ __all__ = [
     "tumbling_windows",
     "sliding_windows",
     "session_windows",
+    "global_windows",
 ]
 
 LONG_MAX = 2**63 - 1
@@ -62,6 +63,17 @@ def sliding_windows(size_ms: int, slide_ms: int, offset_ms: int = 0):
             (s, s + size_ms)
             for s in range(last_start, ts - size_ms, -slide_ms)
         ]
+
+    return assign
+
+
+def global_windows():
+    """GlobalWindows.java — every element lands in the one global window
+    (maxTimestamp = Long.MAX_VALUE; never fired by event time, pair with a
+    count trigger)."""
+
+    def assign(row, ts):
+        return [(0, LONG_MAX + 1)]
 
     return assign
 
@@ -95,6 +107,7 @@ class EventTimeWindowKernel(CleanupKernelBase):
         payload_idx: int,
         merging: bool,
         purging: bool = False,
+        count_trigger: int | None = None,
     ):
         super().__init__(None)
         if allowed_lateness_ms < 0:
@@ -105,6 +118,11 @@ class EventTimeWindowKernel(CleanupKernelBase):
         self.payload_idx = payload_idx
         self.merging = merging
         self.purging = purging
+        # CountTrigger.java: FIRE every `count_trigger` elements per window;
+        # the count is a ReducingState merged BY SUM on session merges
+        # (WindowOperatorTest.java:656 pins the merge-then-fire at 6+1).
+        # None = EventTimeTrigger.
+        self.count_trigger = count_trigger
         self.side_output: list = []  # WindowOperator.java:434 sideOutput
 
     @property
@@ -145,22 +163,35 @@ class EventTimeWindowKernel(CleanupKernelBase):
                 if self._is_window_late(actual, ctx):
                     continue  # retireWindow; live windows are never late
                 contents = []
+                merged_count = 0
+                counts = state.setdefault("counts", {}) if self.count_trigger else None
                 for w in overlapping:
                     contents.extend(windows.pop(w))
+                    if counts is not None:
+                        merged_count += counts.pop(w, 0)
             else:
                 actual = new_window
                 if self._is_window_late(actual, ctx):
                     continue
                 contents = windows.pop(actual, [])
+                merged_count = 0
+                counts = state.setdefault("counts", {}) if self.count_trigger else None
 
             is_skipped = False
             contents.append(payload)
             windows[actual] = contents
 
+            if self.count_trigger:
+                n = merged_count + counts.get(actual, 0) + 1
+                if n >= self.count_trigger:
+                    counts.pop(actual, None)  # CountTrigger clears its count
+                    self._fire(out, windows, actual)
+                else:
+                    counts[actual] = n
             # EventTimeTrigger.onElement: immediate FIRE for a window whose
             # maxTimestamp the watermark already passed (the late re-fire),
             # else arm the on-time timer
-            if self._max_ts(actual) <= ctx.current_watermark():
+            elif self._max_ts(actual) <= ctx.current_watermark():
                 self._fire(out, windows, actual)
             else:
                 ctx.register_event_timer(self._max_ts(actual))
@@ -170,16 +201,21 @@ class EventTimeWindowKernel(CleanupKernelBase):
             self.side_output.append(row)  # isElementLate → lateDataOutputTag
         if not windows:
             state.pop("windows", None)
+        if self.count_trigger and not state.get("counts", {"x": 1}):
+            state.pop("counts", None)
 
     def on_timer(self, state, ctx, timestamp, is_proc_time, out):
         if is_proc_time:
             return
         windows = state.get("windows") or {}
         # fire windows whose maxTimestamp is exactly this timer (stale timers
-        # of merged-away windows match nothing — the namespaced-timer no-op)
-        for w in list(windows):
-            if self._max_ts(w) == timestamp:
-                self._fire(out, windows, w)
+        # of merged-away windows match nothing — the namespaced-timer no-op);
+        # a count trigger registers no firing timers (CountTrigger.onEventTime
+        # is CONTINUE)
+        if not self.count_trigger:
+            for w in list(windows):
+                if self._max_ts(w) == timestamp:
+                    self._fire(out, windows, w)
         # clear windows whose cleanup time arrived
         for w in list(windows):
             if self._cleanup_time(w) == timestamp:

@@ -279,3 +279,67 @@ def test_drop_session_with_lateness_purging_golden():
         (10000, 17500, 1),
     ]
     assert k.side_output == []
+
+
+def test_session_windows_with_count_trigger_golden():
+    """WindowOperatorTest.java:656 testSessionWindowsWithCountTrigger —
+    PurgingTrigger(CountTrigger(4)) on 3s sessions: counts are ReducingState
+    merged BY SUM on session merges (3+3 merge + the merging element = 7 ≥ 4
+    fires the 22-sum window)."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    k = EventTimeWindowKernel(
+        session_windows(3000), 0, ts_idx=2, payload_idx=1,
+        merging=True, purging=True, count_trigger=4,
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 0))
+    h.process_element(("key2", 2, 1000))
+    h.process_element(("key2", 3, 2500))
+    h.process_element(("key2", 4, 3500))  # 4th element: fires key2-10
+    h.process_element(("key1", 1, 10))
+    h.process_element(("key1", 2, 1000))
+    # (snapshot/restore point)
+    h.process_element(("key1", 3, 2500))
+    h.process_element(("key1", 1, 6000))
+    h.process_element(("key1", 2, 6500))
+    h.process_element(("key1", 3, 7000))
+    # merges the two key1 sessions: counts 3+3 merge, +1 → fire
+    h.process_element(("key1", 10, 4500))
+
+    assert sums(h) == [
+        (0, 6500, 10),    # key2-10 @6499
+        (10, 10000, 22),  # key1-22 @9999
+    ]
+
+
+def test_count_trigger_on_global_windows_golden():
+    """WindowOperatorTest.java:948 testCountTrigger — GlobalWindows +
+    PurgingTrigger(CountTrigger(4)): timestamps are ignored, every 4th
+    element per key fires and purges."""
+    from flink_1_6_0_spark.streaming.session_window import LONG_MAX, global_windows
+
+    k = EventTimeWindowKernel(
+        global_windows(), 0, ts_idx=2, payload_idx=1,
+        merging=False, purging=True, count_trigger=4,
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 3000))
+    h.process_element(("key2", 1, 3999))
+    h.process_element(("key1", 1, 20))
+    h.process_element(("key1", 1, 0))
+    h.process_element(("key1", 1, 999))
+    h.process_element(("key2", 1, 1998))
+    h.process_element(("key2", 1, 1999))
+    # (snapshot/restore point)
+    h.process_element(("key2", 1, 1000))  # key2's 5th overall: 2nd window count 1
+    h.process_element(("key1", 1, 10999))  # key1's 4th: fires
+    h.process_element(("key2", 1, 1000))
+    h.process_element(("key2", 1, 1000))
+    h.process_element(("key2", 1, 1000))  # key2's 8th: fires again
+
+    assert [(s, e, v) for (s, e, v) in sums(h)] == [
+        (0, LONG_MAX + 1, 4),  # key2-4 (4th element, pre-snapshot)
+        (0, LONG_MAX + 1, 4),  # key1-4
+        (0, LONG_MAX + 1, 4),  # key2-4 again
+    ]
