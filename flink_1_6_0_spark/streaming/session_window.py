@@ -108,6 +108,7 @@ class EventTimeWindowKernel(CleanupKernelBase):
         merging: bool,
         purging: bool = False,
         count_trigger: int | None = None,
+        continuous_interval: int | None = None,
     ):
         super().__init__(None)
         if allowed_lateness_ms < 0:
@@ -123,6 +124,12 @@ class EventTimeWindowKernel(CleanupKernelBase):
         # (WindowOperatorTest.java:656 pins the merge-then-fire at 6+1).
         # None = EventTimeTrigger.
         self.count_trigger = count_trigger
+        # ContinuousEventTimeTrigger.java:39 — additionally FIRE at aligned
+        # `interval` event-time ticks while the window is open; the per-window
+        # next-fire time merges BY MIN on session merges (:45).
+        self.continuous_interval = continuous_interval
+        if count_trigger and continuous_interval:
+            raise ValueError("count_trigger and continuous_interval are exclusive")
         self.side_output: list = []  # WindowOperator.java:434 sideOutput
 
     @property
@@ -165,10 +172,16 @@ class EventTimeWindowKernel(CleanupKernelBase):
                 contents = []
                 merged_count = 0
                 counts = state.setdefault("counts", {}) if self.count_trigger else None
+                fire_ts = state.setdefault("fire_ts", {}) if self.continuous_interval else None
+                merged_fire = [fire_ts.pop(w) for w in overlapping if w in fire_ts] if fire_ts is not None else []
                 for w in overlapping:
                     contents.extend(windows.pop(w))
                     if counts is not None:
                         merged_count += counts.pop(w, 0)
+                if fire_ts is not None and merged_fire:
+                    # onMerge: the MIN of the merged fire times, re-registered
+                    fire_ts[actual] = min(merged_fire + [fire_ts[actual]]) if actual in fire_ts else min(merged_fire)
+                    ctx.register_event_timer(fire_ts[actual])
             else:
                 actual = new_window
                 if self._is_window_late(actual, ctx):
@@ -176,6 +189,7 @@ class EventTimeWindowKernel(CleanupKernelBase):
                 contents = windows.pop(actual, [])
                 merged_count = 0
                 counts = state.setdefault("counts", {}) if self.count_trigger else None
+                fire_ts = state.setdefault("fire_ts", {}) if self.continuous_interval else None
 
             is_skipped = False
             contents.append(payload)
@@ -195,6 +209,11 @@ class EventTimeWindowKernel(CleanupKernelBase):
                 self._fire(out, windows, actual)
             else:
                 ctx.register_event_timer(self._max_ts(actual))
+                if fire_ts is not None and actual not in fire_ts:
+                    # first element of the window seeds the aligned fire tick
+                    nxt = ts - (ts % self.continuous_interval) + self.continuous_interval
+                    fire_ts[actual] = nxt
+                    ctx.register_event_timer(nxt)
             ctx.register_event_timer(self._cleanup_time(actual))
 
         if is_skipped and ts + self.lateness <= ctx.current_watermark():
@@ -203,6 +222,8 @@ class EventTimeWindowKernel(CleanupKernelBase):
             state.pop("windows", None)
         if self.count_trigger and not state.get("counts", {"x": 1}):
             state.pop("counts", None)
+        if self.continuous_interval and not state.get("fire_ts", {"x": 1}):
+            state.pop("fire_ts", None)
 
     def on_timer(self, state, ctx, timestamp, is_proc_time, out):
         if is_proc_time:
@@ -215,6 +236,14 @@ class EventTimeWindowKernel(CleanupKernelBase):
         if not self.count_trigger:
             for w in list(windows):
                 if self._max_ts(w) == timestamp:
+                    self._fire(out, windows, w)
+        if self.continuous_interval:
+            fire_ts = state.get("fire_ts") or {}
+            for w in list(windows):
+                if fire_ts.get(w) == timestamp:
+                    # re-arm the next tick, then FIRE
+                    fire_ts[w] = timestamp + self.continuous_interval
+                    ctx.register_event_timer(fire_ts[w])
                     self._fire(out, windows, w)
         # clear windows whose cleanup time arrived
         for w in list(windows):

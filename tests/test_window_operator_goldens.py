@@ -343,3 +343,34 @@ def test_count_trigger_on_global_windows_golden():
         (0, LONG_MAX + 1, 4),  # key1-4
         (0, LONG_MAX + 1, 4),  # key2-4 again
     ]
+
+
+def test_session_windows_with_continuous_event_time_trigger_golden():
+    """WindowOperatorTest.java:726 testSessionWindowsWithContinuousEventTime
+    Trigger — 3s sessions + 2s continuous ticks: per-window fire times merge
+    BY MIN, each firing re-arms the next tick."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    k = EventTimeWindowKernel(
+        session_windows(3000), 0, ts_idx=2, payload_idx=1,
+        merging=True, continuous_interval=2000,
+    )
+    h = harness(k)
+    h.process_element(("key1", 1, 1500))
+    h.process_element(("key2", 1, 0))
+    h.process_element(("key2", 3, 2500))
+    h.process_element(("key2", 2, 1000))
+    h.process_watermark(2500)  # the 2000 tick fires both keys
+    h.process_element(("key2", 5, 4000))
+    h.process_watermark(3000)  # nothing due
+    # (snapshot/restore point)
+    h.process_element(("key1", 2, 4000))
+    h.process_element(("key2", 4, 3500))
+    h.process_watermark(4000)  # the 4000 tick fires both keys again
+
+    assert sums(h) == [
+        (1500, 4500, 1),  # key1-1 @tick 2000
+        (0, 5500, 6),     # key2-6 @tick 2000
+        (1500, 7000, 3),  # key1-3 @tick 4000
+        (0, 7000, 15),    # key2-15 @tick 4000
+    ]
