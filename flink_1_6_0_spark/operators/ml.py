@@ -228,7 +228,26 @@ def quality_classifier(
         inputCols=["f_ntok", "f_stop", "f_mtl", "f_punct"], outputCol="features"
     ).transform(feats)
     model = LogisticRegression(maxIter=max_iter).fit(assembled)
-    return model.transform(assembled).select(doc_id, "label", "prediction")
+    # Score with the EXTRACTED coefficient vector as plain Column math
+    # rather than model.transform: (a) the margin w·x + b > 0 IS the
+    # transform's binary decision at the default 0.5 threshold, and pure
+    # codegen arithmetic beats the ml prediction UDF at scale; (b) Spark
+    # 4.1.2 has a session-poisoning bug — once ANY pyspark.sql.Observation
+    # has completed in the session, collecting a model.transform plan dies
+    # in closure cleaning ("NotSerializableException: ObservationManager"),
+    # reproduced minimally in tests/test_udf_ml.py::
+    # test_ml_transform_survives_observation.
+    w = model.coefficients
+    margin = (
+        F.lit(float(model.intercept))
+        + F.col("f_ntok") * float(w[0])
+        + F.col("f_stop") * float(w[1])
+        + F.col("f_mtl") * float(w[2])
+        + F.col("f_punct") * float(w[3])
+    )
+    return assembled.select(
+        doc_id, "label", (margin > 0).cast("double").alias("prediction")
+    )
 
 
 # Exact-deterministic logistic regression (quality_classifier's

@@ -387,3 +387,28 @@ def test_pca_power_matches_eigh_on_gapped_spectrum(spark):
     lam = np.sort(w)[::-1]
     assert w1 @ cov @ w1 >= 0.95 * lam[0]
     assert w2 @ cov @ w2 >= 0.95 * lam[1]
+
+
+def test_ml_transform_survives_observation(spark, sf_dir):
+    """Spark 4.1.2 session-poisoning pin: once any pyspark.sql.Observation
+    completes in a session, collecting a plan that still carries the ml
+    prediction UDF dies in closure cleaning (NotSerializableException:
+    ObservationManager). quality_classifier therefore scores with the
+    extracted coefficient vector as Column math — this test runs it AFTER
+    an observation to keep the regression from coming back (it was the one
+    red test in two full-suite runs: test_accumulator_iterative_golden runs
+    first alphabetically and completes observations)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from flink_1_6_0_spark.operators.ml import quality_classifier
+    from flink_1_6_0_spark.queries import T
+
+    obs = Observation("poison_pin")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 10
+
+    out = quality_classifier(T(spark, sf_dir, "documents")).collect()
+    assert len(out) == 500
+    acc = sum(1 for r in out if r["label"] == r["prediction"]) / len(out)
+    assert acc >= 0.9, acc
