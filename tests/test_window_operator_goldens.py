@@ -374,3 +374,38 @@ def test_session_windows_with_continuous_event_time_trigger_golden():
         (1500, 7000, 3),  # key1-3 @tick 4000
         (0, 7000, 15),    # key2-15 @tick 4000
     ]
+
+
+def test_side_output_session_zero_lateness_golden():
+    """WindowOperatorTest.java:1756 testSideOutputDueToLatenessSessionZero
+    Lateness — with lateness 0 a fired session dies at its own firing timer,
+    so the 10000 straggler side-outputs and 14500 starts a FRESH session
+    (contrast with the lateness-10 twins where both merge)."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    k = EventTimeWindowKernel(
+        session_windows(3000), 0, ts_idx=2, payload_idx=1, merging=True
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1999)
+    h.process_element(("key2", 1, 2000))
+    h.process_watermark(4998)
+    h.process_element(("key2", 1, 4500))
+    h.process_element(("key2", 1, 8500))
+    h.process_watermark(7400)
+    h.process_element(("key2", 1, 7000))
+    h.process_watermark(11501)
+    h.process_element(("key2", 1, 11600))
+    h.process_watermark(14600)
+    h.process_element(("key2", 1, 10000))  # late: side output
+    h.process_element(("key2", 1, 14500))  # fresh session
+    h.process_watermark(20000)
+    h.process_watermark(100000)
+
+    assert sums(h) == [
+        (1000, 11500, 5),
+        (11600, 14600, 1),
+        (14500, 17500, 1),
+    ]
+    assert k.side_output == [("key2", 1, 10000)]
