@@ -842,3 +842,43 @@ def stream_proctime_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_cols=[("cents", True), ("event_id", False)],
         out_cols=["event_id", "user_id", "tick", "cents"],
     )
+
+
+@query(
+    "stream_over_proctime_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           min(CAST(round(value * 100) AS BIGINT)) OVER w AS min_v,
+           max(CAST(round(value * 100) AS BIGINT)) OVER w AS max_v
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch_ms(ts), event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("streaming", "over"),
+)
+def stream_over_proctime_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-time bounded ROWS OVER window through the REAL kernel
+    (ProcTimeBoundedRowsOver.scala:43 — the harness-golden-pinned state
+    machine, retention disabled): per user, min/max of the last 3 rows in
+    arrival order, executed as a distributed per-key replay. Without
+    retention the kernel's emissions equal the SQL ROWS window — the
+    oracle."""
+    from flink_1_6_0_spark.streaming.cleanup_state import proctime_rows_over_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("pt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return proctime_rows_over_df(
+        ev,
+        key_col="user_id",
+        proc_time_col="pt",
+        value_col="cents",
+        id_col="event_id",
+        preceding_offset=3,
+    )

@@ -59,6 +59,7 @@ __all__ = [
     "replay_keyed_proctime",
     "group_agg_retention_df",
     "group_agg_retention_stream",
+    "proctime_rows_over_df",
     "proctime_sort_df",
 ]
 
@@ -968,6 +969,49 @@ def group_agg_retention_stream(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def proctime_rows_over_df(
+    df,
+    key_col: str,
+    proc_time_col: str,
+    value_col: str,
+    id_col: str,
+    preceding_offset: int,
+):
+    """Distributed ProcTimeBoundedRowsOver replay (ProcTimeBoundedRowsOver
+    .scala:43, retention disabled): per key, rows in (proc_time, id) arrival
+    order stream through the kernel with a ``preceding_offset``-row MIN/MAX
+    window. Without retention the emission per row equals the SQL window
+    ``ROWS BETWEEN offset-1 PRECEDING AND CURRENT ROW`` — which is the
+    oracle. One shuffle on the key; per-key Arrow replay; no driver loop."""
+    import pandas as pd
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([proc_time_col, id_col], kind="mergesort")
+        kernel = ProcTimeBoundedRowsOverKernel(
+            RowAggregator(
+                arity=3,
+                forwarded=[(0, 0)],
+                aggs=[(1, 1, MinWithRetract()), (1, 2, MaxWithRetract())],
+            ),
+            preceding_offset,
+            StreamQueryConfig(),
+        )
+        rows = list(zip(pdf[id_col], pdf[value_col]))
+        out = replay_keyed_proctime(rows, list(pdf[proc_time_col]), kernel)
+        key = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            {
+                id_col: [r[0] for r, _ in out],
+                key_col: key,
+                "min_v": [r[1] for r, _ in out],
+                "max_v": [r[2] for r, _ in out],
+            }
+        )
+
+    schema = f"{id_col} long, {key_col} long, min_v long, max_v long"
+    return df.select(key_col, proc_time_col, value_col, id_col).groupBy(key_col).applyInPandas(replay, schema)
 
 
 def proctime_sort_df(
