@@ -409,3 +409,66 @@ def test_side_output_session_zero_lateness_golden():
         (14500, 17500, 1),
     ]
     assert k.side_output == [("key2", 1, 10000)]
+
+
+def _drive_huge_lateness(k):
+    """Shared driving of the two huge-lateness session goldens
+    (WindowOperatorTest.java:2027/:2117 — identical inputs)."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows  # noqa: F401
+
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1999)
+    h.process_element(("key2", 1, 2000))
+    h.process_watermark(4998)
+    h.process_element(("key2", 1, 4500))
+    h.process_element(("key2", 1, 8500))
+    h.process_watermark(7400)
+    h.process_element(("key2", 1, 7000))
+    h.process_watermark(11501)
+    h.process_element(("key2", 1, 11600))
+    h.process_watermark(14600)
+    # with 10s lateness the FIRST fired session is still alive: the 10000
+    # straggler merges BOTH fired sessions into (1000, 14600) and the merged
+    # maxTimestamp is already late → immediate firing
+    h.process_element(("key2", 1, 10000))
+    h.process_element(("key2", 1, 14500))
+    h.process_watermark(20000)
+    h.process_watermark(100000)
+    return h
+
+
+def test_session_huge_lateness_purging_golden():
+    """WindowOperatorTest.java:2027 — PurgingTrigger: the merged re-fires
+    carry only post-purge contents (5, 1, 1, 1)."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    k = EventTimeWindowKernel(
+        session_windows(3000), 10000, ts_idx=2, payload_idx=1, merging=True, purging=True
+    )
+    h = _drive_huge_lateness(k)
+    assert sums(h) == [
+        (1000, 11500, 5),
+        (11600, 14600, 1),
+        (1000, 14600, 1),
+        (1000, 17500, 1),
+    ]
+    assert k.side_output == []
+
+
+def test_session_huge_lateness_accumulating_golden():
+    """WindowOperatorTest.java:2117 — accumulating: the merged re-fires
+    carry everything (5, 1, 7, 8)."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    k = EventTimeWindowKernel(
+        session_windows(3000), 10000, ts_idx=2, payload_idx=1, merging=True
+    )
+    h = _drive_huge_lateness(k)
+    assert sums(h) == [
+        (1000, 11500, 5),
+        (11600, 14600, 1),
+        (1000, 14600, 7),
+        (1000, 17500, 8),
+    ]
+    assert k.side_output == []
