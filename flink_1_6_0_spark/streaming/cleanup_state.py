@@ -353,6 +353,12 @@ class ProcTimeBoundedRowsOverKernel(CleanupKernelBase):
         self.f.set_aggregation_results(accumulators, output)
 
         row_map.setdefault(current_time, []).append(row)
+        if current_time < state["smallest_ts"]:
+            # preceding_offset == 1: the retraction above emptied the map and
+            # parked smallest_ts on the unreachable sentinel — the row just
+            # inserted is now the smallest timestamp (the reference can never
+            # plan offset 1, so its copy of this flaw is latent; ours is not)
+            state["smallest_ts"] = current_time
         state["acc"] = accumulators
         out.collect(tuple(output), True)
 
@@ -1020,13 +1026,19 @@ def proctime_sort_df(
     proc_time_col: str,
     sort_cols: list[str | tuple[str, bool]],
     out_cols: list[str],
+    out_schema: str | None = None,
 ):
     """Distributed ProcTimeSortProcessFunction replay: per key, rows sharing
     a proc-time tick flush in ``sort_cols`` order once the tick passes
     (ProcTimeSortProcessFunction.scala:36 — the t+1 timer). ``sort_cols``
     entries are column names or (name, ascending) pairs — the reference's
-    CollectionRowComparator takes per-field boolean orders. Output carries an
-    ``emit_seq`` so the total emission order is checkable."""
+    CollectionRowComparator takes per-field boolean orders and any orderable
+    field type (descending is a field-by-field comparator flip, not a value
+    negation, so strings sort too). ``out_schema`` overrides the default
+    all-``long`` output DDL when the forwarded columns aren't longs. Output
+    carries an ``emit_seq`` so the total emission order is checkable."""
+    import functools
+
     import pandas as pd
 
     norm = [(c, True) if isinstance(c, str) else c for c in sort_cols]
@@ -1036,8 +1048,16 @@ def proctime_sort_df(
         col_idx = {c: i for i, c in enumerate(pdf.columns)}
         spec = [(col_idx[c], asc) for c, asc in norm]
 
-        def sort_key(r):
-            return tuple(r[i] if asc else -r[i] for i, asc in spec)
+        def cmp(a, b):
+            for i, asc in spec:
+                av, bv = a[i], b[i]
+                if av == bv:
+                    continue
+                lt = -1 if asc else 1
+                return lt if av < bv else -lt
+            return 0
+
+        sort_key = functools.cmp_to_key(cmp)
 
         kernel = ProcTimeSortKernel(sort_key=sort_key)
         h = KeyedProcessHarness(kernel, key_fn=lambda r: 0)
@@ -1050,5 +1070,5 @@ def proctime_sort_df(
         data["emit_seq"] = range(len(out_rows))
         return pd.DataFrame(data)
 
-    fields = ", ".join(f"{c} long" for c in out_cols)
-    return df.groupBy(key_col).applyInPandas(replay, f"{fields}, emit_seq long")
+    schema = out_schema or (", ".join(f"{c} long" for c in out_cols) + ", emit_seq long")
+    return df.groupBy(key_col).applyInPandas(replay, schema)

@@ -240,8 +240,12 @@ class EventTimeWindowKernel(CleanupKernelBase):
         if self.continuous_interval:
             fire_ts = state.get("fire_ts") or {}
             for w in list(windows):
-                if fire_ts.get(w) == timestamp:
-                    # re-arm the next tick, then FIRE
+                if fire_ts.get(w) == timestamp and self._max_ts(w) != timestamp:
+                    # re-arm the next tick, then FIRE; when the aligned tick
+                    # coincides with maxTimestamp the window already fired in
+                    # the max_ts loop above — ContinuousEventTimeTrigger
+                    # .onEventTime early-returns FIRE at maxTimestamp without
+                    # touching fireTimestamp (no second fire, no re-arm)
                     fire_ts[w] = timestamp + self.continuous_interval
                     ctx.register_event_timer(fire_ts[w])
                     self._fire(out, windows, w)

@@ -855,3 +855,26 @@ def test_proc_time_bounded_rows_over_at_time_zero():
     h.set_processing_time(6)
     h.process_element((0, "k", 30))  # window = {20, 30}: the t=0 row retracts
     assert h.output[-1] == ((0, "k", 30, 20, 30), True)
+
+
+def test_proc_time_bounded_rows_over_offset_one():
+    """r12 ADVICE: preceding_offset=1 — every element retracts its
+    predecessor, emptying the row map and parking smallest_ts on the
+    sentinel; the inserted current row must re-seat smallest_ts or the next
+    element KeyErrors. (The reference's copy of this flaw is latent: its
+    planner always passes offset = lowerBound+1 >= 2.)"""
+    h = KeyedProcessHarness(
+        ProcTimeBoundedRowsOverKernel(min_max_aggregator(), 1, StreamQueryConfig()),
+        key_fn=lambda r: r[1],
+    )
+    h.set_processing_time(10)
+    h.process_element((0, "k", 5))
+    h.set_processing_time(20)
+    h.process_element((0, "k", 7))   # retracts 5, window = {7}
+    h.set_processing_time(30)
+    h.process_element((0, "k", 3))   # pre-fix: KeyError on the sentinel
+    assert [r for r, _ in h.output] == [
+        (0, "k", 5, 5, 5),
+        (0, "k", 7, 7, 7),
+        (0, "k", 3, 3, 3),
+    ]

@@ -1853,3 +1853,36 @@ def test_retraction_chain_compaction_bounds_state(spark, tmp_path):
     snaps = [p for p in parts if p.startswith("__epoch=-")]
     assert len(snaps) == 1 and snaps[0] == "__epoch=-4"
     assert all(int(p.split("=")[1]) > 4 for p in partials)  # only post-snapshot partials remain
+
+
+def test_proctime_sort_df_string_descending(spark):
+    """r12 ADVICE: proctime_sort_df's descending order is a comparator flip,
+    not a value negation — string sort columns and a non-long output schema
+    must work (pre-fix: TypeError on -str and a hardcoded all-long DDL)."""
+    from flink_1_6_0_spark.streaming.cleanup_state import proctime_sort_df
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, "banana", 3),
+            (1, 100, "apple", 1),
+            (1, 100, "cherry", 2),
+            (1, 200, "apple", 9),
+        ],
+        "k long, tick long, word string, n long",
+    )
+    out = proctime_sort_df(
+        df,
+        key_col="k",
+        proc_time_col="tick",
+        sort_cols=[("word", False), ("n", True)],
+        out_cols=["word", "n"],
+        out_schema="word string, n long, emit_seq long",
+    )
+    rows = [(r.word, r.n, r.emit_seq) for r in out.orderBy("emit_seq").collect()]
+    # tick 100 flushes word-descending, then tick 200's lone row
+    assert rows == [
+        ("cherry", 2, 0),
+        ("banana", 3, 1),
+        ("apple", 1, 2),
+        ("apple", 9, 3),
+    ]

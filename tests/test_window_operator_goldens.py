@@ -472,3 +472,23 @@ def test_session_huge_lateness_accumulating_golden():
         (1000, 17500, 8),
     ]
     assert k.side_output == []
+
+
+def test_continuous_tick_coinciding_with_max_timestamp_fires_once():
+    """r12 ADVICE: when an aligned continuous tick lands exactly on a
+    window's maxTimestamp, ContinuousEventTimeTrigger.onEventTime
+    early-returns FIRE without touching fireTimestamp — one emission, no
+    re-arm (pre-fix the kernel fired twice: once in the max_ts loop, once in
+    the fire_ts loop)."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    # session gap 1000, element at ts=1001 -> window (1001, 2001),
+    # maxTimestamp 2000 == the first aligned 2000ms tick
+    k = EventTimeWindowKernel(
+        session_windows(1000), 0, ts_idx=2, payload_idx=1,
+        merging=True, continuous_interval=2000,
+    )
+    h = harness(k)
+    h.process_element(("key1", 7, 1001))
+    h.process_watermark(2000)
+    assert sums(h) == [(1001, 2001, 7)]
