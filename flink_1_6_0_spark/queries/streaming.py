@@ -882,3 +882,145 @@ def stream_over_proctime_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         preceding_offset=3,
     )
+
+
+@query(
+    "stream_nonwindow_join_retention",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, user_id,
+               epoch_ms(ts) // 86400000                AS epoch,
+               CAST(round(value * 100) AS BIGINT)      AS cents
+        FROM events
+    ), net AS (
+        -- rows with event_id % 11 = 0 are inserted then RETRACTED inside the
+        -- same epoch: the kernel's retraction algebra must net them (and every
+        -- join/pad they transiently produced) to zero
+        SELECT * FROM src WHERE event_id % 11 <> 0
+    ), l AS (
+        SELECT user_id, epoch AS l_epoch, event_id AS l_id, cents AS l_cents
+        FROM net WHERE event_id % 2 = 0
+    ), r AS (
+        SELECT user_id, epoch AS r_epoch, event_id AS r_id, cents AS r_cents
+        FROM net WHERE event_id % 2 = 1
+    )
+    -- idle-state retention (200e6 ms) expires each day-burst of join state
+    -- before the next begins, so the continuous join only ever matches
+    -- within an epoch: the epoch equality below is the RETENTION's doing,
+    -- not the kernel's join predicate (which is user_id equi + cents <)
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           l_epoch, l_id, l_cents, r_epoch, r_id, r_cents
+    FROM l FULL OUTER JOIN r
+      ON l.user_id = r.user_id AND l.l_epoch = r.r_epoch AND l.l_cents < r.r_cents
+    """,
+    tags=("streaming", "join", "retention", "kernel"),
+)
+def stream_nonwindow_join_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous non-window FULL OUTER JOIN with a non-equi predicate and
+    idle-state retention through the REAL two-input kernel
+    (NonWindowFullJoinWithNonEquiPredicates.scala:43 over NonWindowJoin
+    .scala:49's MapState[row -> (count, expiredTime)] layout), executed as a
+    distributed per-key replay (streaming/join_kernels.py) — one shuffle on
+    user_id, no driver loop.
+
+    Construction: events split by event_id parity into the two input
+    streams; every event_id % 11 == 0 row is ALSO fed as a retraction 10e6
+    ticks later, so the input is a genuine retraction stream. Arrival time
+    compresses each UTC day to a sub-retention burst (offset*2 < 172.8e6 <
+    200e6) separated by > 2x the retention (600e6 apart), so the
+    expire-timer chain provably clears all join state between days — the
+    oracle's epoch-equality join is exactly that expiry. The emitted
+    retraction stream nets to the materialized join result the oracle
+    computes. Join predicate: user_id equi + l_cents < r_cents (non-equi),
+    driving the per-row join-count MapStates."""
+    from flink_1_6_0_spark.streaming.cleanup_state import StreamQueryConfig
+    from flink_1_6_0_spark.streaming.join_kernels import nonwindow_join_retention_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 86400000).cast("long").alias("epoch"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) % 86400000).alias("day_off"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.select(
+        "user_id",
+        (F.col("event_id") % 2).cast("int").alias("side"),
+        (F.col("epoch") * 600000000 + F.col("day_off") * 2).alias("pt"),
+        F.lit(True).alias("change"),
+        "epoch",
+        F.col("event_id").alias("id"),
+        "cents",
+    )
+    retracts = base.filter(F.col("id") % 11 == 0).withColumn(
+        "pt", F.col("pt") + F.lit(10000000)
+    ).withColumn("change", F.lit(False))
+    qc = StreamQueryConfig.with_idle_state_retention_time(199000000, 200000000)
+    return nonwindow_join_retention_df(
+        base.unionByName(retracts),
+        key_col="user_id",
+        side_col="side",
+        pt_col="pt",
+        change_col="change",
+        payload_cols=["epoch", "id", "cents"],
+        join_predicate=lambda l, r: l[2] < r[2],
+        query_config=qc,
+        out_schema=(
+            "user_id long, l_epoch long, l_id long, l_cents long, "
+            "r_epoch long, r_id long, r_cents long"
+        ),
+    )
+
+
+@query(
+    "stream_timebounded_join_kernel",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS pt FROM events
+    ), l AS (
+        SELECT user_id, event_id AS l_id, pt AS l_pt FROM src WHERE event_id % 2 = 0
+    ), r AS (
+        SELECT user_id, event_id AS r_id, pt AS r_pt FROM src WHERE event_id % 2 = 1
+    )
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id, l_id, l_pt, r_id, r_pt
+    FROM l FULL OUTER JOIN r
+      ON l.user_id = r.user_id
+     AND l.l_pt >= r.r_pt - 3600000
+     AND l.l_pt <= r.r_pt + 7200000
+    """,
+    tags=("streaming", "join", "interval", "kernel"),
+)
+def stream_timebounded_join_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processing-time FULL OUTER interval join through the REAL two-input
+    kernel (ProcTimeBoundedStreamJoin.scala:30 over TimeBoundedStreamJoin
+    .scala:54 — per-time row caches, crossed cleanup timers, emitted-flag
+    padding), executed as a distributed per-key replay — one shuffle on
+    user_id, no driver loop.
+
+    Events split by event_id parity; each row's processing time is its own
+    epoch-ms (the deterministic replay convention), so the kernel's
+    cache-scan matches are exactly `l.pt BETWEEN r.pt - 3.6e6 AND r.pt +
+    7.2e6` — a match is found once, by whichever side arrives second, while
+    the first is still cached (proc-time expiration lags every reachable
+    match). The end-of-replay clock advance fires all cleanup timers, so
+    rows whose emitted-flag never flipped pad exactly once — the oracle's
+    FULL OUTER rows."""
+    from flink_1_6_0_spark.streaming.join_kernels import timebounded_join_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.col("event_id") % 2).cast("int").alias("side"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("pt"),
+        F.col("event_id").alias("id"),
+    )
+    return timebounded_join_df(
+        ev,
+        key_col="user_id",
+        side_col="side",
+        pt_col="pt",
+        payload_cols=["id", "pt"],
+        join_type="full",
+        left_lower_bound=-3600000,
+        left_upper_bound=7200000,
+        out_schema="user_id long, l_id long, l_pt long, r_id long, r_pt long",
+    )

@@ -107,36 +107,20 @@ _SENTINELS = (
 # graph queries routing through _checkpoint's lazy reliable-persist path,
 # whose r10 drain-timing changed after r10's rotation list was frozen —
 # the r10 ADVICE re-seat).
-# r12 window. Preflight against r11: every r11 rotation name appears in
-# CORRECTNESS_r11.json (verified by diffing — nothing was missed), so the
-# r11-session-4 re-seats have fresh evidence and rotate OUT. r12 re-seats
-# cover this round's kernel diffs:
+# r13 window. Preflight against r12: every r12 rotation name appears in
+# CORRECTNESS_r12.json (the r12 verdict confirmed the window contained all
+# re-seats), so the r12 re-seats have fresh evidence and rotate OUT. r13
+# re-seats cover this round's kernel diffs (the new queries —
+# stream_nonwindow_join_retention, stream_timebounded_join_kernel — head the
+# window automatically as never-driver-checked):
 _ROTATE_IN = (
-    # r12: sql_frontend rewrite reworked TWICE (session 1: literal mask with
-    # '' escapes, _find_call/_rewrite_lateral_table over masked text;
-    # session 2: HAVING bare-window scoping rebuilt on SUBQUERY scopes after
-    # the depth-0 rule broke SqlITCase:666, + top-level-in-scope set-op
-    # boundaries) — re-seat every query routed through rewrite_flink_sql
-    "window_tumble_flink_sql", "sql_having_groupagg",
-    # r12: windows._duration_ms rejects sub-millisecond durations (0ms is
-    # unparseable, falls through to Spark's parser) — hop gap-pane path
-    "window_hop",
-    # r12: resize_box raises on images smaller than one box (pipeline
-    # plumbing unchanged, but the kernel gained a guard branch)
-    "multimodal_resize_box",
-    # r12: ngram_jaccard_pairs grew the df_cap posting-list ceiling; the
-    # registered query + oracle now run capped (df_cap=50)
-    "dedup_ngram_jaccard",
-    # r12: stream CEP kernel's to_events grew the comparator sort branch
-    # and the facade threads comparator_cols into stream opts — re-seat the
-    # stream CEP family sharing the kernel (stream_cep_comparator itself is
-    # new, so it heads the window as never-checked)
-    "stream_multibatch_cep", "stream_cep_funnel", "stream_multibatch_cep_select",
-    # r12: batch CEP comparator facade path (comparator_cols init moved)
-    "cep_greedy_click_run", "cep_funnel",
-    # r12: rows-only -> hash-checked upgrade (fixed-point deflated power
-    # iteration replaces eigh on the oracle path; rows-only count 3 -> 2)
-    "embedding_pca_project",
+    # r13: ProcTimeBoundedRowsOverKernel re-seats smallest_ts after the
+    # offset-1 sentinel fix (the ADVICE KeyError path) — re-seat the query
+    # routed through the kernel
+    "stream_over_proctime_rows",
+    # r13: proctime_sort_df's sort key rebuilt on a field-by-field
+    # comparator (descending was value negation before)
+    "stream_proctime_sort",
 )
 
 

@@ -39,6 +39,8 @@ __all__ = [
     "NonWindowFullJoinNonEquiKernel",
     "TimeBoundedJoinKernel",
     "TwoInputKeyedProcessHarness",
+    "nonwindow_join_retention_df",
+    "timebounded_join_df",
 ]
 
 LONG_MAX = 2**63 - 1
@@ -284,12 +286,27 @@ class _NonEquiMixin(NonWindowJoinKernelBase):
         return "left_cnt" if is_left_cnt_state else "right_cnt"
 
     def _retract_join_non_equi(self, state, c, row, change, from_left, other_key, other_cnt_key):
+        """Returns the arriving row's TRUE matched-copy count: sum of the
+        matched other rows' record counts. This is what the full join seeds
+        the arriving row's joinCnt with — a DELIBERATE DEVIATION from
+        NonWindowFullJoinWithNonEquiPredicates.scala:96, which seeds
+        ``cRowWrapper.getEmitCnt``: the emit counter also counts the
+        pad-RETRACTION emitted when a matched row crosses 0→1 matches, so a
+        row with N≥2 fresh matches seeds 2N instead of N; when all its
+        matches later retract, the 1→0 crossing is never observed and the
+        row is never re-padded (its joinCntState is maintained ±1 per
+        opposite element everywhere else — the seed is the one inconsistent
+        write, and the reference's own JoinHarnessTest never retracts all
+        matches of a multi-fresh-match row, so the flaw is latent there).
+        Pinned by test_full_join_non_equi_repad_after_multi_match_retract."""
+        matched = 0
         other = state.get(other_key) or {}
         other_cnt = state.setdefault(other_cnt_key, {})
         for other_row in list(other):
             cnt, expired = other[other_row]
             joined = self._call_join(row, from_left, other_row)
             if joined is not None:
+                matched += cnt
                 c.times = cnt
                 join_cnt = other_cnt.get(other_row, 0)
                 if change:
@@ -312,6 +329,7 @@ class _NonEquiMixin(NonWindowJoinKernelBase):
             state.pop(other_key, None)
         if not other_cnt:
             state.pop(other_cnt_key, None)
+        return matched
 
     def _on_expired_row(self, state, row, is_left):
         # expireOutTimeRow with joinCntState: drop the expired row's count
@@ -378,12 +396,14 @@ class NonWindowFullJoinNonEquiKernel(_NonEquiMixin):
                     state.pop(cur_cnt_key, None)
         c = _MultiCollector(out)
         c.change = change
-        self._retract_join_non_equi(
+        matched = self._retract_join_non_equi(
             state, c, row, change, is_left, other_key, self._cnt_key(not is_left)
         )
         if change and cnt_and_expired[0] == 1:
-            # a zero count is still a state entry, as in the reference
-            state.setdefault(cur_cnt_key, {})[row] = c.emit_cnt
+            # a zero count is still a state entry, as in the reference;
+            # seeded with the TRUE matched-copy count, not the emit counter —
+            # see _retract_join_non_equi's reference-deviation note
+            state.setdefault(cur_cnt_key, {})[row] = matched
         if c.emit_cnt == 0:
             c.times = 1
             self._collect_append_null(c, row, is_left)
@@ -638,3 +658,161 @@ class TwoInputKeyedProcessHarness(KeyedProcessHarness):
             super().process_watermark(combined)
             if self.watermark_delay is not None:
                 self.watermarks.append(combined - self.watermark_delay)
+
+
+# ---------------------------------------------------------------------------
+# Distributed replay entrypoints (applyInPandas per key — no driver loop)
+#
+# The cleanup_state.py recipe applied to the two-input family: the union of
+# both sides shuffles ONCE on the join key, and each key's interleaved
+# element sequence replays through the real kernel inside an Arrow batch.
+# Timers and state are per-key in the reference, so the replay is exact, not
+# approximate; parallelism grows with the number of keys, and the 100 TB
+# bound is the widest key — the reference's own bound for a keyed
+# CoProcessFunction.
+# ---------------------------------------------------------------------------
+
+
+def _schema_col_names(out_schema: str) -> list[str]:
+    return [f.strip().split()[0] for f in out_schema.split(",")]
+
+
+def nonwindow_join_retention_df(
+    df,
+    key_col: str,
+    side_col: str,
+    pt_col: str,
+    change_col: str,
+    payload_cols: list[str],
+    join_predicate,
+    query_config: StreamQueryConfig,
+    out_schema: str,
+    join_type: str = "full",
+):
+    """Distributed NonWindow*JoinWithNonEquiPredicates replay
+    (NonWindowFullJoinWithNonEquiPredicates.scala:43 /
+    NonWindowLeftRightJoinWithNonEquiPredicates.scala:43): per key, the
+    interleaved two-sided element sequence — ``side_col`` 0=left 1=right,
+    ``change_col`` False=retraction — streams through the real kernel with
+    idle-state retention, processing time advanced to ``pt_col`` before each
+    element (the deterministic replay convention). The emitted RETRACTION
+    stream is netted per row value; surviving rows (net > 0, multiplicity-
+    preserved) are returned as ``(key, left_payload…, right_payload…)`` with
+    null padding, i.e. the materialized continuous-join result.
+
+    All payload/output columns are nullable longs (``Int64`` on the Arrow
+    side — padding needs a null-capable integer dtype).
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    arity = len(payload_cols)
+    out_names = _schema_col_names(out_schema)
+
+    def join_fn(left_row, right_row):
+        if join_predicate(left_row, right_row):
+            return tuple(left_row) + tuple(right_row)
+        return None
+
+    def make_kernel():
+        if join_type == "full":
+            return NonWindowFullJoinNonEquiKernel(join_fn, arity, arity, query_config)
+        if join_type in ("left", "right"):
+            return NonWindowLeftRightJoinNonEquiKernel(
+                join_fn, arity, arity, join_type == "left", query_config
+            )
+        raise ValueError(f"unsupported join_type: {join_type}")
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        # inserts before retractions on a pt tie — a retraction can only
+        # follow the insert it cancels
+        pdf = pdf.sort_values([pt_col, change_col], ascending=[True, False], kind="mergesort")
+        h = TwoInputKeyedProcessHarness(make_kernel(), key1_fn=lambda r: 0, key2_fn=lambda r: 0)
+        payload_series = [pdf[c] for c in payload_cols]
+        for side, pt, change, *payload in zip(
+            pdf[side_col], pdf[pt_col], pdf[change_col], *payload_series
+        ):
+            h.set_processing_time(int(pt))
+            row = tuple(int(v) for v in payload)
+            if side == 0:
+                h.process_element1(row, bool(change))
+            else:
+                h.process_element2(row, bool(change))
+        net: Counter = Counter()
+        for row, change in h.output:
+            net[row] += 1 if change else -1
+        key = int(pdf[key_col].iloc[0])
+        out_rows = [(key,) + row for row, n in net.items() if n > 0 for _ in range(n)]
+        return pd.DataFrame(
+            {
+                name: pd.array([r[i] for r in out_rows], dtype="Int64")
+                for i, name in enumerate(out_names)
+            }
+        )
+
+    cols = list(dict.fromkeys([key_col, side_col, pt_col, change_col, *payload_cols]))
+    return df.select(*cols).groupBy(key_col).applyInPandas(replay, out_schema)
+
+
+def timebounded_join_df(
+    df,
+    key_col: str,
+    side_col: str,
+    pt_col: str,
+    payload_cols: list[str],
+    join_type: str,
+    left_lower_bound: int,
+    left_upper_bound: int,
+    out_schema: str,
+):
+    """Distributed proc-time TimeBoundedStreamJoin replay
+    (ProcTimeBoundedStreamJoin.scala:30 over TimeBoundedStreamJoin
+    .scala:54): per key, both sides' rows arrive in ``pt_col`` order —
+    proc-time mode stamps each row with the operator clock at arrival — and
+    join when ``left.pt BETWEEN right.pt + left_lower AND right.pt +
+    left_upper``. A final clock advance past every cleanup timer plays
+    end-of-job: expired cache entries flush, and outer variants pad rows
+    whose emitted-flag never flipped. Output rows are ``(key,
+    left_payload…, right_payload…)`` nullable longs."""
+    import pandas as pd
+
+    arity = len(payload_cols)
+    out_names = _schema_col_names(out_schema)
+
+    def join_fn(left_row, right_row):
+        return tuple(left_row) + tuple(right_row)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([pt_col], kind="mergesort")
+        kernel = TimeBoundedJoinKernel(
+            join_type,
+            left_lower_bound,
+            left_upper_bound,
+            0,
+            join_fn,
+            arity,
+            arity,
+            proc_time=True,
+        )
+        h = TwoInputKeyedProcessHarness(kernel, key1_fn=lambda r: 0, key2_fn=lambda r: 0)
+        payload_series = [pdf[c] for c in payload_cols]
+        for side, pt, *payload in zip(pdf[side_col], pdf[pt_col], *payload_series):
+            h.set_processing_time(int(pt))
+            row = tuple(int(v) for v in payload)
+            if side == 0:
+                h.process_element1(row)
+            else:
+                h.process_element2(row)
+        h.set_processing_time(2**62)  # job end: cleanup timers fire, pads flush
+        key = int(pdf[key_col].iloc[0])
+        out_rows = [(key,) + row for row, _ in h.output]
+        return pd.DataFrame(
+            {
+                name: pd.array([r[i] for r in out_rows], dtype="Int64")
+                for i, name in enumerate(out_names)
+            }
+        )
+
+    cols = list(dict.fromkeys([key_col, side_col, pt_col, *payload_cols]))
+    return df.select(*cols).groupBy(key_col).applyInPandas(replay, out_schema)

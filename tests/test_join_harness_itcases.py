@@ -800,3 +800,27 @@ def test_non_window_full_join_with_non_equal_pred_golden():
         ((None, None, 2, "bbb"), True),
     ]
     assert_same_multiset(h.output, expected)
+
+
+def test_full_join_non_equi_repad_after_multi_match_retract():
+    """Reference-deviation pin (see _retract_join_non_equi's docstring):
+    a left row matching TWO fresh right rows must be re-padded once both
+    matches retract. The reference seeds the left row's joinCntState with
+    cRowWrapper.getEmitCnt = 4 (two pad-retractions + two joins), so the
+    1->0 crossing lands at 4->3->2 and the re-pad is lost; seeding the true
+    matched-copy count (2) restores the retraction algebra's eventual
+    consistency (netted output == FULL OUTER JOIN of netted input)."""
+    k = NonWindowFullJoinNonEquiKernel(join_lt, 2, 2, QC)
+    h = proc_harness(k)
+    h.set_processing_time(1)
+    h.process_element2((1, "bbb"))   # pad right
+    h.process_element2((1, "ccc"))   # pad right
+    h.process_element1((1, "aaa"))   # matches both: retract 2 pads, 2 joins
+    h.process_element2((1, "bbb"), change=False)  # aaa 2->1 matches: no pad yet
+    h.process_element2((1, "ccc"), change=False)  # aaa 1->0: re-pad aaa
+    net = {}
+    for row, change in h.output:
+        net[row] = net.get(row, 0) + (1 if change else -1)
+    alive = sorted(r for r, n in net.items() if n > 0)
+    # netted result == full outer join of netted input = {aaa} x {} -> one pad
+    assert alive == [(1, "aaa", None, None)]
