@@ -177,6 +177,126 @@ def sos_outlier(
     )
 
 
+SOS_QUANT = 10**4  # embedding quantization step for the hash-checkable path
+SOS_ITERS = 50  # fixed bandwidth-search depth (the reference's max)
+
+
+def sos_outlier_fixed(
+    points: DataFrame,
+    perplexity: float = 10.0,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    quant: int = SOS_QUANT,
+    iters: int = SOS_ITERS,
+) -> DataFrame:
+    """HASH-CHECKABLE StochasticOutlierSelection (the exact-GD/Lloyd/PCA
+    fixed-point recipe applied a 4th time): same distributed shape as
+    :func:`sos_outlier`, but every step an oracle can replay —
+
+    - inputs quantized to ``1/quant`` → squared distances are EXACT integer
+      sums (order-independent), scaled by one correctly-rounded division;
+    - the per-point bandwidth binary search runs a FIXED ``iters`` rounds
+      (no convergence break) with the single-pass entropy form
+      ``h = beta*t/s + ln(s)`` (t = Σ aff·d2), the identical float op
+      sequence the DuckDB oracle unrolls;
+    - binding probabilities use ``ln(1-p)`` (not log1p) so both engines
+      share the op sequence, and the final product is rounded to 4 dp.
+
+    Sub-ulp exp/log differences and sum-order noise are absorbed: a search
+    comparison can only flip when h sits within float noise of log(perp),
+    which leaves the bracket on the root either way, so both engines'
+    betas — and the rounded output — agree. SCALE BOUNDARY: same O(n²)
+    cross-join as sos_outlier; sample or pre-cluster first at 100 TB."""
+    import pandas as pd
+
+    qv = F.transform(F.col(vec_col), lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"))
+    a = points.select(F.col(id_col).alias("i"), qv.alias("iv"))
+    b = points.select(F.col(id_col).alias("j"), qv.alias("jv"))
+    d2int = F.aggregate(
+        F.zip_with("iv", "jv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "j", (d2int / F.lit(float(quant * quant))).alias("d2s"))
+    )
+
+    logh = math.log(perplexity)
+
+    def _bind(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d2 = pdf["d2s"].to_numpy(dtype="float64")
+        lo, hi, beta = 0.0, None, 1.0
+        for _ in range(iters):
+            aff = np.exp(-d2 * beta)
+            s = float(aff.sum())
+            h = beta * float((aff * d2).sum()) / s + math.log(s) if s > 0 else 0.0
+            if h > logh:
+                lo = beta
+                beta = beta * 2 if hi is None else (beta + hi) / 2
+            else:
+                hi = beta
+                beta = (lo + beta) / 2
+        aff = np.exp(-d2 * beta)
+        s = aff.sum()
+        p = aff / s if s > 0 else np.zeros_like(aff)
+        return pd.DataFrame({"j": pdf["j"], "p": p})
+
+    bound = pairs.groupBy("i").applyInPandas(_bind, schema="j long, p double")
+    return (
+        bound.groupBy(F.col("j").alias(id_col))
+        .agg(F.round(F.exp(F.sum(F.log(F.lit(1.0) - F.col("p")))), 4).alias("outlier_prob"))
+    )
+
+
+def duck_sos_oracle(perplexity: float = 10.0, dim: int = 64, quant: int = SOS_QUANT, iters: int = SOS_ITERS) -> str:
+    """Unrolled-CTE replay of :func:`sos_outlier_fixed` over the embeddings
+    view: exact integer squared distances, then the same fixed-depth binary
+    search per point (state (lo, hi, beta), NULL hi = still doubling), the
+    same h = beta*t/s + ln(s), and round(Π(1-p), 4). The log(perplexity)
+    target is embedded as the Python float's repr so both engines compare
+    against the identical constant."""
+    logh = repr(math.log(perplexity))
+    q2 = float(quant * quant)
+    ctes = [
+        f"xq AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding::DOUBLE[], e -> CAST(floor(e*{quant} + 0.5) AS BIGINT)) AS x FROM embeddings)",
+        f"pairs AS MATERIALIZED (SELECT a.id AS i, b.id AS j, list_sum(list_transform(range(1, {dim + 1}), k -> (a.x[k]-b.x[k])*(a.x[k]-b.x[k])))::DOUBLE / {q2!r} AS d2s FROM xq a JOIN xq b ON a.id <> b.id)",
+        "st0 AS MATERIALIZED (SELECT id AS i, 0.0::DOUBLE AS lo, NULL::DOUBLE AS hi, 1.0::DOUBLE AS beta FROM xq)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT p.i, any_value(st.beta) AS beta, "
+            f"sum(exp(-p.d2s*st.beta)) AS s, sum(exp(-p.d2s*st.beta)*p.d2s) AS tv "
+            f"FROM pairs p JOIN st{t-1} st USING (i) GROUP BY p.i)"
+        )
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT i, beta, "
+            f"CASE WHEN s > 0 THEN beta*tv/s + ln(s) ELSE 0.0 END AS hv FROM a{t})"
+        )
+        ctes.append(
+            f"st{t} AS MATERIALIZED (SELECT h.i, "
+            f"CASE WHEN h.hv > {logh} THEN h.beta ELSE st.lo END AS lo, "
+            f"CASE WHEN h.hv > {logh} THEN st.hi ELSE h.beta END AS hi, "
+            f"CASE WHEN h.hv > {logh} THEN (CASE WHEN st.hi IS NULL THEN h.beta*2 ELSE (h.beta+st.hi)/2 END) "
+            f"ELSE (st.lo+h.beta)/2 END AS beta "
+            f"FROM h{t} h JOIN st{t-1} st USING (i))"
+        )
+    ctes.append(
+        f"fin AS MATERIALIZED (SELECT p.i, p.j, exp(-p.d2s*st.beta) AS aff FROM pairs p JOIN st{iters} st USING (i))"
+    )
+    ctes.append("sden AS MATERIALIZED (SELECT i, sum(aff) AS s FROM fin GROUP BY i)")
+    ctes.append(
+        "bind AS MATERIALIZED (SELECT f.j, CASE WHEN sd.s > 0 THEN f.aff/sd.s ELSE 0.0 END AS p FROM fin f JOIN sden sd USING (i))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT j AS id, round(exp(sum(ln(1.0 - p))), 4) AS outlier_prob FROM bind GROUP BY j"
+    )
+
+
 def als(
     ratings: DataFrame, user_col: str = "user", item_col: str = "item", rating_col: str = "rating", rank: int = 10
 ):

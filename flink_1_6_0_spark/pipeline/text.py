@@ -525,6 +525,55 @@ def _merge_pair_scan(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(zipped, acc0, step, lambda acc: acc["out"])
 
 
+def duck_bpe_oracle(num_merges: int = 10, end_of_word: str = "</w>") -> str:
+    """Unrolled-CTE replay of :func:`bpe_train` for DuckDB — the whole merge
+    loop is integer/string arithmetic, so the oracle is EXACT (no float
+    tolerance anywhere). Per round t: adjacent pairs of the previous vocab
+    weighted by word frequency, argmax with the same (count desc, pair asc)
+    binary-collation tie-break, and the greedy-left merge expressed as
+    gaps-and-islands — consecutive match positions alternate taken/consumed
+    starting from the left (odd rank within an island = taken), and a
+    position is dropped when its predecessor was taken. Emits the merge
+    table (rank, left, right, weighted_count), ranks 0..num_merges-1 (a
+    round whose best pair has weight < 2 emits nothing, and the vocab is
+    then a fixed point, matching the Python loop's break)."""
+    eow = end_of_word.replace("'", "''")
+    ctes = [
+        "tok AS MATERIALIZED (SELECT t.w FROM documents, "
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(w) WHERE length(t.w) > 0)",
+        "v0 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq, "
+        f"list_append(list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '{eow}') AS syms "
+        "FROM tok GROUP BY w)",
+    ]
+    for t in range(1, num_merges + 1):
+        p = t - 1
+        ctes += [
+            # adjacent-pair weights over the round's vocab
+            f"p{t} AS MATERIALIZED (SELECT v.syms[r.i] AS a, v.syms[r.i + 1] AS b, sum(v.freq) AS n "
+            f"FROM v{p} v, unnest(range(1, len(v.syms))) AS r(i) GROUP BY 1, 2)",
+            f"m{t} AS MATERIALIZED (SELECT {p}::BIGINT AS rank, a, b, n::BIGINT AS n "
+            f"FROM p{t} WHERE n >= 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)",
+            # explode symbols with positions, flag merge-pair starts
+            f"e{t} AS (SELECT v.w, v.freq, r.i AS pos, v.syms[r.i] AS s, v.syms[r.i + 1] AS nxt, "
+            f"coalesce(v.syms[r.i] = (SELECT a FROM m{t}) AND v.syms[r.i + 1] = (SELECT b FROM m{t}), FALSE) AS is_m "
+            f"FROM v{p} v, unnest(range(1, len(v.syms) + 1)) AS r(i))",
+            # islands of consecutive match positions; odd rank in island = taken
+            f"g{t} AS (SELECT *, CASE WHEN is_m THEN pos - row_number() "
+            f"OVER (PARTITION BY w, is_m ORDER BY pos) ELSE NULL END AS grp FROM e{t})",
+            f"k{t} AS (SELECT *, CASE WHEN is_m THEN row_number() "
+            f"OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1 ELSE FALSE END AS taken FROM g{t})",
+            f"c{t} AS (SELECT *, coalesce(lag(taken) OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed FROM k{t})",
+            f"v{t} AS MATERIALIZED (SELECT w, any_value(freq) AS freq, "
+            f"list(CASE WHEN taken THEN s || nxt ELSE s END ORDER BY pos) AS syms "
+            f"FROM c{t} WHERE NOT consumed GROUP BY w)",
+        ]
+    union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, num_merges + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f'\nSELECT rank, a AS "left", b AS "right", n AS weighted_count FROM ({union}) ORDER BY rank'
+    )
+
+
 def bpe_segment(
     col: str | Column,
     merges: list[tuple[str, str, int]],

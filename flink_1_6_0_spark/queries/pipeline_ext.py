@@ -325,18 +325,27 @@ def ml_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_sos_outlier", oracle=None, tags=("pipeline", "ml"))
+def _sos_oracle() -> str:
+    from flink_1_6_0_spark.operators.ml import duck_sos_oracle
+
+    return duck_sos_oracle(perplexity=10.0, dim=64)
+
+
+@query("ml_sos_outlier", oracle=_sos_oracle(), tags=("pipeline", "ml"))
 def ml_sos_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FlinkML outlier.StochasticOutlierSelection analog over the embeddings
-    table (distributed: O(n²) cross-join pairs partitioned by point, per-point
-    perplexity bandwidth search in a grouped pandas UDF, log-sum product).
-    Perplexity calibration is iterative → rows-only check."""
-    from flink_1_6_0_spark.operators.ml import sos_outlier
+    table (distributed: O(n²) cross-join pairs partitioned by point,
+    per-point perplexity bandwidth search in a grouped pandas UDF, log-sum
+    product). HASH-CHECKED since r13: the deterministic fixed-depth variant
+    (operators/ml.sos_outlier_fixed — quantized exact distances, 50 search
+    rounds, shared float-op sequence) replays as an unrolled DuckDB CTE;
+    the early-stopping sos_outlier stays as the production path."""
+    from flink_1_6_0_spark.operators.ml import sos_outlier_fixed
 
     emb = T(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
     )
-    return sos_outlier(emb, perplexity=10.0).orderBy(F.desc("outlier_prob"), "id").limit(50)
+    return sos_outlier_fixed(emb, perplexity=10.0)
 
 
 # ---------------------------------------------------------------------------

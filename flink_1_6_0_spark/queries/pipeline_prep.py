@@ -819,10 +819,15 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle() -> str:
+    from flink_1_6_0_spark.pipeline.text import duck_bpe_oracle
+
+    return duck_bpe_oracle(num_merges=12)
+
+
 @query(
     "text_bpe_train",
-    oracle=None,  # iterative (argmax + merge per round) — not SQL-expressible;
-    # the python-reference equivalence is pytest-verified (test_prep.py)
+    oracle=_bpe_oracle(),
     tags=("pipeline", "text", "vocab"),
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,7 +835,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus word dictionary (Sennrich '16 loop — weighted pair counts, argmax
     to the driver, greedy-left merge as a pure Column scan). Returns the
     merge table (rank, left, right, weighted_count) — deterministic
-    (count desc, pair asc tie-break)."""
+    (count desc, pair asc tie-break). HASH-CHECKED since r13: the loop is
+    pure integer/string arithmetic, so the oracle unrolls all 12 rounds as
+    CTEs (pipeline/text.duck_bpe_oracle — greedy-left merge as
+    gaps-and-islands) with no float tolerance anywhere."""
     from flink_1_6_0_spark.pipeline.text import bpe_train
 
     merges = bpe_train(T(spark, sf_dir, "documents"), "text", num_merges=12)

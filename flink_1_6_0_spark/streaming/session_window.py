@@ -262,7 +262,16 @@ class EventTimeWindowKernel(CleanupKernelBase):
             return  # WindowOperator: null contents emit nothing
         out.collect((window[0], window[1], tuple(contents)), True)
         if self.purging:
-            windows[window] = []  # FIRE_AND_PURGE: clear, keep the window
+            if self.merging:
+                # the MergingWindowSet still tracks the purged window's range
+                # for later merges — model: entry kept, contents cleared
+                windows[window] = []
+            else:
+                # non-merging FIRE_AND_PURGE leaves NO per-window state (the
+                # reference's windowState.clear(); only timers outlive it) —
+                # WindowOperatorTest.java:2208 testCleanupTimerWithEmptyXxx:
+                # the later cleanup timer must find nothing and emit nothing
+                del windows[window]
 
 
 class SessionWindowKernel(EventTimeWindowKernel):

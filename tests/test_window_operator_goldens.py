@@ -492,3 +492,65 @@ def test_continuous_tick_coinciding_with_max_timestamp_fires_once():
     h.process_element(("key1", 7, 1001))
     h.process_watermark(2000)
     assert sums(h) == [(1001, 2001, 7)]
+
+
+def test_cleanup_timer_with_empty_state_tumbling_golden():
+    """WindowOperatorTest.java:2260 testCleanupTimerWithEmptyListStateFor
+    TumblingWindows (the Reduce/Folding variants drive identically — the
+    contents-list model collapses the state primitive): accumulating fire
+    at 1999, then the lateness-1 cleanup timer at 2000 finds state to drop
+    and emits NOTHING — one record total, zero state after."""
+    k = EventTimeWindowKernel(
+        tumbling_windows(2000), 1, ts_idx=2, payload_idx=1, merging=False
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1599)
+    h.process_watermark(1999)   # fires
+    h.process_watermark(2000)   # cleanup timer: silent drop
+    h.process_watermark(5000)
+    assert sums(h) == [(0, 2000, 1)]
+    assert h.num_state_entries() == 0
+
+
+def test_cleanup_timer_with_empty_state_tumbling_accum_gc_golden():
+    """WindowOperatorTest.java:2208 testCleanupTimerWithEmptyListStateFor
+    TumblingWindows2 — EventTimeTriggerAccumGC FIRE_AND_PURGEs at
+    maxTimestamp AND again at the lateness-100 cleanup tick (2099): the
+    second firing must find NO window state (purge DROPS a non-merging
+    window, it doesn't keep an empty entry) and emit nothing, while the
+    cleanup timer itself stays armed across the gap."""
+    k = EventTimeWindowKernel(
+        tumbling_windows(2000), 100, ts_idx=2, payload_idx=1,
+        merging=False, purging=True,
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1599)
+    h.process_watermark(1999)   # FIRE_AND_PURGE: emits, state dropped
+    assert h.num_state_entries() == 0   # windowState.clear() — nothing kept
+    assert h.num_event_timers() == 1    # "here is the cleanup timer" (2099)
+    h.process_watermark(2100)   # cleanup fires on empty state: silence
+    h.process_watermark(5000)
+    assert sums(h) == [(0, 2000, 1)]
+    assert h.num_state_entries() == 0
+
+
+def test_cleanup_timer_with_empty_state_session_golden():
+    """WindowOperatorTest.java:2406 testCleanupTimerWithEmptyListStateFor
+    SessionWindows (+ the Reduce variant, same driving): 3s-gap session
+    (1000, 4000) fires at 3999 and its lateness-10 cleanup (4009) rides the
+    SAME watermark (4998) — one record, state fully retired, and the far
+    watermark (14600) finds nothing to re-fire."""
+    from flink_1_6_0_spark.streaming.session_window import session_windows
+
+    k = EventTimeWindowKernel(
+        session_windows(3000), 10, ts_idx=2, payload_idx=1, merging=True
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(4998)   # fire at 3999, cleanup at 4009, same advance
+    h.process_watermark(14600)
+    assert sums(h) == [(1000, 4000, 1)]
+    assert h.num_state_entries() == 0
+    assert k.side_output == []
