@@ -99,6 +99,18 @@ def _env_block(spark) -> dict:
     }
 
 
+def _mini_env(spark) -> dict:
+    """Per-block environment stamp (r12 verdict item 7: the sf1/sf1_dbgen
+    blocks carried no env snapshot, so their run-to-run variance got
+    re-litigated from prose every round): loadavg at block start plus a
+    single-run sentinel reading for the machine-speed regime."""
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = [-1.0, -1.0, -1.0]
+    return {"loadavg": load, "sentinel_sec": _sentinel_sec(spark, runs=1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -213,6 +225,7 @@ def main() -> None:
             t0 = time.perf_counter()
             d1 = sf1_dir(spark)
             synth_sec = round(time.perf_counter() - t0, 1)
+            sf1_env = _mini_env(spark)
             by_name = {s.name: s for s in specs}
             sf1_times: dict[str, float] = {}
             for name in sf1_set:
@@ -228,6 +241,7 @@ def main() -> None:
             out["sf1"] = {
                 "sf": 1.0,
                 "note": "10x key-shifted scale-up of sf0.1 (scale_synth.py)",
+                "env": sf1_env,
                 "synth_or_cache_sec": synth_sec,
                 "runs_per_query": 2,
                 "queries": sf1_times,
@@ -252,6 +266,7 @@ def main() -> None:
             t0 = time.perf_counter()
             dd = tpch_dir(1.0)
             gen_sec = round(time.perf_counter() - t0, 1)
+            dbgen_env = _mini_env(spark)
             by_name = {s.name: s for s in specs}
             dq: dict[str, float] = {}
             for name in dbgen_set:
@@ -267,6 +282,7 @@ def main() -> None:
             out["sf1_dbgen"] = {
                 "sf": 1.0,
                 "note": "REAL TPC-H sf1 (DuckDB dbgen, sources/tpch_dbgen.py)",
+                "env": dbgen_env,
                 "gen_or_cache_sec": gen_sec,
                 "runs_per_query": 2,
                 "queries": dq,
