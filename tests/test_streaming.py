@@ -1886,3 +1886,74 @@ def test_proctime_sort_df_string_descending(spark):
         ("apple", 1, 2),
         ("apple", 9, 3),
     ]
+
+
+def test_nonwindow_join_retention_df_left_join(spark):
+    """Distributed NonWindowLeftRightJoinWithNonEquiPredicates replay
+    (join_type='left'): netted output equals a LEFT OUTER JOIN of the
+    netted input — right rows never pad, a retracted match re-pads its
+    left row."""
+    from flink_1_6_0_spark.streaming.cleanup_state import StreamQueryConfig
+    from flink_1_6_0_spark.streaming.join_kernels import nonwindow_join_retention_df
+
+    rows = [
+        # (key, side, pt, change, id, v)
+        (1, 0, 10, True, 100, 5),   # left 100 (v=5)
+        (1, 1, 20, True, 200, 7),   # right 200 (v=7): joins 100 (5 < 7)
+        (1, 1, 30, True, 201, 3),   # right 201 (v=3): no match (5 !< 3), no pad (right side)
+        (1, 1, 40, False, 200, 7),  # retract right 200: left 100 re-pads
+        (2, 0, 10, True, 300, 9),   # lone left on another key: padded
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, side int, pt long, change boolean, id long, v long"
+    )
+    out = nonwindow_join_retention_df(
+        df,
+        key_col="k",
+        side_col="side",
+        pt_col="pt",
+        change_col="change",
+        payload_cols=["id", "v"],
+        join_predicate=lambda l, r: l[1] < r[1],
+        query_config=StreamQueryConfig.with_idle_state_retention_time(0, 0),
+        out_schema="k long, l_id long, l_v long, r_id long, r_v long",
+        join_type="left",
+    )
+    got = sorted(
+        (r.k, r.l_id, r.l_v, r.r_id, r.r_v) for r in out.collect()
+    )
+    assert got == [(1, 100, 5, None, None), (2, 300, 9, None, None)]
+
+
+def test_timebounded_join_df_left_outer(spark):
+    """Distributed proc-time TimeBoundedStreamJoin replay, LEFT_OUTER: only
+    left rows pad at end-of-replay; the in-window pair joins exactly once."""
+    from flink_1_6_0_spark.streaming.join_kernels import timebounded_join_df
+
+    rows = [
+        # (key, side, pt, id) — bounds: l.pt in [r.pt - 5, r.pt + 10]
+        (1, 0, 100, 11),   # left, matched by right@105 (105-5 <= 100 <= 105+10)
+        (1, 1, 105, 21),
+        (1, 0, 300, 12),   # left, no right within window: pads
+        (1, 1, 500, 22),   # right, unmatched: LEFT_OUTER -> silent
+    ]
+    df = spark.createDataFrame(rows, "k long, side int, pt long, id long")
+    out = timebounded_join_df(
+        df,
+        key_col="k",
+        side_col="side",
+        pt_col="pt",
+        payload_cols=["id", "pt"],
+        join_type="left",
+        left_lower_bound=-5,
+        left_upper_bound=10,
+        out_schema="k long, l_id long, l_pt long, r_id long, r_pt long",
+    )
+    got = sorted(
+        ((r.k, r.l_id, r.l_pt, r.r_id, r.r_pt) for r in out.collect()),
+        key=lambda t: (t[1] is None, t),
+    )
+    assert got == [
+        (1, 11, 100, 21, 105),
+        (1, 12, 300, None, None),
+    ]
