@@ -429,3 +429,29 @@ def test_cep_batch_keeps_full_shuffle_width(spark, sf_dir):
     assert f", {n}), REPARTITION_BY_NUM" in plan
     assert plan.count("Exchange") == 1, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_kernel_join_replay_shuffle_budget(spark, sf_dir):
+    """The two-input kernel replay queries are ONE shuffle each: union both
+    sides, hash-partition on the join key, replay per key inside an Arrow
+    batch (FlatMapGroupsInPandas). Pin the exchange budget and the pruned
+    scan — the events table has 6 columns, the replay reads 3-4."""
+    import re
+
+    plan = _plan(get("stream_timebounded_join_kernel").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, f"expected one key shuffle, got {n_ex}:\n{plan}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "event_id", "ts", "user_id"
+    }, plan
+
+    plan = _plan(get("stream_nonwindow_join_retention").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # union of inserts + derived retracts re-reads the same pruned scan;
+    # still exactly one hash shuffle on user_id
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, f"expected one key shuffle, got {n_ex}:\n{plan}"
