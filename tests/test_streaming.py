@@ -1957,3 +1957,49 @@ def test_timebounded_join_df_left_outer(spark):
         (1, 11, 100, 21, 105),
         (1, 12, 300, None, None),
     ]
+
+
+def test_nonwindow_join_retention_is_nonvacuous(spark):
+    """The retention in stream_nonwindow_join_retention must DO something:
+    replaying the same construction with state cleaning disabled joins
+    across day-bursts (state never expires), producing a different row
+    count than the retention run — i.e. the oracle's epoch-equality term
+    really is the expiry's footprint, not an accident of the data."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.streaming.cleanup_state import StreamQueryConfig
+    from flink_1_6_0_spark.streaming.join_kernels import nonwindow_join_retention_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.col("event_id") % 2).cast("int").alias("side"),
+        (
+            F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 86400000).cast("long") * 600000000
+            + (F.unix_millis(F.col("ts").cast("timestamp")) % 86400000) * 2
+        ).alias("pt"),
+        F.lit(True).alias("change"),
+        F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 86400000).cast("long").alias("epoch"),
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def run(qc):
+        return nonwindow_join_retention_df(
+            ev,
+            key_col="user_id",
+            side_col="side",
+            pt_col="pt",
+            change_col="change",
+            payload_cols=["epoch", "id", "cents"],
+            join_predicate=lambda l, r: l[2] < r[2],
+            query_config=qc,
+            out_schema=(
+                "user_id long, l_epoch long, l_id long, l_cents long, "
+                "r_epoch long, r_id long, r_cents long"
+            ),
+        ).count()
+
+    with_retention = run(StreamQueryConfig.with_idle_state_retention_time(199000000, 200000000))
+    without = run(StreamQueryConfig(0, 0))
+    assert with_retention != without, (with_retention, without)
