@@ -204,9 +204,9 @@ def over_rows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over_range_bounded",
     oracle="""
     SELECT event_id, user_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS sum_1h,
-           count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+           count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
     FROM events
     """,
@@ -214,9 +214,12 @@ def over_rows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def over_range_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded RANGE OVER on event time (RowTimeBoundedRangeOver.scala):
-    per-row trailing 1-hour aggregate, ordered by epoch seconds (Spark
-    rangeBetween needs a numeric key; epoch(ts) truncates to seconds on both
-    engines)."""
+    per-row trailing 1-hour aggregate, ordered by WHOLE epoch seconds on
+    both engines. The truncation must be explicit in the oracle: DuckDB's
+    epoch(ts) keeps the microsecond fraction, so two same-user events
+    inside one second are RANGE peers for Spark's unix_seconds key but not
+    for a fractional key — the r13 sf0.1 gate caught exactly that row
+    (sf0.01 has no same-user same-second pair)."""
     e = T(spark, sf_dir, "events").withColumn(
         "__epoch", F.unix_seconds(F.col("ts"))
     )

@@ -121,6 +121,9 @@ _ROTATE_IN = (
     # r13: proctime_sort_df's sort key rebuilt on a field-by-field
     # comparator (descending was value negation before)
     "stream_proctime_sort",
+    # r13: sf0.1 full-gate find — oracle's RANGE key now truncates to whole
+    # seconds like Spark's unix_seconds (fractional epoch() broke peer rows)
+    "over_range_bounded",
 )
 
 
