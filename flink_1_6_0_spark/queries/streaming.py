@@ -1024,3 +1024,49 @@ def stream_timebounded_join_kernel(spark: SparkSession, sf_dir: str) -> DataFram
         left_upper_bound=7200000,
         out_schema="user_id long, l_id long, l_pt long, r_id long, r_pt long",
     )
+
+
+@query(
+    "stream_rowtime_sort_kernel",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, event_id,
+               epoch_ms(ts)                       AS rt,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id, rt, cents,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY rt, cents DESC, event_id
+           ) - 1 AS emit_seq
+    FROM src
+    """,
+    tags=("streaming", "sort", "kernel"),
+)
+def stream_rowtime_sort_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time stream sort through the REAL kernel
+    (RowTimeSortProcessFunction.scala:38 — per-rowtime buffers, a timer per
+    rowtime, comparator flush): rows are fed in a deliberately SCRAMBLED
+    deterministic order (multiplicative hash of event_id), so the oracle's
+    (rowtime, cents DESC, event_id) row_number can only match if the
+    kernel's buffer/timer/sort machinery re-orders them — distributed
+    per-key replay, one shuffle on user_id. Completes the one-input kernel
+    family's distributed evidence (GroupAgg, rows-OVER, proc-sort were
+    r12)."""
+    from flink_1_6_0_spark.streaming.cleanup_state import rowtime_sort_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("rt"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ((F.col("event_id") * 2654435761) % 4294967296).alias("arrival"),
+    )
+    return rowtime_sort_df(
+        ev,
+        key_col="user_id",
+        rowtime_col="rt",
+        arrival_col="arrival",
+        sort_cols=[("cents", False), ("event_id", True)],
+        out_cols=["event_id", "user_id", "rt", "cents"],
+    )

@@ -61,6 +61,7 @@ __all__ = [
     "group_agg_retention_stream",
     "proctime_rows_over_df",
     "proctime_sort_df",
+    "rowtime_sort_df",
 ]
 
 
@@ -1065,6 +1066,63 @@ def proctime_sort_df(
             h.set_processing_time(row[col_idx[proc_time_col]])
             h.process_element(row)
         h.set_processing_time(2**62)  # job end: flush the final tick's buffer
+        out_rows = [r for r, _ in h.output]
+        data = {c: [r[col_idx[c]] for r in out_rows] for c in out_cols}
+        data["emit_seq"] = range(len(out_rows))
+        return pd.DataFrame(data)
+
+    schema = out_schema or (", ".join(f"{c} long" for c in out_cols) + ", emit_seq long")
+    return df.groupBy(key_col).applyInPandas(replay, schema)
+
+
+def rowtime_sort_df(
+    df,
+    key_col: str,
+    rowtime_col: str,
+    arrival_col: str,
+    sort_cols: list[str | tuple[str, bool]],
+    out_cols: list[str],
+    out_schema: str | None = None,
+):
+    """Distributed RowTimeSortProcessFunction replay (RowTimeSortProcess
+    Function.scala:38): per key, rows arrive in ``arrival_col`` order (the
+    caller passes a deterministic SCRAMBLE — e.g. a multiplicative hash of
+    the id — so the emission order is provably the kernel's sort, not the
+    feed's), buffer per rowtime, and a final watermark advance fires every
+    rowtime timer in ascending order, each flushing its buffer in
+    ``sort_cols`` (CollectionRowComparator) order. Total emission order per
+    key is therefore (rowtime, *sort_cols) — the oracle's row_number. The
+    late-drop path (rowtime <= lastTriggeringTs) is pinned by the
+    SortProcessFunctionHarnessTest goldens; this replay proves distributed
+    execution of the buffer/timer/sort machinery. One shuffle on the key;
+    no driver loop."""
+    import functools
+
+    import pandas as pd
+
+    norm = [(c, True) if isinstance(c, str) else c for c in sort_cols]
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([arrival_col], kind="mergesort")
+        col_idx = {c: i for i, c in enumerate(pdf.columns)}
+        spec = [(col_idx[c], asc) for c, asc in norm]
+
+        def cmp(a, b):
+            for i, asc in spec:
+                av, bv = a[i], b[i]
+                if av == bv:
+                    continue
+                lt = -1 if asc else 1
+                return lt if av < bv else -lt
+            return 0
+
+        kernel = RowTimeSortKernel(
+            rowtime_idx=col_idx[rowtime_col], sort_key=functools.cmp_to_key(cmp)
+        )
+        h = KeyedProcessHarness(kernel, key_fn=lambda r: 0)
+        for row in pdf.itertuples(index=False, name=None):
+            h.process_element(row)
+        h.process_watermark(2**62)  # end of input: fire every rowtime timer
         out_rows = [r for r, _ in h.output]
         data = {c: [r[col_idx[c]] for r in out_rows] for c in out_cols}
         data["emit_seq"] = range(len(out_rows))
