@@ -142,8 +142,12 @@ class EventTimeWindowKernel(CleanupKernelBase):
         return window[1] - 1  # TimeWindow.maxTimestamp
 
     def _cleanup_time(self, window) -> int:
+        # WindowOperator.cleanupTime: maxTimestamp + lateness, clamped to
+        # Long.MAX_VALUE on overflow (Java wrap-around -> negative check;
+        # Python ints don't wrap, so clamp explicitly —
+        # WindowOperatorTest.testCleanupTimeOverflow)
         t = self._max_ts(window) + self.lateness
-        return t if t >= self._max_ts(window) else LONG_MAX
+        return t if t <= LONG_MAX else LONG_MAX
 
     def _is_window_late(self, window, ctx) -> bool:
         # WindowOperator.java:590

@@ -554,3 +554,128 @@ def test_cleanup_timer_with_empty_state_session_golden():
     assert sums(h) == [(1000, 4000, 1)]
     assert h.num_state_entries() == 0
     assert k.side_output == []
+
+
+def test_tumbling_event_time_windows_golden():
+    """WindowOperatorTest.java:~250 testTumblingEventTimeWindowsReduce/Apply
+    (shared driving; Reduce vs Apply collapse in the contents model): 3s
+    tumbling, out-of-order elements, fires at 2999 (both keys, sum 3) and
+    5999 (key2, sum 2); later watermarks emit nothing."""
+    k = EventTimeWindowKernel(
+        tumbling_windows(3000), 0, ts_idx=2, payload_idx=1, merging=False
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 3999))
+    h.process_element(("key2", 1, 3000))
+    h.process_element(("key1", 1, 20))
+    h.process_element(("key1", 1, 0))
+    h.process_element(("key1", 1, 999))
+    h.process_element(("key2", 1, 1998))
+    h.process_element(("key2", 1, 1999))
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(999)
+    h.process_watermark(1999)
+    assert sums(h) == []
+    h.process_watermark(2999)
+    assert sorted(sums(h)) == [(0, 3000, 3), (0, 3000, 3)]  # key1-3, key2-3
+    h.process_watermark(3999)
+    h.process_watermark(4999)
+    h.process_watermark(5999)
+    assert sorted(sums(h)) == [(0, 3000, 3), (0, 3000, 3), (3000, 6000, 2)]
+    h.process_watermark(6999)
+    h.process_watermark(7999)
+    assert len(sums(h)) == 3
+
+
+def test_cleanup_time_overflow_golden():
+    """WindowOperatorTest.java:~1560 testCleanupTimeOverflow — a window near
+    Long.MAX_VALUE whose maxTimestamp + lateness overflows must clamp its
+    cleanup to Long.MAX_VALUE (Java wrap-around guard): the watermark at
+    MAX-1500 must NOT garbage-collect the just-added window, and the
+    watermark at maxTimestamp fires it."""
+    LONG_MAX_ = 2**63 - 1
+    k = EventTimeWindowKernel(
+        tumbling_windows(1000), 2000, ts_idx=2, payload_idx=1, merging=False
+    )
+    h = harness(k)
+    ts = LONG_MAX_ - 1750
+    start = ts - ts % 1000
+    h.process_element(("key2", 1, ts))
+    assert start + 1000 - 1 + 2000 > LONG_MAX_  # the overflow the test is about
+    h.process_watermark(LONG_MAX_ - 1500)  # would clean if the clamp wrapped
+    assert sums(h) == []
+    h.process_watermark(start + 1000 - 1)
+    assert sums(h) == [(start, start + 1000, 1)]
+
+
+def test_side_output_due_to_lateness_sliding_golden():
+    """WindowOperatorTest.java:~1690 testSideOutputDueToLatenessSliding —
+    1s-slide/3s-size sliding windows, lateness 0: the 2400 stragglers still
+    land in their two LIVE panes (late re-fire not needed — panes (2000,5000)
+    and... are unfired), while the 3001 element after watermark 6000 is late
+    beyond every pane and side-outputs."""
+    from flink_1_6_0_spark.streaming.session_window import sliding_windows
+
+    k = EventTimeWindowKernel(
+        sliding_windows(3000, 1000), 0, ts_idx=2, payload_idx=1, merging=False
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_watermark(1999)
+    assert sums(h) == [(-1000, 2000, 1)]
+    h.process_element(("key2", 1, 2000))
+    h.process_watermark(3000)
+    assert sums(h)[-1] == (0, 3000, 2)
+    h.process_element(("key1", 1, 3001))
+    h.process_element(("key2", 1, 2400))
+    h.process_element(("key2", 1, 2400))
+    h.process_element(("key1", 1, 3001))
+    h.process_element(("key2", 1, 3900))
+    h.process_watermark(6000)
+    assert sorted(sums(h)[2:]) == sorted([
+        (1000, 4000, 5),  # key2-5 @3999
+        (1000, 4000, 2),  # key1-2 @3999
+        (2000, 5000, 4),  # key2-4 @4999
+        (2000, 5000, 2),  # key1-2 @4999
+        (3000, 6000, 1),  # key2-1 @5999
+        (3000, 6000, 2),  # key1-2 @5999
+    ])
+    assert k.side_output == []
+    h.process_element(("key1", 1, 3001))  # beyond every pane now
+    h.process_watermark(25000)
+    assert k.side_output == [("key1", 1, 3001)]
+    assert len(sums(h)) == 8
+
+
+def test_continuous_watermark_trigger_on_global_windows_golden():
+    """WindowOperatorTest.java:~800 testContinuousWatermarkTrigger —
+    GlobalWindows + ContinuousEventTimeTrigger(3s), accumulating: key1's
+    tick (seeded by its ts-0 element) fires at 3000 and again at 6000;
+    key2's (seeded at ts 3000) first fires at 6000; 7000/8000 are silent."""
+    from flink_1_6_0_spark.streaming.session_window import global_windows
+
+    k = EventTimeWindowKernel(
+        global_windows(), 0, ts_idx=2, payload_idx=1,
+        merging=False, continuous_interval=3000,
+    )
+    h = harness(k)
+    h.process_element(("key1", 1, 0))
+    h.process_element(("key2", 1, 3000))
+    h.process_element(("key2", 1, 3999))
+    h.process_element(("key1", 1, 20))
+    h.process_element(("key1", 1, 999))
+    h.process_element(("key2", 1, 1998))
+    h.process_element(("key2", 1, 1999))
+    h.process_element(("key2", 1, 1000))
+    for wm in (1000, 2000):
+        h.process_watermark(wm)
+    assert sums(h) == []
+    h.process_watermark(3000)
+    assert [s for (_, _, s) in sums(h)] == [3]          # key1-3
+    for wm in (4000, 5000):
+        h.process_watermark(wm)
+    h.process_watermark(6000)
+    assert sorted(s for (_, _, s) in sums(h)) == [3, 3, 5]  # + key1-3, key2-5
+    h.process_watermark(7000)
+    h.process_watermark(8000)
+    assert len(sums(h)) == 3
