@@ -39,6 +39,9 @@ __all__ = [
     "sliding_windows",
     "session_windows",
     "global_windows",
+    "count_evictor",
+    "time_evictor",
+    "delta_evictor",
 ]
 
 LONG_MAX = 2**63 - 1
@@ -109,6 +112,7 @@ class EventTimeWindowKernel(CleanupKernelBase):
         purging: bool = False,
         count_trigger: int | None = None,
         continuous_interval: int | None = None,
+        evictor=None,
     ):
         super().__init__(None)
         if allowed_lateness_ms < 0:
@@ -124,6 +128,12 @@ class EventTimeWindowKernel(CleanupKernelBase):
         # (WindowOperatorTest.java:656 pins the merge-then-fire at 6+1).
         # None = EventTimeTrigger.
         self.count_trigger = count_trigger
+        # EvictingWindowOperator.java: (evict_fn, evict_after) built by
+        # count_evictor/time_evictor/delta_evictor below. With an evictor the
+        # window contents store (ts, payload) pairs (the reference keeps
+        # whole StreamRecords in ListState for the same reason — TimeEvictor
+        # needs element timestamps).
+        self.evictor = evictor
         # ContinuousEventTimeTrigger.java:39 — additionally FIRE at aligned
         # `interval` event-time ticks while the window is open; the per-window
         # next-fire time merges BY MIN on session merges (:45).
@@ -196,7 +206,7 @@ class EventTimeWindowKernel(CleanupKernelBase):
                 fire_ts = state.setdefault("fire_ts", {}) if self.continuous_interval else None
 
             is_skipped = False
-            contents.append(payload)
+            contents.append((ts, payload) if self.evictor is not None else payload)
             windows[actual] = contents
 
             if self.count_trigger:
@@ -264,6 +274,21 @@ class EventTimeWindowKernel(CleanupKernelBase):
         contents = windows.get(window)
         if not contents:
             return  # WindowOperator: null contents emit nothing
+        if self.evictor is not None:
+            evict_fn, evict_after = self.evictor
+            if not evict_after:
+                contents = evict_fn(contents)  # evictBefore mutates state
+                windows[window] = contents
+                if not contents:
+                    return
+            out.collect((window[0], window[1], tuple(p for _, p in contents)), True)
+            if evict_after:
+                windows[window] = evict_fn(contents)
+            if self.purging and not self.merging:
+                del windows[window]
+            elif self.purging:
+                windows[window] = []
+            return
         out.collect((window[0], window[1], tuple(contents)), True)
         if self.purging:
             if self.merging:
@@ -290,3 +315,43 @@ class SessionWindowKernel(EventTimeWindowKernel):
             payload_idx,
             merging=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# Evictors — EvictingWindowOperator.java's evictBefore/evictAfter hooks
+# ---------------------------------------------------------------------------
+
+
+def count_evictor(max_count: int, evict_after: bool = False):
+    """CountEvictor.java:52 — keep the last ``max_count`` elements."""
+
+    def fn(elems):
+        return elems[len(elems) - max_count:] if len(elems) > max_count else elems
+
+    return (fn, evict_after)
+
+
+def time_evictor(window_size_ms: int, evict_after: bool = False):
+    """TimeEvictor.java:65 — evict elements with ts <= max(ts) - size (the
+    no-timestamp pass-through of hasTimestamp=false streams is N/A here:
+    the kernel always stamps elements)."""
+
+    def fn(elems):
+        if not elems:
+            return elems
+        cutoff = max(ts for ts, _ in elems) - window_size_ms
+        return [e for e in elems if e[0] > cutoff]
+
+    return (fn, evict_after)
+
+
+def delta_evictor(threshold, delta_fn, evict_after: bool = False):
+    """DeltaEvictor.java:74 — evict e when delta(e, lastElement) >= threshold."""
+
+    def fn(elems):
+        if not elems:
+            return elems
+        last = elems[-1][1]
+        return [e for e in elems if delta_fn(e[1], last) < threshold]
+
+    return (fn, evict_after)

@@ -679,3 +679,86 @@ def test_continuous_watermark_trigger_on_global_windows_golden():
     h.process_watermark(7000)
     h.process_watermark(8000)
     assert len(sums(h)) == 3
+
+
+def test_count_evictor_evict_after_golden():
+    """EvictingWindowOperatorTest.java:75 testCountEvictorEvictAfter —
+    GlobalWindows + CountTrigger(2) + CountEvictor(4, evictAfter): the fire
+    sums EVERYTHING buffered (evictAfter runs post-emit), then trims to the
+    last 4."""
+    from flink_1_6_0_spark.streaming.session_window import count_evictor, global_windows
+
+    k = EventTimeWindowKernel(
+        global_windows(), 0, ts_idx=2, payload_idx=1, merging=False,
+        count_trigger=2, evictor=count_evictor(4, evict_after=True),
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 3000))
+    h.process_element(("key2", 1, 3999))
+    h.process_element(("key1", 1, 20))
+    h.process_element(("key1", 1, 0))
+    h.process_element(("key1", 1, 999))
+    h.process_element(("key2", 1, 1998))
+    h.process_element(("key2", 1, 1999))
+    h.process_element(("key2", 1, 1000))
+    assert sorted(s for (_, _, s) in sums(h)) == [2, 2, 4]  # key2-2, key1-2, key2-4
+    h.process_element(("key1", 1, 10999))
+    h.process_element(("key2", 1, 1000))
+    assert sorted(s for (_, _, s) in sums(h)[3:]) == [4, 6]  # key1-4, key2-6 (all 6 summed)
+    h.process_element(("key2", 1, 1000))
+    h.process_element(("key2", 1, 1000))
+    # trimmed to 4 after the last fire, +2 new = 6 again
+    assert [s for (_, _, s) in sums(h)][5:] == [6]
+
+
+def test_time_evictor_evict_before_golden():
+    """EvictingWindowOperatorTest.java:215 testTimeEvictorEvictBefore — 4s
+    tumbling + CountTrigger(2) + TimeEvictor(2s): each fire first drops
+    elements older than max(ts) - 2s FROM STATE, then sums the rest."""
+    from flink_1_6_0_spark.streaming.session_window import time_evictor
+
+    k = EventTimeWindowKernel(
+        tumbling_windows(4000), 0, ts_idx=2, payload_idx=1, merging=False,
+        count_trigger=2, evictor=time_evictor(2000, evict_after=False),
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 1000))
+    h.process_element(("key2", 1, 3999))   # fire: 1000 evicted (<= 1999) -> 1
+    h.process_element(("key1", 1, 20))
+    h.process_element(("key1", 1, 0))      # fire: nothing evicted -> 2
+    h.process_element(("key1", 1, 999))
+    h.process_element(("key1", 1, 5999))   # other pane (4000,8000), count 1
+    h.process_element(("key2", 1, 3500))
+    h.process_element(("key2", 1, 2001))   # fire: [3999,3500,2001] -> 3
+    h.process_element(("key2", 1, 1001))
+    assert [s for (_, _, s) in sums(h)] == [1, 2, 3]
+    h.process_element(("key1", 1, 6500))   # fire (4000,8000): [5999,6500] -> 2
+    h.process_element(("key2", 1, 1002))   # fire: 1001,1002 evicted -> [3999,3500,2001] -> 3
+    assert [s for (_, _, s) in sums(h)][3:] == [2, 3]
+
+
+def test_delta_evictor_evict_before_golden():
+    """EvictingWindowOperatorTest.java:348 testDeltaEvictorEvictBefore —
+    GlobalWindows + CountTrigger(2) + DeltaEvictor(threshold 2,
+    delta = new - old): evict e when last.value - e.value >= 2 before
+    summing."""
+    from flink_1_6_0_spark.streaming.session_window import delta_evictor, global_windows
+
+    k = EventTimeWindowKernel(
+        global_windows(), 0, ts_idx=2, payload_idx=1, merging=False,
+        count_trigger=2,
+        evictor=delta_evictor(2, lambda old, new: new - old, evict_after=False),
+    )
+    h = harness(k)
+    h.process_element(("key2", 1, 3000))
+    h.process_element(("key2", 4, 3999))   # fire: evict 1 (delta 3) -> 4
+    h.process_element(("key1", 1, 20))
+    h.process_element(("key1", 1, 0))      # fire: keep both -> 2
+    h.process_element(("key1", 5, 999))
+    h.process_element(("key2", 5, 1998))
+    h.process_element(("key2", 6, 1999))   # fire: [4,5,6], evict 4 -> 11
+    h.process_element(("key2", 1, 1000))
+    assert sorted(s for (_, _, s) in sums(h)) == [2, 4, 11]
+    h.process_element(("key1", 3, 10999))  # fire: [1,5,3], evict 1 -> 8
+    h.process_element(("key2", 10, 1000))  # fire: [5,6,1,10], evict all but 10 -> 10
+    assert sorted(s for (_, _, s) in sums(h)[3:]) == [8, 10]
