@@ -762,3 +762,45 @@ def test_delta_evictor_evict_before_golden():
     h.process_element(("key1", 3, 10999))  # fire: [1,5,3], evict 1 -> 8
     h.process_element(("key2", 10, 1000))  # fire: [5,6,1,10], evict all but 10 -> 10
     assert sorted(s for (_, _, s) in sums(h)[3:]) == [8, 10]
+
+
+def test_time_evictor_evict_after_golden():
+    """EvictingWindowOperatorTest.java:148 testTimeEvictorEvictAfter —
+    GlobalWindows + CountTrigger(2) + TimeEvictor(2s, evictAfter): sums
+    include everything buffered; the post-emit evict drops elements older
+    than max(ts) - 2s from state."""
+    from flink_1_6_0_spark.streaming.session_window import global_windows, time_evictor
+
+    k = EventTimeWindowKernel(
+        global_windows(), 0, ts_idx=2, payload_idx=1, merging=False,
+        count_trigger=2, evictor=time_evictor(2000, evict_after=True),
+    )
+    h = harness(k)
+    for e in [("key2", 1, 1000), ("key2", 1, 4000), ("key1", 1, 20),
+              ("key1", 1, 0), ("key1", 1, 999), ("key2", 1, 3500),
+              ("key2", 1, 2001), ("key2", 1, 1001)]:
+        h.process_element(e)
+    assert sorted(s for (_, _, s) in sums(h)) == [2, 2, 3]
+    h.process_element(("key1", 1, 10999))
+    h.process_element(("key2", 1, 1002))
+    assert sorted(s for (_, _, s) in sums(h)[3:]) == [4, 5]
+
+
+def test_delta_evictor_evict_after_golden():
+    """EvictingWindowOperatorTest.java:420 testDeltaEvictorEvictAfter."""
+    from flink_1_6_0_spark.streaming.session_window import delta_evictor, global_windows
+
+    k = EventTimeWindowKernel(
+        global_windows(), 0, ts_idx=2, payload_idx=1, merging=False,
+        count_trigger=2,
+        evictor=delta_evictor(2, lambda old, new: new - old, evict_after=True),
+    )
+    h = harness(k)
+    for e in [("key2", 1, 3000), ("key2", 4, 3999), ("key1", 1, 20),
+              ("key1", 1, 0), ("key1", 5, 999), ("key2", 5, 1998),
+              ("key2", 6, 1999), ("key2", 1, 1000)]:
+        h.process_element(e)
+    assert sorted(s for (_, _, s) in sums(h)) == [2, 5, 15]
+    h.process_element(("key1", 9, 10999))
+    h.process_element(("key2", 10, 1000))
+    assert sorted(s for (_, _, s) in sums(h)[3:]) == [16, 22]
