@@ -124,6 +124,9 @@ _ROTATE_IN = (
     # r13: sf0.1 full-gate find — oracle's RANGE key now truncates to whole
     # seconds like Spark's unix_seconds (fractional epoch() broke peer rows)
     "over_range_bounded",
+    # r13: rows-only -> hash-checked upgrades (new deterministic fn + new
+    # oracle on both) — the driver must record fresh VALUE-checked rows
+    "ml_sos_outlier", "text_bpe_train",
 )
 
 
