@@ -824,3 +824,101 @@ def test_full_join_non_equi_repad_after_multi_match_retract():
     alive = sorted(r for r, n in net.items() if n > 0)
     # netted result == full outer join of netted input = {aaa} x {} -> one pad
     assert alive == [(1, "aaa", None, None)]
+
+
+def _net_join_property(kernel_factory, join_type, n_rounds=150, seed=1313, pred=None):
+    """Retraction-algebra invariant (the one that exposed the reference's
+    joinCnt seeding bug): for ANY valid retraction input stream — duplicate
+    rows included, so join counts exceed 1 — the NETTED kernel output must
+    equal the brute-force outer join of the NETTED input (pred: l.f1 < r.f1
+    on the value field; key: f0)."""
+    import random
+    from collections import Counter
+
+    if pred is None:
+        pred = lambda l, r: l[1] < r[1]  # noqa: E731 — join_lt's residual
+    rng = random.Random(seed)
+    for round_no in range(n_rounds):
+        k = kernel_factory()
+        h = proc_harness(k)
+        h.set_processing_time(1)
+        live = {0: Counter(), 1: Counter()}  # side -> row multiset
+        n_ops = rng.randint(4, 24)
+        for _ in range(n_ops):
+            side = rng.randint(0, 1)
+            retractable = [r for r, c in live[side].items() if c > 0]
+            if retractable and rng.random() < 0.35:
+                row = rng.choice(retractable)
+                change = False
+                live[side][row] -= 1
+            else:
+                row = (rng.randint(1, 2), rng.randint(0, 3))  # tiny domains -> dup rows
+                change = True
+                live[side][row] += 1
+            (h.process_element1 if side == 0 else h.process_element2)(row, change)
+        net = Counter()
+        for row, change in h.output:
+            net[row] += 1 if change else -1
+        net = +net  # drop zero/negatives view; assert none negative below
+        assert all(v > 0 for v in net.values()), (round_no, net)
+
+        expected = Counter()
+        lefts, rights = live[0], live[1]
+        for l, lc in lefts.items():
+            if lc <= 0:
+                continue
+            matched = 0
+            for r, rc in rights.items():
+                if rc > 0 and l[0] == r[0] and pred(l, r):
+                    expected[(l[0], l[1], r[0], r[1])] += lc * rc
+                    matched += rc
+            if matched == 0 and join_type in ("left", "full"):
+                expected[(l[0], l[1], None, None)] += lc
+        for r, rc in rights.items():
+            if rc <= 0:
+                continue
+            matched = sum(
+                lc for l, lc in lefts.items() if lc > 0 and l[0] == r[0] and pred(l, r)
+            )
+            if matched == 0 and join_type in ("right", "full"):
+                expected[(None, None, r[0], r[1])] += rc
+        assert net == expected, (round_no, dict(net), dict(expected))
+
+
+def test_full_join_non_equi_net_property():
+    _net_join_property(
+        lambda: NonWindowFullJoinNonEquiKernel(join_lt, 2, 2, StreamQueryConfig()),
+        "full",
+    )
+
+
+def test_left_join_non_equi_net_property():
+    _net_join_property(
+        lambda: NonWindowLeftRightJoinNonEquiKernel(join_lt, 2, 2, True, StreamQueryConfig()),
+        "left",
+    )
+
+
+def test_right_join_non_equi_net_property():
+    _net_join_property(
+        lambda: NonWindowLeftRightJoinNonEquiKernel(join_lt, 2, 2, False, StreamQueryConfig()),
+        "right",
+    )
+
+
+def test_full_join_equi_net_property():
+    """Same invariant for the EQUI-only full join (NonWindowFullJoin's
+    _retract_join path — count-based padding without join-count state)."""
+    _net_join_property(
+        lambda: NonWindowFullJoinKernel(concat_join, 2, 2, StreamQueryConfig()),
+        "full",
+        pred=lambda l, r: True,
+    )
+
+
+def test_left_join_equi_net_property():
+    _net_join_property(
+        lambda: NonWindowLeftRightJoinKernel(concat_join, 2, 2, True, StreamQueryConfig()),
+        "left",
+        pred=lambda l, r: True,
+    )
