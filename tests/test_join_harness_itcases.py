@@ -922,3 +922,50 @@ def test_left_join_equi_net_property():
         "left",
         pred=lambda l, r: True,
     )
+
+
+def test_timebounded_full_join_property():
+    """TimeBoundedStreamJoin (proc-time) invariant: for ANY bounds
+    left_lower <= left_upper (negative windows included — those exercise
+    the never-cache + immediate-pad paths) and ANY strictly-increasing
+    arrival sequence, the flushed FULL_OUTER output must equal the
+    brute-force interval join {(l, r): r.t + left_lower <= l.t <= r.t +
+    left_upper} plus one pad per unmatched row. 120 seeded rounds."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(4242)
+    for round_no in range(120):
+        lower = rng.randint(-6, 3)
+        upper = rng.randint(lower, 6)
+        k = TimeBoundedJoinKernel("full", lower, upper, 0, concat_join, 2, 2, proc_time=True)
+        h = proc_harness(k)
+        t = 0
+        lefts, rights = [], []
+        for i in range(rng.randint(2, 18)):
+            t += rng.randint(1, 4)
+            side = rng.randint(0, 1)
+            row = (1, 100 + i)  # key 1, unique payload
+            h.set_processing_time(t)
+            if side == 0:
+                h.process_element1(row)
+                lefts.append((t, row))
+            else:
+                h.process_element2(row)
+                rights.append((t, row))
+        h.set_processing_time(2**62)  # flush: all cleanup timers fire
+
+        got = Counter(row for row, _ in h.output)
+        expected = Counter()
+        for tl, l in lefts:
+            matched = False
+            for tr, r in rights:
+                if tr + lower <= tl <= tr + upper:
+                    expected[(l[0], l[1], r[0], r[1])] += 1
+                    matched = True
+            if not matched:
+                expected[(l[0], l[1], None, None)] += 1
+        for tr, r in rights:
+            if not any(tr + lower <= tl <= tr + upper for tl, _ in lefts):
+                expected[(None, None, r[0], r[1])] += 1
+        assert got == expected, (round_no, lower, upper, dict(got), dict(expected))
