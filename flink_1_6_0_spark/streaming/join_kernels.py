@@ -41,6 +41,7 @@ __all__ = [
     "TwoInputKeyedProcessHarness",
     "nonwindow_join_retention_df",
     "timebounded_join_df",
+    "rowtime_timebounded_join_df",
 ]
 
 LONG_MAX = 2**63 - 1
@@ -815,4 +816,73 @@ def timebounded_join_df(
         )
 
     cols = list(dict.fromkeys([key_col, side_col, pt_col, *payload_cols]))
+    return df.select(*cols).groupBy(key_col).applyInPandas(replay, out_schema)
+
+
+def rowtime_timebounded_join_df(
+    df,
+    key_col: str,
+    side_col: str,
+    rt_col: str,
+    payload_cols: list[str],
+    join_type: str,
+    left_lower_bound: int,
+    left_upper_bound: int,
+    out_schema: str,
+):
+    """Distributed ROWTIME TimeBoundedStreamJoin replay
+    (RowTimeBoundedStreamJoin.scala:30): per key, both sides' rows arrive in
+    event-time order with the watermark advanced to each row's timestamp
+    AFTER it processes (so every row is on-time and the previous rows'
+    cache-expiry has run — the deterministic replay convention for event
+    time). Join when ``left.rt BETWEEN right.rt + left_lower AND right.rt +
+    left_upper`` on the ROW timestamps; a final watermark advance plays
+    end-of-input, firing every cleanup timer so outer pads flush exactly
+    once. ``rt_col`` must be one of ``payload_cols`` (the kernel reads row
+    time from the row itself, left/right_time_idx)."""
+    import pandas as pd
+
+    arity = len(payload_cols)
+    time_idx = payload_cols.index(rt_col)
+    out_names = _schema_col_names(out_schema)
+
+    def join_fn(left_row, right_row):
+        return tuple(left_row) + tuple(right_row)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([rt_col, side_col], kind="mergesort")
+        kernel = TimeBoundedJoinKernel(
+            join_type,
+            left_lower_bound,
+            left_upper_bound,
+            0,
+            join_fn,
+            arity,
+            arity,
+            proc_time=False,
+            left_time_idx=time_idx,
+            right_time_idx=time_idx,
+        )
+        h = TwoInputKeyedProcessHarness(kernel, key1_fn=lambda r: 0, key2_fn=lambda r: 0)
+        payload_series = [pdf[c] for c in payload_cols]
+        for side, rt, *payload in zip(pdf[side_col], pdf[rt_col], *payload_series):
+            row = tuple(int(v) for v in payload)
+            if side == 0:
+                h.process_element1(row)
+            else:
+                h.process_element2(row)
+            h.process_watermark1(int(rt))
+            h.process_watermark2(int(rt))
+        h.process_watermark1(2**62)
+        h.process_watermark2(2**62)
+        key = int(pdf[key_col].iloc[0])
+        out_rows = [(key,) + row for row, _ in h.output]
+        return pd.DataFrame(
+            {
+                name: pd.array([r[i] for r in out_rows], dtype="Int64")
+                for i, name in enumerate(out_names)
+            }
+        )
+
+    cols = list(dict.fromkeys([key_col, side_col, rt_col, *payload_cols]))
     return df.select(*cols).groupBy(key_col).applyInPandas(replay, out_schema)
