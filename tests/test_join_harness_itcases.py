@@ -969,3 +969,13 @@ def test_timebounded_full_join_property():
             if not any(tr + lower <= tl <= tr + upper for tl, _ in lefts):
                 expected[(None, None, r[0], r[1])] += 1
         assert got == expected, (round_no, lower, upper, dict(got), dict(expected))
+
+
+def test_inner_join_net_property():
+    """Same invariant for NonWindowInnerJoin: netted output == inner join
+    of netted input (no pads), duplicates included."""
+    _net_join_property(
+        lambda: NonWindowInnerJoinKernel(concat_join, 2, 2, StreamQueryConfig()),
+        "inner",
+        pred=lambda l, r: True,
+    )
