@@ -1060,7 +1060,10 @@ def stream_rowtime_sort_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("rt"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-        ((F.col("event_id") * 2654435761) % 4294967296).alias("arrival"),
+        # xxhash64, not id * 2654435761: the multiplicative hash overflows
+        # int64 once ids grow past ~3.5e9 (the 8x scale probe's shifted ids
+        # hit it — ANSI mode turns that into a runtime error at scale)
+        F.xxhash64(F.col("event_id")).alias("arrival"),
     )
     return rowtime_sort_df(
         ev,
