@@ -685,6 +685,109 @@ def _qscore(qu: "list[float]", c: "list[float]", quant: float = KMEANS_SCORE_QUA
     return int(_math.floor((dot - 0.5 * nsq) * quant + 0.5))
 
 
+def _lloyd_base(df: DataFrame, id_col: str, vec_col: str, fq: int) -> DataFrame:
+    """(id, arr, uq) projection shared by the exact-Lloyd consumers: raw
+    double vector plus the fixed-point quantized unit vector the clustering
+    runs on (see ivf_kmeans_exact_topk's determinism docstring)."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    u = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    uq = F.transform(u, lambda x: F.floor(x * F.lit(fq) + F.lit(0.5)))
+    return df.select(F.col(id_col).alias("id"), v.alias("arr"), uq.alias("uq"))
+
+
+def _exact_lloyd(base: DataFrame, dim: int, n_centroids: int, iters: int, fq: int, sq: int):
+    """The exact-deterministic distributed Lloyd loop over a
+    :func:`_lloyd_base` frame — returns (centroids, best_cid) where
+    ``best_cid()`` is the final-assignment Column. Shared by
+    ivf_kmeans_exact_topk and semantic_dedup; the DuckDB oracle unrolls the
+    identical op sequence (queries/pipeline._ivf_lloyd_oracle_sql)."""
+    init_rows = base.orderBy("id").limit(n_centroids).collect()
+    centroids = [[q / fq for q in r["uq"]] for r in init_rows]
+
+    def best_cid_for(cents) -> Column:
+        ue = F.transform(F.col("uq"), lambda q: q / F.lit(fq))
+        entries = []
+        for cid, c in enumerate(cents):
+            clit = F.array(*[F.lit(float(x)) for x in c])
+            dot = F.aggregate(
+                F.zip_with(ue, clit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            )
+            nsq = 0.0
+            for y in c:
+                nsq = nsq + y * y
+            qs = F.floor((dot - F.lit(0.5) * F.lit(nsq)) * F.lit(sq) + F.lit(0.5))
+            entries.append(F.struct(qs.alias("s"), F.lit(-cid).alias("nc")))
+        # array_max orders by (s, nc): max score, ties -> max nc = MIN cid
+        return -F.array_max(F.array(*entries)).getField("nc")
+
+    for _ in range(iters):
+        sums = base.withColumn("cid", best_cid_for(centroids)).groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("uq", d + 1)).alias(f"s{d}") for d in range(dim)],
+        )
+        got = {r["cid"]: r for r in sums.collect()}
+        centroids = [
+            [(got[cid][f"s{d}"] / fq) / got[cid]["n"] for d in range(dim)]
+            if cid in got
+            else centroids[cid]  # empty cluster keeps its centroid
+            for cid in range(n_centroids)
+        ]
+
+    final = list(centroids)
+    return final, (lambda: best_cid_for(final))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    dim: int,
+    n_centroids: int = 8,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then flag semantic duplicates by pairwise cosine WITHIN each
+    cluster only — the clustering is what bounds the quadratic (n²/k per
+    cluster instead of n²). Deterministic keep rule: a vector is a duplicate
+    iff some LOWER-id member of its cluster has round(cos, 6) >= tau (the
+    paper keeps one representative per above-threshold group; lowest-id is
+    the reproducible choice of representative). Returns (id, cid, kept
+    0/1).
+
+    Scale: the Lloyd step is bytes-per-task (see _exact_lloyd); the pair
+    step is an equi-self-join on cid — never a cartesian; cluster count is
+    the knob that trades dedup recall against pair volume (the SemDeDup
+    design point). Hash-checkable end to end: the oracle unrolls the same
+    Lloyd run and the same rounded-cosine pair rule."""
+    fq, sq = KMEANS_VEC_QUANT, KMEANS_SCORE_QUANT
+    base = _lloyd_base(df, id_col, vec_col, fq).persist()
+    try:
+        _, best_cid = _exact_lloyd(base, dim, n_centroids, iters, fq, sq)
+        assigned = base.withColumn("cid", best_cid()).select("id", "arr", "cid")
+        a, b = assigned.alias("a"), assigned.alias("b")
+        dup_ids = (
+            a.join(
+                b,
+                (F.col("a.cid") == F.col("b.cid")) & (F.col("b.id") < F.col("a.id")),
+            )
+            .filter(F.round(cosine(F.col("a.arr"), F.col("b.arr")), 6) >= tau)
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+        return (
+            assigned.join(dup_ids.withColumn("__dup", F.lit(1)), "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                "cid",
+                F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
+            )
+        )
+    finally:
+        base.unpersist()
+
+
 def ivf_kmeans_exact_topk(
     df: DataFrame,
     id_col: str,
@@ -721,44 +824,10 @@ def ivf_kmeans_exact_topk(
     KMeans (kmeans|| init, faster convergence) remains as ivf_kmeans_topk
     for production use where cross-engine bit-equality is not required."""
     fq, sq = KMEANS_VEC_QUANT, KMEANS_SCORE_QUANT
-    v = F.col(vec_col).cast("array<double>")
-    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    u = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
-    uq = F.transform(u, lambda x: F.floor(x * F.lit(fq) + F.lit(0.5)))
-    base = df.select(F.col(id_col).alias("id"), v.alias("arr"), uq.alias("uq")).persist()
+    base = _lloyd_base(df, id_col, vec_col, fq).persist()
     try:
         dim = len(query_vec)
-        init_rows = base.orderBy("id").limit(n_centroids).collect()
-        centroids = [[q / fq for q in r["uq"]] for r in init_rows]
-
-        def best_cid() -> Column:
-            ue = F.transform(F.col("uq"), lambda q: q / F.lit(fq))
-            entries = []
-            for cid, c in enumerate(centroids):
-                clit = F.array(*[F.lit(float(x)) for x in c])
-                dot = F.aggregate(
-                    F.zip_with(ue, clit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-                )
-                nsq = 0.0
-                for y in c:
-                    nsq = nsq + y * y
-                qs = F.floor((dot - F.lit(0.5) * F.lit(nsq)) * F.lit(sq) + F.lit(0.5))
-                entries.append(F.struct(qs.alias("s"), F.lit(-cid).alias("nc")))
-            # array_max orders by (s, nc): max score, ties -> max nc = MIN cid
-            return -F.array_max(F.array(*entries)).getField("nc")
-
-        for _ in range(iters):
-            sums = base.withColumn("cid", best_cid()).groupBy("cid").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("uq", d + 1)).alias(f"s{d}") for d in range(dim)],
-            )
-            got = {r["cid"]: r for r in sums.collect()}
-            centroids = [
-                [(got[cid][f"s{d}"] / fq) / got[cid]["n"] for d in range(dim)]
-                if cid in got
-                else centroids[cid]  # empty cluster keeps its centroid
-                for cid in range(n_centroids)
-            ]
+        centroids, best_cid = _exact_lloyd(base, dim, n_centroids, iters, fq, sq)
 
         qu = [q / fq for q in _exact_unit_quant(query_vec, fq)]
         probed = sorted(

@@ -780,15 +780,11 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_lloyd_oracle_sql(
-    n_centroids: int = 8, nprobe: int = 2, k: int = 10, dim: int = 64
-) -> str:
-    """Unroll pipeline/similarity.ivf_kmeans_exact_topk's ENTIRE Lloyd run
-    (init → iters × (assign, update) → probe → candidate scan) as DuckDB
-    SQL. Works because the Spark trainer keeps every centroid bit-identical
-    cross-engine: fixed-point unit vectors, exact per-dimension long sums,
-    and quantized assignment scores — see the function's docstring. The
-    quantization constants are imported, not repeated."""
+def _lloyd_ctes(n_centroids: int, dim: int):
+    """The exact-Lloyd CTE prefix (init → iters × (assign, update) → final
+    assignment ``af``) shared by the IVF-kmeans and SemDeDup oracles.
+    Returns (ctes, qs, iters) — ``qs(uexpr, cexpr)`` renders the quantized
+    assignment score."""
     from flink_1_6_0_spark.pipeline.similarity import (
         KMEANS_ITERS,
         KMEANS_SCORE_QUANT,
@@ -833,6 +829,20 @@ def _ivf_lloyd_oracle_sql(
             f"FROM ct{i - 1} p LEFT JOIN s{i} s USING (cid))"
         )
     ctes.append(assign("af", f"ct{iters}"))
+    return ctes, qs, iters
+
+
+def _ivf_lloyd_oracle_sql(
+    n_centroids: int = 8, nprobe: int = 2, k: int = 10, dim: int = 64
+) -> str:
+    """Unroll pipeline/similarity.ivf_kmeans_exact_topk's ENTIRE Lloyd run
+    (init → iters × (assign, update) → probe → candidate scan) as DuckDB
+    SQL. Works because the Spark trainer keeps every centroid bit-identical
+    cross-engine: fixed-point unit vectors, exact per-dimension long sums,
+    and quantized assignment scores — see the function's docstring. The
+    quantization constants are imported, not repeated."""
+    ctes, qs, iters = _lloyd_ctes(n_centroids, dim)
+    ctes = list(ctes)
     ctes.append("qrow AS (SELECT uq AS quq FROM uq WHERE vec_id = 0)")
     ctes.append("qraw AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     ctes.append(
@@ -867,6 +877,48 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_kmeans_exact_topk(
         T(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         _query_vec(spark, sf_dir), 10, n_centroids=8, nprobe=2,
+    )
+
+
+def _semantic_dedup_oracle_sql(tau: float = 0.35, n_centroids: int = 8, dim: int = 64) -> str:
+    """SemDeDup oracle: the shared exact-Lloyd CTE prefix, then the
+    within-cluster rounded-cosine pair rule (dup iff a lower-id cluster
+    member has round(cos, 6) >= tau)."""
+    ctes, _, _ = _lloyd_ctes(n_centroids, dim)
+    ctes = list(ctes)
+    ctes.append(
+        f"dups AS (SELECT DISTINCT a.vec_id FROM af a JOIN af b "
+        f"ON a.cid = b.cid AND b.vec_id < a.vec_id "
+        f"JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id "
+        f"WHERE round({_dcos('ea.v', 'eb.v')}, 6) >= {tau})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT af.vec_id, af.cid,
+       CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM af LEFT JOIN dups USING (vec_id)
+"""
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle=_semantic_dedup_oracle_sql(),
+    tags=("pipeline", "dedup", "similarity", "ml"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): exact-Lloyd clustering over the
+    embeddings, then pairwise cosine WITHIN clusters flags semantic
+    duplicates (tau 0.35, lowest-id representative kept) — the clustering
+    bounds the quadratic at n²/k per cluster, the paper's design point.
+    Fully hash-checked: the oracle replays the identical Lloyd run (shared
+    CTE prefix with ann_ivf_kmeans_topk) and the same rounded-cosine pair
+    rule."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, "vec_id", "embedding", tau=0.35, dim=64, n_centroids=8
     )
 
 
