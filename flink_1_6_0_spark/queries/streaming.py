@@ -1123,3 +1123,96 @@ def stream_rowtime_timebounded_join_kernel(spark: SparkSession, sf_dir: str) -> 
         left_upper_bound=5400000,
         out_schema="user_id long, l_id long, l_rt long, r_id long, r_rt long",
     )
+
+
+@query(
+    "stream_window_lateness_kernel",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, event_id,
+               epoch_ms(ts) * 2                                 AS rt,
+               CAST(round(value * 100) AS BIGINT)               AS cents,
+               (event_id % 7 = 0)                               AS is_late,
+               epoch_ms(ts) * 2 - (epoch_ms(ts) * 2) % 172800000 AS w_start
+        FROM events
+    ), wm AS (
+        SELECT user_id,
+               COALESCE(MAX(rt) FILTER (WHERE NOT is_late),
+                        -4611686018427387904) AS maxwm
+        FROM src GROUP BY user_id
+    ), agg AS (
+        SELECT s.user_id, w_start, maxwm,
+               COUNT(*)             FILTER (WHERE NOT is_late) AS on_cnt,
+               COALESCE(SUM(cents)  FILTER (WHERE NOT is_late), 0) AS on_sum,
+               COUNT(*)             FILTER (WHERE is_late)     AS late_cnt,
+               COALESCE(SUM(cents)  FILTER (WHERE is_late), 0) AS late_sum
+        FROM src s JOIN wm USING (user_id)
+        GROUP BY s.user_id, w_start, maxwm
+    ), late_pref AS (
+        SELECT user_id, w_start,
+               ROW_NUMBER() OVER (PARTITION BY user_id, w_start
+                                  ORDER BY rt, event_id) AS j,
+               SUM(cents) OVER (PARTITION BY user_id, w_start
+                                ORDER BY rt, event_id
+                                ROWS UNBOUNDED PRECEDING) AS pref
+        FROM src WHERE is_late
+    )
+    -- on-time firing: fires once the watermark passes maxTimestamp
+    SELECT user_id, w_start, CAST(0 AS BIGINT) AS fire_seq,
+           on_cnt AS cnt, CAST(on_sum AS BIGINT) AS sum_payload
+    FROM agg WHERE on_cnt > 0 AND maxwm > w_start + 172800000 - 1
+    UNION ALL
+    -- accumulating re-fires: one per admitted late element, grown contents
+    SELECT a.user_id, a.w_start,
+           j - 1 + CASE WHEN on_cnt > 0 THEN 1 ELSE 0 END AS fire_seq,
+           on_cnt + j AS cnt, CAST(on_sum + pref AS BIGINT) AS sum_payload
+    FROM agg a JOIN late_pref p
+      ON a.user_id = p.user_id AND a.w_start = p.w_start
+    WHERE maxwm > a.w_start + 172800000 - 1
+      AND a.w_start + 172800000 - 1 + 1728000000 > maxwm
+    UNION ALL
+    -- deferred firing: window end never passed; fires once at end of input
+    SELECT user_id, w_start, CAST(0 AS BIGINT) AS fire_seq,
+           on_cnt + late_cnt AS cnt, CAST(on_sum + late_sum AS BIGINT) AS sum_payload
+    FROM agg WHERE maxwm < w_start + 172800000 - 1
+    """,
+    tags=("streaming", "window", "lateness", "kernel"),
+)
+def stream_window_lateness_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows with allowedLateness through the REAL
+    WindowOperator kernel (streaming/session_window.py — WindowOperator
+    .java:358 processElement, :590 isWindowLate, :610 registerCleanupTimer;
+    EventTimeTrigger.java:39's immediate-FIRE late re-fire), executed as a
+    distributed per-key replay — one shuffle on user_id, no driver loop.
+    Completes the kernel families' distributed evidence (cleanup_state r12,
+    join_kernels r13, WindowOperator here).
+
+    Construction: rows with event_id % 7 == 0 are deliberately LATE — they
+    feed only after the per-key watermark settles at the max on-time
+    rowtime. Rowtimes are doubled (window size even) so no rowtime ever
+    equals a window maxTimestamp. 1-day tumbling windows, 10-day lateness:
+    late rows in windows older than the lateness are dropped to the side
+    output, late rows in fired-but-retained windows each produce an
+    accumulating RE-FIRE (one emission per element with grown count/sum),
+    and windows past the final on-time watermark fire once deferred. The
+    oracle derives each firing's (fire_seq, cnt, sum) per window — it can
+    only match if the merge/lateness/re-fire/cleanup protocol runs."""
+    from flink_1_6_0_spark.streaming.session_window import event_time_window_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.unix_millis(F.col("ts").cast("timestamp")) * 2).alias("rt"),
+        (F.col("event_id") % 7 == 0).alias("is_late"),
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return event_time_window_df(
+        ev,
+        key_col="user_id",
+        rowtime_col="rt",
+        late_col="is_late",
+        order_col="id",
+        payload_col="cents",
+        window_size=172800000,
+        allowed_lateness=1728000000,
+    )

@@ -42,6 +42,7 @@ __all__ = [
     "count_evictor",
     "time_evictor",
     "delta_evictor",
+    "event_time_window_df",
 ]
 
 LONG_MAX = 2**63 - 1
@@ -355,3 +356,90 @@ def delta_evictor(threshold, delta_fn, evict_after: bool = False):
         return [e for e in elems if delta_fn(e[1], last) < threshold]
 
     return (fn, evict_after)
+
+
+# ---------------------------------------------------------------------------
+# Distributed replay entrypoint (applyInPandas per key — no driver loop)
+# ---------------------------------------------------------------------------
+
+
+def event_time_window_df(
+    df,
+    key_col: str,
+    rowtime_col: str,
+    late_col: str,
+    order_col: str,
+    payload_col: str,
+    window_size: int,
+    allowed_lateness: int,
+):
+    """Distributed EventTimeWindowKernel replay — tumbling event-time windows
+    with allowedLateness re-fires (WindowOperator.java:358/590/610,
+    EventTimeTrigger.java:39), one shuffle on the key, no driver loop.
+
+    Replay convention per key (deterministic, oracle-derivable):
+
+    - ON-TIME rows (``late_col`` false) feed in (rowtime, order) order with
+      the watermark trailing each row's rowtime — every window whose
+      maxTimestamp the per-key max on-time rowtime passes fires exactly once
+      with ALL its on-time rows (the caller guarantees no row's rowtime ever
+      equals a window maxTimestamp, e.g. by doubling an ms rowtime against an
+      even window size, so the boundary-tie re-fire class is unreachable).
+    - LATE rows then feed in (rowtime, order) order against the settled
+      watermark. A late row whose window's cleanup time (maxTimestamp +
+      lateness) the watermark already passed is dropped to the side output
+      (WindowOperator.java:434); otherwise, if the window's maxTimestamp is
+      behind the watermark, EventTimeTrigger.onElement FIREs immediately —
+      the accumulating RE-FIRE, one emission per admitted late element with
+      the grown contents; if the window is still ahead of the watermark the
+      element just joins it.
+    - A final watermark advance fires every deferred window's on-time timer
+      once and then its cleanup timer (which must emit nothing —
+      WindowOperatorTest.java:2208's cleanup-finds-nothing family).
+
+    Emits one row per FIRING: (key, w_start, fire_seq, cnt, sum_payload)
+    with fire_seq the 0-based firing index within (key, window) — the oracle
+    can only match if the lateness/re-fire/cleanup protocol runs.
+    """
+    import pandas as pd
+
+    from flink_1_6_0_spark.streaming.cleanup_state import KeyedProcessHarness
+
+    cols = [key_col, rowtime_col, late_col, order_col, payload_col]
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([rowtime_col, order_col], kind="mergesort")
+        col_idx = {c: i for i, c in enumerate(pdf.columns)}
+        rt_i = col_idx[rowtime_col]
+        kernel = EventTimeWindowKernel(
+            tumbling_windows(window_size),
+            allowed_lateness,
+            ts_idx=rt_i,
+            payload_idx=col_idx[payload_col],
+            merging=False,
+        )
+        h = KeyedProcessHarness(kernel, key_fn=lambda r: 0)
+        late_mask = pdf[late_col].to_numpy()
+        rows = list(pdf.itertuples(index=False, name=None))
+        for row, is_late in zip(rows, late_mask):
+            if not is_late:
+                h.process_element(row)
+                h.process_watermark(row[rt_i])
+        for row, is_late in zip(rows, late_mask):
+            if is_late:
+                h.process_element(row)
+        h.process_watermark(2**62)  # end of input: deferred fires + cleanups
+
+        key_val = pdf[key_col].iloc[0] if len(pdf) else None
+        seqs: dict = {}
+        out = []
+        for (ws, _we, contents), _ in h.output:
+            seq = seqs.get(ws, 0)
+            seqs[ws] = seq + 1
+            out.append((key_val, ws, seq, len(contents), sum(contents)))
+        return pd.DataFrame(
+            out, columns=[key_col, "w_start", "fire_seq", "cnt", "sum_payload"]
+        )
+
+    schema = f"{key_col} long, w_start long, fire_seq long, cnt long, sum_payload long"
+    return df.select(*cols).groupBy(key_col).applyInPandas(replay, schema)

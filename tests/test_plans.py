@@ -455,3 +455,20 @@ def test_kernel_join_replay_shuffle_budget(spark, sf_dir):
     # still exactly one hash shuffle on user_id
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 1, f"expected one key shuffle, got {n_ex}:\n{plan}"
+
+
+def test_window_lateness_kernel_plan(spark, sf_dir):
+    """The WindowOperator kernel replay is ONE shuffle: hash-partition on
+    user_id, replay per key inside an Arrow batch. Scan pruned to the four
+    source columns the replay consumes."""
+    import re
+
+    plan = _plan(get("stream_window_lateness_kernel").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, f"expected one key shuffle, got {n_ex}:\n{plan}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "event_id", "ts", "user_id", "value"
+    }, plan

@@ -2003,3 +2003,50 @@ def test_nonwindow_join_retention_is_nonvacuous(spark):
     with_retention = run(StreamQueryConfig.with_idle_state_retention_time(199000000, 200000000))
     without = run(StreamQueryConfig(0, 0))
     assert with_retention != without, (with_retention, without)
+
+
+def test_event_time_window_df_lateness_protocol(spark):
+    """Distributed EventTimeWindowKernel replay pin — every protocol branch
+    on one tiny input: on-time firings, a late row dropped past the cleanup
+    time, accumulating re-fires on a fired-and-retained window (grown
+    count/sum per late element), a late element joining a deferred window,
+    the deferred end-of-input firing, and a late-only key whose watermark
+    never moved (WindowOperator.java:358/590; EventTimeTrigger.java:39)."""
+    from flink_1_6_0_spark.streaming.session_window import event_time_window_df
+
+    rows = [
+        # (k, rt, is_late, id, cents) — window size 20, lateness 30
+        (1, 2, False, 1, 1),     # [0,20)
+        (1, 4, False, 2, 2),     # [0,20) -> on-time fire cnt=2 sum=3
+        (1, 22, False, 3, 4),    # [20,40) -> on-time fire cnt=1 sum=4
+        (1, 82, False, 10, 256), # [80,100) -> on-time fire cnt=1 sum=256
+        (1, 100, False, 4, 8),   # [100,120): maxTs 119 > wm 100 -> deferred
+        (1, 6, True, 5, 16),     # [0,20): cleanup 49 <= wm 100 -> DROPPED
+        (1, 90, True, 6, 32),    # [80,100): re-fire cnt=2 sum=288
+        (1, 92, True, 7, 64),    # [80,100): re-fire cnt=3 sum=352
+        (1, 102, True, 8, 128),  # [100,120): joins the deferred window
+        (2, 10, True, 9, 5),     # late-only key: wm never moved -> deferred
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, rt long, is_late boolean, id long, cents long"
+    )
+    out = event_time_window_df(
+        df,
+        key_col="k",
+        rowtime_col="rt",
+        late_col="is_late",
+        order_col="id",
+        payload_col="cents",
+        window_size=20,
+        allowed_lateness=30,
+    )
+    got = sorted((r.k, r.w_start, r.fire_seq, r.cnt, r.sum_payload) for r in out.collect())
+    assert got == [
+        (1, 0, 0, 2, 3),
+        (1, 20, 0, 1, 4),
+        (1, 80, 0, 1, 256),
+        (1, 80, 1, 2, 288),
+        (1, 80, 2, 3, 352),
+        (1, 100, 0, 2, 136),
+        (2, 0, 0, 1, 5),
+    ]
