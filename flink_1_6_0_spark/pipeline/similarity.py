@@ -738,6 +738,29 @@ def _exact_lloyd(base: DataFrame, dim: int, n_centroids: int, iters: int, fq: in
     return final, (lambda: best_cid_for(final))
 
 
+def _semantic_dedup_from_assigned(assigned: DataFrame, id_col: str, tau: float) -> DataFrame:
+    """SemDeDup's pair step over an (id, arr, cid) assignment frame: the
+    within-cluster rounded-cosine pair rule shared by both assigners."""
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("b.id") < F.col("a.id")),
+        )
+        .filter(F.round(cosine(F.col("a.arr"), F.col("b.arr")), 6) >= tau)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("__dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -746,6 +769,8 @@ def semantic_dedup(
     dim: int,
     n_centroids: int = 8,
     iters: int = KMEANS_ITERS,
+    assigner: str = "exact",
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings, then flag semantic duplicates by pairwise cosine WITHIN each
@@ -756,34 +781,57 @@ def semantic_dedup(
     the reproducible choice of representative). Returns (id, cid, kept
     0/1).
 
-    Scale: the Lloyd step is bytes-per-task (see _exact_lloyd); the pair
-    step is an equi-self-join on cid — never a cartesian; cluster count is
-    the knob that trades dedup recall against pair volume (the SemDeDup
-    design point). Hash-checkable end to end: the oracle unrolls the same
-    Lloyd run and the same rounded-cosine pair rule."""
+    ``assigner`` picks the clustering engine:
+
+    - ``"exact"`` (default): the exact-deterministic distributed Lloyd loop
+      (see _exact_lloyd) — every centroid bit-identical on any engine, so
+      the WHOLE run value-hash-checks against a DuckDB oracle. Its assigner
+      is O(n·k·dim) Column structs — fine for the correctness gate, not the
+      production hot path.
+    - ``"ml"``: pyspark.ml KMeans (kmeans|| init, seeded) trained on the
+      L2-normalized vectors (spherical k-means — Euclid order ≡ cosine
+      order on the unit sphere, the same metric alignment as
+      ivf_kmeans_topk) — the production/bench path: assignment is a single
+      vectorized model.transform pass, centroids converge in fewer passes,
+      no per-centroid Column fanout. Cross-engine hash-checking is
+      impossible (kmeans|| float folds aren't SQL-derivable); agreement
+      with the exact twin on gapped clusters is pytest-pinned instead.
+
+    Scale: the Lloyd step is bytes-per-task (see _exact_lloyd) or a
+    pyspark.ml fit; the pair step is an equi-self-join on cid — never a
+    cartesian; cluster count is the knob that trades dedup recall against
+    pair volume (the SemDeDup design point)."""
+    if assigner == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        v = F.col(vec_col).cast("array<double>")
+        nrm = F.sqrt(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        )
+        unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+        feat = df.select(F.col(id_col).alias("id"), v.alias("arr"), unit.alias("u")).withColumn(
+            "features", array_to_vector(F.col("u"))
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
+        # localCheckpoint: the assignment is read three times by the pair
+        # step (both self-join sides + the final flag join) — materialize it
+        # once to executor storage with truncated lineage; the ContextCleaner
+        # reclaims the blocks when the frame is unreferenced.
+        assigned = (
+            model.transform(feat)
+            .select("id", "arr", F.col("prediction").cast("long").alias("cid"))
+            .localCheckpoint(eager=True)
+        )
+        return _semantic_dedup_from_assigned(assigned, id_col, tau)
+    if assigner != "exact":
+        raise ValueError(f"unknown assigner: {assigner!r} (use 'exact' or 'ml')")
     fq, sq = KMEANS_VEC_QUANT, KMEANS_SCORE_QUANT
     base = _lloyd_base(df, id_col, vec_col, fq).persist()
     try:
         _, best_cid = _exact_lloyd(base, dim, n_centroids, iters, fq, sq)
         assigned = base.withColumn("cid", best_cid()).select("id", "arr", "cid")
-        a, b = assigned.alias("a"), assigned.alias("b")
-        dup_ids = (
-            a.join(
-                b,
-                (F.col("a.cid") == F.col("b.cid")) & (F.col("b.id") < F.col("a.id")),
-            )
-            .filter(F.round(cosine(F.col("a.arr"), F.col("b.arr")), 6) >= tau)
-            .select(F.col("a.id").alias("id"))
-            .distinct()
-        )
-        return (
-            assigned.join(dup_ids.withColumn("__dup", F.lit(1)), "id", "left")
-            .select(
-                F.col("id").alias(id_col),
-                "cid",
-                F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
-            )
-        )
+        return _semantic_dedup_from_assigned(assigned, id_col, tau)
     finally:
         base.unpersist()
 

@@ -923,6 +923,41 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_ml",
+    tags=("pipeline", "dedup", "similarity", "ml", "bench"),
+    bench=True,
+)
+def dedup_semantic_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the PRODUCTION assigner: pyspark.ml KMeans
+    (kmeans|| init, seeded, spherical) replaces the exact-Lloyd Column-struct
+    argmin — one vectorized transform pass instead of O(n·k·dim) expression
+    fanout, the r13-declared bench path. Same pair step as dedup_semantic
+    (equi-self-join on cid, rounded-cosine >= tau, lowest-id representative).
+
+    NO ORACLE by construction: kmeans|| centroid training is float-fold
+    order-dependent and not SQL-derivable, so cross-engine hash-checking is
+    impossible for ANY output that depends on the learned clustering.
+    Correctness rides on (a) the hash-checked exact twin `dedup_semantic`
+    sharing the pair step verbatim and (b) the pytest-pinned partition/flag
+    agreement of both assigners on gapped clusters
+    (tests/test_udf_ml.py::test_semantic_dedup_ml_agrees_with_exact).
+
+    Cluster count self-scales to the paper's k ~ sqrt(n) design point (the
+    pair stage is n²/k; the r14 probe at sf0.1: k=8 10.9 s, k=64 6.2 s,
+    k=sqrt(n)=180 5.7 s — with the vectorized assigner, growing k finally
+    pays, exactly as the r13c SCALEPROBE note predicted). n comes from
+    parquet metadata (footer count, no data scan)."""
+    import math
+
+    emb = T(spark, sf_dir, "embeddings")
+    k = max(8, int(math.sqrt(emb.count())))
+    return sim.semantic_dedup(
+        emb, "vec_id", "embedding", tau=0.35, dim=64, n_centroids=k,
+        assigner="ml",
+    )
+
+
+@query(
     "dedup_summary_report",
     oracle=f"""
     WITH exact AS (

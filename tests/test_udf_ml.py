@@ -412,3 +412,49 @@ def test_ml_transform_survives_observation(spark, sf_dir):
     assert len(out) == 500
     acc = sum(1 for r in out if r["label"] == r["prediction"]) / len(out)
     assert acc >= 0.9, acc
+
+
+def test_semantic_dedup_ml_agrees_with_exact(spark):
+    """The SemDeDup production assigner (pyspark.ml kmeans||) and the
+    oracle-checked exact-Lloyd assigner agree on GAPPED clusters: identical
+    cluster partitions (up to label renaming) and identical kept flags.
+    Three well-separated unit directions in 8-dim, ids interleaved so the
+    exact path's lowest-id Forgy init seeds one centroid per true cluster."""
+    import random
+
+    from flink_1_6_0_spark.pipeline.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    dirs = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 1.0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 1.0, 0],
+    ]
+    rows = []
+    for i in range(30):
+        base = dirs[i % 3]
+        vec = [x * 10.0 + rng.uniform(-0.05, 0.05) for x in base]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(assigner):
+        out = semantic_dedup(
+            df, "vec_id", "embedding", tau=0.995, dim=8, n_centroids=3,
+            assigner=assigner,
+        ).collect()
+        part = {}
+        kept = {}
+        for r in out:
+            part.setdefault(r["cid"], set()).add(r["vec_id"])
+            kept[r["vec_id"]] = r["kept"]
+        return set(frozenset(s) for s in part.values()), kept
+
+    p_exact, k_exact = run("exact")
+    p_ml, k_ml = run("ml")
+    assert p_exact == p_ml  # same partition up to cid relabeling
+    assert k_exact == k_ml
+    # non-vacuous: every cluster keeps exactly its lowest-id representative
+    # (jitter is tiny, so all within-cluster cosines clear tau)
+    assert sorted(k_exact.values()).count(1) == 3
+    for grp in p_exact:
+        assert k_exact[min(grp)] == 1
