@@ -280,8 +280,10 @@ class EventTimeWindowKernel(CleanupKernelBase):
             if not evict_after:
                 contents = evict_fn(contents)  # evictBefore mutates state
                 windows[window] = contents
-                if not contents:
-                    return
+                # EvictingWindowOperator.java:336 emitWindowContents still
+                # invokes the window function when evictBefore emptied the
+                # window (e.g. TimeEvictor(0)) — emit the empty-contents
+                # record; only NULL contents (already-purged state) skip
             out.collect((window[0], window[1], tuple(p for _, p in contents)), True)
             if evict_after:
                 windows[window] = evict_fn(contents)

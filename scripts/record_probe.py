@@ -49,8 +49,12 @@ def main() -> None:
     except (OSError, ValueError):
         doc = {"_doc": "Append-only one-off probe evidence; bench.py never writes this file.", "probes": []}
     doc["probes"].append(entry)
-    with open(PROBES, "w") as fh:
+    # atomic replace: a crash mid-dump must not truncate the accumulated
+    # evidence history (the one loss mode this file exists to prevent)
+    tmp = PROBES + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(doc, fh, indent=1)
+    os.replace(tmp, PROBES)
     print(f"recorded probe '{name}' ({len(doc['probes'])} total)")
 
 

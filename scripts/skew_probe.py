@@ -141,7 +141,10 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALEPROBE.json")
     doc = json.load(open(path))
     doc["runs"].append(block)
-    json.dump(doc, open(path, "w"), indent=1)
+    # atomic replace: a crash mid-dump must not truncate the run history
+    tmp = path + ".tmp"
+    json.dump(doc, open(tmp, "w"), indent=1)
+    os.replace(tmp, path)
     print(json.dumps(block))
 
 

@@ -804,3 +804,27 @@ def test_delta_evictor_evict_after_golden():
     h.process_element(("key1", 9, 10999))
     h.process_element(("key2", 10, 1000))
     assert sorted(s for (_, _, s) in sums(h)[3:]) == [16, 22]
+
+
+def test_evict_before_empties_window_still_emits():
+    """EvictingWindowOperator.java:336 — emitWindowContents invokes the
+    window function even when evictBefore removed EVERY element (the
+    reference passes the empty projected iterable to process()); a
+    TimeEvictor(0) empties every firing, so each fire emits the
+    empty-contents record rather than nothing (r13 ADVICE item)."""
+    from flink_1_6_0_spark.streaming.cleanup_state import KeyedProcessHarness
+    from flink_1_6_0_spark.streaming.session_window import (
+        EventTimeWindowKernel,
+        time_evictor,
+        tumbling_windows,
+    )
+
+    kernel = EventTimeWindowKernel(
+        tumbling_windows(1000), 0, ts_idx=1, payload_idx=2, merging=False,
+        evictor=time_evictor(0, evict_after=False),
+    )
+    h = KeyedProcessHarness(kernel, key_fn=lambda r: r[0])
+    h.process_element(("k", 100, 7))
+    h.process_element(("k", 200, 8))
+    h.process_watermark(999)
+    assert [rec for rec, _ in h.output] == [(0, 1000, ())]
