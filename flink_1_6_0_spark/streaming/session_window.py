@@ -114,10 +114,22 @@ class EventTimeWindowKernel(CleanupKernelBase):
         count_trigger: int | None = None,
         continuous_interval: int | None = None,
         evictor=None,
+        time_domain: str = "event",
     ):
         super().__init__(None)
         if allowed_lateness_ms < 0:
             raise ValueError("The allowed lateness must be non-negative.")
+        if time_domain not in ("event", "proc"):
+            raise ValueError(f"unknown time_domain: {time_domain!r}")
+        # PROCESSING-time windows (TumblingProcessingTimeWindows.java:61,
+        # ProcessingTimeSessionWindows.java:59, ProcessingTimeTrigger.java:35):
+        # assignment reads the CLOCK (element timestamps ignored), the
+        # trigger arms a proc timer at maxTimestamp, windows are never late
+        # (WindowOperator.java:590 isWindowLate short-circuits on
+        # !isEventTime), and cleanupTime == maxTimestamp (WindowOperator
+        # .java:653 — allowedLateness applies to event time only), so the
+        # firing timer IS the cleanup timer.
+        self.proc = time_domain == "proc"
         self.assigner = assigner
         self.lateness = allowed_lateness_ms
         self.ts_idx = ts_idx
@@ -156,17 +168,23 @@ class EventTimeWindowKernel(CleanupKernelBase):
         # WindowOperator.cleanupTime: maxTimestamp + lateness, clamped to
         # Long.MAX_VALUE on overflow (Java wrap-around -> negative check;
         # Python ints don't wrap, so clamp explicitly —
-        # WindowOperatorTest.testCleanupTimeOverflow)
+        # WindowOperatorTest.testCleanupTimeOverflow); PROC time: just
+        # maxTimestamp (lateness is an event-time concept)
+        if self.proc:
+            return self._max_ts(window)
         t = self._max_ts(window) + self.lateness
         return t if t <= LONG_MAX else LONG_MAX
 
     def _is_window_late(self, window, ctx) -> bool:
-        # WindowOperator.java:590
-        return self._cleanup_time(window) <= ctx.current_watermark()
+        # WindowOperator.java:590 — event-time only; proc windows can't be late
+        return (not self.proc) and self._cleanup_time(window) <= ctx.current_watermark()
 
     # -- operator protocol --------------------------------------------------
     def process_element(self, state, ctx, row, change, out):
-        ts = row[self.ts_idx]
+        # proc-time assignment reads the clock; the element ts is ignored
+        # (WindowOperatorTest.java:1065 "timestamp is ignored in processing
+        # time")
+        ts = ctx.current_processing_time() if self.proc else row[self.ts_idx]
         payload = row[self.payload_idx]
         windows = state.setdefault("windows", {})
         is_skipped = True
@@ -217,6 +235,10 @@ class EventTimeWindowKernel(CleanupKernelBase):
                     self._fire(out, windows, actual)
                 else:
                     counts[actual] = n
+            # ProcessingTimeTrigger.onElement: always CONTINUE + arm the
+            # proc timer at maxTimestamp (no late-re-fire concept)
+            elif self.proc:
+                ctx.register_processing_timer(self._max_ts(actual))
             # EventTimeTrigger.onElement: immediate FIRE for a window whose
             # maxTimestamp the watermark already passed (the late re-fire),
             # else arm the on-time timer
@@ -229,9 +251,12 @@ class EventTimeWindowKernel(CleanupKernelBase):
                     nxt = ts - (ts % self.continuous_interval) + self.continuous_interval
                     fire_ts[actual] = nxt
                     ctx.register_event_timer(nxt)
-            ctx.register_event_timer(self._cleanup_time(actual))
+            if self.proc:
+                ctx.register_processing_timer(self._cleanup_time(actual))
+            else:
+                ctx.register_event_timer(self._cleanup_time(actual))
 
-        if is_skipped and ts + self.lateness <= ctx.current_watermark():
+        if is_skipped and not self.proc and ts + self.lateness <= ctx.current_watermark():
             self.side_output.append(row)  # isElementLate → lateDataOutputTag
         if not windows:
             state.pop("windows", None)
@@ -241,7 +266,7 @@ class EventTimeWindowKernel(CleanupKernelBase):
             state.pop("fire_ts", None)
 
     def on_timer(self, state, ctx, timestamp, is_proc_time, out):
-        if is_proc_time:
+        if is_proc_time != self.proc:
             return
         windows = state.get("windows") or {}
         # fire windows whose maxTimestamp is exactly this timer (stale timers

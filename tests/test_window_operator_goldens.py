@@ -828,3 +828,136 @@ def test_evict_before_empties_window_still_emits():
     h.process_element(("k", 200, 8))
     h.process_watermark(999)
     assert [rec for rec, _ in h.output] == [(0, 1000, ())]
+
+
+def test_processing_time_tumbling_windows_golden():
+    """WindowOperatorTest.java:1037 testProcessingTimeTumblingWindows — 3s
+    tumbling PROC-time windows: assignment reads the clock (element
+    timestamps ignored), ProcessingTimeTrigger fires at maxTimestamp, the
+    firing timer is also the cleanup timer."""
+    k = EventTimeWindowKernel(
+        tumbling_windows(3000), 0, ts_idx=2, payload_idx=1, merging=False,
+        time_domain="proc",
+    )
+    h = harness(k)
+    h.set_processing_time(3)
+    h.process_element(("key2", 1, 2**63 - 1))  # timestamp ignored
+    h.process_element(("key2", 1, 7000))
+    h.process_element(("key2", 1, 7000))
+    h.process_element(("key1", 1, 7000))
+    h.process_element(("key1", 1, 7000))
+    h.set_processing_time(5000)
+    assert sorted(sums(h)) == sorted([(0, 3000, 3), (0, 3000, 2)])
+    h.process_element(("key1", 1, 7000))
+    h.process_element(("key1", 1, 7000))
+    h.process_element(("key1", 1, 7000))
+    h.set_processing_time(7000)
+    assert sorted(sums(h)) == sorted(
+        [(0, 3000, 3), (0, 3000, 2), (3000, 6000, 3)]
+    )
+    assert h.num_state_entries() == 0  # fire timer == cleanup timer
+
+
+def test_processing_time_sliding_windows_golden():
+    """WindowOperatorTest.java:1093 testProcessingTimeSlidingWindows — 3s/1s
+    sliding PROC-time windows."""
+    from flink_1_6_0_spark.streaming.session_window import sliding_windows
+
+    k = EventTimeWindowKernel(
+        sliding_windows(3000, 1000), 0, ts_idx=2, payload_idx=1,
+        merging=False, time_domain="proc",
+    )
+    h = harness(k)
+    h.set_processing_time(3)
+    h.process_element(("key2", 1, 2**63 - 1))
+    h.set_processing_time(1000)
+    assert sums(h) == [(-2000, 1000, 1)]
+    h.process_element(("key2", 1, 2**63 - 1))
+    h.process_element(("key2", 1, 2**63 - 1))
+    h.set_processing_time(2000)
+    assert sums(h) == [(-2000, 1000, 1), (-1000, 2000, 3)]
+    h.process_element(("key1", 1, 2**63 - 1))
+    h.process_element(("key1", 1, 2**63 - 1))
+    h.set_processing_time(3000)
+    assert sorted(sums(h)) == sorted(
+        [(-2000, 1000, 1), (-1000, 2000, 3), (0, 3000, 3), (0, 3000, 2)]
+    )
+    h.process_element(("key1", 1, 2**63 - 1))
+    h.process_element(("key1", 1, 2**63 - 1))
+    h.process_element(("key1", 1, 2**63 - 1))
+    h.set_processing_time(7000)
+    assert sorted(sums(h)) == sorted(
+        [
+            (-2000, 1000, 1), (-1000, 2000, 3), (0, 3000, 3), (0, 3000, 2),
+            (1000, 4000, 2), (1000, 4000, 5), (2000, 5000, 5), (3000, 6000, 3),
+        ]
+    )
+
+
+def test_processing_time_session_windows_golden():
+    """WindowOperatorTest.java:1164 testProcessingTimeSessionWindows — 3s-gap
+    PROC-time sessions: merge on the clock, stale timers of merged-away
+    windows are no-ops."""
+    k = EventTimeWindowKernel(
+        session_windows(3000), 0, ts_idx=2, payload_idx=1, merging=True,
+        time_domain="proc",
+    )
+    h = harness(k)
+    h.set_processing_time(3)
+    h.process_element(("key2", 1, 1))
+    h.set_processing_time(1000)
+    h.process_element(("key2", 1, 1002))
+    h.set_processing_time(5000)
+    assert sums(h) == [(3, 4000, 2)]
+    h.process_element(("key2", 1, 5000))
+    h.process_element(("key2", 1, 5000))
+    h.process_element(("key1", 1, 5000))
+    h.process_element(("key1", 1, 5000))
+    h.process_element(("key1", 1, 5000))
+    h.set_processing_time(10000)
+    assert sorted(sums(h)) == sorted(
+        [(3, 4000, 2), (5000, 8000, 2), (5000, 8000, 3)]
+    )
+
+
+def test_dynamic_processing_time_session_windows_golden():
+    """WindowOperatorTest.java:1309 testDynamicProcessingTimeSessionWindows —
+    per-element gap extractor (key1 3s; key2: value 10 -> 1s, else 2s); a
+    shorter-gap element inside a longer session must respect the furthest
+    timeout (merge keeps the max end)."""
+
+    def gap(row, ts):
+        if row[0] == "key1":
+            return 3000
+        return 1000 if row[1] == 10 else 2000
+
+    k = EventTimeWindowKernel(
+        session_windows(gap), 0, ts_idx=2, payload_idx=1, merging=True,
+        time_domain="proc",
+    )
+    h = harness(k)
+    h.set_processing_time(10)
+    h.process_element(("key1", 3, 10))
+    h.set_processing_time(5000)
+    h.process_element(("key2", 4, 5000))
+    h.set_processing_time(6000)
+    h.process_element(("key2", 5, 6000))
+    h.set_processing_time(8999)
+    assert sorted(sums(h)) == sorted([(10, 3010, 3), (5000, 8000, 9)])
+    h.set_processing_time(9000)
+    h.process_element(("key2", 1, 9000))
+    h.set_processing_time(10000)
+    h.process_element(("key2", 2, 10000))
+    h.set_processing_time(10500)
+    h.process_element(("key2", 10, 10500))
+    h.set_processing_time(10500)
+    h.set_processing_time(13000)
+    h.process_element(("key2", 10, 13000))
+    h.set_processing_time(13500)
+    h.process_element(("key2", 10, 13500))
+    h.set_processing_time(14000)
+    h.process_element(("key2", 1, 14000))
+    h.set_processing_time(16999)
+    assert sorted(sums(h)) == sorted(
+        [(10, 3010, 3), (5000, 8000, 9), (9000, 12000, 13), (13000, 16000, 21)]
+    )
