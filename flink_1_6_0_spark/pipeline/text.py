@@ -420,6 +420,23 @@ def bigram_logppl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _bpe_words(col: Column) -> Column:
+    """BPE word stream: lower → trim → split on an EXPLICIT whitespace class.
+    Explicit because Java's ``\\s`` includes U+000B where DuckDB/RE2's does
+    not — the oracle (duck_bpe_oracle) splits on the same class, so both
+    engines see identical words on any corpus (r13 ADVICE item)."""
+    return F.split(F.trim(F.lower(col)), "[ \\t\\n\\x0B\\f\\r]+")
+
+
+def _codepoint_chars(col: Column) -> Column:
+    """Split a word into CODEPOINT characters. Java regex ``.`` matches a
+    full code point (astral chars stay whole), matching DuckDB's
+    codepoint-based substr — whereas ``F.split(w, '(?!$)')`` cuts UTF-16
+    code units and shears non-BMP characters into surrogate halves (r13
+    ADVICE item)."""
+    return F.regexp_extract_all(col, F.lit("(?s)."), 0)
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
@@ -442,14 +459,14 @@ def bpe_train(
     localCheckpoint per iteration caps the lineage the same way the bulk
     batch iterations do (operators/iterations.py)."""
     vocab = (
-        docs.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
+        docs.select(F.explode(_bpe_words(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(
             "freq",
             F.concat(
-                F.split(F.col("w"), "(?!$)"),  # chars, no trailing empty
+                _codepoint_chars(F.col("w")),
                 F.array(F.lit(end_of_word)),
             ).alias("syms"),
         )
@@ -539,8 +556,11 @@ def duck_bpe_oracle(num_merges: int = 10, end_of_word: str = "</w>") -> str:
     then a fixed point, matching the Python loop's break)."""
     eow = end_of_word.replace("'", "''")
     ctes = [
+        # the explicit whitespace class matches _bpe_words (Java \s includes
+        # U+000B, RE2's does not); substr() is codepoint-based, matching
+        # _codepoint_chars' per-code-point split on the Spark side
         "tok AS MATERIALIZED (SELECT t.w FROM documents, "
-        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(w) WHERE length(t.w) > 0)",
+        "unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS t(w) WHERE length(t.w) > 0)",
         "v0 AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq, "
         f"list_append(list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), '{eow}') AS syms "
         "FROM tok GROUP BY w)",
@@ -587,13 +607,13 @@ def bpe_segment(
     Arrow-batched pass with a rank-indexed pair dict is the faster shape;
     the expression form is exact and JVM-side for the rule counts a test
     corpus learns."""
-    # drop empty "words": tokenize('') yields [''] and split('', '(?!$)')
-    # re-emits '' — a phantom ['', '</w>'] subword pair per blank doc that
-    # training (which filters length>0) never saw (review finding)
-    words = F.filter(tokenize(F.lower(_c(col))), lambda w: w != "")
+    # drop empty "words": splitting '' re-emits '' — a phantom ['', '</w>']
+    # subword pair per blank doc that training (which filters length>0)
+    # never saw (review finding). Same word/char split as bpe_train.
+    words = F.filter(_bpe_words(_c(col)), lambda w: w != "")
     segs = F.transform(
         words,
-        lambda w: F.concat(F.split(w, "(?!$)"), F.array(F.lit(end_of_word))),
+        lambda w: F.concat(_codepoint_chars(w), F.array(F.lit(end_of_word))),
     )
     for a, b, _ in merges:
         segs = F.transform(segs, lambda s: _merge_pair_scan(s, a, b))

@@ -933,3 +933,34 @@ def test_ngram_jaccard_df_cap_kills_stopword_quadratic_pairs(spark):
     # ("rights reserved lorem" ... "dolor sit amet"), doc101 keeps 6,
     # common 5 -> 5 / (5 + 6 - 5) = 5/6
     assert abs(got[(100, 101)] - round(5 / 6, 6)) < 1e-6
+
+
+def test_bpe_train_unicode_parity_with_duckdb_oracle(spark):
+    """BPE trains identically on Spark and DuckDB for a corpus with ASTRAL
+    characters (emoji — UTF-16 surrogate pairs on the JVM) and a VERTICAL
+    TAB (inside Java's \\s but not RE2's): the r13 ADVICE divergence. The
+    Spark side must split words on the explicit whitespace class and chars
+    by CODEPOINT for the merge tables to agree."""
+    import duckdb
+
+    from flink_1_6_0_spark.pipeline.text import bpe_train, duck_bpe_oracle
+
+    texts = [
+        "a\U0001F600b a\U0001F600b a\U0001F600b x\x0By x\x0By",
+        "\U0001F600\U0001F600 \U0001F600\U0001F600 ab ab ab",
+        "low low lower\x0Blower",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = bpe_train(df, "text", num_merges=6)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    want = [
+        (r[1], r[2], int(r[3]))
+        for r in con.sql(duck_bpe_oracle(num_merges=6)).fetchall()
+    ]
+    assert [(a, b, n) for a, b, n in got] == want
+    # non-vacuous: some learned symbol must contain the astral char whole
+    assert any("\U0001F600" in a or "\U0001F600" in b for a, b, _ in got)
