@@ -23,10 +23,24 @@ from tests.helpers import driver_canon, normalize
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--nonempty"]
+    # --skip a,b,c: exclude named queries (the declared-O(n²) algorithms at
+    # scale tiers where a quadratic is intractable by design — the skip list
+    # is printed so the record shows what was excluded)
+    skip: set[str] = set()
+    argv = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--nonempty":
+            continue
+        if a == "--skip":
+            skip |= set(next(it, "").split(","))
+            continue
+        argv.append(a)
     nonempty = "--nonempty" in sys.argv[1:]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     filt = argv[1] if len(argv) > 1 else ""
+    if skip:
+        print(f"skipping {len(skip)} declared: {sorted(skip)}", file=sys.stderr)
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     import os
@@ -45,6 +59,8 @@ def main() -> int:
         specs, filt = {n: specs[n] for n in list(specs)[:50]}, ""
     for name, spec in sorted(specs.items()):
         if filt and filt not in name:
+            continue
+        if name in skip:
             continue
         try:
             sp = spec.fn(spark, sf).toPandas()
