@@ -58,13 +58,26 @@ def sum0(col: str | Column) -> Column:
     return F.coalesce(F.sum(c), F.lit(0))
 
 
-def min_by(value: str | Column, ordering: str | Column) -> Column:
-    """minBy (DataSet.java:523) — value of ``value`` on the row minimizing ``ordering``."""
+def min_by(value: str | Column, ordering: str | Column, tie: Column | None = None) -> Column:
+    """minBy (DataSet.java:523) — value of ``value`` on the row minimizing
+    ``ordering``. Flink's contract on ties is "the first encountered" —
+    order-dependent and irreproducible under parallelism; pass ``tie`` (a
+    secondary ordering column, compared lexicographically after
+    ``ordering`` via a struct) for a DETERMINISTIC refinement. Found by the
+    r14 x10 gate: the 10x synthetic tier duplicates every extendedprice, so
+    the untied form returned partition-order-dependent orderkeys."""
+    if tie is not None:
+        o = F.col(ordering) if isinstance(ordering, str) else ordering
+        return F.min_by(value, F.struct(o, tie))
     return F.min_by(value, ordering)
 
 
-def max_by(value: str | Column, ordering: str | Column) -> Column:
-    """maxBy (DataSet.java:559)."""
+def max_by(value: str | Column, ordering: str | Column, tie: Column | None = None) -> Column:
+    """maxBy (DataSet.java:559). ``tie`` as in :func:`min_by` — note the
+    struct is MAXIMIZED, so pass a negated column for smallest-wins ties."""
+    if tie is not None:
+        o = F.col(ordering) if isinstance(ordering, str) else ordering
+        return F.max_by(value, F.struct(o, tie))
     return F.max_by(value, ordering)
 
 

@@ -267,22 +267,38 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_min_max_by",
     oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_orderkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey) AS rmax,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC, l_orderkey) AS rmin
+      FROM lineitem)
     SELECT l_returnflag,
-           max_by(l_orderkey, l_extendedprice) AS top_order,
-           min_by(l_orderkey, l_extendedprice) AS bottom_order,
+           max(CASE WHEN rmax = 1 THEN l_orderkey END) AS top_order,
+           max(CASE WHEN rmin = 1 THEN l_orderkey END) AS bottom_order,
            round(max(l_extendedprice), 2) AS max_price
-    FROM lineitem GROUP BY l_returnflag
+    FROM r GROUP BY l_returnflag
     """,
     tags=("batch", "agg"),
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minBy/maxBy row selection (DataSet.java:523,559)."""
+    """minBy/maxBy row selection (DataSet.java:523,559). Flink's tie rule
+    is "first encountered" (order-dependent); this query pins the
+    DETERMINISTIC refinement — lowest orderkey among tied prices — via the
+    struct tie-break, so the result is reproducible on any partitioning.
+    The r14 x10 gate caught the untied form: duplicated prices in the
+    synthetic scale-up made both engines pick arbitrary (different) rows."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            agg_ops.max_by("l_orderkey", "l_extendedprice").alias("top_order"),
-            agg_ops.min_by("l_orderkey", "l_extendedprice").alias("bottom_order"),
+            agg_ops.max_by(
+                "l_orderkey", "l_extendedprice", tie=-F.col("l_orderkey")
+            ).alias("top_order"),
+            agg_ops.min_by(
+                "l_orderkey", "l_extendedprice", tie=F.col("l_orderkey")
+            ).alias("bottom_order"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         )
     )

@@ -1158,12 +1158,13 @@ def stream_rowtime_timebounded_join_kernel(spark: SparkSession, sf_dir: str) -> 
         FROM src WHERE is_late
     )
     -- on-time firing: fires once the watermark passes maxTimestamp
-    SELECT user_id, w_start, CAST(0 AS BIGINT) AS fire_seq,
+    SELECT user_id, w_start, w_start + 172800000 AS w_end,
+           CAST(0 AS BIGINT) AS fire_seq,
            on_cnt AS cnt, CAST(on_sum AS BIGINT) AS sum_payload
     FROM agg WHERE on_cnt > 0 AND maxwm > w_start + 172800000 - 1
     UNION ALL
     -- accumulating re-fires: one per admitted late element, grown contents
-    SELECT a.user_id, a.w_start,
+    SELECT a.user_id, a.w_start, a.w_start + 172800000 AS w_end,
            j - 1 + CASE WHEN on_cnt > 0 THEN 1 ELSE 0 END AS fire_seq,
            on_cnt + j AS cnt, CAST(on_sum + pref AS BIGINT) AS sum_payload
     FROM agg a JOIN late_pref p
@@ -1172,7 +1173,8 @@ def stream_rowtime_timebounded_join_kernel(spark: SparkSession, sf_dir: str) -> 
       AND a.w_start + 172800000 - 1 + 1728000000 > maxwm
     UNION ALL
     -- deferred firing: window end never passed; fires once at end of input
-    SELECT user_id, w_start, CAST(0 AS BIGINT) AS fire_seq,
+    SELECT user_id, w_start, w_start + 172800000 AS w_end,
+           CAST(0 AS BIGINT) AS fire_seq,
            on_cnt + late_cnt AS cnt, CAST(on_sum + late_sum AS BIGINT) AS sum_payload
     FROM agg WHERE maxwm < w_start + 172800000 - 1
     """,
@@ -1215,4 +1217,117 @@ def stream_window_lateness_kernel(spark: SparkSession, sf_dir: str) -> DataFrame
         payload_col="cents",
         window_size=172800000,
         allowed_lateness=1728000000,
+    )
+
+
+@query(
+    "stream_session_window_kernel",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, event_id,
+               epoch_ms(ts) * 2                   AS rt,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               (event_id % 5 = 0)                 AS is_late
+        FROM events
+    ), wm AS (
+        SELECT user_id,
+               COALESCE(MAX(rt) FILTER (WHERE NOT is_late),
+                        -4611686018427387904) AS maxwm
+        FROM src GROUP BY user_id
+    ), onr AS (  -- phase-1 session islands over on-time rows
+        SELECT user_id, rt, cents,
+               SUM(CASE WHEN prev IS NULL OR rt - prev > 28800000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY rt, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (SELECT user_id, event_id, rt, cents,
+                     lag(rt) OVER (PARTITION BY user_id
+                                   ORDER BY rt, event_id) AS prev
+              FROM src WHERE NOT is_late)
+    ), lsid AS (
+        SELECT user_id, MAX(sid) AS last_sid FROM onr GROUP BY user_id
+    ), tail_start AS (  -- the trailing (always-open) session's start
+        SELECT o.user_id, MIN(rt) AS t_s
+        FROM onr o JOIN lsid l ON o.user_id = l.user_id AND o.sid = l.last_sid
+        GROUP BY o.user_id
+    ), admitted AS (  -- late rows the kernel admits: window end past the
+        -- watermark (its own window lives), or within gap-reach of the
+        -- trailing session's coverage (merged extent is then never late)
+        SELECT s.user_id, rt, cents
+        FROM src s
+        JOIN wm USING (user_id)
+        LEFT JOIN tail_start USING (user_id)
+        WHERE is_late
+          AND (rt + 28800000 > maxwm
+               OR (t_s IS NOT NULL AND rt >= t_s - 28800000))
+    ), tail_rows AS (  -- deferred set: trailing session rows + admitted lates
+        SELECT o.user_id, rt, cents
+        FROM onr o JOIN lsid l ON o.user_id = l.user_id AND o.sid = l.last_sid
+        UNION ALL
+        SELECT user_id, rt, cents FROM admitted
+    ), t2 AS (  -- final merged sessions over the deferred set
+        SELECT user_id, rt, cents,
+               SUM(CASE WHEN prev IS NULL OR rt - prev > 28800000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY rt
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (SELECT user_id, rt, cents,
+                     lag(rt) OVER (PARTITION BY user_id ORDER BY rt) AS prev
+              FROM tail_rows)
+    )
+    -- closed on-time sessions fire once during phase 1
+    SELECT o.user_id, MIN(rt) AS w_start, MAX(rt) + 28800000 AS w_end,
+           CAST(0 AS BIGINT) AS fire_seq,
+           COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_payload
+    FROM onr o JOIN lsid l ON o.user_id = l.user_id
+    GROUP BY o.user_id, o.sid, l.last_sid
+    HAVING o.sid < l.last_sid
+    UNION ALL
+    -- deferred sessions fire once at end of input
+    SELECT user_id, MIN(rt) AS w_start, MAX(rt) + 28800000 AS w_end,
+           CAST(0 AS BIGINT) AS fire_seq,
+           COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_payload
+    FROM t2 GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session", "kernel"),
+)
+def stream_session_window_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows through the REAL WindowOperator kernel's
+    MERGING path (MergingWindowSet coalescing with touching-extent merges,
+    stale timers of merged-away windows as no-ops — WindowOperator.java:304,
+    TimeWindow.intersects, EventTimeSessionWindows.java:83), executed as a
+    distributed per-key replay — one shuffle on user_id, no driver loop.
+    Complements stream_window_lateness_kernel (tumbling + re-fires) with
+    distributed evidence for session merging.
+
+    Construction: rows with event_id % 5 == 0 feed LATE (after the per-key
+    watermark settles); lateness 0, gap 8h (doubled-ms space). Protocol the
+    oracle derives: every non-trailing on-time session fires exactly once
+    when the watermark passes its merged end (the fire timer doubles as the
+    cleanup timer at lateness 0); the trailing session always defers (it
+    ends at maxwm + gap by construction); a late row survives iff its own
+    window outlives the watermark OR it lands within gap-reach of the
+    trailing session's coverage (the closed form of the kernel's sequential
+    merged-extent isWindowLate scan — any admitted late row extends
+    coverage leftward by at most one gap, and later late rows are always
+    inside it); survivors merge into the final deferred sessions, the rest
+    drop to the side output. Hash-match requires the merge protocol to run."""
+    from flink_1_6_0_spark.streaming.session_window import event_time_window_df
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.unix_millis(F.col("ts").cast("timestamp")) * 2).alias("rt"),
+        (F.col("event_id") % 5 == 0).alias("is_late"),
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return event_time_window_df(
+        ev,
+        key_col="user_id",
+        rowtime_col="rt",
+        late_col="is_late",
+        order_col="id",
+        payload_col="cents",
+        session_gap=28800000,
+        allowed_lateness=0,
     )

@@ -397,8 +397,9 @@ def event_time_window_df(
     late_col: str,
     order_col: str,
     payload_col: str,
-    window_size: int,
-    allowed_lateness: int,
+    window_size: int | None = None,
+    allowed_lateness: int = 0,
+    session_gap: int | None = None,
 ):
     """Distributed EventTimeWindowKernel replay — tumbling event-time windows
     with allowedLateness re-fires (WindowOperator.java:358/590/610,
@@ -424,14 +425,26 @@ def event_time_window_df(
       once and then its cleanup timer (which must emit nothing —
       WindowOperatorTest.java:2208's cleanup-finds-nothing family).
 
-    Emits one row per FIRING: (key, w_start, fire_seq, cnt, sum_payload)
-    with fire_seq the 0-based firing index within (key, window) — the oracle
-    can only match if the lateness/re-fire/cleanup protocol runs.
+    With ``session_gap`` set (instead of ``window_size``), the assigner is
+    EventTimeSessionWindows and the MERGING protocol (MergingWindowSet
+    coalescing, stale-timer no-ops) is what's under test: under the same
+    replay convention every non-trailing on-time session fires exactly once
+    when the watermark passes its (merged) end, the trailing session defers,
+    surviving late rows (window end past the watermark + lateness) merge
+    among themselves and into the trailing session, and the rest drop —
+    all SQL-derivable via gaps-and-islands.
+
+    Emits one row per FIRING: (key, w_start, w_end, fire_seq, cnt,
+    sum_payload) with fire_seq the 0-based firing index within (key,
+    window) — the oracle can only match if the lateness/merge/re-fire/
+    cleanup protocol runs.
     """
     import pandas as pd
 
     from flink_1_6_0_spark.streaming.cleanup_state import KeyedProcessHarness
 
+    if (window_size is None) == (session_gap is None):
+        raise ValueError("exactly one of window_size / session_gap required")
     cols = [key_col, rowtime_col, late_col, order_col, payload_col]
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -439,11 +452,11 @@ def event_time_window_df(
         col_idx = {c: i for i, c in enumerate(pdf.columns)}
         rt_i = col_idx[rowtime_col]
         kernel = EventTimeWindowKernel(
-            tumbling_windows(window_size),
+            session_windows(session_gap) if session_gap else tumbling_windows(window_size),
             allowed_lateness,
             ts_idx=rt_i,
             payload_idx=col_idx[payload_col],
-            merging=False,
+            merging=session_gap is not None,
         )
         h = KeyedProcessHarness(kernel, key_fn=lambda r: 0)
         late_mask = pdf[late_col].to_numpy()
@@ -460,13 +473,17 @@ def event_time_window_df(
         key_val = pdf[key_col].iloc[0] if len(pdf) else None
         seqs: dict = {}
         out = []
-        for (ws, _we, contents), _ in h.output:
-            seq = seqs.get(ws, 0)
-            seqs[ws] = seq + 1
-            out.append((key_val, ws, seq, len(contents), sum(contents)))
+        for (ws, we, contents), _ in h.output:
+            seq = seqs.get((ws, we), 0)
+            seqs[(ws, we)] = seq + 1
+            out.append((key_val, ws, we, seq, len(contents), sum(contents)))
         return pd.DataFrame(
-            out, columns=[key_col, "w_start", "fire_seq", "cnt", "sum_payload"]
+            out,
+            columns=[key_col, "w_start", "w_end", "fire_seq", "cnt", "sum_payload"],
         )
 
-    schema = f"{key_col} long, w_start long, fire_seq long, cnt long, sum_payload long"
+    schema = (
+        f"{key_col} long, w_start long, w_end long, fire_seq long, "
+        "cnt long, sum_payload long"
+    )
     return df.select(*cols).groupBy(key_col).applyInPandas(replay, schema)

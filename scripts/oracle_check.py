@@ -46,7 +46,11 @@ def main() -> int:
     import os
 
     for t in TABLES:
-        if os.path.exists(f"{sf}/{t}.parquet"):
+        if os.path.isdir(f"{sf}/{t}.parquet"):
+            # Spark-written table = a DIRECTORY of part files (the x10
+            # synthetic tier) — DuckDB needs the glob form
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'")
+        elif os.path.exists(f"{sf}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
         else:
             # TPC-H-only dirs (sources/tpch_dbgen.py) lack the synthetic

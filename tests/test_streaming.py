@@ -2040,13 +2040,64 @@ def test_event_time_window_df_lateness_protocol(spark):
         window_size=20,
         allowed_lateness=30,
     )
-    got = sorted((r.k, r.w_start, r.fire_seq, r.cnt, r.sum_payload) for r in out.collect())
+    got = sorted(
+        (r.k, r.w_start, r.w_end, r.fire_seq, r.cnt, r.sum_payload)
+        for r in out.collect()
+    )
     assert got == [
-        (1, 0, 0, 2, 3),
-        (1, 20, 0, 1, 4),
-        (1, 80, 0, 1, 256),
-        (1, 80, 1, 2, 288),
-        (1, 80, 2, 3, 352),
-        (1, 100, 0, 2, 136),
-        (2, 0, 0, 1, 5),
+        (1, 0, 20, 0, 2, 3),
+        (1, 20, 40, 0, 1, 4),
+        (1, 80, 100, 0, 1, 256),
+        (1, 80, 100, 1, 2, 288),
+        (1, 80, 100, 2, 3, 352),
+        (1, 100, 120, 0, 2, 136),
+        (2, 0, 20, 0, 1, 5),
+    ]
+
+
+def test_event_time_window_df_session_merging_protocol(spark):
+    """Distributed SESSION-kernel replay pin (merging path, lateness 0) —
+    the corner the oracle's closed form encodes: a late row whose own
+    window is already past the watermark still gets ADMITTED when it lands
+    within gap-reach of the trailing session's coverage (the kernel checks
+    isWindowLate on the MERGED extent — WindowOperator.java:304ff), while
+    one further left drops. Gap 10.
+
+    key 1 on-time: rt 0 (closed island), rt 40,44 (trailing session
+    [40,54), maxwm 44). Late rows: rt 2 -> own window [2,12) past wm AND
+    below t_s-gap=30 -> DROPPED; rt 32 -> [32,42) past wm (end 42 <= 44)
+    BUT 32 >= 30 -> merges into the trailing session, extending it to
+    [32,54); rt 100 -> survivor, own deferred session [100,110)."""
+    from flink_1_6_0_spark.streaming.session_window import event_time_window_df
+
+    rows = [
+        # (k, rt, is_late, id, cents)
+        (1, 0, False, 1, 1),
+        (1, 40, False, 2, 2),
+        (1, 44, False, 3, 4),
+        (1, 2, True, 4, 8),     # dropped: end 12 <= maxwm 44, 2 < 30
+        (1, 32, True, 5, 16),   # admitted via trailing-session merge
+        (1, 100, True, 6, 32),  # survivor: own deferred session
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, rt long, is_late boolean, id long, cents long"
+    )
+    out = event_time_window_df(
+        df,
+        key_col="k",
+        rowtime_col="rt",
+        late_col="is_late",
+        order_col="id",
+        payload_col="cents",
+        session_gap=10,
+        allowed_lateness=0,
+    )
+    got = sorted(
+        (r.k, r.w_start, r.w_end, r.fire_seq, r.cnt, r.sum_payload)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 10, 0, 1, 1),      # closed on-time island, fired in phase 1
+        (1, 32, 54, 0, 3, 22),    # trailing session grown by the late merge
+        (1, 100, 110, 0, 1, 32),  # late-only deferred session
     ]
