@@ -81,7 +81,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
     GROUP BY p_brand
     """,
@@ -89,15 +89,21 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join + non-equi residual predicate (DataSetJoin.scala:51 theta
-    residuals; Catalyst evaluates the residual inside the hash join)."""
+    residuals; Catalyst evaluates the residual inside the hash join).
+    Revenue sums in exact integer basis points (the tpch_q1 unit-sum trick):
+    the r14 x10 gate caught the float form — summing ~250k doubles per
+    group accumulates enough fold-order error to flip the 2nd decimal."""
     l = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part")
+    rev_bp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
     return (
         l.join(p, (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size))
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(rev_bp).cast("double") / 10000.0, 2).alias("revenue"),
         )
     )
 
