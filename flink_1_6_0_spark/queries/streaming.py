@@ -703,11 +703,14 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the live crawl; each micro-batch is flagged against the standing
     probe tables seeded from the rest of the corpus
     (pipeline/dedup.streaming_incremental_dedup), and its own keys/buckets
-    are appended so later epochs dedup against it too. The documents table
-    is one parquet file, so the drained stream is a single epoch and the
-    final flags equal the batch dedup_incremental — same oracle, same
-    spelling (cross-EPOCH accumulation is pinned separately in
-    tests/test_prep.py with a two-wave stream)."""
+    are appended so later epochs dedup against it too. The stream drains in
+    a SINGLE epoch (maxFilesPerTrigger >> file count — the r14 x10 gate
+    caught the old 1-file-per-trigger form: a multi-part-file table split
+    the slice across epochs and the flags legitimately included cross-epoch
+    dups the single-epoch oracle doesn't model), so the final flags equal
+    the batch dedup_incremental — same oracle, same spelling (cross-EPOCH
+    accumulation is pinned separately in tests/test_prep.py with a two-wave
+    stream)."""
     import os
     import tempfile
 
@@ -721,7 +724,9 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spark.read.parquet(docs_path).filter(F.col("doc_id") % 5 != 0)
     work = tempfile.mkdtemp(prefix="sid_")
     seed_dedup_state(corpus, "doc_id", "text", f"{work}/state")
-    stream = read_parquet_stream(spark, docs_path).filter(F.col("doc_id") % 5 == 0)
+    stream = read_parquet_stream(
+        spark, docs_path, max_files_per_trigger=1_000_000
+    ).filter(F.col("doc_id") % 5 == 0)
 
     def emit(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("append").parquet(f"{work}/flags")

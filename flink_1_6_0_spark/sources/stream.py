@@ -58,8 +58,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = _events_read_schema(spark, path)
     if schema is not None:
         reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        return reader.parquet(os.path.dirname(path))
+        if os.path.isfile(path):
+            # single-file testdata layout: glob-narrow within the parent
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            return reader.parquet(os.path.dirname(path))
+        # Spark-written DIRECTORY table (the x10 synthetic tier): stream the
+        # directory itself — the unconditional glob filter used to match 0
+        # files here and every stream query read an empty source (r14 x10
+        # gate finding)
+        return reader.parquet(path)
     return normalize_table("events", read_parquet_stream(spark, path))
 
 
