@@ -125,14 +125,14 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_agg",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
@@ -302,14 +302,14 @@ def stream_continuous_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_append",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     ), sess AS (

@@ -57,15 +57,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     harden_session(spark)
     schema = _events_read_schema(spark, path)
     if schema is not None:
-        reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         if os.path.isfile(path):
             # single-file testdata layout: glob-narrow within the parent
+            reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
             reader = reader.option("pathGlobFilter", os.path.basename(path))
             return reader.parquet(os.path.dirname(path))
         # Spark-written DIRECTORY table (the x10 synthetic tier): stream the
         # directory itself — the unconditional glob filter used to match 0
         # files here and every stream query read an empty source (r14 x10
-        # gate finding)
+        # gate finding). Drain in ONE micro-batch: part files are not
+        # time-ordered, so a 1-file-per-trigger replay feeds the watermark
+        # out of order and drops most rows as late — the bounded-replay
+        # semantics the oracles model are the single-epoch drain. Ordered
+        # MULTI-batch progression is separately exercised (and oracle-
+        # checked) by the stream_multibatch_* family over the date-
+        # partitioned lake, whose batches are genuinely time-ordered.
+        reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1_000_000)
         return reader.parquet(path)
     return normalize_table("events", read_parquet_stream(spark, path))
 

@@ -27,6 +27,7 @@ def main() -> int:
     # scale tiers where a quadratic is intractable by design — the skip list
     # is printed so the record shows what was excluded)
     skip: set[str] = set()
+    only: set[str] = set()
     argv = []
     it = iter(sys.argv[1:])
     for a in it:
@@ -34,6 +35,9 @@ def main() -> int:
             continue
         if a == "--skip":
             skip |= set(next(it, "").split(","))
+            continue
+        if a == "--names":  # explicit list (parallel gate sharding)
+            only |= set(next(it, "").split(","))
             continue
         argv.append(a)
     nonempty = "--nonempty" in sys.argv[1:]
@@ -64,7 +68,7 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         if filt and filt not in name:
             continue
-        if name in skip:
+        if name in skip or (only and name not in only):
             continue
         try:
             sp = spec.fn(spark, sf).toPandas()
