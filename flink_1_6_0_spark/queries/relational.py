@@ -246,7 +246,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag, l_linestatus) AS gid,
            count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
+           round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -264,7 +264,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # exact integer-cent sum (x10-gate float class, fixed proactively)
+            F.round(
+                F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).cast("double") / 100.0, 2
+            ).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
@@ -691,7 +694,8 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_skew_salted",
     oracle="""
-    SELECT o.o_orderpriority, count(*) AS n, round(sum(l.l_extendedprice), 2) AS rev
+    SELECT o.o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS rev
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
@@ -710,7 +714,15 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(l, o, "l_orderkey", "o_orderkey", salt=8)
     return (
         j.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact integer-cent sum: 1.2M-row money groups at the x10 tier
+            # sit on the same fold-order knife edge join_theta_residual fell
+            # off (fixed proactively r14)
+            F.round(
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).cast("double") / 100.0, 2
+            ).alias("rev"),
+        )
         .orderBy("o_orderpriority")
     )
 
