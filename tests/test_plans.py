@@ -463,12 +463,13 @@ def test_window_lateness_kernel_plan(spark, sf_dir):
     source columns the replay consumes."""
     import re
 
-    plan = _plan(get("stream_window_lateness_kernel").fn(spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "FlatMapGroupsInPandas" in plan
-    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_ex == 1, f"expected one key shuffle, got {n_ex}:\n{plan}"
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
-        "event_id", "ts", "user_id", "value"
-    }, plan
+    for q in ("stream_window_lateness_kernel", "stream_session_window_kernel"):
+        plan = _plan(get(q).fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "FlatMapGroupsInPandas" in plan
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 1, f"{q}: expected one key shuffle, got {n_ex}:\n{plan}"
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+            "event_id", "ts", "user_id", "value"
+        }, plan
