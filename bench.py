@@ -29,6 +29,13 @@ BENCHBASE.json carries the re-seeded sentinel regime;
 `vs_baseline_normalized` divides the raw matched ratio by
 (sentinel_now / sentinel_base), so environment drift cancels and what
 remains is plan-level change.
+
+Mid-sweep contamination guard (round-15, after three driver sweeps in a row
+landed on a loaded machine and r14's shipped 1.451 needed a judge re-run to
+adjudicate): every query and scale block now carries a sentinel stamp taken
+DURING the sweep; drifted queries are re-run behind a settle barrier, and a
+run that never lands calm ships `"contaminated": true` plus the drifted list
+— the output is self-adjudicating either way.
 """
 
 from __future__ import annotations
@@ -171,6 +178,14 @@ def main() -> None:
             spec = by_name.get(name)
             if spec is None:
                 continue
+            # One untimed warm-up per query (r14 ADVICE): the blocks now run
+            # FIRST in a cold session, so without this the two timed samples
+            # include first-run JIT/codegen cost that the sf0.1 side of
+            # x10_ratio (warmed by the main sweep's warm-up pass) never pays.
+            try:
+                _consume(spec.fn(spark, d))
+            except Exception:
+                pass
             samples = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -183,6 +198,42 @@ def main() -> None:
         _sent_base0 = json.load(open(BENCHBASE)).get("sentinel_sec")
     except Exception:
         _sent_base0 = None
+
+    # Mid-sweep contamination threshold (r14 verdict task 1): three driver
+    # sweeps in a row landed on a loaded machine, and the single start-of-
+    # sweep sentinel read FAST while the sweep itself was being squeezed
+    # (BENCH_PROBES final_bench_attempt_r14). Everything timed now carries
+    # sentinel stamps taken DURING the measurement; anything whose local
+    # stamp drifts past this factor of the recorded regime is re-run after
+    # a settle, and a run that never lands calm is flagged `contaminated`.
+    DRIFT = 1.3
+
+    def _guarded_block(d: str, names: tuple[str, ...]) -> dict:
+        """Run a scale block with the mid-sweep guard: stamp the regime
+        before (``env``) and after (``sentinel_after``) the timed block; a
+        drifted post-stamp means load arrived MID-block, so settle and
+        re-run once, keeping the pass with the calmer post-stamp."""
+        best: dict | None = None
+        for attempt in range(2):
+            env = _mini_env(spark)
+            qs = _timed_block(d, names)
+            post = _sentinel_sec(spark, runs=1)
+            cand = {"env": env, "queries": qs, "sentinel_after": post}
+            if best is None or post < best["sentinel_after"]:
+                best = cand
+            if _sent_base0 is None or post <= DRIFT * _sent_base0:
+                break
+            print(
+                f"bench: block post-sentinel {post:.3f} > {DRIFT}x regime "
+                f"{_sent_base0:.3f} — load arrived mid-block, re-running",
+                file=sys.stderr,
+            )
+            _settle(spark, _sent_base0)
+        best["block_contaminated"] = bool(
+            _sent_base0 and best["sentinel_after"] > DRIFT * _sent_base0
+        )
+        return best
+
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and abs(sf - 0.1) < 1e-9:
         try:
             from flink_1_6_0_spark.sources.scale_synth import sf1_dir
@@ -194,10 +245,9 @@ def main() -> None:
             sf1_block = {
                 "sf": 1.0,
                 "note": "10x key-shifted scale-up of sf0.1 (scale_synth.py)",
-                "env": _mini_env(spark),
                 "synth_or_cache_sec": synth_sec,
                 "runs_per_query": 2,
-                "queries": _timed_block(d1, sf1_set),
+                **_guarded_block(d1, sf1_set),
             }
         except Exception as exc:
             print(f"bench: sf1 sweep skipped: {exc}", file=sys.stderr)
@@ -211,57 +261,122 @@ def main() -> None:
             dbgen_block = {
                 "sf": 1.0,
                 "note": "REAL TPC-H sf1 (DuckDB dbgen, sources/tpch_dbgen.py)",
-                "env": _mini_env(spark),
                 "gen_or_cache_sec": gen_sec,
                 "runs_per_query": 2,
-                "queries": _timed_block(dd, dbgen_set),
+                **_guarded_block(dd, dbgen_set),
             }
         except Exception as exc:
             print(f"bench: sf1 dbgen sweep skipped: {exc}", file=sys.stderr)
 
-    def sweep() -> tuple[dict, dict[str, float]]:
+    try:
+        _sent_base = json.load(open(BENCHBASE)).get("sentinel_sec")
+    except Exception:
+        _sent_base = None
+
+    def _run_one(spec) -> float:
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _consume(spec.fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3)
+
+    def sweep() -> tuple[dict, dict[str, float], dict]:
+        """One full timed pass with the PER-QUERY contamination guard (r14
+        verdict task 1): after each query's timed runs a 1-run sentinel
+        stamps the regime that query actually ran under — the start-of-sweep
+        sentinel alone can read fast while load arrives mid-sweep (the
+        final_bench_attempt_r14 signature: throughput collapsed to 7.2k
+        rows/s yet the opening sentinel read 0.48 s). Queries whose local
+        stamp drifts past DRIFT x the recorded regime are re-run after a
+        settle; a re-run timing replaces the original only when its own
+        stamp is CALMER, so every shipped number carries the provenance of
+        the calmest regime it was actually measured under. Queries still
+        drifted after re-runs land in ``guard["contaminated_queries"]``."""
         env = _env_block(spark)
         # sentinel FIRST (one throwaway run excludes its own JIT cost): it
         # stamps the machine-speed regime this sweep ran under
         _sentinel_sec(spark, runs=1)
         env["sentinel_sec"] = _sentinel_sec(spark)
         timings: dict[str, float] = {}
+        stamps: dict[str, float] = {}
         for spec in specs:
-            samples: list[float] = []
             try:
-                for _ in range(runs):
-                    t0 = time.perf_counter()
-                    _consume(spec.fn(spark, sf_dir))
-                    samples.append(time.perf_counter() - t0)
-                timings[spec.name] = round(statistics.median(samples), 3)
+                timings[spec.name] = _run_one(spec)
             except Exception as exc:  # a failing query must not sink the bench
                 print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
                 timings[spec.name] = -1.0
-        return env, timings
+            if _sent_base is not None:
+                stamps[spec.name] = _sentinel_sec(spark, runs=1)
+        guard: dict = {"query_sentinels": stamps}
+        if _sent_base is not None:
+            drifted = sorted(
+                q for q, s in stamps.items()
+                if s > DRIFT * _sent_base and timings.get(q, -1.0) >= 0
+            )
+            guard["drifted_queries"] = drifted
+            if drifted:
+                print(
+                    f"bench: {len(drifted)} queries measured under a drifted "
+                    f"regime — re-running after settle: {drifted}",
+                    file=sys.stderr,
+                )
+            reruns: dict[str, list[float]] = {}
+            for q in drifted:
+                spec = next(s for s in specs if s.name == q)
+                for _ in range(2):
+                    _settle(spark, _sent_base)
+                    try:
+                        t = _run_one(spec)
+                    except Exception as exc:
+                        print(f"bench: rerun {q} FAILED: {exc}", file=sys.stderr)
+                        break
+                    s_local = _sentinel_sec(spark, runs=1)
+                    reruns.setdefault(q, []).append(s_local)
+                    if s_local < stamps[q]:
+                        timings[q] = t
+                        stamps[q] = s_local
+                    if s_local <= DRIFT * _sent_base:
+                        break
+            if reruns:
+                guard["rerun_sentinels"] = reruns
+            guard["contaminated_queries"] = sorted(
+                q for q, s in stamps.items()
+                if s > DRIFT * _sent_base and timings.get(q, -1.0) >= 0
+            )
+        return env, timings, guard
 
     # Min-sentinel retry (round-10 verdict task 5): a co-tenant noise burst
     # during THE sweep inflates every number uniformly; when the sweep's own
     # sentinel reads >1.15x the baseline regime, re-run the whole sweep (up
     # to SPARK_GRAFT_BENCH_ATTEMPTS, default 3) and keep the attempt with
     # the smallest sentinel — the calmest environment actually observed.
-    try:
-        _sent_base = json.load(open(BENCHBASE)).get("sentinel_sec")
-    except Exception:
-        _sent_base = None
+    # The per-query guard inside sweep() (r15) repairs MID-sweep bursts this
+    # whole-sweep retry can't see: its retry condition samples the opening
+    # sentinel only, which reads calm when load arrives later.
     max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
-    attempts: list[tuple[dict, dict[str, float]]] = []
+    attempts: list[tuple[dict, dict[str, float], dict]] = []
     for i in range(max_attempts):
         _settle(spark, _sent_base)  # cheap when already calm
         attempts.append(sweep())
         s = attempts[-1][0].get("sentinel_sec")
-        if _sent_base is None or s is None or s <= 1.15 * _sent_base:
+        if (
+            _sent_base is None
+            or s is None
+            or (s <= 1.15 * _sent_base and not attempts[-1][2].get("contaminated_queries"))
+        ):
             break
         print(
-            f"bench: attempt {i + 1} sentinel {s:.3f} > 1.15x baseline "
-            f"{_sent_base:.3f} — environment noisy, retrying",
+            f"bench: attempt {i + 1} sentinel {s:.3f} (>1.15x baseline "
+            f"{_sent_base:.3f}) or unrepaired drifted queries — retrying",
             file=sys.stderr,
         )
-    env, timings = min(attempts, key=lambda a: a[0].get("sentinel_sec") or 1e9)
+
+    def _attempt_rank(a: tuple[dict, dict[str, float], dict]) -> tuple:
+        # fewest unrepaired-contaminated queries first, then calmest sentinel
+        return (len(a[2].get("contaminated_queries", ())), a[0].get("sentinel_sec") or 1e9)
+
+    env, timings, guard = min(attempts, key=_attempt_rank)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
@@ -290,7 +405,23 @@ def main() -> None:
         "runs_per_query": runs,
         "env": env,
         "bench_attempts": len(attempts),
+        "guard": guard,
     }
+    # Top-level contamination verdict (r14 verdict task 1): TRUE iff any
+    # shipped number — main-sweep query or scale block — was last measured
+    # under a regime whose local sentinel stayed >DRIFT x baseline after
+    # re-runs. A BENCH_r{N}.json without this flag set can be trusted
+    # without a judge re-run; with it set, the listed queries are the ones
+    # whose timings are environment-inflated.
+    _contam = list(guard.get("contaminated_queries", ()))
+    for _blk in (sf1_block, dbgen_block):
+        if _blk is not None and _blk.get("block_contaminated"):
+            _contam.append(
+                "sf1_block" if _blk is sf1_block else "sf1_dbgen_block"
+            )
+    out["contaminated"] = bool(_contam)
+    if _contam:
+        out["contaminated_list"] = _contam
     if throughput is not None:
         out["throughput_rows_s"] = throughput["rows_per_sec"]
         out["stream_batches"] = throughput["batches"]
@@ -372,6 +503,7 @@ def main() -> None:
             "metric", "value", "unit", "queries", "sf", "runs_per_query",
             "vs_baseline_matched", "matched_queries", "env_drift",
             "vs_baseline_normalized", "throughput_rows_s", "stream_batches",
+            "contaminated", "contaminated_list",
         )
         if k in out
     }

@@ -58,26 +58,44 @@ def sum0(col: str | Column) -> Column:
     return F.coalesce(F.sum(c), F.lit(0))
 
 
-def min_by(value: str | Column, ordering: str | Column, tie: Column | None = None) -> Column:
+def min_by(
+    value: str | Column,
+    ordering: str | Column,
+    tie: Column | None = None,
+    tie_asc: bool = True,
+) -> Column:
     """minBy (DataSet.java:523) — value of ``value`` on the row minimizing
     ``ordering``. Flink's contract on ties is "the first encountered" —
     order-dependent and irreproducible under parallelism; pass ``tie`` (a
-    secondary ordering column, compared lexicographically after
-    ``ordering`` via a struct) for a DETERMINISTIC refinement. Found by the
-    r14 x10 gate: the 10x synthetic tier duplicates every extendedprice, so
-    the untied form returned partition-order-dependent orderkeys."""
+    secondary ordering column, compared after ``ordering`` via a struct)
+    for a DETERMINISTIC refinement. Found by the r14 x10 gate: the 10x
+    synthetic tier duplicates every extendedprice, so the untied form
+    returned partition-order-dependent orderkeys.
+
+    ``tie`` is always given in ASCENDING sense by default — smallest tie
+    value wins — regardless of whether the struct is minimized or
+    maximized (r14 ADVICE: max_by silently required callers to remember to
+    negate; now both helpers negate internally as needed). Pass
+    ``tie_asc=False`` for largest-tie-wins."""
     if tie is not None:
         o = F.col(ordering) if isinstance(ordering, str) else ordering
-        return F.min_by(value, F.struct(o, tie))
+        # min_by minimizes the struct: ascending tie = the raw column.
+        return F.min_by(value, F.struct(o, tie if tie_asc else -tie))
     return F.min_by(value, ordering)
 
 
-def max_by(value: str | Column, ordering: str | Column, tie: Column | None = None) -> Column:
-    """maxBy (DataSet.java:559). ``tie`` as in :func:`min_by` — note the
-    struct is MAXIMIZED, so pass a negated column for smallest-wins ties."""
+def max_by(
+    value: str | Column,
+    ordering: str | Column,
+    tie: Column | None = None,
+    tie_asc: bool = True,
+) -> Column:
+    """maxBy (DataSet.java:559). ``tie``/``tie_asc`` as in :func:`min_by` —
+    ascending tie sense by default; the struct is MAXIMIZED, so the
+    ascending form negates the tie column internally."""
     if tie is not None:
         o = F.col(ordering) if isinstance(ordering, str) else ordering
-        return F.max_by(value, F.struct(o, tie))
+        return F.max_by(value, F.struct(o, -tie if tie_asc else tie))
     return F.max_by(value, ordering)
 
 

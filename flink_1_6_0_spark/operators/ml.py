@@ -252,17 +252,20 @@ def sos_outlier_fixed(
     )
 
 
-def duck_sos_oracle(perplexity: float = 10.0, dim: int = 64, quant: int = SOS_QUANT, iters: int = SOS_ITERS) -> str:
+def duck_sos_oracle(perplexity: float = 10.0, dim: int = 64, quant: int = SOS_QUANT, iters: int = SOS_ITERS, where: str = "") -> str:
     """Unrolled-CTE replay of :func:`sos_outlier_fixed` over the embeddings
     view: exact integer squared distances, then the same fixed-depth binary
     search per point (state (lo, hi, beta), NULL hi = still doubling), the
     same h = beta*t/s + ln(s), and round(Π(1-p), 4). The log(perplexity)
     target is embedded as the Python float's repr so both engines compare
-    against the identical constant."""
+    against the identical constant. ``where`` (a predicate string, WITHOUT
+    the keyword) narrows the source — the r15 deterministic cap uses it so
+    the quadratic stays tractable above the EMB_CAP tier."""
     logh = repr(math.log(perplexity))
     q2 = float(quant * quant)
+    wh = f" WHERE {where}" if where else ""
     ctes = [
-        f"xq AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding::DOUBLE[], e -> CAST(floor(e*{quant} + 0.5) AS BIGINT)) AS x FROM embeddings)",
+        f"xq AS MATERIALIZED (SELECT vec_id AS id, list_transform(embedding::DOUBLE[], e -> CAST(floor(e*{quant} + 0.5) AS BIGINT)) AS x FROM embeddings{wh})",
         f"pairs AS MATERIALIZED (SELECT a.id AS i, b.id AS j, list_sum(list_transform(range(1, {dim + 1}), k -> (a.x[k]-b.x[k])*(a.x[k]-b.x[k])))::DOUBLE / {q2!r} AS d2s FROM xq a JOIN xq b ON a.id <> b.id)",
         "st0 AS MATERIALIZED (SELECT id AS i, 0.0::DOUBLE AS lo, NULL::DOUBLE AS hi, 1.0::DOUBLE AS beta FROM xq)",
     ]

@@ -771,6 +771,7 @@ def semantic_dedup(
     iters: int = KMEANS_ITERS,
     assigner: str = "exact",
     seed: int = 42,
+    materialize_assignment: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings, then flag semantic duplicates by pairwise cosine WITHIN each
@@ -793,9 +794,13 @@ def semantic_dedup(
       order on the unit sphere, the same metric alignment as
       ivf_kmeans_topk) — the production/bench path: assignment is a single
       vectorized model.transform pass, centroids converge in fewer passes,
-      no per-centroid Column fanout. Cross-engine hash-checking is
-      impossible (kmeans|| float folds aren't SQL-derivable); agreement
-      with the exact twin on gapped clusters is pytest-pinned instead.
+      no per-centroid Column fanout. Cross-engine hash-checking of the
+      CLUSTERING is impossible (kmeans|| float folds aren't SQL-derivable);
+      agreement with the exact twin on gapped clusters is pytest-pinned.
+      With ``materialize_assignment`` set, the learned (id, arr, cid) table
+      is written to parquet and reread, so the pair/canonical step — pure
+      SQL downstream of the assignment — IS value-hash-checkable by an
+      oracle that reads the same table (r14 verdict task 2).
 
     Scale: the Lloyd step is bytes-per-task (see _exact_lloyd) or a
     pyspark.ml fit; the pair step is an equi-self-join on cid — never a
@@ -814,15 +819,26 @@ def semantic_dedup(
             "features", array_to_vector(F.col("u"))
         )
         model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
-        # localCheckpoint: the assignment is read three times by the pair
-        # step (both self-join sides + the final flag join) — materialize it
-        # once to executor storage with truncated lineage; the ContextCleaner
-        # reclaims the blocks when the frame is unreferenced.
-        assigned = (
-            model.transform(feat)
-            .select("id", "arr", F.col("prediction").cast("long").alias("cid"))
-            .localCheckpoint(eager=True)
+        assigned = model.transform(feat).select(
+            "id", "arr", F.col("prediction").cast("long").alias("cid")
         )
+        if materialize_assignment is not None:
+            # r15 (r14 verdict task 2): persist the learned assignment as a
+            # parquet table and REREAD it for the pair step. The clustering
+            # itself can't be SQL-oracled (kmeans|| float folds), but
+            # everything downstream of the assignment is pure SQL — an
+            # external oracle that reads this same table sees bit-identical
+            # (id, arr, cid) rows, so the whole pair/canonical step becomes
+            # value-hash-checkable. Parquet roundtrip of doubles is exact.
+            assigned.write.mode("overwrite").parquet(materialize_assignment)
+            assigned = df.sparkSession.read.parquet(materialize_assignment)
+        else:
+            # localCheckpoint: the assignment is read three times by the
+            # pair step (both self-join sides + the final flag join) —
+            # materialize it once to executor storage with truncated
+            # lineage; the ContextCleaner reclaims the blocks when the
+            # frame is unreferenced.
+            assigned = assigned.localCheckpoint(eager=True)
         return _semantic_dedup_from_assigned(assigned, id_col, tau)
     if assigner != "exact":
         raise ValueError(f"unknown assigner: {assigner!r} (use 'exact' or 'ml')")

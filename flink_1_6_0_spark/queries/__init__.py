@@ -67,3 +67,39 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     harden_session(spark)
     return read_table(spark, sf_dir, name)
+
+
+# Deterministic embedding cap for the two declared-O(n²) algorithms
+# (r14 verdict task 6): at every oracle-gated tier so far (n <= EMB_CAP) the
+# gate is a no-op — results and hash evidence are bit-identical to the
+# uncapped form — but above it the md5 gate keeps an ~EMB_CAP-row
+# deterministic slice, so even the quadratic tier carries at-scale evidence
+# instead of a declared skip. The md5 gate is a pure function of vec_id:
+# both engines keep the identical subset on any partitioning.
+EMB_CAP = 2000  # the sf0.1 embeddings count — the proven-tractable n²
+
+
+def emb_capped(emb: DataFrame, salt: str) -> DataFrame:
+    """Spark side of the cap: keep rows whose portable md5 gate lands under
+    rate = min(1000, 1000*EMB_CAP // n) permille; exact no-op when the
+    table already fits (rate == 1000 keeps every row AND skips the filter,
+    so plans at gated tiers are untouched)."""
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.operators.utils import deterministic_sample
+
+    n = max(1, emb.count())
+    rate = min(1000, 1000 * EMB_CAP // n)
+    if rate >= 1000:
+        return emb
+    return deterministic_sample(emb, F.col("vec_id"), rate, salt=salt)
+
+
+def emb_cap_pred_sql(salt: str) -> str:
+    """DuckDB predicate mirroring :func:`emb_capped` — same md5 gate, same
+    integer rate arithmetic, computed in-SQL so one static oracle string is
+    correct at every tier."""
+    return (
+        f"('0x' || substr(md5(vec_id::VARCHAR || '{salt}'), 1, 15))::BIGINT % 1000 "
+        f"< (SELECT least(1000, (1000 * {EMB_CAP}) // greatest(count(*), 1)) FROM embeddings)"
+    )

@@ -327,8 +327,9 @@ def ml_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sos_oracle() -> str:
     from flink_1_6_0_spark.operators.ml import duck_sos_oracle
+    from flink_1_6_0_spark.queries import emb_cap_pred_sql
 
-    return duck_sos_oracle(perplexity=10.0, dim=64)
+    return duck_sos_oracle(perplexity=10.0, dim=64, where=emb_cap_pred_sql("soscap"))
 
 
 @query("ml_sos_outlier", oracle=_sos_oracle(), tags=("pipeline", "ml"))
@@ -339,10 +340,18 @@ def ml_sos_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     product). HASH-CHECKED since r13: the deterministic fixed-depth variant
     (operators/ml.sos_outlier_fixed — quantized exact distances, 50 search
     rounds, shared float-op sequence) replays as an unrolled DuckDB CTE;
-    the early-stopping sos_outlier stays as the production path."""
-    from flink_1_6_0_spark.operators.ml import sos_outlier_fixed
+    the early-stopping sos_outlier stays as the production path.
 
-    emb = T(spark, sf_dir, "embeddings").select(
+    r15 (r14 verdict task 6): the input rides the deterministic EMB_CAP md5
+    gate — an exact no-op at every tier gated so far (n <= 2000), but above
+    it both engines keep the same ~2000-row slice, so the O(n²) algorithm
+    carries at-scale evidence at the x10 tier instead of a declared skip
+    (the SCALE BOUNDARY docstring on the operator stands: sample or
+    pre-cluster first at 100 TB — this gate IS that sample)."""
+    from flink_1_6_0_spark.operators.ml import sos_outlier_fixed
+    from flink_1_6_0_spark.queries import emb_capped
+
+    emb = emb_capped(T(spark, sf_dir, "embeddings"), "soscap").select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
     )
     return sos_outlier_fixed(emb, perplexity=10.0)

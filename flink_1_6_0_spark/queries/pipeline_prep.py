@@ -167,6 +167,49 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ffd_pyoracle(con, budget: int = 256, num_shards: int = 8):
+    """Trusted-reimplementation oracle for pack_sequences_ffd at tiers where
+    the recursive-CTE oracle is cost-prohibitive (r14 verdict task 5: the
+    CTE replays ONE recursion step per document single-threaded — >50 min at
+    the x10 tier while the engine packs it in ~15 s). Tokenize/shard stay in
+    DuckDB SQL (vectorized, independent); the placement is a NAIVE
+    first-fit over a numpy capacity array — scan-for-first-fitting-bin
+    semantics straight from the FFD definition, deliberately NOT the
+    engine's segment-tree kernel (pipeline/prep.ffd_place) nor an import of
+    it. Same independence pattern the property suite uses
+    (tests/test_properties.py naive reference)."""
+    import numpy as np
+    import pandas as pd
+
+    base = con.sql(
+        f"SELECT doc_id, (doc_id % {num_shards})::INT AS shard, "
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens "
+        "FROM documents"
+    ).fetchdf()
+    out = []
+    for _, g in base.groupby("shard", sort=True):
+        g = g.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).copy()
+        caps = np.empty(len(g), dtype=np.int64)
+        n_open = 0
+        bins = []
+        for tok in g["n_tokens"].to_numpy():
+            open_caps = caps[:n_open]
+            fit = open_caps >= tok
+            if fit.any():
+                b = int(np.argmax(fit))  # FIRST fitting bin (lowest index)
+                caps[b] -= tok
+            else:
+                b = n_open  # new bin; oversize docs go negative, alone
+                caps[b] = budget - tok
+                n_open += 1
+            bins.append(b)
+        g["bin"] = np.array(bins, dtype=np.int64)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)
+
+
 @query(
     "pack_sequences_ffd",
     oracle="""
@@ -199,6 +242,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("pipeline", "utils"),
     bench=True,
+    pyoracle=_ffd_pyoracle,
 )
 def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing at a 256-token budget: per-shard FFD in
@@ -206,7 +250,10 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     global state). The oracle replays the IDENTICAL deterministic placement
     — (n_tokens DESC, doc_id) order, first-fitting bin, oversize docs open
     their own bin — with a DuckDB recursive CTE carrying each shard's
-    remaining-capacity list."""
+    remaining-capacity list. At tiers where that recursion is
+    cost-prohibitive, the registered ``pyoracle`` (naive numpy first-fit,
+    independent of the engine's segment-tree kernel) gates it instead —
+    scripts/oracle_check.py ``--py`` (r14 verdict task 5)."""
     return prep.pack_sequences_ffd(
         T(spark, sf_dir, "documents"), "doc_id", "text", budget=256, num_shards=8
     )

@@ -303,7 +303,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             agg_ops.max_by(
-                "l_orderkey", "l_extendedprice", tie=-F.col("l_orderkey")
+                "l_orderkey", "l_extendedprice", tie=F.col("l_orderkey")
             ).alias("top_order"),
             agg_ops.min_by(
                 "l_orderkey", "l_extendedprice", tie=F.col("l_orderkey")

@@ -30,6 +30,15 @@ class QuerySpec:
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
     description: str = ""
+    # Optional trusted-reimplementation oracle for tiers where the SQL
+    # oracle is cost-prohibitive (r14 verdict task 5: pack_sequences_ffd's
+    # recursive CTE replays one step per document). Signature:
+    # ``pyoracle(con: duckdb connection with table views) -> pandas
+    # DataFrame``; an INDEPENDENT implementation (never imports the engine
+    # kernel). scripts/oracle_check.py substitutes it for the SQL oracle
+    # only when invoked with ``--py name,...`` — the driver gate and the
+    # default path always use the SQL oracle.
+    pyoracle: "Callable | None" = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -59,13 +68,17 @@ def query(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     description: str = "",
+    pyoracle: "Callable | None" = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as a declared query with an optional DuckDB oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags), bench, description or (fn.__doc__ or ""))
+        _REGISTRY[name] = QuerySpec(
+            name, fn, oracle, tuple(tags), bench,
+            description or (fn.__doc__ or ""), pyoracle,
+        )
         return fn
 
     return deco

@@ -54,7 +54,25 @@ def synthesize(spark: SparkSession, base: str, n: int, out: str) -> None:
 
     B = 1_000_000_000
     ev = spark.read.parquet(f"{base}/events.parquet")
-    times(ev, "event_id", B).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    # events lands as TIME-ORDERED part files (r14 verdict task 3): one file
+    # per contiguous ts range, ascending mtimes, plus a _TIME_ORDERED marker
+    # — so sources/stream.events_stream can replay this directory as >= 3
+    # genuinely time-ordered micro-batches and the WATERMARKED stream family
+    # gets multi-epoch progression evidence at the 1M-event tier. (r14's x10
+    # finding #4: unordered part files fed watermarks backwards, forcing
+    # directory tables into a single-epoch drain.) RangePartitioner keeps
+    # equal ts in one partition, so slice ranges are disjoint — under an
+    # in-order replay no row is ever late relative to the watermark, which
+    # is exactly why the bounded-replay oracles stay valid per epoch count.
+    evp = f"{out}/events.parquet"
+    (
+        times(ev, "event_id", B)
+        .repartitionByRange(30, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(evp)
+    )
+    _stamp_time_ordered(evp)
 
     def perturb(d, i):
         rot = "aeiou"[i % 5 :] + "aeiou"[: i % 5]
@@ -73,6 +91,24 @@ def synthesize(spark: SparkSession, base: str, n: int, out: str) -> None:
     times(li, "l_orderkey", B).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     od = spark.read.parquet(f"{base}/orders.parquet")
     times(od, "o_orderkey", B).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+
+def _stamp_time_ordered(table_dir: str) -> None:
+    """Stamp a range-partitioned parquet directory as time-ordered: part
+    files get strictly ascending mtimes in name order (a single write job
+    names them part-00000..part-NNNNN in partition order, and
+    repartitionByRange assigns ranges in sorted order, so name order IS time
+    order), plus a ``_TIME_ORDERED`` marker that events_stream keys on.
+    Structured Streaming's file source admits files oldest-mtime-first, so
+    an N-files-per-trigger replay then feeds watermarks strictly forward."""
+    import glob as _glob
+    import time as _time
+
+    parts = sorted(_glob.glob(os.path.join(table_dir, "part-*.parquet")))
+    t0 = _time.time() - 3600  # firmly in the past; only relative order matters
+    for i, p in enumerate(parts):
+        os.utime(p, (t0 + i, t0 + i))
+    open(os.path.join(table_dir, "_TIME_ORDERED"), "w").close()
 
 
 def _all_tables_key(base: str) -> str:
@@ -102,7 +138,10 @@ def sf1_dir(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
     """Materialize (once per source content) the 10× scale-up of sf0.1 —
     the sf1-equivalent bench point — and return its directory."""
     key = _all_tables_key(base)
-    dest = os.path.join(_lake_root(), key, "sf1_x10")
+    # _v2 (r15): events layout changed to time-ordered part files — the
+    # content key hashes SOURCE tables only, so a layout change must bump
+    # the dest name or cached tiers from older rounds would be served stale.
+    dest = os.path.join(_lake_root(), key, "sf1_x10_v2")
     if os.path.isfile(os.path.join(dest, "_SUCCESS")):
         return dest
     tmp = f"{dest}.tmp.{os.getpid()}"

@@ -37,6 +37,20 @@ def read_parquet_stream(spark: SparkSession, path: str, max_files_per_trigger: i
 
     harden_session(spark)
     schema = spark.read.parquet(path).schema
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_TIME_ORDERED")):
+        # Directory table stamped time-ordered (scale_synth._stamp_time_ordered:
+        # one part file per disjoint ts range, ascending mtimes): replay as
+        # >= 3 genuinely time-ordered micro-batches — the file source admits
+        # oldest-mtime first, so watermarks advance strictly forward. The
+        # caller's max_files_per_trigger is overridden: its default of 1 was
+        # tuned for single-file/staged layouts, and an unstamped directory
+        # would have to drain in one epoch instead (see events_stream).
+        n_parts = sum(
+            1
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        max_files_per_trigger = max(1, (n_parts + 2) // 3)
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
         # file streams require a directory source; narrow with a glob filter
@@ -62,10 +76,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
             reader = reader.option("pathGlobFilter", os.path.basename(path))
             return reader.parquet(os.path.dirname(path))
-        # Spark-written DIRECTORY table (the x10 synthetic tier): stream the
-        # directory itself — the unconditional glob filter used to match 0
-        # files here and every stream query read an empty source (r14 x10
-        # gate finding). Drain in ONE micro-batch: part files are not
+        if os.path.isfile(os.path.join(path, "_TIME_ORDERED")):
+            # r15 (r14 verdict task 3): a directory table stamped
+            # time-ordered (scale_synth writes the x10 events as one part
+            # file per disjoint ts range with ascending mtimes) replays as
+            # >= 3 REAL micro-batches — the file source admits oldest-mtime
+            # first, so the watermark advances strictly forward and the
+            # whole watermarked stream family gets multi-epoch progression
+            # evidence at the 1M-event tier instead of a single-epoch drain.
+            n_parts = sum(
+                1
+                for f in os.listdir(path)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            per_trigger = max(1, (n_parts + 2) // 3)
+            reader = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", per_trigger
+            )
+            return reader.parquet(path)
+        # Unstamped Spark-written DIRECTORY table: stream the directory
+        # itself — the unconditional glob filter used to match 0 files here
+        # and every stream query read an empty source (r14 x10 gate
+        # finding). Drain in ONE micro-batch: part files are not
         # time-ordered, so a 1-file-per-trigger replay feeds the watermark
         # out of order and drops most rows as late — the bounded-replay
         # semantics the oracles model are the single-epoch drain. Ordered

@@ -490,8 +490,12 @@ def event_time_window_df(
             columns=[key_col, "w_start", "w_end", "fire_seq", "cnt", "sum_payload"],
         )
 
+    # Key field keeps the INPUT's type (r14 ADVICE: a hardcoded `long` here
+    # broke any caller whose key column isn't long — current callers all key
+    # on long user_id, but the kernel itself is key-type-agnostic).
+    key_type = df.schema[key_col].dataType.simpleString()
     schema = (
-        f"{key_col} long, w_start long, w_end long, fire_seq long, "
+        f"{key_col} {key_type}, w_start long, w_end long, fire_seq long, "
         "cnt long, sum_payload long"
     )
     return df.select(*cols).groupBy(key_col).applyInPandas(replay, schema)

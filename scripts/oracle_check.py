@@ -28,6 +28,7 @@ def main() -> int:
     # is printed so the record shows what was excluded)
     skip: set[str] = set()
     only: set[str] = set()
+    use_py: set[str] = set()
     argv = []
     it = iter(sys.argv[1:])
     for a in it:
@@ -39,10 +40,25 @@ def main() -> int:
         if a == "--names":  # explicit list (parallel gate sharding)
             only |= set(next(it, "").split(","))
             continue
+        if a == "--py":  # use the registered trusted-reimplementation
+            # (python) oracle instead of the SQL one for these queries —
+            # the scale-tier path for oracles whose SQL form is
+            # cost-prohibitive (r14 verdict task 5)
+            use_py |= set(next(it, "").split(","))
+            continue
         argv.append(a)
     nonempty = "--nonempty" in sys.argv[1:]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     filt = argv[1] if len(argv) > 1 else ""
+    # Validate the parsed names against the registry (r14 ADVICE): a missing
+    # or trailing --skip/--names value silently added '' to the set, and a
+    # typo'd query name silently skipped NOTHING while stderr still claimed
+    # it was excluded.
+    _known = set(load_all())
+    _bad = sorted((skip | only | use_py) - _known)
+    if _bad:
+        print(f"error: unknown --skip/--names entries: {_bad}", file=sys.stderr)
+        return 2
     if skip:
         print(f"skipping {len(skip)} declared: {sorted(skip)}", file=sys.stderr)
     spark = get_spark(app_name="oracle-check")
@@ -73,10 +89,15 @@ def main() -> int:
         try:
             sp = spec.fn(spark, sf).toPandas()
             driver_canon(sp)  # the driver's raw sort_values — unhashable cells throw
-            if spec.oracle is None:
+            if name in use_py:
+                if spec.pyoracle is None:
+                    raise ValueError(f"--py requested but {name} has no pyoracle")
+                dk = spec.pyoracle(con)
+            elif spec.oracle is None:
                 print(f"{name}: rows={len(sp)} (no oracle — rows-only)")
                 continue
-            dk = con.sql(spec.oracle).fetchdf()
+            else:
+                dk = con.sql(spec.oracle).fetchdf()
             cols_ok = sorted(sp.columns) == sorted(dk.columns)
             a, b = normalize(sp), normalize(dk)
             ok = cols_ok and a == b

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from flink_1_6_0_spark.operators.joins import windowed_join
@@ -540,3 +542,56 @@ def test_kafka_format_reaches_datasource_lookup(spark):
 
     with pytest.raises(Exception, match="(?i)kafka"):
         kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_time_ordered_directory_table_streams_multi_epoch(spark, sf_dir, tmp_path):
+    """r15 (r14 verdict task 3): a directory events table stamped
+    _TIME_ORDERED (the x10 synthetic layout: one part file per disjoint ts
+    range, ascending mtimes) must replay as >= 3 REAL micro-batches with the
+    watermark advancing strictly forward — no row dropped, and a watermarked
+    windowed aggregate equal to the batch computation. Before this layout,
+    directory tables drained in a single epoch, so multi-epoch watermark
+    progression had no at-scale gate (r14 x10 finding #4)."""
+    import uuid
+
+    from flink_1_6_0_spark.catalog import read_table
+    from flink_1_6_0_spark.sources.scale_synth import _stamp_time_ordered
+    from flink_1_6_0_spark.sources.stream import events_stream, to_memory_sink
+
+    d = str(tmp_path / "tier")
+    os.makedirs(d)
+    ev = read_table(spark, sf_dir, "events")
+    evp = os.path.join(d, "events.parquet")
+    (
+        ev.repartitionByRange(6, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(evp)
+    )
+    _stamp_time_ordered(evp)
+
+    stream = events_stream(spark, d).withWatermark("ts", "1 minute")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    name = f"to_{uuid.uuid4().hex[:8]}"
+    q = to_memory_sink(agg, name, "complete")
+    try:
+        q.processAllAvailable()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # watermark must move strictly forward across epochs
+        wms = [
+            p["eventTime"]["watermark"]
+            for p in progress
+            if p.get("eventTime", {}).get("watermark", "1970-01-01T00:00:00.000Z")
+            > "1971"
+        ]
+    finally:
+        q.stop()
+    assert len(progress) == 3, [p["numInputRows"] for p in progress]
+    assert wms == sorted(wms) and len(set(wms)) == len(wms), wms
+    got = spark.table(name)
+    want = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -458,3 +458,29 @@ def test_semantic_dedup_ml_agrees_with_exact(spark):
     assert sorted(k_exact.values()).count(1) == 3
     for grp in p_exact:
         assert k_exact[min(grp)] == 1
+
+
+def test_emb_cap_gate_spark_duckdb_identical_subset(spark, sf_dir, duck, monkeypatch):
+    """r15 (r14 verdict task 6): when the EMB_CAP gate ENGAGES (n > cap),
+    both engines must keep the bit-identical vec_id subset — the whole
+    premise of slice-gating the two O(n²) queries at the x10 tier. Forced
+    here by shrinking the cap below the tier's row count (the registered
+    oracles embed the real cap; this pins the gate SPELLING equivalence)."""
+    import flink_1_6_0_spark.queries as Q
+    from flink_1_6_0_spark.queries import T, emb_cap_pred_sql, emb_capped
+
+    monkeypatch.setattr(Q, "EMB_CAP", 100)
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert n > 100  # the gate must actually engage
+    got = sorted(
+        r["vec_id"] for r in emb_capped(emb, "semcap").select("vec_id").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            f"SELECT vec_id FROM embeddings WHERE {emb_cap_pred_sql('semcap')}"
+        ).fetchall()
+    )
+    assert 0 < len(got) < n
+    assert got == want

@@ -279,3 +279,30 @@ def test_skew_report_composite_key(spark):
     df = spark.createDataFrame(rows, "k long, s string")
     got = {(r["k"], r["s"]): r["n"] for r in skew_report(df, ["k", "s"], top_n=5).collect()}
     assert got == {(1, "a"): 8, (1, "b"): 2, (2, "a"): 2}
+
+
+def test_min_max_by_tie_sense(spark):
+    """r14 ADVICE: both helpers take ``tie`` in ASCENDING sense by default
+    (smallest tie value wins) regardless of min/max direction — max_by used
+    to silently require a caller-side negation."""
+    from flink_1_6_0_spark.operators.aggregations import max_by, min_by
+
+    rows = [(1, 10.0, 7), (1, 10.0, 3), (1, 5.0, 1), (2, 4.0, 9), (2, 4.0, 2)]
+    df = spark.createDataFrame(rows, "k long, v double, id long")
+    got = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            max_by("id", "v", tie=F.col("id")).alias("mx_asc"),
+            max_by("id", "v", tie=F.col("id"), tie_asc=False).alias("mx_desc"),
+            min_by("id", "v", tie=F.col("id")).alias("mn_asc"),
+            min_by("id", "v", tie=F.col("id"), tie_asc=False).alias("mn_desc"),
+        )
+        .collect()
+    }
+    # k=1: max v=10.0 ties ids {3,7}; min v=5.0 unique id 1
+    assert got[1]["mx_asc"] == 3 and got[1]["mx_desc"] == 7
+    assert got[1]["mn_asc"] == 1 and got[1]["mn_desc"] == 1
+    # k=2: single v=4.0 ties ids {2,9}
+    assert got[2]["mx_asc"] == 2 and got[2]["mx_desc"] == 9
+    assert got[2]["mn_asc"] == 2 and got[2]["mn_desc"] == 9
