@@ -1240,7 +1240,7 @@ def stream_window_lateness_kernel(spark: SparkSession, sf_dir: str) -> DataFrame
                         -4611686018427387904) AS maxwm
         FROM src GROUP BY user_id
     ), onr AS (  -- phase-1 session islands over on-time rows
-        SELECT user_id, rt, cents,
+        SELECT user_id, event_id, rt, cents,
                SUM(CASE WHEN prev IS NULL OR rt - prev > 28800000
                         THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY rt, event_id
@@ -1258,7 +1258,7 @@ def stream_window_lateness_kernel(spark: SparkSession, sf_dir: str) -> DataFrame
     ), admitted AS (  -- late rows the kernel admits: window end past the
         -- watermark (its own window lives), or within gap-reach of the
         -- trailing session's coverage (merged extent is then never late)
-        SELECT s.user_id, rt, cents
+        SELECT s.user_id, s.event_id, rt, cents
         FROM src s
         JOIN wm USING (user_id)
         LEFT JOIN tail_start USING (user_id)
@@ -1266,18 +1266,25 @@ def stream_window_lateness_kernel(spark: SparkSession, sf_dir: str) -> DataFrame
           AND (rt + 28800000 > maxwm
                OR (t_s IS NOT NULL AND rt >= t_s - 28800000))
     ), tail_rows AS (  -- deferred set: trailing session rows + admitted lates
-        SELECT o.user_id, rt, cents
+        SELECT o.user_id, o.event_id, rt, cents
         FROM onr o JOIN lsid l ON o.user_id = l.user_id AND o.sid = l.last_sid
         UNION ALL
-        SELECT user_id, rt, cents FROM admitted
-    ), t2 AS (  -- final merged sessions over the deferred set
+        SELECT user_id, event_id, rt, cents FROM admitted
+    ), t2 AS (  -- final merged sessions over the deferred set.
+        -- BOTH windows total-order on (rt, event_id): the r15 x100 probe
+        -- caught ORDER BY rt alone here — with duplicated timestamps the
+        -- lag() and the cumulative-sum window may evaluate under DIFFERENT
+        -- physical tie orders, splitting one tie group across islands
+        -- nondeterministically (59964/59970 run-to-run at 10M events; the
+        -- same class the r14 x10 gate fixed in the other session oracles).
         SELECT user_id, rt, cents,
                SUM(CASE WHEN prev IS NULL OR rt - prev > 28800000
                         THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY rt
+                 OVER (PARTITION BY user_id ORDER BY rt, event_id
                        ROWS UNBOUNDED PRECEDING) AS sid
-        FROM (SELECT user_id, rt, cents,
-                     lag(rt) OVER (PARTITION BY user_id ORDER BY rt) AS prev
+        FROM (SELECT user_id, event_id, rt, cents,
+                     lag(rt) OVER (PARTITION BY user_id
+                                   ORDER BY rt, event_id) AS prev
               FROM tail_rows)
     )
     -- closed on-time sessions fire once during phase 1
