@@ -120,26 +120,24 @@ _SENTINELS = (
 # graph queries routing through _checkpoint's lazy reliable-persist path,
 # whose r10 drain-timing changed after r10's rotation list was frozen —
 # the r10 ADVICE re-seat).
-# r13 window. Preflight against r12: every r12 rotation name appears in
-# CORRECTNESS_r12.json (the r12 verdict confirmed the window contained all
-# re-seats), so the r12 re-seats have fresh evidence and rotate OUT. r13
-# re-seats cover this round's kernel diffs (the new queries —
-# stream_nonwindow_join_retention, stream_timebounded_join_kernel — head the
-# window automatically as never-driver-checked):
+# r15 window. Preflight against r14: every r13 rotation name appears in
+# CORRECTNESS_r14.json (verified — stream_over_proctime_rows,
+# stream_proctime_sort, over_range_bounded, ml_sos_outlier, text_bpe_train
+# all have fresh r14 rows), so the r13 re-seats rotate OUT. r15 re-seats
+# cover this round's query/oracle diffs:
 _ROTATE_IN = (
-    # r13: ProcTimeBoundedRowsOverKernel re-seats smallest_ts after the
-    # offset-1 sentinel fix (the ADVICE KeyError path) — re-seat the query
-    # routed through the kernel
-    "stream_over_proctime_rows",
-    # r13: proctime_sort_df's sort key rebuilt on a field-by-field
-    # comparator (descending was value negation before)
-    "stream_proctime_sort",
-    # r13: sf0.1 full-gate find — oracle's RANGE key now truncates to whole
-    # seconds like Spark's unix_seconds (fractional epoch() broke peer rows)
-    "over_range_bounded",
-    # r13: rows-only -> hash-checked upgrades (new deterministic fn + new
-    # oracle on both) — the driver must record fresh VALUE-checked rows
-    "ml_sos_outlier", "text_bpe_train",
+    # r15: rows-only -> hash-checked upgrade (materialized kmeans||
+    # assignment + pair-step oracle) — the driver must record its FIRST
+    # value-checked rows for the registry's last no_oracle entry
+    "dedup_semantic_ml",
+    # r15: EMB_CAP md5 slice gates added (exact no-op at sf0.01, but the
+    # query fns and oracle strings changed) — fresh rows prove the no-op
+    "dedup_semantic", "ml_sos_outlier",
+    # r15: min_by/max_by tie now passed in ascending sense (caller updated)
+    "agg_min_max_by",
+    # r15: oracle's merged-session windows re-ordered on (rt, event_id)
+    # after the x100 tie-split find
+    "stream_session_window_kernel",
 )
 
 
