@@ -25,6 +25,30 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_1_6_0_spark.catalog import _events_read_schema, normalize_table
 
 
+#: Per-epoch row budget for time-ordered directory replays. The r15 x100
+#: stream probe found the bound empirically: 3 epochs of ~3.3M rows OOM'd
+#: the JVM heap at the ApplyInPandasWithState STATE readback (a stateful
+#: kernel buffers its per-key state until the epoch's watermark advance, so
+#: per-epoch input volume IS the state high-water mark on a single-JVM
+#: local run). ~350k rows/epoch is the x10 gate's proven-green volume; on a
+#: real cluster the same state distributes across executors and the budget
+#: scales with executor count.
+_EPOCH_ROWS_TARGET = 350_000
+
+
+def _time_ordered_per_trigger(spark: SparkSession, path: str) -> int:
+    """maxFilesPerTrigger for a `_TIME_ORDERED`-stamped directory: at least
+    3 epochs (multi-batch evidence), more when needed to keep each epoch
+    under _EPOCH_ROWS_TARGET rows. The row count is parquet-footer
+    metadata — no data scan."""
+    n_parts = sum(
+        1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    total = spark.read.parquet(path).count()
+    epochs = max(3, -(-total // _EPOCH_ROWS_TARGET))
+    return max(1, n_parts // epochs)
+
+
 def read_parquet_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """A parquet directory replayed as a stream (readFile watch-mode analog;
     also the test harness for every windowed-agg/join query: bounded input
@@ -45,12 +69,7 @@ def read_parquet_stream(spark: SparkSession, path: str, max_files_per_trigger: i
         # caller's max_files_per_trigger is overridden: its default of 1 was
         # tuned for single-file/staged layouts, and an unstamped directory
         # would have to drain in one epoch instead (see events_stream).
-        n_parts = sum(
-            1
-            for f in os.listdir(path)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        max_files_per_trigger = max(1, (n_parts + 2) // 3)
+        max_files_per_trigger = _time_ordered_per_trigger(spark, path)
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
         # file streams require a directory source; narrow with a glob filter
@@ -84,14 +103,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # first, so the watermark advances strictly forward and the
             # whole watermarked stream family gets multi-epoch progression
             # evidence at the 1M-event tier instead of a single-epoch drain.
-            n_parts = sum(
-                1
-                for f in os.listdir(path)
-                if f.startswith("part-") and f.endswith(".parquet")
-            )
-            per_trigger = max(1, (n_parts + 2) // 3)
+            # Epoch size is row-budgeted (see _EPOCH_ROWS_TARGET): stateful
+            # kernels buffer per-key state until the epoch's watermark
+            # advance, so unbounded epochs OOM exactly when the tier grows.
             reader = spark.readStream.schema(schema).option(
-                "maxFilesPerTrigger", per_trigger
+                "maxFilesPerTrigger", _time_ordered_per_trigger(spark, path)
             )
             return reader.parquet(path)
         # Unstamped Spark-written DIRECTORY table: stream the directory
