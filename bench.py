@@ -210,27 +210,39 @@ def main() -> None:
 
     def _guarded_block(d: str, names: tuple[str, ...]) -> dict:
         """Run a scale block with the mid-sweep guard: stamp the regime
-        before (``env``) and after (``sentinel_after``) the timed block; a
-        drifted post-stamp means load arrived MID-block, so settle and
-        re-run once, keeping the pass with the calmer post-stamp."""
+        before (``env``) and after (``sentinel_after``) the timed block.
+
+        A drifted post-stamp is AMBIGUOUS: a heavy block leaves its own
+        GC/allocator tail that reads exactly like ambient load (the first
+        two r15 calm closures flagged the sf1 block on an IDLE machine —
+        post-stamp 0.78-0.90 every run, block ratios at their best ever).
+        Disambiguate by settling and re-stamping: the block's own tail
+        drains in seconds, co-tenant load does not. Only a STILL-drifted
+        settled stamp means real mid-block load — then re-run once and
+        keep the pass with the calmer settled stamp."""
         best: dict | None = None
         for attempt in range(2):
             env = _mini_env(spark)
             qs = _timed_block(d, names)
             post = _sentinel_sec(spark, runs=1)
             cand = {"env": env, "queries": qs, "sentinel_after": post}
-            if best is None or post < best["sentinel_after"]:
+            if _sent_base0 is not None and post > DRIFT * _sent_base0:
+                _settle(spark, _sent_base0, limit_sec=60.0)
+                settled = _sentinel_sec(spark, runs=1)
+                cand["sentinel_after_settled"] = settled
+                post = min(post, settled)
+            cand["sentinel_verdict"] = post
+            if best is None or post < best["sentinel_verdict"]:
                 best = cand
             if _sent_base0 is None or post <= DRIFT * _sent_base0:
                 break
             print(
-                f"bench: block post-sentinel {post:.3f} > {DRIFT}x regime "
-                f"{_sent_base0:.3f} — load arrived mid-block, re-running",
+                f"bench: block settled post-sentinel {post:.3f} > {DRIFT}x "
+                f"regime {_sent_base0:.3f} — real mid-block load, re-running",
                 file=sys.stderr,
             )
-            _settle(spark, _sent_base0)
         best["block_contaminated"] = bool(
-            _sent_base0 and best["sentinel_after"] > DRIFT * _sent_base0
+            _sent_base0 and best["sentinel_verdict"] > DRIFT * _sent_base0
         )
         return best
 
