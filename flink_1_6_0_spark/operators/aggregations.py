@@ -76,7 +76,14 @@ def min_by(
     value wins — regardless of whether the struct is minimized or
     maximized (r14 ADVICE: max_by silently required callers to remember to
     negate; now both helpers negate internally as needed). Pass
-    ``tie_asc=False`` for largest-tie-wins."""
+    ``tie_asc=False`` for largest-tie-wins.
+
+    CONSTRAINT: the tie column must be NUMERIC whenever the internal
+    negation fires (max_by with tie_asc=True, min_by with tie_asc=False)
+    — Spark's unary minus on a string casts to double and yields NULL,
+    which would silently restore the nondeterminism ``tie`` exists to
+    remove. Non-numeric ties are only valid in the direction that needs
+    no negation."""
     if tie is not None:
         o = F.col(ordering) if isinstance(ordering, str) else ordering
         # min_by minimizes the struct: ascending tie = the raw column.

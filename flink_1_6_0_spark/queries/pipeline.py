@@ -942,7 +942,14 @@ def _semdedup_ml_assign_path() -> str:
     query fn OVERWRITES this table at plan-build time on every invocation,
     and the gate runs the Spark side before the oracle (scripts/
     oracle_check.py and the driver both do), so the oracle always reads the
-    assignment of the run it is checking."""
+    assignment of the run it is checking.
+
+    OPERATIONAL CONSTRAINT of the fixed path: never run two gates that
+    both include this query CONCURRENTLY (e.g. an sf0.01 gate while an
+    x10 shard is on it) — the second fn call overwrites the first run's
+    assignment and its oracle would read the wrong tier. The standard
+    sharding puts the query in exactly one process; the driver gate and
+    bench are sequential, so this only bites hand-run overlapping gates."""
     import os
 
     from flink_1_6_0_spark.sources.partitioned import _lake_root

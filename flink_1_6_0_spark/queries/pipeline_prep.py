@@ -186,6 +186,8 @@ def _ffd_pyoracle(con, budget: int = 256, num_shards: int = 8):
         "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens "
         "FROM documents"
     ).fetchdf()
+    if base.empty:  # pd.concat([]) raises; an empty corpus packs to 0 rows
+        return base.assign(bin=pd.Series(dtype="int64"))
     out = []
     for _, g in base.groupby("shard", sort=True):
         g = g.sort_values(

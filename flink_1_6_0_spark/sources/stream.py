@@ -36,17 +36,28 @@ from flink_1_6_0_spark.catalog import _events_read_schema, normalize_table
 _EPOCH_ROWS_TARGET = 350_000
 
 
+_PER_TRIGGER_CACHE: dict[tuple[str, float], int] = {}
+
+
 def _time_ordered_per_trigger(spark: SparkSession, path: str) -> int:
     """maxFilesPerTrigger for a `_TIME_ORDERED`-stamped directory: at least
     3 epochs (multi-batch evidence), more when needed to keep each epoch
     under _EPOCH_ROWS_TARGET rows. The row count is parquet-footer
-    metadata — no data scan."""
+    metadata (no data scan) but still a Spark job — cached per
+    (path, marker mtime) since stamped tiers are immutable once published
+    (bench runs construct the same stream dozens of times)."""
+    key = (path, os.path.getmtime(os.path.join(path, "_TIME_ORDERED")))
+    hit = _PER_TRIGGER_CACHE.get(key)
+    if hit is not None:
+        return hit
     n_parts = sum(
         1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
     )
     total = spark.read.parquet(path).count()
     epochs = max(3, -(-total // _EPOCH_ROWS_TARGET))
-    return max(1, n_parts // epochs)
+    per = max(1, n_parts // epochs)
+    _PER_TRIGGER_CACHE[key] = per
+    return per
 
 
 def read_parquet_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
