@@ -31,7 +31,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible ops)."""
-    from flink_1_6_0_spark.registry import load_all
+    """DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible ops).
 
-    return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}
+    Callable oracles (tier-keyed paths — see registry.QuerySpec.oracle) are
+    resolved here against the driver's gate tier: the driver runs this dict
+    side-by-side with ``queries()[name](spark, sf0.01_dir)``, so the
+    resolution dir must match. SPARK_GRAFT_GATE_SF_DIR overrides for hand
+    runs (deliberately NOT SPARK_GRAFT_SF_DIR — that one steers bench.py
+    and may be set to sf0.1 in the same environment)."""
+    import os
+
+    from flink_1_6_0_spark.registry import load_all, resolve_oracle
+
+    gate_dir = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    return {
+        name: resolve_oracle(spec, gate_dir)
+        for name, spec in load_all().items()
+        if spec.oracle is not None
+    }

@@ -219,7 +219,14 @@ def main() -> None:
         Disambiguate by settling and re-stamping: the block's own tail
         drains in seconds, co-tenant load does not. Only a STILL-drifted
         settled stamp means real mid-block load — then re-run once and
-        keep the pass with the calmer settled stamp."""
+        keep the pass with the calmer settled stamp.
+
+        LIMIT (r15 ADVICE): both the block stamps and the sweep's
+        per-query stamps are post-hoc — they bound contamination that
+        PERSISTS past the measurement. A co-tenant burst confined to the
+        measurement window (ending before the post-stamp) is
+        indistinguishable from the block's own GC tail and ships
+        unflagged; `contaminated: false` is strong but not absolute."""
         best: dict | None = None
         for attempt in range(2):
             env = _mini_env(spark)
@@ -443,16 +450,28 @@ def main() -> None:
     # Top-level contamination verdict (r14 verdict task 1): TRUE iff any
     # shipped number — main-sweep query or scale block — was last measured
     # under a regime whose local sentinel stayed >DRIFT x baseline after
-    # re-runs. A BENCH_r{N}.json without this flag set can be trusted
-    # without a judge re-run; with it set, the listed queries are the ones
-    # whose timings are environment-inflated.
+    # re-runs. A BENCH_r{N}.json with guard_active=true and this flag false
+    # can be trusted without a judge re-run; with it set, the listed
+    # queries are the ones whose timings are environment-inflated.
+    #
+    # KNOWN LIMIT (r15 ADVICE): the stamps are post-hoc — they bound
+    # contamination that PERSISTS past each measurement (co-tenant load,
+    # sustained pressure). A burst confined exactly to one measurement
+    # window, ending before its post-stamp, reads identically to the
+    # block's own GC tail and ships unflagged. The flag is a strong
+    # negative signal, not an absolute guarantee.
+    #
+    # guard_active (r15 ADVICE): when BENCHBASE is missing the guard never
+    # stamped anything — contaminated=null then, so consumers can tell a
+    # verified-clean run from an UNCHECKED one.
     _contam = list(guard.get("contaminated_queries", ()))
     for _blk in (sf1_block, dbgen_block):
         if _blk is not None and _blk.get("block_contaminated"):
             _contam.append(
                 "sf1_block" if _blk is sf1_block else "sf1_dbgen_block"
             )
-    out["contaminated"] = bool(_contam)
+    out["guard_active"] = _sent_base is not None
+    out["contaminated"] = bool(_contam) if _sent_base is not None else None
     if _contam:
         out["contaminated_list"] = _contam
     if throughput is not None:
@@ -536,7 +555,7 @@ def main() -> None:
             "metric", "value", "unit", "queries", "sf", "runs_per_query",
             "vs_baseline_matched", "matched_queries", "env_drift",
             "vs_baseline_normalized", "throughput_rows_s", "stream_batches",
-            "contaminated", "contaminated_list",
+            "guard_active", "contaminated", "contaminated_list",
         )
         if k in out
     }

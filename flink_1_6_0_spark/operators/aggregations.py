@@ -83,12 +83,35 @@ def min_by(
     — Spark's unary minus on a string casts to double and yields NULL,
     which would silently restore the nondeterminism ``tie`` exists to
     remove. Non-numeric ties are only valid in the direction that needs
-    no negation."""
+    no negation — ENFORCED (r15 ADVICE): the negated branch raises at
+    execution time if negation nulled a non-null tie (see
+    :func:`_checked_neg`) instead of silently degrading."""
     if tie is not None:
         o = F.col(ordering) if isinstance(ordering, str) else ordering
         # min_by minimizes the struct: ascending tie = the raw column.
-        return F.min_by(value, F.struct(o, tie if tie_asc else -tie))
+        return F.min_by(value, F.struct(o, tie if tie_asc else _checked_neg(tie)))
     return F.min_by(value, ordering)
+
+
+def _checked_neg(tie: Column) -> Column:
+    """``-tie`` that is LOUD about the documented numeric-tie constraint:
+    a bare Column carries no dataType to validate eagerly, so enforce at
+    execution time — if negation yields NULL while the input was non-null
+    (exactly what ``-string`` does under non-ANSI casting), raise instead
+    of silently restoring partition-order nondeterminism (r15 ADVICE).
+    ``raise_error``'s NullType coerces into the struct field type, so the
+    happy path's plan is unchanged beyond one null check per row."""
+    neg = -tie
+    return F.when(
+        tie.isNotNull() & neg.isNull(),
+        F.raise_error(
+            F.lit(
+                "min_by/max_by: tie column must be NUMERIC when the "
+                "internal negation fires (tie_asc direction needs -tie); "
+                "got a value unary minus cannot negate"
+            )
+        ),
+    ).otherwise(neg)
 
 
 def max_by(
@@ -102,7 +125,7 @@ def max_by(
     ascending form negates the tie column internally."""
     if tie is not None:
         o = F.col(ordering) if isinstance(ordering, str) else ordering
-        return F.max_by(value, F.struct(o, -tie if tie_asc else tie))
+        return F.max_by(value, F.struct(o, _checked_neg(tie) if tie_asc else tie))
     return F.max_by(value, ordering)
 
 

@@ -935,37 +935,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_ml_assign_path() -> str:
-    """Fixed (per-user) materialization path for the kmeans|| assignment.
-
-    The oracle string is static, so the path can't vary with sf_dir — the
-    query fn OVERWRITES this table at plan-build time on every invocation,
-    and the gate runs the Spark side before the oracle (scripts/
-    oracle_check.py and the driver both do), so the oracle always reads the
-    assignment of the run it is checking.
-
-    OPERATIONAL CONSTRAINT of the fixed path: never run two gates that
-    both include this query CONCURRENTLY (e.g. an sf0.01 gate while an
-    x10 shard is on it) — the second fn call overwrites the first run's
-    assignment and its oracle would read the wrong tier. The standard
-    sharding puts the query in exactly one process; the driver gate and
-    bench are sequential, so this only bites hand-run overlapping gates."""
+def _semdedup_ml_assign_path(sf_dir: str) -> str:
+    """TIER-KEYED materialization path for the kmeans|| assignment (r15
+    verdict task 3 + ADVICE): keyed on md5(realpath(sf_dir)), so gates over
+    DIFFERENT tiers (e.g. an sf0.01 gate while an x10 shard runs) write and
+    read disjoint tables — the fixed-path overwrite hazard is gone. Both
+    sides derive the key independently from the same sf_dir, so no manifest
+    is needed; ``_lake_root()`` is resolved lazily AT CALL TIME (the oracle
+    is a callable, registry.resolve_oracle), so an env change after import
+    is seen by both the writer and the reader."""
+    import hashlib
     import os
 
     from flink_1_6_0_spark.sources.partitioned import _lake_root
 
-    return os.path.join(_lake_root(), "semdedup_ml_assign")
+    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(_lake_root(), "semdedup_ml_assign", key)
 
 
-def _semdedup_ml_oracle_sql(tau: float = 0.35) -> str:
+def _semdedup_ml_oracle_sql(sf_dir: str, tau: float = 0.35) -> str:
     """Pair-step oracle over the ENGINE-MATERIALIZED assignment (r14 verdict
     task 2): the kmeans|| clustering itself isn't SQL-derivable, but the
     query fn writes its learned (id, arr, cid) table to parquet and rereads
     it, so both engines compute the within-cluster lower-id rounded-cosine
     rule over bit-identical inputs — the full downstream step is
     value-hash-checked; only the assignment remains pinned by the
-    exact-twin agreement test."""
-    path = _semdedup_ml_assign_path()
+    exact-twin agreement test. Registered as a CALLABLE oracle: the
+    embedded path is tier-keyed on the sf_dir under check."""
+    path = _semdedup_ml_assign_path(sf_dir)
     return f"""
     WITH af AS (SELECT id, arr, cid FROM read_parquet('{path}/*.parquet')),
     dups AS (SELECT DISTINCT a.id FROM af a JOIN af b
@@ -979,7 +976,7 @@ def _semdedup_ml_oracle_sql(tau: float = 0.35) -> str:
 
 @query(
     "dedup_semantic_ml",
-    oracle=_semdedup_ml_oracle_sql(),
+    oracle=_semdedup_ml_oracle_sql,
     tags=("pipeline", "dedup", "similarity", "ml", "bench"),
     bench=True,
 )
@@ -1011,7 +1008,7 @@ def dedup_semantic_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, int(math.sqrt(emb.count())))
     return sim.semantic_dedup(
         emb, "vec_id", "embedding", tau=0.35, dim=64, n_centroids=k,
-        assigner="ml", materialize_assignment=_semdedup_ml_assign_path(),
+        assigner="ml", materialize_assignment=_semdedup_ml_assign_path(sf_dir),
     )
 
 

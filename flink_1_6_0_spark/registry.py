@@ -26,7 +26,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL over the same parquet views, or None
+    # DuckDB SQL over the same parquet views, or None. May also be a
+    # CALLABLE ``(sf_dir: str) -> str`` resolved at check time (r15 ADVICE
+    # + r15 verdict task 3: dedup_semantic_ml's oracle reads an
+    # engine-materialized table whose path is TIER-KEYED on sf_dir — a
+    # static string would bake one tier's path at import time and make
+    # overlapping gates read each other's run). Use
+    # :func:`resolve_oracle` instead of touching ``spec.oracle`` directly.
+    oracle: "str | Callable[[str], str] | None"
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
     description: str = ""
@@ -62,9 +69,16 @@ _QUERY_MODULES = (
 )
 
 
+def resolve_oracle(spec: QuerySpec, sf_dir: str) -> str | None:
+    """The oracle SQL for ``spec`` at ``sf_dir`` — evaluates callable
+    oracles at check time (lazy: env/lake-root changes after import are
+    seen, and the string can embed tier-keyed paths)."""
+    return spec.oracle(sf_dir) if callable(spec.oracle) else spec.oracle
+
+
 def query(
     name: str,
-    oracle: str | None = None,
+    oracle: "str | Callable[[str], str] | None" = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
     description: str = "",

@@ -67,7 +67,7 @@ def synthesize(spark: SparkSession, base: str, n: int, out: str) -> None:
     evp = f"{out}/events.parquet"
     (
         times(ev, "event_id", B)
-        .repartitionByRange(30, "ts")
+        .repartitionByRange(_time_ordered_parts(ev.count() * n), "ts")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .parquet(evp)
@@ -91,6 +91,18 @@ def synthesize(spark: SparkSession, base: str, n: int, out: str) -> None:
     times(li, "l_orderkey", B).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     od = spark.read.parquet(f"{base}/orders.parquet")
     times(od, "o_orderkey", B).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+
+def _time_ordered_parts(total_rows: int, floor: int = 30) -> int:
+    """Part-file count for a time-ordered events tier, sized from the
+    stream replay's per-epoch row budget (r15 ADVICE: a tier with fewer
+    part files than needed epochs clamps to 1 file/trigger and silently
+    blows the state budget — size the SYNTH side so that can't happen).
+    2x the minimum epoch count gives the replay integer headroom
+    (per = n_parts // epochs >= 2) without fragmenting small tiers."""
+    from flink_1_6_0_spark.sources.stream import _EPOCH_ROWS_TARGET
+
+    return max(floor, 2 * -(-total_rows // _EPOCH_ROWS_TARGET))
 
 
 def _stamp_time_ordered(table_dir: str) -> None:

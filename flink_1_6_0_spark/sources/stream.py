@@ -56,6 +56,23 @@ def _time_ordered_per_trigger(spark: SparkSession, path: str) -> int:
     total = spark.read.parquet(path).count()
     epochs = max(3, -(-total // _EPOCH_ROWS_TARGET))
     per = max(1, n_parts // epochs)
+    if n_parts < epochs:
+        # r15 ADVICE: per clamps to 1 file/trigger, but with fewer part
+        # files than needed epochs each file ALREADY exceeds the row
+        # budget — the exact single-JVM state-OOM condition the budget
+        # exists to prevent (e.g. 30 parts holding 60M rows = 2M-row
+        # epochs). Warn loudly so the tier gets re-synthesized with
+        # enough files (scale_synth sizes part counts from the budget).
+        import warnings
+
+        warnings.warn(
+            f"time-ordered tier {path}: {n_parts} part files < {epochs} "
+            f"epochs needed to keep epochs under {_EPOCH_ROWS_TARGET} rows "
+            f"({total} total) — epochs will exceed the state budget; "
+            "re-synthesize the tier with more part files",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     _PER_TRIGGER_CACHE[key] = per
     return per
 

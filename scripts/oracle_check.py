@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 from flink_1_6_0_spark.catalog import TABLES
-from flink_1_6_0_spark.registry import load_all
+from flink_1_6_0_spark.registry import load_all, resolve_oracle
 from flink_1_6_0_spark.session import get_spark
 from tests.helpers import driver_canon, normalize
 
@@ -97,7 +97,7 @@ def main() -> int:
                 print(f"{name}: rows={len(sp)} (no oracle — rows-only)")
                 continue
             else:
-                dk = con.sql(spec.oracle).fetchdf()
+                dk = con.sql(resolve_oracle(spec, sf)).fetchdf()
             cols_ok = sorted(sp.columns) == sorted(dk.columns)
             a, b = normalize(sp), normalize(dk)
             ok = cols_ok and a == b

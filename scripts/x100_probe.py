@@ -54,6 +54,7 @@ def x100_slice_dir(spark, base: str = "/root/testdata/sf0.1") -> str:
     from flink_1_6_0_spark.sources.scale_synth import (
         _all_tables_key,
         _stamp_time_ordered,
+        _time_ordered_parts,
     )
 
     key = _all_tables_key(base)
@@ -87,7 +88,8 @@ def x100_slice_dir(spark, base: str = "/root/testdata/sf0.1") -> str:
     evp = f"{tmp}/events.parquet"
     (
         times100(ev, "event_id")
-        .repartitionByRange(60, "ts")
+        # budget-sized part count (r15 ADVICE; see scale_synth._time_ordered_parts)
+        .repartitionByRange(_time_ordered_parts(ev.count() * 100), "ts")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .parquet(evp)

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from flink_1_6_0_spark.registry import load_all
+from flink_1_6_0_spark.registry import load_all, resolve_oracle
 from tests.helpers import assert_frames_match, driver_canon
 
 _SPECS = load_all()
@@ -23,7 +23,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         driver_canon(pdf)
         assert len(pdf) >= 0
         return
-    assert_frames_match(df, duck.sql(spec.oracle), name)
+    assert_frames_match(df, duck.sql(resolve_oracle(spec, sf_dir)), name)
 
 
 def test_entry_smoke(spark):

@@ -306,3 +306,43 @@ def test_min_max_by_tie_sense(spark):
     # k=2: single v=4.0 ties ids {2,9}
     assert got[2]["mx_asc"] == 2 and got[2]["mx_desc"] == 9
     assert got[2]["mn_asc"] == 2 and got[2]["mn_desc"] == 9
+
+
+def test_min_max_by_nonnumeric_tie_raises(spark):
+    """r15 ADVICE: the negated-tie branch must FAIL LOUDLY on a non-numeric
+    tie column instead of casting to double, yielding NULL, and silently
+    restoring partition-order nondeterminism. The non-negated directions
+    keep accepting strings (no negation fires there)."""
+    import pytest
+
+    from flink_1_6_0_spark.operators.aggregations import max_by, min_by
+
+    rows = [(1, 10.0, "b"), (1, 10.0, "a")]
+    df = spark.createDataFrame(rows, "k long, v double, s string")
+    # under ANSI (Spark 4 default) the -string cast itself throws; under
+    # non-ANSI it yields NULL and _checked_neg's raise_error fires — both
+    # regimes must be LOUD, neither silently nondeterministic
+    try:
+        for ansi, pat in (
+            ("true", "CAST_INVALID_INPUT"),
+            ("false", "tie column must be NUMERIC"),
+        ):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            for bad in (
+                max_by("s", "v", tie=F.col("s")),    # maximize + asc => -tie
+                min_by("s", "v", tie=F.col("s"), tie_asc=False),
+            ):
+                with pytest.raises(Exception, match=pat):
+                    df.groupBy("k").agg(bad.alias("x")).collect()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+    # no-negation directions still work on strings
+    ok = (
+        df.groupBy("k")
+        .agg(
+            max_by("s", "v", tie=F.col("s"), tie_asc=False).alias("mx"),
+            min_by("s", "v", tie=F.col("s")).alias("mn"),
+        )
+        .collect()[0]
+    )
+    assert ok["mx"] == "b" and ok["mn"] == "a"
