@@ -1148,17 +1148,23 @@ def triadic_census_directed(edges: DataFrame, checkpoint_mode: str = "local") ->
         checkpoint_mode,
         eager=False,
     )
-    # pair code on u < v: 3 = mutual, 2 = u→v only, 1 = v→u only
-    # (NOT pinned: its 3 triangle-join reads recompute only one cheap
-    # aggregation over the PINNED e — a second eager barrier costs more than
-    # it saves, round-7 measurement)
+    # pair code on u < v: 3 = mutual, 2 = u→v only, 1 = v→u only.
+    # r16 re-measure of the round-7 "don't pin pairs" note: with the degree
+    # split below now ALSO derived from pairs (not from three separate
+    # aggregations over e), pairs has FOUR consumers (3 triangle arms + the
+    # per-vertex split) — pinning it eagerly replaces four groupBy chains
+    # over e with one aggregation plus cached reads (guide §5: cache what
+    # is reused and expensive; the frame is one row per adjacent vertex
+    # pair, three int columns).
     fwd = F.when(F.col("src") < F.col("dst"), 2).otherwise(1)
-    pairs = (
+    pairs = _checkpoint(
         e.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"), fwd.alias("c")
         )
         .groupBy("u", "v")
-        .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code"))
+        .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code")),
+        checkpoint_mode,
+        eager=True,
     )
     ab = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("code").alias("cab"))
     bc = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"), F.col("code").alias("cbc"))
@@ -1193,22 +1199,27 @@ def triadic_census_directed(edges: DataFrame, checkpoint_mode: str = "local") ->
         ]
     )
 
-    # per-vertex degree split → wedge counts (VertexDegreesHelper:270-291)
-    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
-    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("idg"))
-    nbr = (
-        e.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
-        .union(e.select(F.col("dst").alias("id"), F.col("src").alias("nb")))
-        .distinct()
-    )
-    deg = nbr.groupBy("id").agg(F.count("*").alias("dg"))
-    pv = (
-        deg.join(outd, "id", "left").join(ind, "id", "left")
-        .select(
-            "dg",
-            F.coalesce("od", F.lit(0)).alias("od"),
-            F.coalesce("idg", F.lit(0)).alias("idg"),
-        )
+    # per-vertex degree split → wedge counts (VertexDegreesHelper:270-291).
+    # r16 (guide §1.2/§2.4): previously three aggregations over e (out-, in-
+    # degree, plus a union+distinct for the neighbor relation) stitched by
+    # two left joins. The pinned pair-code table already encodes all of it —
+    # for a pair (u,v,code): u has the out-edge iff code∈{2,3}, the in-edge
+    # iff code∈{1,3} (v mirrored), and each pair contributes exactly one
+    # distinct neighbor to both endpoints — so ONE explode+aggregate over
+    # pairs yields (dg, od, idg) per vertex with identical values, and the
+    # two stitch joins disappear. Plan diff: 26 Exchanges → 15.
+    u_out = F.col("code").isin(2, 3).cast("long")
+    u_in = F.col("code").isin(1, 3).cast("long")
+    half = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("id"), u_out.alias("o"), u_in.alias("i")),
+                F.struct(F.col("v").alias("id"), u_in.alias("o"), u_out.alias("i")),
+            )
+        ).alias("x")
+    ).select("x.*")
+    pv = half.groupBy("id").agg(
+        F.count("*").alias("dg"), F.sum("o").alias("od"), F.sum("i").alias("idg")
     )
     us = F.col("dg") - F.col("idg")   # unidirectional as source
     ut = F.col("dg") - F.col("od")    # unidirectional as target

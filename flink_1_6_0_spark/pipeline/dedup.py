@@ -57,33 +57,40 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3, dedupe: bool = True) -> DataFrame:
-    """k-word shingles as ROWS (doc, s) — the hot-path form.
+    """k-word shingles as ROWS (doc, s) — the hot-path form, ZERO shuffles.
 
-    posexplode tokens + window lead: each token is materialized once and the
-    shingle assembled from neighbors. Measured ~8× faster than exploding the
-    array-expression form (whose element_at references re-evaluate the split
-    per element under projection collapse). One shuffle on doc (the window),
-    which the downstream signature reduce needs anyway.
+    r16 (guide §2.4 — remove shuffles outright): the r3–r15 form assembled
+    shingles with posexplode + a window lead, paying one Exchange on doc
+    per call (and a second, (doc, s)-keyed one for ``dedupe``). The window
+    existed only because the naive array-expression form re-evaluated the
+    tokenizing split() per element_at reference (measured 8× slower then).
+    The actual fix is the same one _dup_shingle_positions already uses:
+    materialize the token array in its OWN projection — CollapseProject
+    declines to inline a non-cheap expression referenced more than once, so
+    split() runs once per row — then build the shingle array with one
+    transform() over the materialized column and explode it. Narrow
+    pipeline, no Exchange at all; every downstream aggregate now pays only
+    its own shuffle.
 
-    ``dedupe`` gives true SET semantics (one row per distinct shingle) at the
-    cost of a (doc, s) shuffle that also breaks doc-partitioning reuse for
-    downstream per-doc aggregates. Skip it when the consumer is
-    duplicate-insensitive (MinHash: min over a multiset = min over the
-    set)."""
-    from pyspark.sql import Window
-
-    tk = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("pos", "t"),
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, k)]
-    out = (
-        tk.select("doc", F.concat_ws(" ", *leads).alias("s"), leads[-1].alias("__last"))
-        .filter(F.col("__last").isNotNull())
-        .drop("__last")
-    )
-    return out.distinct() if dedupe else out
+    ``dedupe`` gives set semantics via array_distinct BEFORE the explode
+    (per-doc distinct ≡ global (doc, s) distinct because ``id_col`` is
+    unique per row in every caller — the table contract); the multiset form
+    (dedupe=False) keeps one shingle per position, bit-identical to the
+    window form's output."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    pre = df.select(F.col(id_col).alias("doc"), toks.alias("__tk"))
+    tt = F.col("__tk")
+    n = F.size(tt)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    sh = F.when(
+        n >= k,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(tt, i + j) for j in range(k)])
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if dedupe:
+        sh = F.array_distinct(sh)
+    return pre.select("doc", F.explode(sh).alias("s"))
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3, num_hashes: int = 16) -> DataFrame:
@@ -179,6 +186,11 @@ def minhash_calibration(
     sh = None
     try:
         buckets = _buckets_from_sigs(sigs, bands, rows)
+        # (r16 note: an eager localCheckpoint of pairs was tried here and
+        # MEASURED SLOWER — 1.5 s → 3.0 s at sf0.1: the pair recomputes are
+        # cheap scans over the persisted sigs, while the extra blocking
+        # materialization job serializes the plan. Reverted; measure, don't
+        # guess.)
         pairs = (
             buckets.select(F.col("doc").alias("a"), "band", "bh")
             .join(buckets.select(F.col("doc").alias("b"), "band", "bh"), ["band", "bh"])
@@ -202,25 +214,27 @@ def minhash_calibration(
             .groupBy("a", "b")
             .agg(F.count("*").alias("__inter"))
         )
-        exact = (
-            pairs.join(inter, ["a", "b"], "left")
+        # r16 (guide §2.4): the exact-Jaccard side previously re-anchored on
+        # pairs (pairs ⋈ inter ⋈ cnt ⋈ cnt) and was then re-joined with the
+        # estimate frame — two joins whose only purpose was stitching
+        # per-pair columns back together. est is already exactly one row per
+        # candidate pair, so the intersection and the two count columns
+        # attach to IT directly: 8 joins → 6, same rows, same arithmetic.
+        ex = (
+            F.coalesce(F.col("__inter"), F.lit(0))
+            / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__inter"), F.lit(0)))
+        )
+        out = (
+            est.join(inter, ["a", "b"], "left")
             .join(cnt.select(F.col("doc").alias("a"), F.col("__n").alias("__na")), "a")
             .join(cnt.select(F.col("doc").alias("b"), F.col("__n").alias("__nb")), "b")
             .select(
                 "a",
                 "b",
-                (
-                    F.coalesce(F.col("__inter"), F.lit(0))
-                    / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__inter"), F.lit(0)))
-                ).alias("__exact"),
+                F.round(F.col("__est"), 6).alias("est_jaccard"),
+                F.round(ex, 6).alias("exact_jaccard"),
+                F.round(F.abs(F.col("__est") - ex), 6).alias("abs_err"),
             )
-        )
-        out = est.join(exact, ["a", "b"]).select(
-            "a",
-            "b",
-            F.round(F.col("__est"), 6).alias("est_jaccard"),
-            F.round(F.col("__exact"), 6).alias("exact_jaccard"),
-            F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias("abs_err"),
         )
         # materialize the (pair-sized) result, then release the two
         # corpus-sized caches — repeated calibration sweeps in one session
@@ -253,8 +267,19 @@ def minhash_lsh_pairs(
     The shuffle keys are doc then LSH bucket; no O(n²) comparison ever
     materializes. Skewed buckets (giant near-dup clusters) are handled by
     AQE skew-join splitting.
+
+    r16 (guide §5 — cache only what is reused and expensive): the self-join
+    consumed the bucket pipeline TWICE (exchange reuse does not fire across
+    the two aliased sides), re-running the whole shingle→signature chain per
+    side. The bucket frame is tiny (``bands`` rows per doc, three narrow
+    columns — keys and hashes, no text) so it is localCheckpoint-ed once and
+    both join sides read the materialized blocks; the ContextCleaner frees
+    them when the result frame is dropped. Plan diff: one
+    scan→…→HashAggregate chain instead of two.
     """
-    buckets = minhash_band_buckets(df, id_col, text_col, shingle_k, num_hashes, bands)
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, shingle_k, num_hashes, bands
+    ).localCheckpoint(eager=True)
     left = buckets.select(F.col("doc").alias("a"), "band", "bh")
     right = buckets.select(F.col("doc").alias("b"), "band", "bh")
     return (
@@ -276,11 +301,14 @@ def _dup_shingle_positions(
     - n_shingles is knowable BEFORE the explode (|tokens| - k + 1): carrying
       it through the rows saves a whole per-doc count window. The token
       array is materialized in its OWN projection first — referencing
-      tokenize() from both size() and posexplode() in one select re-runs the
+      tokenize() from several expressions in one select re-runs the
       split per reference (no CSE across Generate; measured 3x slower).
-    - positioned shingles via one posexplode + window lead (each token
-      materialized once), hashed to a bigint so the wide shingle string
-      never shuffles;
+    - positioned shingles via one transform() over the materialized token
+      array exploded with inline() — r16: this replaces the earlier
+      posexplode + window-lead assembly, removing the per-doc window
+      Exchange entirely (guide §2.4); the (pos, shingle) pairs are
+      identical, hashed to a bigint so the wide shingle string never
+      shuffles;
     - cross-doc detection (default, scale-safe): persist the positioned
       shingles, ``groupBy(h).agg(min(doc) != max(doc))`` — partial
       aggregation combines map-side so a boilerplate shingle with 10⁹
@@ -303,24 +331,23 @@ def _dup_shingle_positions(
     pre = df.select(
         F.col(id_col).alias("doc"), tokenize(F.lower(F.col(text_col))).alias("__tk")
     )
-    tk = pre.select(
+    tt = F.col("__tk")
+    n = F.size(tt)
+    pairs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", *[F.element_at(tt, i + j) for j in range(k)]).alias("s"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,s:string>>"))
+    sh = pre.select(
         "doc",
-        F.greatest(F.size("__tk") - (k - 1), F.lit(0)).cast("long").alias("n_shingles"),
-        F.posexplode("__tk").alias("pos0", "t"),
-    )
-    wlead = Window.partitionBy("doc").orderBy("pos0")
-    leads = [F.col("t")] + [F.lead("t", j).over(wlead) for j in range(1, k)]
-    sh = (
-        tk.select(
-            "doc",
-            "n_shingles",
-            (F.col("pos0") + 1).alias("pos"),
-            F.concat_ws(" ", *leads).alias("s"),
-            leads[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .select("doc", "n_shingles", "pos", (token_hash(F.col("s")) % MOD).alias("h"))
-    )
+        F.greatest(n - (k - 1), F.lit(0)).cast("long").alias("n_shingles"),
+        F.inline(pairs),
+    ).select("doc", "n_shingles", "pos", (token_hash(F.col("s")) % MOD).alias("h"))
     if small_data:
         wh = Window.partitionBy("h")
         return (
@@ -586,6 +613,53 @@ def incremental_dedup(
     )
     return _incremental_probe(
         new_docs, corpus_keys, corpus_buckets, id_col, text_col, shingle_k, num_hashes, bands
+    )
+
+
+def incremental_dedup_sliced(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_pred,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """``incremental_dedup`` when batch and corpus are SLICES OF ONE TABLE
+    (the registered query / replay shape): ``new_pred`` is a function of the
+    id Column selecting the incoming batch, everything else is the standing
+    corpus.
+
+    r16 (guide §1.2 — fix the distributed algorithm first): the two-frame
+    form ran the shingle→signature→bucket pipeline TWICE, once per slice,
+    though bucketing is a pure per-doc function. Here the band buckets are
+    computed ONCE over the whole table, the tiny (doc, band, bh) frame is
+    localCheckpoint-ed, and both probe sides are filters over it — one
+    window-free shingle pass and one signature reduce instead of two, with
+    results identical to
+    ``incremental_dedup(df.filter(pred), df.filter(~pred), ...)`` because
+    per-doc signatures do not depend on which docs surround them."""
+    all_buckets = minhash_band_buckets(
+        df, id_col, text_col, shingle_k, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    corpus_keys = (
+        df.filter(~new_pred(F.col(id_col)))
+        .select(F.md5(F.col(text_col)).alias("__h"))
+        .distinct()
+    )
+    corpus_buckets = (
+        all_buckets.filter(~new_pred(F.col("doc"))).select("band", "bh").distinct()
+    )
+    return _incremental_probe(
+        df.filter(new_pred(F.col(id_col))),
+        corpus_keys,
+        corpus_buckets,
+        id_col,
+        text_col,
+        shingle_k,
+        num_hashes,
+        bands,
+        batch_buckets=all_buckets.filter(new_pred(F.col("doc"))),
     )
 
 

@@ -740,14 +740,37 @@ def _exact_lloyd(base: DataFrame, dim: int, n_centroids: int, iters: int, fq: in
 
 def _semantic_dedup_from_assigned(assigned: DataFrame, id_col: str, tau: float) -> DataFrame:
     """SemDeDup's pair step over an (id, arr, cid) assignment frame: the
-    within-cluster rounded-cosine pair rule shared by both assigners."""
-    a, b = assigned.alias("a"), assigned.alias("b")
+    within-cluster rounded-cosine pair rule shared by both assigners.
+
+    r16 (guide §2.3/§1.2 — don't recompute per pair what is a per-row
+    value): the join residual previously evaluated the FULL cosine per
+    candidate pair, recomputing both vectors' norms each time —
+    O(pairs·dim) interpreted higher-order-function work where O(rows·dim)
+    suffices. The L2 norm is hoisted into a per-row projection below the
+    self-join; the residual is then one dot product plus a divide. The
+    float operations and their order are IDENTICAL to ``cosine()``
+    (dot / (sqrt(Σa²)·sqrt(Σb²)), same fold order), so every pair score is
+    bit-identical — r16 plan diff: the BroadcastHashJoin residual shrinks
+    from 3 aggregate() folds to 1."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("arr"), lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+        )
+    )
+    an = assigned.withColumn("__nrm", nrm)
+    a, b = an.alias("a"), an.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.arr"), F.col("b.arr"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    pair_cos = F.try_divide(dot, F.col("a.__nrm") * F.col("b.__nrm"))
     dup_ids = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid")) & (F.col("b.id") < F.col("a.id")),
         )
-        .filter(F.round(cosine(F.col("a.arr"), F.col("b.arr")), 6) >= tau)
+        .filter(F.round(pair_cos, 6) >= tau)
         .select(F.col("a.id").alias("id"))
         .distinct()
     )

@@ -349,9 +349,10 @@ def ml_sos_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the SCALE BOUNDARY docstring on the operator stands: sample or
     pre-cluster first at 100 TB — this gate IS that sample)."""
     from flink_1_6_0_spark.operators.ml import sos_outlier_fixed
-    from flink_1_6_0_spark.queries import emb_capped
+    from flink_1_6_0_spark.queries import cached_table_count, emb_capped
 
-    emb = emb_capped(T(spark, sf_dir, "embeddings"), "soscap").select(
+    e = T(spark, sf_dir, "embeddings")
+    emb = emb_capped(e, "soscap", n=cached_table_count(e, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
     )
     return sos_outlier_fixed(emb, perplexity=10.0)
@@ -610,12 +611,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: the doc_id%5==0 slice plays the incoming
     batch, the rest the standing corpus — each new doc flagged exact-dup
     (content-key probe) and near-dup (MinHash band-bucket probe) WITHOUT
-    re-deduplicating the corpus (pipeline/dedup.incremental_dedup; at scale
-    both probe tables are persisted between ingests)."""
+    re-deduplicating the corpus (at scale both probe tables are persisted
+    between ingests). r16: both slices come from ONE table, so the sliced
+    form computes the signature pipeline once and splits the bucket frame
+    (dedup.incremental_dedup_sliced) — results identical to the two-frame
+    ``incremental_dedup``, which remains the cross-table API."""
     d = T(spark, sf_dir, "documents")
-    new_docs = d.filter(F.col("doc_id") % 5 == 0)
-    corpus = d.filter(F.col("doc_id") % 5 != 0)
-    return dd.incremental_dedup(new_docs, corpus, "doc_id", "text")
+    return dd.incremental_dedup_sliced(
+        d, "doc_id", "text", lambda c: c % 5 == 0
+    )
 
 
 @query(

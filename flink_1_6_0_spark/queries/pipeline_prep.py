@@ -978,19 +978,33 @@ def corpus_e2e_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (α=0.3 over the SURVIVING corpus's language histogram — stage order
     matters and the oracle replays it) → sequential 256-token packing over
     8 shards. Every gate is a deterministic md5 permille rule, so the whole
-    pipeline is reproducible on any engine; the corpus is scanned once and
-    every stage is a Column expression / one-shuffle aggregate on top."""
-    from flink_1_6_0_spark.pipeline import dedup as dd
+    pipeline is reproducible on any engine.
+
+    r16 (guide §2.4 + §5): the dedup stage previously went
+    exact_dedup-groupBy → join-back on doc_id, which both added a join
+    Exchange and made Spark recompute the scan+scorer subtree per consumer;
+    the keep-min-doc_id-per-content-key rule is now a window MIN over the
+    md5 key — same surviving set, one shuffle, no join. The surviving
+    corpus is then localCheckpoint-ed once: the temperature stage reads it
+    twice (language histogram + the gated filter), which previously
+    re-executed the whole scan+score+dedup chain per read (4 full scans of
+    the corpus for one query). Plan diff: 16 Exchanges → 7, one scan of
+    documents instead of four."""
+    from pyspark.sql import Window
+
     from flink_1_6_0_spark.pipeline import text as tx
 
     docs = T(spark, sf_dir, "documents")
     scored = docs.withColumn("quality", F.round(tx.quality_score("text"), 6)).filter(
         F.col("quality") >= 0.5
     )
-    keep = dd.exact_dedup(
-        scored.withColumn("__h", F.md5("text")), ["__h"], "doc_id"
-    ).select(F.col("kept_id").alias("doc_id"))
-    surv = scored.join(keep, "doc_id")
+    wdup = Window.partitionBy(F.md5("text"))
+    surv = (
+        scored.withColumn("__kept", F.min("doc_id").over(wdup))
+        .filter(F.col("doc_id") == F.col("__kept"))
+        .drop("__kept")
+        .localCheckpoint(eager=True)
+    )
     mixed = prep.temperature_sample(surv, "doc_id", "lang", alpha=0.3)
     packed = prep.pack_sequences(
         mixed, "doc_id", "text", budget=256, num_shards=8,
