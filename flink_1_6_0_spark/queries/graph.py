@@ -136,7 +136,11 @@ def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
         .within(24 * 3600)
     )
-    return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+    # r16 (guide §4.1): the NFA scan touches only (key, ts, id, event_type);
+    # project before the opaque applyInPandas so the scan prunes `props`/
+    # `value` and the shuffle+Arrow boundary ships 4 narrow columns, not 6.
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return cep_batch(ev, pattern, ["user_id"], "ts", "event_id")
 
 @query(
     "cep_double_click",
@@ -170,7 +174,9 @@ def cep_double_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by_any("purchase", lambda e: e["event_type"] == "purchase")
         .within(24 * 3600)
     )
-    out = cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+    # r16 (guide §4.1): project to the 4 columns the NFA scan touches
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    out = cep_batch(ev, pattern, ["user_id"], "ts", "event_id")
     # string-render the match array: the driver canonicalizer can't sort lists
     return out.withColumn(
         "clicks_ids", F.concat_ws(",", F.transform("clicks_ids", lambda x: x.cast("string")))
@@ -332,7 +338,9 @@ def cep_iterative_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .within(24 * 3600)
     )
-    return cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+    # r16 (guide §4.1): this pattern additionally reads `value`; props stays pruned
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return cep_batch(ev, pattern, ["user_id"], "ts", "event_id")
 
 
 @query(
@@ -384,7 +392,9 @@ def cep_greedy_click_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("purchase", lambda e: e["event_type"] == "purchase")
         .within(24 * 3600)
     )
-    out = cep_batch(T(spark, sf_dir, "events"), pattern, ["user_id"], "ts", "event_id")
+    # r16 (guide §4.1): project to the 4 columns the NFA scan touches
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    out = cep_batch(ev, pattern, ["user_id"], "ts", "event_id")
     return out.select(
         "user_id",
         "view_id",
