@@ -93,9 +93,17 @@ def cogroup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop the one-sided groups)."""
     import pandas as pd
 
-    ev = T(spark, sf_dir, "events")
-    left = DataStream(ev.filter(F.col("event_type") == "click")).key_by("user_id")
-    right = DataStream(ev.filter(F.col("event_type") == "purchase")).key_by("user_id")
+    # r16 (guide §4.1): the cogroup fn only COUNTS rows — project the scan
+    # down to (user_id, ts) before the opaque pandas-cogroup boundary, or
+    # every (key, window) group ships all six event columns (including the
+    # fat props JSON payload) through the shuffle and the Arrow transpose.
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    left = DataStream(
+        ev.filter(F.col("event_type") == "click").drop("event_type")
+    ).key_by("user_id")
+    right = DataStream(
+        ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    ).key_by("user_id")
 
     def fn(key, lpdf, rpdf):
         return pd.DataFrame([{

@@ -273,9 +273,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     is then `WHERE doc = canonical`. Transitive closure matters: A~B, B~C
     must collapse to ONE canonical even if A,C never share a bucket. The
     oracle is an exact recursive-CTE closure over the same pairs."""
+    # r16 (guide §2.4/§5): the pair frame is consumed THREE times (edges +
+    # both arms of the vertex union), and connected_components' eager
+    # edge-frame checkpoint forces one evaluation up front anyway — without
+    # the pin the whole shingle→signature→bucket-join pipeline re-runs per
+    # consumer. The frame is tiny (candidate pairs only); localCheckpoint
+    # materializes it once and the ContextCleaner reclaims it.
     pairs = dd.minhash_lsh_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", shingle_k=3, num_hashes=16, bands=4
-    )
+    ).localCheckpoint(eager=True)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     vertices = (
         pairs.select(F.col("a").alias("doc"))

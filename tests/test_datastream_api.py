@@ -357,6 +357,39 @@ def test_windowed_co_group(spark, sf_dir):
     assert len(seen) == len(set(seen))
 
 
+def test_windowed_co_group_batched_equivalence(spark, sf_dir):
+    """r16 optimization pin: windowed_co_group now cogroups per KEY and
+    slices windows inside the Python worker (one pandas groupby per side)
+    instead of one Spark-level cogroup per (key, window). The user fn is
+    still called once per (key, window) on either side with the absent side
+    empty — output must be row-identical to the per-(key, window) cogroup
+    form (the pre-r16 implementation, inlined here as the reference)."""
+    from flink_1_6_0_spark.operators.joins import windowed_co_group
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    left = ev.filter(F.col("event_type") == "click").drop("event_type")
+    right = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+
+    def fn(key, lpdf, rpdf):
+        return pd.DataFrame([{
+            "user_id": key[1], "w": key[0],
+            "n_click": len(lpdf), "n_purchase": len(rpdf),
+        }])
+
+    schema = "user_id long, w timestamp, n_click long, n_purchase long"
+    got = windowed_co_group(
+        left, right, [("user_id", "user_id")], "ts", "ts", "1 day", fn, schema
+    )
+    lw = left.withColumn("__w", F.window(F.col("ts"), "1 day")["start"])
+    rw = right.withColumn("__w", F.window(F.col("ts"), "1 day")["start"])
+    want = (
+        lw.groupBy("__w", "user_id")
+        .cogroup(rw.groupBy("__w", "user_id"))
+        .applyInPandas(fn, schema=schema)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_process_nonkeyed_and_write_to_socket(spark, sf_dir):
     """DataStream.process (non-keyed, DataStream.java:638) and writeToSocket
     (DataStream.java:1120) against a live in-process TCP server."""
