@@ -61,22 +61,43 @@ def events_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_stream(df: DataFrame, mode: str, min_batches: int) -> tuple[DataFrame, list]:
+def _run_stream(
+    df: DataFrame, mode: str, min_batches: int, sf_dir: str | None = None
+) -> tuple[DataFrame, list]:
     """Drive a bounded stream to completion; return (result, progress).
 
     Raises if fewer than ``min_batches`` micro-batches carried input rows —
     the multi-batch claim is load-bearing (cross-batch state), so a layout
     change that collapses the replay into one batch must fail loudly, not
     silently pass on weaker evidence.
+
+    With ``sf_dir`` the query runs under a data-derived state partition
+    count (sources.stream.scaled_state_partitions — see _materialize in
+    queries/streaming.py for the r16/r17 commit-overhead evidence). The
+    events row count with ``min_batches`` epochs is the per-epoch volume
+    proxy; partition values are key-hashed so computed rows are unchanged.
     """
+    import os as _os
+    from contextlib import nullcontext
+
+    from flink_1_6_0_spark.sources.stream import scaled_state_partitions
+
     spark = df.sparkSession
     name = f"q_{uuid.uuid4().hex[:12]}"
-    q = to_memory_sink(df, name, mode)
-    try:
-        q.processAllAvailable()
-        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    finally:
-        q.stop()
+    scope = (
+        scaled_state_partitions(
+            spark, _os.path.join(sf_dir, "events.parquet"), epochs=min_batches
+        )
+        if sf_dir
+        else nullcontext()
+    )
+    with scope:
+        q = to_memory_sink(df, name, mode)
+        try:
+            q.processAllAvailable()
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        finally:
+            q.stop()
     if len(progress) < min_batches:
         raise AssertionError(
             f"expected >= {min_batches} non-empty micro-batches, got {len(progress)}"
@@ -110,7 +131,7 @@ def stream_multibatch_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     out = agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
-    result, _ = _run_stream(out, "complete", min_batches=3)
+    result, _ = _run_stream(out, "complete", min_batches=3, sf_dir=sf_dir)
     return result
 
 
@@ -126,7 +147,7 @@ def stream_multibatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT oracle would hash-mismatch. This is the driver-checkable proof
     that streaming state is cross-batch, not per-trigger."""
     stream = partitioned_events_stream(spark, sf_dir).select("user_id")
-    result, _ = _run_stream(stream.dropDuplicates(["user_id"]), "append", min_batches=3)
+    result, _ = _run_stream(stream.dropDuplicates(["user_id"]), "append", min_batches=3, sf_dir=sf_dir)
     return result
 
 
@@ -186,7 +207,7 @@ def stream_multibatch_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_cleanup_timer=False,
         disorder_seconds=CEP_REPLAY_DISORDER_S,
     )
-    result, _ = _run_stream(out, "append", min_batches=4)
+    result, _ = _run_stream(out, "append", min_batches=4, sf_dir=sf_dir)
     return result
 
 
@@ -255,7 +276,7 @@ def stream_multibatch_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
         disorder_seconds=CEP_REPLAY_DISORDER_S,
         with_timeouts=True,
     )
-    result, _ = _run_stream(out, "append", min_batches=4)
+    result, _ = _run_stream(out, "append", min_batches=4, sf_dir=sf_dir)
     return result
 
 
@@ -309,7 +330,7 @@ def stream_multibatch_cep_iterative(spark: SparkSession, sf_dir: str) -> DataFra
         disorder_seconds=CEP_REPLAY_DISORDER_S,
         attr_cols=["value"],
     )
-    result, _ = _run_stream(out, "append", min_batches=4)
+    result, _ = _run_stream(out, "append", min_batches=4, sf_dir=sf_dir)
     return result
 
 
@@ -361,7 +382,7 @@ def stream_multibatch_cep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         select_fn=_funnel_select_fn,
         output_schema="view_id long, purchase_id long, value_delta double, dwell_sec long",
     )
-    result, _ = _run_stream(out, "append", min_batches=4)
+    result, _ = _run_stream(out, "append", min_batches=4, sf_dir=sf_dir)
     return result
 
 
@@ -431,7 +452,7 @@ def stream_multibatch_cep_select_timeout(spark: SparkSession, sf_dir: str) -> Da
         timeout_fn=_funnel_timeout_fn,
         timeout_schema="view_id long, deadline_sec long",
     )
-    result, _ = _run_stream(out, "append", min_batches=4)
+    result, _ = _run_stream(out, "append", min_batches=4, sf_dir=sf_dir)
     return result
 
 
@@ -496,7 +517,7 @@ def stream_multibatch_cep_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_cleanup_timer=False,
         disorder_seconds=CEP_REPLAY_DISORDER_S,
     )
-    result, _ = _run_stream(out, "append", min_batches=4)
+    result, _ = _run_stream(out, "append", min_batches=4, sf_dir=sf_dir)
     return result.select(
         "user_id",
         "view_id",
@@ -553,7 +574,7 @@ def stream_cep_late_side(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         disorder_seconds=CEP_REPLAY_DISORDER_S,
     )
-    result, _ = _run_stream(out, "append", min_batches=2)
+    result, _ = _run_stream(out, "append", min_batches=2, sf_dir=sf_dir)
     return result
 
 
@@ -686,5 +707,5 @@ def stream_cep_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
         disorder_seconds=CEP_REPLAY_DISORDER_S,
         comparator_cols=["value"],
     )
-    result, _ = _run_stream(out, "append", min_batches=4)
+    result, _ = _run_stream(out, "append", min_batches=4, sf_dir=sf_dir)
     return result.select("user_id", "view_id", "click_id")

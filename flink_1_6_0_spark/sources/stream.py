@@ -19,6 +19,7 @@ Kafka/socket need live endpoints; tests drive the file and memory paths.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,6 +39,89 @@ _EPOCH_ROWS_TARGET = 350_000
 
 _PER_TRIGGER_CACHE: dict[tuple[str, float], int] = {}
 
+#: Rows of per-epoch input one streaming state partition should carry. The
+#: r16 scaling block showed stateful queries were state-store-COMMIT bound,
+#: not data bound, at bench scale: `spark.sql.shuffle.partitions` =
+#: SPARK_GRAFT_CPUS handed a 10k-row epoch 32 partitions (a stream-stream
+#: join commits 4 store instances per partition per micro-batch — 128
+#: commits for ~4k state rows), making 32 cores 2.2x SLOWER than 8 for
+#: stream_tumble_agg and stream_outer_join ~25 s at sf0.01 (r17 attribution:
+#: 217 s cumulative commitTimeMs in one batch). Partition count now derives
+#: from DATA VOLUME (rows per epoch), capped by SPARK_GRAFT_CPUS so cluster
+#: runs keep full parallelism: at 100 TB the cap binds long before this
+#: target does, while toy/bench epochs stop paying two orders of magnitude
+#: of per-store constant overhead. NOT a local[32] special case — the same
+#: rule sizes up with the tier (x10 stamped tier: 333k-row epochs -> 7
+#: partitions at both core counts, so the driver's core sweep measures the
+#: engine, not store constants).
+_ROWS_PER_STATE_PARTITION = 50_000
+
+_ROW_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _cached_row_count(spark: SparkSession, path: str) -> int:
+    """Parquet row count (footer metadata job), memoized per
+    (realpath, mtime_ns, size) — the same immutable-input convention as
+    _PER_TRIGGER_CACHE / the EMB_CAP count memo; bench runs construct the
+    same stream dozens of times."""
+    stat_target = path
+    if os.path.isdir(path):
+        marker = os.path.join(path, "_TIME_ORDERED")
+        if os.path.isfile(marker):
+            stat_target = marker
+    st = os.stat(stat_target)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    hit = _ROW_COUNT_CACHE.get(key)
+    if hit is None:
+        hit = spark.read.parquet(path).count()
+        _ROW_COUNT_CACHE[key] = hit
+    return hit
+
+
+def _source_epochs(spark: SparkSession, path: str) -> int:
+    """How many micro-batches the bounded replay of ``path`` produces under
+    the same rules events_stream/read_parquet_stream apply: single files and
+    unstamped directories drain in ONE epoch; a _TIME_ORDERED directory
+    replays ceil(n_parts / per_trigger) epochs."""
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_TIME_ORDERED")):
+        per = _time_ordered_per_trigger(spark, path)
+        n_parts = sum(
+            1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        return max(1, -(-n_parts // per))
+    return 1
+
+
+def stateful_shuffle_partitions(
+    spark: SparkSession, path: str, epochs: int | None = None
+) -> int:
+    """State-partition count for a bounded streaming replay of ``path``:
+    ceil(rows-per-epoch / _ROWS_PER_STATE_PARTITION), clamped to
+    [1, SPARK_GRAFT_CPUS]. Derived from data volume only (see the constant's
+    note); the CPUS cap is the cluster-parallelism ceiling, not a tuning
+    knob."""
+    total = _cached_row_count(spark, path)
+    if epochs is None:
+        epochs = _source_epochs(spark, path)
+    per_epoch = max(1, total // max(1, epochs))
+    cap = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return max(1, min(cap, -(-per_epoch // _ROWS_PER_STATE_PARTITION)))
+
+
+@contextmanager
+def scaled_state_partitions(spark: SparkSession, path: str, epochs: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` to a data-derived value for one
+    streaming query's lifetime (the conf is read at query START and fixes the
+    state-store partition count for that checkpoint). Restores the previous
+    value on exit; yields the chosen count."""
+    n = stateful_shuffle_partitions(spark, path, epochs)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def _time_ordered_per_trigger(spark: SparkSession, path: str) -> int:
     """maxFilesPerTrigger for a `_TIME_ORDERED`-stamped directory: at least
@@ -53,7 +137,7 @@ def _time_ordered_per_trigger(spark: SparkSession, path: str) -> int:
     n_parts = sum(
         1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
     )
-    total = spark.read.parquet(path).count()
+    total = _cached_row_count(spark, path)
     epochs = max(3, -(-total // _EPOCH_ROWS_TARGET))
     per = max(1, n_parts // epochs)
     if n_parts < epochs:

@@ -1272,6 +1272,46 @@ def _pattern_extendable(pattern: Pattern) -> bool:
     return False
 
 
+def _prunable_to_live_partials(pattern: Pattern) -> bool:
+    """True when the COMMITTED (behind-the-fold-point) buffer can be pruned
+    to just the events referenced by still-completable partial matches — the
+    r15/r16-verdict CEP state compaction ("keep only the within-horizon
+    suffix + live partial matches").
+
+    Soundness argument for the admitted class (plain first-match chains:
+    every stage a non-negated, non-quantified Stage, post-anchor contiguity
+    FOLLOWED_BY, NO_SKIP): new arrivals are always admitted at or above the
+    current fold point (admit_floor == fold_pt), so committed events form a
+    closed set the scan has fully explored — every committed start either
+    completed (match emitted, first-match is unique per start → the start is
+    dead), died on a predicate (per-event predicates are deterministic →
+    dead), or waits in a partial the scan reports via its timeout capture.
+    A committed non-start event can only join a match whose start is also
+    committed (stages are time-ordered and future events are newer than
+    every committed event), i.e. only a live partial's own chain — and
+    FOLLOWED_BY takes the FIRST satisfying candidate, so that chain event is
+    IN the partial's accumulator. Everything else behind the fold point is
+    dead weight.
+
+    Excluded (keep the plain within-horizon trim): NEXT stages (adjacency is
+    buffer-positional — pruning would fabricate adjacency), negations (a
+    match's acceptance rests on the PRESENCE of blocker events outside any
+    partial), quantified/greedy stages (withheld matches can extend),
+    *_ANY/combinations (every committed event stays pairable), group
+    patterns, and skip strategies (thresholds derive from re-derived earlier
+    matches)."""
+    if pattern.skip_strategy != NO_SKIP:
+        return False
+    for i, st in enumerate(pattern.stages):
+        if isinstance(st, GroupStage):
+            return False
+        if st.negated or st.quantified or st.greedy_flag or st.until_pred is not None:
+            return False
+        if i > 0 and st.contiguity != FOLLOWED_BY:
+            return False
+    return True
+
+
 def cep_stream(
     stream: DataFrame,
     pattern: Pattern,
@@ -1590,12 +1630,15 @@ def _stream_kernel(
         seen: set[int] = set()
         return [e for e in events if not (e[id_col] in seen or seen.add(e[id_col]))]
 
-    def emit_new(events, emitted, rows, key, fold_pt, closed_only):
+    def emit_new(events, emitted, rows, key, fold_pt, closed_only, want_partials=False):
         """Scan `events`, append matches (and, when enabled, timed-out
         partials) whose signature is new to `rows`. ``fold_pt`` is None on
-        flush: nothing is withheld and every dead partial times out."""
+        flush: nothing is withheld and every dead partial times out.
+        Returns the scan's partial-match accumulators (index tuples into
+        ``events``) when ``with_timeouts`` or ``want_partials`` asked for
+        them — the state-compaction live set derives from these."""
         bound = within_us if within_us is not None else horizon
-        touts: list | None = [] if with_timeouts else None
+        touts: list | None = [] if (with_timeouts or want_partials) else None
         matches = _scan(events, pattern, timeouts=touts, closed_negations_only=closed_only)
         for match in matches:
             if extendable and fold_pt is not None:
@@ -1638,7 +1681,7 @@ def _stream_kernel(
                 row["timed_out"] = False
                 row["pending_stage"] = None
             rows.append(row)
-        for acc, stage_i in touts or ():
+        for acc, stage_i in (touts if with_timeouts else None) or ():
             # a partial is DEAD once the fold point passes its within-window:
             # no admissible arrival can land inside it anymore (suffix and
             # future events are all >= fold_pt). On flush (fold_pt None) the
@@ -1688,6 +1731,9 @@ def _stream_kernel(
             row["timed_out"] = True
             row["pending_stage"] = pattern.stages[stage_i].name
             rows.append(row)
+        return touts
+
+    compactable = _prunable_to_live_partials(pattern)
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
@@ -1766,9 +1812,33 @@ def _stream_kernel(
             # earlier event can still win exactly as in the batch executor
             # (round-8 bug A fix)
             prefix = [e for e in events if e["__ts"] < fold_pt]
+            partials = None
             if prefix:
-                emit_new(prefix, emitted, rows, key, fold_pt, closed_only=True)
+                partials = emit_new(
+                    prefix, emitted, rows, key, fold_pt,
+                    closed_only=True, want_partials=compactable,
+                )
         keep = [e for e in events if e["__ts"] >= hwm - horizon]
+        if disorder is not None and compactable:
+            # State compaction (r15/r16 verdict): committed events are a
+            # CLOSED set for this pattern class (_prunable_to_live_partials'
+            # soundness note) — the only ones that can still reach an
+            # emission are those inside a still-completable partial match.
+            # Keep the un-scanned suffix (>= fold_pt) plus exactly those;
+            # matched/expired prefix events drop out of the state write.
+            # At x100 hot-key density the committed prefix IS the state
+            # (~within+disorder of events per key), so this is the bound
+            # between O(horizon) and O(live-partials) state per key.
+            bound = within_us if within_us is not None else horizon
+            live_ids: set[int] = set()
+            for acc, _stage_i in partials or ():
+                idxs = [i for run in acc for i in run]
+                if not idxs:
+                    continue
+                start = min(prefix[i]["__ts"] for i in idxs)
+                if start + bound >= fold_pt:  # still completable
+                    live_ids.update(prefix[i][id_col] for i in idxs)
+            keep = [e for e in keep if e["__ts"] >= fold_pt or e[id_col] in live_ids]
         # prune emitted signatures whose events aged out of the buffer: a
         # match whose constituents are gone can never be re-derived, so its
         # signature is dead weight — without this the emitted set grows

@@ -1279,3 +1279,111 @@ def test_cep_stream_kernel_comparator_matches_batch(data):
     ).within(100)
     got = _drive_kernel_with_comparator(p, batches, horizon_s=200.0, disorder_s=60.0)
     assert got == _batch_matches_with_comparator(p, events)
+
+
+# ---------------------------------------------------------------------------
+# r17 CEP state compaction: committed-prefix pruning to live partial matches
+# ---------------------------------------------------------------------------
+
+
+def _kernel_state_after(pattern, batches, horizon_s, disorder_s):
+    """Drive the kernel like _drive_kernel but return (emitted_pairs,
+    final_state_buffer_len, final_state) for state-size assertions."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.streaming.cep import _stream_kernel
+
+    fn = _stream_kernel(
+        pattern, ["k"], "ts", "eid", "etype",
+        horizon=int(horizon_s * 1_000_000), horizon_s=horizon_s,
+        use_cleanup_timer=False,
+        disorder=None if disorder_s is None else int(disorder_s * 1_000_000),
+    )
+    state = _FakeGroupState()
+    got = set()
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "eid": [e[0] for e in batch],
+                "ts": [pd.Timestamp(e[1] * 1_000_000, unit="us") for e in batch],
+                "etype": [e[2] for e in batch],
+            }
+        )
+        for out in fn((1,), [pdf], state) or ():
+            got.update(zip(out["a_id"], out["b_id"]))
+    buf_len = len(state._val[0]) if state._val is not None else 0
+    # quiescence flush (cleanup-timer path) — emits the withheld tail; the
+    # buffer length is pinned BEFORE it, on the steady-state state write
+    state.hasTimedOut = True
+    for out in fn((1,), [], state) or ():
+        got.update(zip(out["a_id"], out["b_id"]))
+    return got, buf_len, state
+
+
+def test_cep_stream_kernel_compacts_matched_prefix_state():
+    """r17 (r15/r16 verdict): for a plain first-match chain in watermark
+    mode, committed events consumed by EMITTED matches (or dead on their
+    predicates) must leave the state write — only the un-scanned suffix and
+    live partial matches stay. A dense in-order a->b stream where every 'a'
+    matches immediately must keep O(suffix) state, not O(horizon) state,
+    and still emit exactly the batch executor's matches."""
+    from flink_1_6_0_spark.streaming.cep import _prunable_to_live_partials
+
+    p = Pattern.begin("a", lambda e: e["etype"] == "a").followed_by(
+        "b", lambda e: e["etype"] == "b"
+    ).within(100)
+    assert _prunable_to_live_partials(p)
+
+    # 300 alternating a/b pairs, 1s apart, in order: every 'a' matches the
+    # next 'b'. within=100s, disorder=10s -> the un-compacted kernel would
+    # keep ~110s of events (~110 rows); compacted state is just the suffix.
+    events = []
+    eid = 0
+    for t in range(0, 300, 2):
+        events.append((eid, t, "a")); eid += 1
+        events.append((eid, t + 1, "b")); eid += 1
+    batches = [events[i : i + 50] for i in range(0, len(events), 50)]
+    got, buf_len, _ = _kernel_state_after(p, batches, horizon_s=110.0, disorder_s=10.0)
+    assert got == _batch_matches(p, events)
+    # suffix = events within disorder (10s) of the high-water mark = ~10
+    # rows; the pre-compaction kernel kept everything within 110s (~110
+    # rows). Pin well under half the horizon: the matched prefix is gone.
+    assert buf_len <= 30, f"state buffer kept {buf_len} rows — compaction is off"
+
+    # live partials must SURVIVE compaction: 'a's with no 'b' yet stay (with
+    # their window open) and complete when the late 'b' commits.
+    ev2 = [(0, 0, "a"), (1, 50, "x"), (2, 98, "b"), (3, 140, "x"), (4, 170, "x")]
+    b2 = [[ev2[0]], [ev2[1]], [ev2[2]], [ev2[3]], [ev2[4]]]
+    got2, _, _ = _kernel_state_after(p, b2, horizon_s=110.0, disorder_s=10.0)
+    assert got2 == _batch_matches(p, ev2) == {(0, 2)}
+
+
+def test_cep_stream_kernel_compaction_guard_excludes_unsafe_patterns():
+    """Patterns outside the proven class must keep the plain horizon trim:
+    NEXT (buffer adjacency), negations (absence evidence), quantifiers
+    (withheld matches), *_ANY (every event pairable), skip strategies."""
+    from flink_1_6_0_spark.streaming.cep import _prunable_to_live_partials
+
+    base = lambda: Pattern.begin("a", lambda e: e["etype"] == "a")  # noqa: E731
+    assert _prunable_to_live_partials(
+        base().followed_by("b", lambda e: e["etype"] == "b").within(50)
+    )
+    assert not _prunable_to_live_partials(
+        base().next("b", lambda e: e["etype"] == "b")
+    )
+    assert not _prunable_to_live_partials(
+        base()
+        .not_followed_by("n", lambda e: e["etype"] == "x")
+        .followed_by("b", lambda e: e["etype"] == "b")
+    )
+    assert not _prunable_to_live_partials(
+        base().followed_by("b", lambda e: e["etype"] == "b").times(2)
+    )
+    assert not _prunable_to_live_partials(
+        base().followed_by_any("b", lambda e: e["etype"] == "b")
+    )
+    assert not _prunable_to_live_partials(
+        base()
+        .followed_by("b", lambda e: e["etype"] == "b")
+        .skip_past_last_event()
+    )

@@ -595,3 +595,75 @@ def test_time_ordered_directory_table_streams_multi_epoch(spark, sf_dir, tmp_pat
         F.count("*").alias("n")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stateful_shuffle_partitions_derive_from_rows(spark, sf_dir, tmp_path):
+    """r17: streaming state-partition count derives from per-epoch DATA
+    volume (rows / 50k, clamped to [1, CPUS]) — not from the core count.
+    The r16 scaling block showed CPUS-many state partitions hand a toy
+    epoch two orders of magnitude of per-store commit constants."""
+    from flink_1_6_0_spark.sources.stream import (
+        _ROWS_PER_STATE_PARTITION,
+        scaled_state_partitions,
+        stateful_shuffle_partitions,
+    )
+
+    events = os.path.join(sf_dir, "events.parquet")
+    n_rows = spark.read.parquet(events).count()
+    expect = max(1, -(-n_rows // _ROWS_PER_STATE_PARTITION))
+    cap = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    assert stateful_shuffle_partitions(spark, events) == min(max(1, expect), cap)
+
+    # epochs divide the per-epoch volume (here: trivially clamps at 1)
+    assert stateful_shuffle_partitions(spark, events, epochs=n_rows) == 1
+
+    # a synthetic multi-epoch volume: 10 epochs of 120k rows -> 3 partitions
+    big = str(tmp_path / "big.parquet")
+    spark.range(0, 1_200_000).write.parquet(big)
+    got = stateful_shuffle_partitions(spark, big, epochs=10)
+    assert got == min(3, cap), got
+
+    # the context manager scopes the conf and restores it exactly
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scaled_state_partitions(spark, events) as n:
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_scaled_state_partitions_preserve_stream_results(spark, sf_dir):
+    """The data-derived state partition count must not change WHAT a
+    stateful streaming query computes — only how many store instances
+    carry it. Runs the tumbling aggregate both ways and compares rows."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from flink_1_6_0_spark.sources.stream import (
+        events_stream,
+        scaled_state_partitions,
+        to_memory_sink,
+    )
+
+    def run(scaled: bool):
+        stream = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+        agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+        out = agg.select(
+            F.col("window.start").alias("ws"), "event_type", "n", "sum_value"
+        )
+        name = f"t_{uuid.uuid4().hex[:10]}"
+        if scaled:
+            with scaled_state_partitions(
+                spark, os.path.join(sf_dir, "events.parquet")
+            ):
+                q = to_memory_sink(out, name, "complete")
+                q.processAllAvailable()
+                q.stop()
+        else:
+            q = to_memory_sink(out, name, "complete")
+            q.processAllAvailable()
+            q.stop()
+        return sorted(map(tuple, spark.table(name).collect()))
+
+    assert run(True) == run(False)
