@@ -1149,13 +1149,16 @@ def triadic_census_directed(edges: DataFrame, checkpoint_mode: str = "local") ->
         eager=False,
     )
     # pair code on u < v: 3 = mutual, 2 = u→v only, 1 = v→u only.
-    # r16 re-measure of the round-7 "don't pin pairs" note: with the degree
-    # split below now ALSO derived from pairs (not from three separate
-    # aggregations over e), pairs has FOUR consumers (3 triangle arms + the
-    # per-vertex split) — pinning it eagerly replaces four groupBy chains
-    # over e with one aggregation plus cached reads (guide §5: cache what
-    # is reused and expensive; the frame is one row per adjacent vertex
-    # pair, three int columns).
+    # The pin itself stands (4 consumers: 3 triangle arms + the per-vertex
+    # split — without it four groupBy chains re-run over e, guide §5), but
+    # r17 re-adjudicated EAGER vs LAZY with the bench methodology after the
+    # r16 driver bench read the eager pin ~26% slower calm-to-calm at sf0.1:
+    # interleaved same-process A/B (5 rounds) measured eager 2.06 s vs lazy
+    # 2.11 s at sf0.1 and 3.29 vs 3.27 at the x10 tier — a statistical tie —
+    # so the deciding factor is the r16 ADVICE point: eager runs the whole
+    # pair aggregation at query-CONSTRUCTION time (explain/plan-only probes
+    # pay a full compute) while a lazy localCheckpoint still deduplicates
+    # the four consumers at first action. Lazy wins on tie.
     fwd = F.when(F.col("src") < F.col("dst"), 2).otherwise(1)
     pairs = _checkpoint(
         e.select(
@@ -1164,7 +1167,7 @@ def triadic_census_directed(edges: DataFrame, checkpoint_mode: str = "local") ->
         .groupBy("u", "v")
         .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code")),
         checkpoint_mode,
-        eager=True,
+        eager=False,
     )
     ab = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("code").alias("cab"))
     bc = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"), F.col("code").alias("cbc"))
