@@ -457,7 +457,18 @@ def bpe_train(
     and the merge itself is a greedy-left scan implemented as a pure
     F.aggregate over (symbol, next) pairs — no Python in the per-word path.
     localCheckpoint per iteration caps the lineage the same way the bulk
-    batch iterations do (operators/iterations.py)."""
+    batch iterations do (operators/iterations.py).
+
+    Job fusion (r17, guide §1.2/§5): the checkpoints are LAZY, so each
+    iteration's argmax job materializes the previous merge's vocab update
+    as part of itself — ONE Spark job per merge instead of two (the eager
+    form paid a separate blocking job per vocab rewrite). The argmax is
+    computed over identical vocab content with the same deterministic
+    tie-break (count desc, pair asc), so the learned merge list is
+    bit-identical; only WHEN the rewrite executes moves. Block release
+    trails one iteration: a lazy checkpoint's blocks must exist before its
+    parent's are dropped, and they exist exactly after the argmax job that
+    consumed it."""
     vocab = (
         docs.select(F.explode(_bpe_words(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
@@ -470,9 +481,10 @@ def bpe_train(
                 F.array(F.lit(end_of_word)),
             ).alias("syms"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
+    to_release = None
     for _ in range(num_merges):
         pairs = vocab.select(
             "freq",
@@ -491,18 +503,22 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # this action materialized `vocab`'s lazy checkpoint, truncating its
+        # lineage — the grandparent's blocks are now safe to drop (dropping
+        # them any earlier would strand the not-yet-materialized child)
+        if to_release is not None:
+            to_release.unpersist()
+            to_release = None
         if not top or top[0]["n"] < 2:
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((a, b, n))
-        prev = vocab
+        to_release = vocab
         vocab = vocab.select(
             "freq", _merge_pair_scan(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
-        # release the previous iteration's checkpoint blocks — without this
-        # every merge's vocab copy stays pinned in executor storage for the
-        # life of the job (review finding; no-op on the un-checkpointed seed)
-        prev.unpersist()
+        ).localCheckpoint(eager=False)
+    if to_release is not None:
+        to_release.unpersist()
     return merges
 
 
