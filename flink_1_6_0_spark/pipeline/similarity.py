@@ -865,24 +865,26 @@ def semantic_dedup(
             assigned = model.transform(feat).select(
                 "id", "arr", F.col("prediction").cast("long").alias("cid")
             )
+            # localCheckpoint: the assignment is read three times by the
+            # pair step (both self-join sides + the final flag join) —
+            # materialize it once to executor storage with truncated
+            # lineage; the ContextCleaner reclaims the blocks when the
+            # frame is unreferenced.
+            assigned = assigned.localCheckpoint(eager=True)
             if materialize_assignment is not None:
                 # r15 (r14 verdict task 2): persist the learned assignment as
-                # a parquet table and REREAD it for the pair step. The
-                # clustering itself can't be SQL-oracled (kmeans|| float
-                # folds), but everything downstream of the assignment is pure
-                # SQL — an external oracle that reads this same table sees
-                # bit-identical (id, arr, cid) rows, so the whole
-                # pair/canonical step becomes value-hash-checkable. Parquet
-                # roundtrip of doubles is exact.
+                # a parquet table so an external oracle can read the same
+                # (id, arr, cid) rows — the clustering itself can't be
+                # SQL-oracled (kmeans|| float folds), but everything
+                # downstream of the assignment is pure SQL, so the whole
+                # pair/canonical step is value-hash-checkable against it.
+                # r17 (r16 verdict task 8): the pair step now reads the
+                # PINNED frame instead of rereading the parquet — the write
+                # serializes exactly the pinned rows (parquet roundtrips
+                # doubles/longs exactly), so the oracle's view and the
+                # engine's view stay bit-identical while the timed query
+                # pays one write, not write + reread.
                 assigned.write.mode("overwrite").parquet(materialize_assignment)
-                assigned = df.sparkSession.read.parquet(materialize_assignment)
-            else:
-                # localCheckpoint: the assignment is read three times by the
-                # pair step (both self-join sides + the final flag join) —
-                # materialize it once to executor storage with truncated
-                # lineage; the ContextCleaner reclaims the blocks when the
-                # frame is unreferenced.
-                assigned = assigned.localCheckpoint(eager=True)
         finally:
             # the assignment is materialized (parquet or localCheckpoint) by
             # here — the feature cache has served its fit+transform window
