@@ -135,11 +135,31 @@ def windowed_co_group(
     cogroup_windowed oracle; equivalence pin in
     test_datastream_api.py::test_windowed_co_group_batched_equivalence;
     the CoGroupJoinITCase golden drives the 2-arg fn form).
-    ``dropna=False`` keeps a NULL-timestamp window group, matching the
-    Spark-side groupBy's null-key behavior. Like applyInPandas itself, the
-    user fn may take ``(left_pdf, right_pdf)`` or
+    Null timestamps never reach the worker: Spark's TimeWindowing rule
+    compiles ``F.window(ts, ...)`` with an ``isnotnull(ts)`` filter, on
+    this form and on the pre-r16 per-(key, window) groupBy form alike
+    (pinned by test_windowed_co_group_null_ts_rows_never_fire). The
+    worker-side groupby still keeps ``dropna=False`` and normalizes a NaT
+    group key to None defensively (r16 ADVICE: pairing null groups through
+    the pd.NaT singleton's object identity was fragile — NaT != NaT), so a
+    future caller windowing by a pre-computed nullable column cannot
+    double-fire the null window. Like applyInPandas
+    itself, the user fn may take ``(left_pdf, right_pdf)`` or
     ``(key, left_pdf, right_pdf)`` — arity is inspected once up front, the
-    same convention Spark applies to the cogroup function.
+    same convention Spark applies to the cogroup function (bound methods
+    count ``self`` and a 2-arg fn with an optional third default parameter
+    reads as 3-arg, exactly as in Spark's own applyInPandas); a
+    non-introspectable callable falls back to the documented 3-arg
+    contract.
+
+    Skew note (r16 ADVICE): grouping per KEY means one Arrow batch holds a
+    key's whole history across all windows — a hot key over a long range
+    materializes in one Python worker where the per-(key, window) form
+    bounded memory per window. That is the deliberate trade for the
+    O(keys) vs O(keys × windows) fixed-crossing win; when a single key's
+    history can exceed worker memory, add a coarse time bucket to the
+    Spark-side keys (group on (month_bucket, keys)) to cap batch size —
+    the window split inside the worker is unaffected.
     """
     import inspect
 
@@ -147,21 +167,25 @@ def windowed_co_group(
     rw = right.withColumn("__w", F.window(F.col(right_ts), window)["start"])
     lkeys = [lk for lk, _ in keys]
     rkeys = [rk for _, rk in keys]
-    takes_key = len(inspect.getfullargspec(fn).args) == 3
+    try:
+        takes_key = len(inspect.getfullargspec(fn).args) == 3
+    except TypeError:  # non-introspectable callable: documented contract
+        takes_key = True
 
     def per_key(key, lpdf, rpdf):
         import pandas as pd
 
-        lg = (
-            {w: g for w, g in lpdf.groupby("__w", sort=False, dropna=False)}
-            if len(lpdf)
-            else {}
-        )
-        rg = (
-            {w: g for w, g in rpdf.groupby("__w", sort=False, dropna=False)}
-            if len(rpdf)
-            else {}
-        )
+        def groups(pdf):
+            if not len(pdf):
+                return {}
+            # normalize the group key: NaT -> None so the two sides' null
+            # windows pair by VALUE, not by NaT object identity
+            return {
+                (None if pd.isna(w) else w): g
+                for w, g in pdf.groupby("__w", sort=False, dropna=False)
+            }
+
+        lg, rg = groups(lpdf), groups(rpdf)
         l_empty, r_empty = lpdf.iloc[0:0], rpdf.iloc[0:0]
         return pd.concat(
             [

@@ -274,14 +274,17 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     must collapse to ONE canonical even if A,C never share a bucket. The
     oracle is an exact recursive-CTE closure over the same pairs."""
     # r16 (guide §2.4/§5): the pair frame is consumed THREE times (edges +
-    # both arms of the vertex union), and connected_components' eager
-    # edge-frame checkpoint forces one evaluation up front anyway — without
-    # the pin the whole shingle→signature→bucket-join pipeline re-runs per
-    # consumer. The frame is tiny (candidate pairs only); localCheckpoint
-    # materializes it once and the ContextCleaner reclaims it.
+    # both arms of the vertex union) — without the pin the whole
+    # shingle→signature→bucket-join pipeline re-runs per consumer. The
+    # frame is tiny (candidate pairs only); localCheckpoint materializes it
+    # once and the ContextCleaner reclaims it. r17 (ADVICE + the triadic
+    # eager/lazy A/B tie): LAZY — the first action still computes the LSH
+    # pipeline exactly once for all three consumers, but merely BUILDING
+    # the frame (explain/plan probes, bench warm-up construction) no longer
+    # runs a distributed job.
     pairs = dd.minhash_lsh_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", shingle_k=3, num_hashes=16, bands=4
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     vertices = (
         pairs.select(F.col("a").alias("doc"))

@@ -390,6 +390,44 @@ def test_windowed_co_group_batched_equivalence(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_windowed_co_group_null_ts_rows_never_fire(spark):
+    """r16 ADVICE follow-up, pinned as the ACTUAL contract: Spark's
+    TimeWindowing rule compiles ``F.window(ts, ...)`` with an
+    ``isnotnull(ts)`` filter, so null-timestamp rows are dropped by the
+    ENGINE before the worker on both sides — the hypothesized NaT
+    double-fire is unreachable through this operator (the pre-r16
+    per-(key, window) Spark groupBy form dropped them identically). The
+    worker-side groupby still normalizes NaT -> None defensively; this
+    test pins that null-ts rows produce no spurious (key, window) firing
+    and leave the real windows untouched."""
+    import pandas as pd
+
+    from flink_1_6_0_spark.operators.joins import windowed_co_group
+
+    left = spark.createDataFrame(
+        [(1, None, 10.0), (1, "2024-01-01 00:10:00", 11.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, 20.0), (1, None, 21.0)],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def fn(key, lpdf, rpdf):
+        return pd.DataFrame(
+            [{"k": key[1], "n_l": len(lpdf), "n_r": len(rpdf)}]
+        )
+
+    out = windowed_co_group(
+        left, right, [("k", "k")], "ts", "ts", "1 day", fn,
+        "k long, n_l long, n_r long",
+    ).collect()
+    rows = sorted((r["n_l"], r["n_r"]) for r in out)
+    # exactly one invocation: the real window (1 left click, 0 right) —
+    # the three null-ts rows are engine-filtered on both sides
+    assert rows == [(1, 0)], rows
+
+
 def test_process_nonkeyed_and_write_to_socket(spark, sf_dir):
     """DataStream.process (non-keyed, DataStream.java:638) and writeToSocket
     (DataStream.java:1120) against a live in-process TCP server."""
