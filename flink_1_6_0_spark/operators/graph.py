@@ -1150,15 +1150,18 @@ def triadic_census_directed(edges: DataFrame, checkpoint_mode: str = "local") ->
     )
     # pair code on u < v: 3 = mutual, 2 = u→v only, 1 = v→u only.
     # The pin itself stands (4 consumers: 3 triangle arms + the per-vertex
-    # split — without it four groupBy chains re-run over e, guide §5), but
-    # r17 re-adjudicated EAGER vs LAZY with the bench methodology after the
-    # r16 driver bench read the eager pin ~26% slower calm-to-calm at sf0.1:
-    # interleaved same-process A/B (5 rounds) measured eager 2.06 s vs lazy
-    # 2.11 s at sf0.1 and 3.29 vs 3.27 at the x10 tier — a statistical tie —
-    # so the deciding factor is the r16 ADVICE point: eager runs the whole
-    # pair aggregation at query-CONSTRUCTION time (explain/plan-only probes
-    # pay a full compute) while a lazy localCheckpoint still deduplicates
-    # the four consumers at first action. Lazy wins on tie.
+    # split — without it four groupBy chains re-run over e, guide §5).
+    # EAGER vs LAZY, r17 adjudication in two stages: (1) at sf0.1 the r16
+    # driver bench had read eager ~26% slower calm-to-calm, but a controlled
+    # interleaved same-process A/B (5 alternating rounds) measured a
+    # statistical TIE (eager 2.06 s vs lazy 2.11 s; x10 tier 3.29 vs 3.27);
+    # (2) the r17 power-law probe (10M-edge R-MAT, BENCH_PROBES
+    # x100_graph_probe_r17) showed LAZY LOSES AT SCALE — all four consumer
+    # subtrees of a not-yet-materialized lazy checkpoint race inside the one
+    # consuming job and duplicate the pair aggregation (100k edges: eager
+    # 2.08 s vs lazy 8.29 s; 1M: 15.71 vs 17.06) — so eager ships: tie at
+    # toy scale, decisive at data scale. The construction-time
+    # materialization cost the r16 ADVICE flagged is the accepted price.
     fwd = F.when(F.col("src") < F.col("dst"), 2).otherwise(1)
     pairs = _checkpoint(
         e.select(
@@ -1167,7 +1170,7 @@ def triadic_census_directed(edges: DataFrame, checkpoint_mode: str = "local") ->
         .groupBy("u", "v")
         .agg(F.when(F.count("*") == 2, F.lit(3)).otherwise(F.max("c")).alias("code")),
         checkpoint_mode,
-        eager=False,
+        eager=True,
     )
     ab = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("code").alias("cab"))
     bc = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"), F.col("code").alias("cbc"))

@@ -277,11 +277,13 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both arms of the vertex union) — without the pin the whole
     # shingle→signature→bucket-join pipeline re-runs per consumer. The
     # frame is tiny (candidate pairs only); localCheckpoint materializes it
-    # once and the ContextCleaner reclaims it. r17 (ADVICE + the triadic
-    # eager/lazy A/B tie): LAZY — the first action still computes the LSH
-    # pipeline exactly once for all three consumers, but merely BUILDING
-    # the frame (explain/plan probes, bench warm-up construction) no longer
-    # runs a distributed job.
+    # once and the ContextCleaner reclaims it. r17: LAZY is safe HERE —
+    # unlike the triadic pairs pin (where all four consumer subtrees sit in
+    # ONE job and a lazy pin's duplicates race, see operators/graph.py and
+    # BENCH_PROBES x100_graph_probe_r17), connected_components eagerly
+    # checkpoints the symmetrized edge frame FIRST, so the lazy pin
+    # materializes through that single consumer before the two vertex arms
+    # ever read it: one fewer blocking job, no duplicate compute.
     pairs = dd.minhash_lsh_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", shingle_k=3, num_hashes=16, bands=4
     ).localCheckpoint(eager=False)
